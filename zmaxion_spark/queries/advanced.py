@@ -1,0 +1,449 @@
+"""Advanced relational operators — SURVEY.md §2 #17–#22, #26–#33, #40.
+
+The as-of and interval joins are the stream-enrichment primitives the
+reference's scope implies (SURVEY §2.3 #19–#20): Spark has no native
+batch as-of join, so they are formulated as compositions Catalyst
+optimizes well — union+running-window for as-of, coarse-bucket
+equi-join + residual filter for interval (the bucket join is what
+scales: at 100 TB the interval side shuffles once on the bucket key
+instead of exploding a theta BNLJ).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from zmaxion_spark.catalog import load_table
+from zmaxion_spark.queries.helpers import DEC, dsum, sql_dsum
+from zmaxion_spark.queries.registry import query
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# #17 theta / non-equi join (equi key + range residual)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_join_theta_range",
+    oracle=f"""
+        SELECT s_nationkey AS nationkey,
+               COUNT(*) AS n_pairs,
+               {sql_dsum('s_acctbal - c_acctbal', 'bal_gap')}
+        FROM supplier JOIN customer
+          ON s_nationkey = c_nationkey AND s_acctbal > c_acctbal
+        GROUP BY s_nationkey
+    """,
+    operators=(17,),
+    doc="Equi + range-predicate join (supplier richer than customer, same "
+    "nation). Scale: hash join on the equi key, residual filter applied "
+    "post-match — never a BNLJ.",
+)
+def q_join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = _t(spark, sf_dir, "supplier")
+    c = _t(spark, sf_dir, "customer")
+    return (
+        s.join(c, (s.s_nationkey == c.c_nationkey) & (s.s_acctbal > c.c_acctbal))
+        .groupBy(F.col("s_nationkey").alias("nationkey"))
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            dsum(F.col("s_acctbal") - F.col("c_acctbal"), "bal_gap"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# #18 cross join
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_join_cross",
+    oracle="""
+        SELECT r_name, seg, CONCAT(r_name, '/', seg) AS cell
+        FROM region
+        CROSS JOIN (SELECT DISTINCT c_mktsegment AS seg FROM customer)
+    """,
+    operators=(18,),
+    doc="Cartesian product of two tiny dimension sets (5×5). Scale: only "
+    "ever used dim×dim; Spark broadcasts the smaller side.",
+)
+def q_join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = _t(spark, sf_dir, "region").select("r_name")
+    seg = _t(spark, sf_dir, "customer").select(F.col("c_mktsegment").alias("seg")).distinct()
+    return r.crossJoin(seg).select(
+        "r_name", "seg", F.concat(F.col("r_name"), F.lit("/"), F.col("seg")).alias("cell")
+    )
+
+
+# ---------------------------------------------------------------------------
+# #19 as-of join: latest click at-or-before each purchase, per user
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_join_asof",
+    oracle="""
+        WITH p AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+                   FROM events WHERE event_type = 'purchase'),
+             c AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts
+                   FROM events WHERE event_type = 'click')
+        SELECT p.event_id, p.user_id, p.ts AS purchase_ts,
+               (SELECT MAX(c.ts) FROM c
+                WHERE c.user_id = p.user_id AND c.ts <= p.ts) AS last_click_ts
+        FROM p
+        WHERE EXISTS (SELECT 1 FROM c
+                      WHERE c.user_id = p.user_id AND c.ts <= p.ts)
+    """,
+    operators=(19, 31),
+    doc="Batch as-of join via union + running last_value(ignorenulls) "
+    "window — one shuffle on user_id, no range explosion. Oracle uses "
+    "the equivalent MAX-correlated-subquery formulation.",
+)
+def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("ts").alias("ev_ts"),
+        F.lit(None).cast("bigint").alias("p_event_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").alias("ev_ts"),
+        F.col("event_id").alias("p_event_id"),
+        F.lit(None).cast("timestamp").alias("click_ts"),
+    )
+    # At equal ev_ts the click sorts first (nulls last) → inclusive <=.
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ev_ts"), F.col("click_ts").desc_nulls_last())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        clicks.unionByName(purchases)
+        .withColumn("last_click_ts", F.last("click_ts", ignorenulls=True).over(w))
+        .filter(F.col("p_event_id").isNotNull() & F.col("last_click_ts").isNotNull())
+        .select(
+            F.col("p_event_id").alias("event_id"),
+            "user_id",
+            F.col("ev_ts").alias("purchase_ts"),
+            "last_click_ts",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# #20 interval join: events within derived time windows (bucketed)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_join_interval",
+    oracle=f"""
+        WITH w AS (SELECT DISTINCT DATE_TRUNC('month', l_shipdate) AS w_start FROM lineitem),
+             w2 AS (SELECT w_start, w_start + INTERVAL 7 DAY AS w_end FROM w)
+        SELECT w_start,
+               COUNT(*) AS n_items,
+               {sql_dsum('l_extendedprice', 'revenue')}
+        FROM w2 JOIN lineitem
+          ON l_shipdate >= w_start AND l_shipdate < w_end
+        GROUP BY w_start
+    """,
+    operators=(20,),
+    doc="Interval join (shipments in the first week of each month) via "
+    "coarse-bucket equi-join + residual range filter. Scale: the fact "
+    "side shuffles once on the month bucket; windows broadcast.",
+)
+def q_join_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    windows = (
+        li.select(F.date_trunc("month", "l_shipdate").alias("w_start"))
+        .distinct()
+        .select("w_start", (F.col("w_start") + F.expr("INTERVAL 7 DAYS")).alias("w_end"))
+        .withColumn("bucket", F.col("w_start"))
+    )
+    return (
+        li.withColumn("bucket", F.date_trunc("month", "l_shipdate"))
+        .join(F.broadcast(windows), "bucket")
+        .filter((F.col("l_shipdate") >= F.col("w_start")) & (F.col("l_shipdate") < F.col("w_end")))
+        .groupBy("w_start")
+        .agg(F.count(F.lit(1)).alias("n_items"), dsum("l_extendedprice", "revenue"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# #27 rollup / cube with grouping ids
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_rollup",
+    oracle=f"""
+        SELECT l_returnflag, l_linestatus,
+               GROUPING(l_returnflag, l_linestatus) AS gid,
+               COUNT(*) AS n,
+               {sql_dsum('l_quantity', 'sum_qty')}
+        FROM lineitem
+        GROUP BY ROLLUP(l_returnflag, l_linestatus)
+    """,
+    operators=(27,),
+    doc="ROLLUP with GROUPING id disambiguating subtotal nulls. Scale: "
+    "Spark expands to a single Expand+agg — one shuffle for all levels.",
+)
+def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count(F.lit(1)).alias("n"),
+            dsum("l_quantity", "sum_qty"),
+        )
+        .select("l_returnflag", "l_linestatus", "gid", "n", "sum_qty")
+    )
+
+
+@query(
+    "q_cube",
+    oracle=f"""
+        SELECT o_orderstatus, o_orderpriority,
+               GROUPING(o_orderstatus, o_orderpriority) AS gid,
+               COUNT(*) AS n,
+               {sql_dsum('o_totalprice', 'spend')}
+        FROM orders
+        GROUP BY CUBE(o_orderstatus, o_orderpriority)
+    """,
+    operators=(27,),
+    doc="CUBE over two dimensions with grouping id.",
+)
+def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count(F.lit(1)).alias("n"),
+            dsum("o_totalprice", "spend"),
+        )
+        .select("o_orderstatus", "o_orderpriority", "gid", "n", "spend")
+    )
+
+
+# ---------------------------------------------------------------------------
+# #28 filtered aggregates + collect_list/set
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_agg_filtered_collect",
+    oracle=f"""
+        SELECT l_returnflag,
+               COUNT(*) FILTER (WHERE l_linestatus = 'F') AS n_finished,
+               COUNT(*) FILTER (WHERE l_quantity > 25) AS n_bulk,
+               {sql_dsum('l_extendedprice', 'rev_all')},
+               CAST(COALESCE(SUM(CAST(l_extendedprice AS DECIMAL(38,6)))
+                    FILTER (WHERE l_discount > 0.05), 0) AS DOUBLE) AS rev_discounted,
+               LIST_SORT(LIST(DISTINCT l_linestatus)) AS statuses
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+    operators=(23, 28),
+    doc="FILTER-clause aggregates as count/sum over CASE WHEN, plus "
+    "sorted collect_set (order fixed so hashes agree).",
+)
+def q_agg_filtered_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.when(F.col("l_linestatus") == "F", 1)).alias("n_finished"),
+        F.count(F.when(F.col("l_quantity") > 25, 1)).alias("n_bulk"),
+        dsum("l_extendedprice", "rev_all"),
+        F.coalesce(
+            F.sum(F.when(F.col("l_discount") > 0.05, F.col("l_extendedprice")).cast(DEC)),
+            F.lit(0),
+        )
+        .cast("double")
+        .alias("rev_discounted"),
+        F.sort_array(F.collect_set("l_linestatus")).alias("statuses"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# #29 pivot
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_pivot",
+    oracle="""
+        SELECT l_returnflag,
+               CAST(COALESCE(SUM(CAST(l_quantity AS DECIMAL(38,6)))
+                    FILTER (WHERE l_linestatus = 'F'), 0) AS DOUBLE) AS qty_f,
+               CAST(COALESCE(SUM(CAST(l_quantity AS DECIMAL(38,6)))
+                    FILTER (WHERE l_linestatus = 'O'), 0) AS DOUBLE) AS qty_o
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+    operators=(29,),
+    doc="Pivot l_linestatus into columns with explicit value list (no "
+    "extra distinct-values job — the scale-correct form).",
+)
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    p = (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(F.sum(F.col("l_quantity").cast(DEC)).cast("double"))
+    )
+    return p.select(
+        "l_returnflag",
+        F.coalesce(F.col("F"), F.lit(0.0)).alias("qty_f"),
+        F.coalesce(F.col("O"), F.lit(0.0)).alias("qty_o"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# #31 analytic windows (lag/lead/first/last/nth)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_win_analytic",
+    oracle="""
+        SELECT event_id, user_id,
+               LAG(value) OVER w AS prev_value,
+               LEAD(event_type) OVER w AS next_type,
+               FIRST_VALUE(event_id) OVER w AS first_event,
+               NTH_VALUE(value, 2) OVER w AS second_value,
+               LAST_VALUE(event_id)
+                 OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_event
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
+    """,
+    operators=(31,),
+    doc="lag/lead/first/last/nth_value per user ordered by event time — "
+    "the sessionization building block. One shuffle on user_id.",
+)
+def q_win_analytic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wfull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.lag("value").over(w).alias("prev_value"),
+        F.lead("event_type").over(w).alias("next_type"),
+        F.first("event_id").over(w).alias("first_event"),
+        F.nth_value("value", 2).over(w).alias("second_value"),
+        F.last("event_id").over(wfull).alias("last_event"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# #32 framed window aggregates (rows + range frames)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_win_frames",
+    oracle="""
+        SELECT o_orderkey, o_custkey,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6)))
+                 OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6)))
+                 OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                       ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
+                 / COUNT(*) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                       ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS avg3_spend,
+               COUNT(*) OVER (PARTITION BY o_custkey ORDER BY o_totalprice
+                       RANGE BETWEEN 1000 PRECEDING AND CURRENT ROW) AS n_within_1000
+        FROM orders
+    """,
+    operators=(32,),
+    doc="Running and sliding frames (ROWS) plus a numeric RANGE frame. "
+    "Decimal-exact running sums keep parity with the oracle.",
+)
+def q_win_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    wo = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    run = wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w3 = wo.rowsBetween(-2, Window.currentRow)
+    wr = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_totalprice")
+        .rangeBetween(-1000, Window.currentRow)
+    )
+    dec_price = F.col("o_totalprice").cast(DEC)
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.sum(dec_price).over(run).cast("double").alias("running_spend"),
+        (F.sum(dec_price).over(w3).cast("double") / F.count(F.lit(1)).over(w3)).alias(
+            "avg3_spend"
+        ),
+        F.count(F.lit(1)).over(wr).alias("n_within_1000"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# #40 deterministic exact dedup (documented tie-break)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_dedup_keyed",
+    oracle="""
+        SELECT o_custkey, o_orderkey AS first_orderkey, o_orderdate AS first_date
+        FROM (
+            SELECT o_custkey, o_orderkey, o_orderdate,
+                   ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                      ORDER BY o_orderdate, o_orderkey) AS rn
+            FROM orders
+        ) WHERE rn = 1
+    """,
+    operators=(30, 40),
+    doc="Key-level dedup with deterministic tie-break (earliest date, then "
+    "lowest key) — dropDuplicates() keeps an arbitrary row, so the engine's "
+    "dedup_exact is row_number()=1 (SURVEY #40 tie-break note).",
+)
+def q_dedup_keyed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_custkey",
+            F.col("o_orderkey").alias("first_orderkey"),
+            F.col("o_orderdate").alias("first_date"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# #26 approximate aggregates (rows-only: approx ≠ oracle)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_agg_approx",
+    oracle=None,
+    operators=(26,),
+    doc="HLL count-distinct + approximate percentiles — the interactive "
+    "path at 100 TB (no exact distinct shuffle, bounded sketch memory). "
+    "Accuracy vs exact twin asserted in tests/test_properties.py.",
+)
+def q_agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+        F.percentile_approx("l_extendedprice", [0.5, 0.9], 10000).alias("price_p50_p90"),
+        F.count(F.lit(1)).alias("n"),
+    )

@@ -11,6 +11,7 @@ queries/helpers.py makes them bit-exact in practice).
 
 from __future__ import annotations
 
+import datetime as _dt
 from dataclasses import dataclass
 
 import numpy as np
@@ -31,6 +32,26 @@ def duckdb_connect(sf_dir: str):
     return con
 
 
+def _canon_cell(v):
+    """Order-preserving canonical string for nested cells (arrays/structs).
+
+    Float elements are rounded to 6dp so float32-vs-float64 transport
+    differences (DuckDB list<float> → numpy float32, Spark → python
+    float) don't produce spurious mismatches. Queries that emit
+    set-valued arrays (collect_set) must sort them (sort_array)
+    themselves — order is part of the comparison.
+    """
+    if isinstance(v, (list, np.ndarray, tuple)):
+        return "[" + ",".join(_canon_cell(x) for x in v) + "]"
+    if isinstance(v, dict):
+        return "{" + ",".join(f"{k}:{_canon_cell(x)}" for k, x in sorted(v.items())) + "}"
+    if isinstance(v, (float, np.floating)):
+        return format(round(float(v), 6), ".6f")
+    if isinstance(v, np.integer):
+        return str(int(v))
+    return str(v)
+
+
 def canonicalize(df: pd.DataFrame) -> pd.DataFrame:
     """Sort columns by name, normalize dtypes, sort rows deterministically."""
     df = df[sorted(df.columns)].copy()
@@ -45,7 +66,15 @@ def canonicalize(df: pd.DataFrame) -> pd.DataFrame:
         elif isinstance(s.dtype, pd.CategoricalDtype):
             df[c] = s.astype(str)
         elif s.dtype == object:
-            df[c] = s.apply(lambda v: str(sorted(v)) if isinstance(v, (list, np.ndarray)) else v)
+            probe = s.dropna()
+            if len(probe) and isinstance(probe.iloc[0], _dt.date) and not isinstance(
+                probe.iloc[0], _dt.datetime
+            ):
+                # Spark DateType → python date objects; DuckDB DATE →
+                # datetime64. Normalize both to µs int64.
+                df[c] = pd.to_datetime(s).astype("datetime64[us]").astype("int64")
+            else:
+                df[c] = s.apply(_canon_cell)
     # Sort rows on a rounded view so float noise can't permute ties.
     key = df.copy()
     for c in key.columns:
