@@ -1,0 +1,148 @@
+"""Property-style checks (SURVEY.md §5.4) for operators whose driver
+check is rows-only: approximate aggregates, LSH paths, SimHash, and
+duplicate clustering. Deterministic — fixed seeds, no runtime RNG.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+from zmaxion_spark.catalog import load_table
+from zmaxion_spark.queries.registry import REGISTRY
+
+
+def _rows(spark, name):
+    return REGISTRY[name].fn(spark, SF_SMOKE).collect()
+
+
+def test_approx_count_distinct_close(spark):
+    li = load_table(spark, SF_SMOKE, "lineitem")
+    got = (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_orderkey", rsd=0.01).alias("approx"),
+            F.countDistinct("l_orderkey").alias("exact"),
+        )
+        .collect()
+    )
+    for r in got:
+        assert abs(r.approx - r.exact) / r.exact < 0.05, r
+
+
+def test_lsh_sim_join_precision_vs_exact(spark):
+    exact = {(r.id_a, r.id_b) for r in _rows(spark, "q_sim_join_exact")}
+    lsh = {(r.id_a, r.id_b) for r in _rows(spark, "q_sim_join_lsh")}
+    # Precision 1.0 by construction: every LSH pair is exact-rescored.
+    assert lsh <= exact
+    if exact:
+        # Sign-random-projection with 8 planes should keep some recall.
+        assert len(lsh) / len(exact) > 0.1
+
+
+def test_minhash_matches_exact_jaccard_pairs(spark):
+    """LSH candidates re-scored at τ=0.5 must equal the exhaustive
+    jaccard-≥-0.5 pair set (banding catches 0.98-jaccard planted dups
+    with probability ≈ 1)."""
+    from zmaxion_spark.functions.dedup import jaccard
+    from zmaxion_spark.functions.text import shingles
+
+    d = load_table(spark, SF_SMOKE, "documents")
+    toks = F.split("text", " ")
+    s = d.filter(F.size(toks) >= 3).select("doc_id", shingles(toks, 3).alias("sh"))
+    a = s.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sha"))
+    b = s.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("shb"))
+    exact = {
+        (r.doc_a, r.doc_b)
+        for r in (
+            a.join(b, F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b", jaccard(F.col("sha"), F.col("shb")).alias("j"))
+            .filter(F.col("j") >= 0.5)
+            .collect()
+        )
+    }
+    lsh = {(r.doc_a, r.doc_b) for r in _rows(spark, "q_dedup_minhash_lsh")}
+    assert lsh == exact
+
+
+def test_simhash_pairs_are_near_duplicates(spark):
+    """Hamming ≤ 3 on 64-bit SimHash should only fire on genuinely
+    similar docs (high token-multiset overlap)."""
+    from zmaxion_spark.functions.dedup import jaccard
+    from zmaxion_spark.functions.text import shingles
+
+    pairs = _rows(spark, "q_dedup_simhash")
+    if not pairs:
+        pytest.skip("no simhash pairs at this sf")
+    d = load_table(spark, SF_SMOKE, "documents")
+    toks = F.split("text", " ")
+    s = d.select("doc_id", shingles(toks, 3).alias("sh"))
+    sh = {r.doc_id: set(r.sh) for r in s.collect()}
+    for p in pairs:
+        a, b = sh[p.doc_a], sh[p.doc_b]
+        j = len(a & b) / max(len(a | b), 1)
+        assert j > 0.5, f"simhash pair ({p.doc_a},{p.doc_b}) jaccard={j:.2f}"
+
+
+def test_connected_components_invariants(spark):
+    comps = {r.node: r.comp for r in _rows(spark, "q_dedup_clusters")}
+    edges = [(r.doc_a, r.doc_b) for r in _rows(spark, "q_dedup_minhash_lsh")]
+    assert edges, "expected planted near-dup edges"
+    for a, b in edges:
+        assert comps[a] == comps[b], f"edge ({a},{b}) split across components"
+    # Component label is the smallest member id.
+    members: dict[int, list[int]] = {}
+    for node, comp in comps.items():
+        members.setdefault(comp, []).append(node)
+    for comp, nodes in members.items():
+        assert comp == min(nodes)
+
+
+def test_dedup_idempotent(spark):
+    from zmaxion_spark.functions.dedup import dedup_exact
+
+    d = load_table(spark, SF_SMOKE, "documents")
+    once = dedup_exact(d, "text", "doc_id")
+    twice = dedup_exact(once, "text", "doc_id")
+    assert once.count() == twice.count()
+
+
+def test_cosine_bounds_and_symmetry(spark):
+    from zmaxion_spark.functions.similarity import cosine
+
+    e = load_table(spark, SF_SMOKE, "embeddings").limit(50)
+    a = e.select(F.col("vec_id").alias("ia"), F.col("embedding").alias("va"))
+    b = e.select(F.col("vec_id").alias("ib"), F.col("embedding").alias("vb"))
+    rows = (
+        a.crossJoin(b)
+        .select(
+            "ia",
+            "ib",
+            cosine(F.col("va"), F.col("vb")).alias("ab"),
+            cosine(F.col("vb"), F.col("va")).alias("ba"),
+        )
+        .collect()
+    )
+    for r in rows:
+        assert r.ab == r.ba
+        assert -1.0000001 <= r.ab <= 1.0000001
+        if r.ia == r.ib:
+            assert abs(r.ab - 1.0) < 1e-9
+
+
+def test_filter_join_commute(spark):
+    c = load_table(spark, SF_SMOKE, "customer")
+    o = load_table(spark, SF_SMOKE, "orders")
+    pred = F.col("c_acctbal") > 0
+    j1 = c.filter(pred).join(o, c.c_custkey == o.o_custkey).count()
+    j2 = c.join(o, c.c_custkey == o.o_custkey).filter(pred).count()
+    assert j1 == j2
+
+
+def test_union_count_additivity(spark):
+    o = load_table(spark, SF_SMOKE, "orders")
+    hi = o.filter(F.col("o_totalprice") >= 100000)
+    lo = o.filter(F.col("o_totalprice") < 100000)
+    assert hi.count() + lo.count() == o.count()
+    assert hi.unionByName(lo).count() == o.count()

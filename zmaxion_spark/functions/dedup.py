@@ -1,0 +1,182 @@
+"""Deduplication operators — SURVEY.md §2.11 #69–#70 plus SimHash and
+n-gram-Jaccard near-dup from the training-data-pipeline surface.
+
+Design for 100 TB:
+- exact dedup shuffles an 8-byte fingerprint, never the document;
+- MinHash-LSH turns the n² near-dup problem into |bands| equi-joins
+  on short band keys, with exact Jaccard re-scoring only on candidate
+  pairs;
+- connected components for duplicate clustering is the iterative
+  min-id propagation loop (bounded iterations, one shuffle each) —
+  no GraphFrames dependency.
+
+Hash choice: production path uses xxhash64 (fast, JVM); the
+oracle-paired queries use md5 minhash because DuckDB reproduces it
+byte-for-byte — semantics identical, only the hash family differs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from zmaxion_spark.functions.text import fingerprint, normalize
+
+
+def dedup_exact(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """#69: keep the lowest-id row per identical normalized content.
+
+    Deterministic tie-break (min id). Groups by the 64-bit fingerprint
+    so only (hash, id) shuffles at scale."""
+    w = Window.partitionBy(fingerprint(text_col)).orderBy(id_col)
+    return df.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
+
+
+def minhash_signature_md5(shingle_col: Column, n_hashes: int) -> list[Column]:
+    """MinHash over md5-salted shingles: sig_j = MIN(md5(j ':' s)).
+
+    Min over the hex digest string is a valid uniform minhash and is
+    reproducible in DuckDB (oracle parity). Production twin would use
+    xxhash64(j, s) — same algebra, cheaper hash."""
+    def salted(j: int):
+        # Closure (not a lambda default) — a 2-ary lambda would be
+        # treated as transform's (element, index) form.
+        def f(s: Column) -> Column:
+            return F.md5(F.concat(F.lit(f"{j}:"), s).cast("binary"))
+
+        return f
+
+    return [
+        F.array_min(F.transform(shingle_col, salted(j))).alias(f"h{j}")
+        for j in range(n_hashes)
+    ]
+
+
+def band_keys(sig_prefix: str, n_hashes: int, band_size: int) -> list[Column]:
+    """LSH banding: hash each contiguous group of band_size sig rows."""
+    assert n_hashes % band_size == 0
+    bands = []
+    for b in range(n_hashes // band_size):
+        cols = [F.col(f"{sig_prefix}{j}") for j in range(b * band_size, (b + 1) * band_size)]
+        bands.append(F.md5(F.concat_ws("|", *cols).cast("binary")).alias(f"band{b}"))
+    return bands
+
+
+def jaccard(a: Column, b: Column) -> Column:
+    """Exact Jaccard over two distinct-element arrays."""
+    inter = F.size(F.array_intersect(a, b))
+    union = F.size(F.array_union(a, b))
+    return F.when(union > 0, inter.cast("double") / union).otherwise(F.lit(0.0))
+
+
+def simhash(tokens: Column, bits: int = 16) -> Column:
+    """SimHash signature: per bit, sign of Σ(±1 over token hashes).
+
+    Near-duplicate documents land within small Hamming distance; 16
+    bits keeps it one BIGINT column."""
+    def bit_merge(j: int):
+        # NB: binding j via a lambda default would change the lambda's
+        # arity and make Spark treat it as an extra lambda variable.
+        def merge(acc: Column, t: Column) -> Column:
+            bit = F.shiftright(F.xxhash64(t), j).bitwiseAND(F.lit(1))
+            return acc + F.when(bit == 1, 1).otherwise(-1)
+
+        return merge
+
+    out = F.lit(0).cast("bigint")
+    for j in range(bits):
+        contrib = F.aggregate(tokens, F.lit(0).cast("bigint"), bit_merge(j))
+        out = out + F.when(contrib >= 0, F.lit(1 << j)).otherwise(F.lit(0))
+    return out
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_table(df: DataFrame, id_col: str, feature_col: Column, bits: int = 64) -> DataFrame:
+    """64-bit SimHash per document over an array feature column
+    (typically 3-gram shingles — unigram features collide for any two
+    docs with similar word frequencies, far too coarse for near-dup).
+
+    Each feature is hashed once (explode → xxhash64 → 64 shift/sign
+    aggregates in a single groupBy) instead of re-hashing per bit in a
+    fold — one shuffle on the id, linear work at 100 TB."""
+    tok = df.select(id_col, F.explode(feature_col).alias("_tok"))
+    h = tok.withColumn("_h", F.xxhash64("_tok"))
+    aggs = [
+        F.sum(
+            F.when(F.shiftright(F.col("_h"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"_b{j}")
+        for j in range(bits)
+    ]
+    per_doc = h.groupBy(id_col).agg(*aggs)
+    sig = F.lit(0).cast("bigint")
+    for j in range(bits):
+        sig = sig + F.when(F.col(f"_b{j}") >= 0, F.lit(1 << j) if j < 63 else F.lit(-(1 << 63))).otherwise(F.lit(0))
+    return per_doc.select(id_col, sig.alias("simhash"))
+
+
+def simhash_near_pairs(sig_df: DataFrame, id_col: str, max_hamming: int = 3) -> DataFrame:
+    """Candidate blocking for SimHash: split the 64-bit signature into
+    4 × 16-bit chunks; by pigeonhole, any pair within Hamming ≤ 3 shares
+    at least one exact chunk — so candidates come from 4 equi-joins on
+    chunk values, never an n² cross join."""
+    chunks = sig_df.select(
+        id_col,
+        "simhash",
+        *[
+            F.shiftrightunsigned("simhash", 16 * c).bitwiseAND(F.lit(0xFFFF)).alias(f"c{c}")
+            for c in range(4)
+        ],
+    )
+    pairs = None
+    for c in range(4):
+        a = chunks.select(
+            F.col(id_col).alias("id_a"), F.col("simhash").alias("sig_a"), F.col(f"c{c}").alias("ck")
+        )
+        b = chunks.select(
+            F.col(id_col).alias("id_b"), F.col("simhash").alias("sig_b"), F.col(f"c{c}").alias("ck")
+        )
+        p = a.join(b, "ck").filter(F.col("id_a") < F.col("id_b")).drop("ck")
+        pairs = p if pairs is None else pairs.unionByName(p)
+    return (
+        pairs.distinct()
+        .withColumn("hamming", hamming64(F.col("sig_a"), F.col("sig_b")))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst",
+                         max_iter: int = 20) -> DataFrame:
+    """Duplicate clustering: smallest-id label propagation.
+
+    Returns (node, component). Each iteration is one groupBy shuffle;
+    converges in O(log(diameter)) rounds for dup clusters (which are
+    near-cliques, so usually 2-3 rounds)."""
+    sym = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .union(edges.select(F.col(src).alias("a"), F.col(src).alias("b")))
+        .union(edges.select(F.col(dst).alias("a"), F.col(dst).alias("b")))
+        .distinct()
+    )
+    labels = sym.groupBy("a").agg(F.min("b").alias("comp"))
+    for _ in range(max_iter):
+        # relabel: comp <- min(comp) over neighbors ∪ self
+        joined = (
+            sym.join(labels, on="a")
+            .select(F.col("b").alias("node"), "comp")
+            .groupBy("node")
+            .agg(F.min("comp").alias("new_comp"))
+        )
+        merged = labels.join(joined, labels.a == joined.node).select(
+            "a", F.least("comp", "new_comp").alias("next_comp"), "comp"
+        )
+        changed = merged.filter(F.col("next_comp") != F.col("comp")).limit(1).count()
+        labels = merged.select("a", F.col("next_comp").alias("comp")).localCheckpoint()
+        if changed == 0:
+            break
+    return labels.select(F.col("a").alias("node"), "comp")

@@ -1,0 +1,645 @@
+"""LLM-data-pipeline queries — SURVEY.md §2.11 #64–#76.
+
+Text analysis, TF-IDF, exact + MinHash-LSH dedup, n-gram Jaccard,
+vector similarity (pairwise / top-k / sim-join), sentiment, and the
+multimodal column schema. Every SQL-expressible operator has a DuckDB
+oracle; hash parity is engineered (md5 minhash, left-fold dot
+products) rather than hoped for.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from zmaxion_spark.catalog import load_table
+from zmaxion_spark.functions import dedup as D
+from zmaxion_spark.functions import similarity as S
+from zmaxion_spark.functions import text as T
+from zmaxion_spark.queries.helpers import davg, sql_davg
+from zmaxion_spark.queries.registry import query
+
+# DuckDB twin of functions.similarity.dot/cosine: identical left fold.
+_SQL_DOT = (
+    "LIST_REDUCE(LIST_PREPEND(CAST(0 AS DOUBLE), "
+    "LIST_TRANSFORM(RANGE(1, 65), i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE))), "
+    "(acc, x) -> acc + x)"
+)
+
+
+def _sql_cosine(a: str, b: str) -> str:
+    return (
+        f"({_SQL_DOT.format(a=a, b=b)} / "
+        f"(SQRT({_SQL_DOT.format(a=a, b=a)}) * SQRT({_SQL_DOT.format(a=b, b=b)})))"
+    )
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# #64 normalize, #65 tokenize
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_text_normalize",
+    oracle="""
+        SELECT doc_id,
+               TRIM(REGEXP_REPLACE(REGEXP_REPLACE(
+                    LOWER('  ' || UPPER(text) || ' !! '),
+                    '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm_text
+        FROM documents
+    """,
+    operators=(64,),
+    doc="Normalization pipeline (case fold, punctuation strip, whitespace "
+    "fold) applied to deliberately dirtied input so the op is exercised.",
+)
+def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    dirty = F.concat(F.lit("  "), F.upper("text"), F.lit(" !! "))
+    return d.select("doc_id", T.normalize(dirty).alias("norm_text"))
+
+
+@query(
+    "q_text_tokenize",
+    oracle="""
+        SELECT doc_id, STRING_SPLIT(text, ' ') AS tokens,
+               LEN(STRING_SPLIT(text, ' ')) AS n_tokens
+        FROM documents
+    """,
+    operators=(65,),
+    doc="Tokenization to ARRAY<STRING> (order-preserving array equality "
+    "in the hash check).",
+)
+def q_text_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    return d.select("doc_id", toks.alias("tokens"), F.size(toks).alias("n_tokens"))
+
+
+# ---------------------------------------------------------------------------
+# #66 corpus stats per language
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_text_stats",
+    oracle=f"""
+        SELECT lang,
+               COUNT(*) AS n_docs,
+               SUM(n_chars) AS total_chars,
+               {sql_davg('n_chars', 'avg_chars')},
+               SUM(LEN(STRING_SPLIT(text, ' '))) AS total_tokens,
+               COUNT(DISTINCT source) AS n_sources
+        FROM documents
+        GROUP BY lang
+    """,
+    operators=(66,),
+    doc="Per-language corpus statistics over documents.",
+)
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        davg("n_chars", "avg_chars"),
+        F.sum(F.size(F.split("text", " "))).alias("total_tokens"),
+        F.countDistinct("source").alias("n_sources"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# text quality scoring + language ID (training-data pipeline ops)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_text_quality",
+    oracle="""
+        WITH t AS (SELECT doc_id, text, STRING_SPLIT(text, ' ') AS toks FROM documents)
+        SELECT doc_id,
+               LEN(toks) AS n_tokens,
+               CAST(LEN(LIST_FILTER(toks, x -> LIST_CONTAINS(
+                    ['the','a','and','is','of','to','in'], x))) AS DOUBLE)
+                    / LEN(toks) AS stop_ratio,
+               CAST(LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[^a-z0-9]', '', 'g')) AS DOUBLE)
+                    / LENGTH(text) AS punct_ratio,
+               ROUND(LEAST(CAST(LEN(toks) AS DOUBLE) / 100.0, 1.0) * 0.4
+                     + LEAST(CAST(LEN(LIST_FILTER(toks, x -> LIST_CONTAINS(
+                           ['the','a','and','is','of','to','in'], x))) AS DOUBLE)
+                           / LEN(toks) * 4, 1.0) * 0.3
+                     + (1.0 - CAST(LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[^a-z0-9]', '', 'g')) AS DOUBLE)
+                           / LENGTH(text)) * 0.3, 9) AS quality
+        FROM t
+    """,
+    operators=(66,),
+    doc="Quality scoring: length/stopword/punctuation heuristics combined "
+    "into a [0,1] score (the classic pretraining-filter features).",
+)
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        T.stopword_ratio(toks).alias("stop_ratio"),
+        T.punct_ratio("text").alias("punct_ratio"),
+        T.quality_score("text", toks).alias("quality"),
+    )
+
+
+@query(
+    "q_lang_id",
+    oracle="""
+        WITH t AS (SELECT doc_id, lang, STRING_SPLIT(text, ' ') AS toks FROM documents),
+        s AS (SELECT doc_id, lang,
+               LEN(LIST_INTERSECT(toks, ['der','die','und','ist','nicht','das','ein','mit'])) AS s_de,
+               LEN(LIST_INTERSECT(toks, ['the','and','is','of','to','a','in','that'])) AS s_en,
+               LEN(LIST_INTERSECT(toks, ['el','la','los','que','de','y','un','en'])) AS s_es,
+               LEN(LIST_INTERSECT(toks, ['le','la','les','et','est','un','une','dans'])) AS s_fr,
+               LEN(LIST_INTERSECT(toks, ['的','是','了','在','我','有','和','不'])) AS s_zh
+              FROM t)
+        SELECT doc_id, lang,
+               CASE WHEN GREATEST(s_de, s_en, s_es, s_fr, s_zh) = 0 THEN 'und'
+                    WHEN s_de = GREATEST(s_de, s_en, s_es, s_fr, s_zh) THEN 'de'
+                    WHEN s_en = GREATEST(s_de, s_en, s_es, s_fr, s_zh) THEN 'en'
+                    WHEN s_es = GREATEST(s_de, s_en, s_es, s_fr, s_zh) THEN 'es'
+                    WHEN s_fr = GREATEST(s_de, s_en, s_es, s_fr, s_zh) THEN 'fr'
+                    ELSE 'zh' END AS pred_lang
+        FROM s
+    """,
+    operators=(66,),
+    doc="Language-ID heuristic: per-language function-word hit counts, "
+    "argmax with alphabetical tie-break ('und' when no hits).",
+)
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    return d.select("doc_id", "lang", T.lang_id(toks).alias("pred_lang"))
+
+
+# ---------------------------------------------------------------------------
+# #67 TF-IDF
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_tf_idf",
+    oracle="""
+        WITH tok AS (SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS term FROM documents),
+             tf  AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term),
+             dfq AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY term),
+             n   AS (SELECT COUNT(*) AS n FROM documents)
+        SELECT tf.doc_id, tf.term, tf.tf, dfq.df,
+               ROUND(CAST(tf.tf AS DOUBLE) * LN(CAST(n.n AS DOUBLE) / dfq.df), 9) AS tfidf
+        FROM tf JOIN dfq USING (term), n
+    """,
+    operators=(67,),
+    doc="TF-IDF: explode → term frequency per doc, document frequency per "
+    "term, ln(N/df) weighting. Scale: tf and df are partial-aggregated; "
+    "df (vocab-sized) broadcasts back onto tf.",
+)
+def q_tf_idf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfq = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n = d.agg(F.count(F.lit(1)).alias("n"))
+    return (
+        tf.join(F.broadcast(dfq), "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df",
+            F.round(F.col("tf").cast("double") * F.log(F.col("n").cast("double") / F.col("df")), 9).alias("tfidf"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# #68 shingles
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_text_shingles",
+    oracle="""
+        WITH t AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS toks FROM documents),
+             s AS (SELECT doc_id,
+                          LIST_DISTINCT(LIST_TRANSFORM(RANGE(1, LEN(toks) - 1),
+                              i -> ARRAY_TO_STRING(toks[i:i+2], ' '))) AS sh
+                   FROM t WHERE LEN(toks) >= 3)
+        SELECT doc_id, LEN(sh) AS n_shingles, LIST_AGGREGATE(sh, 'min') AS min_shingle
+        FROM s
+    """,
+    operators=(68,),
+    doc="Distinct 3-gram shingles per document (the MinHash input).",
+)
+def q_text_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    sh = T.shingles(toks, 3)
+    return (
+        d.filter(F.size(toks) >= 3)
+        .select(
+            "doc_id",
+            F.size(sh).alias("n_shingles"),
+            F.array_min(sh).alias("min_shingle"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# #69 exact content dedup
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_dedup_exact_content",
+    oracle="""
+        SELECT MIN(doc_id) AS kept_doc, COUNT(*) AS n_copies
+        FROM documents
+        GROUP BY TRIM(REGEXP_REPLACE(REGEXP_REPLACE(LOWER(text), '[^a-z0-9 ]', ' ', 'g'),
+                                     ' +', ' ', 'g'))
+    """,
+    operators=(40, 69),
+    doc="Exact content dedup groups: min-id survivor per normalized text. "
+    "Engine groups by the 64-bit xxhash64 fingerprint (8-byte shuffle key "
+    "at 100 TB); oracle groups by the text itself — identical partition.",
+)
+def q_dedup_exact_content(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.groupBy(T.fingerprint("text").alias("_fp"))
+        .agg(F.min("doc_id").alias("kept_doc"), F.count(F.lit(1)).alias("n_copies"))
+        .drop("_fp")
+        .select("kept_doc", "n_copies")
+    )
+
+
+# ---------------------------------------------------------------------------
+# #70 MinHash-LSH near-duplicate pairs (md5 minhash → oracle-exact)
+# ---------------------------------------------------------------------------
+
+_MINHASH_SQL = """
+    WITH t AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS toks FROM documents),
+    sh AS (SELECT doc_id,
+                  LIST_DISTINCT(LIST_TRANSFORM(RANGE(1, LEN(toks) - 1),
+                      i -> ARRAY_TO_STRING(toks[i:i+2], ' '))) AS s
+           FROM t WHERE LEN(toks) >= 3),
+    sig AS (SELECT doc_id, s,
+        {mins}
+        FROM sh),
+    bands AS (
+        {bands}
+    ),
+    cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+             FROM bands x JOIN bands y ON x.band = y.band AND x.bi = y.bi
+                                       AND x.doc_id < y.doc_id),
+    scored AS (SELECT doc_a, doc_b,
+                      CAST(LEN(LIST_INTERSECT(sa.s, sb.s)) AS DOUBLE)
+                      / LEN(LIST_DISTINCT(sa.s || sb.s)) AS jacc
+               FROM cand
+               JOIN sh sa ON sa.doc_id = cand.doc_a
+               JOIN sh sb ON sb.doc_id = cand.doc_b)
+    SELECT doc_a, doc_b, jacc FROM scored WHERE jacc >= 0.5
+""".format(
+    mins=",\n        ".join(
+        f"LIST_AGGREGATE(LIST_TRANSFORM(s, x -> MD5('{j}:' || x)), 'min') AS h{j}"
+        for j in range(12)
+    ),
+    bands="\n        UNION ALL\n        ".join(
+        f"SELECT doc_id, MD5(h{3*b} || '|' || h{3*b+1} || '|' || h{3*b+2}) AS band, {b} AS bi FROM sig"
+        for b in range(4)
+    ),
+)
+
+
+@query(
+    "q_dedup_minhash_lsh",
+    oracle=_MINHASH_SQL,
+    operators=(70,),
+    doc="MinHash-LSH near-dup detection: 12 md5 minhashes → 4 bands × 3 "
+    "rows → band-bucket self-join → exact Jaccard re-score ≥ 0.5. "
+    "Scale: signatures are computed row-local (array_min over a lambda, "
+    "NO explode/shuffle); the self-join touches only same-band pairs. "
+    "Oracle runs the byte-identical md5 pipeline in DuckDB.",
+)
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    sh = d.filter(F.size(toks) >= 3).select(
+        "doc_id", T.shingles(toks, 3).alias("s")
+    )
+    sig = sh.select("doc_id", "s", *D.minhash_signature_md5(F.col("s"), 12))
+    bands = None
+    for b, bcol in enumerate(D.band_keys("h", 12, 3)):
+        part = sig.select("doc_id", bcol.alias("band"), F.lit(b).alias("bi"))
+        bands = part if bands is None else bands.unionByName(part)
+    x, y = bands.alias("x"), bands.alias("y")
+    cand = (
+        x.join(
+            y,
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.bi") == F.col("y.bi"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("sa"))
+    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("sb"))
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", D.jaccard(F.col("sa"), F.col("sb")).alias("jacc"))
+        .filter(F.col("jacc") >= 0.5)
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard near-dup (blocked exact variant)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_ngram_jaccard",
+    oracle="""
+        WITH t AS (SELECT doc_id, lang, n_chars // 16 AS blk,
+                          STRING_SPLIT(text, ' ') AS toks FROM documents),
+             s AS (SELECT doc_id, lang, blk,
+                          LIST_DISTINCT(LIST_TRANSFORM(RANGE(1, LEN(toks) - 1),
+                              i -> ARRAY_TO_STRING(toks[i:i+2], ' '))) AS sh
+                   FROM t WHERE LEN(toks) >= 3)
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(LEN(LIST_INTERSECT(a.sh, b.sh)) AS DOUBLE)
+               / LEN(LIST_DISTINCT(a.sh || b.sh)) AS jacc
+        FROM s a JOIN s b
+          ON a.lang = b.lang AND a.blk = b.blk AND a.doc_id < b.doc_id
+        WHERE CAST(LEN(LIST_INTERSECT(a.sh, b.sh)) AS DOUBLE)
+              / LEN(LIST_DISTINCT(a.sh || b.sh)) >= 0.4
+    """,
+    operators=(70,),
+    doc="Blocked n-gram Jaccard join: candidate pairs share (lang, "
+    "length-bucket) — the classic blocking key — then exact Jaccard ≥ 0.4. "
+    "Scale: the block key bounds the quadratic term to within-block pairs.",
+    bench=False,
+)
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    s = d.filter(F.size(toks) >= 3).select(
+        "doc_id", "lang", (F.col("n_chars") / 16).cast("bigint").alias("blk"),
+        T.shingles(toks, 3).alias("sh"),
+    )
+    a = s.select(F.col("doc_id").alias("doc_a"), "lang", "blk", F.col("sh").alias("sha"))
+    b = s.select(F.col("doc_id").alias("doc_b"), "lang", "blk", F.col("sh").alias("shb"))
+    return (
+        a.join(b, ["lang", "blk"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", D.jaccard(F.col("sha"), F.col("shb")).alias("jacc"))
+        .filter(F.col("jacc") >= 0.4)
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash near-dup (rows-only: xxhash64 not reproducible in DuckDB)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_dedup_simhash",
+    oracle=None,
+    operators=(70,),
+    doc="SimHash(64-bit) near-dup pairs: explode-based signatures (one "
+    "shuffle), 4×16-bit chunk blocking (pigeonhole: Hamming ≤ 3 ⇒ one "
+    "chunk equal), Hamming filter. Property-tested against exact Jaccard "
+    "(tests/test_properties.py); xxhash64 not reproducible in DuckDB → "
+    "rows-only driver check.",
+    bench=False,
+)
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    sig = D.simhash_table(d.filter(F.size(toks) >= 3), "doc_id", T.shingles(toks, 3), 64)
+    return D.simhash_near_pairs(sig, "doc_id", max_hamming=3).select(
+        F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"), "hamming"
+    )
+
+
+# ---------------------------------------------------------------------------
+# #70 cluster stage: connected components over near-dup pairs (rows-only)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_dedup_clusters",
+    oracle=None,
+    operators=(70,),
+    doc="Duplicate clustering: connected components (iterative min-id "
+    "propagation) over the MinHash-LSH pair graph. Non-SQL-expressible "
+    "(iterative); invariants asserted in tests/test_properties.py.",
+    bench=False,
+)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = q_dedup_minhash_lsh(spark, sf_dir).select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    return D.connected_components(pairs).orderBy("node")
+
+
+# ---------------------------------------------------------------------------
+# #71 pairwise cosine similarity
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_sim_cosine_pairs",
+    oracle=f"""
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               {_SQL_DOT.format(a='a.embedding', b='b.embedding')} AS dot_ab,
+               SQRT({_SQL_DOT.format(a='a.embedding', b='a.embedding')}) AS norm_a,
+               {_sql_cosine('a.embedding', 'b.embedding')} AS cos_sim
+        FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
+    """,
+    operators=(44, 71),
+    doc="Cosine similarity between consecutive embedding pairs via SQL "
+    "higher-order lambdas (zip_with + left-fold aggregate) — bit-exact "
+    "with the DuckDB list_reduce twin, fully JVM-side.",
+)
+def q_sim_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings")
+    a = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    return a.join(b, F.col("id_b") == F.col("id_a") + 1).select(
+        "id_a",
+        "id_b",
+        S.dot(F.col("va"), F.col("vb")).alias("dot_ab"),
+        S.norm(F.col("va")).alias("norm_a"),
+        S.cosine(F.col("va"), F.col("vb")).alias("cos_sim"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# #72 top-k nearest-neighbor search (exact brute force)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_sim_topk_search",
+    oracle=f"""
+        WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 3),
+             scored AS (SELECT q.qid, e.vec_id,
+                               {_sql_cosine('q.qv', 'e.embedding')} AS cos_sim
+                        FROM q CROSS JOIN embeddings e)
+        SELECT qid, vec_id, cos_sim, rank FROM (
+            SELECT qid, vec_id, cos_sim,
+                   ROW_NUMBER() OVER (PARTITION BY qid
+                                      ORDER BY cos_sim DESC, vec_id) AS rank
+            FROM scored
+        ) WHERE rank <= 5
+    """,
+    operators=(33, 72),
+    doc="Exact top-5 cosine neighbors for 3 query vectors: broadcast "
+    "queries × corpus scan, per-query ranking window. Scale path: prefix "
+    "with lsh_signature bucketing to prune the corpus (q_sim_join_lsh).",
+)
+def q_sim_topk_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    corpus = e.select("vec_id", F.col("embedding").alias("cv"))
+    out = S.topk_neighbors(queries, corpus, "qv", "cv", 5, "qid", "vec_id")
+    return out.select("qid", "vec_id", "cos_sim", "rank")
+
+
+# ---------------------------------------------------------------------------
+# #73 similarity join (exact) + LSH-pruned variant
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_sim_join_exact",
+    oracle=f"""
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               {_sql_cosine('a.embedding', 'b.embedding')} AS cos_sim
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE {_sql_cosine('a.embedding', 'b.embedding')} >= 0.35
+    """,
+    operators=(73,),
+    doc="All-pairs similarity join, exact variant (cos ≥ 0.35). The n² "
+    "baseline the LSH path is measured against.",
+    bench=False,
+)
+def q_sim_join_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings")
+    a = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", S.cosine(F.col("va"), F.col("vb")).alias("cos_sim"))
+        .filter(F.col("cos_sim") >= 0.35)
+    )
+
+
+@query(
+    "q_sim_join_lsh",
+    oracle=None,
+    operators=(72, 73),
+    doc="LSH-pruned similarity join: 8 tables × 6-bit sign-random-"
+    "projection buckets (OR-amplified), candidates exact-rescored at "
+    "cos ≥ 0.35. Precision 1.0 vs exact by construction; recall "
+    "1-(1-p^6)^8 (asserted in tests). At 100 TB the bucket equi-joins "
+    "replace the n² cross join.",
+)
+def q_sim_join_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings")
+    return S.sim_join_lsh(e, "vec_id", "embedding", 0.35, n_tables=8, bits_per_table=6)
+
+
+# ---------------------------------------------------------------------------
+# #74 lexicon sentiment
+# ---------------------------------------------------------------------------
+
+_LEXICON = [("fast", 1.0), ("slow", -1.0), ("merge", 0.5), ("scan", -0.25), ("spark", 2.0)]
+
+
+@query(
+    "q_sentiment_lexicon",
+    oracle="""
+        WITH lex(word, pol) AS (VALUES ('fast', 1.0), ('slow', -1.0),
+                                       ('merge', 0.5), ('scan', -0.25), ('spark', 2.0)),
+             tok AS (SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS term FROM documents),
+             hits AS (SELECT doc_id, SUM(CAST(pol AS DECIMAL(38,6))) AS s,
+                             COUNT(*) AS n_hits
+                      FROM tok JOIN lex ON term = word GROUP BY doc_id)
+        SELECT d.doc_id,
+               CAST(COALESCE(h.s, 0) AS DOUBLE) AS sentiment,
+               COALESCE(h.n_hits, 0) AS n_hits
+        FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+    """,
+    operators=(74,),
+    doc="Lexicon-based sentiment (EDBT 2016/2018 pattern): tokenize → join "
+    "broadcast lexicon → per-doc polarity sum. Docs with no hits score 0.",
+)
+def q_sentiment_lexicon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    spark_lex = spark.createDataFrame(_LEXICON, ["word", "pol"])
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    hits = (
+        tok.join(F.broadcast(spark_lex), tok.term == spark_lex.word)
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.col("pol").cast("decimal(38,6)")).alias("s"),
+            F.count(F.lit(1)).alias("hits"),
+        )
+    )
+    return d.join(hits, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("s"), F.lit(0)).cast("double").alias("sentiment"),
+        F.coalesce(F.col("hits"), F.lit(0)).alias("n_hits"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# #75 multimodal column schema + accessors
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_multimodal_schema",
+    oracle="""
+        SELECT doc_id,
+               'mem://' || source || '/' || CAST(doc_id AS VARCHAR) AS uri,
+               CASE WHEN doc_id % 2 = 0 THEN 'image/png' ELSE 'audio/wav' END AS mime,
+               OCTET_LENGTH(ENCODE(text)) AS n_bytes,
+               lang AS meta_lang
+        FROM documents
+    """,
+    operators=(45, 75),
+    doc="Multimodal column: STRUCT<uri,mime,bytes BINARY,meta MAP> carrier "
+    "built from fixture docs (fixtures ship no real media — bytes are the "
+    "utf-8 payload), verified through its scalar accessors. Bulk decode "
+    "path is q_multimodal_features (mapInPandas).",
+)
+def q_multimodal_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    media = F.struct(
+        F.concat(F.lit("mem://"), F.col("source"), F.lit("/"), F.col("doc_id").cast("string")).alias("uri"),
+        F.when(F.col("doc_id") % 2 == 0, "image/png").otherwise("audio/wav").alias("mime"),
+        F.encode(F.col("text"), "utf-8").alias("bytes"),
+        F.create_map(F.lit("lang"), F.col("lang")).alias("meta"),
+    )
+    return d.withColumn("media", media).select(
+        "doc_id",
+        F.col("media.uri").alias("uri"),
+        F.col("media.mime").alias("mime"),
+        F.length(F.col("media.bytes")).alias("n_bytes"),
+        F.element_at(F.col("media.meta"), "lang").alias("meta_lang"),
+    )
