@@ -1,0 +1,98 @@
+"""Streaming runtime tests — SURVEY.md §2.9 ops not covered by graded
+queries: parquet sink with checkpoint (#6), foreachBatch (#7), rate
+source (#4), custom stateful sessionizer vs session_window (#51/#53),
+late-data watermark policy (#54).
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+from zmaxion_spark.streaming.pipeline import Pipeline, run_foreach_batch, run_to_parquet
+from zmaxion_spark.streaming.sources import stream_events, stream_rate
+
+
+def test_parquet_sink_exactly_once(spark):
+    ev = stream_events(spark, SF_SMOKE)
+    out = tempfile.mkdtemp(prefix="zmx-sink-")
+    run_to_parquet(ev.filter(F.col("event_type") == "error"), out)
+    written = spark.read.parquet(out)
+    from zmaxion_spark.catalog import load_table
+
+    expected = load_table(spark, SF_SMOKE, "events").filter(F.col("event_type") == "error")
+    assert written.count() == expected.count()
+    assert set(written.columns) == set(expected.columns)
+
+
+def test_foreach_batch_side_channel(spark):
+    ev = stream_events(spark, SF_SMOKE)
+    seen: list[tuple[int, int]] = []
+
+    def audit(batch_df, batch_id: int):
+        seen.append((batch_id, batch_df.count()))
+
+    run_foreach_batch(ev, audit)
+    assert sum(n for _, n in seen) == 1000  # sf0.001 events rows
+
+
+def test_rate_source_schema(spark):
+    r = stream_rate(spark, rows_per_second=10)
+    assert r.isStreaming
+    assert [f.name for f in r.schema.fields] == ["timestamp", "value"]
+
+
+def test_custom_sessionizer_matches_session_window(spark):
+    """The applyInPandasWithState FSM sessionizer must agree with the
+    built-in session_window on CLOSED sessions (the FSM keeps the final
+    open session per user in state, so that one is excluded)."""
+    from zmaxion_spark.streaming.stateful import sessionize
+
+    ev = stream_events(spark, SF_SMOKE)
+    from zmaxion_spark.streaming.pipeline import run_available_now
+
+    got = run_available_now(sessionize(ev, 1800), "fsm_sessions", mode="append")
+    fsm = {
+        (r.user_id, r.session_start.replace(tzinfo=None), r.n_events)
+        for r in got.collect()
+    }
+
+    builtin = (
+        Pipeline.from_events(spark, SF_SMOKE)
+        .watermark("ts", "1 hour")
+        .session("30 minutes", "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .to_memory("builtin_sessions", mode="complete")
+    )
+    ref = {
+        (r.user_id, r["session_window"].start.replace(tzinfo=None), r.n_events)
+        for r in builtin.collect()
+    }
+    # every user's last session is open in the FSM → ref minus one per user
+    users = {u for u, _, _ in ref}
+    assert len(ref) - len(fsm) == len(users)
+    assert fsm <= ref
+
+
+def test_watermark_drops_late_data(spark):
+    """#54: with watermark W, an aggregation in append mode only emits
+    windows once the watermark passes — replay emits all closed windows."""
+    t = (
+        Pipeline.from_events(spark, SF_SMOKE)
+        .watermark("ts", "10 minutes")
+        .tumbling("5 minutes", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .to_memory("wm_append", mode="append")
+    )
+    from zmaxion_spark.catalog import load_table
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    max_ts = ev.agg(F.max("ts")).collect()[0][0]
+    # all emitted windows closed strictly before watermark = max_ts - 10min
+    emitted_max = t.agg(F.max(F.col("window.end"))).collect()[0][0]
+    if emitted_max is not None:
+        import datetime
+
+        assert emitted_max <= max_ts.replace(tzinfo=None) + datetime.timedelta(minutes=5)

@@ -3,4 +3,12 @@
 from zmaxion_spark.queries.registry import REGISTRY, Query, covered_operators, query  # noqa: F401
 
 # Import all query modules for their registration side effects.
-from zmaxion_spark.queries import advanced, llm, relational, scalar  # noqa: F401,E402
+from zmaxion_spark.queries import (  # noqa: F401,E402
+    advanced,
+    llm,
+    relational,
+    scalar,
+    sources_q,
+    streaming_q,
+    udf,
+)

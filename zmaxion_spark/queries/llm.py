@@ -643,3 +643,60 @@ def q_multimodal_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length(F.col("media.bytes")).alias("n_bytes"),
         F.element_at(F.col("media.meta"), "lang").alias("meta_lang"),
     )
+
+
+# ---------------------------------------------------------------------------
+# #76 time-series similarity over event streams (EDBT 2019 pattern)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_ts_sim_search",
+    oracle="""
+        WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value
+                   FROM events),
+        w AS (SELECT user_id, event_id,
+                LIST(value) OVER fr AS win,
+                CAST(SUM(CAST(value AS DECIMAL(38,6))) OVER fr AS DOUBLE) AS s,
+                CAST(SUM(CAST(value * value AS DECIMAL(38,6))) OVER fr AS DOUBLE) AS s2,
+                ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+              FROM e
+              WINDOW fr AS (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS BETWEEN 3 PRECEDING AND CURRENT ROW))
+        SELECT user_id, event_id,
+               CASE WHEN (s2 / 4 - (s / 4) * (s / 4)) > 0 THEN
+                   LIST_REDUCE(LIST_PREPEND(CAST(0 AS DOUBLE),
+                       LIST_TRANSFORM(RANGE(1, 5), i ->
+                           ((win[i] - s / 4) / SQRT(s2 / 4 - (s / 4) * (s / 4)))
+                           * ([-1.0, -0.5, 0.5, 1.0])[i])),
+                       (a, x) -> a + x)
+               END AS trend_score
+        FROM w WHERE rn >= 4
+    """,
+    operators=(32, 76),
+    doc="Time-series pattern similarity over the event stream (EDBT 2019 "
+    "pattern): per-user sliding windows of 4 values, z-normalized "
+    "(decimal-exact moment sums), scored against an up-trend template by "
+    "dot product. All window math is a single shuffle on user_id.",
+)
+def q_ts_sim_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    fr = w.rowsBetween(-3, Window.currentRow)
+    win = F.collect_list("value").over(fr)
+    s = F.sum(F.col("value").cast("decimal(38,6)")).over(fr).cast("double")
+    s2 = F.sum((F.col("value") * F.col("value")).cast("decimal(38,6)")).over(fr).cast("double")
+    rn = F.row_number().over(w)
+    base = ev.select("user_id", "event_id", win.alias("win"), s.alias("s"),
+                     s2.alias("s2"), rn.alias("rn")).filter(F.col("rn") >= 4)
+    mean = F.col("s") / 4
+    var = F.col("s2") / 4 - mean * mean
+    pattern = F.array(F.lit(-1.0), F.lit(-0.5), F.lit(0.5), F.lit(1.0))
+    score = F.aggregate(
+        F.zip_with(F.col("win"), pattern, lambda x, p: ((x - mean) / F.sqrt(var)) * p),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    return base.select(
+        "user_id", "event_id", F.when(var > 0, score).alias("trend_score")
+    )

@@ -240,6 +240,37 @@ def q_fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_fn_hash",
+    oracle="""
+        SELECT doc_id,
+               MD5(text) AS text_md5,
+               SHA256(lang) AS lang_sha256,
+               (SELECT COUNT(DISTINCT text) FROM documents) AS n_distinct_text
+        FROM documents
+    """,
+    operators=(47,),
+    doc="Hash family: md5/sha2 (hex parity with DuckDB); xxhash64 is "
+    "engine-internal (different algorithm per engine) so it is verified "
+    "structurally — its distinct count must equal the distinct count of "
+    "the hashed input.",
+)
+def q_fn_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    # xxhash64 grouping must be injective on this corpus: distinct
+    # hash count == distinct text count (what the oracle computes).
+    n_hashes = d.select(F.countDistinct(F.xxhash64("text")).alias("n"))
+    return (
+        d.select(
+            "doc_id",
+            F.md5(F.col("text").cast("binary")).alias("text_md5"),
+            F.sha2(F.col("lang").cast("binary"), 256).alias("lang_sha256"),
+        )
+        .crossJoin(F.broadcast(n_hashes))
+        .withColumnRenamed("n", "n_distinct_text")
+    )
+
+
+@query(
     "q_fn_struct_map",
     oracle="""
         SELECT e.event_id,

@@ -1,0 +1,97 @@
+"""Non-parquet batch sources — SURVEY.md §2.1 #2 (CSV / JSON with
+explicit schemas).
+
+The fixture tables are parquet-only, so these queries round-trip a
+fixture through the format under test (write once to a cached temp
+dir, read back with an explicit StructType — engine policy: no schema
+inference in production paths) and verify the result against the
+original table's oracle. This proves the read path end-to-end:
+parsing, typing, nullability.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from zmaxion_spark.catalog import load_table
+from zmaxion_spark.queries.helpers import sql_dsum
+from zmaxion_spark.queries.registry import query
+
+NATION_SCHEMA = T.StructType(
+    [
+        T.StructField("n_nationkey", T.IntegerType()),
+        T.StructField("n_name", T.StringType()),
+        T.StructField("n_regionkey", T.IntegerType()),
+    ]
+)
+
+ORDERS_LITE_SCHEMA = T.StructType(
+    [
+        T.StructField("o_orderkey", T.LongType()),
+        T.StructField("o_orderstatus", T.StringType()),
+        T.StructField("o_totalprice", T.DoubleType()),
+    ]
+)
+
+
+def _roundtrip_dir(sf_dir: str, tag: str) -> str:
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    return f"/tmp/zmx-sources/{key}/{tag}"
+
+
+@query(
+    "q_scan_csv",
+    oracle="""
+        SELECT r_name, COUNT(*) AS n_nations
+        FROM nation JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name
+    """,
+    operators=(2, 16),
+    doc="CSV source with explicit schema: nation round-tripped through "
+    "CSV (header, no inference), read back, broadcast-joined to region.",
+)
+def q_scan_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _roundtrip_dir(sf_dir, "nation_csv")
+    if not os.path.exists(path):
+        load_table(spark, sf_dir, "nation").coalesce(1).write.mode("overwrite").option(
+            "header", True
+        ).csv(path)
+    nation = spark.read.schema(NATION_SCHEMA).option("header", True).csv(path)
+    region = load_table(spark, sf_dir, "region")
+    return (
+        nation.join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(F.count(F.lit(1)).alias("n_nations"))
+    )
+
+
+@query(
+    "q_scan_json",
+    oracle=f"""
+        SELECT o_orderstatus,
+               COUNT(*) AS n,
+               {sql_dsum('o_totalprice', 'total_spend')}
+        FROM orders
+        GROUP BY o_orderstatus
+    """,
+    operators=(2,),
+    doc="JSON-lines source with explicit schema: an orders projection "
+    "round-tripped through JSON (doubles survive via full-precision "
+    "serialization), read back, aggregated.",
+)
+def q_scan_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _roundtrip_dir(sf_dir, "orders_json")
+    if not os.path.exists(path):
+        load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderstatus", "o_totalprice"
+        ).coalesce(1).write.mode("overwrite").json(path)
+    orders = spark.read.schema(ORDERS_LITE_SCHEMA).json(path)
+    return orders.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(38,6)")).cast("double").alias("total_spend"),
+    )

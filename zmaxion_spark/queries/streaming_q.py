@@ -1,0 +1,236 @@
+"""Streaming graded queries — SURVEY.md §2.9 (#3, #6, #21, #22, #48–#57).
+
+Each query replays the events fixture through a real Structured
+Streaming topology (file source → watermark → windows/state/joins →
+memory sink, availableNow trigger) and returns the materialized
+result; the DuckDB oracle is the equivalent batch SQL. Stream/batch
+parity IS the correctness check (SURVEY §5.3) — and here it is
+hash-exact, not just rows-only. Window starts are compared as epoch
+seconds (integers) to stay timezone-proof.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from zmaxion_spark.catalog import load_table
+from zmaxion_spark.queries.helpers import DEC
+from zmaxion_spark.queries.registry import query
+from zmaxion_spark.streaming.pipeline import Pipeline, run_available_now
+from zmaxion_spark.streaming.sources import stream_events
+
+_SQL_BUCKET = "CAST(FLOOR(EPOCH(CAST(ts AS TIMESTAMP)) / {w}) * {w} AS BIGINT)"
+
+
+@query(
+    "q_stream_tumbling",
+    oracle=f"""
+        SELECT {_SQL_BUCKET.format(w=300)} AS w_start_sec,
+               event_type,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value
+        FROM events
+        GROUP BY 1, 2
+    """,
+    operators=(3, 48, 49, 55, 56, 57),
+    doc="Tumbling 5-minute windowed aggregation over the replayed event "
+    "stream (watermark + complete mode + availableNow + checkpoint). "
+    "Oracle: the equivalent batch bucketing — parity is hash-exact.",
+)
+def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = (
+        Pipeline.from_events(spark, sf_dir)
+        .watermark("ts", "10 minutes")
+        .tumbling("5 minutes", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast(DEC)).cast("double").alias("total_value"),
+        )
+        .to_memory("tumbling", mode="complete")
+    )
+    return t.select(
+        F.unix_timestamp(F.col("window.start")).alias("w_start_sec"),
+        "event_type",
+        "n",
+        "total_value",
+    )
+
+
+@query(
+    "q_stream_sliding",
+    oracle=f"""
+        WITH b AS (
+            SELECT {_SQL_BUCKET.format(w=300)} AS w_start_sec, event_type FROM events
+            UNION ALL
+            SELECT {_SQL_BUCKET.format(w=300)} - 300 AS w_start_sec, event_type FROM events
+        )
+        SELECT w_start_sec, event_type, COUNT(*) AS n
+        FROM b GROUP BY 1, 2
+    """,
+    operators=(50,),
+    doc="Sliding 10-minute/5-minute windows: every event lands in "
+    "exactly two epoch-aligned windows; oracle unions the two shifted "
+    "bucketings.",
+)
+def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = (
+        Pipeline.from_events(spark, sf_dir)
+        .watermark("ts", "10 minutes")
+        .sliding("10 minutes", "5 minutes", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .to_memory("sliding", mode="complete")
+    )
+    return t.select(
+        F.unix_timestamp(F.col("window.start")).alias("w_start_sec"), "event_type", "n"
+    )
+
+
+@query(
+    "q_stream_session",
+    oracle="""
+        WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        m AS (SELECT user_id, ts,
+                     CASE WHEN LAG(ts) OVER w IS NULL
+                               OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE
+                          THEN 1 ELSE 0 END AS new_s
+              FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        s AS (SELECT user_id, ts,
+                     SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                      ROWS UNBOUNDED PRECEDING) AS sid
+              FROM m)
+        SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events
+        FROM s GROUP BY user_id, sid
+    """,
+    operators=(51,),
+    doc="Gap-based session windows (30-minute gap) per user via "
+    "session_window; oracle is the lag+cumsum batch twin. Boundary "
+    "semantics: a gap of exactly the timeout starts a new session "
+    "(session end is exclusive) — oracle uses >= to match.",
+)
+def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = (
+        Pipeline.from_events(spark, sf_dir)
+        .watermark("ts", "1 hour")
+        .session("30 minutes", "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .to_memory("session", mode="complete")
+    )
+    return t.select(
+        "user_id",
+        F.col("session_window.start").alias("session_start"),
+        "n_events",
+    )
+
+
+@query(
+    "q_stream_dedup",
+    oracle="""
+        SELECT event_type, COUNT(DISTINCT event_id) AS n_unique
+        FROM events
+        GROUP BY event_type
+    """,
+    operators=(52, 55),
+    doc="Streaming dedup: the stream unioned with itself (every event "
+    "duplicated) → watermark + dropDuplicates(event_id) → append sink; "
+    "aggregated after materialization. Oracle: batch COUNT(DISTINCT).",
+)
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s1 = stream_events(spark, sf_dir)
+    s2 = stream_events(spark, sf_dir)
+    deduped = (
+        s1.union(s2)
+        .withWatermark("ts", "1 hour")
+        .dropDuplicates(["event_id"])
+    )
+    t = run_available_now(deduped, "dedup", mode="append")
+    return t.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_unique"))
+
+
+@query(
+    "q_stream_static_join",
+    oracle="""
+        SELECT c_mktsegment,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value
+        FROM events JOIN customer ON user_id = c_custkey
+        GROUP BY c_mktsegment
+    """,
+    operators=(21,),
+    doc="Stream-static enrichment join: the event stream joined to the "
+    "static customer dimension (broadcast per micro-batch), windowless "
+    "global agg in complete mode.",
+)
+def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = stream_events(spark, sf_dir)
+    cust = load_table(spark, sf_dir, "customer")
+    joined = ev.join(F.broadcast(cust), ev.user_id == cust.c_custkey)
+    agg = joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast(DEC)).cast("double").alias("total_value"),
+    )
+    return run_available_now(agg, "stream_static", mode="complete")
+
+
+@query(
+    "q_stream_stream_join",
+    oracle="""
+        WITH c AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS c_ts FROM events
+                   WHERE event_type = 'click'),
+             p AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS p_ts FROM events
+                   WHERE event_type = 'purchase')
+        SELECT p.user_id, COUNT(*) AS n_pairs
+        FROM p JOIN c ON p.user_id = c.user_id
+                     AND p.p_ts >= c.c_ts
+                     AND p.p_ts <= c.c_ts + INTERVAL 30 MINUTE
+        GROUP BY p.user_id
+    """,
+    operators=(22,),
+    doc="Watermarked stream-stream join: purchases matched to clicks by "
+    "the same user within the preceding 30 minutes; both sides carry "
+    "watermarks so join state is evictable.",
+)
+def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    clicks = (
+        stream_events(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts"))
+        .withWatermark("c_ts", "1 hour")
+    )
+    purchases = (
+        stream_events(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts"))
+        .withWatermark("p_ts", "1 hour")
+    )
+    joined = purchases.join(
+        clicks,
+        F.expr(
+            "p_user = c_user AND p_ts >= c_ts AND p_ts <= c_ts + INTERVAL 30 MINUTES"
+        ),
+    )
+    t = run_available_now(joined, "ss_join", mode="append")
+    return t.groupBy(F.col("p_user").alias("user_id")).agg(
+        F.count(F.lit(1)).alias("n_pairs")
+    )
+
+
+@query(
+    "q_stream_stateful_counters",
+    oracle="""
+        SELECT user_id, COUNT(*) AS n_events
+        FROM events
+        GROUP BY user_id
+    """,
+    operators=(53, 55),
+    doc="Arbitrary per-key state (#53): applyInPandasWithState running "
+    "counters per user (the ECS system-over-component-state analog). "
+    "Update-mode emissions are monotone, so max(n_events) per user on "
+    "the materialized sink equals the batch count.",
+)
+def q_stream_stateful_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from zmaxion_spark.streaming.stateful import running_user_counters
+
+    ev = stream_events(spark, sf_dir)
+    t = run_available_now(running_user_counters(ev), "counters", mode="update")
+    return t.groupBy("user_id").agg(F.max("n_events").alias("n_events"))

@@ -1,0 +1,266 @@
+"""Python UDF surface — SURVEY.md §2.10 (#58–#63) + #75 decode path.
+
+Engine policy: Arrow-vectorized only (pandas_udf / applyInPandas /
+mapInPandas) — never row-at-a-time Python UDFs. Float discipline for
+oracle parity: Python-side sums quantize through decimal exactly like
+the engines' CAST(x AS DECIMAL(38,6)) (Decimal(v) is the exact binary
+expansion; quantize(1e-6, HALF_UP) is the same correctly-rounded cast).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from decimal import ROUND_HALF_UP, Decimal
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql import types as T
+
+from zmaxion_spark.catalog import load_table
+from zmaxion_spark.queries.registry import query
+
+_Q6 = Decimal("0.000001")
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# #58 scalar vectorized UDF (Series → Series)
+# ---------------------------------------------------------------------------
+
+
+@pandas_udf(T.LongType())
+def _py_token_count(text: pd.Series) -> pd.Series:
+    return text.str.split(" ").str.len()
+
+
+@pandas_udf(T.StringType())
+def _py_head_token(text: pd.Series) -> pd.Series:
+    return text.str.split(" ").str[0]
+
+
+@query(
+    "q_udf_scalar_pandas",
+    oracle="""
+        SELECT doc_id,
+               LEN(STRING_SPLIT(text, ' ')) AS n_tokens,
+               STRING_SPLIT(text, ' ')[1] AS head_token
+        FROM documents
+    """,
+    operators=(58,),
+    doc="Scalar pandas UDFs (Arrow Series→Series): token count and head "
+    "token, verified against the SQL equivalents.",
+)
+def q_udf_scalar_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        _py_token_count("text").alias("n_tokens"),
+        _py_head_token("text").alias("head_token"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# #59 grouped-aggregate pandas UDF (UDAF)
+# ---------------------------------------------------------------------------
+
+
+@pandas_udf(T.DoubleType())
+def _py_decimal_sum(v: pd.Series) -> float:
+    # Exact order-independent sum: quantize each double to 6dp decimal
+    # (same correctly-rounded cast as the engines), sum exactly.
+    total = sum((Decimal(float(x)).quantize(_Q6, ROUND_HALF_UP) for x in v), Decimal(0))
+    return float(total)
+
+
+@pandas_udf(T.LongType())
+def _py_count(v: pd.Series) -> int:
+    # Grouped-agg pandas UDFs cannot mix with JVM aggregates in one
+    # agg() — so the row count is a pandas UDF as well.
+    return len(v)
+
+
+@query(
+    "q_udaf_grouped_pandas",
+    oracle="""
+        SELECT event_type,
+               CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value,
+               COUNT(*) AS n
+        FROM events
+        GROUP BY event_type
+    """,
+    operators=(59,),
+    doc="Grouped-agg pandas UDF (UDAF): per-type exact decimal sum in "
+    "Python, bit-matching the engines' decimal cast+sum.",
+)
+def q_udaf_grouped_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        _py_decimal_sum("value").alias("total_value"),
+        _py_count("value").alias("n"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# #60 grouped-map UDF (per-group table → table)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_udf_grouped_map",
+    oracle="""
+        SELECT event_id, user_id,
+               COALESCE(EPOCH_US(CAST(ts AS TIMESTAMP))
+                        - LAG(EPOCH_US(CAST(ts AS TIMESTAMP)))
+                          OVER (PARTITION BY user_id
+                                ORDER BY CAST(ts AS TIMESTAMP), event_id), -1) AS gap_us
+        FROM events
+    """,
+    operators=(60,),
+    doc="Grouped-map applyInPandas: per-user event-gap computation in "
+    "Python (sort by ts,event_id; µs integer diffs — no float drift), "
+    "verified against the SQL lag() twin.",
+)
+def q_udf_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+
+    def gaps(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        us = pdf["ts"].astype("int64") // 1000  # ns → µs
+        gap = us.diff()
+        out = pd.DataFrame(
+            {
+                "event_id": pdf["event_id"],
+                "user_id": pdf["user_id"],
+                "gap_us": gap.fillna(-1).astype("int64"),
+            }
+        )
+        return out
+
+    return ev.groupBy("user_id").applyInPandas(
+        gaps, "event_id bigint, user_id bigint, gap_us bigint"
+    )
+
+
+# ---------------------------------------------------------------------------
+# #61 struct-argument pandas UDF
+# ---------------------------------------------------------------------------
+
+
+@pandas_udf(T.StringType())
+def _py_label_struct(s: pd.DataFrame) -> pd.Series:
+    return "u" + s["user_id"].astype(str) + ":" + s["event_type"]
+
+
+@query(
+    "q_udf_struct_arg",
+    oracle="""
+        SELECT event_id, 'u' || CAST(user_id AS VARCHAR) || ':' || event_type AS label
+        FROM events WHERE event_type IN ('signup', 'view')
+    """,
+    operators=(61,),
+    doc="Struct-argument pandas UDF: the struct column arrives as a "
+    "pandas DataFrame (Arrow struct → columns).",
+)
+def q_udf_struct_arg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_type").isin("signup", "view"))
+    s = F.struct(F.col("user_id"), F.col("event_type"))
+    return ev.select("event_id", _py_label_struct(s).alias("label"))
+
+
+# ---------------------------------------------------------------------------
+# #62 mapInPandas + #75 multimodal decode path (stubbed)
+# ---------------------------------------------------------------------------
+
+
+def _decode_media(mime: str, payload: bytes) -> dict:
+    """Decode stub: media codec libraries are not available in this
+    container (FIXTURES carry no real media bytes either), so decoding
+    is a deterministic fake keyed on payload size. A real deployment
+    swaps this for PIL/ffmpeg; the Spark-side plumbing (schema, Arrow
+    batching, partition shape) is identical and is what's tested."""
+    if mime not in ("image/png", "audio/wav"):
+        raise NotImplementedError(f"no decoder for {mime}")
+    return {"width": len(payload) % 640, "height": (len(payload) * 7) % 480}
+
+
+@query(
+    "q_multimodal_features",
+    oracle="""
+        SELECT doc_id,
+               CASE WHEN doc_id % 2 = 0 THEN 'image/png' ELSE 'audio/wav' END AS mime,
+               OCTET_LENGTH(ENCODE(text)) % 640 AS width,
+               (OCTET_LENGTH(ENCODE(text)) * 7) % 480 AS height
+        FROM documents
+    """,
+    operators=(62, 75),
+    doc="Multimodal feature extraction over binary media columns via "
+    "mapInPandas (whole-partition Arrow iterator): build media struct, "
+    "'decode' each payload (stubbed deterministically — see "
+    "_decode_media), emit typed features. The oracle checks the full "
+    "plumbing: schema, batching, per-row decode dispatch.",
+)
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    media = d.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 2 == 0, "image/png").otherwise("audio/wav").alias("mime"),
+        F.encode(F.col("text"), "utf-8").alias("payload"),
+    )
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [
+                _decode_media(m, p) for m, p in zip(pdf["mime"], pdf["payload"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "mime": pdf["mime"],
+                    "width": [f["width"] for f in feats],
+                    "height": [f["height"] for f in feats],
+                }
+            )
+
+    return media.mapInPandas(
+        extract, "doc_id bigint, mime string, width bigint, height bigint"
+    )
+
+
+# ---------------------------------------------------------------------------
+# #63 Python UDTF (lateral table function)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_udtf_lateral",
+    oracle="""
+        WITH t AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS toks FROM documents),
+             u AS (SELECT doc_id,
+                          UNNEST(LIST_TRANSFORM(RANGE(1, LEAST(LEN(toks), 3) + 1),
+                              i -> STRUCT_PACK(pos := i - 1, term := toks[i]))) AS s
+                   FROM t)
+        SELECT doc_id, s.pos AS pos, s.term AS term FROM u
+    """,
+    operators=(63,),
+    doc="Python UDTF in a LATERAL join: explode each document's first "
+    "three tokens to (pos, term) rows.",
+)
+def q_udtf_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos int, term string")
+    class SplitFirst3:
+        def eval(self, text: str):
+            for i, tok in enumerate(text.split(" ")[:3]):
+                yield i, tok
+
+    spark.udtf.register("zmx_split3", SplitFirst3)
+    _t(spark, sf_dir, "documents").createOrReplaceTempView("_udtf_docs")
+    return spark.sql(
+        "SELECT d.doc_id, s.pos, s.term FROM _udtf_docs d, LATERAL zmx_split3(d.text) s"
+    )

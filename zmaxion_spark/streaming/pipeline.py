@@ -1,0 +1,136 @@
+"""Pipeline — the EP3 entry point (SURVEY.md §3.2).
+
+A thin fluent builder over a streaming DataFrame:
+
+    (Pipeline.from_events(spark, sf_dir)
+        .watermark("ts", "10 minutes")
+        .tumbling("5 minutes", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .to_memory("per_type", mode="complete"))
+
+Every stage is a stock Structured Streaming transformation; the
+builder adds nothing but ergonomics — Catalyst and the incremental
+planner do the work (SURVEY §4: zero custom rules).
+"""
+
+from __future__ import annotations
+
+import itertools
+import tempfile
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_QUERY_IDS = itertools.count()
+
+
+def _checkpoint_dir() -> str:
+    return tempfile.mkdtemp(prefix="zmx-ckpt-")
+
+
+def run_available_now(
+    sdf: DataFrame,
+    name: str | None = None,
+    mode: str = "append",
+    checkpoint: str | None = None,
+) -> DataFrame:
+    """Drain a bounded replay of a stream into a memory sink and return
+    the materialized table (#6 sink_memory, #56 trigger_control,
+    #57 checkpointing)."""
+    qname = f"{name or 'zmx'}_{next(_QUERY_IDS)}"
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode(mode)
+        .option("checkpointLocation", checkpoint or _checkpoint_dir())
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return sdf.sparkSession.table(qname)
+
+
+def run_to_parquet(sdf: DataFrame, path: str, mode: str = "append") -> None:
+    """Exactly-once parquet sink with checkpointed offsets (#6)."""
+    q = (
+        sdf.writeStream.format("parquet")
+        .option("path", path)
+        .option("checkpointLocation", _checkpoint_dir())
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def run_foreach_batch(
+    sdf: DataFrame, fn: Callable[[DataFrame, int], None], mode: str = "append"
+) -> None:
+    """Per-micro-batch escape hatch (#7): upserts, side outputs, audits."""
+    q = (
+        sdf.writeStream.foreachBatch(fn)
+        .outputMode(mode)
+        .option("checkpointLocation", _checkpoint_dir())
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+class Pipeline:
+    """Fluent topology builder: source → stages → sink."""
+
+    def __init__(self, spark: SparkSession, df: DataFrame):
+        self.spark = spark
+        self.df = df
+        self._grouped = None
+
+    @classmethod
+    def from_events(cls, spark: SparkSession, sf_dir: str) -> "Pipeline":
+        from zmaxion_spark.streaming.sources import stream_events
+
+        return cls(spark, stream_events(spark, sf_dir))
+
+    def transform(self, fn: Callable[[DataFrame], DataFrame]) -> "Pipeline":
+        self.df = fn(self.df)
+        return self
+
+    def watermark(self, col: str, delay: str) -> "Pipeline":
+        """#48: bound event-time lateness for state eviction."""
+        self.df = self.df.withWatermark(col, delay)
+        return self
+
+    def tumbling(self, duration: str, *keys: str, ts_col: str = "ts") -> "Pipeline":
+        """#49: fixed, non-overlapping event-time windows."""
+        self._grouped = self.df.groupBy(F.window(ts_col, duration), *keys)
+        return self
+
+    def sliding(self, duration: str, slide: str, *keys: str, ts_col: str = "ts") -> "Pipeline":
+        """#50: overlapping event-time windows."""
+        self._grouped = self.df.groupBy(F.window(ts_col, duration, slide), *keys)
+        return self
+
+    def session(self, gap: str, *keys: str, ts_col: str = "ts") -> "Pipeline":
+        """#51: gap-based session windows."""
+        self._grouped = self.df.groupBy(F.session_window(ts_col, gap), *keys)
+        return self
+
+    def agg(self, *exprs) -> "Pipeline":
+        self.df = self._grouped.agg(*exprs)
+        self._grouped = None
+        return self
+
+    def dedup(self, *cols: str, within_watermark: bool = False) -> "Pipeline":
+        """#52: streaming dedup (state bounded by the watermark)."""
+        if within_watermark:
+            self.df = self.df.dropDuplicatesWithinWatermark(list(cols))
+        else:
+            self.df = self.df.dropDuplicates(list(cols))
+        return self
+
+    def to_memory(self, name: str | None = None, mode: str = "append") -> DataFrame:
+        return run_available_now(self.df, name, mode)
+
+    def to_parquet(self, path: str, mode: str = "append") -> None:
+        run_to_parquet(self.df, path, mode)

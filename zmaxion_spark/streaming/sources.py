@@ -1,0 +1,59 @@
+"""Streaming sources — SURVEY.md §2.1 #3–#5.
+
+``stream_events`` replays the events fixture as an unbounded
+file-directory source (the stand-in for a topic). Schemas are always
+explicit (engine policy, SURVEY §1.3) — required by Spark streaming
+anyway. The ns-precision ``ts`` is declared LONG and converted to a
+µs timestamp exactly like the batch loader, so stream/batch parity
+holds to the microsecond.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from zmaxion_spark.session import tune
+
+EVENTS_RAW_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # nanoseconds (nanosAsLong)
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def _as_stream_dir(sf_dir: str, table: str) -> str:
+    """The file stream source requires a directory; expose the single
+    fixture parquet through a cached symlink dir (fixtures read-only)."""
+    import hashlib
+    import os
+
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    d = f"/tmp/zmx-stream/{key}/{table}"
+    os.makedirs(d, exist_ok=True)
+    link = f"{d}/{table}.parquet"
+    if not os.path.exists(link):
+        os.symlink(f"{sf_dir}/{table}.parquet", link)
+    return d
+
+
+def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unbounded view of the events table (file-stream 'topic')."""
+    tune(spark)
+    raw = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .parquet(_as_stream_dir(sf_dir, "events"))
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def stream_rate(spark: SparkSession, rows_per_second: int = 100) -> DataFrame:
+    """Synthetic event generator (#4) for tests and demos."""
+    tune(spark)
+    return spark.readStream.format("rate").option("rowsPerSecond", rows_per_second).load()

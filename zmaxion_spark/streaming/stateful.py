@@ -1,0 +1,72 @@
+"""Per-key arbitrary stateful processing — SURVEY.md §2.9 #53.
+
+The ECS analog: a System maintaining component state per entity,
+advanced once per world tick (micro-batch). Implemented with
+``applyInPandasWithState`` — state rows live in the executor state
+store, Arrow-batched into Python per key group.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+
+def running_user_counters(events: DataFrame) -> DataFrame:
+    """Per-user running (n_events, total_value) counters.
+
+    Emits one updated row per user per micro-batch; the state row is
+    the accumulated pair. Exactly-once across restarts via the state
+    store + checkpoint (SURVEY §3.2 boundary #3/#4)."""
+
+    out_schema = "user_id bigint, n_events bigint, total_value double"
+    state_schema = "n bigint, total double"
+
+    def update(key, pdfs, state: GroupState):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+
+
+def sessionize(events: DataFrame, gap_seconds: int = 1800) -> DataFrame:
+    """Custom FSM sessionizer: closes a session when the event-time gap
+    exceeds ``gap_seconds``, emitting (user_id, session_start, n_events)
+    for every CLOSED session; the open session stays in state.
+
+    This is the hand-rolled twin of session_window (#51) showing
+    arbitrary per-key state machines."""
+
+    out_schema = "user_id bigint, session_start timestamp, n_events bigint"
+    state_schema = "start long, last long, n bigint"
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd  # local for worker
+
+        rows = pd.concat(list(pdfs)).sort_values("ts") if pdfs else pd.DataFrame()
+        start, last, n = state.get if state.exists else (None, None, 0)
+        closed = []
+        for ts in rows["ts"]:
+            t = int(ts.value // 1000)  # ns → µs
+            if start is None:
+                start, last, n = t, t, 1
+            elif t - last > gap_seconds * 1_000_000:
+                closed.append((key[0], pd.Timestamp(start * 1000), n))
+                start, last, n = t, t, 1
+            else:
+                last, n = t, n + 1
+        state.update((start, last, n))
+        yield pd.DataFrame(closed, columns=["user_id", "session_start", "n_events"])
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
