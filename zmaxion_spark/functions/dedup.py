@@ -33,24 +33,82 @@ def dedup_exact(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     return df.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
 
 
-def minhash_signature_md5(shingle_col: Column, n_hashes: int) -> list[Column]:
-    """MinHash over md5-salted shingles: sig_j = MIN(md5(j ':' s)).
+MINHASH_P = 2147483647  # 2^31 - 1 (Mersenne prime)
 
-    Min over the hex digest string is a valid uniform minhash and is
-    reproducible in DuckDB (oracle parity). Production twin would use
-    xxhash64(j, s) — same algebra, cheaper hash."""
-    def salted(j: int):
+
+def minhash_params(n_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
+    """Deterministic (a_j, b_j) affine coefficients from md5 — plan-time
+    constants identical on every engine and executor."""
+    import hashlib
+
+    out = []
+    for j in range(n_hashes):
+        h = hashlib.md5(f"mh:{seed}:{j}".encode()).digest()
+        a = (int.from_bytes(h[:8], "big") % (MINHASH_P - 1)) + 1  # never 0
+        b = int.from_bytes(h[8:], "big") % MINHASH_P
+        out.append((a, b))
+    return out
+
+
+def minhash_base(shingle_col: Column) -> Column:
+    """One md5 per shingle, folded to a 32-bit int (the expensive hash
+    happens exactly once; the n_hashes signatures derive from it)."""
+    return F.transform(
+        shingle_col,
+        lambda s: F.conv(F.substring(F.md5(s.cast("binary")), 1, 8), 16, 10).cast(
+            "long"
+        ),
+    )
+
+
+def minhash_signature_md5(shingle_col: Column, n_hashes: int) -> list[Column]:
+    """MinHash via universal hashing over a single md5 base hash:
+    sig_j = MIN((a_j · x + b_j) mod p) with x = md5(s)[:8] as int.
+
+    The classic trick: hashing every shingle once and deriving the k
+    minhashes by cheap affine transforms is ~k× cheaper than k salted
+    hashes — the difference between 1 and k full passes over 100 TB of
+    shingles. Coefficients are md5-seeded plan-time constants and the
+    whole pipeline is reproducible in DuckDB (oracle parity: x fits in
+    32 bits, a_j < p, so a_j·x < 2^63 — no overflow on either engine)."""
+    xs = minhash_base(shingle_col)
+
+    def affine(a: int, b: int):
         # Closure (not a lambda default) — a 2-ary lambda would be
         # treated as transform's (element, index) form.
-        def f(s: Column) -> Column:
-            return F.md5(F.concat(F.lit(f"{j}:"), s).cast("binary"))
+        def f(x: Column) -> Column:
+            return (F.lit(a) * x + F.lit(b)) % F.lit(MINHASH_P)
 
         return f
 
     return [
-        F.array_min(F.transform(shingle_col, salted(j))).alias(f"h{j}")
-        for j in range(n_hashes)
+        F.array_min(F.transform(xs, affine(a, b))).alias(f"h{j}")
+        for j, (a, b) in enumerate(minhash_params(n_hashes))
     ]
+
+
+def minhash_signature_grouped(
+    df: DataFrame, id_col: str, shingle_col: Column, n_hashes: int
+) -> DataFrame:
+    """MinHash signatures via explode → hash-once → k min-aggregates.
+
+    The array-lambda variant re-evaluates the base md5 per derived
+    hash (Catalyst's CollapseProject inlines the common subexpression
+    into every consumer), so the hot path explodes instead: each
+    shingle is md5-hashed exactly once, then the k signatures are k
+    cheap affine ``min`` aggregates in ONE groupBy — one shuffle of
+    narrow (id, x) rows, linear and spill-friendly at 100 TB."""
+    x = F.conv(F.substring(F.md5(F.col("_sh").cast("binary")), 1, 8), 16, 10).cast(
+        "long"
+    )
+    ex = df.select(id_col, F.explode(shingle_col).alias("_sh")).select(
+        id_col, x.alias("_x")
+    )
+    aggs = [
+        F.min((F.lit(a) * F.col("_x") + F.lit(b)) % F.lit(MINHASH_P)).alias(f"h{j}")
+        for j, (a, b) in enumerate(minhash_params(n_hashes))
+    ]
+    return ex.groupBy(id_col).agg(*aggs)
 
 
 def band_keys(sig_prefix: str, n_hashes: int, band_size: int) -> list[Column]:

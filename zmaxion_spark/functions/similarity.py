@@ -12,8 +12,12 @@ from __future__ import annotations
 
 import hashlib
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
 from pyspark.sql.window import Window
 
 
@@ -68,6 +72,60 @@ def lsh_signature(vec: Column, n_planes: int = 16, dim: int = 64, seed: int = 42
     return out.cast("bigint")
 
 
+def lsh_signatures_arrow(
+    n_tables: int, bits_per_table: int, dim: int, seed: int = 42
+):
+    """All L table signatures in one Arrow-vectorized matmul.
+
+    The per-plane SQL-lambda dot (``lsh_signature``) is interpreted
+    per element — fine for one signature, quadratic pain for L×b of
+    them. Here the whole batch projects against all L·b hyperplanes as
+    a single (batch × dim) @ (dim × L·b) numpy matmul, then sign-bits
+    pack into one BIGINT bucket per table. Same planes, same seeds,
+    same buckets as ``lsh_signature`` — just the vectorized twin."""
+    planes = np.array(
+        [hyperplanes(bits_per_table, dim, seed + 1000 * t) for t in range(n_tables)]
+    )  # (L, b, dim)
+    proj_mat = planes.reshape(n_tables * bits_per_table, dim).T  # (dim, L*b)
+    weights = 1 << np.arange(bits_per_table, dtype=np.int64)
+
+    @pandas_udf(T.ArrayType(T.LongType()))
+    def sig(vecs: pd.Series) -> pd.Series:
+        mat = np.vstack(vecs.to_numpy()).astype(np.float64)  # (n, dim)
+        bits = (mat @ proj_mat) >= 0  # (n, L*b)
+        bucketed = (bits.reshape(len(vecs), n_tables, bits_per_table) * weights).sum(
+            axis=2
+        )
+        return pd.Series(list(bucketed))
+
+    return sig
+
+
+@pandas_udf(T.DoubleType())
+def cosine_arrow(a: pd.Series, b: pd.Series) -> pd.Series:
+    """Arrow-vectorized cosine, bit-exact with :func:`cosine`.
+
+    The SQL-lambda cosine is a left fold (acc + x, starting at 0.0) in
+    float64; summing column-by-column across the batch is the same
+    fold order per row, so every IEEE intermediate — and therefore the
+    result at any threshold boundary — is identical. Used on the hot
+    re-score path where per-pair interpreted lambdas would dominate."""
+
+    def fold(mat: np.ndarray) -> np.ndarray:
+        acc = np.zeros(mat.shape[0])
+        for j in range(mat.shape[1]):
+            acc = acc + mat[:, j]
+        return acc
+
+    av = np.vstack(a.to_numpy()).astype(np.float64)
+    bv = np.vstack(b.to_numpy()).astype(np.float64)
+    num = fold(av * bv)
+    denom = np.sqrt(fold(av * av)) * np.sqrt(fold(bv * bv))
+    with np.errstate(divide="ignore", invalid="ignore"):
+        out = num / denom
+    return pd.Series(out).where(denom > 0)
+
+
 def sim_join_lsh(
     df: DataFrame,
     id_col: str,
@@ -83,25 +141,34 @@ def sim_join_lsh(
     L independent sign-random-projection tables of b bits each; a pair
     is a candidate if it collides in ANY table, then exact cosine
     re-scores it (precision 1.0; recall = 1-(1-p^b)^L with
-    p = 1-θ/π). At 100 TB each table is one equi-join on a small int
-    bucket — candidates ∝ Σ bucket², never n²."""
-    buckets = df.select(
+    p = 1-θ/π).
+
+    Shape chosen for 100 TB: all L signatures are computed in ONE
+    row-local projection, posexploded to (table, bucket) rows, and the
+    candidate set comes from a SINGLE self-equi-join on (table, bucket)
+    that shuffles only (id, t, bk) — never the vectors. Vectors rejoin
+    only for the exact re-score of the (much smaller) candidate set.
+    Candidates ∝ Σ bucket², never n²; bucket skew is AQE's skew-join
+    problem, not a collect_list hotspot."""
+    sig_udf = lsh_signatures_arrow(n_tables, bits_per_table, dim, seed)
+    sigs = df.select(
         F.col(id_col).alias("_id"),
-        F.col(vec_col).alias("_v"),
-        *[
-            lsh_signature(F.col(vec_col), bits_per_table, dim, seed + 1000 * t).alias(f"_t{t}")
-            for t in range(n_tables)
-        ],
+        F.posexplode(sig_udf(_d(F.col(vec_col)))).alias("t", "bk"),
     )
-    cand = None
-    for t in range(n_tables):
-        a = buckets.select(F.col("_id").alias("id_a"), F.col("_v").alias("_va"), F.col(f"_t{t}").alias("bk"))
-        b = buckets.select(F.col("_id").alias("id_b"), F.col("_v").alias("_vb"), F.col(f"_t{t}").alias("bk"))
-        p = a.join(b, "bk").filter(F.col("id_a") < F.col("id_b")).drop("bk")
-        cand = p if cand is None else cand.unionByName(p)
+    a = sigs.select(F.col("_id").alias("id_a"), "t", "bk")
+    b = sigs.select(F.col("_id").alias("id_b"), "t", "bk")
+    cand = (
+        a.join(b, ["t", "bk"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
+    vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
     return (
-        cand.dropDuplicates(["id_a", "id_b"])
-        .select("id_a", "id_b", cosine(F.col("_va"), F.col("_vb")).alias("cos_sim"))
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .select("id_a", "id_b", cosine_arrow(F.col("_va"), F.col("_vb")).alias("cos_sim"))
         .filter(F.col("cos_sim") >= threshold)
     )
 

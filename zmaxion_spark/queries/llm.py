@@ -292,9 +292,13 @@ _MINHASH_SQL = """
                   LIST_DISTINCT(LIST_TRANSFORM(RANGE(1, LEN(toks) - 1),
                       i -> ARRAY_TO_STRING(toks[i:i+2], ' '))) AS s
            FROM t WHERE LEN(toks) >= 3),
+    base AS (SELECT doc_id, s,
+                    LIST_TRANSFORM(s, e ->
+                        CAST(('0x' || SUBSTR(MD5(e), 1, 8)) AS BIGINT)) AS xs
+             FROM sh),
     sig AS (SELECT doc_id, s,
         {mins}
-        FROM sh),
+        FROM base),
     bands AS (
         {bands}
     ),
@@ -310,8 +314,9 @@ _MINHASH_SQL = """
     SELECT doc_a, doc_b, jacc FROM scored WHERE jacc >= 0.5
 """.format(
     mins=",\n        ".join(
-        f"LIST_AGGREGATE(LIST_TRANSFORM(s, x -> MD5('{j}:' || x)), 'min') AS h{j}"
-        for j in range(12)
+        f"LIST_AGGREGATE(LIST_TRANSFORM(xs, x -> ({a} * x + {b}) % {D.MINHASH_P}),"
+        f" 'min') AS h{j}"
+        for j, (a, b) in enumerate(D.minhash_params(12))
     ),
     bands="\n        UNION ALL\n        ".join(
         f"SELECT doc_id, MD5(h{3*b} || '|' || h{3*b+1} || '|' || h{3*b+2}) AS band, {b} AS bi FROM sig"
@@ -324,11 +329,10 @@ _MINHASH_SQL = """
     "q_dedup_minhash_lsh",
     oracle=_MINHASH_SQL,
     operators=(70,),
-    doc="MinHash-LSH near-dup detection: 12 md5 minhashes → 4 bands × 3 "
-    "rows → band-bucket self-join → exact Jaccard re-score ≥ 0.5. "
-    "Scale: signatures are computed row-local (array_min over a lambda, "
-    "NO explode/shuffle); the self-join touches only same-band pairs. "
-    "Oracle runs the byte-identical md5 pipeline in DuckDB.",
+    doc="MinHash-LSH near-dup detection: md5 base hash once per shingle, "
+    "12 universal-hash minhashes via min-aggregates → 4 bands × 3 rows "
+    "→ band-bucket self-join → exact Jaccard re-score ≥ 0.5. "
+    "Oracle runs the byte-identical hash pipeline in DuckDB.",
 )
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
@@ -336,20 +340,19 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = d.filter(F.size(toks) >= 3).select(
         "doc_id", T.shingles(toks, 3).alias("s")
     )
-    sig = sh.select("doc_id", "s", *D.minhash_signature_md5(F.col("s"), 12))
-    bands = None
-    for b, bcol in enumerate(D.band_keys("h", 12, 3)):
-        part = sig.select("doc_id", bcol.alias("band"), F.lit(b).alias("bi"))
-        bands = part if bands is None else bands.unionByName(part)
-    x, y = bands.alias("x"), bands.alias("y")
+    sig = D.minhash_signature_grouped(sh, "doc_id", F.col("s"), 12)
+    # One posexplode instead of a 4-way union keeps the signature
+    # pipeline (split → shingle → 12 md5 minhashes) computed once per
+    # join side; only (doc_id, bi, band) ever shuffles.
+    bands = sig.select(
+        "doc_id", F.posexplode(F.array(*D.band_keys("h", 12, 3))).alias("bi", "band")
+    )
+    x = bands.select(F.col("doc_id").alias("doc_a"), "bi", "band")
+    y = bands.select(F.col("doc_id").alias("doc_b"), "bi", "band")
     cand = (
-        x.join(
-            y,
-            (F.col("x.band") == F.col("y.band"))
-            & (F.col("x.bi") == F.col("y.bi"))
-            & (F.col("x.doc_id") < F.col("y.doc_id")),
-        )
-        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+        x.join(y, ["bi", "band"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
         .distinct()
     )
     sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("sa"))

@@ -123,25 +123,28 @@ def q_udaf_grouped_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     operators=(60,),
     doc="Grouped-map applyInPandas: per-user event-gap computation in "
     "Python (sort by ts,event_id; µs integer diffs — no float drift), "
-    "verified against the SQL lag() twin.",
+    "verified against the SQL lag() twin. Groups are user SHARDS, not "
+    "users: one Python invocation per shard with a vectorized pandas "
+    "groupby inside — at 100 TB this bounds interpreter round-trips to "
+    "O(shards), not O(users), while keeping identical per-user results.",
 )
 def q_udf_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
 
     def gaps(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["ts", "event_id"])
+        pdf = pdf.sort_values(["user_id", "ts", "event_id"])
         us = pdf["ts"].astype("int64") // 1000  # ns → µs
-        gap = us.diff()
-        out = pd.DataFrame(
+        gap = us.groupby(pdf["user_id"]).diff()
+        return pd.DataFrame(
             {
                 "event_id": pdf["event_id"],
                 "user_id": pdf["user_id"],
                 "gap_us": gap.fillna(-1).astype("int64"),
             }
         )
-        return out
 
-    return ev.groupBy("user_id").applyInPandas(
+    shard = F.pmod("user_id", F.lit(64)).alias("_shard")
+    return ev.groupBy(shard).applyInPandas(
         gaps, "event_id bigint, user_id bigint, gap_us bigint"
     )
 

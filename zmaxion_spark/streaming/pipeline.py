@@ -15,7 +15,9 @@ planner do the work (SURVEY §4: zero custom rules).
 
 from __future__ import annotations
 
+import contextlib
 import itertools
+import os
 import tempfile
 from collections.abc import Callable
 
@@ -29,6 +31,26 @@ def _checkpoint_dir() -> str:
     return tempfile.mkdtemp(prefix="zmx-ckpt-")
 
 
+@contextlib.contextmanager
+def _stream_shuffle(spark: SparkSession):
+    """Pin state-store parallelism for the duration of one streaming
+    query start.
+
+    A stateful streaming query creates one state store per shuffle
+    partition and pins that number in the checkpoint forever. The
+    right value is a *sizing* decision — state volume / executor count
+    — not the batch shuffle default, so it is its own knob
+    (ZMX_STREAM_SHUFFLE; default 8 for the local test tier, raise to
+    O(cores×executors) on a cluster)."""
+    n = os.environ.get("ZMX_STREAM_SHUFFLE", "8")
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", n)
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
 def run_available_now(
     sdf: DataFrame,
     name: str | None = None,
@@ -39,43 +61,46 @@ def run_available_now(
     the materialized table (#6 sink_memory, #56 trigger_control,
     #57 checkpointing)."""
     qname = f"{name or 'zmx'}_{next(_QUERY_IDS)}"
-    q = (
-        sdf.writeStream.format("memory")
-        .queryName(qname)
-        .outputMode(mode)
-        .option("checkpointLocation", checkpoint or _checkpoint_dir())
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _stream_shuffle(sdf.sparkSession):
+        q = (
+            sdf.writeStream.format("memory")
+            .queryName(qname)
+            .outputMode(mode)
+            .option("checkpointLocation", checkpoint or _checkpoint_dir())
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return sdf.sparkSession.table(qname)
 
 
 def run_to_parquet(sdf: DataFrame, path: str, mode: str = "append") -> None:
     """Exactly-once parquet sink with checkpointed offsets (#6)."""
-    q = (
-        sdf.writeStream.format("parquet")
-        .option("path", path)
-        .option("checkpointLocation", _checkpoint_dir())
-        .outputMode(mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _stream_shuffle(sdf.sparkSession):
+        q = (
+            sdf.writeStream.format("parquet")
+            .option("path", path)
+            .option("checkpointLocation", _checkpoint_dir())
+            .outputMode(mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
 
 
 def run_foreach_batch(
     sdf: DataFrame, fn: Callable[[DataFrame, int], None], mode: str = "append"
 ) -> None:
     """Per-micro-batch escape hatch (#7): upserts, side outputs, audits."""
-    q = (
-        sdf.writeStream.foreachBatch(fn)
-        .outputMode(mode)
-        .option("checkpointLocation", _checkpoint_dir())
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _stream_shuffle(sdf.sparkSession):
+        q = (
+            sdf.writeStream.foreachBatch(fn)
+            .outputMode(mode)
+            .option("checkpointLocation", _checkpoint_dir())
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
 
 
 class Pipeline:
