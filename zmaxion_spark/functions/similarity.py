@@ -173,6 +173,65 @@ def sim_join_lsh(
     )
 
 
+def dedup_by_cosine(
+    df: DataFrame, id_col: str, vec_col: str, threshold: float
+) -> DataFrame:
+    """Embedding near-dup dedup, exact variant: for every row, the
+    lowest-id vector with cosine ≥ threshold (NULL ⇒ the row is kept).
+
+    Shape: the corpus matrix is broadcast ONCE (exact all-pairs dedup
+    presupposes a corpus that fits a broadcast — the scale path is the
+    LSH candidate join, same keep/drop rule); each partition scores
+    its batch against the matrix with a column-at-a-time rank-1
+    accumulation, which reproduces the SQL left-fold cosine IEEE-exactly
+    (acc = acc + prod_j, ascending j) while each vector crosses Arrow
+    exactly once instead of once per pair."""
+    spark = df.sparkSession
+    pdf = df.select(F.col(id_col), _d(F.col(vec_col)).alias("_v")).toPandas()
+    ids_np = pdf[id_col].to_numpy()
+    mat = np.vstack(pdf["_v"].to_numpy()).astype(np.float64)
+    bc = spark.sparkContext.broadcast((ids_np, mat))
+
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("dup_of", T.LongType()),
+        ]
+    )
+
+    def score(batches):
+        corpus_ids, corpus = bc.value
+        dim = corpus.shape[1]
+        # Left-fold norms of the corpus, once per task.
+        c_sq = np.zeros(len(corpus))
+        for j in range(dim):
+            c_sq = c_sq + corpus[:, j] * corpus[:, j]
+        c_norm = np.sqrt(c_sq)
+        for pdf_in in batches:
+            batch = np.vstack(pdf_in["_v"].to_numpy()).astype(np.float64)
+            dots = np.zeros((len(batch), len(corpus)))
+            b_sq = np.zeros(len(batch))
+            for j in range(dim):
+                dots = dots + np.outer(batch[:, j], corpus[:, j])
+                b_sq = b_sq + batch[:, j] * batch[:, j]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = dots / np.outer(np.sqrt(b_sq), c_norm)
+            bids = pdf_in[id_col].to_numpy()
+            hit = (cos >= threshold) & (corpus_ids[None, :] < bids[:, None])
+            dup = np.where(
+                hit.any(axis=1),
+                np.where(hit, corpus_ids[None, :], np.iinfo(np.int64).max).min(axis=1),
+                -1,
+            )
+            dup_ser = pd.Series(dup, dtype="Int64")
+            dup_ser[dup < 0] = pd.NA
+            yield pd.DataFrame({id_col: bids, "dup_of": dup_ser})
+
+    return df.select(F.col(id_col), _d(F.col(vec_col)).alias("_v")).mapInPandas(
+        score, out_schema
+    )
+
+
 def topk_neighbors(
     queries_df: DataFrame,
     corpus_df: DataFrame,

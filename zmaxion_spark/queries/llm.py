@@ -528,6 +528,30 @@ def q_sim_topk_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_dedup_embedding",
+    oracle=f"""
+        WITH p AS (SELECT a.vec_id AS ida, b.vec_id AS idb
+                   FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+                   WHERE {_sql_cosine('a.embedding', 'b.embedding')} >= 0.4)
+        SELECT e.vec_id, MIN(p.ida) AS dup_of
+        FROM embeddings e LEFT JOIN p ON p.idb = e.vec_id
+        GROUP BY e.vec_id
+    """,
+    operators=(70, 71),
+    doc="Embedding-cosine near-duplicate dedup: a row is a duplicate if "
+    "any lower-id vector is within cosine >= 0.4; dup_of is its lowest-id "
+    "canonical (NULL = kept). The corpus matrix broadcasts once and each "
+    "partition scores its batch against it with a left-fold-exact rank-1 "
+    "accumulation — each vector crosses Arrow once, not once per pair. "
+    "Scale path: swap the exact scoring for the LSH candidate join "
+    "(q_sim_join_lsh) and keep the same keep/drop rule.",
+)
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings")
+    return S.dedup_by_cosine(e, "vec_id", "embedding", 0.4)
+
+
+@query(
     "q_sim_join_exact",
     oracle=f"""
         SELECT a.vec_id AS id_a, b.vec_id AS id_b,
