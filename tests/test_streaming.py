@@ -44,6 +44,21 @@ def test_rate_source_schema(spark):
     assert [f.name for f in r.schema.fields] == ["timestamp", "value"]
 
 
+def test_kafka_source_design_slot(spark):
+    """#5: the topic-consumer wrapper must fail with the standard
+    missing-connector error (no kafka jar in this container), proving
+    the declared topology is the real `readStream.format('kafka')`
+    plan and not a stub that silently no-ops."""
+    import pytest
+    from pyspark.sql import types as T
+
+    from zmaxion_spark.streaming.sources import stream_kafka
+
+    schema = T.StructType([T.StructField("user_id", T.LongType())])
+    with pytest.raises(Exception, match="kafka|KAFKA|Failed to find"):
+        stream_kafka(spark, "events", schema)
+
+
 def test_custom_sessionizer_matches_session_window(spark):
     """The applyInPandasWithState FSM sessionizer must agree with the
     built-in session_window on CLOSED sessions (the FSM keeps the final

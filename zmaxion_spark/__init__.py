@@ -11,14 +11,15 @@ oracle over the fixture tables in /root/testdata.
 Layout:
   session.py    tuned SparkSession factory (AQE, Arrow, UTC, ns-ts shim)
   catalog.py    fixture-table loaders + temp-view registration
-  operators/    relational / window / asof / set operators (thin wrappers)
-  functions/    scalar & vector function families (text, similarity, json)
-  streaming/    Structured Streaming pipeline API + stateful ops
+  ecs.py        Entity–Component–System query layer (World/query/system)
+  functions/    scalar & vector function families (text, similarity, dedup)
+  streaming/    Structured Streaming pipeline API, sources, stateful ops
   queries/      the graded query registry (spark fn + oracle SQL pairs)
   testing.py    spark-vs-duckdb differential comparator
 """
 
 from zmaxion_spark.session import get_spark, tune  # noqa: F401
 from zmaxion_spark.catalog import TABLES, load_table, register_views  # noqa: F401
+from zmaxion_spark.ecs import World  # noqa: F401
 
 __version__ = "0.1.0"

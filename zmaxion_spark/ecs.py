@@ -1,0 +1,101 @@
+"""ECS (Entity–Component–System) query layer — the reference's declared
+data model ("Stream processing framework with ECS",
+/root/reference/README.md:2) mapped onto relational Spark.
+
+The mapping (SURVEY.md §1.1): an entity is a key; a component type is
+an entity-keyed DataFrame (archetype/SoA storage ≙ columnar parquet);
+a component query (`With<A>, Without<B>`) is an inner-join/anti-join
+chain over component tables; a system is a DataFrame transformation
+over the matching entities; the scheduler is Catalyst + the Spark DAG
+scheduler (dependency-aware parallelism for free — SURVEY §4: zero
+custom rules).
+
+Scale notes: component tables share the entity key, so on a cluster
+they should be bucketed by it — every `query()` join is then
+co-located with no shuffle. `Without` components that carry no data
+("markers") join as LEFT ANTI on the key column alone, which prunes
+their scan to the key (asserted pushdown/pruning in test_plans.py).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+ENTITY = "entity_id"
+
+
+class World:
+    """A registry of component tables keyed by a shared entity id.
+
+    >>> w = World()
+    >>> w.register("balance", customers, key="c_custkey",
+    ...            cols={"c_acctbal": "balance"})
+    >>> w.register("placed_order", orders.select("o_custkey").distinct(),
+    ...            key="o_custkey")
+    >>> w.query("balance", without=("placed_order",))
+    """
+
+    def __init__(self) -> None:
+        self._components: dict[str, DataFrame] = {}
+
+    def register(
+        self,
+        name: str,
+        df: DataFrame,
+        key: str = ENTITY,
+        cols: dict[str, str] | None = None,
+    ) -> "World":
+        """Attach a component table; `key` becomes the entity id, `cols`
+        renames/selects the component's value columns (all non-key
+        columns by default)."""
+        out = df.withColumnRenamed(key, ENTITY)
+        if cols is not None:
+            out = out.select(ENTITY, *[F.col(c).alias(a) for c, a in cols.items()])
+        self._components[name] = out
+        return self
+
+    def component(self, name: str) -> DataFrame:
+        return self._components[name]
+
+    def query(self, *with_: str, without: tuple[str, ...] = ()) -> DataFrame:
+        """`With<A, B> Without<C>`: entities carrying ALL of `with_`
+        (their columns merged) and NONE of `without`.
+
+        Compiles to an inner-join chain on the entity key plus one
+        LEFT ANTI join per excluded component — exactly the relational
+        reading of an ECS archetype query. Catalyst orders and
+        co-locates the joins; with entity-bucketed storage none of
+        them shuffle."""
+        if not with_:
+            raise ValueError("ECS query needs at least one With component")
+        out = self._components[with_[0]]
+        for name in with_[1:]:
+            out = out.join(self._components[name], ENTITY)
+        for name in without:
+            out = out.join(
+                self._components[name].select(ENTITY), ENTITY, "left_anti"
+            )
+        return out
+
+    def run_system(
+        self,
+        component: str,
+        fn: Callable[[DataFrame], DataFrame],
+        with_: tuple[str, ...] = (),
+        without: tuple[str, ...] = (),
+    ) -> "World":
+        """Run a system over the entities matching (component, with_,
+        without): matched entities get the function's output, all other
+        entities keep their current component values — the ECS tick
+        reduced to anti-join + union, both co-located on the entity key.
+        The result stays lazy: downstream queries see the updated
+        component as a subplan, and Catalyst fuses it."""
+        old = self._components[component]
+        matched = self.query(component, *with_, without=without)
+        updated = fn(matched).select(*old.columns)
+        untouched = old.join(matched.select(ENTITY), ENTITY, "left_anti")
+        self._components[component] = untouched.unionByName(updated)
+        return self

@@ -1,0 +1,73 @@
+"""ECS-layer graded query — the reference's Entity–Component–System
+model (/root/reference/README.md:2) exercised end-to-end through
+zmaxion_spark.ecs.World and verified against a plain-SQL oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from zmaxion_spark.catalog import load_table
+from zmaxion_spark.ecs import World
+from zmaxion_spark.queries.helpers import dsum, sql_dsum
+from zmaxion_spark.queries.registry import query
+
+
+@query(
+    "q_ecs_world",
+    oracle=f"""
+        WITH b AS (SELECT c_custkey AS entity_id,
+                          CASE WHEN c_acctbal > 0 THEN c_acctbal * 1.05
+                               ELSE c_acctbal END AS balance
+                   FROM customer),
+             s AS (SELECT c_custkey AS entity_id, c_mktsegment AS segment
+                   FROM customer)
+        SELECT s.segment,
+               COUNT(*) AS n_entities,
+               {sql_dsum('b.balance', 'total_balance')}
+        FROM b JOIN s ON b.entity_id = s.entity_id
+        WHERE NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = b.entity_id
+                            AND o.o_totalprice > 300000)
+        GROUP BY s.segment
+    """,
+    operators=(10, 13, 23),
+    doc="ECS world tick: customers are entities; `balance` and `segment` "
+    "are components; `big_spender` is a marker component (an order "
+    "above 300k). "
+    "A system credits 5% interest to positive balances, then the "
+    "archetype query With(balance, segment) Without(big_spender) "
+    "aggregates per segment. Compiles to an inner-join + anti-join "
+    "chain that Catalyst fuses — the ECS scheduler is the DAG "
+    "scheduler (SURVEY §1.1).",
+)
+def q_ecs_world(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    w = (
+        World()
+        .register("balance", cust, key="c_custkey", cols={"c_acctbal": "balance"})
+        .register("segment", cust, key="c_custkey", cols={"c_mktsegment": "segment"})
+        .register(
+            "big_spender",
+            orders.filter(F.col("o_totalprice") > 300000)
+            .select("o_custkey")
+            .distinct(),
+            key="o_custkey",
+        )
+    )
+    w.run_system(
+        "balance",
+        lambda df: df.withColumn(
+            "balance",
+            F.when(F.col("balance") > 0, F.col("balance") * 1.05).otherwise(
+                F.col("balance")
+            ),
+        ),
+    )
+    return (
+        w.query("balance", "segment", without=("big_spender",))
+        .groupBy("segment")
+        .agg(F.count(F.lit(1)).alias("n_entities"), dsum("balance", "total_balance"))
+    )

@@ -53,6 +53,39 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
+def stream_kafka(
+    spark: SparkSession,
+    topic: str,
+    value_schema: T.StructType,
+    bootstrap_servers: str = "localhost:9092",
+    starting_offsets: str = "earliest",
+) -> DataFrame:
+    """#5 topic consumer — the canonical ECS-stream ingress.
+
+    Declares the standard Kafka source topology: binary value →
+    JSON-parse against the explicit schema (engine policy: no
+    inference) → typed columns + event metadata. Requires the
+    spark-sql-kafka connector on the classpath and a reachable broker;
+    neither exists in the test container, so this is the documented
+    design slot — the returned plan is exactly what a deployment
+    runs."""
+    raw = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("subscribe", topic)
+        .option("startingOffsets", starting_offsets)
+        .load()
+    )
+    return raw.select(
+        F.col("key").cast("string").alias("msg_key"),
+        F.from_json(F.col("value").cast("string"), value_schema).alias("v"),
+        "topic",
+        "partition",
+        "offset",
+        F.col("timestamp").alias("kafka_ts"),
+    ).select("msg_key", "v.*", "topic", "partition", "offset", "kafka_ts")
+
+
 def stream_rate(spark: SparkSession, rows_per_second: int = 100) -> DataFrame:
     """Synthetic event generator (#4) for tests and demos."""
     tune(spark)
