@@ -41,6 +41,16 @@ def test_lsh_sim_join_precision_vs_exact(spark):
         assert len(lsh) / len(exact) > 0.1
 
 
+def test_ivf_topk_recall_vs_exact(spark):
+    exact = {
+        (r.qid, r.vec_id) for r in _rows(spark, "q_sim_topk_search")
+    }
+    ivf = {(r.qid, r.vec_id) for r in _rows(spark, "q_sim_topk_ivf")}
+    assert len(ivf) == len(exact)  # k results per query either way
+    # Probing 4/16 cells on 10-cluster data should keep most of top-k.
+    assert len(ivf & exact) / len(exact) >= 0.5
+
+
 def test_minhash_matches_exact_jaccard_pairs(spark):
     """LSH candidates re-scored at τ=0.5 must equal the exhaustive
     jaccard-≥-0.5 pair set (banding catches 0.98-jaccard planted dups

@@ -522,6 +522,32 @@ def q_sim_topk_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("qid", "vec_id", "cos_sim", "rank")
 
 
+@query(
+    "q_sim_topk_ivf",
+    oracle=None,
+    operators=(33, 72),
+    doc="IVF approximate top-5: deterministic spherical-kmeans centroids "
+    "trained on an id-ordered sample, corpus vectors assigned to their "
+    "nearest of 16 cells, each query probes its 4 nearest cells and "
+    "exact-rescoring runs only inside them (candidates ~ corpus/4). "
+    "Rows-only check; recall vs the exact variant asserted in "
+    "tests/test_properties.py.",
+)
+def q_sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid_"), "embedding"
+    )
+    corpus = e.select(F.col("vec_id").alias("cid"), "embedding")
+    out = S.ivf_topk(corpus, queries, 5, "cid", "qid_", n_cells=16, n_probe=4)
+    return out.select(
+        F.col("qid_").alias("qid"),
+        F.col("cid").alias("vec_id"),
+        "cos_sim",
+        "rank",
+    )
+
+
 # ---------------------------------------------------------------------------
 # #73 similarity join (exact) + LSH-pruned variant
 # ---------------------------------------------------------------------------
