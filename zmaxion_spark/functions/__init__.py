@@ -6,4 +6,4 @@ the building blocks the graded queries in ``zmaxion_spark.queries``
 compose.
 """
 
-from zmaxion_spark.functions import dedup, similarity, text  # noqa: F401
+from zmaxion_spark.functions import dedup, multimodal, similarity, text  # noqa: F401

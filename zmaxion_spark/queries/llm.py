@@ -698,6 +698,36 @@ def q_multimodal_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_multimodal_frames",
+    oracle="""
+        SELECT doc_id,
+               UNNEST(RANGE(0, n_chars % 30 + 1, 5)) AS frame_idx,
+               n_chars % 30 + 1 AS n_frames
+        FROM documents
+    """,
+    operators=(44, 75),
+    doc="Video frame sampling over multimodal columns: every-5th frame "
+    "index from typed metadata (n_frames), one row per sampled frame — "
+    "the cheap metadata-only selection that must precede per-frame "
+    "decode at 100 TB. Exercises functions.multimodal.sample_frames.",
+)
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from zmaxion_spark.functions import multimodal as M
+
+    d = _t(spark, sf_dir, "documents")
+    media = M.media_struct(
+        F.concat(F.lit("mem://video/"), F.col("doc_id").cast("string")),
+        F.lit("video/mp4"),
+        F.lit(None).cast("binary"),
+        F.create_map(
+            F.lit("n_frames"), (F.col("n_chars") % 30 + 1).cast("string")
+        ),
+    )
+    frames = M.sample_frames(d.select("doc_id", media.alias("media")), "media", 5)
+    return frames.select("doc_id", "frame_idx", "n_frames")
+
+
 # ---------------------------------------------------------------------------
 # #76 time-series similarity over event streams (EDBT 2019 pattern)
 # ---------------------------------------------------------------------------
