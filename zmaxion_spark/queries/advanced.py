@@ -210,6 +210,39 @@ def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_sql_grouping_sets",
+    oracle=f"""
+        SELECT l_returnflag, l_linestatus,
+               GROUPING(l_returnflag, l_linestatus) AS gid,
+               COUNT(*) AS n,
+               {sql_dsum('l_extendedprice', 'revenue')}
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+    operators=(27,),
+    doc="Explicit GROUPING SETS through the SQL entry point (SURVEY "
+    "§3.2 EP2: spark.sql over registered views — same Catalyst pipeline "
+    "as the DataFrame API, parsed by ANTLR instead of built by Py4J). "
+    "The only graded query exercising the SQL front door end-to-end.",
+)
+def q_sql_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from zmaxion_spark.catalog import register_views
+
+    register_views(spark, sf_dir, ["lineitem"])
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               grouping_id(l_returnflag, l_linestatus) AS gid,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE)
+                   AS revenue
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
+
+
+@query(
     "q_cube",
     oracle=f"""
         SELECT o_orderstatus, o_orderpriority,
