@@ -44,6 +44,31 @@ def test_rate_source_schema(spark):
     assert [f.name for f in r.schema.fields] == ["timestamp", "value"]
 
 
+def test_processing_time_trigger(spark):
+    """#56: steady-state micro-batch cadence (the ECS tick) — a
+    processingTime-triggered query over the rate source must produce
+    rows continuously until stopped."""
+    import time
+
+    q = (
+        stream_rate(spark, rows_per_second=50)
+        .writeStream.format("memory")
+        .queryName("rate_pt")
+        .outputMode("append")
+        .trigger(processingTime="500 milliseconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 20
+        while time.time() < deadline:
+            if spark.table("rate_pt").count() > 0:
+                break
+            time.sleep(0.5)
+        assert spark.table("rate_pt").count() > 0
+    finally:
+        q.stop()
+
+
 def test_kafka_source_design_slot(spark):
     """#5: the topic-consumer wrapper must fail with the standard
     missing-connector error (no kafka jar in this container), proving

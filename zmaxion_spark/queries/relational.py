@@ -14,7 +14,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from zmaxion_spark.catalog import load_table
-from zmaxion_spark.queries.helpers import davg, dsum, sql_davg, sql_dsum
+from zmaxion_spark.queries.helpers import DEC, davg, dsum, sql_davg, sql_dsum
 from zmaxion_spark.queries.registry import query
 
 
@@ -405,4 +405,79 @@ def q_sort_limit_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.select("o_orderkey", "o_totalprice", "o_orderdate")
         .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
         .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H-style classics: q6 forecast-revenue filter-agg, q14 promo share
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q06_forecast_revenue",
+    oracle=f"""
+        SELECT {sql_dsum('l_extendedprice * l_discount', 'revenue')},
+               COUNT(*) AS n_items
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1997-01-01'
+          AND l_discount BETWEEN 0.03 AND 0.07
+          AND l_quantity < 24
+    """,
+    operators=(1, 9, 24),
+    doc="TPC-H Q6 analog: tight filter + global aggregate. The whole "
+    "query is a single codegen'd scan - every predicate reaches "
+    "PushedFilters, no shuffle at all (global agg is partial+final "
+    "over one exchange of one row per partition).",
+)
+def q06_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
+            & (F.col("l_discount") >= 0.03)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            dsum(F.col("l_extendedprice") * F.col("l_discount"), "revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@query(
+    "q14_promo_share",
+    oracle="""
+        SELECT CAST(SUM(CASE WHEN p_type = 'PROMO'
+                   THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))
+                   ELSE 0 END) AS DOUBLE)
+               / CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                               AS DECIMAL(38,6))) AS DOUBLE) AS promo_share,
+               COUNT(*) AS n_items
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE l_shipdate >= TIMESTAMP '1996-09-01'
+          AND l_shipdate < TIMESTAMP '1996-10-01'
+    """,
+    operators=(11, 16, 24),
+    doc="TPC-H Q14 analog: promo revenue share for one month. part is "
+    "explicitly broadcast (dimension); the conditional aggregate is a "
+    "filtered sum, exact through decimal on both engines.",
+)
+def q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-09-01") & (F.col("l_shipdate") < "1996-10-01")
+    )
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    net = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(DEC)
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            (
+                F.sum(F.when(F.col("p_type") == "PROMO", net).otherwise(F.lit(0).cast(DEC))).cast("double")
+                / F.sum(net).cast("double")
+            ).alias("promo_share"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
     )
