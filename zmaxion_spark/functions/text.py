@@ -30,12 +30,43 @@ def token_count(col: Column | str) -> Column:
     return F.size(tokenize(col))
 
 
-def bpe_ish_token_count(col: Column | str) -> Column:
-    """Token-count proxy: words + punctuation runs + digit runs, the
-    regex analog of a BPE pre-tokenizer's split pass."""
+# Letter runs | digit runs | punctuation runs — the split pass of a
+# BPE pre-tokenizer (GPT-2-style, simplified to a dialect-portable
+# character-class form; DuckDB twin uses [:space:] for \s).
+BPE_PRETOKEN_RE = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]+"
+BPE_PRETOKEN_RE_SQL = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9[:space:]]+"
+
+
+def bpe_pretokenize(col: Column | str) -> Column:
+    """BPE-pre-tokenizer split: text → array of letter/digit/punct
+    pieces (the units a byte-pair encoder would merge within)."""
     c = F.col(col) if isinstance(col, str) else col
-    pieces = F.split(c, r"\s+")
-    return F.size(F.filter(pieces, lambda p: p != ""))
+    return F.regexp_extract_all(c, F.lit(BPE_PRETOKEN_RE), 0)
+
+
+def bpe_ish_token_count(col: Column | str) -> Column:
+    """Token-count estimate from the pre-tokenizer split — the cheap
+    per-document cost signal a training pipeline budgets with."""
+    return F.size(bpe_pretokenize(col))
+
+
+ROLL_BASE = 131
+ROLL_MOD = 2147483647  # 2^31 - 1
+
+
+def rolling_fingerprint(tokens: Column) -> Column:
+    """Polynomial rolling hash (Rabin–Karp) over the token stream:
+    h ← (h·131 + base32(md5(tok))) mod (2³¹−1).
+
+    Order-sensitive (unlike the set-style xxhash64 ``fingerprint``),
+    so it distinguishes permuted documents; intermediate values stay
+    under 2³⁹, exact in BIGINT on every engine — reproducible in a
+    DuckDB LIST_REDUCE twin."""
+    def step(h: Column, t: Column) -> Column:
+        x = F.conv(F.substring(F.md5(t.cast("binary")), 1, 8), 16, 10).cast("long")
+        return (h * ROLL_BASE + x) % ROLL_MOD
+
+    return F.aggregate(tokens, F.lit(0).cast("long"), step)
 
 
 def shingles(tokens: Column, k: int = 3) -> Column:

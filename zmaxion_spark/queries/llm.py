@@ -181,6 +181,34 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", "lang", T.lang_id(toks).alias("pred_lang"))
 
 
+@query(
+    "q_token_fingerprint",
+    oracle=f"""
+        SELECT doc_id,
+               LEN(REGEXP_EXTRACT_ALL(text,
+                   '{T.BPE_PRETOKEN_RE_SQL}')) AS n_bpe_tokens,
+               LIST_REDUCE(
+                   LIST_PREPEND(CAST(0 AS BIGINT),
+                       LIST_TRANSFORM(STRING_SPLIT(text, ' '),
+                           t -> CAST(('0x' || SUBSTR(MD5(t), 1, 8)) AS BIGINT))),
+                   (h, x) -> (h * {T.ROLL_BASE} + x) % {T.ROLL_MOD}) AS doc_fp
+        FROM documents
+    """,
+    operators=(41, 66),
+    doc="Training-pipeline cost+identity signals: BPE-pre-tokenizer "
+    "token count (regex split into letter/digit/punct runs) and an "
+    "order-sensitive Rabin–Karp rolling fingerprint over the token "
+    "stream — both pure codegen'd expressions, exact in DuckDB.",
+)
+def q_token_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        T.bpe_ish_token_count("text").alias("n_bpe_tokens"),
+        T.rolling_fingerprint(F.split("text", " ")).alias("doc_fp"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # #67 TF-IDF
 # ---------------------------------------------------------------------------
