@@ -181,26 +181,32 @@ def simhash_near_pairs(sig_df: DataFrame, id_col: str, max_hamming: int = 3) -> 
     4 × 16-bit chunks; by pigeonhole, any pair within Hamming ≤ 3 shares
     at least one exact chunk — so candidates come from 4 equi-joins on
     chunk values, never an n² cross join."""
-    chunks = sig_df.select(
-        id_col,
-        "simhash",
+    chunk_arr = F.array(
         *[
-            F.shiftrightunsigned("simhash", 16 * c).bitwiseAND(F.lit(0xFFFF)).alias(f"c{c}")
+            F.shiftrightunsigned("simhash", 16 * c).bitwiseAND(F.lit(0xFFFF))
             for c in range(4)
-        ],
+        ]
     )
-    pairs = None
-    for c in range(4):
-        a = chunks.select(
-            F.col(id_col).alias("id_a"), F.col("simhash").alias("sig_a"), F.col(f"c{c}").alias("ck")
-        )
-        b = chunks.select(
-            F.col(id_col).alias("id_b"), F.col("simhash").alias("sig_b"), F.col(f"c{c}").alias("ck")
-        )
-        p = a.join(b, "ck").filter(F.col("id_a") < F.col("id_b")).drop("ck")
-        pairs = p if pairs is None else pairs.unionByName(p)
+    # Single posexplode + one self-equi-join on (chunk index, chunk
+    # value) instead of a 4-way union of joins — the upstream signature
+    # pipeline (explode + 64 sign-aggregates) is evaluated once per
+    # side, not once per chunk.
+    chunks = sig_df.select(
+        F.col(id_col).alias("_id"),
+        "simhash",
+        F.posexplode(chunk_arr).alias("ci", "ck"),
+    )
+    a = chunks.select(
+        F.col("_id").alias("id_a"), F.col("simhash").alias("sig_a"), "ci", "ck"
+    )
+    b = chunks.select(
+        F.col("_id").alias("id_b"), F.col("simhash").alias("sig_b"), "ci", "ck"
+    )
     return (
-        pairs.distinct()
+        a.join(b, ["ci", "ck"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sig_a", "sig_b")
+        .distinct()
         .withColumn("hamming", hamming64(F.col("sig_a"), F.col("sig_b")))
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
