@@ -106,3 +106,35 @@ def test_lsh_candidates_shuffle_only_ids(spark):
     # Vectors join back AFTER candidate generation: the join on id_b
     # (vector fetch) must be present.
     assert plan.count("BroadcastHashJoin") + plan.count("SortMergeJoin") >= 2
+
+
+def test_ivf_sample_no_corpus_wide_sort(spark):
+    """Round-2 advice: IVF centroid training must not rank the whole
+    corpus. The sample plan is a hash filter (deterministic
+    xxhash64 % m) followed by an ordered limit that compiles to
+    TakeOrderedAndProject over the pruned subset — never a full
+    Sort + Exchange."""
+    from zmaxion_spark.functions.similarity import ivf_sample_plan
+
+    e = load_table(spark, SF_SMOKE, "embeddings")
+    df = ivf_sample_plan(e, "vec_id", "embedding", sample=16)
+    plan = _plan(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort " not in plan  # no standalone total-sort stage
+    # The corpus here (500+ rows >> 4*16) must be hash-pruned pre-rank.
+    assert "xxhash64" in plan
+
+
+def test_dedup_by_cosine_paths_agree(spark):
+    """The distributed triangular-join fallback of dedup_by_cosine must
+    return bit-identical (id, dup_of) pairs to the size-guarded
+    broadcast path (cosine_arrow reproduces the left-fold IEEE order)."""
+    from zmaxion_spark.functions.similarity import dedup_by_cosine
+
+    e = load_table(spark, SF_SMOKE, "embeddings")
+    bcast = {(r.vec_id, r.dup_of) for r in
+             dedup_by_cosine(e, "vec_id", "embedding", 0.4).collect()}
+    dist = {(r.vec_id, r.dup_of) for r in
+            dedup_by_cosine(e, "vec_id", "embedding", 0.4,
+                            broadcast_max_rows=0).collect()}
+    assert bcast == dist

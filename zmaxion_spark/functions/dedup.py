@@ -176,11 +176,94 @@ def simhash_table(df: DataFrame, id_col: str, feature_col: Column, bits: int = 6
     return per_doc.select(id_col, sig.alias("simhash"))
 
 
+def simhash_md5_chunks(df: DataFrame, id_col: str, feature_col: Column) -> DataFrame:
+    """64-bit SimHash carried as 4 × 16-bit chunk columns (c0..c3),
+    built from an md5 base hash that DuckDB reproduces byte-for-byte
+    (`CAST('0x'||SUBSTR(MD5(f),i,8) AS BIGINT)` == Spark
+    `conv(substring(md5(binary f),i,8),16,10)` — the same parity trick
+    the MinHash oracle uses).
+
+    Two 32-bit md5 words give the 64 signature bits; the chunk-column
+    representation sidesteps BIGINT sign-bit gymnastics on BOTH engines
+    and is exactly what the pigeonhole blocking joins on anyway. Same
+    explode → hash-once → sign-aggregate shape as ``simhash_table``:
+    one shuffle on the id, linear at 100 TB."""
+    tok = df.select(id_col, F.explode(feature_col).alias("_t"))
+    md5 = F.md5(F.col("_t").cast("binary"))
+    h = tok.select(
+        id_col,
+        F.conv(F.substring(md5, 1, 8), 16, 10).cast("long").alias("_x0"),
+        F.conv(F.substring(md5, 9, 8), 16, 10).cast("long").alias("_x1"),
+    )
+    aggs = []
+    for j in range(64):
+        src = F.col("_x0") if j < 32 else F.col("_x1")
+        bit = F.shiftright(src, j % 32).bitwiseAND(F.lit(1))
+        aggs.append(F.sum(F.when(bit == 1, 1).otherwise(-1)).alias(f"_b{j}"))
+    per_doc = h.groupBy(id_col).agg(*aggs)
+    chunk_cols = []
+    for c in range(4):
+        chunk = F.lit(0)
+        for j in range(16):
+            chunk = chunk + F.when(
+                F.col(f"_b{16 * c + j}") >= 0, F.lit(1 << j)
+            ).otherwise(F.lit(0))
+        chunk_cols.append(chunk.cast("bigint").alias(f"c{c}"))
+    return per_doc.select(id_col, *chunk_cols)
+
+
+def simhash_chunk_near_pairs(
+    sig_df: DataFrame, id_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """Near-pair blocking over chunked SimHash signatures (c0..c3):
+    posexplode the 4 chunks, one self-equi-join on (chunk index, chunk
+    value) — by pigeonhole any pair within Hamming ≤ 3 shares a chunk —
+    then exact Hamming as the sum of per-chunk popcounts."""
+    assert max_hamming < 4, (
+        "4-chunk pigeonhole blocking is only complete for Hamming <= 3"
+    )
+    chunks = sig_df.select(
+        F.col(id_col).alias("_id"),
+        "c0",
+        "c1",
+        "c2",
+        "c3",
+        F.posexplode(F.array("c0", "c1", "c2", "c3")).alias("ci", "ck"),
+    )
+    a = chunks.select(
+        F.col("_id").alias("id_a"),
+        *[F.col(f"c{c}").alias(f"ca{c}") for c in range(4)],
+        "ci",
+        "ck",
+    )
+    b = chunks.select(
+        F.col("_id").alias("id_b"),
+        *[F.col(f"c{c}").alias(f"cb{c}") for c in range(4)],
+        "ci",
+        "ck",
+    )
+    hamming = sum(
+        F.bit_count(F.col(f"ca{c}").bitwiseXOR(F.col(f"cb{c}"))) for c in range(4)
+    )
+    return (
+        a.join(b, ["ci", "ck"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .drop("ci", "ck")
+        .distinct()
+        .withColumn("hamming", hamming.cast("bigint"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
 def simhash_near_pairs(sig_df: DataFrame, id_col: str, max_hamming: int = 3) -> DataFrame:
     """Candidate blocking for SimHash: split the 64-bit signature into
     4 × 16-bit chunks; by pigeonhole, any pair within Hamming ≤ 3 shares
     at least one exact chunk — so candidates come from 4 equi-joins on
     chunk values, never an n² cross join."""
+    assert max_hamming < 4, (
+        "4-chunk pigeonhole blocking is only complete for Hamming <= 3"
+    )
     chunk_arr = F.array(
         *[
             F.shiftrightunsigned("simhash", 16 * c).bitwiseAND(F.lit(0xFFFF))

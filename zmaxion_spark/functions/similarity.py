@@ -173,6 +173,24 @@ def sim_join_lsh(
     )
 
 
+def ivf_sample_plan(
+    df: DataFrame, id_col: str, vec_col: str, sample: int = 4096
+) -> DataFrame:
+    """The bounded, deterministic training-sample plan for IVF.
+
+    Hash filter first (xxhash64(id) % m == 0, m sized from a count so
+    ~4×sample rows survive), THEN an id-ordered top-`sample` of the
+    survivors. The ordered-limit compiles to TakeOrderedAndProject over
+    the pruned subset — no corpus-wide Sort/Exchange stage appears in
+    the plan (pinned in tests/test_plans.py)."""
+    n = df.count()
+    m = max(1, n // (4 * sample))
+    cand = df
+    if m > 1:
+        cand = df.filter(F.pmod(F.xxhash64(F.col(id_col)), F.lit(m)) == 0)
+    return cand.orderBy(id_col).limit(sample).select(_d(F.col(vec_col)).alias("_v"))
+
+
 def ivf_train_centroids(
     df: DataFrame,
     id_col: str,
@@ -189,10 +207,14 @@ def ivf_train_centroids(
     index quality needs a sketch of the distribution, not the corpus;
     ASSIGNMENT is what must scale, and that stays distributed. No
     runtime randomness: same data ⇒ same centroids, every engine,
-    every run."""
-    pdf = (
-        df.orderBy(id_col).limit(sample).select(_d(F.col(vec_col)).alias("_v"))
-    ).toPandas()
+    every run.
+
+    Sampling is a deterministic hash filter (xxhash64(id) % m == 0,
+    m sized so ~4×sample rows survive), then an id-ordered top-`sample`
+    of the SURVIVORS — the rank stage only ever sees the pruned subset,
+    so there is no corpus-wide ordering stage (round-1 advice: the old
+    orderBy(id).limit ranked the full corpus)."""
+    pdf = ivf_sample_plan(df, id_col, vec_col, sample).toPandas()
     x = np.vstack(pdf["_v"].to_numpy())
     x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
     cents = x[:n_cells].copy()
@@ -267,19 +289,58 @@ def ivf_topk(
     )
 
 
-def dedup_by_cosine(
+def _dedup_by_cosine_pairjoin(
     df: DataFrame, id_col: str, vec_col: str, threshold: float
+) -> DataFrame:
+    """Distributed exact fallback for :func:`dedup_by_cosine`: a
+    triangular self-join (id_a < id_b) scored with the Arrow cosine,
+    min-id aggregate per duplicate, left-join back for the kept rows.
+
+    No driver state at all — the cross join partitions across the
+    cluster (n_a × n_b task grid) and only (id, vector) rows move.
+    Exact all-pairs is inherently quadratic; past THIS shape's budget
+    the answer is the LSH candidate join (sim_join_lsh) with the same
+    keep/drop rule, which trades exactness for linear buckets."""
+    a = df.select(F.col(id_col).alias("_ida"), _d(F.col(vec_col)).alias("_va"))
+    b = df.select(F.col(id_col).alias("_idb"), _d(F.col(vec_col)).alias("_vb"))
+    dup = (
+        b.join(a, F.col("_ida") < F.col("_idb"))
+        .select(
+            "_idb", "_ida", cosine_arrow(F.col("_va"), F.col("_vb")).alias("_cos")
+        )
+        .filter(F.col("_cos") >= threshold)
+        .groupBy("_idb")
+        .agg(F.min("_ida").alias("dup_of"))
+    )
+    return (
+        df.select(F.col(id_col))
+        .join(dup, F.col(id_col) == F.col("_idb"), "left")
+        .select(id_col, "dup_of")
+    )
+
+
+def dedup_by_cosine(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+    broadcast_max_rows: int = 2_000_000,
 ) -> DataFrame:
     """Embedding near-dup dedup, exact variant: for every row, the
     lowest-id vector with cosine ≥ threshold (NULL ⇒ the row is kept).
 
-    Shape: the corpus matrix is broadcast ONCE (exact all-pairs dedup
-    presupposes a corpus that fits a broadcast — the scale path is the
-    LSH candidate join, same keep/drop rule); each partition scores
-    its batch against the matrix with a column-at-a-time rank-1
-    accumulation, which reproduces the SQL left-fold cosine IEEE-exactly
-    (acc = acc + prod_j, ascending j) while each vector crosses Arrow
-    exactly once instead of once per pair."""
+    Shape: SIZE-GUARDED. If the corpus fits a broadcast (counted first,
+    explicit ``broadcast_max_rows`` ceiling — 2M × 64 float64 ≈ 1 GiB),
+    the matrix is broadcast once and each partition scores its batch
+    against it with a column-at-a-time rank-1 accumulation, which
+    reproduces the SQL left-fold cosine IEEE-exactly (acc = acc +
+    prod_j, ascending j) while each vector crosses Arrow exactly once
+    instead of once per pair. Past the ceiling it falls back to the
+    fully distributed triangular pair join (no driver collect of any
+    size) — same answers, quadratic but partitioned; see
+    :func:`_dedup_by_cosine_pairjoin` for why LSH is the next rung."""
+    if df.count() > broadcast_max_rows:
+        return _dedup_by_cosine_pairjoin(df, id_col, vec_col, threshold)
     spark = df.sparkSession
     pdf = df.select(F.col(id_col), _d(F.col(vec_col)).alias("_v")).toPandas()
     ids_np = pdf[id_col].to_numpy()

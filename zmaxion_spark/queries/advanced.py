@@ -282,13 +282,14 @@ def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
                {sql_dsum('l_extendedprice', 'rev_all')},
                CAST(COALESCE(SUM(CAST(l_extendedprice AS DECIMAL(38,6)))
                     FILTER (WHERE l_discount > 0.05), 0) AS DOUBLE) AS rev_discounted,
-               LIST_SORT(LIST(DISTINCT l_linestatus)) AS statuses
+               ARRAY_TO_STRING(LIST_SORT(LIST(DISTINCT l_linestatus)), ',') AS statuses
         FROM lineitem
         GROUP BY l_returnflag
     """,
     operators=(23, 28),
     doc="FILTER-clause aggregates as count/sum over CASE WHEN, plus "
-    "sorted collect_set (order fixed so hashes agree).",
+    "sorted collect_set joined to a scalar (driver canon rejects ARRAY "
+    "cells; sort fixes the order so hashes agree).",
 )
 def q_agg_filtered_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
@@ -302,7 +303,7 @@ def q_agg_filtered_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("double")
         .alias("rev_discounted"),
-        F.sort_array(F.collect_set("l_linestatus")).alias("statuses"),
+        F.concat_ws(",", F.sort_array(F.collect_set("l_linestatus"))).alias("statuses"),
     )
 
 
@@ -471,12 +472,16 @@ def q_dedup_keyed(spark: SparkSession, sf_dir: str) -> DataFrame:
     operators=(26,),
     doc="HLL count-distinct + approximate percentiles — the interactive "
     "path at 100 TB (no exact distinct shuffle, bounded sketch memory). "
-    "Accuracy vs exact twin asserted in tests/test_properties.py.",
+    "Percentiles emitted as two scalar columns (driver canon rejects "
+    "ARRAY cells). Accuracy vs exact twin asserted in "
+    "tests/test_properties.py.",
 )
 def q_agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
+    pcts = F.percentile_approx("l_extendedprice", [0.5, 0.9], 10000)
     return li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_orderkey").alias("approx_orders"),
-        F.percentile_approx("l_extendedprice", [0.5, 0.9], 10000).alias("price_p50_p90"),
+        F.element_at(pcts, 1).alias("price_p50"),
+        F.element_at(pcts, 2).alias("price_p90"),
         F.count(F.lit(1)).alias("n"),
     )

