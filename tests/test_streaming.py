@@ -136,3 +136,44 @@ def test_watermark_drops_late_data(spark):
         import datetime
 
         assert emitted_max <= max_ts.replace(tzinfo=None) + datetime.timedelta(minutes=5)
+
+def test_kafka_parse_topology_without_broker(spark):
+    """#5: the topic-consumer projection must run against the pinned
+    Kafka wire schema (binary key/value + topic metadata) and produce
+    the typed columns a deployment would see — verified on a static
+    stand-in frame since no broker or connector exists in the test
+    container. Pins both the output schema and the JSON value parse."""
+    import datetime
+
+    from pyspark.sql import types as T
+
+    from zmaxion_spark.streaming.sources import (
+        KAFKA_WIRE_SCHEMA,
+        parse_kafka_topology,
+    )
+
+    value_schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    ts = datetime.datetime(2026, 1, 1, 12, 0, 0)
+    rows = [
+        (b"u1", b'{"event_id": 7, "event_type": "click", "value": 1.5}',
+         "events", 0, 42, ts, 0),
+        (b"u2", b'not json at all', "events", 1, 43, ts, 0),
+        (None, None, "events", 2, 44, ts, 0),
+    ]
+    raw = spark.createDataFrame(rows, KAFKA_WIRE_SCHEMA)
+    out = parse_kafka_topology(raw, value_schema)
+    assert [f.name for f in out.schema.fields] == [
+        "msg_key", "event_id", "event_type", "value",
+        "topic", "partition", "offset", "kafka_ts",
+    ]
+    got = {r.offset: r for r in out.collect()}
+    assert got[42].msg_key == "u1" and got[42].event_id == 7
+    assert got[42].event_type == "click" and got[42].value == 1.5
+    # Malformed / null payloads degrade to null columns, not errors.
+    assert got[43].event_id is None and got[44].event_id is None

@@ -53,6 +53,38 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
+# The Kafka source's fixed wire schema (what `format("kafka").load()`
+# yields regardless of topic) — declared here so the parse topology can
+# be exercised against broker-less stand-in frames in tests.
+KAFKA_WIRE_SCHEMA = T.StructType(
+    [
+        T.StructField("key", T.BinaryType()),
+        T.StructField("value", T.BinaryType()),
+        T.StructField("topic", T.StringType()),
+        T.StructField("partition", T.IntegerType()),
+        T.StructField("offset", T.LongType()),
+        T.StructField("timestamp", T.TimestampType()),
+        T.StructField("timestampType", T.IntegerType()),
+    ]
+)
+
+
+def parse_kafka_topology(raw: DataFrame, value_schema: T.StructType) -> DataFrame:
+    """The post-source half of the topic-consumer topology: binary value
+    → JSON-parse against the explicit schema (engine policy: no
+    inference) → typed columns + event metadata. Split from
+    :func:`stream_kafka` so the projection is plan-testable without a
+    broker (tests/test_streaming.py feeds it a wire-schema stand-in)."""
+    return raw.select(
+        F.col("key").cast("string").alias("msg_key"),
+        F.from_json(F.col("value").cast("string"), value_schema).alias("v"),
+        "topic",
+        "partition",
+        "offset",
+        F.col("timestamp").alias("kafka_ts"),
+    ).select("msg_key", "v.*", "topic", "partition", "offset", "kafka_ts")
+
+
 def stream_kafka(
     spark: SparkSession,
     topic: str,
@@ -62,13 +94,11 @@ def stream_kafka(
 ) -> DataFrame:
     """#5 topic consumer — the canonical ECS-stream ingress.
 
-    Declares the standard Kafka source topology: binary value →
-    JSON-parse against the explicit schema (engine policy: no
-    inference) → typed columns + event metadata. Requires the
-    spark-sql-kafka connector on the classpath and a reachable broker;
-    neither exists in the test container, so this is the documented
-    design slot — the returned plan is exactly what a deployment
-    runs."""
+    Source half requires the spark-sql-kafka connector on the classpath
+    and a reachable broker; neither exists in the test container, so
+    the LOAD is the documented design slot — but the projection
+    (`parse_kafka_topology`) is runtime-verified in tests against the
+    pinned wire schema, so the deployment plan shape is not on faith."""
     raw = (
         spark.readStream.format("kafka")
         .option("kafka.bootstrap.servers", bootstrap_servers)
@@ -76,14 +106,7 @@ def stream_kafka(
         .option("startingOffsets", starting_offsets)
         .load()
     )
-    return raw.select(
-        F.col("key").cast("string").alias("msg_key"),
-        F.from_json(F.col("value").cast("string"), value_schema).alias("v"),
-        "topic",
-        "partition",
-        "offset",
-        F.col("timestamp").alias("kafka_ts"),
-    ).select("msg_key", "v.*", "topic", "partition", "offset", "kafka_ts")
+    return parse_kafka_topology(raw, value_schema)
 
 
 def stream_rate(spark: SparkSession, rows_per_second: int = 100) -> DataFrame:
