@@ -7,6 +7,7 @@ from zmaxion_spark.queries import (  # noqa: F401,E402
     advanced,
     ecs_q,
     llm,
+    pipeline_q,
     relational,
     scalar,
     sources_q,
@@ -59,6 +60,12 @@ _GRADE_FIRST = [
     "q_sim_topk_ivf_exact",
     # --- rewritten for scale this round; re-grade the new plan ---
     "q_dedup_embedding",
+    # --- new this round: training-data pipeline compositions ---
+    "q_train_test_split",
+    "q_context_packing",
+    "q_pii_redact",
+    "q_lang_balanced_sample",
+    "q_embedding_quantize",
 ]
 
 

@@ -1,0 +1,266 @@
+"""Training-data pipeline composition queries (beyond SURVEY §2).
+
+The operations a 100 TB pretraining-corpus build runs between "raw
+documents" and "training shards": deterministic train/val/test
+splitting, context-window packing, PII-style redaction,
+language-balanced sampling, and embedding quantization. All are pure
+DataFrame algebra (codegen'd expressions, window functions, HOF
+lambdas) — no Python in any hot path — and every one is oracle-paired
+via the md5 hash-parity and left-fold disciplines proven in round 1.
+
+Scale notes per query are inline; the common theme: determinism comes
+from content/id hashes (never runtime RNG), so every engine, executor
+and re-run agrees — the property that makes a 100 TB pipeline
+resumable and auditable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from zmaxion_spark.catalog import load_table
+from zmaxion_spark.queries.registry import query
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+def hash_bucket(col: Column, n_buckets: int) -> Column:
+    """Deterministic [0, n_buckets) bucket from an md5 word — the
+    engine-portable twin of xxhash64-mod (DuckDB reproduces md5
+    byte-for-byte; production can swap xxhash64 in, same shape)."""
+    word = F.conv(
+        F.substring(F.md5(col.cast("string").cast("binary")), 1, 8), 16, 10
+    ).cast("long")
+    return word % n_buckets
+
+
+_SQL_HASH_WORD = "CAST(('0x' || SUBSTR(MD5(CAST({col} AS VARCHAR)), 1, 8)) AS BIGINT)"
+
+
+# ---------------------------------------------------------------------------
+# Deterministic train/val/test split
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_train_test_split",
+    oracle=f"""
+        SELECT doc_id,
+               {_SQL_HASH_WORD.format(col='doc_id')} % 100 AS bucket,
+               CASE WHEN {_SQL_HASH_WORD.format(col='doc_id')} % 100 < 80 THEN 'train'
+                    WHEN {_SQL_HASH_WORD.format(col='doc_id')} % 100 < 90 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM documents
+    """,
+    operators=(47, 66),
+    doc="Deterministic 80/10/10 train/val/test split by id-hash bucket. "
+    "Hash-based (not random) so membership is stable across runs, "
+    "engines, and incremental corpus additions — a row-local projection "
+    "with zero shuffles at any scale.",
+)
+def q_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    b = hash_bucket(F.col("doc_id"), 100)
+    return d.select(
+        "doc_id",
+        b.alias("bucket"),
+        F.when(b < 80, "train").when(b < 90, "val").otherwise("test").alias("split"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Context-window packing
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_context_packing",
+    oracle="""
+        WITH t AS (SELECT doc_id, source,
+                          LEN(STRING_SPLIT(text, ' ')) AS n_tok
+                   FROM documents),
+        c AS (SELECT doc_id, source, n_tok,
+                     CAST(SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+              FROM t)
+        SELECT doc_id, source, n_tok,
+               CAST(cum - n_tok AS BIGINT) AS stream_offset,
+               CAST((cum - n_tok) // 2048 AS BIGINT) AS pack_id
+        FROM c
+    """,
+    operators=(32, 66),
+    doc="Context-window packing: documents are laid into a per-source "
+    "token stream (cumulative count over a deterministic doc_id order) "
+    "and assigned the 2048-token pack their offset starts in — the "
+    "sequence-packing pass before shard writing. One window shuffle on "
+    "source; at 100 TB the partition key is (source, day-bucket) so no "
+    "single stream serializes.",
+)
+def q_context_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    n_tok = F.size(F.split("text", " "))
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    base = d.select("doc_id", "source", n_tok.alias("n_tok"))
+    cum = F.sum("n_tok").over(w).cast("bigint")
+    off = (cum - F.col("n_tok")).cast("bigint")
+    return base.select(
+        "doc_id",
+        "source",
+        "n_tok",
+        off.alias("stream_offset"),
+        F.floor(off / 2048).cast("bigint").alias("pack_id"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# PII-style redaction
+# ---------------------------------------------------------------------------
+
+_EMAIL_RE = "[a-z0-9._]+@[a-z0-9.]+"
+_NUM_RE = "[0-9]+"
+
+
+@query(
+    "q_pii_redact",
+    oracle=f"""
+        WITH t AS (SELECT doc_id,
+                          text || ' contact user' || CAST(doc_id AS VARCHAR)
+                               || '@example.com ref ' || CAST(doc_id * 7 AS VARCHAR) AS txt
+                   FROM documents),
+        r AS (SELECT doc_id, txt,
+                     REGEXP_REPLACE(REGEXP_REPLACE(txt, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                                    '{_NUM_RE}', '<NUM>', 'g') AS redacted
+              FROM t)
+        SELECT doc_id,
+               LEN(REGEXP_EXTRACT_ALL(txt, '{_EMAIL_RE}')) AS n_emails,
+               LEN(REGEXP_EXTRACT_ALL(REGEXP_REPLACE(txt, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                                      '{_NUM_RE}')) AS n_numbers,
+               SUBSTR(redacted, LENGTH(redacted) - 39, 40) AS redacted_tail
+        FROM r
+    """,
+    operators=(41, 66),
+    doc="PII-style scrubbing: emails then digit runs replaced by typed "
+    "placeholders, with per-doc hit counts (inputs deterministically "
+    "dirtied — fixture text carries no PII). Pure codegen regex — the "
+    "shape of every policy-filter pass over a pretraining corpus; "
+    "row-local, zero shuffles.",
+)
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    txt = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com ref "),
+        (F.col("doc_id") * 7).cast("string"),
+    )
+    no_email = F.regexp_replace(txt, _EMAIL_RE, "<EMAIL>")
+    redacted = F.regexp_replace(no_email, _NUM_RE, "<NUM>")
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(txt, F.lit(_EMAIL_RE), 0)).alias("n_emails"),
+        F.size(F.regexp_extract_all(no_email, F.lit(_NUM_RE), 0)).alias("n_numbers"),
+        F.substring(redacted, F.length(redacted) - 39, F.lit(40)).alias(
+            "redacted_tail"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Language-balanced sampling
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_lang_balanced_sample",
+    oracle=f"""
+        SELECT lang, doc_id, rnk FROM (
+            SELECT lang, doc_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY lang
+                       ORDER BY {_SQL_HASH_WORD.format(col='doc_id')}, doc_id
+                   ) AS rnk
+            FROM documents
+        ) WHERE rnk <= 40
+    """,
+    operators=(30, 66),
+    doc="Language-balanced resampling: an equal per-language quota drawn "
+    "by deterministic hash order (rank over md5(doc_id)) — the "
+    "rebalancing pass that stops high-resource languages from drowning "
+    "the mix. One shuffle on lang; the rank window is the same "
+    "top-k-per-group shape as #30/#33.",
+)
+def q_lang_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    h = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 8),
+        16,
+        10,
+    ).cast("long")
+    w = Window.partitionBy("lang").orderBy(h, "doc_id")
+    return (
+        d.select("lang", "doc_id", F.row_number().over(w).alias("rnk"))
+        .filter(F.col("rnk") <= 40)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding quantization (int8)
+# ---------------------------------------------------------------------------
+
+_SQL_EMB_D = "LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE))"
+_SQL_ABSMAX = f"LIST_AGGREGATE(LIST_TRANSFORM({_SQL_EMB_D}, x -> ABS(x)), 'max')"
+
+
+@query(
+    "q_embedding_quantize",
+    oracle=f"""
+        WITH s AS (SELECT vec_id, embedding,
+                          {_SQL_ABSMAX} / 127.0 AS scale
+                   FROM embeddings)
+        SELECT vec_id,
+               ROUND(scale, 9) AS scale_r,
+               CAST(ROUND(CAST(embedding[1] AS DOUBLE) / scale) AS BIGINT) AS q0,
+               CAST(ROUND(CAST(embedding[64] AS DOUBLE) / scale) AS BIGINT) AS q_last,
+               ROUND(LIST_REDUCE(LIST_PREPEND(CAST(0 AS DOUBLE),
+                   LIST_TRANSFORM({_SQL_EMB_D},
+                       x -> ABS(x - ROUND(x / scale) * scale))),
+                   (a, x) -> a + x), 6) AS recon_err
+        FROM s
+    """,
+    operators=(44, 71),
+    doc="Symmetric int8 embedding quantization: per-vector scale = "
+    "max|x|/127, element q = round(x/scale), plus the L1 reconstruction "
+    "error as a left-fold (IEEE-identical to the DuckDB list_reduce "
+    "twin). The compression pass before ANN index shipping — 4x smaller "
+    "vectors, all codegen'd HOF lambdas, zero shuffles, zero Python.",
+)
+def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings")
+    emb_d = F.transform("embedding", lambda x: x.cast("double"))
+    scale = F.array_max(F.transform(emb_d, F.abs)) / 127.0
+    s = e.select("vec_id", emb_d.alias("_v"), scale.alias("_scale"))
+    q_at = lambda i: F.round(F.element_at("_v", i) / F.col("_scale")).cast("bigint")  # noqa: E731
+    err = F.aggregate(
+        F.transform(
+            "_v",
+            lambda x: F.abs(x - F.round(x / F.col("_scale")) * F.col("_scale")),
+        ),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    return s.select(
+        "vec_id",
+        F.round("_scale", 9).alias("scale_r"),
+        q_at(1).alias("q0"),
+        q_at(64).alias("q_last"),
+        F.round(err, 6).alias("recon_err"),
+    )
