@@ -66,6 +66,7 @@ _GRADE_FIRST = [
     "q_pii_redact",
     "q_lang_balanced_sample",
     "q_embedding_quantize",
+    "q_fragment_dedup",
 ]
 
 

@@ -264,3 +264,79 @@ def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         q_at(64).alias("q_last"),
         F.round(err, 6).alias("recon_err"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Fragment-level dedup (duplicated-paragraph removal)
+# ---------------------------------------------------------------------------
+
+_SQL_FRAGS = """
+    LIST_TRANSFORM(RANGE(1, LEN(toks) - 6, 8),
+                   i -> ARRAY_TO_STRING(toks[i:i+7], ' '))
+"""
+_SQL_FRAG_FP = "CAST(('0x' || SUBSTR(MD5(frag), 1, 15)) AS BIGINT)"
+
+
+@query(
+    "q_fragment_dedup",
+    oracle=f"""
+        WITH t AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS toks FROM documents),
+        fr AS (SELECT doc_id, UNNEST({_SQL_FRAGS}) AS frag
+               FROM t WHERE LEN(toks) >= 8),
+        fp AS (SELECT DISTINCT doc_id, {_SQL_FRAG_FP} AS fp FROM fr),
+        df AS (SELECT fp, COUNT(*) AS n_docs FROM fp GROUP BY fp),
+        pd AS (SELECT fp.doc_id,
+                      COUNT(*) AS n_frags,
+                      COUNT(*) FILTER (WHERE df.n_docs > 1) AS n_dup_frags
+               FROM fp JOIN df USING (fp)
+               GROUP BY fp.doc_id)
+        SELECT doc_id, n_frags, n_dup_frags,
+               ROUND(CAST(n_dup_frags AS DOUBLE) / n_frags, 6) AS dup_frac,
+               CAST(n_dup_frags AS DOUBLE) / n_frags >= 0.5 AS drop_doc
+        FROM pd
+    """,
+    operators=(66, 69, 70),
+    doc="Fragment-level dedup (the C4/RefinedWeb duplicated-paragraph "
+    "pass): documents split into non-overlapping 8-token fragments, "
+    "each fingerprinted to a 60-bit md5 word; a fragment is 'duplicated' "
+    "if any OTHER document carries it, and documents where >= 50% of "
+    "fragments are duplicated get the drop flag. Scale: the corpus-wide "
+    "state is (fingerprint, doc count) — 8-byte keys, two hash "
+    "aggregations and one equi-join, never document text in a shuffle.",
+)
+def q_fragment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    # sequence() is stop-inclusive where DuckDB RANGE is exclusive:
+    # last full-fragment start is n-7 (8 tokens ending exactly at n).
+    frags = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - 7, F.lit(8)),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, 8)),
+    )
+    fr = (
+        d.filter(F.size(toks) >= 8)
+        .select("doc_id", F.explode(frags).alias("frag"))
+    )
+    fp = fr.select(
+        "doc_id",
+        F.conv(F.substring(F.md5(F.col("frag").cast("binary")), 1, 15), 16, 10)
+        .cast("long")
+        .alias("fp"),
+    ).distinct()
+    df_counts = fp.groupBy("fp").agg(F.count(F.lit(1)).alias("n_docs"))
+    pd_ = (
+        fp.join(df_counts, "fp")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_frags"),
+            F.count(F.when(F.col("n_docs") > 1, 1)).alias("n_dup_frags"),
+        )
+    )
+    dup_frac = F.col("n_dup_frags").cast("double") / F.col("n_frags")
+    return pd_.select(
+        "doc_id",
+        "n_frags",
+        "n_dup_frags",
+        F.round(dup_frac, 6).alias("dup_frac"),
+        (dup_frac >= 0.5).alias("drop_doc"),
+    )
