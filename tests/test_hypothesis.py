@@ -1,0 +1,119 @@
+"""Hypothesis property tests over the function families (SURVEY §5.4).
+
+Each example ships a BATCH of generated rows through one Spark job and
+asserts the invariant per row — hypothesis shrinks on failure, the
+batch keeps job count (and wall clock) low. Deadlines are off because
+Spark job latency is noisy; determinism comes from the functions under
+test, not the examples.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+SETTINGS = dict(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+words = st.text(
+    alphabet=st.characters(whitelist_categories=("Ll", "Nd"), max_codepoint=0x7F),
+    min_size=0,
+    max_size=12,
+)
+texts = st.lists(words, min_size=0, max_size=30).map(" ".join)
+
+
+@given(batch=st.lists(texts, min_size=1, max_size=20))
+@settings(**SETTINGS)
+def test_normalize_idempotent(spark, batch):
+    """normalize(normalize(x)) == normalize(x) for arbitrary text."""
+    from zmaxion_spark.functions.text import normalize
+
+    df = spark.createDataFrame([(t,) for t in batch], ["t"])
+    rows = df.select(
+        normalize(F.col("t")).alias("once"),
+        normalize(normalize(F.col("t"))).alias("twice"),
+    ).collect()
+    for r in rows:
+        assert r.once == r.twice
+
+
+@given(
+    batch=st.lists(
+        st.tuples(
+            st.lists(words.filter(bool), min_size=0, max_size=15, unique=True),
+            st.lists(words.filter(bool), min_size=0, max_size=15, unique=True),
+        ),
+        min_size=1,
+        max_size=15,
+    )
+)
+@settings(**SETTINGS)
+def test_jaccard_bounds_symmetry_identity(spark, batch):
+    """0 <= J(a,b) = J(b,a) <= 1; J(a,a) == 1 for non-empty a."""
+    from zmaxion_spark.functions.dedup import jaccard
+
+    df = spark.createDataFrame(batch, "a array<string>, b array<string>")
+    rows = df.select(
+        F.size("a").alias("na"),
+        jaccard(F.col("a"), F.col("b")).alias("jab"),
+        jaccard(F.col("b"), F.col("a")).alias("jba"),
+        jaccard(F.col("a"), F.col("a")).alias("jaa"),
+    ).collect()
+    for r in rows:
+        assert 0.0 <= r.jab <= 1.0
+        assert r.jab == r.jba
+        if r.na:
+            assert r.jaa == 1.0
+
+
+@given(ids=st.lists(st.integers(min_value=-(2**62), max_value=2**62), min_size=1, max_size=30))
+@settings(**SETTINGS)
+def test_hash_bucket_range_and_determinism(spark, ids):
+    """Buckets land in [0, n) and identical ids always agree."""
+    from zmaxion_spark.queries.pipeline_q import hash_bucket
+
+    df = spark.createDataFrame([(i,) for i in ids + ids], ["id"])
+    rows = df.select("id", hash_bucket(F.col("id"), 100).alias("b")).collect()
+    seen: dict[int, int] = {}
+    for r in rows:
+        assert 0 <= r.b < 100
+        assert seen.setdefault(r.id, r.b) == r.b
+
+
+@given(toks=st.lists(words.filter(bool), min_size=1, max_size=25))
+@settings(**SETTINGS)
+def test_rolling_fingerprint_matches_recurrence(spark, toks):
+    """The SQL fold equals the h = (h*B + md5word(tok)) % M recurrence
+    computed independently in Python."""
+    import hashlib
+
+    from zmaxion_spark.functions.text import ROLL_BASE, ROLL_MOD, rolling_fingerprint
+
+    df = spark.createDataFrame([(toks,)], ["toks"])
+    got = df.select(rolling_fingerprint(F.col("toks")).alias("fp")).collect()[0].fp
+    h = 0
+    for t in toks:
+        x = int(hashlib.md5(t.encode()).hexdigest()[:8], 16)
+        h = (h * ROLL_BASE + x) % ROLL_MOD
+    assert got == h
+
+
+@given(batch=st.lists(st.lists(words.filter(bool), min_size=1, max_size=12), min_size=1, max_size=10))
+@settings(**SETTINGS)
+def test_simhash_md5_chunks_in_range(spark, batch):
+    """Chunked md5 SimHash emits four 16-bit values for any feature set."""
+    from zmaxion_spark.functions.dedup import simhash_md5_chunks
+
+    df = spark.createDataFrame(
+        [(i, fs) for i, fs in enumerate(batch)], ["id", "fs"]
+    )
+    rows = simhash_md5_chunks(df, "id", F.col("fs")).collect()
+    assert len(rows) == len(batch)
+    for r in rows:
+        for c in range(4):
+            assert 0 <= r[f"c{c}"] <= 0xFFFF

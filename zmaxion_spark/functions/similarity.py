@@ -182,8 +182,14 @@ def ivf_sample_plan(
     ~4×sample rows survive), THEN an id-ordered top-`sample` of the
     survivors. The ordered-limit compiles to TakeOrderedAndProject over
     the pruned subset — no corpus-wide Sort/Exchange stage appears in
-    the plan (pinned in tests/test_plans.py)."""
-    n = df.count()
+    the plan (pinned in tests/test_plans.py).
+
+    Sizing m needs the corpus size, but small corpora shouldn't pay a
+    full count: a limit-capped count decides cheaply whether the
+    corpus is big enough to need the hash filter at all."""
+    n = df.limit(8 * sample + 1).count()
+    if n > 8 * sample:
+        n = df.count()
     m = max(1, n // (4 * sample))
     cand = df
     if m > 1:
@@ -338,11 +344,21 @@ def dedup_by_cosine(
     instead of once per pair. Past the ceiling it falls back to the
     fully distributed triangular pair join (no driver collect of any
     size) — same answers, quadratic but partitioned; see
-    :func:`_dedup_by_cosine_pairjoin` for why LSH is the next rung."""
-    if df.count() > broadcast_max_rows:
-        return _dedup_by_cosine_pairjoin(df, id_col, vec_col, threshold)
+    :func:`_dedup_by_cosine_pairjoin` for why LSH is the next rung.
+
+    The guard and the collect share ONE scan: pulling limit(max+1)
+    rows both bounds the driver pull (never more than the ceiling
+    lands in driver memory) and reveals whether the corpus exceeded
+    it — no separate count job."""
     spark = df.sparkSession
-    pdf = df.select(F.col(id_col), _d(F.col(vec_col)).alias("_v")).toPandas()
+    probe = (
+        df.select(F.col(id_col), _d(F.col(vec_col)).alias("_v"))
+        .limit(broadcast_max_rows + 1)
+        .toPandas()
+    )
+    if len(probe) > broadcast_max_rows:
+        return _dedup_by_cosine_pairjoin(df, id_col, vec_col, threshold)
+    pdf = probe
     ids_np = pdf[id_col].to_numpy()
     mat = np.vstack(pdf["_v"].to_numpy()).astype(np.float64)
     bc = spark.sparkContext.broadcast((ids_np, mat))
