@@ -67,6 +67,8 @@ _GRADE_FIRST = [
     "q_lang_balanced_sample",
     "q_embedding_quantize",
     "q_fragment_dedup",
+    "q_ecs_selective_tick",
+    "q_join_salted",
 ]
 
 

@@ -485,3 +485,40 @@ def q_agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at(pcts, 2).alias("price_p90"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+# ---------------------------------------------------------------------------
+# #13/#16 salted join (skew tooling graded end-to-end)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_join_salted",
+    oracle=f"""
+        SELECT c_mktsegment,
+               COUNT(*) AS n_events,
+               {sql_dsum('value', 'total_value')}
+        FROM events JOIN customer ON user_id = c_custkey
+        GROUP BY c_mktsegment
+    """,
+    operators=(13, 16),
+    doc="Skew-salted equi-join graded end-to-end: the (potentially "
+    "power-law) event stream joins the customer dim through "
+    "layout.salted_join — hot keys spread over 8 deterministic salts, "
+    "the small side replicated 8x — and the oracle is the PLAIN join, "
+    "proving row-identity of the salted rewrite. This is the explicit "
+    "fallback for keys so hot that AQE's skew split still leaves a "
+    "straggler.",
+)
+def q_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from zmaxion_spark.layout import salted_join
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    joined = salted_join(ev, cust, "user_id", F.col("event_id"), n_salts=8)
+    return joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        dsum("value", "total_value"),
+    )

@@ -71,3 +71,78 @@ def q_ecs_world(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("segment")
         .agg(F.count(F.lit(1)).alias("n_entities"), dsum("balance", "total_balance"))
     )
+
+
+@query(
+    "q_ecs_selective_tick",
+    oracle=f"""
+        WITH active AS (SELECT DISTINCT o_custkey AS entity_id FROM orders
+                        WHERE o_orderpriority = '1-URGENT'),
+             big AS (SELECT DISTINCT o_custkey AS entity_id FROM orders
+                     WHERE o_totalprice > 300000),
+             t1 AS (SELECT c_custkey AS entity_id, c_mktsegment AS segment,
+                           CASE WHEN c_acctbal > 0 THEN c_acctbal * 1.05
+                                ELSE c_acctbal END AS balance
+                    FROM customer),
+             t2 AS (SELECT t1.entity_id, t1.segment,
+                           CASE WHEN t1.entity_id IN (SELECT entity_id FROM active)
+                                 AND t1.entity_id NOT IN (SELECT entity_id FROM big)
+                                THEN t1.balance * 0.9 ELSE t1.balance END AS balance
+                    FROM t1)
+        SELECT segment,
+               COUNT(*) AS n_entities,
+               {sql_dsum('balance', 'total_balance')}
+        FROM t2 GROUP BY segment
+    """,
+    operators=(10, 13, 23),
+    doc="ECS SELECTIVE tick: two systems run in sequence over the same "
+    "component — interest (+5%) for every positive balance, then a "
+    "-10% decay only for entities With(urgent_buyer) Without("
+    "big_spender). Unlike q_ecs_world (whose system touches every "
+    "entity), this grades run_system's untouched ∪ updated union "
+    "semantics byte-for-byte: entities outside the archetype must pass "
+    "through the tick with their previous component values intact, "
+    "and the two ticks must compose in order.",
+)
+def q_ecs_selective_tick(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    w = (
+        World()
+        .register("balance", cust, key="c_custkey", cols={"c_acctbal": "balance"})
+        .register("segment", cust, key="c_custkey", cols={"c_mktsegment": "segment"})
+        .register(
+            "urgent_buyer",
+            orders.filter(F.col("o_orderpriority") == "1-URGENT")
+            .select("o_custkey")
+            .distinct(),
+            key="o_custkey",
+        )
+        .register(
+            "big_spender",
+            orders.filter(F.col("o_totalprice") > 300000)
+            .select("o_custkey")
+            .distinct(),
+            key="o_custkey",
+        )
+    )
+    w.run_system(
+        "balance",
+        lambda df: df.withColumn(
+            "balance",
+            F.when(F.col("balance") > 0, F.col("balance") * 1.05).otherwise(
+                F.col("balance")
+            ),
+        ),
+    )
+    w.run_system(
+        "balance",
+        lambda df: df.withColumn("balance", F.col("balance") * 0.9),
+        with_=("urgent_buyer",),
+        without=("big_spender",),
+    )
+    return (
+        w.query("balance", "segment")
+        .groupBy("segment")
+        .agg(F.count(F.lit(1)).alias("n_entities"), dsum("balance", "total_balance"))
+    )
