@@ -69,6 +69,8 @@ _GRADE_FIRST = [
     "q_fragment_dedup",
     "q_ecs_selective_tick",
     "q_join_salted",
+    "q_stream_sink_parquet",
+    "q_stream_foreach_batch",
 ]
 
 

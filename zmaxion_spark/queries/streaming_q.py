@@ -234,3 +234,76 @@ def q_stream_stateful_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = stream_events(spark, sf_dir)
     t = run_available_now(running_user_counters(ev), "counters", mode="update")
     return t.groupBy("user_id").agg(F.max("n_events").alias("n_events"))
+
+
+@query(
+    "q_stream_sink_parquet",
+    oracle="""
+        SELECT user_id % 10 AS user_bucket,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value
+        FROM events
+        WHERE event_type = 'click'
+        GROUP BY 1
+    """,
+    operators=(6, 56, 57),
+    doc="Parquet SINK graded end-to-end (#6): the filtered event stream "
+    "drains through writeStream.format('parquet') (checkpointed "
+    "offsets, exactly-once file commit), the committed files are read "
+    "back, and the aggregate over them must hash-match batch SQL over "
+    "the source — proving the sink lost and duplicated nothing. A "
+    "fresh sink+checkpoint dir per run keeps the query rerunnable.",
+)
+def q_stream_sink_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from zmaxion_spark.streaming.pipeline import run_to_parquet
+
+    out = tempfile.mkdtemp(prefix="zmx-sinkpq-") + "/out"
+    ev = stream_events(spark, sf_dir).filter(F.col("event_type") == "click")
+    run_to_parquet(ev.select("event_id", "user_id", "value"), out)
+    back = spark.read.parquet(out)
+    return back.groupBy((F.col("user_id") % 10).alias("user_bucket")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast(DEC)).cast("double").alias("total_value"),
+    )
+
+
+@query(
+    "q_stream_foreach_batch",
+    oracle="""
+        SELECT event_type,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value
+        FROM events
+        GROUP BY event_type
+    """,
+    operators=(7, 56, 57),
+    doc="foreachBatch SINK graded end-to-end (#7): every micro-batch is "
+    "handed to a user function that appends it (tagged with its batch "
+    "id) to a parquet side-channel — the idempotent-upsert escape "
+    "hatch — and the union of all batches must aggregate hash-exactly "
+    "to batch SQL over the source, proving per-batch delivery is "
+    "complete and non-overlapping.",
+)
+def q_stream_foreach_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from zmaxion_spark.streaming.pipeline import run_foreach_batch
+
+    out = tempfile.mkdtemp(prefix="zmx-feb-") + "/out"
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.withColumn("_batch_id", F.lit(batch_id))
+            .write.mode("append")
+            .parquet(out)
+        )
+
+    ev = stream_events(spark, sf_dir).select("event_id", "event_type", "value")
+    run_foreach_batch(ev, sink)
+    back = spark.read.parquet(out)
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast(DEC)).cast("double").alias("total_value"),
+    )
