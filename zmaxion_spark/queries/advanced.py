@@ -501,7 +501,7 @@ def q_agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events JOIN customer ON user_id = c_custkey
         GROUP BY c_mktsegment
     """,
-    operators=(13, 16),
+    operators=(13, 16, 84),
     doc="Skew-salted equi-join graded end-to-end: the (potentially "
     "power-law) event stream joins the customer dim through "
     "layout.salted_join — hot keys spread over 8 deterministic salts, "

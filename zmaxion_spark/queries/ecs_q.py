@@ -32,7 +32,7 @@ from zmaxion_spark.queries.registry import query
                             AND o.o_totalprice > 300000)
         GROUP BY s.segment
     """,
-    operators=(10, 13, 23),
+    operators=(10, 13, 23, 83),
     doc="ECS world tick: customers are entities; `balance` and `segment` "
     "are components; `big_spender` is a marker component (an order "
     "above 300k). "
@@ -94,7 +94,7 @@ def q_ecs_world(spark: SparkSession, sf_dir: str) -> DataFrame:
                {sql_dsum('balance', 'total_balance')}
         FROM t2 GROUP BY segment
     """,
-    operators=(10, 13, 23),
+    operators=(10, 13, 23, 83),
     doc="ECS SELECTIVE tick: two systems run in sequence over the same "
     "component — interest (+5%) for every positive balance, then a "
     "-10% decay only for entities With(urgent_buyer) Without("

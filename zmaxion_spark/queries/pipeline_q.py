@@ -56,7 +56,7 @@ _SQL_HASH_WORD = "CAST(('0x' || SUBSTR(MD5(CAST({col} AS VARCHAR)), 1, 8)) AS BI
                     ELSE 'test' END AS split
         FROM documents
     """,
-    operators=(47, 66),
+    operators=(47, 66, 77),
     doc="Deterministic 80/10/10 train/val/test split by id-hash bucket. "
     "Hash-based (not random) so membership is stable across runs, "
     "engines, and incremental corpus additions — a row-local projection "
@@ -92,7 +92,7 @@ def q_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST((cum - n_tok) // 2048 AS BIGINT) AS pack_id
         FROM c
     """,
-    operators=(32, 66),
+    operators=(32, 66, 78),
     doc="Context-window packing: documents are laid into a per-source "
     "token stream (cumulative count over a deterministic doc_id order) "
     "and assigned the 2048-token pack their offset starts in — the "
@@ -146,7 +146,7 @@ _NUM_RE = "[0-9]+"
                SUBSTR(redacted, LENGTH(redacted) - 39, 40) AS redacted_tail
         FROM r
     """,
-    operators=(41, 66),
+    operators=(41, 66, 79),
     doc="PII-style scrubbing: emails then digit runs replaced by typed "
     "placeholders, with per-doc hit counts (inputs deterministically "
     "dirtied — fixture text carries no PII). Pure codegen regex — the "
@@ -191,7 +191,7 @@ def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM documents
         ) WHERE rnk <= 40
     """,
-    operators=(30, 66),
+    operators=(30, 66, 80),
     doc="Language-balanced resampling: an equal per-language quota drawn "
     "by deterministic hash order (rank over md5(doc_id)) — the "
     "rebalancing pass that stops high-resource languages from drowning "
@@ -236,7 +236,7 @@ _SQL_ABSMAX = f"LIST_AGGREGATE(LIST_TRANSFORM({_SQL_EMB_D}, x -> ABS(x)), 'max')
                    (a, x) -> a + x), 6) AS recon_err
         FROM s
     """,
-    operators=(44, 71),
+    operators=(44, 71, 81),
     doc="Symmetric int8 embedding quantization: per-vector scale = "
     "max|x|/127, element q = round(x/scale), plus the L1 reconstruction "
     "error as a left-fold (IEEE-identical to the DuckDB list_reduce "
@@ -295,7 +295,7 @@ _SQL_FRAG_FP = "CAST(('0x' || SUBSTR(MD5(frag), 1, 15)) AS BIGINT)"
                CAST(n_dup_frags AS DOUBLE) / n_frags >= 0.5 AS drop_doc
         FROM pd
     """,
-    operators=(66, 69, 70),
+    operators=(66, 69, 70, 82),
     doc="Fragment-level dedup (the C4/RefinedWeb duplicated-paragraph "
     "pass): documents split into non-overlapping 8-token fragments, "
     "each fingerprinted to a 60-bit md5 word; a fragment is 'duplicated' "

@@ -253,6 +253,7 @@ def q_stream_stateful_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
     "back, and the aggregate over them must hash-match batch SQL over "
     "the source — proving the sink lost and duplicated nothing. A "
     "fresh sink+checkpoint dir per run keeps the query rerunnable.",
+    bench=False,  # writes real files; correctness demo, not a bench shape
 )
 def q_stream_sink_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
@@ -285,6 +286,7 @@ def q_stream_sink_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
     "hatch — and the union of all batches must aggregate hash-exactly "
     "to batch SQL over the source, proving per-batch delivery is "
     "complete and non-overlapping.",
+    bench=False,  # writes real files; correctness demo, not a bench shape
 )
 def q_stream_foreach_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
