@@ -156,3 +156,23 @@ def test_union_count_additivity(spark):
     lo = o.filter(F.col("o_totalprice") < 100000)
     assert hi.count() + lo.count() == o.count()
     assert hi.unionByName(lo).count() == o.count()
+
+def test_count_min_sketch_bounds_exact_counts(spark):
+    """#85 sketch twin: a Count-Min sketch never under-counts, and at
+    eps=0.001 its overestimate on this corpus is within eps*N of the
+    exact count for every heavy hitter."""
+    d = load_table(spark, SF_SMOKE, "documents")
+    terms = d.select(F.explode(F.split("text", " ")).alias("term"))
+    total = terms.count()
+    sketch_bytes = terms.agg(
+        F.count_min_sketch("term", F.lit(0.001), F.lit(0.99), F.lit(42)).alias("s")
+    ).collect()[0].s
+    jvm = spark.sparkContext._jvm
+    bais = jvm.java.io.ByteArrayInputStream(bytes(sketch_bytes))
+    cms = jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(bais)
+    exact = {r.term: r.n for r in _rows(spark, "q_heavy_hitters")}
+    assert exact, "expected heavy hitters"
+    for term, n in exact.items():
+        est = cms.estimateCount(term)
+        assert est >= n, f"CMS under-counted {term}: {est} < {n}"
+        assert est - n <= 0.001 * total + 1, f"CMS overshoot on {term}"

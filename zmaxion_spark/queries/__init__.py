@@ -71,6 +71,7 @@ _GRADE_FIRST = [
     "q_join_salted",
     "q_stream_sink_parquet",
     "q_stream_foreach_batch",
+    "q_heavy_hitters",
 ]
 
 

@@ -934,3 +934,43 @@ def q_ts_sim_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return base.select(
         "user_id", "event_id", F.when(var > 0, score).alias("trend_score")
     )
+
+
+# ---------------------------------------------------------------------------
+# #85 heavy hitters (corpus-frequency audit; CMS twin property-tested)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_heavy_hitters",
+    oracle="""
+        WITH tok AS (SELECT UNNEST(STRING_SPLIT(text, ' ')) AS term FROM documents),
+             c AS (SELECT term, COUNT(*) AS n FROM tok GROUP BY term)
+        SELECT term, n, rnk FROM (
+            SELECT term, n,
+                   ROW_NUMBER() OVER (ORDER BY n DESC, term) AS rnk
+            FROM c
+        ) WHERE rnk <= 20
+    """,
+    operators=(23, 36, 85),
+    doc="Corpus heavy hitters: exact top-20 terms by frequency "
+    "(explode → two-phase count → global top-k with deterministic "
+    "tie-break) — the vocabulary/boilerplate audit every corpus build "
+    "runs. Scale: map-side partial counts make the shuffle linear in "
+    "vocabulary, and the final top-k is a TakeOrdered merge, never a "
+    "full sort. The sketch twin (count_min_sketch, bounded memory for "
+    "unbounded vocabularies) is property-tested against these exact "
+    "counts in tests/test_properties.py.",
+)
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    counts = (
+        d.select(F.explode(F.split("text", " ")).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.orderBy(F.col("n").desc(), "term")
+    return (
+        counts.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 20)
+    )
