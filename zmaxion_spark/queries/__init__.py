@@ -12,6 +12,7 @@ from zmaxion_spark.queries import (  # noqa: F401,E402
     scalar,
     sources_q,
     streaming_q,
+    timeseries_q,
     udf,
 )
 
@@ -72,6 +73,12 @@ _GRADE_FIRST = [
     "q_stream_sink_parquet",
     "q_stream_foreach_batch",
     "q_heavy_hitters",
+    "q_sessionize",
+    "q_ts_resample",
+    "q_decayed_agg",
+    "q_quality_repetition",
+    "q_merge_upsert",
+    "q_quantile_hist",
 ]
 
 

@@ -522,3 +522,107 @@ def q_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         dsum("value", "total_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# #91 exact quantiles + histogram, two-phase distributed rank
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_quantile_hist",
+    oracle=f"""
+        WITH s AS (
+            SELECT MIN(o_totalprice) AS mn, MAX(o_totalprice) AS mx,
+                   COUNT(*) AS n_total
+            FROM orders
+        ),
+        b AS (
+            SELECT o_orderkey, o_totalprice,
+                   LEAST(19, CAST(FLOOR(
+                       (o_totalprice - s.mn) / (s.mx - s.mn) * 20
+                   ) AS BIGINT)) AS bucket
+            FROM orders, s
+        ),
+        hist AS (
+            SELECT bucket, COUNT(*) AS n_orders,
+                   {sql_dsum('o_totalprice', 'price_sum')}
+            FROM b GROUP BY bucket
+        ),
+        r AS (
+            SELECT o_totalprice,
+                   ROW_NUMBER() OVER (ORDER BY o_totalprice, o_orderkey)
+                       AS rn
+            FROM orders
+        ),
+        q AS (
+            SELECT
+                MAX(CASE WHEN rn = (s.n_total + 1) // 2
+                         THEN o_totalprice END) AS p50,
+                MAX(CASE WHEN rn = (9 * s.n_total + 9) // 10
+                         THEN o_totalprice END) AS p90
+            FROM r, s
+        )
+        SELECT hist.bucket, hist.n_orders, hist.price_sum, q.p50, q.p90
+        FROM hist CROSS JOIN q
+    """,
+    operators=(23, 30, 91),
+    doc="Exact quantiles (rank-based, no interpolation) + 20-bucket "
+    "histogram of order prices in one audit. The quantile is computed "
+    "by a TWO-PHASE distributed rank, not a global sort: phase 1 "
+    "counts per bucket (tiny result, cumulated driver-free over 20 "
+    "rows); phase 2 ranks WITHIN each bucket (window partitioned by "
+    "bucket — parallel across buckets) and adds the broadcast "
+    "cumulative offset to get the global rank. At 100 TB you raise "
+    "the bucket count so each within-bucket sort fits an executor; "
+    "no single-partition window ever materializes. Bucket edges and "
+    "ratios are single IEEE ops, bit-equal across engines.",
+)
+def q_quantile_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    stats = o.agg(
+        F.min("o_totalprice").alias("mn"),
+        F.max("o_totalprice").alias("mx"),
+        F.count(F.lit(1)).alias("n_total"),
+    )
+    bucket = F.least(
+        F.lit(19),
+        F.floor(
+            (F.col("o_totalprice") - F.col("mn"))
+            / (F.col("mx") - F.col("mn"))
+            * 20
+        ),
+    )
+    b = o.crossJoin(F.broadcast(stats)).withColumn("bucket", bucket)
+    hist = b.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum("o_totalprice", "price_sum"),
+    )
+    # phase 1: cumulative counts over the tiny bucket table
+    wcum = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    cum = hist.select(
+        "bucket",
+        F.coalesce(F.sum("n_orders").over(wcum), F.lit(0)).alias(
+            "cum_prev"
+        ),
+    )
+    # phase 2: rank within bucket (distributed), add broadcast offset
+    wb = Window.partitionBy("bucket").orderBy("o_totalprice", "o_orderkey")
+    g = b.join(F.broadcast(cum), "bucket").withColumn(
+        "grank", F.col("cum_prev") + F.row_number().over(wb)
+    )
+    r50 = F.expr("(n_total + 1) div 2")
+    r90 = F.expr("(9 * n_total + 9) div 10")
+    q = g.filter((F.col("grank") == r50) | (F.col("grank") == r90)).agg(
+        F.max(
+            F.when(F.col("grank") == r50, F.col("o_totalprice"))
+        ).alias("p50"),
+        F.max(
+            F.when(F.col("grank") == r90, F.col("o_totalprice"))
+        ).alias("p90"),
+    )
+    return hist.crossJoin(F.broadcast(q)).select(
+        "bucket", "n_orders", "price_sum", "p50", "p90"
+    )

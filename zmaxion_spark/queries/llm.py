@@ -974,3 +974,88 @@ def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         counts.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= 20)
     )
+
+
+# ---------------------------------------------------------------------------
+# #89 repetition-based quality filtering (Gopher-style)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_quality_repetition",
+    oracle="""
+        WITH d AS (
+            SELECT doc_id, STRING_SPLIT(text, ' ') AS toks FROM documents
+        ),
+        base AS (
+            SELECT doc_id, LEN(toks) AS n_tokens,
+                   LEN(LIST_DISTINCT(toks)) AS n_distinct
+            FROM d
+        ),
+        bi AS (
+            SELECT doc_id,
+                   UNNEST([toks[i] || ' ' || toks[i + 1]
+                           FOR i IN RANGE(1, LEN(toks))]) AS bigram
+            FROM d WHERE LEN(toks) >= 2
+        ),
+        bc AS (
+            SELECT doc_id, bigram, COUNT(*) AS c
+            FROM bi GROUP BY doc_id, bigram
+        ),
+        rep AS (SELECT doc_id, MAX(c) AS top_bigram_n FROM bc GROUP BY doc_id)
+        SELECT b.doc_id, b.n_tokens, b.n_distinct,
+               CAST(b.n_distinct AS DOUBLE) / b.n_tokens AS uniq_ratio,
+               r.top_bigram_n,
+               CAST(r.top_bigram_n AS DOUBLE) / (b.n_tokens - 1)
+                   AS top_bigram_frac,
+               (CAST(b.n_distinct AS DOUBLE) / b.n_tokens > 0.3
+                AND CAST(r.top_bigram_n AS DOUBLE) / (b.n_tokens - 1) < 0.2)
+                   AS keep
+        FROM base b JOIN rep r USING (doc_id)
+    """,
+    operators=(44, 64, 89),
+    doc="Gopher-style repetition filters: per-doc distinct-token ratio "
+    "and most-frequent-bigram fraction, plus the keep/drop verdict a "
+    "corpus-quality pass applies. Bigrams come from a codegen'd HOF "
+    "(transform over an index sequence, 0-based in Spark / 1-based "
+    "list comprehension in DuckDB — same pairs), so no Python touches "
+    "the hot path; ratios are single IEEE divisions of identical ints, "
+    "bit-equal across engines. Scale: everything is per-document "
+    "map-side until the two doc_id-partitioned aggregates, which "
+    "combine on the same exchange.",
+)
+def q_quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("toks")
+    )
+    base = d.select(
+        "doc_id",
+        F.size("toks").alias("n_tokens"),
+        F.size(F.array_distinct("toks")).alias("n_distinct"),
+    )
+    bi = d.filter(F.size("toks") >= 2).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(toks) - 2),"
+                " i -> concat(toks[i], ' ', toks[i + 1]))"
+            )
+        ).alias("bigram"),
+    )
+    rep = (
+        bi.groupBy("doc_id", "bigram")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_bigram_n"))
+    )
+    uniq_ratio = F.col("n_distinct") / F.col("n_tokens")
+    top_frac = F.col("top_bigram_n") / (F.col("n_tokens") - 1)
+    return base.join(rep, "doc_id").select(
+        "doc_id",
+        "n_tokens",
+        "n_distinct",
+        uniq_ratio.alias("uniq_ratio"),
+        "top_bigram_n",
+        top_frac.alias("top_bigram_frac"),
+        ((uniq_ratio > 0.3) & (top_frac < 0.2)).alias("keep"),
+    )

@@ -340,3 +340,84 @@ def q_fragment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(dup_frac, 6).alias("dup_frac"),
         (dup_frac >= 0.5).alias("drop_doc"),
     )
+
+
+# ---------------------------------------------------------------------------
+# #90 CDC merge / upsert (latest-version-wins)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_merge_upsert",
+    oracle="""
+        WITH base AS (
+            SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+                   0 AS version
+            FROM orders
+        ),
+        upd AS (
+            SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
+                   o_totalprice * CAST(1.05 AS DOUBLE) AS o_totalprice,
+                   1 AS version
+            FROM orders WHERE o_orderkey % 7 = 0
+        ),
+        ins AS (
+            SELECT o_orderkey + 100000000 AS o_orderkey, o_custkey,
+                   'N' AS o_orderstatus, o_totalprice, 1 AS version
+            FROM orders WHERE o_orderkey % 11 = 0
+        ),
+        u AS (
+            SELECT * FROM base
+            UNION ALL SELECT * FROM upd
+            UNION ALL SELECT * FROM ins
+        ),
+        r AS (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY o_orderkey ORDER BY version DESC) AS rn
+            FROM u
+        )
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, version
+        FROM r WHERE rn = 1
+    """,
+    operators=(30, 37, 90),
+    doc="CDC merge (upsert): a deterministic change-set — updates for "
+    "keys divisible by 7 (status 'U', +5% price), inserts for keys "
+    "divisible by 11 under fresh ids — applied onto the orders base "
+    "with latest-version-wins semantics (union all + row_number over "
+    "version desc). This is the lakehouse MERGE INTO re-expressed as "
+    "pure DataFrame algebra. Scale: one shuffle on the merge key; on "
+    "a real table the change-set is tiny relative to base, so AQE "
+    "turns the rank-dedup's exchange into the only wide stage — and "
+    "a storage format with merge-on-read (Delta/Iceberg) would push "
+    "this same plan into the commit protocol.",
+)
+def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    base = o.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_totalprice",
+        F.lit(0).alias("version"),
+    )
+    upd = o.filter(F.col("o_orderkey") % 7 == 0).select(
+        "o_orderkey",
+        "o_custkey",
+        F.lit("U").alias("o_orderstatus"),
+        (F.col("o_totalprice") * F.lit(1.05)).alias("o_totalprice"),
+        F.lit(1).alias("version"),
+    )
+    ins = o.filter(F.col("o_orderkey") % 11 == 0).select(
+        (F.col("o_orderkey") + 100000000).alias("o_orderkey"),
+        "o_custkey",
+        F.lit("N").alias("o_orderstatus"),
+        "o_totalprice",
+        F.lit(1).alias("version"),
+    )
+    merged = base.unionByName(upd).unionByName(ins)
+    w = Window.partitionBy("o_orderkey").orderBy(F.col("version").desc())
+    return (
+        merged.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )

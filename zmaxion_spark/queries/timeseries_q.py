@@ -1,0 +1,240 @@
+"""Time-series operators: sessionization, resample/gap-fill, decay.
+
+The batch twins of the streaming windows (SURVEY §2.6): gap-based
+sessionization (#86), fixed-grid resampling with zero-filled gaps
+(#87), and time-decayed aggregation (#88). All are pure DataFrame
+algebra over the ``events`` fixture — window functions, sequence
+explosion, and exact-arithmetic decay weights — with bit-exact DuckDB
+oracles.
+
+Parity disciplines used here:
+- timestamps compare as ``unix_micros`` BIGINTs (events.ts is
+  ns-in-parquet, truncated to µs identically by catalog.load_table and
+  ``CAST(ts AS TIMESTAMP)``, see catalog.py);
+- decay weights are exact powers of two (``1.0 / (1 << k)``), never
+  ``POW(0.5, k)`` — a libm pow differs across engines in the last ulp,
+  a shifted integer cannot;
+- double sums go through DECIMAL(38,6) (helpers.dsum/sql_dsum).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from zmaxion_spark.catalog import load_table
+from zmaxion_spark.queries.helpers import dsum, sql_dsum
+from zmaxion_spark.queries.registry import query
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# #86 gap-based sessionization (batch twin of the session window)
+# ---------------------------------------------------------------------------
+
+_SESSION_GAP_US = 4 * 3600 * 1_000_000  # 4 hours
+
+
+@query(
+    "q_sessionize",
+    oracle=f"""
+        WITH e AS (
+            SELECT user_id, event_id, value,
+                   EPOCH_US(CAST(ts AS TIMESTAMP)) AS us
+            FROM events
+        ),
+        f AS (
+            SELECT *,
+                   CASE WHEN LAG(us) OVER w IS NULL
+                             OR us - LAG(us) OVER w > {_SESSION_GAP_US}
+                        THEN 1 ELSE 0 END AS new_sess
+            FROM e
+            WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+        ),
+        s AS (
+            SELECT *,
+                   CAST(SUM(new_sess) OVER (
+                       PARTITION BY user_id ORDER BY us, event_id
+                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+            FROM f
+        )
+        SELECT user_id, session_id,
+               COUNT(*) AS n_events,
+               MIN(us) AS session_start_us,
+               MAX(us) AS session_end_us,
+               MAX(us) - MIN(us) AS duration_us,
+               {sql_dsum('value', 'value_sum')}
+        FROM s GROUP BY user_id, session_id
+    """,
+    operators=(23, 31, 86),
+    doc="Gap-based sessionization: a new session starts after a >4 h "
+    "silence per user; emits per-session count, bounds, duration and "
+    "exact value sum. The batch twin of the session window (#51). "
+    "Scale: ONE shuffle on user_id serves both the lag/running-sum "
+    "window and the final groupBy (same partitioning, Catalyst reuses "
+    "the exchange); timestamps compare as µs BIGINTs so no engine "
+    "timezone/precision drift exists.",
+)
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events").select(
+        "user_id", "event_id", "value", F.unix_micros("ts").alias("us")
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    gap = F.col("us") - F.lag("us").over(w)
+    new_sess = F.when(
+        gap.isNull() | (gap > _SESSION_GAP_US), F.lit(1)
+    ).otherwise(F.lit(0))
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sess = e.withColumn("new_sess", new_sess).withColumn(
+        "session_id", F.sum("new_sess").over(run)
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("us").alias("session_start_us"),
+        F.max("us").alias("session_end_us"),
+        (F.max("us") - F.min("us")).alias("duration_us"),
+        dsum("value", "value_sum"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# #87 fixed-grid resample with zero-filled gaps
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_ts_resample",
+    oracle=f"""
+        WITH e AS (
+            SELECT event_type,
+                   DATE_TRUNC('hour', CAST(ts AS TIMESTAMP)) AS hour,
+                   value
+            FROM events
+        ),
+        a AS (
+            SELECT event_type, hour, COUNT(*) AS n,
+                   {sql_dsum('value', 'vsum')}
+            FROM e GROUP BY event_type, hour
+        ),
+        b AS (
+            SELECT event_type, MIN(hour) AS h0, MAX(hour) AS h1
+            FROM e GROUP BY event_type
+        ),
+        g AS (
+            SELECT event_type,
+                   UNNEST(GENERATE_SERIES(h0, h1, INTERVAL 1 HOUR)) AS hour
+            FROM b
+        )
+        SELECT g.event_type, EPOCH_US(g.hour) AS hour_us,
+               COALESCE(a.n, 0) AS n_events,
+               COALESCE(a.vsum, 0.0) AS value_sum
+        FROM g LEFT JOIN a USING (event_type, hour)
+    """,
+    operators=(14, 44, 87),
+    doc="Hourly resample per event_type with zero-filled gaps: the "
+    "dense grid every downstream forecasting/anomaly model needs. "
+    "Grid = sequence(min_hour, max_hour, 1h) exploded per key (Spark "
+    "sequence and DuckDB generate_series are both stop-INCLUSIVE), "
+    "left-joined onto the hourly aggregate. Scale: the aggregate "
+    "shrinks events to |keys|x|hours| BEFORE the grid join, and the "
+    "grid side is tiny — broadcast — so the only big-data shuffle is "
+    "the partial-agg groupBy.",
+)
+def q_ts_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events").select(
+        "event_type", F.date_trunc("hour", "ts").alias("hour"), "value"
+    )
+    agg = e.groupBy("event_type", "hour").agg(
+        F.count(F.lit(1)).alias("n"), dsum("value", "vsum")
+    )
+    bounds = e.groupBy("event_type").agg(
+        F.min("hour").alias("h0"), F.max("hour").alias("h1")
+    )
+    grid = bounds.select(
+        "event_type",
+        F.explode(
+            F.sequence("h0", "h1", F.expr("interval 1 hour"))
+        ).alias("hour"),
+    )
+    return grid.join(agg, ["event_type", "hour"], "left").select(
+        "event_type",
+        F.unix_micros("hour").alias("hour_us"),
+        F.coalesce("n", F.lit(0)).alias("n_events"),
+        F.coalesce("vsum", F.lit(0.0)).alias("value_sum"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# #88 time-decayed aggregation (exact power-of-two half-life weights)
+# ---------------------------------------------------------------------------
+
+_HALF_LIFE_US = 7 * 86400 * 1_000_000  # one half-life step per 7 days
+
+
+@query(
+    "q_decayed_agg",
+    oracle=f"""
+        WITH e AS (
+            SELECT user_id, value,
+                   EPOCH_US(CAST(ts AS TIMESTAMP)) AS us
+            FROM events
+        ),
+        m AS (SELECT MAX(us) AS ref_us FROM e),
+        w AS (
+            SELECT user_id, value,
+                   (m.ref_us - e.us) // {_HALF_LIFE_US} AS k
+            FROM e CROSS JOIN m
+        ),
+        d AS (
+            SELECT user_id, value,
+                   CASE WHEN k < 63
+                        THEN 1.0 / (CAST(1 AS BIGINT) << CAST(k AS INTEGER))
+                        ELSE 0.0 END AS weight
+            FROM w
+        )
+        SELECT user_id,
+               COUNT(*) AS n_events,
+               {sql_dsum('value', 'raw_sum')},
+               {sql_dsum('value * weight', 'decayed_sum')}
+        FROM d GROUP BY user_id
+    """,
+    operators=(23, 43, 88),
+    doc="Recency-weighted per-user value: weight halves every 7 days "
+    "of age relative to the corpus max timestamp. Weights are EXACT "
+    "powers of two (1.0 / (1<<k), never libm POW whose last ulp "
+    "differs across engines), so Spark and DuckDB compute bit-equal "
+    "products; sums go through DECIMAL(38,6). Scale: the max-ts "
+    "reference is a 1-row broadcast, the rest is one map-side-combined "
+    "groupBy — the standard shape for trillion-row feature decay.",
+)
+def q_decayed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events").select(
+        "user_id", "value", F.unix_micros("ts").alias("us")
+    )
+    ref = e.agg(F.max("us").alias("ref_us"))
+    d = (
+        e.crossJoin(F.broadcast(ref))
+        # integer floor-div, same op as DuckDB's `//` — never a double
+        # division whose rounding could cross an integer boundary
+        .withColumn("k", F.expr(f"(ref_us - us) div {_HALF_LIFE_US}"))
+        .withColumn(
+            "weight",
+            F.when(
+                F.col("k") < 63,
+                F.lit(1.0)
+                / F.expr(
+                    "cast(shiftleft(cast(1 as bigint), cast(k as int))"
+                    " as double)"
+                ),
+            ).otherwise(F.lit(0.0)),
+        )
+    )
+    return d.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        dsum("value", "raw_sum"),
+        dsum(F.col("value") * F.col("weight"), "decayed_sum"),
+    )
