@@ -138,3 +138,24 @@ def test_dedup_by_cosine_paths_agree(spark):
             dedup_by_cosine(e, "vec_id", "embedding", 0.4,
                             broadcast_max_rows=0).collect()}
     assert bcast == dist
+
+
+def test_partition_prune_skips_other_langs(spark):
+    """#94: the lang filter must be resolved as a PartitionFilter at
+    planning time — the scan's partition count covers only en/de, and
+    no post-scan lang filter remains."""
+    df = REGISTRY["q_partition_prune"].fn(spark, SF_SMOKE)
+    plan = _plan(df)
+    assert "PartitionFilters" in plan
+    assert "lang" in plan.split("PartitionFilters")[1].split("\n")[0]
+    rows = {r.lang for r in df.collect()}
+    assert rows == {"en", "de"}
+
+
+def test_fuzzy_join_broadcasts_dictionary(spark):
+    """#93: the typo dictionary side must broadcast — a shuffle or
+    cartesian against the vocabulary would be the 100 TB bug."""
+    df = REGISTRY["q_fuzzy_join"].fn(spark, SF_SMOKE)
+    plan = _plan(df)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan

@@ -79,6 +79,9 @@ _GRADE_FIRST = [
     "q_quality_repetition",
     "q_merge_upsert",
     "q_quantile_hist",
+    "q_anomaly_zscore",
+    "q_fuzzy_join",
+    "q_partition_prune",
 ]
 
 

@@ -1059,3 +1059,77 @@ def q_quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         top_frac.alias("top_bigram_frac"),
         ((uniq_ratio > 0.3) & (top_frac < 0.2)).alias("keep"),
     )
+
+
+# ---------------------------------------------------------------------------
+# #93 fuzzy join via edit distance (typo resolution against a vocabulary)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_fuzzy_join",
+    oracle="""
+        WITH tok AS (
+            SELECT UNNEST(STRING_SPLIT(text, ' ')) AS term FROM documents
+        ),
+        c AS (SELECT term, COUNT(*) AS n FROM tok GROUP BY term),
+        top AS (
+            SELECT term, n FROM (
+                SELECT term, n,
+                       ROW_NUMBER() OVER (ORDER BY n DESC, term) AS rnk
+                FROM c
+            ) WHERE rnk <= 50 AND LEN(term) >= 3
+        ),
+        v AS (
+            SELECT term AS src_term,
+                   SUBSTR(term, 1, 1) || SUBSTR(term, 3) AS variant
+            FROM top
+        )
+        SELECT v.variant, v.src_term, c.term AS matched_term,
+               c.n AS matched_n,
+               CAST(LEVENSHTEIN(v.variant, c.term) AS BIGINT) AS dist
+        FROM v JOIN c
+          ON ABS(LEN(c.term) - LEN(v.variant)) <= 1
+         AND LEVENSHTEIN(v.variant, c.term) <= 1
+    """,
+    operators=(17, 41, 93),
+    doc="Fuzzy vocabulary join: deterministic 'typos' (2nd char "
+    "dropped from the top-50 corpus terms) matched back against the "
+    "full vocabulary at edit distance <= 1. Both engines run the same "
+    "classic Levenshtein DP on identical strings — integer-exact "
+    "parity. Scale: the dictionary side is tiny and BROADCAST, the "
+    "length pre-filter (|len diff| <= 1, a necessary condition for "
+    "distance 1) prunes candidates before any DP runs, and the "
+    "vocabulary itself is the output of a map-side-combined count — "
+    "the corpus is never joined row-to-row.",
+)
+def q_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    c = (
+        d.select(F.explode(F.split("text", " ")).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.orderBy(F.col("n").desc(), "term")
+    top = (
+        c.withColumn("rnk", F.row_number().over(w))
+        .filter((F.col("rnk") <= 50) & (F.length("term") >= 3))
+    )
+    v = top.select(
+        F.col("term").alias("src_term"),
+        F.concat(
+            F.substring("term", 1, 1), F.expr("substring(term, 3)")
+        ).alias("variant"),
+    ).alias("v")
+    vocab = c.alias("c")
+    variant, term = F.col("v.variant"), F.col("c.term")
+    cond = (F.abs(F.length(term) - F.length(variant)) <= 1) & (
+        F.levenshtein(variant, term) <= 1
+    )
+    return F.broadcast(v).join(vocab, cond).select(
+        variant.alias("variant"),
+        F.col("v.src_term").alias("src_term"),
+        term.alias("matched_term"),
+        F.col("c.n").alias("matched_n"),
+        F.levenshtein(variant, term).cast("long").alias("dist"),
+    )

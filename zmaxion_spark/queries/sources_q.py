@@ -95,3 +95,34 @@ def q_scan_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.sum(F.col("o_totalprice").cast("decimal(38,6)")).cast("double").alias("total_spend"),
     )
+
+
+@query(
+    "q_partition_prune",
+    oracle=f"""
+        SELECT lang, COUNT(*) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        FROM documents
+        WHERE lang IN ('en', 'de')
+        GROUP BY lang
+    """,
+    operators=(1, 9, 94),
+    doc="Hive-partitioned layout + partition pruning: documents are "
+    "written once partitioned by lang, then read back with a lang "
+    "filter that Catalyst resolves at PLANNING time — the en/de scan "
+    "never opens the zh/es/fr directories (asserted on the physical "
+    "plan in tests/test_plans.py). This is the 100 TB table-layout "
+    "story: partition columns carve the scan BEFORE any I/O, turning "
+    "a full-corpus pass into a directory listing plus two subtrees.",
+)
+def q_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _roundtrip_dir(sf_dir, "documents_by_lang")
+    if not os.path.exists(path):
+        load_table(spark, sf_dir, "documents").write.mode(
+            "overwrite"
+        ).partitionBy("lang").parquet(path)
+    docs = spark.read.parquet(path).filter(F.col("lang").isin("en", "de"))
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )

@@ -238,3 +238,92 @@ def q_decayed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         dsum("value", "raw_sum"),
         dsum(F.col("value") * F.col("weight"), "decayed_sum"),
     )
+
+
+# ---------------------------------------------------------------------------
+# #92 per-key anomaly detection (z-score, exact-parity variance)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_anomaly_zscore",
+    oracle="""
+        WITH s AS (
+            SELECT user_id, COUNT(*) AS n,
+                   CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS s1,
+                   CAST(SUM(CAST(value * value AS DECIMAL(38,6)))
+                        AS DOUBLE) AS s2
+            FROM events GROUP BY user_id
+        ),
+        st AS (
+            SELECT user_id, n, s1 / n AS mean_value,
+                   SQRT((s2 - s1 * s1 / n) / (n - 1)) AS sd_value
+            FROM s WHERE n > 1
+        ),
+        f AS (
+            SELECT e.user_id,
+                   CASE WHEN ABS((e.value - st.mean_value) / st.sd_value)
+                             > 2
+                        THEN 1 ELSE 0 END AS anom
+            FROM events e JOIN st USING (user_id)
+            WHERE st.sd_value > 0
+        )
+        SELECT f.user_id, COUNT(*) AS n_events,
+               MAX(st.mean_value) AS mean_value,
+               MAX(st.sd_value) AS sd_value,
+               CAST(SUM(f.anom) AS BIGINT) AS n_anomalies
+        FROM f JOIN st USING (user_id)
+        GROUP BY f.user_id
+    """,
+    operators=(23, 13, 92),
+    doc="Per-user anomaly counts: events whose value sits more than "
+    "2 sigma from the user mean. Variance is NEVER stddev_samp "
+    "(Welford vs naive sum-of-squares differs across engines in the "
+    "last ulp) — it is reconstructed from two DECIMAL(38,6)-exact "
+    "sums with one fixed IEEE expression, so Spark and DuckDB agree "
+    "bit-for-bit through the sqrt and the 2-sigma comparison. Scale: "
+    "stats and the flag join both shuffle on user_id — one exchange, "
+    "reused; per-user stats stay distributed (never broadcast, the "
+    "key space grows with the data).",
+)
+def q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events").select("user_id", "value")
+    s = e.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(38,6)"))
+        .cast("double")
+        .alias("s1"),
+        F.sum((F.col("value") * F.col("value")).cast("decimal(38,6)"))
+        .cast("double")
+        .alias("s2"),
+    )
+    st = s.filter(F.col("n") > 1).select(
+        "user_id",
+        "n",
+        (F.col("s1") / F.col("n")).alias("mean_value"),
+        F.sqrt(
+            (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n"))
+            / (F.col("n") - 1)
+        ).alias("sd_value"),
+    )
+    f = (
+        e.join(st, "user_id")
+        .filter(F.col("sd_value") > 0)
+        .withColumn(
+            "anom",
+            F.when(
+                F.abs(
+                    (F.col("value") - F.col("mean_value"))
+                    / F.col("sd_value")
+                )
+                > 2,
+                F.lit(1),
+            ).otherwise(F.lit(0)),
+        )
+    )
+    return f.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.max("mean_value").alias("mean_value"),
+        F.max("sd_value").alias("sd_value"),
+        F.sum("anom").alias("n_anomalies"),
+    )
