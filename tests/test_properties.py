@@ -271,3 +271,38 @@ def test_quality_repetition_flags_synthetic_spam(spark):
         ).collect()
     }
     assert out[1].uniq < 0.3 < out[2].uniq
+
+
+def test_timeseries_api_functions_compose(spark):
+    """The engine-API forms (functions/timeseries.py, stats.py,
+    merge.py) are callable on arbitrary frames, not just the graded
+    fixtures — smoke their contracts on a crafted micro-frame."""
+    from zmaxion_spark.functions.merge import merge_upsert
+    from zmaxion_spark.functions.stats import bucket_rank, zscore_stats
+    from zmaxion_spark.functions.timeseries import sessionize
+
+    df = spark.createDataFrame(
+        [(1, 0, 10.0, 100), (1, 1, 20.0, 200), (1, 2, 99.0, 10**9),
+         (2, 3, 5.0, 50)],
+        "k long, id long, v double, us long",
+    )
+    s = sessionize(df, "k", "us", gap_us=1000, tiebreak="id")
+    got = {(r.k, r.id): r.session_id for r in s.collect()}
+    assert got == {(1, 0): 1, (1, 1): 1, (1, 2): 2, (2, 3): 1}
+
+    st = {r.k: r for r in zscore_stats(df, "k", "v").collect()}
+    assert 2 not in st  # n=1 keys dropped
+    assert st[1].n == 3 and abs(st[1].mean_value - 43.0) < 1e-9
+
+    ranked, buckets = bucket_rank(df, "v", "id", n_buckets=4)
+    by_rank = sorted(ranked.collect(), key=lambda r: r.grank)
+    assert [r.v for r in by_rank] == [5.0, 10.0, 20.0, 99.0]
+    assert [r.grank for r in by_rank] == [1, 2, 3, 4]
+    assert sum(r.n_rows for r in buckets.collect()) == 4
+
+    base = spark.createDataFrame([(1, "a", 0), (2, "b", 0)],
+                                 "k long, s string, version int")
+    chg = spark.createDataFrame([(2, "B", 1), (3, "c", 1)],
+                                "k long, s string, version int")
+    m = {r.k: r.s for r in merge_upsert(base, chg, "k", "version").collect()}
+    assert m == {1: "a", 2: "B", 3: "c"}

@@ -579,39 +579,18 @@ def q_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ratios are single IEEE ops, bit-equal across engines.",
 )
 def q_quantile_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from zmaxion_spark.functions.stats import bucket_rank
+
     o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
-    stats = o.agg(
-        F.min("o_totalprice").alias("mn"),
-        F.max("o_totalprice").alias("mx"),
-        F.count(F.lit(1)).alias("n_total"),
+    g, buckets = bucket_rank(
+        o,
+        "o_totalprice",
+        "o_orderkey",
+        20,
+        aggs=(dsum("o_totalprice", "price_sum"),),
     )
-    bucket = F.least(
-        F.lit(19),
-        F.floor(
-            (F.col("o_totalprice") - F.col("mn"))
-            / (F.col("mx") - F.col("mn"))
-            * 20
-        ),
-    )
-    b = o.crossJoin(F.broadcast(stats)).withColumn("bucket", bucket)
-    hist = b.groupBy("bucket").agg(
-        F.count(F.lit(1)).alias("n_orders"),
-        dsum("o_totalprice", "price_sum"),
-    )
-    # phase 1: cumulative counts over the tiny bucket table
-    wcum = Window.orderBy("bucket").rowsBetween(
-        Window.unboundedPreceding, -1
-    )
-    cum = hist.select(
-        "bucket",
-        F.coalesce(F.sum("n_orders").over(wcum), F.lit(0)).alias(
-            "cum_prev"
-        ),
-    )
-    # phase 2: rank within bucket (distributed), add broadcast offset
-    wb = Window.partitionBy("bucket").orderBy("o_totalprice", "o_orderkey")
-    g = b.join(F.broadcast(cum), "bucket").withColumn(
-        "grank", F.col("cum_prev") + F.row_number().over(wb)
+    hist = buckets.select(
+        "bucket", F.col("n_rows").alias("n_orders"), "price_sum"
     )
     r50 = F.expr("(n_total + 1) div 2")
     r90 = F.expr("(9 * n_total + 9) div 10")

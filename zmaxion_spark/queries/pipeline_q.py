@@ -414,10 +414,8 @@ def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_totalprice",
         F.lit(1).alias("version"),
     )
-    merged = base.unionByName(upd).unionByName(ins)
-    w = Window.partitionBy("o_orderkey").orderBy(F.col("version").desc())
-    return (
-        merged.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .drop("rn")
+    from zmaxion_spark.functions.merge import merge_upsert
+
+    return merge_upsert(
+        base, upd.unionByName(ins), "o_orderkey", "version"
     )

@@ -21,9 +21,10 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 from zmaxion_spark.catalog import load_table
+from zmaxion_spark.functions import stats as ST
+from zmaxion_spark.functions import timeseries as TS
 from zmaxion_spark.queries.helpers import dsum, sql_dsum
 from zmaxion_spark.queries.registry import query
 
@@ -83,14 +84,8 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "events").select(
         "user_id", "event_id", "value", F.unix_micros("ts").alias("us")
     )
-    w = Window.partitionBy("user_id").orderBy("us", "event_id")
-    gap = F.col("us") - F.lag("us").over(w)
-    new_sess = F.when(
-        gap.isNull() | (gap > _SESSION_GAP_US), F.lit(1)
-    ).otherwise(F.lit(0))
-    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    sess = e.withColumn("new_sess", new_sess).withColumn(
-        "session_id", F.sum("new_sess").over(run)
+    sess = TS.sessionize(
+        e, "user_id", "us", _SESSION_GAP_US, tiebreak="event_id"
     )
     return sess.groupBy("user_id", "session_id").agg(
         F.count(F.lit(1)).alias("n_events"),
@@ -154,17 +149,19 @@ def q_ts_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounds = e.groupBy("event_type").agg(
         F.min("hour").alias("h0"), F.max("hour").alias("h1")
     )
-    grid = bounds.select(
+    filled = TS.gapfill(
+        agg,
+        bounds,
         "event_type",
-        F.explode(
-            F.sequence("h0", "h1", F.expr("interval 1 hour"))
-        ).alias("hour"),
+        "hour",
+        "1 hour",
+        fills={"n": F.lit(0), "vsum": F.lit(0.0)},
     )
-    return grid.join(agg, ["event_type", "hour"], "left").select(
+    return filled.select(
         "event_type",
         F.unix_micros("hour").alias("hour_us"),
-        F.coalesce("n", F.lit(0)).alias("n_events"),
-        F.coalesce("vsum", F.lit(0.0)).alias("value_sum"),
+        F.col("n").alias("n_events"),
+        F.col("vsum").alias("value_sum"),
     )
 
 
@@ -216,22 +213,8 @@ def q_decayed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "value", F.unix_micros("ts").alias("us")
     )
     ref = e.agg(F.max("us").alias("ref_us"))
-    d = (
-        e.crossJoin(F.broadcast(ref))
-        # integer floor-div, same op as DuckDB's `//` — never a double
-        # division whose rounding could cross an integer boundary
-        .withColumn("k", F.expr(f"(ref_us - us) div {_HALF_LIFE_US}"))
-        .withColumn(
-            "weight",
-            F.when(
-                F.col("k") < 63,
-                F.lit(1.0)
-                / F.expr(
-                    "cast(shiftleft(cast(1 as bigint), cast(k as int))"
-                    " as double)"
-                ),
-            ).otherwise(F.lit(0.0)),
-        )
+    d = e.crossJoin(F.broadcast(ref)).withColumn(
+        "weight", TS.decay_weight("us", "ref_us", _HALF_LIFE_US)
     )
     return d.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n_events"),
@@ -288,24 +271,7 @@ def q_decayed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "events").select("user_id", "value")
-    s = e.groupBy("user_id").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum(F.col("value").cast("decimal(38,6)"))
-        .cast("double")
-        .alias("s1"),
-        F.sum((F.col("value") * F.col("value")).cast("decimal(38,6)"))
-        .cast("double")
-        .alias("s2"),
-    )
-    st = s.filter(F.col("n") > 1).select(
-        "user_id",
-        "n",
-        (F.col("s1") / F.col("n")).alias("mean_value"),
-        F.sqrt(
-            (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n"))
-            / (F.col("n") - 1)
-        ).alias("sd_value"),
-    )
+    st = ST.zscore_stats(e, "user_id", "value")
     f = (
         e.join(st, "user_id")
         .filter(F.col("sd_value") > 0)
