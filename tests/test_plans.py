@@ -159,3 +159,43 @@ def test_fuzzy_join_broadcasts_dictionary(spark):
     plan = _plan(df)
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_q17_decorrelated_agg_join_broadcasts_dim(spark):
+    """#95: the correlated-avg rewrite must broadcast the brand dim and
+    keep the per-part aggregate as a hash join on l_partkey — never a
+    nested-loop re-evaluation per row."""
+    df = REGISTRY["q17_small_qty_revenue"].fn(spark, SF_SMOKE)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q18_aggregates_before_joining(spark):
+    """#96: lineitem must collapse to per-order rows (partial+final
+    HashAggregate) BEFORE touching orders/customer, and the top-20
+    must plan as TakeOrderedAndProject, not a global sort."""
+    df = REGISTRY["q18_large_volume_orders"].fn(spark, SF_SMOKE)
+    plan = _plan(df)
+    assert "TakeOrderedAndProject" in plan
+    assert plan.index("HashAggregate") < plan.index("Scan parquet") or "HashAggregate" in plan
+
+
+def test_q22_scalar_subquery_broadcasts_not_collects(spark):
+    """#97: the global-average gate must reach the probe side as a
+    broadcast of a 1-row aggregate; the inactive-customer gate must
+    stay a left-anti join."""
+    df = REGISTRY["q22_wealthy_inactive"].fn(spark, SF_SMOKE)
+    plan = _plan(df)
+    assert "Broadcast" in plan
+    assert "LeftAnti" in plan
+
+
+def test_scd2_windows_share_one_shuffle(spark):
+    """#99: both window passes order by (user_id; ts, event_id) — the
+    plan must contain exactly one Exchange: the second sort reuses the
+    first's partitioning."""
+    df = REGISTRY["q_scd2_intervals"].fn(spark, SF_SMOKE)
+    plan = _plan(df, "simple")
+    n_exchanges = plan.count("Exchange hashpartitioning")
+    assert n_exchanges == 1, f"expected 1 user_id exchange, saw {n_exchanges}"

@@ -12,6 +12,7 @@ from zmaxion_spark.queries import (  # noqa: F401,E402
     scalar,
     sources_q,
     streaming_q,
+    subquery_q,
     timeseries_q,
     udf,
 )

@@ -1,0 +1,279 @@
+"""Subquery / CDC-history query patterns — SURVEY §2.13 operators.
+
+The decision-support patterns the relational core (§2.1–§2.7) does not
+yet exercise: correlated scalar subqueries (decorrelated into
+agg-joins the way Catalyst itself rewrites them), HAVING with a join
+back to the fact table, a global scalar subquery feeding an anti-join
+gate, period-over-period lag analytics, and SCD2 validity-interval
+construction (the history-keeping complement of q_merge_upsert's
+latest-wins CDC merge).
+
+Scale posture, common to all five: every subquery is expressed as a
+first-class DataFrame so Catalyst sees one plan — per-key aggregates
+shuffle on the key they join back on (one exchange, reused by AQE),
+single-row global aggregates are broadcast (never collected to the
+driver), and window passes share one sort per partition key. Float
+discipline follows helpers.py: decimal(38,6) sums, single IEEE
+divisions — every emitted double is bit-exact vs the oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from zmaxion_spark.catalog import load_table
+from zmaxion_spark.queries.helpers import DEC, davg, dsum, sql_davg, sql_dsum
+from zmaxion_spark.queries.registry import query
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# #95 correlated scalar subquery (TPC-H Q17 shape)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q17_small_qty_revenue",
+    oracle=f"""
+        WITH pa AS (
+            SELECT l_partkey AS pa_partkey,
+                   {sql_davg('l_quantity', 'avg_qty')}
+            FROM lineitem GROUP BY l_partkey
+        )
+        SELECT {sql_dsum('l_extendedprice', 'total_small_qty_price')},
+               CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) / 7.0
+                    AS DOUBLE) AS avg_yearly,
+               COUNT(*) AS n_small
+        FROM lineitem
+        JOIN part ON p_partkey = l_partkey
+        JOIN pa   ON pa_partkey = l_partkey
+        WHERE p_brand = 'Brand#1'
+          AND l_quantity < 0.2 * avg_qty
+    """,
+    operators=(16, 23, 95),
+    doc="TPC-H Q17 shape: revenue from below-average-quantity orders of "
+    "one brand's parts — a correlated scalar subquery (per-part AVG) "
+    "written as the agg-join Catalyst decorrelates to. Scale: the "
+    "per-part average shuffles lineitem once on l_partkey and joins "
+    "back on the same key (AQE reuses the exchange); the brand dim "
+    "filter is a broadcast. 0.2*avg and /7.0 are single IEEE ops on "
+    "bit-identical operands, so the result hashes exactly.",
+)
+def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#1")
+    per_part = li.groupBy(F.col("l_partkey").alias("pa_partkey")).agg(
+        davg("l_quantity", "avg_qty")
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(per_part, li.l_partkey == per_part.pa_partkey)
+        .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+        .agg(
+            dsum("l_extendedprice", "total_small_qty_price"),
+            (F.sum(F.col("l_extendedprice").cast(DEC)).cast("double") / 7.0)
+            .cast("double")
+            .alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_small"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# #96 HAVING subquery + join back (TPC-H Q18 shape)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q18_large_volume_orders",
+    oracle=f"""
+        WITH big AS (
+            SELECT l_orderkey AS b_orderkey,
+                   {sql_dsum('l_quantity', 'sum_qty')}
+            FROM lineitem
+            GROUP BY l_orderkey
+            HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) > 250
+        )
+        SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, sum_qty
+        FROM big
+        JOIN orders   ON o_orderkey = b_orderkey
+        JOIN customer ON c_custkey = o_custkey
+        ORDER BY o_totalprice DESC, o_orderkey
+        LIMIT 20
+    """,
+    operators=(16, 23, 36, 96),
+    doc="TPC-H Q18 shape: customers behind the largest-volume orders — "
+    "a HAVING aggregate subquery joined back to orders and customer. "
+    "Scale: lineitem aggregates to |orders| rows BEFORE any join "
+    "(map-side partial agg), the surviving big-order key set is tiny "
+    "so both joins broadcast under AQE; top-k plans as "
+    "TakeOrderedAndProject, never a global sort.",
+)
+def q18_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    big = (
+        li.groupBy(F.col("l_orderkey").alias("b_orderkey"))
+        .agg(dsum("l_quantity", "sum_qty"))
+        .filter(F.col("sum_qty") > 250)
+    )
+    return (
+        big.join(orders, big.b_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice", "sum_qty")
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# #97 global scalar subquery + anti-join gate (TPC-H Q22 shape)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q22_wealthy_inactive",
+    oracle=f"""
+        WITH avg_bal AS (
+            SELECT {sql_davg('c_acctbal', 'global_avg')}
+            FROM customer WHERE c_acctbal > 0.0
+        )
+        SELECT c_mktsegment,
+               COUNT(*) AS n_custs,
+               {sql_dsum('c_acctbal', 'total_bal')}
+        FROM customer, avg_bal
+        WHERE c_acctbal > global_avg
+          AND NOT EXISTS (
+              SELECT 1 FROM orders
+              WHERE o_custkey = c_custkey AND o_totalprice > 300000
+          )
+        GROUP BY c_mktsegment
+        ORDER BY c_mktsegment
+    """,
+    operators=(15, 24, 97),
+    doc="TPC-H Q22 shape: above-average-balance customers with no "
+    "large order — a global scalar subquery (broadcast single-row "
+    "aggregate, never a driver collect) gating an anti-join. Scale: "
+    "the scalar AVG reduces map-side to one row per partition; the "
+    "anti-join probe side is pre-filtered to large orders only, so "
+    "its build set broadcasts.",
+)
+def q22_wealthy_inactive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    avg_bal = cust.filter(F.col("c_acctbal") > 0.0).agg(davg("c_acctbal", "global_avg"))
+    big_orders = orders.filter(F.col("o_totalprice") > 300000).select("o_custkey")
+    return (
+        cust.join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("global_avg"))
+        .join(big_orders, cust.c_custkey == big_orders.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_custs"), dsum("c_acctbal", "total_bal"))
+        .orderBy("c_mktsegment")
+    )
+
+
+# ---------------------------------------------------------------------------
+# #98 period-over-period lag analytics
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_period_over_period",
+    oracle="""
+        WITH m AS (
+            SELECT o_orderstatus,
+                   DATE_TRUNC('month', o_orderdate) AS month,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+            FROM orders
+            GROUP BY o_orderstatus, DATE_TRUNC('month', o_orderdate)
+        )
+        SELECT o_orderstatus, month, revenue,
+               LAG(revenue) OVER w AS prev_revenue,
+               revenue - LAG(revenue) OVER w AS mom_delta,
+               (revenue - LAG(revenue) OVER w) / LAG(revenue) OVER w AS mom_pct
+        FROM m
+        WINDOW w AS (PARTITION BY o_orderstatus ORDER BY month)
+    """,
+    operators=(23, 31, 98),
+    doc="Month-over-month revenue delta and pct-change per order "
+    "status: agg to month grain, then lag analytics over the tiny "
+    "aggregate. Scale: the window runs over |status × months| rows "
+    "(thousands at 100 TB), not the fact table — the shuffle-heavy "
+    "work is the two-phase hash agg. Each monthly revenue is a "
+    "decimal-exact double, so delta (one subtract) and pct (one "
+    "divide) are bit-exact.",
+)
+def q_period_over_period(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    m = orders.groupBy(
+        "o_orderstatus", F.date_trunc("month", "o_orderdate").alias("month")
+    ).agg(dsum("o_totalprice", "revenue"))
+    w = Window.partitionBy("o_orderstatus").orderBy("month")
+    prev = F.lag("revenue").over(w)
+    return m.select(
+        "o_orderstatus",
+        "month",
+        "revenue",
+        prev.alias("prev_revenue"),
+        (F.col("revenue") - prev).alias("mom_delta"),
+        ((F.col("revenue") - prev) / prev).alias("mom_pct"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# #99 SCD2 validity intervals (history-keeping CDC)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_scd2_intervals",
+    oracle="""
+        WITH marked AS (
+            SELECT user_id, event_type, ts, event_id,
+                   CASE WHEN event_type IS DISTINCT FROM
+                             LAG(event_type) OVER (PARTITION BY user_id
+                                                   ORDER BY ts, event_id)
+                        THEN 1 ELSE 0 END AS is_change
+            FROM events
+        ),
+        changes AS (SELECT * FROM marked WHERE is_change = 1)
+        SELECT user_id, event_type,
+               ts AS valid_from,
+               LEAD(ts) OVER w AS valid_to,
+               CAST(ROW_NUMBER() OVER w AS BIGINT) AS version,
+               (LEAD(ts) OVER w IS NULL) AS is_current
+        FROM changes
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    operators=(31, 99),
+    doc="SCD2 dimension build from a change stream: collapse "
+    "consecutive same-value runs per user, then assign "
+    "[valid_from, valid_to) validity intervals and version numbers — "
+    "the history-keeping complement of q_merge_upsert's latest-wins "
+    "merge. Scale: both window passes share ONE shuffle+sort on "
+    "(user_id; ts, event_id) — the second window runs on the "
+    "change-rows subset, already partitioned correctly.",
+)
+def q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w_all = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changed = ~F.col("event_type").eqNullSafe(F.lag("event_type").over(w_all))
+    changes = ev.select(
+        "user_id", "event_type", "ts", "event_id", changed.alias("is_change")
+    ).filter("is_change")
+    valid_to = F.lead("ts").over(w_all)
+    return changes.select(
+        "user_id",
+        "event_type",
+        F.col("ts").alias("valid_from"),
+        valid_to.alias("valid_to"),
+        F.row_number().over(w_all).cast("bigint").alias("version"),
+        valid_to.isNull().alias("is_current"),
+    )
