@@ -199,3 +199,33 @@ def test_scd2_windows_share_one_shuffle(spark):
     plan = _plan(df, "simple")
     n_exchanges = plan.count("Exchange hashpartitioning")
     assert n_exchanges == 1, f"expected 1 user_id exchange, saw {n_exchanges}"
+
+
+def test_bigram_lm_stays_jvm_side(spark):
+    """#100: the bigram expansion must be a codegen HOF — any
+    BatchEvalPython / ArrowEvalPython in this plan means the hot path
+    fell out of the JVM."""
+    df = REGISTRY["q_bigram_lm_score"].fn(spark, SF_SMOKE)
+    plan = _plan(df, "simple")
+    assert "EvalPython" not in plan
+    n_exchanges = plan.count("Exchange hashpartitioning")
+    assert n_exchanges == 2, f"expected bigram+doc_id exchanges, saw {n_exchanges}"
+
+
+def test_data_profile_single_scan(spark):
+    """#101: profiling four columns must read the table ONCE — the
+    naive per-column UNION ALL (the oracle's formulation) would scan
+    it four times."""
+    df = REGISTRY["q_data_profile"].fn(spark, SF_SMOKE)
+    plan = _plan(df, "simple")
+    assert plan.count("Scan parquet") == 1
+
+
+def test_hypertable_rollup_one_shuffle(spark):
+    """#102: hour/day/total granularities must share one Expand +
+    one Exchange — never one aggregation pass per rollup level."""
+    df = REGISTRY["q_rollup_hypertable"].fn(spark, SF_SMOKE)
+    plan = _plan(df, "simple")
+    assert "Expand" in plan
+    assert plan.count("Scan parquet") == 1
+    assert plan.count("Exchange hashpartitioning") == 1

@@ -5,6 +5,7 @@ from zmaxion_spark.queries.registry import REGISTRY, Query, covered_operators, q
 # Import all query modules for their registration side effects.
 from zmaxion_spark.queries import (  # noqa: F401,E402
     advanced,
+    analytics_q,
     ecs_q,
     llm,
     pipeline_q,

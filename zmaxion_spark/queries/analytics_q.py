@@ -1,0 +1,277 @@
+"""Corpus-analytics and profiling queries — SURVEY §2.13 second half.
+
+Four more round-2 additions: n-gram language-model vocabulary scoring
+(the cheap perplexity proxy used for corpus quality gates),
+single-pass column profiling (the data-engineering health check that
+precedes any 100 TB ingest), hypertable-style multi-granularity time
+rollups (hour/day/total in ONE shuffle via grouping sets), and a
+streaming trending-top-k over tumbling windows.
+
+Float discipline: every emitted double is either a decimal-exact sum
+cast to double or a single IEEE division of bit-identical operands
+(helpers.py), so all four hash exactly against DuckDB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from zmaxion_spark.catalog import load_table
+from zmaxion_spark.queries.registry import query
+from zmaxion_spark.streaming.pipeline import Pipeline
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# #100 bigram LM vocabulary coverage (perplexity proxy)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_bigram_lm_score",
+    oracle="""
+        WITH t AS (
+            SELECT doc_id, STRING_SPLIT(text, ' ') AS toks FROM documents
+        ),
+        bg AS (
+            SELECT doc_id, toks[i] || ' ' || toks[i + 1] AS bigram
+            FROM t, UNNEST(GENERATE_SERIES(1, LEN(toks) - 1)) AS g(i)
+        ),
+        freq AS (
+            SELECT doc_id, bigram,
+                   COUNT(*) OVER (PARTITION BY bigram) AS corpus_freq
+            FROM bg
+        )
+        SELECT doc_id,
+               COUNT(*) AS n_bigrams,
+               CAST(SUM(CASE WHEN corpus_freq >= 3 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_known,
+               CAST(SUM(CASE WHEN corpus_freq >= 3 THEN 1 ELSE 0 END) AS DOUBLE)
+                   / COUNT(*) AS known_ratio
+        FROM freq
+        GROUP BY doc_id
+    """,
+    operators=(23, 31, 44, 100),
+    doc="Bigram language-model vocabulary coverage: what fraction of "
+    "each document's bigrams occur >= 3 times corpus-wide — the cheap "
+    "in-distribution/perplexity proxy quality gates use before paying "
+    "for model scoring. Plan: ONE scan -> HOF bigram expansion "
+    "(codegen, no Python) -> explode -> corpus frequency as a count "
+    "window on the bigram key -> per-doc aggregate. Two shuffles "
+    "total (bigram, doc_id); the frequency table is never collected "
+    "or broadcast, so vocabulary size is unbounded at 100 TB.",
+)
+def q_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    bigrams = F.expr(
+        "CASE WHEN size(split(text, ' ')) < 2 THEN array() "
+        "ELSE transform(sequence(1, size(split(text, ' ')) - 1), "
+        "i -> concat(element_at(split(text, ' '), i), ' ', "
+        "element_at(split(text, ' '), i + 1))) END"
+    )
+    bg = d.select("doc_id", F.explode(bigrams).alias("bigram"))
+    freq = bg.withColumn("corpus_freq", F.count(F.lit(1)).over(Window.partitionBy("bigram")))
+    known = F.sum(F.when(F.col("corpus_freq") >= 3, 1).otherwise(0)).cast("bigint")
+    return freq.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        known.alias("n_known"),
+        (known.cast("double") / F.count(F.lit(1))).alias("known_ratio"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# #101 single-pass column profiling
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_data_profile",
+    oracle="""
+        SELECT 'o_custkey' AS column_name, COUNT(*) AS n_rows,
+               COUNT(*) - COUNT(o_custkey) AS n_null,
+               COUNT(DISTINCT o_custkey) AS n_distinct,
+               CAST(MIN(o_custkey) AS DOUBLE) AS min_num,
+               CAST(MAX(o_custkey) AS DOUBLE) AS max_num,
+               CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+        FROM orders
+        UNION ALL
+        SELECT 'o_totalprice', COUNT(*), COUNT(*) - COUNT(o_totalprice),
+               COUNT(DISTINCT o_totalprice),
+               CAST(MIN(o_totalprice) AS DOUBLE), CAST(MAX(o_totalprice) AS DOUBLE),
+               NULL, NULL
+        FROM orders
+        UNION ALL
+        SELECT 'o_orderstatus', COUNT(*), COUNT(*) - COUNT(o_orderstatus),
+               COUNT(DISTINCT o_orderstatus), NULL, NULL,
+               MIN(o_orderstatus), MAX(o_orderstatus)
+        FROM orders
+        UNION ALL
+        SELECT 'o_orderpriority', COUNT(*), COUNT(*) - COUNT(o_orderpriority),
+               COUNT(DISTINCT o_orderpriority), NULL, NULL,
+               MIN(o_orderpriority), MAX(o_orderpriority)
+        FROM orders
+    """,
+    operators=(24, 25, 101),
+    doc="Single-pass column profiler: rows / nulls / exact distincts / "
+    "min-max for four orders columns, unpivoted to one row per column. "
+    "The Spark side runs ONE aggregate over ONE scan (Catalyst plans "
+    "multi-distinct via expand, still map-side partial) then stacks "
+    "the 4x7 scalar grid; numeric and string extremes ride separate "
+    "typed columns so no cross-engine number formatting is involved. "
+    "The oracle's UNION ALL of four scans is the naive formulation — "
+    "the Spark plan reads the table once.",
+)
+def q_data_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+
+    def prof(col: str, numeric: bool) -> list:
+        cnt = F.count(F.lit(1))
+        exprs = [
+            cnt.alias(f"{col}__n_rows"),
+            (cnt - F.count(col)).alias(f"{col}__n_null"),
+            F.countDistinct(col).alias(f"{col}__n_distinct"),
+        ]
+        if numeric:
+            exprs += [
+                F.min(col).cast("double").alias(f"{col}__min_num"),
+                F.max(col).cast("double").alias(f"{col}__max_num"),
+                F.lit(None).cast("string").alias(f"{col}__min_str"),
+                F.lit(None).cast("string").alias(f"{col}__max_str"),
+            ]
+        else:
+            exprs += [
+                F.lit(None).cast("double").alias(f"{col}__min_num"),
+                F.lit(None).cast("double").alias(f"{col}__max_num"),
+                F.min(col).alias(f"{col}__min_str"),
+                F.max(col).alias(f"{col}__max_str"),
+            ]
+        return exprs
+
+    cols = [("o_custkey", True), ("o_totalprice", True),
+            ("o_orderstatus", False), ("o_orderpriority", False)]
+    agg = o.agg(*[e for c, num in cols for e in prof(c, num)])
+    stack_args = ", ".join(
+        f"'{c}', {c}__n_rows, {c}__n_null, {c}__n_distinct, "
+        f"{c}__min_num, {c}__max_num, {c}__min_str, {c}__max_str"
+        for c, _ in cols
+    )
+    return agg.select(
+        F.expr(
+            f"stack({len(cols)}, {stack_args}) AS "
+            "(column_name, n_rows, n_null, n_distinct, "
+            "min_num, max_num, min_str, max_str)"
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# #102 hypertable multi-granularity time rollup
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_rollup_hypertable",
+    oracle="""
+        SELECT CAST(EPOCH(DATE_TRUNC('day', CAST(ts AS TIMESTAMP))) AS BIGINT)
+                   AS day_sec,
+               CAST(EPOCH(DATE_TRUNC('hour', CAST(ts AS TIMESTAMP))) AS BIGINT)
+                   AS hour_sec,
+               CAST(GROUPING(DATE_TRUNC('day', CAST(ts AS TIMESTAMP))) * 2
+                    + GROUPING(DATE_TRUNC('hour', CAST(ts AS TIMESTAMP)))
+                    AS BIGINT) AS gid,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value
+        FROM events
+        GROUP BY GROUPING SETS (
+            (DATE_TRUNC('day', CAST(ts AS TIMESTAMP)),
+             DATE_TRUNC('hour', CAST(ts AS TIMESTAMP))),
+            (DATE_TRUNC('day', CAST(ts AS TIMESTAMP))),
+            ()
+        )
+    """,
+    operators=(27, 42, 102),
+    doc="Hypertable-style continuous-aggregate rollup: hourly, daily, "
+    "and corpus-total event aggregates materialized by ONE grouping-"
+    "sets pass — one scan, one shuffle for all three granularities "
+    "(the timeseries-DB pattern of maintaining rollup hierarchies "
+    "without re-reading the fact table per level). Buckets are "
+    "compared as epoch seconds so the parity is timezone-proof; gid "
+    "disambiguates the NULLed-out levels.",
+)
+def q_rollup_hypertable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from zmaxion_spark.catalog import register_views
+
+    register_views(spark, sf_dir, ["events"])
+    return spark.sql(
+        """
+        SELECT unix_timestamp(date_trunc('day', ts)) AS day_sec,
+               unix_timestamp(date_trunc('hour', ts)) AS hour_sec,
+               CAST(grouping(date_trunc('day', ts)) * 2
+                    + grouping(date_trunc('hour', ts)) AS BIGINT) AS gid,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value
+        FROM events
+        GROUP BY GROUPING SETS (
+            (date_trunc('day', ts), date_trunc('hour', ts)),
+            (date_trunc('day', ts)),
+            ()
+        )
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# #103 streaming trending top-k
+# ---------------------------------------------------------------------------
+
+_SQL_BUCKET_15M = "CAST(FLOOR(EPOCH(CAST(ts AS TIMESTAMP)) / 900) * 900 AS BIGINT)"
+
+
+@query(
+    "q_stream_trending",
+    oracle=f"""
+        WITH w AS (
+            SELECT {_SQL_BUCKET_15M} AS w_start_sec, event_type, COUNT(*) AS n
+            FROM events GROUP BY 1, 2
+        )
+        SELECT w_start_sec, event_type, n, rnk FROM (
+            SELECT w_start_sec, event_type, n,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY w_start_sec
+                                           ORDER BY n DESC, event_type)
+                        AS BIGINT) AS rnk
+            FROM w
+        ) WHERE rnk <= 3
+    """,
+    operators=(30, 49, 103),
+    doc="Streaming trending top-k: tumbling 15-minute event-type counts "
+    "maintained by a real Structured Streaming query (watermark + "
+    "complete mode + availableNow replay), then the per-window top-3 "
+    "ranked from the materialized state — the dashboard 'trending now' "
+    "topology. The rank runs over |windows x types| aggregate rows, "
+    "never raw events; ties break on event_type so the result is "
+    "deterministic. Batch-SQL twin is the oracle (stream/batch "
+    "parity, hash-exact).",
+)
+def q_stream_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = (
+        Pipeline.from_events(spark, sf_dir)
+        .watermark("ts", "10 minutes")
+        .tumbling("15 minutes", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .to_memory("trending", mode="complete")
+    )
+    counts = t.select(
+        F.unix_timestamp(F.col("window.start")).alias("w_start_sec"),
+        "event_type",
+        "n",
+    )
+    w = Window.partitionBy("w_start_sec").orderBy(F.col("n").desc(), "event_type")
+    return (
+        counts.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= 3)
+    )
