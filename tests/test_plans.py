@@ -229,3 +229,21 @@ def test_hypertable_rollup_one_shuffle(spark):
     assert "Expand" in plan
     assert plan.count("Scan parquet") == 1
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_curriculum_ntile_single_shuffle(spark):
+    """#105: all three rank functions share one (lang) window — one
+    exchange, one sort."""
+    df = REGISTRY["q_curriculum_ntile"].fn(spark, SF_SMOKE)
+    plan = _plan(df, "simple")
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_set_ops_all_replicate_not_nested_loop(spark):
+    """#106: EXCEPT ALL / INTERSECT ALL must plan as the count-agg +
+    replicate-rows pattern (one shuffle on the value), never a
+    cartesian/nested-loop matching of duplicates."""
+    df = REGISTRY["q_set_ops_all"].fn(spark, SF_SMOKE)
+    plan = _plan(df, "simple")
+    assert "replicaterows" in plan.lower()
+    assert "CartesianProduct" not in plan

@@ -57,6 +57,7 @@ OPERATORS: dict[int, str] = {
     97: "subquery_global_scalar_gate", 98: "period_over_period",
     99: "scd2_intervals", 100: "bigram_lm_score", 101: "data_profile",
     102: "rollup_hypertable", 103: "stream_trending_topk",
+    104: "recursive_cte", 105: "distribution_ranks", 106: "set_ops_bag",
 }
 
 # Ops verified by tests rather than graded queries.

@@ -277,3 +277,148 @@ def q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(w_all).cast("bigint").alias("version"),
         valid_to.isNull().alias("is_current"),
     )
+
+
+# ---------------------------------------------------------------------------
+# #104 recursive CTE — iterative graph traversal inside the engine
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_recursive_bom",
+    oracle="""
+        WITH RECURSIVE maxk AS (SELECT MAX(p_partkey) AS mk FROM part),
+        walk(p_partkey, depth) AS (
+            SELECT CAST(1 AS BIGINT), CAST(0 AS BIGINT)
+            UNION ALL
+            SELECT c.child, w.depth + 1
+            FROM walk w
+            JOIN (
+                SELECT p_partkey AS parent, p_partkey * 2 AS child FROM part
+                UNION ALL
+                SELECT p_partkey, p_partkey * 2 + 1 FROM part
+            ) c ON c.parent = w.p_partkey
+            JOIN maxk ON c.child <= maxk.mk
+        )
+        SELECT depth, COUNT(*) AS n_nodes,
+               MIN(p_partkey) AS min_key, MAX(p_partkey) AS max_key
+        FROM walk GROUP BY depth
+    """,
+    operators=(104,),
+    doc="Recursive CTE (WITH RECURSIVE, new in Spark 4.x): bill-of-"
+    "materials-style descent over a derived edge set (part k -> parts "
+    "2k, 2k+1 — a deterministic binary assembly tree), rolled up to "
+    "nodes-per-depth. Exercises the engine's iterative fixpoint "
+    "execution: each step is one equi-join of the frontier against "
+    "the edge table, O(log n) rounds. Scale: the frontier, not the "
+    "corpus, is the iterated state; the edge side stays a parquet "
+    "scan joined per round (broadcast the frontier when small).",
+)
+def q_recursive_bom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from zmaxion_spark.catalog import register_views
+
+    register_views(spark, sf_dir, ["part"])
+    return spark.sql(
+        """
+        WITH RECURSIVE walk(p_partkey, depth) AS (
+            SELECT CAST(1 AS BIGINT), CAST(0 AS BIGINT)
+            UNION ALL
+            SELECT c.child, w.depth + 1
+            FROM walk w
+            JOIN (
+                SELECT p_partkey AS parent, p_partkey * 2 AS child FROM part
+                UNION ALL
+                SELECT p_partkey, p_partkey * 2 + 1 FROM part
+            ) c ON c.parent = w.p_partkey
+            WHERE c.child <= (SELECT MAX(p_partkey) FROM part)
+        )
+        SELECT depth, COUNT(*) AS n_nodes,
+               MIN(p_partkey) AS min_key, MAX(p_partkey) AS max_key
+        FROM walk GROUP BY depth
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# #105 distribution ranks: ntile / percent_rank / cume_dist
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_curriculum_ntile",
+    oracle="""
+        SELECT doc_id,
+               CAST(NTILE(10) OVER w AS BIGINT) AS decile,
+               PERCENT_RANK() OVER w AS pct_rank,
+               CUME_DIST() OVER w AS cume,
+               CASE WHEN NTILE(10) OVER w <= 3 THEN 'easy'
+                    WHEN NTILE(10) OVER w <= 7 THEN 'medium'
+                    ELSE 'hard' END AS phase
+        FROM documents
+        WINDOW w AS (PARTITION BY lang ORDER BY n_chars, doc_id)
+    """,
+    operators=(30, 105),
+    doc="Curriculum binning: per-language length deciles (ntile) plus "
+    "percent_rank/cume_dist, mapped to an easy/medium/hard training "
+    "phase — how curriculum-ordered corpus schedules are cut. One "
+    "shuffle on lang. percent_rank and cume_dist are single IEEE "
+    "divisions of identical integer operands in both engines, so the "
+    "doubles hash exactly.",
+)
+def q_curriculum_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
+    decile = F.ntile(10).over(w)
+    return d.select(
+        "doc_id",
+        decile.cast("bigint").alias("decile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+        F.when(decile <= 3, "easy")
+        .when(decile <= 7, "medium")
+        .otherwise("hard")
+        .alias("phase"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# #106 bag-semantics set operations (ALL variants)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_set_ops_all",
+    oracle="""
+        WITH f AS (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'),
+             o AS (SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'),
+             ex AS (SELECT o_custkey FROM f EXCEPT ALL SELECT o_custkey FROM o),
+             ia AS (SELECT o_custkey FROM f INTERSECT ALL SELECT o_custkey FROM o)
+        SELECT 'except_all' AS op, COUNT(*) AS n,
+               CAST(COALESCE(SUM(o_custkey), 0) AS BIGINT) AS key_sum FROM ex
+        UNION ALL
+        SELECT 'intersect_all', COUNT(*),
+               CAST(COALESCE(SUM(o_custkey), 0) AS BIGINT) FROM ia
+    """,
+    operators=(37, 38, 39, 106),
+    doc="Bag-semantics set operations: EXCEPT ALL / INTERSECT ALL keep "
+    "multiplicities (one copy per unmatched/matched duplicate), unlike "
+    "the set-semantics variants in q_set_operations. Spark plans both "
+    "as a count-aggregate + generate (replicate) pattern — one shuffle "
+    "on the value, never a row-by-row anti join. Outputs are "
+    "order-free count/checksum summaries.",
+)
+def q_set_ops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    f = orders.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    o = orders.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+
+    def summarize(df: DataFrame, op: str) -> DataFrame:
+        return df.agg(
+            F.lit(op).alias("op"),
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(F.sum("o_custkey"), F.lit(0)).cast("bigint").alias("key_sum"),
+        ).select("op", "n", "key_sum")
+
+    return summarize(f.exceptAll(o), "except_all").unionAll(
+        summarize(f.intersectAll(o), "intersect_all")
+    )
