@@ -50,7 +50,7 @@ def test_grading_window_schedules_unproven_queries():
     import json
     import pathlib
 
-    from zmaxion_spark.queries import _GRADE_FIRST
+    from zmaxion_spark.queries import _GRADE_FIRST, _NEXT_ROUND
 
     names = list(REGISTRY)
     # Every scheduled name exists and the block leads the registry.
@@ -60,14 +60,22 @@ def test_grading_window_schedules_unproven_queries():
     assert all(n in REGISTRY for n in _GRADE_FIRST), (
         "stale name in _GRADE_FIRST"
     )
+    assert all(n in REGISTRY for n in _NEXT_ROUND), (
+        "stale name in _NEXT_ROUND"
+    )
+    assert not set(_GRADE_FIRST) & set(_NEXT_ROUND)
     assert len(_GRADE_FIRST) <= 50, "priority block overflows the window"
-    # Anything pushed past the window must already hold a green driver
+    # Anything past the window must either already hold a green driver
     # row from a previous round (rows-only queries excepted: their
-    # driver check is weaker by design and recorded once already).
+    # driver check is weaker by design and recorded once already) or
+    # be explicitly queued in _NEXT_ROUND for the round-3 rotation —
+    # a query in neither place would silently never be graded.
     rec: dict[str, dict] = {}
     for p in sorted(pathlib.Path(".").glob("CORRECTNESS_r*.json")):
         rec.update(json.loads(p.read_text()))
     for n in names[50:]:
+        if n in _NEXT_ROUND:
+            continue
         row = rec.get(n)
         assert row is not None, f"{n} is past the window with no driver row"
         ok = row.get("hash_match") or row.get("err") == "no_oracle"

@@ -58,6 +58,7 @@ OPERATORS: dict[int, str] = {
     99: "scd2_intervals", 100: "bigram_lm_score", 101: "data_profile",
     102: "rollup_hypertable", 103: "stream_trending_topk",
     104: "recursive_cte", 105: "distribution_ranks", 106: "set_ops_bag",
+    107: "join_stream_left_outer", 108: "rolling_time_window",
 }
 
 # Ops verified by tests rather than graded queries.

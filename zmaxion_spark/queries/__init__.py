@@ -87,8 +87,32 @@ _GRADE_FIRST = [
 ]
 
 
+# Queries added after the round-2 window filled (operators #95-#108).
+# They are locally hash-verified (tools/check_oracle.py) but hold no
+# driver row yet; they are the FRONT of the round-3 rotation — when
+# the current window's queries earn their driver rows, move this block
+# into _GRADE_FIRST and retire the proven names to the back.
+_NEXT_ROUND = [
+    "q17_small_qty_revenue",
+    "q18_large_volume_orders",
+    "q22_wealthy_inactive",
+    "q_period_over_period",
+    "q_scd2_intervals",
+    "q_bigram_lm_score",
+    "q_data_profile",
+    "q_rollup_hypertable",
+    "q_stream_trending",
+    "q_recursive_bom",
+    "q_curriculum_ntile",
+    "q_set_ops_all",
+    "q_stream_left_outer_join",
+    "q_rolling_time_window",
+]
+
+
 def _reorder_registry() -> None:
     ordered = {n: REGISTRY[n] for n in _GRADE_FIRST if n in REGISTRY}
+    ordered.update({n: REGISTRY[n] for n in _NEXT_ROUND if n in REGISTRY})
     ordered.update({n: q for n, q in REGISTRY.items() if n not in ordered})
     REGISTRY.clear()
     REGISTRY.update(ordered)

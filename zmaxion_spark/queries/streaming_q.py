@@ -309,3 +309,83 @@ def q_stream_foreach_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.sum(F.col("value").cast(DEC)).cast("double").alias("total_value"),
     )
+
+
+@query(
+    "q_stream_left_outer_join",
+    oracle="""
+        WITH cutoff AS (
+            SELECT LEAST(MAX(CASE WHEN event_type = 'click' THEN CAST(ts AS TIMESTAMP) END),
+                         MAX(CASE WHEN event_type = 'purchase' THEN CAST(ts AS TIMESTAMP) END))
+                   - INTERVAL 61 MINUTE AS wm
+            FROM events
+        ),
+        p AS (SELECT user_id AS p_user, CAST(ts AS TIMESTAMP) AS p_ts FROM events
+              WHERE event_type = 'purchase'),
+        c AS (SELECT user_id AS c_user, CAST(ts AS TIMESTAMP) AS c_ts FROM events
+              WHERE event_type = 'click')
+        SELECT p_user AS user_id,
+               COUNT(*) AS n_rows,
+               CAST(SUM(CASE WHEN c_user IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_unconverted
+        FROM p
+        LEFT JOIN c ON p_user = c_user
+                   AND c_ts >= p_ts - INTERVAL 30 MINUTE
+                   AND c_ts <= p_ts
+        JOIN cutoff ON p_ts < wm
+        GROUP BY p_user
+    """,
+    operators=(22, 54, 107),
+    doc="Watermarked stream-stream LEFT OUTER join: purchases "
+    "null-padded when no click preceded them within 30 minutes — the "
+    "conversion-attribution topology. Outer rows only emit once the "
+    "global watermark (min over both streams' max event time, minus "
+    "the 1 h delay) passes the purchase, so the graded region is "
+    "clipped to p_ts < that watermark on BOTH engines — the tail "
+    "still sitting in join state at drain end is excluded, which is "
+    "exactly Structured Streaming's late-data contract, made "
+    "explicit. Scale: join state is watermark-evicted on both sides; "
+    "the cutoff scalar comes from a broadcast 1-row aggregate.",
+)
+def q_stream_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    purchases = (
+        stream_events(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts"))
+        .withWatermark("p_ts", "1 hour")
+    )
+    clicks = (
+        stream_events(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts"))
+        .withWatermark("c_ts", "1 hour")
+    )
+    joined = purchases.join(
+        clicks,
+        F.expr(
+            "p_user = c_user AND c_ts >= p_ts - INTERVAL 30 MINUTES AND c_ts <= p_ts"
+        ),
+        "leftOuter",
+    )
+    t = run_available_now(joined, "ss_left_outer", mode="append")
+    ev = load_table(spark, sf_dir, "events")
+    wm = ev.agg(
+        (
+            F.least(
+                F.max(F.when(F.col("event_type") == "click", F.col("ts"))),
+                F.max(F.when(F.col("event_type") == "purchase", F.col("ts"))),
+            )
+            - F.expr("INTERVAL 61 MINUTES")
+        ).alias("wm")
+    )
+    return (
+        t.join(F.broadcast(wm))
+        .filter(F.col("p_ts") < F.col("wm"))
+        .groupBy(F.col("p_user").alias("user_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.when(F.col("c_user").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_unconverted"),
+        )
+    )

@@ -293,3 +293,52 @@ def q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("sd_value").alias("sd_value"),
         F.sum("anom").alias("n_anomalies"),
     )
+
+
+@query(
+    "q_rolling_time_window",
+    oracle="""
+        WITH e AS (
+            SELECT event_id, user_id,
+                   CAST(EPOCH(CAST(ts AS TIMESTAMP)) AS BIGINT) AS ts_sec,
+                   value
+            FROM events
+        )
+        SELECT event_id, user_id,
+               COUNT(*) OVER w AS n_last_hour,
+               CAST(SUM(CAST(value AS DECIMAL(38,6))) OVER w AS DOUBLE)
+                   AS value_last_hour
+        FROM e
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec
+                     RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW)
+    """,
+    operators=(32, 42, 108),
+    doc="Time-interval RANGE frame: per-user rolling 1-hour event count "
+    "and decimal-exact value sum, anchored at every event — the "
+    "rate-limiter / rolling-exposure primitive. The frame is a RANGE "
+    "over epoch seconds (peers with equal timestamps aggregate "
+    "together, so the result is order-independent under ties — a ROWS "
+    "frame would not be). One shuffle on user_id; the frame scan is "
+    "a single sorted pass per partition, no self-join.",
+)
+def q_rolling_time_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    e = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.unix_timestamp("ts").alias("ts_sec"),
+        "value",
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_sec")
+        .rangeBetween(-3599, Window.currentRow)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).alias("n_last_hour"),
+        F.sum(F.col("value").cast("decimal(38,6)")).over(w).cast("double")
+        .alias("value_last_hour"),
+    )
