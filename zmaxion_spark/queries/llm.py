@@ -969,11 +969,13 @@ def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("term")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+    # Global top-k FIRST (TakeOrderedAndProject: per-partition top-20
+    # + merge), THEN the rank window — which now runs over exactly 20
+    # rows, not the vocabulary. Ranking before limiting would pull the
+    # whole term table into one WindowExec partition.
+    top = counts.orderBy(F.col("n").desc(), "term").limit(20)
     w = Window.orderBy(F.col("n").desc(), "term")
-    return (
-        counts.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= 20)
-    )
+    return top.withColumn("rnk", F.row_number().over(w))
 
 
 # ---------------------------------------------------------------------------
@@ -1110,10 +1112,12 @@ def q_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("term")
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    w = Window.orderBy(F.col("n").desc(), "term")
+    # Top-50 via TakeOrderedAndProject, then filter — ranking the whole
+    # vocabulary in one window partition would be the 100 TB bug.
     top = (
-        c.withColumn("rnk", F.row_number().over(w))
-        .filter((F.col("rnk") <= 50) & (F.length("term") >= 3))
+        c.orderBy(F.col("n").desc(), "term")
+        .limit(50)
+        .filter(F.length("term") >= 3)
     )
     v = top.select(
         F.col("term").alias("src_term"),
