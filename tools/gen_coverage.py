@@ -59,6 +59,7 @@ OPERATORS: dict[int, str] = {
     102: "rollup_hypertable", 103: "stream_trending_topk",
     104: "recursive_cte", 105: "distribution_ranks", 106: "set_ops_bag",
     107: "join_stream_left_outer", 108: "rolling_time_window",
+    109: "unpivot_melt", 110: "url_parse_domain_agg",
 }
 
 # Ops verified by tests rather than graded queries.

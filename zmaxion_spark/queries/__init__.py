@@ -107,6 +107,9 @@ _NEXT_ROUND = [
     "q_set_ops_all",
     "q_stream_left_outer_join",
     "q_rolling_time_window",
+    "q_arrow_normalize",
+    "q_unpivot",
+    "q_parse_url",
 ]
 
 

@@ -605,3 +605,44 @@ def q_quantile_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hist.crossJoin(F.broadcast(q)).select(
         "bucket", "n_orders", "price_sum", "p50", "p90"
     )
+
+
+# ---------------------------------------------------------------------------
+# #109 unpivot / melt (wide -> long reshaping)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_unpivot",
+    oracle=f"""
+        WITH wide AS (
+            SELECT l_returnflag,
+                   {sql_dsum("CASE WHEN l_linestatus = 'F' THEN l_quantity END", 'qty_f')},
+                   {sql_dsum("CASE WHEN l_linestatus = 'O' THEN l_quantity END", 'qty_o')}
+            FROM lineitem GROUP BY l_returnflag
+        )
+        SELECT l_returnflag, 'qty_f' AS linestatus_col, qty_f AS qty FROM wide
+        UNION ALL
+        SELECT l_returnflag, 'qty_o', qty_o FROM wide
+    """,
+    operators=(29, 109),
+    doc="Unpivot/melt (#109, the inverse of #29 pivot): a wide "
+    "per-flag quantity table reshaped to long form with "
+    "DataFrame.unpivot — the Spark-native melt (Expand under the "
+    "hood, one pass, no join). The oracle is the manual UNION ALL a "
+    "SQL engine without UNPIVOT would write. NULL cells are kept "
+    "(include_nulls semantics made explicit by coalescing to 0 on "
+    "both sides so parity is total).",
+)
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    wide = li.groupBy("l_returnflag").agg(
+        dsum(F.when(F.col("l_linestatus") == "F", F.col("l_quantity")), "qty_f"),
+        dsum(F.when(F.col("l_linestatus") == "O", F.col("l_quantity")), "qty_o"),
+    )
+    return wide.unpivot(
+        ids=["l_returnflag"],
+        values=["qty_f", "qty_o"],
+        variableColumnName="linestatus_col",
+        valueColumnName="qty",
+    )

@@ -1137,3 +1137,63 @@ def q_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c.n").alias("matched_n"),
         F.levenshtein(variant, term).cast("long").alias("dist"),
     )
+
+
+# ---------------------------------------------------------------------------
+# #110 URL parsing / per-domain web-corpus aggregates
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_parse_url",
+    oracle="""
+        WITH u AS (
+            SELECT doc_id, lang,
+                   'https://' || source || '.example.com/' || lang
+                       || '/doc/' || doc_id || '?ref=' || (doc_id % 7)
+                       AS url
+            FROM documents
+        ),
+        p AS (
+            SELECT doc_id, lang,
+                   REGEXP_EXTRACT(url, '^https://([^/]+)/', 1) AS host,
+                   REGEXP_EXTRACT(url, '^https://[^/]+(/[^?]*)', 1) AS path,
+                   REGEXP_EXTRACT(url, 'ref=([0-9]+)', 1) AS ref
+            FROM u
+        )
+        SELECT host, ref, COUNT(*) AS n_docs,
+               CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+               MIN(path) AS sample_path
+        FROM p GROUP BY host, ref
+    """,
+    operators=(41, 110),
+    doc="URL parsing for web-corpus curation (CCNet-style per-domain "
+    "rollups): synthesize a deterministic URL per document, split it "
+    "with parse_url (HOST / PATH / QUERY param — JVM-side, codegen), "
+    "and aggregate docs per (domain, ref-bucket). The oracle parses "
+    "with regexes since DuckDB has no parse_url — the parity check "
+    "therefore validates Spark's parser against the URL grammar "
+    "rather than mirroring implementation. Scale: pure projection + "
+    "one grouped agg; domain skew (the web is Zipfian) is the reason "
+    "the group key includes the ref bucket in real pipelines, and "
+    "AQE skew handling covers the rest.",
+)
+def q_parse_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"), F.col("source"), F.lit(".example.com/"),
+        F.col("lang"), F.lit("/doc/"), F.col("doc_id").cast("string"),
+        F.lit("?ref="), (F.col("doc_id") % 7).cast("string"),
+    )
+    p = d.select(
+        "doc_id",
+        "lang",
+        F.parse_url(url, F.lit("HOST")).alias("host"),
+        F.parse_url(url, F.lit("PATH")).alias("path"),
+        F.parse_url(url, F.lit("QUERY"), F.lit("ref")).alias("ref"),
+    )
+    return p.groupBy("host", "ref").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("lang").cast("bigint").alias("n_langs"),
+        F.min("path").alias("sample_path"),
+    )

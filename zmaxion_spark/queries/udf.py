@@ -267,3 +267,77 @@ def q_udtf_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         "SELECT d.doc_id, s.pos, s.term FROM _udtf_docs d, LATERAL zmx_split3(d.text) s"
     )
+
+
+# ---------------------------------------------------------------------------
+# #62 mapInArrow — zero-copy Arrow batch kernel
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_arrow_normalize",
+    oracle="""
+        WITH t AS (
+            SELECT vec_id,
+                   LIST_REDUCE(
+                       LIST_TRANSFORM(embedding,
+                                      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+                       (a, b) -> a + b) AS norm_sq,
+                   CAST(embedding[1] AS DOUBLE) AS head,
+                   CAST(embedding[LEN(embedding)] AS DOUBLE) AS tail
+            FROM embeddings
+        )
+        SELECT vec_id,
+               SQRT(norm_sq) AS l2_norm,
+               head / SQRT(norm_sq) AS head_normed,
+               tail / SQRT(norm_sq) AS tail_normed
+        FROM t
+    """,
+    operators=(62,),
+    doc="mapInArrow L2-normalization kernel: RecordBatches stream "
+    "through a numpy kernel with zero Arrow<->pandas conversion — the "
+    "API for C-speed batch math (the mapInPandas sibling is "
+    "q_multimodal_features). Float discipline: the squared-norm is a "
+    "per-row np.cumsum (strictly sequential left-fold adds in "
+    "float64), matching DuckDB's LIST_REDUCE fold order exactly; "
+    "sqrt and the divisions are single correctly-rounded IEEE ops — "
+    "so even the Python-side doubles hash exactly. Scale: narrow "
+    "projection, no shuffle, Arrow batches bounded by "
+    "maxRecordsPerBatch.",
+)
+def q_arrow_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+
+    def kernel(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        for b in batches:
+            ids = b.column("vec_id")
+            emb = b.column("embedding")
+            if isinstance(emb, pa.ChunkedArray):
+                emb = emb.combine_chunks()
+            norms, heads, tails = [], [], []
+            for row in emb:
+                v = np.asarray(row.values, dtype=np.float64)
+                # cumsum is a guaranteed sequential left fold — the
+                # same IEEE add order as the oracle's LIST_REDUCE.
+                nsq = np.cumsum(v * v)[-1]
+                n = float(np.sqrt(nsq))
+                norms.append(n)
+                heads.append(float(v[0]) / n)
+                tails.append(float(v[-1]) / n)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    ids,
+                    pa.array(norms, type=pa.float64()),
+                    pa.array(heads, type=pa.float64()),
+                    pa.array(tails, type=pa.float64()),
+                ],
+                names=["vec_id", "l2_norm", "head_normed", "tail_normed"],
+            )
+
+    return e.mapInArrow(
+        kernel,
+        "vec_id bigint, l2_norm double, head_normed double, tail_normed double",
+    ).select("vec_id", "l2_norm", "head_normed", "tail_normed")
