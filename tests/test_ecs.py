@@ -57,3 +57,41 @@ def test_query_requires_a_with_component(spark):
 
     with pytest.raises(ValueError):
         _world(spark).query()
+
+
+def test_schedule_stages_by_component_conflict():
+    """#111: disjoint-access systems share a stage; write-read and
+    write-write conflicts force ordering, preserving declaration order
+    among conflicting systems."""
+    from zmaxion_spark.ecs import Schedule, System
+
+    f = lambda df: df  # noqa: E731
+    debit = System("debit", writes="balance", with_=("spend",), fn=f)
+    score = System("score", writes="credit", with_=("urgent",), fn=f)
+    settle = System("settle", writes="balance", with_=("credit",), fn=f)
+    names = [[s.name for s in st] for st in Schedule(debit, score, settle).stages()]
+    assert names == [["debit", "score"], ["settle"]]
+    # Write-write conflict alone also forces a new stage.
+    again = System("again", writes="credit", fn=f)
+    names2 = [[s.name for s in st] for st in Schedule(score, again).stages()]
+    assert names2 == [["score"], ["again"]]
+
+
+def test_schedule_stage_reads_pre_stage_snapshot(spark):
+    """Stage-mates read the same snapshot (double-buffering): a system
+    whose component is written in the SAME stage by itself must not
+    see its own write through another stage-mate."""
+    from zmaxion_spark.ecs import ENTITY, Schedule, System, World
+
+    base = spark.createDataFrame([(1, 10.0), (2, 20.0)], f"{ENTITY} long, v double")
+    other = spark.createDataFrame([(1, 1.0), (2, 2.0)], f"{ENTITY} long, u double")
+    w = World()
+    w._components["v"] = base
+    w._components["u"] = other
+    double_v = System("double_v", writes="v", fn=lambda df: df.withColumn("v", F.col("v") * 2))
+    bump_u = System("bump_u", writes="u", fn=lambda df: df.withColumn("u", F.col("u") + 1))
+    Schedule(double_v, bump_u).run(w)
+    got_v = {r[0]: r[1] for r in w.component("v").collect()}
+    got_u = {r[0]: r[1] for r in w.component("u").collect()}
+    assert got_v == {1: 20.0, 2: 40.0}
+    assert got_u == {1: 2.0, 2: 3.0}

@@ -99,3 +99,86 @@ class World:
         untouched = old.join(matched.select(ENTITY), ENTITY, "left_anti")
         self._components[component] = untouched.unionByName(updated)
         return self
+
+
+class System:
+    """A named system: a transformation over entities matching an ECS
+    query, writing one component. `reads` declares extra components the
+    function consumes (beyond the with_/without match set) so the
+    scheduler can prove access conflicts."""
+
+    def __init__(
+        self,
+        name: str,
+        writes: str,
+        fn: Callable[[DataFrame], DataFrame],
+        with_: tuple[str, ...] = (),
+        without: tuple[str, ...] = (),
+        reads: tuple[str, ...] = (),
+    ) -> None:
+        self.name = name
+        self.writes = writes
+        self.fn = fn
+        self.with_ = with_
+        self.without = without
+        self.reads = reads
+
+    def access(self) -> tuple[set[str], str]:
+        """(read set, write component) — the scheduler's conflict unit."""
+        return (
+            {self.writes, *self.with_, *self.without, *self.reads},
+            self.writes,
+        )
+
+
+class Schedule:
+    """Deterministic conflict-staged system scheduler — the ECS
+    scheduler role (SURVEY §3.1: parallelism comes from proving
+    non-overlapping component access), mapped onto Spark.
+
+    Two systems CONFLICT when one writes a component the other reads
+    or writes. Each system is placed in the EARLIEST stage where it
+    conflicts with nothing already staged, preserving declaration
+    order among conflicting systems — so the staging is a pure
+    function of the system list. Within a stage every system reads
+    the same pre-stage snapshot and writes land together at stage end
+    (double-buffering): stage-mates are independent BY CONSTRUCTION,
+    and since the component updates are lazy DataFrame plans, Spark's
+    DAG scheduler runs their work as one fused job graph — task-level
+    parallelism without any custom executor code."""
+
+    def __init__(self, *systems: System) -> None:
+        self.systems = list(systems)
+
+    def stages(self) -> list[list[System]]:
+        staged: list[list[System]] = []
+        placed: list[tuple[set[str], str, int]] = []  # (reads, write, stage)
+        for s in self.systems:
+            reads, write = s.access()
+            # Earliest stage AFTER every conflicting predecessor.
+            floor = -1
+            for p_reads, p_write, p_stage in placed:
+                if write in p_reads or p_write in reads:
+                    floor = max(floor, p_stage)
+            stage = floor + 1
+            while len(staged) <= stage:
+                staged.append([])
+            staged[stage].append(s)
+            placed.append((reads, write, stage))
+        return staged
+
+    def run(self, world: World) -> World:
+        for stage in self.stages():
+            # Snapshot: all systems in the stage read pre-stage state.
+            snapshot = {s.writes: world.component(s.writes) for s in stage}
+            updates: dict[str, DataFrame] = {}
+            for s in stage:
+                matched = world.query(s.writes, *s.with_, without=s.without)
+                updated = s.fn(matched).select(*snapshot[s.writes].columns)
+                untouched = snapshot[s.writes].join(
+                    matched.select(ENTITY), ENTITY, "left_anti"
+                )
+                updates[s.writes] = untouched.unionByName(updated)
+            for name, df in updates.items():
+                world._components[name] = df
+        return world

@@ -110,6 +110,7 @@ _NEXT_ROUND = [
     "q_arrow_normalize",
     "q_unpivot",
     "q_parse_url",
+    "q_ecs_schedule",
 ]
 
 
