@@ -60,7 +60,7 @@ OPERATORS: dict[int, str] = {
     104: "recursive_cte", 105: "distribution_ranks", 106: "set_ops_bag",
     107: "join_stream_left_outer", 108: "rolling_time_window",
     109: "unpivot_melt", 110: "url_parse_domain_agg",
-    111: "ecs_schedule",
+    111: "ecs_schedule", 112: "embedding_centroid", 113: "agg_argmax",
 }
 
 # Ops verified by tests rather than graded queries.

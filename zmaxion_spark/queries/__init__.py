@@ -111,6 +111,8 @@ _NEXT_ROUND = [
     "q_unpivot",
     "q_parse_url",
     "q_ecs_schedule",
+    "q_embedding_centroid",
+    "q_argmax_enrichment",
 ]
 
 

@@ -646,3 +646,53 @@ def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         variableColumnName="linestatus_col",
         valueColumnName="qty",
     )
+
+
+# ---------------------------------------------------------------------------
+# #113 argmax / argmin aggregation (max_by / min_by)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_argmax_enrichment",
+    oracle="""
+        WITH k AS (
+            SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice,
+                   LPAD(CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT) AS VARCHAR), 12, '0')
+                       || LPAD(CAST(o_orderkey AS VARCHAR), 10, '0') AS ord_key
+            FROM orders
+        )
+        SELECT o_custkey,
+               ARG_MAX(o_orderdate, ord_key) AS best_order_date,
+               ARG_MAX(o_orderkey, ord_key)  AS best_order_key,
+               ARG_MIN(o_orderkey, ord_key)  AS worst_order_key,
+               MAX(o_totalprice) AS max_price,
+               COUNT(*) AS n_orders
+        FROM k GROUP BY o_custkey
+    """,
+    operators=(23, 113),
+    doc="Argmax/argmin aggregation (max_by/min_by): each customer's "
+    "highest- and lowest-priced order resolved in ONE grouped "
+    "aggregate — no window, no self-join, map-side partial like any "
+    "other agg (the window formulation costs a full sort per "
+    "partition; this is the cheaper shape whenever only the extreme "
+    "row is wanted). The ordering key is a zero-padded "
+    "(price-cents, orderkey) string, a TOTAL order, so ties cannot "
+    "make the answer engine-dependent.",
+)
+def q_argmax_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    ord_key = F.concat(
+        F.lpad(F.round(F.col("o_totalprice") * 100).cast("bigint").cast("string"), 12, "0"),
+        F.lpad(F.col("o_orderkey").cast("string"), 10, "0"),
+    )
+    return o.select(
+        "o_custkey", "o_orderdate", "o_orderkey", "o_totalprice",
+        ord_key.alias("ord_key"),
+    ).groupBy("o_custkey").agg(
+        F.max_by("o_orderdate", F.col("ord_key")).alias("best_order_date"),
+        F.max_by("o_orderkey", F.col("ord_key")).alias("best_order_key"),
+        F.min_by("o_orderkey", F.col("ord_key")).alias("worst_order_key"),
+        F.max("o_totalprice").alias("max_price"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )

@@ -1197,3 +1197,51 @@ def q_parse_url(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("lang").cast("bigint").alias("n_langs"),
         F.min("path").alias("sample_path"),
     )
+
+
+# ---------------------------------------------------------------------------
+# #112 per-group embedding centroids (the k-means / IVF primitive)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_embedding_centroid",
+    oracle=f"""
+        WITH flat AS (
+            SELECT label, d.dim, CAST(embedding[d.dim] AS DOUBLE) AS val
+            FROM embeddings, UNNEST(GENERATE_SERIES(1, LEN(embedding))) AS d(dim)
+        )
+        SELECT label, dim,
+               COUNT(*) AS n_vecs,
+               {sql_davg('val', 'dim_avg')}
+        FROM flat
+        WHERE dim IN (1, 2, 64)
+        GROUP BY label, dim
+    """,
+    operators=(23, 44, 112),
+    doc="Per-label embedding centroids: posexplode each vector to "
+    "(label, dim, value), aggregate decimal-exact per-dimension means "
+    "— the distributed centroid primitive under k-means/IVF training "
+    "(functions/similarity.py trains centroids driver-side from a "
+    "bounded sample; THIS is the shape that updates them from the "
+    "full corpus: one shuffle keyed (label, dim), map-side partial, "
+    "no vector ever collected). Graded on dims 1, 2 and 64 to keep "
+    "the output scalar-only.",
+)
+def q_embedding_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings")
+    flat = e.select(
+        "label", F.posexplode("embedding").alias("pos", "val")
+    ).select(
+        "label",
+        (F.col("pos") + 1).alias("dim"),
+        F.col("val").cast("double").alias("val"),
+    )
+    return (
+        flat.filter(F.col("dim").isin(1, 2, 64))
+        .groupBy("label", "dim")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            davg("val", "dim_avg"),
+        )
+    )
