@@ -95,3 +95,31 @@ def test_schedule_stage_reads_pre_stage_snapshot(spark):
     got_u = {r[0]: r[1] for r in w.component("u").collect()}
     assert got_v == {1: 20.0, 2: 40.0}
     assert got_u == {1: 2.0, 2: 3.0}
+
+
+def test_schedule_checkpoint_truncates_lineage(spark):
+    """Ticking with checkpoint=True must keep the component's plan
+    free of the base-table scans (lineage truncated per stage) while
+    producing identical values to the lazy run."""
+    import contextlib
+    import io
+
+    from zmaxion_spark.ecs import ENTITY, Schedule, System, World
+
+    base = spark.createDataFrame([(1, 10.0), (2, 20.0)], f"{ENTITY} long, v double")
+
+    def build():
+        w = World()
+        w._components["v"] = base
+        return w
+
+    sys_ = System("double_v", writes="v", fn=lambda df: df.withColumn("v", F.col("v") * 2))
+    lazy = Schedule(sys_, sys_).run(build())          # two ticks, lazy
+    ckpt = Schedule(sys_, sys_).run(build(), checkpoint=True)
+    assert sorted(map(tuple, lazy.component("v").collect())) == sorted(
+        map(tuple, ckpt.component("v").collect())
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        ckpt.component("v").explain()
+    assert "Scan ExistingRDD" in buf.getvalue() or "LocalTableScan" in buf.getvalue()

@@ -167,7 +167,14 @@ class Schedule:
             placed.append((reads, write, stage))
         return staged
 
-    def run(self, world: World) -> World:
+    def run(self, world: World, checkpoint: bool = False) -> World:
+        """Execute the schedule. `checkpoint=True` localCheckpoints each
+        written component at stage end — in a tick LOOP this is
+        mandatory: without it every tick's plan embeds all previous
+        ticks (lineage grows unboundedly and re-scans the base tables
+        per stage — visible as scan-count blowup in PLANS.md). On a
+        cluster prefer reliable `df.checkpoint()` so state survives
+        executor loss."""
         for stage in self.stages():
             # Snapshot: all systems in the stage read pre-stage state.
             snapshot = {s.writes: world.component(s.writes) for s in stage}
@@ -180,5 +187,7 @@ class Schedule:
                 )
                 updates[s.writes] = untouched.unionByName(updated)
             for name, df in updates.items():
-                world._components[name] = df
+                world._components[name] = (
+                    df.localCheckpoint(eager=True) if checkpoint else df
+                )
         return world
