@@ -61,6 +61,7 @@ OPERATORS: dict[int, str] = {
     107: "join_stream_left_outer", 108: "rolling_time_window",
     109: "unpivot_melt", 110: "url_parse_domain_agg",
     111: "ecs_schedule", 112: "embedding_centroid", 113: "agg_argmax",
+    114: "stateful_v2 (transformWithState)",
 }
 
 # Ops verified by tests rather than graded queries.
@@ -75,6 +76,10 @@ DESIGN_SLOTS: dict[int, str] = {
     5: "kafka source: `readStream.format('kafka')` wrapper in "
        "streaming/sources.py requires a broker; interface documented, "
        "no broker in this environment",
+    114: "transformWithState processor (streaming/stateful.py "
+         "running_counters_v2): topology builds and schema is pinned in "
+         "tests/test_streaming.py, but execution needs google.protobuf "
+         "in the Python workers, absent in this container",
 }
 
 

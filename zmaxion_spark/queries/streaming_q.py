@@ -389,3 +389,4 @@ def q_stream_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_unconverted"),
         )
     )
+
