@@ -62,6 +62,7 @@ OPERATORS: dict[int, str] = {
     109: "unpivot_melt", 110: "url_parse_domain_agg",
     111: "ecs_schedule", 112: "embedding_centroid", 113: "agg_argmax",
     114: "stateful_v2 (transformWithState)",
+    115: "fk_integrity_audit", 116: "snapshot_diff",
 }
 
 # Ops verified by tests rather than graded queries.

@@ -113,6 +113,8 @@ _NEXT_ROUND = [
     "q_ecs_schedule",
     "q_embedding_centroid",
     "q_argmax_enrichment",
+    "q_fk_audit",
+    "q_snapshot_diff",
 ]
 
 

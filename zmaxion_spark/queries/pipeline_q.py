@@ -419,3 +419,147 @@ def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merge_upsert(
         base, upd.unionByName(ins), "o_orderkey", "version"
     )
+
+
+# ---------------------------------------------------------------------------
+# #115 referential-integrity audit
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_fk_audit",
+    oracle="""
+        SELECT 'lineitem.l_orderkey->orders' AS fk,
+               COUNT(*) AS n_rows,
+               CAST(SUM(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_orphans
+        FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+        UNION ALL
+        SELECT 'orders.o_custkey->customer', COUNT(*),
+               CAST(SUM(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT)
+        FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+        UNION ALL
+        SELECT 'lineitem.l_partkey->part', COUNT(*),
+               CAST(SUM(CASE WHEN p.p_partkey IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT)
+        FROM lineitem l LEFT JOIN part p ON l.l_partkey = p.p_partkey
+    """,
+    operators=(14, 24, 115),
+    doc="Referential-integrity audit: orphan counts for three foreign "
+    "keys in one report — the ingest health check that gates a 100 TB "
+    "load. Each edge is a left join reduced to (total, orphans) "
+    "scalars; dimension sides broadcast, the two lineitem edges share "
+    "one cached scan under Spark's reuse, and nothing wider than a "
+    "key column travels. At scale run the audit per ingest partition "
+    "and union the partials — the aggregate is mergeable by "
+    "construction.",
+)
+def q_fk_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    part = _t(spark, sf_dir, "part")
+
+    def audit(child: DataFrame, ckey: str, parent: DataFrame, pkey: str, fk: str) -> DataFrame:
+        j = child.select(ckey).join(
+            F.broadcast(parent.select(pkey)), F.col(ckey) == F.col(pkey), "left"
+        )
+        return j.agg(
+            F.lit(fk).alias("fk"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.when(F.col(pkey).isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_orphans"),
+        ).select("fk", "n_rows", "n_orphans")
+
+    return (
+        audit(li, "l_orderkey", orders, "o_orderkey", "lineitem.l_orderkey->orders")
+        .unionAll(audit(orders, "o_custkey", cust, "c_custkey", "orders.o_custkey->customer"))
+        .unionAll(audit(li, "l_partkey", part, "p_partkey", "lineitem.l_partkey->part"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# #116 snapshot diff (table-to-table CDC audit)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_snapshot_diff",
+    oracle="""
+        WITH snap AS (
+            SELECT o_orderkey,
+                   CASE WHEN o_orderkey % 10 = 0
+                        THEN o_totalprice + 1.0 ELSE o_totalprice END AS o_totalprice,
+                   o_orderstatus
+            FROM orders
+            WHERE o_orderkey % 7 <> 0
+            UNION ALL
+            SELECT o_orderkey + 10000000, o_totalprice, 'N'
+            FROM orders WHERE o_orderkey % 13 = 0
+        ),
+        d AS (
+            SELECT COALESCE(a.o_orderkey, b.o_orderkey) AS key,
+                   CASE WHEN b.o_orderkey IS NULL THEN 'removed'
+                        WHEN a.o_orderkey IS NULL THEN 'added'
+                        WHEN a.o_totalprice <> b.o_totalprice
+                             OR a.o_orderstatus <> b.o_orderstatus THEN 'changed'
+                        ELSE 'unchanged' END AS verdict
+            FROM orders a FULL OUTER JOIN snap b ON a.o_orderkey = b.o_orderkey
+        )
+        SELECT verdict, COUNT(*) AS n,
+               CAST(MIN(key) AS BIGINT) AS min_key,
+               CAST(MAX(key) AS BIGINT) AS max_key
+        FROM d GROUP BY verdict
+    """,
+    operators=(14, 90, 116),
+    doc="Snapshot diff: classify every key across two table versions as "
+    "added / removed / changed / unchanged via ONE full outer join — "
+    "the audit that verifies a CDC feed or backfill did what it "
+    "claimed (the verification side of q_merge_upsert). The 'new' "
+    "snapshot is derived deterministically from orders (drops, "
+    "mutations, inserts), so parity is exact. Scale: the join "
+    "shuffles both sides once on the key; comparing row hashes "
+    "instead of columns generalizes to wide tables (xxhash64(struct) "
+    "per side, same plan shape).",
+)
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice", "o_orderstatus")
+    mutated = o.filter(F.col("o_orderkey") % 7 != 0).select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 10 == 0, F.col("o_totalprice") + 1.0)
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+        "o_orderstatus",
+    )
+    inserted = o.filter(F.col("o_orderkey") % 13 == 0).select(
+        (F.col("o_orderkey") + 10000000).alias("o_orderkey"),
+        "o_totalprice",
+        F.lit("N").alias("o_orderstatus"),
+    )
+    snap = mutated.unionAll(inserted).alias("b")
+    a = o.alias("a")
+    j = a.join(snap, F.col("a.o_orderkey") == F.col("b.o_orderkey"), "full_outer")
+    verdict = (
+        F.when(F.col("b.o_orderkey").isNull(), "removed")
+        .when(F.col("a.o_orderkey").isNull(), "added")
+        .when(
+            (F.col("a.o_totalprice") != F.col("b.o_totalprice"))
+            | (F.col("a.o_orderstatus") != F.col("b.o_orderstatus")),
+            "changed",
+        )
+        .otherwise("unchanged")
+    )
+    return (
+        j.select(
+            F.coalesce(F.col("a.o_orderkey"), F.col("b.o_orderkey")).alias("key"),
+            verdict.alias("verdict"),
+        )
+        .groupBy("verdict")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("key").cast("bigint").alias("min_key"),
+            F.max("key").cast("bigint").alias("max_key"),
+        )
+    )
