@@ -63,6 +63,7 @@ OPERATORS: dict[int, str] = {
     111: "ecs_schedule", 112: "embedding_centroid", 113: "agg_argmax",
     114: "stateful_v2 (transformWithState)",
     115: "fk_integrity_audit", 116: "snapshot_diff",
+    117: "windowed_distinct_count", 118: "ratio_to_report",
 }
 
 # Ops verified by tests rather than graded queries.

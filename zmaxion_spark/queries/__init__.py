@@ -115,6 +115,8 @@ _NEXT_ROUND = [
     "q_argmax_enrichment",
     "q_fk_audit",
     "q_snapshot_diff",
+    "q_running_distinct",
+    "q_ratio_to_report",
 ]
 
 

@@ -275,3 +275,116 @@ def q_stream_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
         counts.withColumn("rnk", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rnk") <= 3)
     )
+
+
+# ---------------------------------------------------------------------------
+# #117 windowed running distinct count
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_running_distinct",
+    oracle="""
+        WITH firsts AS (
+            SELECT event_id, event_type, ts, user_id,
+                   CASE WHEN ROW_NUMBER() OVER (
+                            PARTITION BY event_type, user_id
+                            ORDER BY CAST(ts AS TIMESTAMP), event_id) = 1
+                        THEN 1 ELSE 0 END AS is_first
+            FROM events
+        )
+        SELECT event_id, event_type,
+               CAST(SUM(is_first) OVER (
+                   PARTITION BY event_type
+                   ORDER BY CAST(ts AS TIMESTAMP), event_id) AS BIGINT)
+                   AS distinct_users_so_far
+        FROM firsts
+    """,
+    operators=(30, 31, 117),
+    doc="Running distinct-user count per event type at every event — "
+    "COUNT(DISTINCT) OVER is unsupported by engines for good reason "
+    "(unbounded per-frame state), so this is the classic exact "
+    "rewrite: flag each (type, user)'s first occurrence with "
+    "row_number, then running-sum the flags. Two window passes, "
+    "(type, user) then (type); both shuffles are key-partitioned and "
+    "the state per row is one bit — the pattern that scales where a "
+    "naive distinct-frame never could.",
+)
+def q_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w_first = Window.partitionBy("event_type", "user_id").orderBy("ts", "event_id")
+    w_run = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    firsts = ev.select(
+        "event_id",
+        "event_type",
+        "ts",
+        F.when(F.row_number().over(w_first) == 1, 1).otherwise(0).alias("is_first"),
+    )
+    return firsts.select(
+        "event_id",
+        "event_type",
+        F.sum("is_first").over(w_run).cast("bigint").alias("distinct_users_so_far"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# #118 percent-of-total (ratio_to_report)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_ratio_to_report",
+    oracle=f"""
+        WITH n AS (
+            SELECT n_name,
+                   {{dsum}} AS revenue
+            FROM customer
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN orders ON o_custkey = c_custkey
+            GROUP BY n_name
+        )
+        SELECT n_name, revenue,
+               revenue / CAST(SUM(CAST(revenue AS DECIMAL(38,6))) OVER ()
+                              AS DOUBLE) AS revenue_share,
+               CAST(RANK() OVER (ORDER BY revenue DESC, n_name) AS BIGINT)
+                   AS revenue_rank
+        FROM n
+    """.format(dsum="CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)"),
+    operators=(23, 30, 118),
+    doc="Percent-of-total (ratio_to_report): per-nation revenue share "
+    "of the corpus total plus rank. The unpartitioned window runs "
+    "over the 25-row AGGREGATE, never the fact table — the correct "
+    "shape for share-of-total at any scale (the fact table collapses "
+    "first; the share is one division of decimal-exact doubles). "
+    "DuckDB computes SUM() OVER () by iterating the same 25 doubles; "
+    "order independence comes from summing decimal-cast values.",
+)
+def q_ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    orders = _t(spark, sf_dir, "orders")
+    n = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(38,6)"))
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+    w_all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    w_rank = Window.orderBy(F.col("revenue").desc(), "n_name")
+    return n.select(
+        "n_name",
+        "revenue",
+        (
+            F.col("revenue")
+            / F.sum(F.col("revenue").cast("decimal(38,6)")).over(w_all).cast("double")
+        ).alias("revenue_share"),
+        F.rank().over(w_rank).cast("bigint").alias("revenue_rank"),
+    )
