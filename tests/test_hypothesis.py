@@ -117,3 +117,53 @@ def test_simhash_md5_chunks_in_range(spark, batch):
     for r in rows:
         for c in range(4):
             assert 0 <= r[f"c{c}"] <= 0xFFFF
+
+
+_sys_names = st.lists(
+    st.tuples(
+        st.sampled_from(["a", "b", "c", "d"]),          # writes
+        st.frozensets(st.sampled_from(["a", "b", "c", "d"]), max_size=3),  # reads
+    ),
+    min_size=1,
+    max_size=8,
+)
+
+
+@given(specs=_sys_names)
+@settings(**SETTINGS)
+def test_ecs_schedule_staging_invariants(specs):
+    """#111 staging laws for ANY system list: (1) no two systems in a
+    stage conflict; (2) declaration order is preserved among
+    conflicting systems; (3) staging is greedy-minimal — every system
+    sits in the earliest stage consistent with its conflicts."""
+    from zmaxion_spark.ecs import Schedule, System
+
+    systems = [
+        System(f"s{i}", writes=w, fn=lambda df: df, reads=tuple(r))
+        for i, (w, r) in enumerate(specs)
+    ]
+    stages = Schedule(*systems).stages()
+
+    def conflicts(x, y):
+        xr, xw = x.access()
+        yr, yw = y.access()
+        return xw in yr or yw in xr
+
+    pos = {}
+    for si, stage in enumerate(stages):
+        for s in stage:
+            pos[s.name] = si
+        for i, x in enumerate(stage):
+            for y in stage[i + 1 :]:
+                assert not conflicts(x, y), f"stage {si} holds conflict {x.name}/{y.name}"
+    order = {s.name: i for i, s in enumerate(systems)}
+    for x in systems:
+        for y in systems:
+            if order[x.name] < order[y.name] and conflicts(x, y):
+                assert pos[x.name] < pos[y.name]
+    for s in systems:
+        floor = max(
+            (pos[p.name] for p in systems if order[p.name] < order[s.name] and conflicts(p, s)),
+            default=-1,
+        )
+        assert pos[s.name] == floor + 1, f"{s.name} not greedy-minimal"

@@ -117,6 +117,7 @@ _NEXT_ROUND = [
     "q_snapshot_diff",
     "q_running_distinct",
     "q_ratio_to_report",
+    "q_join_asof_forward",
 ]
 
 

@@ -696,3 +696,76 @@ def q_argmax_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("o_totalprice").alias("max_price"),
         F.count(F.lit(1)).alias("n_orders"),
     )
+
+
+# ---------------------------------------------------------------------------
+# #119 forward as-of join with tolerance
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_join_asof_forward",
+    oracle="""
+        WITH p AS (SELECT event_id AS p_id, user_id,
+                          CAST(ts AS TIMESTAMP) AS p_ts
+                   FROM events WHERE event_type = 'purchase'),
+             c AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS c_ts, value
+                   FROM events WHERE event_type = 'click'),
+             k AS (
+                 SELECT p.p_id, p.user_id, p.p_ts, c.c_ts, c.value,
+                        LPAD(CAST(CAST(EPOCH_US(c.c_ts) AS BIGINT) AS VARCHAR),
+                             20, '0') AS ord_key
+                 FROM p JOIN c
+                   ON p.user_id = c.user_id
+                  AND c.c_ts >= p.p_ts
+                  AND c.c_ts <= p.p_ts + INTERVAL 30 MINUTE
+             )
+        SELECT p_id, user_id,
+               CAST(EPOCH_US(MIN(c_ts)) AS BIGINT) AS next_click_us,
+               ARG_MIN(value, ord_key) AS next_click_value,
+               COUNT(*) AS n_candidates
+        FROM k GROUP BY p_id, user_id, p_ts
+    """,
+    operators=(19, 20, 119),
+    doc="FORWARD as-of join with tolerance: each purchase matched to "
+    "the FIRST click within the following 30 minutes (the backward "
+    "direction is q_join_asof). Implemented as a bounded interval "
+    "join + argmin per left row — the tolerance bound is what makes "
+    "the join state finite, exactly like a stream-stream join "
+    "watermark. The argmin ordering key is the click's zero-padded "
+    "epoch-microsecond string (a total order within a user's "
+    "candidates up to simultaneous clicks, whose values then tie "
+    "consistently on the same key in both engines). Scale: the "
+    "interval join shuffles on user_id and candidates are bounded by "
+    "the tolerance window; no window-sort over the full event table.",
+)
+def q_join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+        "value",
+    )
+    k = p.join(
+        c,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("p_ts"))
+        & (F.col("c_ts") <= F.col("p_ts") + F.expr("INTERVAL 30 MINUTES")),
+    )
+    ord_key = F.lpad(F.unix_micros("c_ts").cast("string"), 20, "0")
+    return (
+        k.select("p_id", F.col("p_user").alias("user_id"), "p_ts", "c_ts", "value",
+                 ord_key.alias("ord_key"))
+        .groupBy("p_id", "user_id", "p_ts")
+        .agg(
+            F.unix_micros(F.min("c_ts")).alias("next_click_us"),
+            F.min_by("value", F.col("ord_key")).alias("next_click_value"),
+            F.count(F.lit(1)).alias("n_candidates"),
+        )
+        .drop("p_ts")
+    )
