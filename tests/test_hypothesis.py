@@ -167,3 +167,84 @@ def test_ecs_schedule_staging_invariants(specs):
             default=-1,
         )
         assert pos[s.name] == floor + 1, f"{s.name} not greedy-minimal"
+
+
+_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=9),     # key
+        st.integers(min_value=0, max_value=99),    # payload
+    ),
+    min_size=0,
+    max_size=20,
+)
+
+
+@given(base_rows=_rows, change_rows=_rows)
+@settings(**SETTINGS)
+def test_merge_upsert_laws(spark, base_rows, change_rows):
+    """#90 algebraic laws on arbitrary frames: (1) idempotence —
+    re-applying the same change-set changes nothing; (2) dominance —
+    every change-set key holds the change-set's newest value; (3)
+    frame closure — untouched base keys pass through untouched."""
+    from zmaxion_spark.functions.merge import merge_upsert
+
+    # Build unique (key, version) pairs: version = arrival index, so
+    # the change-set always outranks the base and later changes
+    # outrank earlier ones.
+    base = [(k, 0, v) for i, (k, v) in enumerate(dict(base_rows).items())]
+    changes = [(k, 1, v) for i, (k, v) in enumerate(dict(change_rows).items())]
+    schema = "k long, version long, payload long"
+    b = spark.createDataFrame(base, schema) if base else spark.createDataFrame([], schema)
+    c = spark.createDataFrame(changes, schema) if changes else spark.createDataFrame([], schema)
+
+    once = merge_upsert(b, c, "k", "version")
+    got = {(r.k, r.payload) for r in once.collect()}
+
+    want = {k: v for k, _, v in base}
+    want.update({k: v for k, _, v in changes})
+    assert got == set(want.items())
+
+    twice = merge_upsert(once, c, "k", "version")
+    assert {(r.k, r.payload) for r in twice.collect()} == got
+
+
+@given(base_rows=_rows, change_rows=_rows)
+@settings(**SETTINGS)
+def test_snapshot_diff_inverts_merge(spark, base_rows, change_rows):
+    """#116 consistency with #90: diffing merge(base, changes) against
+    base must classify exactly the keys the merge actually changed —
+    added = new keys, changed = keys whose payload differs, removed =
+    none (upsert never deletes)."""
+    from zmaxion_spark.functions.merge import merge_upsert
+
+    base = [(k, 0, v) for k, v in dict(base_rows).items()]
+    changes = [(k, 1, v) for k, v in dict(change_rows).items()]
+    schema = "k long, version long, payload long"
+    b = spark.createDataFrame(base, schema) if base else spark.createDataFrame([], schema)
+    c = spark.createDataFrame(changes, schema) if changes else spark.createDataFrame([], schema)
+    merged = merge_upsert(b, c, "k", "version")
+
+    a, m = b.alias("a"), merged.alias("m")
+    j = a.join(m, F.col("a.k") == F.col("m.k"), "full_outer")
+    verdict = (
+        F.when(F.col("m.k").isNull(), "removed")
+        .when(F.col("a.k").isNull(), "added")
+        .when(F.col("a.payload") != F.col("m.payload"), "changed")
+        .otherwise("unchanged")
+    )
+    got = {
+        (r[0], r[1])
+        for r in j.select(
+            F.coalesce(F.col("a.k"), F.col("m.k")), verdict
+        ).collect()
+    }
+    base_d, change_d = dict([(k, v) for k, _, v in base]), dict([(k, v) for k, _, v in changes])
+    want = set()
+    for k in set(base_d) | set(change_d):
+        if k not in base_d:
+            want.add((k, "added"))
+        elif k in change_d and change_d[k] != base_d[k]:
+            want.add((k, "changed"))
+        else:
+            want.add((k, "unchanged"))
+    assert got == want

@@ -64,7 +64,7 @@ OPERATORS: dict[int, str] = {
     114: "stateful_v2 (transformWithState)",
     115: "fk_integrity_audit", 116: "snapshot_diff",
     117: "windowed_distinct_count", 118: "ratio_to_report",
-    119: "join_asof_forward",
+    119: "join_asof_forward", 120: "nested_struct_pipeline",
 }
 
 # Ops verified by tests rather than graded queries.

@@ -118,6 +118,7 @@ _NEXT_ROUND = [
     "q_running_distinct",
     "q_ratio_to_report",
     "q_join_asof_forward",
+    "q_nested_rollup",
 ]
 
 

@@ -769,3 +769,66 @@ def q_join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .drop("p_ts")
     )
+
+
+# ---------------------------------------------------------------------------
+# #120 nested struct pipeline (build array<struct>, consume with HOFs)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_nested_rollup",
+    oracle=f"""
+        SELECT o_orderkey,
+               COUNT(*) AS n_lines,
+               {sql_dsum('l_quantity', 'total_qty')},
+               {sql_dsum('l_extendedprice * (1 - l_discount)', 'net_revenue')},
+               CAST(MAX(l_linenumber) AS BIGINT) AS max_lineno
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY o_orderkey
+    """,
+    operators=(44, 45, 120),
+    doc="Nested-data pipeline: lineitems are packed into an "
+    "array<struct> per order (collect_list(struct(...)) — the "
+    "document/denormalized layout pattern), then the rollup is "
+    "computed FROM the nested column with higher-order functions "
+    "(aggregate folds over decimal-cast fields, codegen, no "
+    "re-explode, no second shuffle). The oracle computes the same "
+    "numbers relationally — parity proves pack->HOF-consume loses "
+    "nothing. Scale: one shuffle to nest (the write layout you would "
+    "persist); every downstream per-parent metric is then "
+    "shuffle-FREE — the reason document layouts win when access is "
+    "parent-at-a-time. Decimal-exact folds keep the doubles "
+    "bit-equal.",
+)
+def q_nested_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    nested = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_orderkey")
+        .agg(
+            F.collect_list(
+                F.struct("l_linenumber", "l_quantity", "l_extendedprice", "l_discount")
+            ).alias("lines")
+        )
+    )
+    fold_qty = F.expr(
+        "CAST(aggregate(lines, CAST(0 AS DECIMAL(38,6)), "
+        "(acc, x) -> acc + CAST(x.l_quantity AS DECIMAL(38,6))) AS DOUBLE)"
+    )
+    fold_rev = F.expr(
+        "CAST(aggregate(lines, CAST(0 AS DECIMAL(38,6)), "
+        "(acc, x) -> acc + CAST(x.l_extendedprice * (1 - x.l_discount) "
+        "AS DECIMAL(38,6))) AS DOUBLE)"
+    )
+    return nested.select(
+        "o_orderkey",
+        F.size("lines").cast("bigint").alias("n_lines"),
+        fold_qty.alias("total_qty"),
+        fold_rev.alias("net_revenue"),
+        F.expr(
+            "CAST(aggregate(lines, CAST(-1 AS BIGINT), "
+            "(acc, x) -> greatest(acc, CAST(x.l_linenumber AS BIGINT))) AS BIGINT)"
+        ).alias("max_lineno"),
+    )
