@@ -247,3 +247,22 @@ def test_set_ops_all_replicate_not_nested_loop(spark):
     plan = _plan(df, "simple")
     assert "replicaterows" in plan.lower()
     assert "CartesianProduct" not in plan
+
+
+def test_q19_extracts_equi_join_from_disjunction(spark):
+    """#121: the OR-of-conjuncts predicate must not prevent the
+    p_partkey equi-join — plan must be a hash join (part broadcast),
+    never BroadcastNestedLoopJoin/CartesianProduct."""
+    df = REGISTRY["q19_disjunctive_revenue"].fn(spark, SF_SMOKE)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_q21_decorrelated_single_lineitem_shuffle_chain(spark):
+    """#122: the exists/not-exists chain must not probe lineitem per
+    row — the per-supplier and per-order stats share the l_orderkey
+    partitioning (agg + unordered windows), no nested-loop joins."""
+    df = REGISTRY["q21_blocking_suppliers"].fn(spark, SF_SMOKE)
+    plan = _plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan

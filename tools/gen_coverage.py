@@ -65,6 +65,7 @@ OPERATORS: dict[int, str] = {
     115: "fk_integrity_audit", 116: "snapshot_diff",
     117: "windowed_distinct_count", 118: "ratio_to_report",
     119: "join_asof_forward", 120: "nested_struct_pipeline",
+    121: "join_disjunctive", 122: "subquery_exists_chain",
 }
 
 # Ops verified by tests rather than graded queries.

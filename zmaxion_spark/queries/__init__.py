@@ -119,6 +119,8 @@ _NEXT_ROUND = [
     "q_ratio_to_report",
     "q_join_asof_forward",
     "q_nested_rollup",
+    "q19_disjunctive_revenue",
+    "q21_blocking_suppliers",
 ]
 
 

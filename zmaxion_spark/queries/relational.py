@@ -481,3 +481,147 @@ def q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_items"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# #121 disjunctive-predicate join (TPC-H Q19 shape)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q19_disjunctive_revenue",
+    oracle=f"""
+        SELECT {sql_dsum('l_extendedprice * (1 - l_discount)', 'revenue')},
+               COUNT(*) AS n_lines
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+               AND l_quantity BETWEEN 1 AND 20)
+           OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 25
+               AND l_quantity BETWEEN 10 AND 30)
+           OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 40
+               AND l_quantity BETWEEN 20 AND 40)
+    """,
+    operators=(9, 16, 121),
+    doc="TPC-H Q19 shape: revenue under a DISJUNCTION of brand/size/"
+    "quantity clauses that spans both join sides. The planner test: "
+    "Catalyst must still extract the p_partkey equi-join (hash join, "
+    "part side broadcast) and evaluate the OR as a residual filter — "
+    "a naive reading degenerates to a nested-loop over the "
+    "disjunction. Single-table conjuncts (quantity bounds, size "
+    "bounds) are pushed to their scans as derived filters.",
+)
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    clause = (
+        (F.col("p_brand") == "Brand#1")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(1, 20)
+    ) | (
+        (F.col("p_brand") == "Brand#2")
+        & F.col("p_size").between(10, 25)
+        & F.col("l_quantity").between(10, 30)
+    ) | (
+        (F.col("p_brand") == "Brand#3")
+        & F.col("p_size").between(20, 40)
+        & F.col("l_quantity").between(20, 40)
+    )
+    return j.filter(clause).agg(
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# #122 correlated EXISTS / NOT EXISTS chain (TPC-H Q21 shape)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q21_blocking_suppliers",
+    oracle="""
+        SELECT s_name,
+               COUNT(*) AS n_blocking
+        FROM supplier, lineitem l1, orders
+        WHERE s_suppkey = l1.l_suppkey
+          AND o_orderkey = l1.l_orderkey
+          AND o_orderstatus = 'F'
+          AND EXISTS (SELECT 1 FROM lineitem l2
+                      WHERE l2.l_orderkey = l1.l_orderkey
+                        AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                          WHERE l3.l_orderkey = l1.l_orderkey
+                            AND l3.l_suppkey <> l1.l_suppkey
+                            AND l3.l_shipdate > l1.l_shipdate)
+        GROUP BY s_name
+        ORDER BY n_blocking DESC, s_name
+        LIMIT 10
+    """,
+    operators=(10, 15, 122),
+    doc="TPC-H Q21 shape: suppliers whose lineitem shipped LAST in a "
+    "multi-supplier finalized order — a correlated EXISTS plus a "
+    "correlated NOT EXISTS over the SAME fact table. The Spark "
+    "formulation decorrelates both subqueries into per-order "
+    "aggregates computed in ONE pass (count distinct suppliers + "
+    "arg-max of (shipdate, suppkey)): semantically, 'no other "
+    "supplier shipped later' with the suppkey tie-break means this "
+    "row ships at-or-after the MAX ship date among the order's OTHER "
+    "suppliers. That max-of-others is computed without correlated "
+    "probes: per-(order, supplier) maxes, then per-order (top max, "
+    "how many suppliers tie at it, runner-up max) — for a row of "
+    "supplier s, max-of-others is the runner-up exactly when s alone "
+    "holds the top. Two chained aggregates on one lineitem shuffle "
+    "replace two correlated scans of the fact table — the "
+    "decorrelation a 100 TB plan needs.",
+)
+def q21_blocking_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    supplier = _t(spark, sf_dir, "supplier")
+    # Pass 1: per-(order, supplier) max ship date.
+    per_supp = li.groupBy(
+        F.col("l_orderkey").alias("ps_orderkey"),
+        F.col("l_suppkey").alias("ps_suppkey"),
+    ).agg(F.max("l_shipdate").alias("s_max"))
+    # Pass 2: per-order stats as unordered partition windows — they
+    # reuse pass 1's hash partitioning on the order key (no sort, no
+    # extra shuffle): top max, how many suppliers tie at it, runner-up.
+    w = Window.partitionBy("ps_orderkey")
+    stats = per_supp.select(
+        "ps_orderkey",
+        "ps_suppkey",
+        "s_max",
+        F.count(F.lit(1)).over(w).alias("n_supps"),
+        F.max("s_max").over(w).alias("m1"),
+    ).select(
+        "*",
+        F.sum(F.when(F.col("s_max") == F.col("m1"), 1).otherwise(0))
+        .over(w)
+        .alias("cnt_at_m1"),
+        F.max(F.when(F.col("s_max") < F.col("m1"), F.col("s_max")))
+        .over(w)
+        .alias("m2"),
+    )
+    max_other = F.when(
+        (F.col("s_max") == F.col("m1")) & (F.col("cnt_at_m1") == 1), F.col("m2")
+    ).otherwise(F.col("m1"))
+    gate = stats.filter(F.col("n_supps") > 1).select(
+        "ps_orderkey", "ps_suppkey", max_other.alias("max_other")
+    )
+    blocking = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(
+            gate,
+            (li.l_orderkey == gate.ps_orderkey)
+            & (li.l_suppkey == gate.ps_suppkey),
+        )
+        .filter(F.col("l_shipdate") >= F.col("max_other"))
+    )
+    return (
+        blocking.join(F.broadcast(supplier), blocking.l_suppkey == supplier.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("n_blocking"))
+        .orderBy(F.col("n_blocking").desc(), "s_name")
+        .limit(10)
+    )
