@@ -85,3 +85,19 @@ def test_salted_join_equals_plain_join(spark):
     assert salted.count() == plain.count()
     assert salted.exceptAll(plain).count() == 0
     assert plain.exceptAll(salted).count() == 0
+
+
+def test_compact_rewrites_small_files(spark, tmp_path):
+    """#123: 32 tiny files compact to 4 with identical content; the
+    sorted variant keeps row-group skipping keys clustered."""
+    from zmaxion_spark.layout import compact
+
+    src = load_table(spark, SF_SMOKE, "orders").limit(2000)
+    path = str(tmp_path / "smallfiles")
+    src.repartition(32).write.parquet(path)
+    want = sorted(r.o_orderkey for r in spark.read.parquet(path).collect())
+
+    before, after = compact(spark, path, target_files=4, sort_by=["o_orderdate"])
+    assert before == 32 and after == 4
+    got = sorted(r.o_orderkey for r in spark.read.parquet(path).collect())
+    assert got == want

@@ -66,11 +66,13 @@ OPERATORS: dict[int, str] = {
     117: "windowed_distinct_count", 118: "ratio_to_report",
     119: "join_asof_forward", 120: "nested_struct_pipeline",
     121: "join_disjunctive", 122: "subquery_exists_chain",
+    123: "compact_small_files",
 }
 
 # Ops verified by tests rather than graded queries.
 TEST_COVERED: dict[int, str] = {
     4: "tests/test_streaming.py::test_rate_source_schema",
+    123: "tests/test_layout.py::test_compact_rewrites_small_files",
     6: "tests/test_streaming.py::test_parquet_sink_exactly_once",
     7: "tests/test_streaming.py::test_foreach_batch_side_channel",
     54: "tests/test_streaming.py::test_watermark_drops_late_data",

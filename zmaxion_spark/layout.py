@@ -77,3 +77,39 @@ def salted_join(
 def table_partition_count(spark: SparkSession, df: DataFrame) -> int:
     """Physical partition count of a plan — sizing sanity checks."""
     return df.rdd.getNumPartitions()
+
+
+def compact(
+    spark: SparkSession,
+    path: str,
+    target_files: int,
+    sort_by: list[str] | None = None,
+) -> tuple[int, int]:
+    """Small-file compaction: rewrite a parquet directory into
+    ``target_files`` files (optionally re-sorted for row-group
+    min/max skipping), replacing the original atomically-enough for a
+    single-writer pipeline (write to a sibling temp dir, then swap).
+
+    The small-file problem is the silent killer of long-running
+    ingest at scale — thousands of KB-sized files per partition turn
+    every scan into a metadata storm. Streaming sinks and per-batch
+    appends should schedule this over closed partitions. Returns
+    (files_before, files_after)."""
+    import glob
+    import os
+    import shutil
+
+    before = len(glob.glob(os.path.join(path, "*.parquet")))
+    df = spark.read.parquet(path)
+    if sort_by:
+        df = df.repartition(target_files).sortWithinPartitions(*sort_by)
+    else:
+        df = df.coalesce(target_files)
+    tmp = path.rstrip("/") + ".compact-tmp"
+    df.write.mode("overwrite").parquet(tmp)
+    old = path.rstrip("/") + ".compact-old"
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
+    after = len(glob.glob(os.path.join(path, "*.parquet")))
+    return before, after
