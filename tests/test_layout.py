@@ -101,3 +101,20 @@ def test_compact_rewrites_small_files(spark, tmp_path):
     assert before == 32 and after == 4
     got = sorted(r.o_orderkey for r in spark.read.parquet(path).collect())
     assert got == want
+
+
+def test_schema_evolution_merge_read(spark, tmp_path):
+    """Reading across schema versions: an old snapshot without a
+    column and a new one with it must union under mergeSchema, the
+    missing column null-filled — the append-only evolution contract."""
+    old = str(tmp_path / "v1")
+    new = str(tmp_path / "v2")
+    base = load_table(spark, SF_SMOKE, "orders").limit(100)
+    base.select("o_orderkey", "o_totalprice").write.parquet(old)
+    base.select(
+        "o_orderkey", "o_totalprice", F.lit("eu-1").alias("region_tag")
+    ).write.parquet(new)
+    df = spark.read.option("mergeSchema", "true").parquet(old, new)
+    assert set(df.columns) == {"o_orderkey", "o_totalprice", "region_tag"}
+    assert df.count() == 200
+    assert df.filter(F.col("region_tag").isNull()).count() == 100

@@ -197,3 +197,33 @@ def test_transform_with_state_topology_builds(spark):
 
     t = run_available_now(sdf, "counters_v2_test", mode="update")
     assert t.groupBy("user_id").count().count() > 0
+
+
+def test_multi_sink_fanout_each_exactly_once(spark, tmp_path):
+    """#6/#57 depth: ONE source feeding TWO independently-checkpointed
+    sinks — each sink must deliver exactly-once independently (the
+    fan-out topology of a real pipeline: archive + aggregate)."""
+    from pyspark.sql import functions as F
+
+    from zmaxion_spark.streaming.pipeline import run_available_now, run_to_parquet
+    from zmaxion_spark.streaming.sources import stream_events
+
+    src = stream_events(spark, SF_SMOKE)
+    archive = str(tmp_path / "archive")
+    run_to_parquet(
+        src.filter(F.col("event_type") == "click").select("event_id", "user_id"),
+        archive,
+    )
+    agg = run_available_now(
+        src.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")),
+        "fanout_agg",
+        mode="complete",
+    )
+    from zmaxion_spark.catalog import load_table
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    want_clicks = ev.filter(F.col("event_type") == "click").count()
+    assert spark.read.parquet(archive).count() == want_clicks
+    got = {r.event_type: r.n for r in agg.collect()}
+    want = {r.event_type: r.cnt for r in ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    assert got == want

@@ -66,7 +66,7 @@ OPERATORS: dict[int, str] = {
     117: "windowed_distinct_count", 118: "ratio_to_report",
     119: "join_asof_forward", 120: "nested_struct_pipeline",
     121: "join_disjunctive", 122: "subquery_exists_chain",
-    123: "compact_small_files",
+    123: "compact_small_files", 124: "contamination_screen",
 }
 
 # Ops verified by tests rather than graded queries.

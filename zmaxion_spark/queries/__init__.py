@@ -121,6 +121,7 @@ _NEXT_ROUND = [
     "q_nested_rollup",
     "q19_disjunctive_revenue",
     "q21_blocking_suppliers",
+    "q_contamination",
 ]
 
 

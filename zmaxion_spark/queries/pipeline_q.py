@@ -563,3 +563,79 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("key").cast("bigint").alias("max_key"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# #124 benchmark-contamination screen (train/test overlap)
+# ---------------------------------------------------------------------------
+
+_SQL_SHINGLES8 = """
+    LIST_TRANSFORM(RANGE(1, LEN(toks) - 6, 1),
+                   i -> ARRAY_TO_STRING(toks[i:i+7], ' '))
+"""
+
+
+@query(
+    "q_contamination",
+    oracle=f"""
+        WITH t AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS toks FROM documents),
+        sh AS (SELECT doc_id, UNNEST({_SQL_SHINGLES8}) AS frag
+               FROM t WHERE LEN(toks) >= 8),
+        fp AS (SELECT DISTINCT doc_id, {_SQL_FRAG_FP} AS fp FROM sh),
+        bench AS (SELECT DISTINCT fp FROM fp WHERE doc_id % 50 = 0),
+        train AS (SELECT * FROM fp WHERE doc_id % 50 <> 0)
+        SELECT train.doc_id,
+               COUNT(*) AS n_shingles,
+               CAST(SUM(CASE WHEN bench.fp IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_contaminated,
+               ROUND(CAST(SUM(CASE WHEN bench.fp IS NOT NULL THEN 1 ELSE 0 END)
+                          AS DOUBLE) / COUNT(*), 6) AS contamination_frac,
+               CAST(SUM(CASE WHEN bench.fp IS NOT NULL THEN 1 ELSE 0 END)
+                    AS DOUBLE) / COUNT(*) >= 0.05 AS quarantine
+        FROM train LEFT JOIN bench ON train.fp = bench.fp
+        GROUP BY train.doc_id
+    """,
+    operators=(66, 68, 124),
+    doc="Benchmark-contamination screen: sliding 8-token shingles of "
+    "every training document fingerprinted and probed against the "
+    "eval set's shingle fingerprints (docs with doc_id%50==0 stand in "
+    "for the benchmark); documents with >= 5% overlapping shingles "
+    "are quarantined — the train/test-overlap gate every pretraining "
+    "corpus build runs before shipping. Scale: the benchmark side is "
+    "tiny and BROADCAST (8-byte fingerprints, not text); the training "
+    "corpus streams through one explode + one aggregate — corpus "
+    "text never shuffles, and the probe is a broadcast hash lookup "
+    "per shingle.",
+)
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    shingles = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - 7, F.lit(1)),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, 8)),
+    )
+    sh = (
+        d.filter(F.size(toks) >= 8)
+        .select("doc_id", F.explode(shingles).alias("frag"))
+    )
+    fp = sh.select(
+        "doc_id",
+        F.conv(F.substring(F.md5(F.col("frag").cast("binary")), 1, 15), 16, 10)
+        .cast("long")
+        .alias("fp"),
+    ).distinct()
+    bench = (
+        fp.filter(F.col("doc_id") % 50 == 0)
+        .select(F.col("fp").alias("b_fp"))
+        .distinct()
+    )
+    train = fp.filter(F.col("doc_id") % 50 != 0)
+    probed = train.join(F.broadcast(bench), train.fp == bench.b_fp, "left")
+    hit = F.sum(F.when(F.col("b_fp").isNotNull(), 1).otherwise(0)).cast("bigint")
+    frac = hit.cast("double") / F.count(F.lit(1))
+    return probed.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_shingles"),
+        hit.alias("n_contaminated"),
+        F.round(frac, 6).alias("contamination_frac"),
+        (frac >= 0.05).alias("quarantine"),
+    )
