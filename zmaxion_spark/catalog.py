@@ -2,16 +2,18 @@
 
 Load pattern per TESTDATA.md: one parquet file per table under
 ``{sf_dir}/{name}.parquet``. The only special case is ``events``:
-its ``ts`` column is nanosecond-precision in parquet, which Spark
-cannot represent (µs timestamps). We read it as a long (nanosAsLong)
-and truncate to µs — identical to DuckDB's ``CAST(ts AS TIMESTAMP)``,
-so oracle SQL pairs stay bit-exact (verified in tests).
+depending on the generator version its ``ts`` column is either a
+native parquet timestamp (current data: timestamp[us]) or an int64
+of epoch-nanoseconds (older data). We normalize both to a µs
+TIMESTAMP_NTZ — identical to DuckDB's view of the same file, so
+oracle SQL pairs stay bit-exact (verified in tests).
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, TimestampType
 
 from zmaxion_spark.session import tune
 
@@ -32,13 +34,30 @@ TABLES = (
 DIM_TABLES = frozenset({"region", "nation", "supplier", "part"})
 
 
+def normalize_events_ts(df: DataFrame) -> DataFrame:
+    """Normalize events.ts to a µs TIMESTAMP (session tz, pinned UTC)
+    regardless of how the generator wrote it: int64 epoch-ns in older
+    data, parquet timestamp[us] (read as TIMESTAMP or TIMESTAMP_NTZ
+    depending on inferTimestampNTZ) in current data. With UTC session
+    tz this is value-identical to DuckDB's naive TIMESTAMP view of the
+    same column, so oracle SQL pairs stay bit-exact."""
+    ts_type = df.schema["ts"].dataType
+    if isinstance(ts_type, LongType):
+        # epoch-ns long -> µs timestamp (matches DuckDB CAST(ts AS TIMESTAMP))
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif not isinstance(ts_type, TimestampType):
+        # TIMESTAMP_NTZ (or date-like) -> session-tz TIMESTAMP; UTC session
+        # tz makes the cast a pure type change, values preserved
+        df = df.withColumn("ts", F.col("ts").cast(TimestampType()))
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one fixture table; normalizes events.ts to µs timestamp."""
     tune(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
-        # long ns -> µs timestamp; matches DuckDB CAST(ts AS TIMESTAMP)
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        df = normalize_events_ts(df)
     return df
 
 

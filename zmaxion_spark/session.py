@@ -3,8 +3,9 @@
 Scale posture (SURVEY.md §4): AQE on (runtime re-plan, skew-join
 splitting, partition coalescing), Arrow on (vectorized Python
 exchange), explicit UTC session timezone (oracle parity), and the
-``nanosAsLong`` legacy flag so the ns-precision ``events.ts`` parquet
-column is readable (Spark timestamps are µs; see FIXTURES.md).
+``nanosAsLong`` legacy flag kept for older fixture generations whose
+``events.ts`` was TIMESTAMP(NANOS) (current data is timestamp[us];
+``catalog.normalize_events_ts`` handles both).
 
 ``tune(spark)`` applies the runtime-settable subset to a session we
 did not create (the driver hands us its own SparkSession), so every

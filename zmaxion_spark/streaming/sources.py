@@ -3,9 +3,11 @@
 ``stream_events`` replays the events fixture as an unbounded
 file-directory source (the stand-in for a topic). Schemas are always
 explicit (engine policy, SURVEY §1.3) — required by Spark streaming
-anyway. The ns-precision ``ts`` is declared LONG and converted to a
-µs timestamp exactly like the batch loader, so stream/batch parity
-holds to the microsecond.
+anyway. The explicit schema is taken from the fixture file's own
+footer (one cheap metadata read, cached per sf_dir) so the stream
+sees exactly what the batch loader sees; ``ts`` is then normalized by
+the same ``catalog.normalize_events_ts`` rule, so stream/batch parity
+holds to the microsecond across generator versions.
 """
 
 from __future__ import annotations
@@ -16,16 +18,16 @@ from pyspark.sql import types as T
 
 from zmaxion_spark.session import tune
 
-EVENTS_RAW_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # nanoseconds (nanosAsLong)
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+_EVENTS_SCHEMA_CACHE: dict[str, T.StructType] = {}
+
+
+def _events_file_schema(spark: SparkSession, sf_dir: str) -> T.StructType:
+    """Footer schema of the events fixture (streaming needs it explicit)."""
+    schema = _EVENTS_SCHEMA_CACHE.get(sf_dir)
+    if schema is None:
+        schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+        _EVENTS_SCHEMA_CACHE[sf_dir] = schema
+    return schema
 
 
 def _as_stream_dir(sf_dir: str, table: str) -> str:
@@ -45,12 +47,14 @@ def _as_stream_dir(sf_dir: str, table: str) -> str:
 
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unbounded view of the events table (file-stream 'topic')."""
+    from zmaxion_spark.catalog import normalize_events_ts
+
     tune(spark)
     raw = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        spark.readStream.schema(_events_file_schema(spark, sf_dir))
         .parquet(_as_stream_dir(sf_dir, "events"))
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return normalize_events_ts(raw)
 
 
 # The Kafka source's fixed wire schema (what `format("kafka").load()`
