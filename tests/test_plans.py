@@ -266,3 +266,50 @@ def test_q21_decorrelated_single_lineitem_shuffle_chain(spark):
     df = REGISTRY["q21_blocking_suppliers"].fn(spark, SF_SMOKE)
     plan = _plan(df)
     assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_doc_chunking_is_map_only(spark):
+    """#125: chunking is explode + slice over the scan — any Exchange
+    in this plan means a pointless shuffle of document text."""
+    df = REGISTRY["q_doc_chunking"].fn(spark, SF_SMOKE)
+    plan = _plan(df, "simple")
+    assert "Exchange" not in plan
+    assert "Generate explode" in plan
+
+
+def test_weighted_sample_no_data_shuffle(spark):
+    """#126: the only exchange allowed is the broadcast of the 1-row
+    global max — the documents themselves must never shuffle."""
+    df = REGISTRY["q_weighted_sample"].fn(spark, SF_SMOKE)
+    plan = _plan(df, "simple")
+    assert "BroadcastExchange" in plan
+    assert "Exchange hashpartitioning" not in plan
+    assert "rangepartitioning" not in plan
+
+
+def test_global_shuffle_avoids_global_sort(spark):
+    """#128: the permutation must come from per-bucket ranks + a
+    broadcast prefix-sum — a rangepartitioning Exchange over the data
+    (global sort) defeats the construction."""
+    df = REGISTRY["q_global_shuffle"].fn(spark, SF_SMOKE)
+    plan = _plan(df, "simple")
+    data_side = plan.split("BroadcastExchange")[0]
+    assert "rangepartitioning" not in data_side
+    assert "BroadcastExchange" in plan  # offsets table rides broadcast
+
+
+def test_dedup_incremental_plans_left_anti(spark):
+    """#132: incremental dedup must plan a LeftAnti join on the
+    fingerprint, never materialize the corpus side as inner+filter."""
+    df = REGISTRY["q_dedup_incremental"].fn(spark, SF_SMOKE)
+    plan = _plan(df, "simple")
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_shard_manifest_partial_agg(spark):
+    """#127: the manifest aggregation must map-side combine (partial
+    before the 16-key shuffle) — at 100 TB the shuffle carries
+    O(shards x partitions) rows, not O(docs)."""
+    plan = _plan(REGISTRY["q_shard_manifest"].fn(spark, SF_SMOKE))
+    assert "partial_count" in plan or "partial_sum" in plan

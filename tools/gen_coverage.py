@@ -67,6 +67,11 @@ OPERATORS: dict[int, str] = {
     119: "join_asof_forward", 120: "nested_struct_pipeline",
     121: "join_disjunctive", 122: "subquery_exists_chain",
     123: "compact_small_files", 124: "contamination_screen",
+    # §2.14 round-3 wave (corpus-engineering passes)
+    125: "doc_chunking", 126: "sample_weighted", 127: "shard_manifest",
+    128: "global_shuffle (no global sort)", 129: "token_histogram",
+    130: "domain_mix_rebalance", 131: "length_percentile_gate",
+    132: "dedup_incremental",
 }
 
 # Ops verified by tests rather than graded queries.

@@ -9,6 +9,7 @@ from zmaxion_spark.queries import (  # noqa: F401,E402
     ecs_q,
     llm,
     pipeline_q,
+    pipeline3_q,
     relational,
     scalar,
     sources_q,
@@ -78,6 +79,14 @@ _GRADE_FIRST = [
     "q21_blocking_suppliers",
     "q_contamination",
     # --- new in round 3 (appended as they are built) ---
+    "q_doc_chunking",
+    "q_weighted_sample",
+    "q_shard_manifest",
+    "q_global_shuffle",
+    "q_token_histogram",
+    "q_domain_mix",
+    "q_length_percentile_filter",
+    "q_dedup_incremental",
 ]
 
 
