@@ -313,3 +313,21 @@ def test_shard_manifest_partial_agg(spark):
     O(shards x partitions) rows, not O(docs)."""
     plan = _plan(REGISTRY["q_shard_manifest"].fn(spark, SF_SMOKE))
     assert "partial_count" in plan or "partial_sum" in plan
+
+
+def test_orc_scan_pushes_filters(spark):
+    """#133: the ORC reader must carry the same pushdown machinery as
+    parquet — a filter on a scanned column reaches PushedFilters."""
+    from zmaxion_spark.queries.sources_q import LINEITEM_LITE_SCHEMA, _roundtrip_dir
+
+    REGISTRY["q_scan_orc"].fn(spark, SF_SMOKE)  # materializes the ORC dir
+    path = _roundtrip_dir(SF_SMOKE, "lineitem_orc")
+    df = (
+        spark.read.schema(LINEITEM_LITE_SCHEMA)
+        .orc(path)
+        .filter(F.col("l_quantity") > 40.0)
+        .select("l_orderkey")
+    )
+    plan = _plan(df)
+    assert "PushedFilters" in plan
+    assert "GreaterThan(l_quantity" in plan

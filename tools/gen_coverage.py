@@ -71,7 +71,7 @@ OPERATORS: dict[int, str] = {
     125: "doc_chunking", 126: "sample_weighted", 127: "shard_manifest",
     128: "global_shuffle (no global sort)", 129: "token_histogram",
     130: "domain_mix_rebalance", 131: "length_percentile_gate",
-    132: "dedup_incremental",
+    132: "dedup_incremental", 133: "scan_orc",
 }
 
 # Ops verified by tests rather than graded queries.

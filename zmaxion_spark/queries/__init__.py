@@ -87,6 +87,10 @@ _GRADE_FIRST = [
     "q_domain_mix",
     "q_length_percentile_filter",
     "q_dedup_incremental",
+    # --- positions 51+: just past this round's window; first in line
+    # for the round-4 rotation (locally hash-verified meanwhile) ---
+    "q_scan_orc",
+    "q_compact_scan",
 ]
 
 
