@@ -306,3 +306,88 @@ def test_timeseries_api_functions_compose(spark):
                                 "k long, s string, version int")
     m = {r.k: r.s for r in merge_upsert(base, chg, "k", "version").collect()}
     assert m == {1: "a", 2: "B", 3: "c"}
+
+
+def test_global_shuffle_is_permutation(spark):
+    """#128: positions must be exactly 1..n with no repeats — the
+    two-phase (bucket rank + offset) construction composes a true
+    permutation, and shard occupancy differs from id order."""
+    rows = _rows(spark, "q_global_shuffle")
+    n = len(rows)
+    assert sorted(r["pos"] for r in rows) == list(range(1, n + 1))
+    assert {r["shard"] for r in rows} == set(range(8))
+    # the permutation actually shuffles: doc order != position order
+    by_pos = [r["doc_id"] for r in sorted(rows, key=lambda r: r["pos"])]
+    assert by_pos != sorted(by_pos)
+
+
+def test_doc_chunking_covers_every_token(spark):
+    """#125: with stride 48 and chunk 64, chunk starts tile the doc —
+    every token index is inside >=1 chunk, first chunk starts at 0,
+    and consecutive chunks overlap by exactly 16 (or end the doc)."""
+    from collections import defaultdict
+
+    rows = _rows(spark, "q_doc_chunking")
+    docs = defaultdict(list)
+    for r in rows:
+        docs[r["doc_id"]].append(r)
+    d = load_table(spark, SF_SMOKE, "documents")
+    n_words = {
+        r["doc_id"]: r["n"]
+        for r in d.select("doc_id", F.size(F.split("text", " ")).alias("n")).collect()
+    }
+    for doc_id, chunks in docs.items():
+        chunks.sort(key=lambda r: r["chunk_idx"])
+        assert chunks[0]["start"] == 0
+        covered = max(c["start"] + c["chunk_len"] for c in chunks)
+        assert covered == n_words[doc_id]
+        for a, b in zip(chunks, chunks[1:]):
+            assert b["start"] - a["start"] == 48
+
+
+def test_weighted_sample_rate_tracks_weight(spark):
+    """#126: acceptance is monotone in weight — the kept fraction in
+    the top length quartile must exceed the bottom quartile's."""
+    d = load_table(spark, SF_SMOKE, "documents")
+    quarts = d.approxQuantile("n_chars", [0.25, 0.75], 0.0)
+    kept = {r["doc_id"] for r in _rows(spark, "q_weighted_sample")}
+    rows = d.select("doc_id", "n_chars").collect()
+    lo = [r for r in rows if r["n_chars"] <= quarts[0]]
+    hi = [r for r in rows if r["n_chars"] >= quarts[1]]
+    rate = lambda xs: sum(1 for r in xs if r["doc_id"] in kept) / max(len(xs), 1)
+    assert rate(hi) > rate(lo)
+
+
+def test_length_percentile_filter_bounds(spark):
+    """#131: the gate keeps ~90% per language and drops both tails —
+    kept min > dropped-low max is false in general (ties), but kept
+    count must be within 1 of round(0.9 * n) per lang."""
+    from collections import Counter
+
+    d = load_table(spark, SF_SMOKE, "documents")
+    totals = Counter(r["lang"] for r in d.select("lang").collect())
+    kept = Counter(r["lang"] for r in _rows(spark, "q_length_percentile_filter"))
+    for lang, n in totals.items():
+        expect = (n * 95) // 100 - (n * 5) // 100
+        assert abs(kept[lang] - expect) <= 1
+
+
+def test_dedup_incremental_admits_only_new(spark):
+    """#132: no admitted fingerprint may exist in the corpus side, and
+    every non-admitted incoming fingerprint must exist there."""
+    d = load_table(spark, SF_SMOKE, "documents")
+    from zmaxion_spark.queries.pipeline_q import hash_bucket
+
+    fp = d.select(
+        "doc_id",
+        F.md5(F.col("text").cast("binary")).alias("fp"),
+        hash_bucket(F.col("doc_id"), 5).alias("grp"),
+    ).collect()
+    corpus = {r["fp"] for r in fp if r["grp"] != 0}
+    incoming = {r["doc_id"]: r["fp"] for r in fp if r["grp"] == 0}
+    admitted = {r["doc_id"] for r in _rows(spark, "q_dedup_incremental")}
+    for doc_id, f in incoming.items():
+        if doc_id in admitted:
+            assert f not in corpus
+        else:
+            assert f in corpus
