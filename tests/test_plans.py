@@ -321,7 +321,7 @@ def test_orc_scan_pushes_filters(spark):
     from zmaxion_spark.queries.sources_q import LINEITEM_LITE_SCHEMA, _roundtrip_dir
 
     REGISTRY["q_scan_orc"].fn(spark, SF_SMOKE)  # materializes the ORC dir
-    path = _roundtrip_dir(SF_SMOKE, "lineitem_orc")
+    path = _roundtrip_dir(SF_SMOKE, "lineitem_orc", "lineitem")
     df = (
         spark.read.schema(LINEITEM_LITE_SCHEMA)
         .orc(path)

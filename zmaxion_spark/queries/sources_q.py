@@ -39,8 +39,20 @@ ORDERS_LITE_SCHEMA = T.StructType(
 )
 
 
-def _roundtrip_dir(sf_dir: str, tag: str) -> str:
-    key = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+def _roundtrip_dir(sf_dir: str, tag: str, source_table: str = "") -> str:
+    """Cache dir for a fixture round-trip, keyed by the SOURCE file's
+    identity (path + size + mtime) — so a regenerated fixture (the
+    round-2→3 lesson: testdata changed under us mid-build) can never
+    be served from a stale materialized copy."""
+    ident = sf_dir
+    if source_table:
+        src = f"{sf_dir}/{source_table}.parquet"
+        try:
+            st = os.stat(src)
+            ident = f"{src}:{st.st_size}:{int(st.st_mtime)}"
+        except OSError:
+            ident = src
+    key = hashlib.md5(ident.encode()).hexdigest()[:8]
     return f"/tmp/zmx-sources/{key}/{tag}"
 
 
@@ -56,7 +68,7 @@ def _roundtrip_dir(sf_dir: str, tag: str) -> str:
     "CSV (header, no inference), read back, broadcast-joined to region.",
 )
 def q_scan_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
-    path = _roundtrip_dir(sf_dir, "nation_csv")
+    path = _roundtrip_dir(sf_dir, "nation_csv", "nation")
     if not os.path.exists(path):
         load_table(spark, sf_dir, "nation").coalesce(1).write.mode("overwrite").option(
             "header", True
@@ -85,7 +97,7 @@ def q_scan_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
     "serialization), read back, aggregated.",
 )
 def q_scan_json(spark: SparkSession, sf_dir: str) -> DataFrame:
-    path = _roundtrip_dir(sf_dir, "orders_json")
+    path = _roundtrip_dir(sf_dir, "orders_json", "orders")
     if not os.path.exists(path):
         load_table(spark, sf_dir, "orders").select(
             "o_orderkey", "o_orderstatus", "o_totalprice"
@@ -116,7 +128,7 @@ def q_scan_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     "a full-corpus pass into a directory listing plus two subtrees.",
 )
 def q_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
-    path = _roundtrip_dir(sf_dir, "documents_by_lang")
+    path = _roundtrip_dir(sf_dir, "documents_by_lang", "documents")
     if not os.path.exists(path):
         load_table(spark, sf_dir, "documents").write.mode(
             "overwrite"
@@ -159,7 +171,7 @@ LINEITEM_LITE_SCHEMA = T.StructType(
     bench=False,  # writes real files on first touch; correctness demo
 )
 def q_scan_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
-    path = _roundtrip_dir(sf_dir, "lineitem_orc")
+    path = _roundtrip_dir(sf_dir, "lineitem_orc", "lineitem")
     if not os.path.exists(path):
         load_table(spark, sf_dir, "lineitem").select(
             "l_orderkey", "l_returnflag", "l_quantity", "l_extendedprice"
@@ -199,7 +211,7 @@ def q_scan_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_compact_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     from zmaxion_spark.layout import compact
 
-    path = _roundtrip_dir(sf_dir, "orders_small_files")
+    path = _roundtrip_dir(sf_dir, "orders_small_files", "orders")
     if not os.path.exists(path):
         load_table(spark, sf_dir, "orders").select(
             "o_orderkey", "o_orderstatus"
