@@ -72,6 +72,7 @@ OPERATORS: dict[int, str] = {
     128: "global_shuffle (no global sort)", 129: "token_histogram",
     130: "domain_mix_rebalance", 131: "length_percentile_gate",
     132: "dedup_incremental", 133: "scan_orc",
+    134: "join_temporal_pit (stream)",
 }
 
 # Ops verified by tests rather than graded queries.

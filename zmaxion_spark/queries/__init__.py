@@ -91,6 +91,7 @@ _GRADE_FIRST = [
     # for the round-4 rotation (locally hash-verified meanwhile) ---
     "q_scan_orc",
     "q_compact_scan",
+    "q_stream_temporal_join",
 ]
 
 

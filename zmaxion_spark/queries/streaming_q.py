@@ -390,3 +390,82 @@ def q_stream_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
+
+
+@query(
+    "q_stream_temporal_join",
+    oracle="""
+        WITH marked AS (
+            SELECT user_id, event_type, ts, event_id,
+                   CASE WHEN event_type IS DISTINCT FROM
+                             LAG(event_type) OVER (PARTITION BY user_id
+                                                   ORDER BY ts, event_id)
+                        THEN 1 ELSE 0 END AS is_change
+            FROM events
+        ),
+        changes AS (SELECT * FROM marked WHERE is_change = 1),
+        dim AS (
+            SELECT user_id, event_type AS status,
+                   ts AS valid_from,
+                   LEAD(ts) OVER w AS valid_to,
+                   CAST(ROW_NUMBER() OVER w AS BIGINT) AS version
+            FROM changes
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        )
+        SELECT d.status, d.version,
+               COUNT(*) AS n_events,
+               CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_users
+        FROM events e
+        JOIN dim d ON e.user_id = d.user_id
+                  AND e.ts >= d.valid_from
+                  AND (d.valid_to IS NULL OR e.ts < d.valid_to)
+        GROUP BY d.status, d.version
+    """,
+    operators=(21, 99, 134),
+    doc="Temporal point-in-time join (#134) — the Flink 'temporal "
+    "table join' pattern Spark lacks natively: each streamed event is "
+    "enriched with the SCD2 dimension version that was valid AT ITS "
+    "EVENT TIME (user_id equality + [valid_from, valid_to) interval "
+    "containment), then rolled up per (status, version). The interval "
+    "tiling guarantees exactly one match per event, so the stream "
+    "never fans out. Scale: the dimension history is the static side "
+    "(rebuilt per micro-batch from the batch view, broadcast when "
+    "small); join state is NOT accumulated — stream-static joins are "
+    "stateless per batch. The batch oracle recomputes the same "
+    "dimension and join, so correctness covers derivation + "
+    "containment semantics end-to-end.",
+)
+def q_stream_temporal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev_batch = load_table(spark, sf_dir, "events")
+    w_all = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changed = ~F.col("event_type").eqNullSafe(F.lag("event_type").over(w_all))
+    changes = ev_batch.select(
+        "user_id", "event_type", "ts", "event_id", changed.alias("is_change")
+    ).filter("is_change")
+    dim = changes.select(
+        F.col("user_id").alias("d_user"),
+        F.col("event_type").alias("status"),
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w_all).alias("valid_to"),
+        F.row_number().over(w_all).cast("bigint").alias("version"),
+    )
+    ev = stream_events(spark, sf_dir)
+    joined = ev.join(
+        F.broadcast(dim),
+        (ev.user_id == dim.d_user)
+        & (ev.ts >= dim.valid_from)
+        & (dim.valid_to.isNull() | (ev.ts < dim.valid_to)),
+    )
+    # Distinct aggs are unsupported on streams: count per (status,
+    # version, user) in-stream, then roll users up on the materialized
+    # sink (same two-level pattern as q_stream_dedup).
+    agg = joined.groupBy("status", "version", "user_id").agg(
+        F.count(F.lit(1)).alias("n_ev")
+    )
+    t = run_available_now(agg, "temporal_join", mode="complete")
+    return t.groupBy("status", "version").agg(
+        F.sum("n_ev").cast("bigint").alias("n_events"),
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+    )
