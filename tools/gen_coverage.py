@@ -73,6 +73,7 @@ OPERATORS: dict[int, str] = {
     130: "domain_mix_rebalance", 131: "length_percentile_gate",
     132: "dedup_incremental", 133: "scan_orc",
     134: "join_temporal_pit (stream)",
+    135: "variant_semistructured",
 }
 
 # Ops verified by tests rather than graded queries.

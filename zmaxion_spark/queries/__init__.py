@@ -92,6 +92,7 @@ _GRADE_FIRST = [
     "q_scan_orc",
     "q_compact_scan",
     "q_stream_temporal_join",
+    "q_variant_json",
 ]
 
 

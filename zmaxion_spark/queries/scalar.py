@@ -313,3 +313,56 @@ def q_fn_struct_map(spark: SparkSession, sf_dir: str) -> DataFrame:
         s.getField("etype").alias("s_type"),
         F.element_at(m, "value_x10").alias("m_value"),
     )
+
+
+@query(
+    "q_variant_json",
+    oracle="""
+        SELECT event_type,
+               user_id % 100 AS bucket,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(props ->> 'k' AS BIGINT)) AS BIGINT) AS sum_k,
+               CAST(SUM(event_id) AS BIGINT) AS sum_id0
+        FROM events
+        GROUP BY 1, 2
+    """,
+    operators=(46, 135),
+    doc="Semi-structured VARIANT type (#135, new in Spark 4): every "
+    "grouped value is routed through a VARIANT round-trip — the raw "
+    "props JSON is parsed with parse_json and probed with "
+    "variant_get('$.k'), and the typed columns are re-encoded to a "
+    "nested JSON document (struct + array), re-parsed as VARIANT, and "
+    "extracted back via nested paths ('$.u.bucket', '$.ids[0]') — so "
+    "the oracle (straight column arithmetic in DuckDB) proves the "
+    "encode→VARIANT→path-extract cycle is lossless for strings, "
+    "nested ints and array elements. Scale: VARIANT keeps the parsed "
+    "binary form columnar (no per-row re-parsing downstream), the "
+    "shredded-path future of semi-structured corpora at 100 TB.",
+)
+def q_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    doc = F.to_json(
+        F.struct(
+            F.col("event_type").alias("t"),
+            F.struct((F.col("user_id") % 100).alias("bucket")).alias("u"),
+            F.array("event_id", "user_id").alias("ids"),
+        )
+    )
+    v = e.select(
+        F.parse_json(doc).alias("v"),
+        F.parse_json("props").alias("p"),
+    )
+    return (
+        v.select(
+            F.expr("variant_get(v, '$.t', 'string')").alias("event_type"),
+            F.expr("variant_get(v, '$.u.bucket', 'bigint')").alias("bucket"),
+            F.expr("variant_get(v, '$.ids[0]', 'bigint')").alias("id0"),
+            F.expr("variant_get(p, '$.k', 'bigint')").alias("k"),
+        )
+        .groupBy("event_type", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").cast("bigint").alias("sum_k"),
+            F.sum("id0").cast("bigint").alias("sum_id0"),
+        )
+    )
