@@ -74,6 +74,8 @@ OPERATORS: dict[int, str] = {
     132: "dedup_incremental", 133: "scan_orc",
     134: "join_temporal_pit (stream)",
     135: "variant_semistructured",
+    136: "python_datasource (topic simulator)",
+    137: "python_datasource_stream (offset resume)",
 }
 
 # Ops verified by tests rather than graded queries.
@@ -86,9 +88,11 @@ TEST_COVERED: dict[int, str] = {
 }
 
 DESIGN_SLOTS: dict[int, str] = {
-    5: "kafka source: `readStream.format('kafka')` wrapper in "
-       "streaming/sources.py requires a broker; interface documented, "
-       "no broker in this environment",
+    5: "kafka source: the network LOAD needs a broker (absent here), "
+       "but everything behind it now executes — #136/#137 drive the "
+       "same parse_kafka_topology projection and offset-resume "
+       "semantics through a custom Python DataSource emitting the "
+       "exact Kafka wire schema",
     114: "transformWithState processor (streaming/stateful.py "
          "running_counters_v2): topology builds and schema is pinned in "
          "tests/test_streaming.py, but execution needs google.protobuf "

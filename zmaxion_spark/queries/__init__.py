@@ -93,6 +93,8 @@ _GRADE_FIRST = [
     "q_compact_scan",
     "q_stream_temporal_join",
     "q_variant_json",
+    "q_python_datasource",
+    "q_stream_python_source",
 ]
 
 

@@ -223,3 +223,54 @@ def q_compact_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("o_orderkey").cast("bigint").alias("min_key"),
         F.max("o_orderkey").cast("bigint").alias("max_key"),
     )
+
+
+@query(
+    "q_python_datasource",
+    oracle="""
+        WITH p AS (SELECT UNNEST(generate_series(0, 3)) AS pid),
+        o AS (SELECT UNNEST(generate_series(0, 999)) AS off),
+        m AS (SELECT pid, off,
+                     CAST(pid * 1000000 + off AS BIGINT) AS event_id,
+                     ['click','view','purchase','signup','refund']
+                         [((off * 7 + pid) % 5) + 1] AS etype,
+                     CAST((off * 31 + pid * 17) % 1000 AS BIGINT) AS amount
+              FROM p, o)
+        SELECT etype,
+               COUNT(*) AS n,
+               CAST(SUM(amount) AS BIGINT) AS total_amount,
+               CAST(MAX(event_id) AS BIGINT) AS max_event_id
+        FROM m GROUP BY etype
+    """,
+    operators=(5, 46, 136),
+    doc="Python DataSource topic simulator (#136, Spark 4 "
+    "pyspark.sql.datasource): a custom source emitting the EXACT "
+    "Kafka wire schema (binary key/value, topic, partition, offset, "
+    "timestamp) is consumed through the same parse_kafka_topology "
+    "projection a real broker would use — binary JSON value → "
+    "from_json with explicit schema → typed columns — and aggregated. "
+    "The oracle reproduces the deterministic payload arithmetic from "
+    "generate_series, so the whole ingress path (source partitioning, "
+    "wire decode, JSON parse, typing) is hash-verified without a "
+    "broker: the #5 design slot minus only the network client. "
+    "Scale: one InputPartition per topic partition, scheduled like "
+    "any scan; no shuffle until the aggregate.",
+)
+def q_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from zmaxion_spark.streaming.pytopic import read_topic
+    from zmaxion_spark.streaming.sources import parse_kafka_topology
+
+    value_schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("etype", T.StringType()),
+            T.StructField("amount", T.LongType()),
+        ]
+    )
+    raw = read_topic(spark, rows_per_partition=1000, partitions=4)
+    typed = parse_kafka_topology(raw, value_schema)
+    return typed.groupBy("etype").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("amount").cast("bigint").alias("total_amount"),
+        F.max("event_id").cast("bigint").alias("max_event_id"),
+    )

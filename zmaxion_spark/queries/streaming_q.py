@@ -469,3 +469,51 @@ def q_stream_temporal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_ev").cast("bigint").alias("n_events"),
         F.count(F.lit(1)).cast("bigint").alias("n_users"),
     )
+
+
+@query(
+    "q_stream_python_source",
+    oracle="""
+        WITH o AS (SELECT UNNEST(generate_series(0, 1999)) AS off),
+        m AS (SELECT off,
+                     ['click','view','purchase','signup','refund']
+                         [((off * 7) % 5) + 1] AS etype,
+                     CAST((off * 31) % 1000 AS BIGINT) AS amount
+              FROM o)
+        SELECT etype,
+               COUNT(*) AS n,
+               CAST(SUM(amount) AS BIGINT) AS total_amount,
+               CAST(MAX(off) AS BIGINT) AS max_offset
+        FROM m GROUP BY etype
+    """,
+    operators=(5, 57, 137),
+    doc="Custom STREAMING Python data source (#137, Spark 4 "
+    "simpleStreamReader) consumed incrementally: the 2000-message "
+    "simulated topic is drained by FIVE successive availableNow runs "
+    "sharing one checkpoint — each run resumes from the committed "
+    "offset and appends exactly its new 500 messages to the parquet "
+    "sink (the scheduled batch-over-stream operating pattern). The "
+    "aggregate over the sink must hash-match the oracle's "
+    "generate_series arithmetic, proving offset tracking, resume, and "
+    "exactly-once file commit across restarts — the remaining "
+    "behavioral surface of the #5 topic-ingress slot, minus only the "
+    "network client. A fresh sink+checkpoint per call keeps the query "
+    "rerunnable.",
+    bench=False,  # writes real files, loops 5 streaming runs
+)
+def q_stream_python_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from zmaxion_spark.streaming.pipeline import run_to_parquet
+    from zmaxion_spark.streaming.pytopic import stream_topic
+
+    base = tempfile.mkdtemp(prefix="zmx-pyds-")
+    out, ckpt = base + "/out", base + "/ckpt"
+    for _ in range(5):  # 4 batches of 500 + one empty confirm run
+        run_to_parquet(stream_topic(spark, rows=2000, step=500), out, checkpoint=ckpt)
+    back = spark.read.parquet(out)
+    return back.groupBy("etype").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("amount").cast("bigint").alias("total_amount"),
+        F.max("offset").cast("bigint").alias("max_offset"),
+    )

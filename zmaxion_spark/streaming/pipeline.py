@@ -74,13 +74,19 @@ def run_available_now(
     return sdf.sparkSession.table(qname)
 
 
-def run_to_parquet(sdf: DataFrame, path: str, mode: str = "append") -> None:
-    """Exactly-once parquet sink with checkpointed offsets (#6)."""
+def run_to_parquet(
+    sdf: DataFrame, path: str, mode: str = "append", checkpoint: str | None = None
+) -> None:
+    """Exactly-once parquet sink with checkpointed offsets (#6).
+
+    Pass an explicit ``checkpoint`` to RESUME consumption across calls
+    — each availableNow run continues from the committed offsets, the
+    scheduled-batch-over-stream operating pattern."""
     with _stream_shuffle(sdf.sparkSession):
         q = (
             sdf.writeStream.format("parquet")
             .option("path", path)
-            .option("checkpointLocation", _checkpoint_dir())
+            .option("checkpointLocation", checkpoint or _checkpoint_dir())
             .outputMode(mode)
             .trigger(availableNow=True)
             .start()
