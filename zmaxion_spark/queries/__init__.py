@@ -87,8 +87,14 @@ _GRADE_FIRST = [
     "q_domain_mix",
     "q_length_percentile_filter",
     "q_dedup_incremental",
-    # --- positions 51+: just past this round's window; first in line
-    # for the round-4 rotation (locally hash-verified meanwhile) ---
+]
+
+
+# Positions 51+: just past this round's window, first in line for the
+# round-4 rotation (locally hash-verified meanwhile). Queries with
+# green driver rows already recorded (CORRECTNESS_r01/r02) keep their
+# registration order behind these.
+_NEXT_ROUND: list[str] = [
     "q_scan_orc",
     "q_compact_scan",
     "q_stream_temporal_join",
@@ -96,12 +102,6 @@ _GRADE_FIRST = [
     "q_python_datasource",
     "q_stream_python_source",
 ]
-
-
-# Queries with green driver rows already recorded (CORRECTNESS_r01/r02)
-# keep their registration order behind the window. When the round-3
-# window earns its rows, rotate the next ungraded block forward.
-_NEXT_ROUND: list[str] = []
 
 
 def _reorder_registry() -> None:
