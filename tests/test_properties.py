@@ -391,3 +391,53 @@ def test_dedup_incremental_admits_only_new(spark):
             assert f not in corpus
         else:
             assert f in corpus
+
+
+def test_hll_sketch_accuracy_and_mergeability(spark):
+    """#140: per-segment HLL estimates stay within 2% of exact, and
+    the union of per-segment sketches estimates the SAME value as one
+    sketch built over the whole table — the mergeable-summary
+    contract that makes sketches shippable across executors."""
+    rows = _rows(spark, "q_hll_sketch")
+    for r in rows:
+        assert abs(r["est_distinct"] - r["exact_distinct"]) <= max(
+            2, 0.02 * r["exact_distinct"]
+        )
+    cust = load_table(spark, SF_SMOKE, "customer")
+    merged = (
+        cust.groupBy("c_mktsegment")
+        .agg(F.expr("hll_sketch_agg(c_custkey)").alias("sk"))
+        .agg(F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("est"))
+        .collect()[0]["est"]
+    )
+    whole = cust.agg(
+        F.expr("hll_sketch_estimate(hll_sketch_agg(c_custkey))").alias("est")
+    ).collect()[0]["est"]
+    assert merged == whole
+
+
+def test_observe_metrics_single_pass(spark):
+    """#139: Observation collects exact audit counters as a side
+    effect of the action that already runs — values must equal a
+    separately computed aggregate."""
+    from zmaxion_spark.metrics import observed
+
+    li = load_table(spark, SF_SMOKE, "lineitem")
+    audited, obs = observed(
+        li.filter(F.col("l_quantity") > 25.0),
+        "audit",
+        F.count(F.lit(1)).alias("rows_kept"),
+        F.sum(F.col("l_quantity").cast("decimal(38,6)")).cast("double").alias("qty"),
+    )
+    n_action = audited.count()  # the action that was happening anyway
+    got = obs.get
+    expect = (
+        li.filter(F.col("l_quantity") > 25.0)
+        .agg(
+            F.count(F.lit(1)).alias("rows_kept"),
+            F.sum(F.col("l_quantity").cast("decimal(38,6)")).cast("double").alias("qty"),
+        )
+        .collect()[0]
+    )
+    assert got["rows_kept"] == expect["rows_kept"] == n_action
+    assert got["qty"] == expect["qty"]

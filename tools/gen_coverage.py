@@ -76,6 +76,8 @@ OPERATORS: dict[int, str] = {
     135: "variant_semistructured",
     136: "python_datasource (topic simulator)",
     137: "python_datasource_stream (offset resume)",
+    138: "join_lateral", 139: "runtime_metrics_observe",
+    140: "hll_sketch (mergeable distinct)",
 }
 
 # Ops verified by tests rather than graded queries.
@@ -85,6 +87,7 @@ TEST_COVERED: dict[int, str] = {
     6: "tests/test_streaming.py::test_parquet_sink_exactly_once",
     7: "tests/test_streaming.py::test_foreach_batch_side_channel",
     54: "tests/test_streaming.py::test_watermark_drops_late_data",
+    139: "tests/test_properties.py::test_observe_metrics_single_pass",
 }
 
 DESIGN_SLOTS: dict[int, str] = {

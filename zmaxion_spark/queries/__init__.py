@@ -101,6 +101,8 @@ _NEXT_ROUND: list[str] = [
     "q_variant_json",
     "q_python_datasource",
     "q_stream_python_source",
+    "q_lateral_topk",
+    "q_hll_sketch",
 ]
 
 

@@ -422,3 +422,87 @@ def q_set_ops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     return summarize(f.exceptAll(o), "except_all").unionAll(
         summarize(f.intersectAll(o), "intersect_all")
     )
+
+
+# ---------------------------------------------------------------------------
+# #138 JOIN LATERAL — correlated derived table per outer row
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_lateral_topk",
+    oracle="""
+        SELECT r_name, n_name, n_custs
+        FROM region r
+        JOIN LATERAL (
+            SELECT n_name, COUNT(c_custkey) AS n_custs
+            FROM nation n JOIN customer c ON c_nationkey = n_nationkey
+            WHERE n_regionkey = r.r_regionkey
+            GROUP BY n_name
+            ORDER BY n_custs DESC, n_name
+            LIMIT 2
+        ) t ON TRUE
+    """,
+    operators=(33, 138),
+    doc="JOIN LATERAL (#138): a correlated derived table evaluated per "
+    "outer row — each region pulls its top-2 nations by customer "
+    "count, the SQL-standard alternative to the rank-window top-k "
+    "idiom (q_win_topk_per_group computes the same family the window "
+    "way). Catalyst decorrelates the lateral subquery into a "
+    "join+aggregate — the plan has no per-row re-execution; the "
+    "deterministic ORDER BY (count DESC, name) makes the LIMIT "
+    "hash-stable across engines. Scale: after decorrelation this is "
+    "one agg shuffle + one broadcast join, identical cost to the "
+    "window formulation.",
+)
+def q_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from zmaxion_spark.catalog import register_views
+
+    register_views(spark, sf_dir, ["region", "nation", "customer"])
+    return spark.sql(
+        """
+        SELECT r_name, n_name, n_custs
+        FROM region r
+        JOIN LATERAL (
+            SELECT n_name, COUNT(c_custkey) AS n_custs
+            FROM nation n JOIN customer c ON c_nationkey = n_nationkey
+            WHERE n_regionkey = r.r_regionkey
+            GROUP BY n_name
+            ORDER BY n_custs DESC, n_name
+            LIMIT 2
+        ) t
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# #140 HLL sketch distinct counting (DataSketches, mergeable)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_hll_sketch",
+    oracle=None,  # sketch estimates are engine-specific; DuckDB's HLL
+    # differs by design. Driver records rows-only; the accuracy and
+    # MERGEABILITY contracts are pinned in tests/test_properties.py.
+    operators=(26, 140),
+    doc="DataSketches HLL distinct counting (#140, Spark 4 "
+    "hll_sketch_agg / hll_union_agg): per-segment customer sketches "
+    "are built in ONE pass, then unioned into a global sketch — the "
+    "mergeable-summary pattern that replaces exact COUNT(DISTINCT) at "
+    "100 TB (sketches travel executor→executor as ~KB binaries; no "
+    "row-level shuffle). Emits per-segment and global estimates plus "
+    "exact twins; tests assert <2% relative error and that "
+    "union-of-parts equals the whole-corpus sketch estimate exactly.",
+)
+def q_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    per_seg = cust.groupBy("c_mktsegment").agg(
+        F.expr("hll_sketch_agg(c_custkey)").alias("sk"),
+        F.countDistinct("c_custkey").cast("bigint").alias("exact_distinct"),
+    )
+    return per_seg.select(
+        "c_mktsegment",
+        F.expr("hll_sketch_estimate(sk)").cast("bigint").alias("est_distinct"),
+        "exact_distinct",
+    ).orderBy("c_mktsegment")
