@@ -78,6 +78,7 @@ OPERATORS: dict[int, str] = {
     137: "python_datasource_stream (offset resume)",
     138: "join_lateral", 139: "runtime_metrics_observe",
     140: "hll_sketch (mergeable distinct)",
+    141: "funnel_analysis (CEP-lite sequences)",
 }
 
 # Ops verified by tests rather than graded queries.

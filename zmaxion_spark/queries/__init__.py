@@ -103,6 +103,7 @@ _NEXT_ROUND: list[str] = [
     "q_stream_python_source",
     "q_lateral_topk",
     "q_hll_sketch",
+    "q_funnel_steps",
 ]
 
 

@@ -388,3 +388,69 @@ def q_ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("revenue_share"),
         F.rank().over(w_rank).cast("bigint").alias("revenue_rank"),
     )
+
+
+# ---------------------------------------------------------------------------
+# #141 funnel_analysis — ordered-sequence (CEP-lite) pattern matching
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_funnel_steps",
+    oracle="""
+        WITH s1 AS (
+            SELECT user_id, MIN(ts) AS t1 FROM events
+            WHERE event_type = 'click' GROUP BY user_id
+        ),
+        s2 AS (
+            SELECT e.user_id, MIN(e.ts) AS t2
+            FROM events e JOIN s1 ON e.user_id = s1.user_id
+            WHERE e.event_type = 'view' AND e.ts > s1.t1
+            GROUP BY e.user_id
+        ),
+        s3 AS (
+            SELECT e.user_id, MIN(e.ts) AS t3
+            FROM events e JOIN s2 ON e.user_id = s2.user_id
+            WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+            GROUP BY e.user_id
+        )
+        SELECT CAST((SELECT COUNT(*) FROM s1) AS BIGINT) AS step1_click,
+               CAST((SELECT COUNT(*) FROM s2) AS BIGINT) AS step2_view,
+               CAST((SELECT COUNT(*) FROM s3) AS BIGINT) AS step3_purchase
+    """,
+    operators=(23, 31, 141),
+    doc="Funnel / ordered-sequence analysis (#141, CEP-lite): how many "
+    "users clicked, then later viewed, then later purchased — each "
+    "step anchored at the earliest qualifying time after the previous "
+    "step (the first-touch funnel semantics every product-analytics "
+    "engine ships; the batch twin of MATCH_RECOGNIZE-style pattern "
+    "detection). Three conditional aggregates chained by user_id "
+    "equi-joins — all three shuffles share the user_id key, so at "
+    "100 TB the plan is one partitioning reused across steps; step "
+    "tables shrink monotonically so later joins broadcast.",
+)
+def q_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    s1 = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        ev.filter(F.col("event_type") == "view")
+        .join(s1, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    c1 = s1.agg(F.count(F.lit(1)).cast("bigint").alias("step1_click"))
+    c2 = s2.agg(F.count(F.lit(1)).cast("bigint").alias("step2_view"))
+    c3 = s3.agg(F.count(F.lit(1)).cast("bigint").alias("step3_purchase"))
+    return c1.crossJoin(c2).crossJoin(c3)
