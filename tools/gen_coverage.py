@@ -79,6 +79,7 @@ OPERATORS: dict[int, str] = {
     138: "join_lateral", 139: "runtime_metrics_observe",
     140: "hll_sketch (mergeable distinct)",
     141: "funnel_analysis (CEP-lite sequences)",
+    142: "funnel_stream (stateful CEP)",
 }
 
 # Ops verified by tests rather than graded queries.

@@ -104,6 +104,7 @@ _NEXT_ROUND: list[str] = [
     "q_lateral_topk",
     "q_hll_sketch",
     "q_funnel_steps",
+    "q_stream_funnel",
 ]
 
 

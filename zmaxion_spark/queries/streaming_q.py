@@ -517,3 +517,52 @@ def q_stream_python_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("amount").cast("bigint").alias("total_amount"),
         F.max("offset").cast("bigint").alias("max_offset"),
     )
+
+
+@query(
+    "q_stream_funnel",
+    oracle="""
+        WITH s1 AS (
+            SELECT user_id, MIN(ts) AS t1 FROM events
+            WHERE event_type = 'click' GROUP BY user_id
+        ),
+        s2 AS (
+            SELECT e.user_id, MIN(e.ts) AS t2
+            FROM events e JOIN s1 ON e.user_id = s1.user_id
+            WHERE e.event_type = 'view' AND e.ts > s1.t1
+            GROUP BY e.user_id
+        ),
+        s3 AS (
+            SELECT e.user_id, MIN(e.ts) AS t3
+            FROM events e JOIN s2 ON e.user_id = s2.user_id
+            WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+            GROUP BY e.user_id
+        )
+        SELECT CAST((SELECT COUNT(*) FROM s1) AS BIGINT) AS step1_click,
+               CAST((SELECT COUNT(*) FROM s2) AS BIGINT) AS step2_view,
+               CAST((SELECT COUNT(*) FROM s3) AS BIGINT) AS step3_purchase
+    """,
+    operators=(53, 141, 142),
+    doc="STREAMING funnel (#142): the q_funnel_steps sequence detector "
+    "run as a per-user state machine (applyInPandasWithState) over "
+    "the replayed event stream — earliest click, earliest view "
+    "strictly after it, earliest purchase strictly after that, "
+    "tracked in executor state and emitted as the deepest step "
+    "reached. After the availableNow drain, per-step user counts must "
+    "hash-match the BATCH funnel oracle — stream/batch parity for "
+    "stateful sequence detection (CEP), the core claim of a stream "
+    "processing engine. Scale: state is 3 longs per user; emissions "
+    "are per-batch update rows, and the final aggregate groups the "
+    "materialized sink, never the stream.",
+)
+def q_stream_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from zmaxion_spark.streaming.stateful import funnel_state
+
+    ev = stream_events(spark, sf_dir)
+    t = run_available_now(funnel_state(ev), "funnel", mode="update")
+    last = t.groupBy("user_id").agg(F.max("step").alias("step"))
+    return last.agg(
+        F.sum(F.when(F.col("step") >= 1, 1).otherwise(0)).cast("bigint").alias("step1_click"),
+        F.sum(F.when(F.col("step") >= 2, 1).otherwise(0)).cast("bigint").alias("step2_view"),
+        F.sum(F.when(F.col("step") >= 3, 1).otherwise(0)).cast("bigint").alias("step3_purchase"),
+    )

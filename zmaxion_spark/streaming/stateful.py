@@ -121,3 +121,43 @@ def running_counters_v2(events: DataFrame) -> DataFrame:
         outputMode="Update",
         timeMode="None",
     )
+
+
+def funnel_state(events: DataFrame) -> DataFrame:
+    """Per-user CEP funnel state machine (#142): tracks the earliest
+    click, the earliest view strictly after it, and the earliest
+    purchase strictly after that — first-touch funnel semantics as
+    arbitrary per-key state, the streaming twin of q_funnel_steps.
+
+    Emits (user_id, step) per micro-batch (step = deepest stage
+    reached so far). Events are sorted by event time within each
+    batch; with an in-order replay (availableNow over the fixture)
+    the final state is exactly the batch funnel. Out-of-order
+    arrivals across batches would need candidate retention — that
+    variant belongs behind a watermark, documented not implemented."""
+
+    out_schema = "user_id bigint, step bigint"
+    state_schema = "t1 long, t2 long, t3 long"
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd  # worker-side
+
+        t1, t2, t3 = state.get if state.exists else (None, None, None)
+        rows = pd.concat(list(pdfs)) if pdfs else pd.DataFrame()
+        if len(rows):
+            rows = rows.sort_values("ts")
+            for ts, etype in zip(rows["ts"], rows["event_type"]):
+                t = int(ts.value // 1000)  # ns -> µs
+                if etype == "click" and t1 is None:
+                    t1 = t
+                elif etype == "view" and t1 is not None and t > t1 and t2 is None:
+                    t2 = t
+                elif etype == "purchase" and t2 is not None and t > t2 and t3 is None:
+                    t3 = t
+        state.update((t1, t2, t3))
+        step = 3 if t3 is not None else 2 if t2 is not None else 1 if t1 is not None else 0
+        yield pd.DataFrame({"user_id": [key[0]], "step": [step]})
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
