@@ -99,9 +99,6 @@ class TopicDataSource(DataSource):
         return _TopicReader(self.options)
 
 
-_REGISTERED: set[int] = set()
-
-
 def read_topic(
     spark: SparkSession,
     rows_per_partition: int = 1000,
@@ -109,10 +106,9 @@ def read_topic(
 ) -> DataFrame:
     """Load the simulated topic as a batch DataFrame (wire schema)."""
     tune(spark)
-    key = id(spark)
-    if key not in _REGISTERED:
-        spark.dataSource.register(TopicDataSource)
-        _REGISTERED.add(key)
+    # registration is idempotent; keying a cache by id(spark) would
+    # break when ids are recycled after GC, so just always register
+    spark.dataSource.register(TopicDataSource)
     return (
         spark.read.format("zmx_topic")
         .option("rowsperpartition", str(rows_per_partition))
@@ -186,10 +182,7 @@ def stream_topic(
 ) -> DataFrame:
     """Unbounded view of the simulated topic (offset-tracked)."""
     tune(spark)
-    key = -id(spark)
-    if key not in _REGISTERED:
-        spark.dataSource.register(TopicStreamDataSource)
-        _REGISTERED.add(key)
+    spark.dataSource.register(TopicStreamDataSource)
     return (
         spark.readStream.format("zmx_topic_stream")
         .option("rows", str(rows))
