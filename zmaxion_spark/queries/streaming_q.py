@@ -1,4 +1,7 @@
-"""Streaming graded queries — SURVEY.md §2.9 (#3, #6, #21, #22, #48–#57).
+"""Streaming graded queries — SURVEY.md §2.9 (#3, #6, #21, #22,
+#48–#57) plus the round-3 stream operators: temporal point-in-time
+join (#134), the custom Python streaming source (#137), and the
+stateful CEP funnel (#142).
 
 Each query replays the events fixture through a real Structured
 Streaming topology (file source → watermark → windows/state/joins →

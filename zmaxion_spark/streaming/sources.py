@@ -18,15 +18,25 @@ from pyspark.sql import types as T
 
 from zmaxion_spark.session import tune
 
-_EVENTS_SCHEMA_CACHE: dict[str, T.StructType] = {}
+_EVENTS_SCHEMA_CACHE: dict[tuple, T.StructType] = {}
 
 
 def _events_file_schema(spark: SparkSession, sf_dir: str) -> T.StructType:
-    """Footer schema of the events fixture (streaming needs it explicit)."""
-    schema = _EVENTS_SCHEMA_CACHE.get(sf_dir)
+    """Footer schema of the events fixture (streaming needs it
+    explicit). Cached by file identity (path+size+mtime), not just
+    path, so a regenerated fixture is never served a stale schema."""
+    import os
+
+    path = f"{sf_dir}/events.parquet"
+    try:
+        st = os.stat(path)
+        key = (path, st.st_size, int(st.st_mtime))
+    except OSError:
+        key = (path, 0, 0)
+    schema = _EVENTS_SCHEMA_CACHE.get(key)
     if schema is None:
-        schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-        _EVENTS_SCHEMA_CACHE[sf_dir] = schema
+        schema = spark.read.parquet(path).schema
+        _EVENTS_SCHEMA_CACHE[key] = schema
     return schema
 
 
