@@ -80,6 +80,7 @@ OPERATORS: dict[int, str] = {
     140: "hll_sketch (mergeable distinct)",
     141: "funnel_analysis (CEP-lite sequences)",
     142: "funnel_stream (stateful CEP)",
+    143: "ecs_stream_tick (topic -> system -> world state)",
 }
 
 # Ops verified by tests rather than graded queries.

@@ -105,6 +105,7 @@ _NEXT_ROUND: list[str] = [
     "q_hll_sketch",
     "q_funnel_steps",
     "q_stream_funnel",
+    "q_ecs_stream_tick",
 ]
 
 

@@ -256,3 +256,91 @@ def q_ecs_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("segment")
         .agg(F.count(F.lit(1)).alias("n_entities"), dsum("balance", "total_balance"))
     )
+
+
+# ---------------------------------------------------------------------------
+# #143 ecs_stream_tick — the full zmaxion loop: topic → system → world state
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_ecs_stream_tick",
+    oracle="""
+        WITH e AS (SELECT UNNEST(generate_series(0, 99)) AS entity),
+        last AS (SELECT entity, 1900 + entity AS off FROM e),
+        comp AS (SELECT entity,
+                        ['click','view','purchase','signup','refund']
+                            [((off * 7) % 5) + 1] AS etype,
+                        CAST((off * 31) % 1000 AS BIGINT) AS amount
+                 FROM last)
+        SELECT etype,
+               COUNT(*) AS n_entities,
+               CAST(SUM(amount) AS BIGINT) AS total_amount
+        FROM comp GROUP BY etype
+    """,
+    operators=(53, 83, 137, 143),
+    doc="The full zmaxion loop (#143): topic → system → world state, "
+    "ticked per micro-batch. The custom Python streaming source "
+    "(#137) delivers 2000 messages in four 500-message batches; each "
+    "batch is a WORLD TICK — a foreachBatch system folds the batch "
+    "into the entity component store (entity = offset % 100, "
+    "latest-offset-wins) with an atomic read-merge-swap, exactly the "
+    "SCD1 upsert a component table needs. After four ticks the store "
+    "holds each entity's final component (provably the max-offset "
+    "message: offsets 1900..1999), and its aggregate must hash-match "
+    "the oracle's closed-form arithmetic. Scale: the component store "
+    "is entity-keyed parquet; each tick shuffles only the batch's "
+    "per-entity maxima (500 rows -> 100 entities here), and the merge "
+    "is a broadcast-size union at any realistic entity cardinality — "
+    "at 10^9 entities you'd partition the store by entity bucket and "
+    "merge only touched buckets.",
+    bench=False,  # multi-tick streaming + file writes; correctness demo
+)
+def q_ecs_stream_tick(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from zmaxion_spark.streaming.pipeline import run_foreach_batch
+    from zmaxion_spark.streaming.pytopic import stream_topic
+
+    base = tempfile.mkdtemp(prefix="zmx-ecs-tick-")
+    store = base + "/components"
+
+    def tick(batch_df: DataFrame, batch_id: int) -> None:
+        """One world tick: fold the batch into the component store."""
+        batch = batch_df.withColumn("entity", F.col("offset") % 100)
+        # per-entity latest within the batch (max offset wins)
+        w_latest = batch.groupBy("entity").agg(
+            F.max(F.struct("offset", "etype", "amount")).alias("s")
+        ).select("entity", "s.offset", "s.etype", "s.amount")
+        if os.path.exists(store):
+            prev = batch_df.sparkSession.read.parquet(store)
+            merged = (
+                prev.unionByName(w_latest)
+                .groupBy("entity")
+                .agg(F.max(F.struct("offset", "etype", "amount")).alias("s"))
+                .select("entity", "s.offset", "s.etype", "s.amount")
+            )
+        else:
+            merged = w_latest
+        tmp = store + ".tick-tmp"
+        merged.coalesce(1).write.mode("overwrite").parquet(tmp)
+        old = store + ".tick-old"
+        if os.path.exists(store):
+            os.rename(store, old)
+        os.rename(tmp, store)
+        shutil.rmtree(old, ignore_errors=True)
+
+    # The simple stream reader serves one prefetched step per
+    # availableNow run; five checkpoint-shared runs drain all four
+    # ticks (the scheduled batch-over-stream pattern, as in #137).
+    for _ in range(5):
+        run_foreach_batch(
+            stream_topic(spark, rows=2000, step=500), tick, checkpoint=base + "/ckpt"
+        )
+    comp = spark.read.parquet(store)
+    return comp.groupBy("etype").agg(
+        F.count(F.lit(1)).alias("n_entities"),
+        F.sum("amount").cast("bigint").alias("total_amount"),
+    )

@@ -95,14 +95,20 @@ def run_to_parquet(
 
 
 def run_foreach_batch(
-    sdf: DataFrame, fn: Callable[[DataFrame, int], None], mode: str = "append"
+    sdf: DataFrame,
+    fn: Callable[[DataFrame, int], None],
+    mode: str = "append",
+    checkpoint: str | None = None,
 ) -> None:
-    """Per-micro-batch escape hatch (#7): upserts, side outputs, audits."""
+    """Per-micro-batch escape hatch (#7): upserts, side outputs, audits.
+
+    Pass an explicit ``checkpoint`` to RESUME across calls — each
+    availableNow run continues from the committed offsets."""
     with _stream_shuffle(sdf.sparkSession):
         q = (
             sdf.writeStream.foreachBatch(fn)
             .outputMode(mode)
-            .option("checkpointLocation", _checkpoint_dir())
+            .option("checkpointLocation", checkpoint or _checkpoint_dir())
             .trigger(availableNow=True)
             .start()
         )
