@@ -248,3 +248,65 @@ def test_snapshot_diff_inverts_merge(spark, base_rows, change_rows):
         else:
             want.add((k, "unchanged"))
     assert got == want
+
+
+@given(batch=st.lists(texts, min_size=1, max_size=12))
+@settings(**SETTINGS)
+def test_chunking_tiles_any_text(spark, batch):
+    """#125 invariant for arbitrary text: chunk starts are exactly
+    0, stride, 2·stride… < n_words; each chunk has 1..CHUNK words;
+    the last chunk ends exactly at n_words (full coverage, no
+    overrun)."""
+    from zmaxion_spark.queries.pipeline3_q import _CHUNK, _STRIDE
+
+    df = spark.createDataFrame(list(enumerate(batch)), ["doc_id", "text"])
+    w = F.split("text", " ")
+    starts = F.sequence(F.lit(0), F.size(w) - 1, F.lit(_STRIDE))
+    rows = (
+        df.select("doc_id", F.size(w).alias("n"), F.explode(starts).alias("start"))
+        .withColumn("clen", F.least(F.lit(_CHUNK), F.col("n") - F.col("start")))
+        .collect()
+    )
+    per_doc: dict[int, list] = {}
+    for r in rows:
+        per_doc.setdefault(r["doc_id"], []).append(r)
+    for doc_id, rs in per_doc.items():
+        rs.sort(key=lambda r: r["start"])
+        n = rs[0]["n"]
+        assert [r["start"] for r in rs] == list(range(0, n, _STRIDE))
+        assert all(1 <= r["clen"] <= _CHUNK for r in rs)
+        assert rs[-1]["start"] + rs[-1]["clen"] == n
+
+
+@given(ids=st.lists(st.integers(min_value=-(2**62), max_value=2**62), min_size=1, max_size=40, unique=True))
+@settings(**SETTINGS)
+def test_global_shuffle_two_phase_equals_total_order(spark, ids):
+    """#128 invariant for arbitrary id sets: per-bucket rank + bucket
+    offset reproduces the single total order ROW_NUMBER would give
+    over (bucket, hash, id)."""
+    from pyspark.sql.window import Window
+
+    df = spark.createDataFrame([(i,) for i in ids], ["doc_id"])
+    h = F.md5(F.col("doc_id").cast("string").cast("binary"))
+    bkt = F.conv(F.substring(F.col("h"), 1, 8), 16, 10).cast("long") % 8
+    t = df.select("doc_id", h.alias("h")).withColumn("bkt", bkt)
+    rn = F.row_number().over(Window.partitionBy("bkt").orderBy("h", "doc_id"))
+    sizes = t.groupBy("bkt").agg(F.count(F.lit(1)).alias("sz"))
+    off = F.sum("sz").over(
+        Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = sizes.select("bkt", F.coalesce(off, F.lit(0)).alias("offset"))
+    two_phase = {
+        r["doc_id"]: r["offset"] + r["rn"]
+        for r in t.withColumn("rn", rn).join(offsets, "bkt").collect()
+    }
+    total = {
+        r["doc_id"]: r["pos"]
+        for r in t.select(
+            "doc_id",
+            F.row_number()
+            .over(Window.orderBy("bkt", "h", "doc_id"))
+            .alias("pos"),
+        ).collect()
+    }
+    assert two_phase == total
