@@ -37,12 +37,21 @@ def main() -> None:
 
     names = [n for n, q in sorted(REGISTRY.items()) if q.bench]
     # Warm up: JVM, codegen, parquet footer cache — not graded.
-    warm = REGISTRY[names[0]]
-    run_one(spark, warm, sf_dir)
+    try:
+        run_one(spark, REGISTRY[names[0]], sf_dir)
+    except Exception:
+        pass  # a broken warm-up query must not sink the whole record
 
+    # Round-2 lesson: one raising query turned BENCH_r02.json into a
+    # crash record with zero timings. Isolate failures per query so a
+    # single regression can never erase the round's perf evidence.
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in names:
-        timings[name] = round(run_one(spark, REGISTRY[name], sf_dir), 3)
+        try:
+            timings[name] = round(run_one(spark, REGISTRY[name], sf_dir), 3)
+        except Exception as e:  # noqa: BLE001
+            errors[name] = f"{type(e).__name__}: {e}"[:200]
 
     out = {
         "metric": "total_query_sec",
@@ -51,7 +60,12 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
     }
+    if errors:
+        out["errors"] = errors
     print(json.dumps(out))
+    if errors:
+        print(f"bench: {len(errors)} queries errored: {sorted(errors)}", file=sys.stderr)
+        sys.exit(1)
 
 
 if __name__ == "__main__":
