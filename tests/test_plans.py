@@ -331,3 +331,14 @@ def test_orc_scan_pushes_filters(spark):
     plan = _plan(df)
     assert "PushedFilters" in plan
     assert "GreaterThan(l_quantity" in plan
+
+
+def test_bucketed_join_query_no_shuffle(spark):
+    """#144: the graded bucketed join must run with no shuffle
+    exchange on the join — bucket layout IS the exchange, paid once
+    at write time."""
+    df = REGISTRY["q_bucketed_join"].fn(spark, SF_SMOKE)
+    plan = _plan(df, "simple")
+    join_part = plan.split("HashAggregate")[-1]  # below the final agg
+    assert "Exchange hashpartitioning" not in join_part
+    assert "SortMergeJoin" in plan or "BroadcastHashJoin" in plan

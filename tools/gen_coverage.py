@@ -81,6 +81,7 @@ OPERATORS: dict[int, str] = {
     141: "funnel_analysis (CEP-lite sequences)",
     142: "funnel_stream (stateful CEP)",
     143: "ecs_stream_tick (topic -> system -> world state)",
+    144: "bucketed_colocated_join",
 }
 
 # Ops verified by tests rather than graded queries.

@@ -106,6 +106,7 @@ _NEXT_ROUND: list[str] = [
     "q_funnel_steps",
     "q_stream_funnel",
     "q_ecs_stream_tick",
+    "q_bucketed_join",
 ]
 
 

@@ -274,3 +274,59 @@ def q_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("amount").cast("bigint").alias("total_amount"),
         F.max("event_id").cast("bigint").alias("max_event_id"),
     )
+
+
+@query(
+    "q_bucketed_join",
+    oracle=f"""
+        SELECT o_orderstatus,
+               COUNT(*) AS n,
+               {sql_dsum('l_extendedprice', 'total_price')}
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY o_orderstatus
+    """,
+    operators=(16, 144),
+    doc="Bucketed co-located join (#144): lineitem and orders are "
+    "written ONCE as tables bucketed 8-ways on the order key, so the "
+    "join runs with NO shuffle exchange on either side — the "
+    "pre-partitioned layout that turns the biggest recurring join of "
+    "a 100 TB warehouse into a zero-exchange merge (asserted on the "
+    "physical plan in tests/test_plans.py). The aggregate must "
+    "hash-match the oracle over the ORIGINAL unbucketed tables, "
+    "proving the layout rewrite lost nothing. Buckets are written "
+    "fresh each run (overwrite) so a regenerated fixture can never "
+    "serve stale buckets.",
+    bench=False,  # writes warehouse tables; layout demo
+)
+def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+
+    from zmaxion_spark.layout import write_bucketed_table
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:6]
+    t_li, t_ord = f"zmx_li_bkt_{tag}", f"zmx_ord_bkt_{tag}"
+    write_bucketed_table(
+        load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_extendedprice"
+        ),
+        t_li,
+        ["l_orderkey"],
+        8,
+        sort_by=["l_orderkey"],
+    )
+    write_bucketed_table(
+        load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus"),
+        t_ord,
+        ["o_orderkey"],
+        8,
+        sort_by=["o_orderkey"],
+    )
+    li = spark.table(t_li)
+    orders = spark.table(t_ord)
+    joined = li.join(orders, li.l_orderkey == orders.o_orderkey)
+    return joined.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("l_extendedprice").cast("decimal(38,6)"))
+        .cast("double")
+        .alias("total_price"),
+    )
