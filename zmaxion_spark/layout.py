@@ -44,6 +44,22 @@ def write_bucketed_table(
     time, so every later equi-join/groupBy on that key runs with NO
     exchange (asserted in tests/test_layout.py). This is the batch
     equivalent of co-partitioned stream state."""
+    # A fresh session's catalog knows nothing of tables written by a
+    # previous process, but their warehouse directories survive on disk;
+    # saveAsTable(overwrite) then fails with LOCATION_ALREADY_EXISTS.
+    # Reconcile: drop any catalog entry (which clears its location),
+    # then remove an orphan directory left behind without an entry.
+    import os
+    import shutil
+    from urllib.parse import urlparse
+
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")).path
+    orphan = os.path.join(warehouse, table.lower())
+    if os.path.isdir(orphan):
+        shutil.rmtree(orphan, ignore_errors=True)
+
     w = df.write.mode(mode).bucketBy(n_buckets, *bucket_by)
     if sort_by:
         w = w.sortBy(*sort_by)
