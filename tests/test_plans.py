@@ -342,3 +342,22 @@ def test_bucketed_join_query_no_shuffle(spark):
     join_part = plan.split("HashAggregate")[-1]  # below the final agg
     assert "Exchange hashpartitioning" not in join_part
     assert "SortMergeJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_market_basket_broadcasts_item_frequencies(spark):
+    """#145: item-frequency and order-total joins onto the pair counts
+    must broadcast (both are item-cardinality dims); only the per-order
+    self-join and the pair groupBy may shuffle."""
+    plan = _plan(REGISTRY["q_market_basket"].fn(spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_skyline_no_cartesian_no_global_sort_of_input(spark):
+    """#148: the skyline plan must contain neither an all-pairs join
+    nor a global Sort over the full input — pass 1 sorts inside hash
+    partitions, pass 2 sorts only the survivor union (a window over a
+    constant key on frontier-sized data)."""
+    plan = _plan(REGISTRY["q_skyline_pareto"].fn(spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -441,3 +441,62 @@ def test_observe_metrics_single_pass(spark):
     )
     assert got["rows_kept"] == expect["rows_kept"] == n_action
     assert got["qty"] == expect["qty"]
+
+
+# ---------------------------------------------------------------------------
+# #145–#148 behavioral analytics
+# ---------------------------------------------------------------------------
+
+
+def test_market_basket_support_bounds(spark):
+    """Pair support can never exceed either item's support, and lift
+    must be positive; both follow from the counting definitions."""
+    for r in _rows(spark, "q_market_basket"):
+        assert r.n_ab <= min(r.n_a, r.n_b)
+        assert r.lift > 0
+
+
+def test_retention_cohort_week_zero_is_full(spark):
+    """Offset-0 cell of every cohort is the cohort itself: n_active ==
+    cohort_size and retention == 1.0 exactly."""
+    rows = _rows(spark, "q_retention_cohorts")
+    zero = [r for r in rows if r.week_offset == 0]
+    assert zero, "every cohort must have an offset-0 cell"
+    for r in zero:
+        assert r.n_active == r.cohort_size
+        assert r.retention == 1.0
+    for r in rows:
+        assert 0.0 < r.retention <= 1.0
+
+
+def test_ab_test_partitions_all_purchases(spark):
+    """Variant counts partition the metric events and variances are
+    non-negative (Welch inputs are well-formed)."""
+    (r,) = _rows(spark, "q_ab_test_stats")
+    ev = load_table(spark, SF_SMOKE, "events")
+    n_purch = ev.filter(F.col("event_type") == "purchase").count()
+    assert r.n_a + r.n_b == n_purch
+    assert r.var_a >= 0 and r.var_b >= 0
+
+
+def test_skyline_matches_bruteforce_with_ties(spark):
+    """skyline_2d (divide-and-conquer, any partitioning) must equal the
+    quadratic dominance definition on a crafted set containing
+    duplicated points, shared-x ties, and shared-y ties."""
+    from zmaxion_spark.queries.behavioral_q import skyline_2d
+
+    pts = [
+        (1.0, 1), (1.0, 5), (1.0, 5), (2.0, 5), (2.0, 7),
+        (3.0, 7), (3.0, 2), (4.0, 8), (4.0, 8), (5.0, 1),
+    ]
+    df = spark.createDataFrame(pts, ["x", "y"]).distinct()
+    got = {(r.x, r.y) for r in skyline_2d(df, "x", "y", n_parts=4).collect()}
+    distinct = list({p for p in pts})
+    expect = {
+        (x, y)
+        for x, y in distinct
+        if not any(
+            qx <= x and qy >= y and (qx < x or qy > y) for qx, qy in distinct
+        )
+    }
+    assert got == expect

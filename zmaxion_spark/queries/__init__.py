@@ -6,6 +6,7 @@ from zmaxion_spark.queries.registry import REGISTRY, Query, covered_operators, q
 from zmaxion_spark.queries import (  # noqa: F401,E402
     advanced,
     analytics_q,
+    behavioral_q,
     ecs_q,
     llm,
     pipeline_q,
@@ -107,6 +108,11 @@ _NEXT_ROUND: list[str] = [
     "q_stream_funnel",
     "q_ecs_stream_tick",
     "q_bucketed_join",
+    # --- new in round 3 (this session) ---
+    "q_market_basket",
+    "q_retention_cohorts",
+    "q_ab_test_stats",
+    "q_skyline_pareto",
 ]
 
 

@@ -1,0 +1,330 @@
+"""Behavioral-analytics operators (SURVEY §2.15, #145–#148).
+
+The product-analytics layer a warehouse serves once the relational and
+corpus layers exist: market-basket affinity (co-occurrence + lift),
+cohort retention matrices, hash-assigned A/B experiment readouts with
+Welch's t, and pareto-frontier (skyline) extraction.
+
+Float discipline (helpers.py): every emitted double is either a
+decimal-exact sum cast back to double or a chain of IEEE operations
+over bit-identical operands, mirrored expression-for-expression in the
+DuckDB oracle — so all four hash exactly.
+
+Scale themes at 100 TB:
+- pair fan-outs are bounded per group (basket size, not corpus size)
+  and aggregate with map-side partial combine before any exchange;
+- global denominators travel as broadcast 1-row aggregates, never a
+  driver collect;
+- the skyline uses the divide-and-conquer identity
+  ``skyline(S) = skyline(∪ skyline(Sᵢ))`` so the quadratic dominance
+  test only ever runs on per-partition survivor sets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from zmaxion_spark.catalog import load_table
+from zmaxion_spark.queries.helpers import DEC
+from zmaxion_spark.queries.registry import query
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# #145 market_basket — co-occurrence counts + lift
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_market_basket",
+    oracle="""
+        WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        tot AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM items),
+        item_n AS (SELECT l_partkey, COUNT(*) AS n_item FROM items GROUP BY l_partkey),
+        pair_n AS (
+            SELECT a.l_partkey AS pk_a, b.l_partkey AS pk_b, COUNT(*) AS n_ab
+            FROM items a JOIN items b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+            GROUP BY a.l_partkey, b.l_partkey
+        )
+        SELECT pk_a, pk_b, n_ab, ia.n_item AS n_a, ib.n_item AS n_b,
+               CAST(n_ab * n_orders AS DOUBLE) / CAST(ia.n_item * ib.n_item AS DOUBLE)
+                   AS lift
+        FROM pair_n
+        JOIN item_n ia ON ia.l_partkey = pk_a
+        JOIN item_n ib ON ib.l_partkey = pk_b
+        CROSS JOIN tot
+        WHERE n_ab >= 2
+    """,
+    operators=(13, 23, 145),
+    doc="Market-basket affinity (#145): for every pair of parts bought "
+    "in the same order, the co-occurrence count and lift = "
+    "P(a,b)/(P(a)P(b)). The pair fan-out is a per-order self-join, so "
+    "work is sum(basket_size²) — bounded by the max basket (7 lines in "
+    "TPC-H), NOT corpus-quadratic; the pair groupBy partial-aggregates "
+    "map-side before its one shuffle on the 16-byte pair key. Item "
+    "frequencies broadcast back onto pairs, and the order total rides "
+    "a broadcast 1-row aggregate (no driver scalar). lift is one IEEE "
+    "division of identical integer products on both engines.",
+)
+def q_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    items = (
+        _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    )
+    tot = items.agg(F.countDistinct("l_orderkey").alias("n_orders"))
+    item_n = items.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_item"))
+    a, b = items.alias("a"), items.alias("b")
+    pair_n = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("pk_a"), F.col("b.l_partkey").alias("pk_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= 2)
+    )
+    ia = F.broadcast(item_n.select(F.col("l_partkey").alias("pk_a"), F.col("n_item").alias("n_a")))
+    ib = F.broadcast(item_n.select(F.col("l_partkey").alias("pk_b"), F.col("n_item").alias("n_b")))
+    return (
+        pair_n.join(ia, "pk_a")
+        .join(ib, "pk_b")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "pk_a",
+            "pk_b",
+            "n_ab",
+            "n_a",
+            "n_b",
+            (
+                (F.col("n_ab") * F.col("n_orders")).cast("double")
+                / (F.col("n_a") * F.col("n_b")).cast("double")
+            ).alias("lift"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# #146 retention_cohorts — cohort week × offset retention matrix
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_retention_cohorts",
+    oracle="""
+        WITH uw AS (
+            SELECT DISTINCT user_id,
+                   DATE_TRUNC('week', CAST(ts AS TIMESTAMP)) AS week
+            FROM events
+        ),
+        cohort AS (SELECT user_id, MIN(week) AS cohort_week FROM uw GROUP BY user_id),
+        size_ AS (SELECT cohort_week, COUNT(*) AS cohort_size
+                  FROM cohort GROUP BY cohort_week),
+        act AS (
+            SELECT c.cohort_week,
+                   DATE_DIFF('day', c.cohort_week, uw.week) // 7 AS week_offset,
+                   COUNT(DISTINCT uw.user_id) AS n_active
+            FROM uw JOIN cohort c USING (user_id)
+            GROUP BY 1, 2
+        )
+        SELECT CAST(EPOCH(cohort_week) AS BIGINT) AS cohort_week_sec,
+               CAST(week_offset AS BIGINT) AS week_offset,
+               n_active, cohort_size,
+               CAST(n_active AS DOUBLE) / CAST(cohort_size AS DOUBLE) AS retention
+        FROM act JOIN size_ USING (cohort_week)
+    """,
+    operators=(23, 25, 42, 146),
+    doc="Cohort retention matrix (#146): users are cohorted by the week "
+    "of their first event; each (cohort, week-offset) cell counts the "
+    "distinct users still active and its share of the cohort. Distinct "
+    "(user, week) pairs partial-aggregate before the one shuffle on "
+    "user_id; the per-user min-week reuses that partitioning (no extra "
+    "exchange under AQE); cohort sizes are a tiny dimension broadcast "
+    "back onto the matrix. Retention is one IEEE division of identical "
+    "integer operands.",
+)
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    uw = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("week")
+    ).distinct()
+    cohort = uw.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    size_ = cohort.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).alias("cohort_size")
+    )
+    act = (
+        uw.join(cohort, "user_id")
+        .groupBy(
+            "cohort_week",
+            F.expr("datediff(to_date(week), to_date(cohort_week)) div 7")
+            .cast("bigint")
+            .alias("week_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )
+    return act.join(F.broadcast(size_), "cohort_week").select(
+        F.unix_timestamp("cohort_week").alias("cohort_week_sec"),
+        "week_offset",
+        "n_active",
+        "cohort_size",
+        (F.col("n_active").cast("double") / F.col("cohort_size").cast("double")).alias(
+            "retention"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# #147 ab_test_stats — hash-assigned experiment readout with Welch's t
+# ---------------------------------------------------------------------------
+
+_SQL_AB = """
+    WITH e AS (
+        SELECT user_id % 2 AS variant, value FROM events
+        WHERE event_type = 'purchase'
+    ),
+    s AS (
+        SELECT
+            COUNT(*) FILTER (variant = 0) AS n_a,
+            COUNT(*) FILTER (variant = 1) AS n_b,
+            CAST(SUM(CAST(value AS DECIMAL(38,6))) FILTER (variant = 0) AS DOUBLE) AS s_a,
+            CAST(SUM(CAST(value AS DECIMAL(38,6))) FILTER (variant = 1) AS DOUBLE) AS s_b,
+            CAST(SUM(CAST(value * value AS DECIMAL(38,6))) FILTER (variant = 0) AS DOUBLE) AS ss_a,
+            CAST(SUM(CAST(value * value AS DECIMAL(38,6))) FILTER (variant = 1) AS DOUBLE) AS ss_b
+        FROM e
+    )
+    SELECT n_a, n_b,
+           s_a / n_a AS mean_a, s_b / n_b AS mean_b,
+           (ss_a - s_a * s_a / n_a) / (n_a - 1) AS var_a,
+           (ss_b - s_b * s_b / n_b) / (n_b - 1) AS var_b,
+           (s_a / n_a - s_b / n_b)
+               / SQRT((ss_a - s_a * s_a / n_a) / (n_a - 1) / n_a
+                      + (ss_b - s_b * s_b / n_b) / (n_b - 1) / n_b) AS t_welch
+    FROM s
+"""
+
+
+@query(
+    "q_ab_test_stats",
+    oracle=_SQL_AB,
+    operators=(24, 43, 147),
+    doc="A/B experiment readout (#147): users are deterministically "
+    "assigned to two variants (id-parity here; production swaps in the "
+    "engine-portable md5 bucket of pipeline_q.hash_bucket, same shape), "
+    "then per-variant n/mean/variance and Welch's t-statistic come out "
+    "of ONE conditional aggregation over the metric events — a single "
+    "map-side-combined pass, one 1-row result, no per-variant scans. "
+    "Sums go through decimal(38,6) so they are order-independent; every "
+    "derived double (means, variances, t) is the identical IEEE "
+    "expression tree over those bit-identical sums on both engines.",
+)
+def q_ab_test_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select((F.col("user_id") % 2).alias("variant"), "value")
+    )
+    va, vb = F.col("variant") == 0, F.col("variant") == 1
+    v, v2 = F.col("value"), F.col("value") * F.col("value")
+    s = ev.agg(
+        F.count(F.when(va, 1)).alias("n_a"),
+        F.count(F.when(vb, 1)).alias("n_b"),
+        F.sum(F.when(va, v).cast(DEC)).cast("double").alias("s_a"),
+        F.sum(F.when(vb, v).cast(DEC)).cast("double").alias("s_b"),
+        F.sum(F.when(va, v2).cast(DEC)).cast("double").alias("ss_a"),
+        F.sum(F.when(vb, v2).cast(DEC)).cast("double").alias("ss_b"),
+    )
+    n_a, n_b = F.col("n_a"), F.col("n_b")
+    s_a, s_b = F.col("s_a"), F.col("s_b")
+    ss_a, ss_b = F.col("ss_a"), F.col("ss_b")
+    var_a = (ss_a - s_a * s_a / n_a) / (n_a - 1)
+    var_b = (ss_b - s_b * s_b / n_b) / (n_b - 1)
+    return s.select(
+        "n_a",
+        "n_b",
+        (s_a / n_a).alias("mean_a"),
+        (s_b / n_b).alias("mean_b"),
+        var_a.alias("var_a"),
+        var_b.alias("var_b"),
+        ((s_a / n_a - s_b / n_b) / F.sqrt(var_a / n_a + var_b / n_b)).alias(
+            "t_welch"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# #148 skyline_pareto — pareto frontier via divide-and-conquer
+# ---------------------------------------------------------------------------
+
+
+def skyline_2d(
+    pairs: DataFrame, min_col: str, max_col: str, n_parts: int = 32
+) -> DataFrame:
+    """Pareto frontier of DISTINCT (min_col, max_col) pairs: keep rows
+    where no other row is ≤ in ``min_col`` and ≥ in ``max_col`` with at
+    least one strict inequality.
+
+    Shape: divide-and-conquer. skyline(S) = skyline(∪ skyline(Sᵢ)) for
+    ANY partitioning of S, so pass 1 runs the O(n log n) sort+cummax
+    test inside each of ``n_parts`` hash partitions (parallel, bounded
+    memory) and pass 2 repeats the identical test once over the
+    survivor union — survivors are frontier-sized (≪ n), so the final
+    single-partition window is a fixed small cost, never a global sort
+    of the input. With distinct pairs, a row is dominated iff the max
+    of ``max_col`` over its strict prefix in (min asc, max desc) order
+    reaches its own value."""
+    b = F.pmod(F.xxhash64(F.col(min_col), F.col(max_col)), F.lit(n_parts))
+
+    def keep(df: DataFrame, part_cols: list) -> DataFrame:
+        w = (
+            Window.partitionBy(*part_cols)
+            .orderBy(F.col(min_col).asc(), F.col(max_col).desc())
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        return (
+            df.withColumn("_pfx", F.max(max_col).over(w))
+            .filter(F.col("_pfx").isNull() | (F.col("_pfx") < F.col(max_col)))
+            .drop("_pfx")
+        )
+
+    local = keep(pairs.withColumn("_b", b), ["_b"]).drop("_b")
+    return keep(local.withColumn("_g", F.lit(0)), ["_g"]).drop("_g")
+
+
+@query(
+    "q_skyline_pareto",
+    oracle="""
+        WITH pts AS (SELECT DISTINCT p_retailprice, p_size FROM part)
+        SELECT p.p_partkey, p.p_retailprice, p.p_size
+        FROM part p
+        WHERE NOT EXISTS (
+            SELECT 1 FROM pts q
+            WHERE q.p_retailprice <= p.p_retailprice AND q.p_size >= p.p_size
+              AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size)
+        )
+    """,
+    operators=(30, 15, 148),
+    doc="Pareto frontier / skyline (#148): the parts for which no other "
+    "part is both cheaper-or-equal and larger-or-equal (strict "
+    "somewhere) — min price, max size. The oracle states the quadratic "
+    "NOT EXISTS spec; the Spark plan is the scale-right rewrite: "
+    "distinct pairs, per-partition sort+running-max skyline, then the "
+    "same test once over the tiny survivor union "
+    "(skyline(S) = skyline(∪ skyline(Sᵢ)) holds for any partitioning), "
+    "and a broadcast semi-join rehydrates the winning (price, size) "
+    "pairs back to part keys. No global sort, no all-pairs join, at "
+    "any scale.",
+)
+def q_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = _t(spark, sf_dir, "part")
+    pts = part.select("p_retailprice", "p_size").distinct()
+    sky = skyline_2d(pts, "p_retailprice", "p_size")
+    return part.join(
+        F.broadcast(sky), ["p_retailprice", "p_size"], "left_semi"
+    ).select("p_partkey", "p_retailprice", "p_size")
