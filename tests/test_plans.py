@@ -361,3 +361,23 @@ def test_skyline_no_cartesian_no_global_sort_of_input(spark):
     plan = _plan(REGISTRY["q_skyline_pareto"].fn(spark, SF_SMOKE))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_bm25_filters_tokens_before_aggregation(spark):
+    """#150: the query-term filter must land before the tf groupBy —
+    the exploded token stream prunes to matching terms immediately,
+    so the heavy aggregation only sees query-term rows."""
+    plan = _plan(REGISTRY["q_bm25_scoring"].fn(spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan
+    assert "isin" in _plan(
+        REGISTRY["q_bm25_scoring"].fn(spark, SF_SMOKE), "extended"
+    ) or "IN (" in plan
+
+
+def test_pagerank_iterations_broadcast_tiny_sides(spark):
+    """#153: the per-iteration joins run on the O(nations²) edge list;
+    the 1-row node count must broadcast, and no iteration may fall
+    back to a cartesian product."""
+    plan = _plan(REGISTRY["q_pagerank_nations"].fn(spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastExchange" in plan

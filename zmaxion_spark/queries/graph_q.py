@@ -1,0 +1,258 @@
+"""Graph-analytics operators (SURVEY §2.15, #152–#153).
+
+Graphs derived from the warehouse itself: the co-purchase part graph
+(parts bought together in ≥2 orders — the "frequently bought
+together" graph) for triangle counting, and the nation-level trade
+graph (customer nation → supplier nation, lineitem-weighted) for a
+fixed-iteration PageRank.
+
+Both are oracle-paired EXACTLY — including PageRank, an iterative
+algorithm: every per-edge contribution is an identical IEEE
+expression over identical operands on both engines, and every
+per-node reduction sums through DECIMAL(38,18), so the ranks stay
+bit-identical through all iterations (the same order-independence
+discipline as helpers.dsum, at rank precision).
+
+Scale themes at 100 TB:
+- graph DERIVATION is the heavy stage (per-order pair fan-out,
+  4-table star join) and partial-aggregates before its shuffles; the
+  iterative stages then run on the aggregated edge list;
+- triangle counting orients edges (u < v) so each triangle is
+  counted once, and the wedge join shuffles only (u, v, w) id
+  triples — degree-ordered orientation is the standard upgrade when
+  hub nodes appear;
+- PageRank's per-iteration shuffle is one groupBy(dst); at web
+  scale, pre-partition edges by dst so every iteration reuses the
+  same partitioning, and localCheckpoint every few iterations to
+  truncate lineage.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from zmaxion_spark.catalog import load_table
+from zmaxion_spark.queries.registry import query
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# #152 triangle_count — co-purchase graph cohesion
+# ---------------------------------------------------------------------------
+
+_SQL_COPURCHASE_EDGES = """
+        items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        pr AS (SELECT a.l_partkey AS u, b.l_partkey AS v, COUNT(*) AS c
+               FROM items a JOIN items b
+                 ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+               GROUP BY 1, 2),
+        e AS (SELECT u, v FROM pr WHERE c >= 2)
+"""
+
+
+@query(
+    "q_triangle_count",
+    oracle=f"""
+        WITH {_SQL_COPURCHASE_EDGES},
+        deg AS (SELECT node, COUNT(*) AS d
+                FROM (SELECT u AS node FROM e UNION ALL SELECT v FROM e)
+                GROUP BY node),
+        wdg AS (SELECT CAST(SUM(d * (d - 1) // 2) AS BIGINT) AS n_wedges
+                FROM deg),
+        tri AS (SELECT COUNT(*) AS n_triangles
+                FROM e e1
+                JOIN e e2 ON e1.v = e2.u
+                JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+        ne AS (SELECT COUNT(*) AS n_edges FROM e)
+        SELECT n_edges, n_wedges, n_triangles,
+               CAST(3 * n_triangles AS DOUBLE) / n_wedges AS global_cc
+        FROM ne, wdg, tri
+    """,
+    operators=(23, 13, 152),
+    doc="Triangle counting (#152) on the co-purchase part graph "
+    "(parts co-ordered ≥2 times): edges, wedges Σ C(deg,2), closed "
+    "triangles via the oriented wedge join, and the global clustering "
+    "coefficient 3·T/W. Orientation u<v counts each triangle exactly "
+    "once and caps wedge fan-out at out-degree; every stage shuffles "
+    "only id pairs/triples, with the edge derivation's per-order "
+    "fan-out bounded by basket size. At web scale, re-orient by "
+    "(degree, id) instead of raw id so hub vertices land on the "
+    "low-fan-out side of the wedge join.",
+)
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    items = (
+        _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    )
+    a, b = items.alias("a"), items.alias("b")
+    e = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= 2)
+        .select("u", "v")
+    )
+    deg = (
+        e.select(F.col("u").alias("node"))
+        .unionAll(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    wdg = deg.agg(
+        F.sum(F.expr("d * (d - 1) div 2")).cast("bigint").alias("n_wedges")
+    )
+    e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e1.v") == F.col("e2.u"))
+        .join(
+            e3,
+            (F.col("e3.u") == F.col("e1.u")) & (F.col("e3.v") == F.col("e2.v")),
+            "left_semi",
+        )
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    ne = e.agg(F.count(F.lit(1)).alias("n_edges"))
+    return (
+        ne.crossJoin(wdg)
+        .crossJoin(tri)
+        .select(
+            "n_edges",
+            "n_wedges",
+            "n_triangles",
+            ((3 * F.col("n_triangles")).cast("double") / F.col("n_wedges")).alias(
+                "global_cc"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# #153 pagerank_fixed — nation trade graph, 3 exact iterations
+# ---------------------------------------------------------------------------
+
+_PR_ITERS = 3
+_PR_DEC = "decimal(38,18)"
+
+# One PageRank step as SQL, parameterized on the previous rank CTE.
+_SQL_PR_STEP = """
+        {next} AS (
+            SELECT nd.node,
+                   ROUND(CAST(0.15 AS DOUBLE) / n.n
+                         + CAST(0.85 AS DOUBLE) * COALESCE(c.s, CAST(0 AS DOUBLE)),
+                         12) AS rank
+            FROM nodes nd
+            CROSS JOIN n
+            LEFT JOIN (
+                SELECT e.dst,
+                       CAST(SUM(CAST(r.rank * (e.w / o.w_out)
+                                     AS DECIMAL(38,18))) AS DOUBLE) AS s
+                FROM e
+                JOIN {prev} r ON r.node = e.src
+                JOIN outw o ON o.src = e.src
+                GROUP BY e.dst
+            ) c ON c.dst = nd.node
+        )
+"""
+
+
+def _pr_oracle() -> str:
+    steps = ",".join(
+        _SQL_PR_STEP.format(prev=f"r{i}", next=f"r{i + 1}")
+        for i in range(_PR_ITERS)
+    )
+    return f"""
+        WITH e AS (
+            SELECT c.c_nationkey AS src, s.s_nationkey AS dst, COUNT(*) AS w
+            FROM lineitem l
+            JOIN orders o ON o.o_orderkey = l.l_orderkey
+            JOIN customer c ON c.c_custkey = o.o_custkey
+            JOIN supplier s ON s.s_suppkey = l.l_suppkey
+            GROUP BY 1, 2
+        ),
+        nodes AS (SELECT DISTINCT node
+                  FROM (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+        n AS (SELECT COUNT(*) AS n FROM nodes),
+        outw AS (SELECT src, CAST(SUM(w) AS BIGINT) AS w_out FROM e GROUP BY src),
+        r0 AS (SELECT node, CAST(1.0 AS DOUBLE) / n.n AS rank
+               FROM nodes CROSS JOIN n),
+        {steps}
+        SELECT node, rank FROM r{_PR_ITERS}
+    """
+
+
+@query(
+    "q_pagerank_nations",
+    oracle=_pr_oracle(),
+    operators=(13, 23, 153),
+    doc=f"PageRank (#153), {_PR_ITERS} exact iterations over the "
+    "nation-level trade graph (customer nation → supplier nation, "
+    "lineitem-weighted). The graph derivation is the 100 TB stage — a "
+    "4-table star join partial-aggregated down to O(nations²) edges — "
+    "while each iteration is one contribution join + one groupBy(dst). "
+    "The oracle UNROLLS the iterations as chained CTEs and matches "
+    "hash-exactly: per-edge contributions rank·(w/w_out) are identical "
+    "IEEE trees, per-node sums go through DECIMAL(38,18) for order "
+    "independence, and each iteration's rank is quantized to a 1e-12 "
+    "grid (ROUND 12) — the quantization re-synchronizes the one-ulp "
+    "divergence the engines' double→decimal conversions can introduce "
+    "at scale 18, so the rank vector is bit-identical after EVERY "
+    "iteration, not just approximately at the end. Dangling-mass "
+    "redistribution is omitted identically on both sides (every "
+    "nation has out-edges here).",
+)
+def q_pagerank_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    e = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .groupBy(
+            F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst")
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionAll(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    n = nodes.agg(F.count(F.lit(1)).alias("n"))
+    outw = e.groupBy("src").agg(F.sum("w").alias("w_out"))
+    r = nodes.crossJoin(F.broadcast(n)).select(
+        "node", (F.lit(1.0) / F.col("n")).alias("rank")
+    )
+    for _ in range(_PR_ITERS):
+        contrib = (
+            e.join(r.withColumnRenamed("node", "src"), "src")
+            .join(outw, "src")
+            .select(
+                "dst",
+                (F.col("rank") * (F.col("w") / F.col("w_out"))).alias("contrib"),
+            )
+            .groupBy("dst")
+            .agg(F.sum(F.col("contrib").cast(_PR_DEC)).cast("double").alias("s"))
+        )
+        r = (
+            nodes.crossJoin(F.broadcast(n))
+            .join(contrib.withColumnRenamed("dst", "node"), "node", "left")
+            .select(
+                "node",
+                F.round(
+                    F.lit(0.15).cast("double") / F.col("n")
+                    + F.lit(0.85).cast("double")
+                    * F.coalesce(F.col("s"), F.lit(0.0).cast("double")),
+                    12,
+                ).alias("rank"),
+            )
+        )
+    return r

@@ -1,0 +1,278 @@
+"""Text-retrieval operators (SURVEY §2.15, #149–#151).
+
+The search-engine layer over the `documents` corpus: inverted-index
+posting statistics, BM25 relevance scoring for a fixed query, and
+windowed token co-occurrence with PMI association scores (the
+classic pre-embedding distributional-semantics pass).
+
+Float discipline: integer statistics stay integer end-to-end;
+transcendental scores (BM25, PMI) are computed as the identical IEEE
+expression tree over identical operands on both engines and ROUNDed
+to 9 decimals — the ln() last-ulp absorption proven by q_tf_idf in
+round 1.
+
+Scale themes at 100 TB:
+- posting statistics partial-aggregate before their one vocab-keyed
+  shuffle; vocabulary-sized sides broadcast back onto tf tables;
+- query-term scoring filters the exploded token stream BEFORE any
+  aggregation, so the scan prunes to matching terms immediately;
+- co-occurrence pairs are built ROW-LOCALLY with array higher-order
+  functions (no position self-join, no array duplication across an
+  exchange) — the only shuffle carries (pair, count).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from zmaxion_spark.catalog import load_table
+from zmaxion_spark.queries.registry import query
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+# ---------------------------------------------------------------------------
+# #149 inverted_index — posting-list statistics per term
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_inverted_index",
+    oracle="""
+        WITH tok AS (SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS term
+                     FROM documents),
+        tf AS (SELECT term, doc_id, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+        st AS (SELECT term, COUNT(*) AS df, CAST(SUM(tf) AS BIGINT) AS total_tf,
+                      MAX(tf) AS max_tf
+               FROM tf GROUP BY term),
+        top AS (SELECT tf.term, MIN(tf.doc_id) AS top_doc
+                FROM tf JOIN st USING (term)
+                WHERE tf.tf = st.max_tf GROUP BY tf.term)
+        SELECT term, df, total_tf, max_tf, top_doc
+        FROM st JOIN top USING (term)
+    """,
+    operators=(23, 41, 149),
+    doc="Inverted-index posting statistics (#149): per term, the "
+    "document frequency, corpus term frequency, peak within-doc "
+    "frequency, and the argmax document (lowest doc_id among ties — "
+    "a deterministic tiebreak, required for cross-engine identity). "
+    "Two partial-aggregated groupBys (doc-term, then term); the "
+    "vocab-sized stats broadcast back onto the tf table for the "
+    "argmax filter. At 100 TB this is the build side of a search "
+    "index: postings partition by term hash, and no stage ever holds "
+    "more than (term, doc, count) triples.",
+)
+def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tok = _docs(spark, sf_dir).select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    )
+    tf = tok.groupBy("term", "doc_id").agg(F.count(F.lit(1)).alias("tf"))
+    st = tf.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df"),
+        F.sum("tf").alias("total_tf"),
+        F.max("tf").alias("max_tf"),
+    )
+    top = (
+        tf.join(F.broadcast(st.select("term", "max_tf")), "term")
+        .filter(F.col("tf") == F.col("max_tf"))
+        .groupBy("term")
+        .agg(F.min("doc_id").alias("top_doc"))
+    )
+    return st.join(top, "term").select(
+        "term", "df", "total_tf", "max_tf", "top_doc"
+    )
+
+
+# ---------------------------------------------------------------------------
+# #150 bm25_scoring — fixed-query relevance over the corpus
+# ---------------------------------------------------------------------------
+
+_BM25_TERMS = ("scan", "join", "vector", "stream")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+
+@query(
+    "q_bm25_scoring",
+    oracle=f"""
+        WITH tok AS (SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS term
+                     FROM documents),
+        dl AS (SELECT doc_id, LEN(STRING_SPLIT(text, ' ')) AS dl FROM documents),
+        gl AS (SELECT COUNT(*) AS n_docs,
+                      CAST(SUM(CAST(LEN(STRING_SPLIT(text, ' ')) AS DECIMAL(38,6)))
+                           AS DOUBLE) / COUNT(*) AS avgdl
+               FROM documents),
+        tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok
+               WHERE term IN {tuple(_BM25_TERMS)!r} GROUP BY 1, 2),
+        dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term)
+        SELECT tf.doc_id,
+               COUNT(*) AS n_matched,
+               ROUND(CAST(SUM(CAST(
+                   LN(1 + (n_docs - df + 0.5) / (df + 0.5))
+                   * (tf * ({_BM25_K1} + 1))
+                   / (tf + {_BM25_K1} * (1 - {_BM25_B} + {_BM25_B} * dl / avgdl))
+               AS DECIMAL(38,6))) AS DOUBLE), 9) AS bm25
+        FROM tf
+        JOIN dfq USING (term)
+        JOIN dl ON dl.doc_id = tf.doc_id
+        CROSS JOIN gl
+        GROUP BY tf.doc_id
+    """,
+    operators=(24, 43, 150),
+    doc="BM25 relevance scoring (#150) for a fixed 4-term query: "
+    "idf(t)·tf·(k1+1)/(tf + k1·(1−b+b·dl/avgdl)) summed over matched "
+    "terms. The exploded token stream filters to query terms BEFORE "
+    "the tf aggregation, so the heavy scan prunes immediately "
+    "(predicate pushdown would reach a posting-list store directly at "
+    "scale); df and the global avgdl ride broadcast joins (vocab- and "
+    "1-row-sized). Per-term scores are identical IEEE trees on both "
+    "engines, summed through decimal(38,6) for order independence, "
+    "and ROUND(9) absorbs ln()'s last ulp.",
+)
+def q_bm25_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    toks = F.split("text", " ")
+    tok = d.select("doc_id", F.explode(toks).alias("term")).filter(
+        F.col("term").isin(*_BM25_TERMS)
+    )
+    dl = d.select("doc_id", F.size(toks).alias("dl"))
+    gl = d.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (
+            F.sum(F.size(toks).cast("decimal(38,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avgdl"),
+    )
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(
+        1
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    denom = F.col("tf") + _BM25_K1 * (
+        1 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl")
+    )
+    per_term = idf * (F.col("tf") * (_BM25_K1 + 1)) / denom
+    return (
+        tf.join(F.broadcast(dfq), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(gl))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_matched"),
+            F.round(
+                F.sum(per_term.cast("decimal(38,6)")).cast("double"), 9
+            ).alias("bm25"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# #151 cooccurrence_pmi — windowed token pairs + PMI
+# ---------------------------------------------------------------------------
+
+_PMI_WINDOW = 2
+_PMI_MIN_PAIR = 5
+
+
+@query(
+    "q_cooccurrence_pmi",
+    oracle=f"""
+        WITH t AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS toks,
+                          LEN(STRING_SPLIT(text, ' ')) AS n
+                   FROM documents WHERE LEN(STRING_SPLIT(text, ' ')) >= 2),
+        pos AS (SELECT doc_id, toks, n, UNNEST(generate_series(1, n - 1)) AS i
+                FROM t),
+        pr AS (SELECT LEAST(toks[i], toks[j]) AS w_a,
+                      GREATEST(toks[i], toks[j]) AS w_b
+               FROM pos,
+                    UNNEST(generate_series(i + 1, LEAST(i + {_PMI_WINDOW}, n)))
+                        AS g(j)),
+        uni AS (SELECT term, COUNT(*) AS n_term
+                FROM (SELECT UNNEST(STRING_SPLIT(text, ' ')) AS term
+                      FROM documents)
+                GROUP BY term),
+        tot AS (SELECT (SELECT COUNT(*) FROM pr) AS n_pairs,
+                       (SELECT CAST(SUM(n_term) AS BIGINT) FROM uni) AS n_uni),
+        pc AS (SELECT w_a, w_b, COUNT(*) AS n_ab FROM pr GROUP BY 1, 2)
+        SELECT w_a, w_b, n_ab, ua.n_term AS n_a, ub.n_term AS n_b,
+               ROUND(LN((CAST(n_ab AS DOUBLE) / n_pairs)
+                        / ((CAST(ua.n_term AS DOUBLE) / n_uni)
+                           * (CAST(ub.n_term AS DOUBLE) / n_uni))), 9) AS pmi
+        FROM pc
+        JOIN uni ua ON ua.term = w_a
+        JOIN uni ub ON ub.term = w_b
+        CROSS JOIN tot
+        WHERE n_ab >= {_PMI_MIN_PAIR}
+    """,
+    operators=(23, 44, 151),
+    doc=f"Windowed co-occurrence + PMI (#151): token pairs within a "
+    f"±{_PMI_WINDOW} window (canonically ordered), pair counts, and "
+    "pointwise mutual information ln(p(a,b)/(p(a)p(b))) — the "
+    "distributional-association pass that precedes any embedding "
+    "training. Pairs are built ROW-LOCALLY with nested array "
+    "higher-order lambdas (no position self-join, no token array "
+    "crossing an exchange); the only shuffles carry (pair, count) and "
+    "(term, count). Unigram totals and the pair denominator ride "
+    "broadcast 1-row aggregates. PMI is an identical IEEE tree on "
+    "both engines with ROUND(9) absorbing ln()'s last ulp.",
+)
+def q_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    toks = F.split("text", " ")
+    base = d.select(F.col("doc_id"), toks.alias("toks"), F.size(toks).alias("n")).filter(
+        F.col("n") >= 2
+    )
+    pair_structs = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), F.col("n") - 1),
+            lambda i: F.transform(
+                F.sequence(i + 1, F.least(i + _PMI_WINDOW, F.col("n"))),
+                lambda j: F.struct(
+                    F.least(
+                        F.element_at(F.col("toks"), i),
+                        F.element_at(F.col("toks"), j),
+                    ).alias("w_a"),
+                    F.greatest(
+                        F.element_at(F.col("toks"), i),
+                        F.element_at(F.col("toks"), j),
+                    ).alias("w_b"),
+                ),
+            ),
+        )
+    )
+    pr = base.select(F.explode(pair_structs).alias("p")).select("p.w_a", "p.w_b")
+    uni = (
+        d.select(F.explode(toks).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n_term"))
+    )
+    tot = pr.agg(F.count(F.lit(1)).alias("n_pairs")).crossJoin(
+        uni.agg(F.sum("n_term").alias("n_uni"))
+    )
+    pc = (
+        pr.groupBy("w_a", "w_b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= _PMI_MIN_PAIR)
+    )
+    ua = F.broadcast(uni.select(F.col("term").alias("w_a"), F.col("n_term").alias("n_a")))
+    ub = F.broadcast(uni.select(F.col("term").alias("w_b"), F.col("n_term").alias("n_b")))
+    pmi = F.round(
+        F.log(
+            (F.col("n_ab").cast("double") / F.col("n_pairs"))
+            / (
+                (F.col("n_a").cast("double") / F.col("n_uni"))
+                * (F.col("n_b").cast("double") / F.col("n_uni"))
+            )
+        ),
+        9,
+    )
+    return (
+        pc.join(ua, "w_a")
+        .join(ub, "w_b")
+        .crossJoin(F.broadcast(tot))
+        .select("w_a", "w_b", "n_ab", "n_a", "n_b", pmi.alias("pmi"))
+    )
