@@ -381,3 +381,20 @@ def test_pagerank_iterations_broadcast_tiny_sides(spark):
     plan = _plan(REGISTRY["q_pagerank_nations"].fn(spark, SF_SMOKE))
     assert "CartesianProduct" not in plan
     assert "BroadcastExchange" in plan
+
+
+def test_spatial_join_is_equi_not_nested_loop(spark):
+    """#154: grid blocking must turn the distance join into an
+    EQUI-join on cell keys — a BroadcastNestedLoopJoin would mean the
+    quadratic spec leaked into the plan."""
+    plan = _plan(REGISTRY["q_spatial_grid_join"].fn(spark, SF_SMOKE))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_zorder_scan_pushes_range_filters(spark):
+    """#156: both range predicates must reach the rewritten parquet
+    scan as pushed filters — that is the entire point of the layout."""
+    plan = _plan(REGISTRY["q_zorder_scan"].fn(spark, SF_SMOKE))
+    assert "PushedFilters" in plan
+    assert "l_partkey" in plan and "l_suppkey" in plan

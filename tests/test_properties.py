@@ -556,3 +556,76 @@ def test_pagerank_is_probability_vector(spark):
     assert abs(total - 1.0) < 1e-9
     assert all(r.rank > 0 for r in rows)
     assert len(rows) == len({r.node for r in rows})
+
+
+# ---------------------------------------------------------------------------
+# #154–#157 scale machinery
+# ---------------------------------------------------------------------------
+
+
+def test_spatial_grid_equals_bruteforce(spark):
+    """The 3×3 grid-blocked join must find EXACTLY the pairs the
+    quadratic cross join finds — blocking is an optimization, never a
+    filter."""
+    from zmaxion_spark.queries.scale_q import _R2, _coord
+
+    cust = load_table(spark, SF_SMOKE, "customer").select(
+        "c_custkey",
+        _coord("lat:", F.col("c_custkey"), 120000, 60).alias("clat"),
+        _coord("lon:", F.col("c_custkey"), 360000, 180).alias("clon"),
+    )
+    supp = load_table(spark, SF_SMOKE, "supplier").select(
+        "s_suppkey",
+        _coord("lat:", F.col("s_suppkey"), 120000, 60).alias("slat"),
+        _coord("lon:", F.col("s_suppkey"), 360000, 180).alias("slon"),
+    )
+    d2 = (F.col("clat") - F.col("slat")) ** 2 + (F.col("clon") - F.col("slon")) ** 2
+    brute = (
+        supp.crossJoin(cust)
+        .filter(d2 <= _R2)
+        .groupBy("s_suppkey")
+        .agg(F.count(F.lit(1)).alias("n_within"))
+        .collect()
+    )
+    got = {r.s_suppkey: r.n_within for r in _rows(spark, "q_spatial_grid_join")}
+    assert got == {r.s_suppkey: r.n_within for r in brute}
+
+
+def test_incremental_mv_partials_partition_the_orders(spark):
+    """Merged MV states must account for every order exactly once."""
+    rows = _rows(spark, "q_incremental_mv")
+    total = load_table(spark, SF_SMOKE, "orders").count()
+    assert sum(r.n_orders for r in rows) == total
+
+
+def test_zorder_interleave_roundtrip(spark):
+    """Morton interleave must be a bijection on the bit range: spot
+    de-interleave recovers both inputs."""
+    from zmaxion_spark.queries.scale_q import zorder_value
+
+    df = spark.range(0, 500, 37).select(
+        (F.col("id") % 256).alias("x"), ((F.col("id") * 7) % 256).alias("y")
+    )
+    rows = df.select("x", "y", zorder_value(F.col("x"), F.col("y")).alias("z")).collect()
+    for r in rows:
+        x = y = 0
+        for i in range(16):
+            x |= ((r.z >> (2 * i)) & 1) << i
+            y |= ((r.z >> (2 * i + 1)) & 1) << i
+        assert (x, y) == (r.x, r.y)
+
+
+def test_cdc_apply_idempotent_and_delete_free(spark):
+    """Re-running the CDC apply yields the same surviving set (state
+    merge is idempotent), survivors carry their true max sequence,
+    and no deleted key leaks through."""
+    rows = _rows(spark, "q_stream_cdc_apply")
+    again = {(r.user_id, r.last_seq) for r in _rows(spark, "q_stream_cdc_apply")}
+    assert {(r.user_id, r.last_seq) for r in rows} == again
+    ev = load_table(spark, SF_SMOKE, "events")
+    max_seq = {
+        r.user_id: r.m
+        for r in ev.groupBy("user_id").agg(F.max("event_id").alias("m")).collect()
+    }
+    for r in rows:
+        assert r.last_seq == max_seq[r.user_id]

@@ -15,6 +15,7 @@ from zmaxion_spark.queries import (  # noqa: F401,E402
     relational,
     retrieval_q,
     scalar,
+    scale_q,
     sources_q,
     streaming_q,
     subquery_q,
@@ -120,6 +121,10 @@ _NEXT_ROUND: list[str] = [
     "q_cooccurrence_pmi",
     "q_triangle_count",
     "q_pagerank_nations",
+    "q_spatial_grid_join",
+    "q_incremental_mv",
+    "q_zorder_scan",
+    "q_stream_cdc_apply",
 ]
 
 

@@ -161,3 +161,43 @@ def funnel_state(events: DataFrame) -> DataFrame:
     return events.groupBy("user_id").applyInPandasWithState(
         update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
     )
+
+
+def cdc_last_write_wins(changes: DataFrame) -> DataFrame:
+    """Per-key CDC changelog application (#157): state is the
+    (seq, op, value) of the highest sequence number seen — a
+    max-by-sequence merge, COMMUTATIVE and idempotent, so replays and
+    cross-batch reordering cannot change the outcome (the property
+    that makes CDC apply safe at scale). Emits the current winning
+    version per key per micro-batch; downstream keeps the max-seq row
+    and drops keys whose winner is a delete.
+
+    Input columns: user_id, seq (unique, monotone per change), op
+    ('I'/'U'/'D'), value."""
+
+    out_schema = "user_id bigint, last_seq bigint, op string, last_value double"
+    state_schema = "seq bigint, op string, value double"
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd  # worker-side
+
+        seq, op, val = state.get if state.exists else (-1, "", 0.0)
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            top = pdf.loc[pdf["seq"].idxmax()]
+            if int(top["seq"]) > seq:
+                seq, op, val = int(top["seq"]), str(top["op"]), float(top["value"])
+        state.update((seq, op, val))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "last_seq": [seq],
+                "op": [op],
+                "last_value": [val],
+            }
+        )
+
+    return changes.groupBy("user_id").applyInPandasWithState(
+        update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
