@@ -398,3 +398,43 @@ def test_zorder_scan_pushes_range_filters(spark):
     plan = _plan(REGISTRY["q_zorder_scan"].fn(spark, SF_SMOKE))
     assert "PushedFilters" in plan
     assert "l_partkey" in plan and "l_suppkey" in plan
+
+
+def test_regression_stats_partial_aggregation(spark):
+    """#158: the co-moment stats must partial-aggregate map-side (two
+    HashAggregate/ObjectHashAggregate levels around one 3-key
+    exchange) and never leave the JVM — no Python stage in a
+    built-in-aggregate query."""
+    plan = _plan(REGISTRY["q_regression_stats"].fn(spark, SF_SMOKE))
+    assert plan.count("Aggregate") >= 2
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_gap_fill_window_runs_on_aggregated_grid(spark):
+    """#159: the LOCF window must consume the hourly AGGREGATE (grid
+    join output), not raw events — one full-data exchange for the
+    groupBy; the window partitions by bucket, so no global sort
+    appears in the plan."""
+    plan = _plan(REGISTRY["q_gap_fill_locf"].fn(spark, SF_SMOKE))
+    assert "Window" in plan
+    assert "Sort" in plan  # per-partition window sort...
+    assert "rangepartitioning" not in plan.lower()  # ...but no global ordering
+
+
+def test_xml_roundtrip_stays_in_jvm(spark):
+    """#160: to_xml/from_xml are codegen'd row-local expressions — the
+    round-trip must add no Python stage and no extra exchange beyond
+    the final 1-key aggregation."""
+    plan = _plan(REGISTRY["q_xml_roundtrip"].fn(spark, SF_SMOKE))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert plan.count("Exchange") <= 2  # partial->final agg only
+
+
+def test_feature_hashing_shuffles_dims_not_tokens(spark):
+    """#161: the hashing trick must partial-aggregate the exploded
+    token stream map-side so the exchanges carry (dim, doc_id)-grained
+    partials — and the md5 fold stays a JVM expression (no Python)."""
+    plan = _plan(REGISTRY["q_feature_hashing"].fn(spark, SF_SMOKE))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "md5" in plan.lower()
+    assert plan.count("Aggregate") >= 2

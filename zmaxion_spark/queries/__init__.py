@@ -17,6 +17,7 @@ from zmaxion_spark.queries import (  # noqa: F401,E402
     scalar,
     scale_q,
     sources_q,
+    stats_q,
     streaming_q,
     subquery_q,
     timeseries_q,
@@ -125,6 +126,11 @@ _NEXT_ROUND: list[str] = [
     "q_incremental_mv",
     "q_zorder_scan",
     "q_stream_cdc_apply",
+    # --- round-3 third wave ---
+    "q_regression_stats",
+    "q_gap_fill_locf",
+    "q_xml_roundtrip",
+    "q_feature_hashing",
 ]
 
 

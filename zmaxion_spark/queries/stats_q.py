@@ -1,0 +1,318 @@
+"""Statistical / interchange operators — SURVEY.md §2.16 (#158–#161).
+
+Round-3 third wave: the built-in statistical aggregate family
+(regression + distribution moments), LOCF gap-fill, the XML
+semi-structured interchange path, and hashing-trick feature
+vectorization. All pure DataFrame algebra with DuckDB oracle pairs.
+
+Parity disciplines specific to this module:
+
+- ``regr_*``/``corr`` accumulate co-moments in a merge-order-dependent
+  double tree, so both sides quantize through DECIMAL(38,9) (``_r9``) —
+  the drift is last-ulp and the correctly-rounded decimal cast absorbs
+  it bit-exactly, where a float-computed ROUND(…,9) would not.
+- Spark's ``skewness``/``kurtosis`` are POPULATION moments
+  (g1 = m3/m2^1.5, g2 = m4/m2²-3) while DuckDB's are sample-corrected
+  (G1, G2); the oracle inverts the textbook corrections
+  (g1 = G1·(n-2)/√(n(n-1)), g2 = (G2·(n-2)(n-3)/(n-1) − 6)/(n+1))
+  and rounds — verified to 9 decimals on all fixture groups.
+- The XML round-trip relies on Java shortest-repr double formatting:
+  ``to_xml`` prints the unique shortest decimal that parses back to
+  the same IEEE double, so extract-after-roundtrip is lossless and
+  the oracle can read the ORIGINAL columns.
+- Feature hashing reuses the md5-fold token hash proven
+  DuckDB-reproducible by the MinHash pipeline (functions/dedup.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from zmaxion_spark.catalog import load_table
+from zmaxion_spark.functions import timeseries as TS
+from zmaxion_spark.queries.helpers import dsum, sql_dsum
+from zmaxion_spark.queries.registry import query
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+def _r9(col, alias: str):
+    """Quantize a double through DECIMAL(38,9) and back.
+
+    ``ROUND(x, 9)`` is NOT engine-portable — DuckDB computes it in
+    floating point (x·1e9 rounded / 1e9) while Spark goes through
+    BigDecimal, so large-magnitude values (the regression intercept,
+    ~5e4) can disagree in the last ulp AFTER rounding. The
+    double→DECIMAL(38,9)→double cast chain is correctly rounded in
+    both engines, so equal-to-9-decimals inputs produce bit-identical
+    doubles. ``scale`` is chosen per column magnitude: the accumulated
+    co-moment drift is ~1e-10 ABSOLUTE on the ~5e4-magnitude intercept
+    (measured), so O(1e4) columns quantize at 6 decimals (3000x margin)
+    while O(1) columns use 9."""
+    return col.cast("decimal(38,9)").cast("double").alias(alias)
+
+
+def _r6(col, alias: str):
+    """Coarse twin of :func:`_r9` for large-magnitude stats (see doc)."""
+    return col.cast("decimal(38,6)").cast("double").alias(alias)
+
+
+# ---------------------------------------------------------------------------
+# #158 statistical aggregate family: regression + moments
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_regression_stats",
+    oracle="""
+        SELECT l_returnflag,
+               COUNT(*) AS n,
+               CAST(CAST(corr(l_quantity, l_extendedprice) AS DECIMAL(38,9))
+                    AS DOUBLE) AS qp_corr,
+               CAST(CAST(regr_slope(l_extendedprice, l_quantity) AS DECIMAL(38,6))
+                    AS DOUBLE) AS slope,
+               CAST(CAST(regr_intercept(l_extendedprice, l_quantity)
+                         AS DECIMAL(38,6)) AS DOUBLE) AS intercept,
+               CAST(CAST(regr_r2(l_extendedprice, l_quantity) AS DECIMAL(38,9))
+                    AS DOUBLE) AS r2,
+               CAST(CAST(median(l_quantity) AS DECIMAL(38,9)) AS DOUBLE) AS med_qty,
+               CAST(CAST(stddev_samp(l_quantity) AS DECIMAL(38,9)) AS DOUBLE)
+                   AS sd_qty,
+               CAST(CAST(skewness(l_quantity) * (COUNT(*) - 2)
+                         / SQRT(COUNT(*) * (COUNT(*) - 1.0)) AS DECIMAL(38,9))
+                    AS DOUBLE) AS skew_qty,
+               CAST(CAST((kurtosis(l_quantity) * (COUNT(*) - 2.0) * (COUNT(*) - 3.0)
+                          / (COUNT(*) - 1.0) - 6) / (COUNT(*) + 1.0)
+                         AS DECIMAL(38,9)) AS DOUBLE) AS kurt_qty
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+    operators=(23, 43, 158),
+    doc="Built-in statistical aggregate family (#158): OLS regression of "
+    "price on quantity (regr_slope/intercept/r2), correlation, exact "
+    "median, sample stddev and population skewness/kurtosis per return "
+    "flag — one pass, all JVM-side declarative aggregates. Every stat "
+    "except the median is a constant-size co-moment accumulator "
+    "(partial-aggregated map-side, the shuffle moves O(groups) state); "
+    "exact MEDIAN buffers per-group values, so at 100 TB swap it for "
+    "approx_percentile (the q_agg_approx path) — kept exact here "
+    "because exactness is what the oracle certifies. Oracle: DuckDB's "
+    "sample-corrected "
+    "skewness/kurtosis inverted to Spark's population definitions; both "
+    "sides quantize through DECIMAL(38,9) to absorb co-moment "
+    "merge-order ulp drift bit-exactly (see _r9).",
+)
+def q_regression_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        _r9(F.corr("l_quantity", "l_extendedprice"), "qp_corr"),
+        _r6(F.regr_slope("l_extendedprice", "l_quantity"), "slope"),
+        _r6(F.regr_intercept("l_extendedprice", "l_quantity"), "intercept"),
+        _r9(F.regr_r2("l_extendedprice", "l_quantity"), "r2"),
+        _r9(F.median("l_quantity"), "med_qty"),
+        _r9(F.stddev_samp("l_quantity"), "sd_qty"),
+        _r9(F.skewness("l_quantity"), "skew_qty"),
+        _r9(F.kurtosis("l_quantity"), "kurt_qty"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# #159 LOCF gap-fill (last observation carried forward)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_gap_fill_locf",
+    oracle=f"""
+        WITH e AS (
+            SELECT user_id % 8 AS bucket,
+                   DATE_TRUNC('hour', CAST(ts AS TIMESTAMP)) AS hour,
+                   value
+            FROM events WHERE event_type = 'error'
+        ),
+        a AS (
+            SELECT bucket, hour, COUNT(*) AS n, {sql_dsum('value', 'vsum')}
+            FROM e GROUP BY bucket, hour
+        ),
+        b AS (
+            SELECT bucket, MIN(hour) AS h0, MAX(hour) AS h1
+            FROM e GROUP BY bucket
+        ),
+        g AS (
+            SELECT bucket, UNNEST(GENERATE_SERIES(h0, h1, INTERVAL 1 HOUR)) AS hour
+            FROM b
+        ),
+        j AS (
+            SELECT g.bucket, g.hour, a.vsum,
+                   CASE WHEN a.n IS NULL THEN 1 ELSE 0 END AS is_gap
+            FROM g LEFT JOIN a USING (bucket, hour)
+        )
+        SELECT bucket, EPOCH_US(hour) AS hour_us, is_gap,
+               LAST_VALUE(vsum IGNORE NULLS) OVER (
+                   PARTITION BY bucket ORDER BY hour
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS value_locf
+        FROM j
+    """,
+    operators=(31, 87, 159),
+    doc="LOCF gap-fill (#159): sparse per-bucket hourly series (rare "
+    "'error' events) densified onto an hour grid, missing hours carry "
+    "the LAST observed hourly sum forward — last(ignorenulls) over an "
+    "unbounded-preceding frame, the running-state window every "
+    "sensor/telemetry pipeline needs. Grid starts at each bucket's "
+    "first observation so no leading null survives. Scale: the window "
+    "runs over the AGGREGATED grid (|buckets|x|hours|, data-independent "
+    "after the first groupBy), partitioned by bucket — no skew, no "
+    "global sort; the only full-data shuffle is the hourly partial agg.",
+)
+def q_gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "error")
+        .select(
+            (F.col("user_id") % 8).alias("bucket"),
+            F.date_trunc("hour", "ts").alias("hour"),
+            "value",
+        )
+    )
+    agg = e.groupBy("bucket", "hour").agg(
+        F.count(F.lit(1)).alias("n"), dsum("value", "vsum")
+    )
+    bounds = e.groupBy("bucket").agg(
+        F.min("hour").alias("h0"), F.max("hour").alias("h1")
+    )
+    grid = TS.gapfill(agg, bounds, "bucket", "hour", "1 hour", fills={})
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return grid.select(
+        "bucket",
+        F.unix_micros("hour").alias("hour_us"),
+        F.when(F.col("n").isNull(), F.lit(1)).otherwise(F.lit(0)).alias("is_gap"),
+        F.last("vsum", ignorenulls=True).over(w).alias("value_locf"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# #160 XML semi-structured interchange (Spark 4 from_xml/to_xml)
+# ---------------------------------------------------------------------------
+
+_XML_SCHEMA = T.StructType(
+    [
+        T.StructField("k", T.LongType()),
+        T.StructField("s", T.StringType()),
+        T.StructField("p", T.DoubleType()),
+    ]
+)
+
+
+@query(
+    "q_xml_roundtrip",
+    oracle="""
+        SELECT o_orderstatus AS status,
+               COUNT(*) AS n,
+               CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
+                   AS price_sum
+        FROM orders
+    GROUP BY o_orderstatus
+    """,
+    operators=(45, 160),
+    doc="XML interchange (#160, Spark 4 from_xml/to_xml): every order is "
+    "serialized to an XML document and parsed back through an explicit "
+    "schema before aggregation, so the oracle (straight column SQL) "
+    "proves the encode→parse cycle is lossless — longs, strings, and "
+    "doubles (Java shortest-repr decimal text re-parses to the "
+    "identical IEEE bits). The legacy-feed ingestion path: at 100 TB "
+    "both directions are codegen'd row-local expressions — no UDF, no "
+    "shuffle added; the decimal-exact sum keeps the post-roundtrip "
+    "aggregate order-independent.",
+)
+def q_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    doc = F.to_xml(
+        F.struct(
+            F.col("o_orderkey").alias("k"),
+            F.col("o_orderstatus").alias("s"),
+            F.col("o_totalprice").alias("p"),
+        )
+    )
+    parsed = o.select(F.from_xml(doc, _XML_SCHEMA).alias("x"))
+    return (
+        parsed.select("x.k", "x.s", "x.p")
+        .groupBy(F.col("s").alias("status"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").cast("bigint").alias("key_sum"),
+            dsum("p", "price_sum"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# #161 hashing-trick feature vectorization
+# ---------------------------------------------------------------------------
+
+_FH_DIMS = 64
+
+
+@query(
+    "q_feature_hashing",
+    oracle=f"""
+        WITH tok AS (
+            SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS term
+            FROM documents
+        ),
+        h AS (
+            SELECT doc_id,
+                   CAST(('0x' || SUBSTR(MD5(term), 1, 8)) AS BIGINT)
+                       % {_FH_DIMS} AS dim,
+                   CASE WHEN CAST(('0x' || SUBSTR(MD5(term), 9, 1)) AS BIGINT)
+                             % 2 = 0 THEN 1 ELSE -1 END AS sgn
+            FROM tok
+        )
+        SELECT dim,
+               CAST(COUNT(*) AS BIGINT) AS n_tokens,
+               CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+               CAST(SUM(sgn) AS BIGINT) AS signed_tf
+        FROM h
+        GROUP BY dim
+    """,
+    operators=(44, 64, 161),
+    doc=f"Hashing-trick feature vectorization (#161): tokens map to one "
+    f"of {_FH_DIMS} dimensions via the md5-fold hash (the same hash the "
+    "MinHash pipeline proved DuckDB-bit-reproducible) with a "
+    "second-nibble sign bit — the signed feature-hashing estimator "
+    "(Weinberger et al.), whose collisions cancel in expectation. "
+    "Emitted per-dimension: token count, document frequency, signed "
+    "sum. Scale: the vocabulary never materializes (that is the point "
+    "of the trick — no dictionary build, no OOV); the shuffle carries "
+    "(dim, partial) pairs bounded by 64·|partitions|, map-side "
+    "combined. A 100 TB corpus vectorizes in one scan.",
+)
+def q_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    x = F.conv(F.substring(F.md5(F.col("term").cast("binary")), 1, 8), 16, 10).cast(
+        "long"
+    )
+    sgn_src = F.conv(
+        F.substring(F.md5(F.col("term").cast("binary")), 9, 1), 16, 10
+    ).cast("long")
+    h = tok.select(
+        "doc_id",
+        (x % _FH_DIMS).alias("dim"),
+        F.when(sgn_src % 2 == 0, F.lit(1)).otherwise(F.lit(-1)).alias("sgn"),
+    )
+    return h.groupBy("dim").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.sum("sgn").cast("bigint").alias("signed_tf"),
+    )
