@@ -438,3 +438,33 @@ def test_feature_hashing_shuffles_dims_not_tokens(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "md5" in plan.lower()
     assert plan.count("Aggregate") >= 2
+
+
+def test_runtime_bloom_filter_reaches_fact_scan(spark):
+    """#163: with the cluster-scale size gates lowered, Catalyst must
+    inject a bloom filter built from the selective orders side as a
+    might_contain(xxhash64(l_orderkey)) predicate on the lineitem
+    side of the shuffle join — the semi-join reduction that keeps
+    filtered-out fact rows off the wire at 100 TB."""
+    from zmaxion_spark.queries.scale_q import _BLOOM_CONFS
+
+    saved = {k: spark.conf.get(k, None) for k in _BLOOM_CONFS}
+    for k, v in _BLOOM_CONFS.items():
+        spark.conf.set(k, v)
+    try:
+        li = load_table(spark, SF_SMOKE, "lineitem")
+        o = load_table(spark, SF_SMOKE, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = li.join(o, li.l_orderkey == o.o_orderkey).groupBy(
+            "l_returnflag"
+        ).agg(F.count(F.lit(1)).alias("n"))
+        plan = _plan(j, "extended")
+        assert "might_contain" in plan
+        assert "xxhash64(l_orderkey" in plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

@@ -227,3 +227,40 @@ def test_multi_sink_fanout_each_exactly_once(spark, tmp_path):
     got = {r.event_type: r.n for r in agg.collect()}
     want = {r.event_type: r.cnt for r in ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("cnt")).collect()}
     assert got == want
+
+
+def test_progress_recorder_captures_batches(spark):
+    """#164: the StreamingQueryListener must see every micro-batch's
+    progress — input rows across batches equal the fixture row count,
+    and the dedup query reports nonzero state rows."""
+    import time
+
+    from zmaxion_spark.metrics import ProgressRecorder
+
+    rec = ProgressRecorder().attach(spark)
+    try:
+        n_src = spark.read.parquet(f"{SF_SMOKE}/events.parquet").count()
+        t = (
+            Pipeline.from_events(spark, SF_SMOKE)
+            .dedup("event_id", within_watermark=False)
+            .to_memory("listener_probe", mode="append")
+        )
+        assert t.count() == n_src
+        # The listener bus is async; give it a beat to drain.
+        for _ in range(50):
+            if sum(p["num_input_rows"] for p in rec.progress) >= n_src:
+                break
+            time.sleep(0.2)
+        totals = rec.totals()
+        assert totals["input_rows"] == n_src
+        assert totals["batches"] >= 1
+        assert totals["max_state_rows"] >= n_src  # dedup keeps one row/key
+    finally:
+        rec.detach(spark)
+
+
+def test_dedup_watermark_fixture_assumption(spark):
+    """q_stream_dedup_watermark's oracle (plain SUM == dedup-survivor
+    SUM) relies on event_id being unique in the fixture — pin it."""
+    e = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+    assert e.count() == e.select("event_id").distinct().count()

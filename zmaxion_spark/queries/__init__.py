@@ -127,10 +127,12 @@ _NEXT_ROUND: list[str] = [
     "q_zorder_scan",
     "q_stream_cdc_apply",
     # --- round-3 third wave ---
+    "q_stream_dedup_watermark",
     "q_regression_stats",
     "q_gap_fill_locf",
     "q_xml_roundtrip",
     "q_feature_hashing",
+    "q_runtime_bloom_join",
 ]
 
 

@@ -334,3 +334,75 @@ def q_stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("st.last_seq").alias("last_seq"),
         F.col("st.last_value").alias("last_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# #163 runtime_bloom_filter — runtime filter pushdown on a shuffle join
+# ---------------------------------------------------------------------------
+
+_BLOOM_CONFS = {
+    # The injection rule's size gates are tuned for real clusters
+    # (application side >= 10 GB); the fixture is far smaller, so the
+    # graded query lowers them to make the 100 TB plan observable, and
+    # restores every conf afterwards.
+    "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+    "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+    "spark.sql.autoBroadcastJoinThreshold": "-1",
+}
+
+
+@query(
+    "q_runtime_bloom_join",
+    oracle="""
+        SELECT l_returnflag,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE)
+                   AS revenue
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE o_orderpriority = '1-URGENT'
+        GROUP BY l_returnflag
+    """,
+    operators=(13, 163),
+    doc="Runtime bloom-filter join pruning (#163): a selective dimension "
+    "predicate (1-URGENT orders) is turned by Catalyst's "
+    "InjectRuntimeFilter rule into a bloom filter BUILT from the "
+    "filtered creation side and PUSHED into the fact-side scan as "
+    "might_contain(xxhash64(l_orderkey)) — so at 100 TB the shuffle "
+    "join never shuffles the ~80% of lineitem rows whose orders were "
+    "filtered out. This is the semi-join reduction every warehouse "
+    "engine performs, obtained declaratively from a config, not code. "
+    "The rule's size gates target real clusters (app side >= 10 GB), "
+    "so the query pins the confs low while it materializes (eager "
+    "localCheckpoint — reliable checkpoint on a cluster) and restores "
+    "them after; the plan shape is pinned in tests/test_plans.py.",
+    bench=True,
+)
+def q_runtime_bloom_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    saved = {k: spark.conf.get(k, None) for k in _BLOOM_CONFS}
+    for k, v in _BLOOM_CONFS.items():
+        spark.conf.set(k, v)
+    try:
+        li = _t(spark, sf_dir, "lineitem")
+        o = _t(spark, sf_dir, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        out = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("l_returnflag")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("l_extendedprice").cast(DEC))
+                .cast("double")
+                .alias("revenue"),
+            )
+        )
+        # Materialize while the runtime-filter confs are active — the
+        # injection happens at optimization time, so a lazily returned
+        # plan would re-optimize AFTER the restore below.
+        return out.localCheckpoint(eager=True)
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

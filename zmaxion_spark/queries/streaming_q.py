@@ -151,6 +151,43 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_stream_dedup_watermark",
+    oracle="""
+        SELECT event_type, COUNT(DISTINCT event_id) AS n_unique,
+               CAST(SUM(user_id) AS BIGINT) AS chk
+        FROM events
+        GROUP BY event_type
+    """,
+    operators=(52, 54, 162),
+    doc="Watermark-BOUNDED streaming dedup (#162, "
+    "dropDuplicatesWithinWatermark): unlike dropDuplicates — whose "
+    "per-key state lives forever and grows with every key ever seen — "
+    "this evicts dedup state older than the watermark delay, the only "
+    "formulation whose state is O(keys-per-window) instead of "
+    "O(keys-ever) on an unbounded 100 TB/day stream. Duplicates here "
+    "arrive at identical event times (the stream unioned with itself), "
+    "so bounded and unbounded dedup provably agree and the batch "
+    "COUNT(DISTINCT) oracle certifies both. event_id is unique in the "
+    "fixture (asserted in tests), so SUM(user_id) over the deduped "
+    "survivors equals the plain batch SUM — a value check, not just a "
+    "count check.",
+)
+def q_stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s1 = stream_events(spark, sf_dir)
+    s2 = stream_events(spark, sf_dir)
+    deduped = (
+        s1.union(s2)
+        .withWatermark("ts", "30 minutes")
+        .dropDuplicatesWithinWatermark(["event_id"])
+    )
+    t = run_available_now(deduped, "dedup_wm", mode="append")
+    return t.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_unique"),
+        F.sum("user_id").cast("bigint").alias("chk"),
+    )
+
+
+@query(
     "q_stream_static_join",
     oracle="""
         SELECT c_mktsegment,
