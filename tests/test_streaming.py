@@ -264,3 +264,52 @@ def test_dedup_watermark_fixture_assumption(spark):
     SUM) relies on event_id being unique in the fixture — pin it."""
     e = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
     assert e.count() == e.select("event_id").distinct().count()
+
+
+def test_rocksdb_state_store_actually_engaged(spark):
+    """#166: the provider swap must be real — the query's progress
+    events carry RocksDB-specific state metrics (rocksdb* custom
+    metrics), which the default HDFSBacked provider never emits; and
+    the provider conf must be restored after the query returns."""
+    import json
+    import time
+
+    from pyspark.sql.streaming import StreamingQueryListener
+    from zmaxion_spark.queries import REGISTRY
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    before = spark.conf.get(key, None)
+    raw: list[str] = []
+
+    class _L(StreamingQueryListener):
+        def onQueryStarted(self, event) -> None:
+            pass
+
+        def onQueryProgress(self, event) -> None:
+            raw.append(event.progress.json)
+
+        def onQueryTerminated(self, event) -> None:
+            pass
+
+        def onQueryIdle(self, event) -> None:
+            pass
+
+    listener = _L()
+    spark.streams.addListener(listener)
+    try:
+        REGISTRY["q_stream_rocksdb_state"].fn(spark, SF_SMOKE).collect()
+        for _ in range(50):  # listener bus is async
+            if raw:
+                break
+            time.sleep(0.2)
+    finally:
+        spark.streams.removeListener(listener)
+    assert spark.conf.get(key, None) == before  # restored
+    rocks_keys = {
+        k
+        for p in raw
+        for so in json.loads(p).get("stateOperators", [])
+        for k in so.get("customMetrics", {})
+        if k.startswith("rocksdb")
+    }
+    assert rocks_keys, "no rocksdb custom metrics in progress events"

@@ -133,6 +133,8 @@ _NEXT_ROUND: list[str] = [
     "q_xml_roundtrip",
     "q_feature_hashing",
     "q_runtime_bloom_join",
+    "q_udf_grouped_arrow",
+    "q_stream_rocksdb_state",
 ]
 
 

@@ -606,3 +606,66 @@ def q_stream_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("step") >= 2, 1).otherwise(0)).cast("bigint").alias("step2_view"),
         F.sum(F.when(F.col("step") >= 3, 1).otherwise(0)).cast("bigint").alias("step3_purchase"),
     )
+
+
+# ---------------------------------------------------------------------------
+# #166 RocksDB state store backend
+# ---------------------------------------------------------------------------
+
+_ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+
+
+@query(
+    "q_stream_rocksdb_state",
+    oracle="""
+        SELECT CAST(FLOOR(EPOCH(CAST(ts AS TIMESTAMP)) / 600) * 600 AS BIGINT)
+                   AS w_start_sec,
+               user_id % 16 AS user_bucket,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value
+        FROM events
+        GROUP BY 1, 2
+    """,
+    operators=(48, 57, 166),
+    doc="RocksDB state store (#166): the same watermark + tumbling-"
+    "window topology as #48, but the per-window aggregation state "
+    "lives in an embedded RocksDB instance per partition instead of "
+    "the default JVM-heap HDFSBackedStateStore — the backend that "
+    "makes 100 TB-scale state feasible (state >> executor heap spills "
+    "to local SSD; changelog checkpointing ships deltas, not "
+    "snapshots; no GC pressure from millions of state rows). "
+    "Hash-exact against the batch oracle, which proves the backend "
+    "swap is semantics-invariant — it's a storage decision, not a "
+    "query change. Provider conf is set only around materialization "
+    "and restored; RocksDB-specific progress metrics are pinned in "
+    "tests/test_streaming.py.",
+    bench=False,  # same topology as q_stream_tumbling; backend demo
+)
+def q_stream_rocksdb_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = "spark.sql.streaming.stateStore.providerClass"
+    saved = spark.conf.get(key, None)
+    spark.conf.set(key, _ROCKSDB_PROVIDER)
+    try:
+        t = (
+            Pipeline.from_events(spark, sf_dir)
+            .watermark("ts", "10 minutes")
+            .tumbling("10 minutes", (F.col("user_id") % 16).alias("user_bucket"))
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("value").cast(DEC)).cast("double").alias("total_value"),
+            )
+            .to_memory("rocksdb_state", mode="complete")
+        )
+    finally:
+        if saved is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, saved)
+    return t.select(
+        F.unix_timestamp(F.col("window.start")).alias("w_start_sec"),
+        "user_bucket",
+        "n",
+        "total_value",
+    )

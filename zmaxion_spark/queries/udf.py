@@ -341,3 +341,65 @@ def q_arrow_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         kernel,
         "vec_id bigint, l2_norm double, head_normed double, tail_normed double",
     ).select("vec_id", "l2_norm", "head_normed", "tail_normed")
+
+
+# ---------------------------------------------------------------------------
+# #165 Arrow-native grouped map (applyInArrow)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_udf_grouped_arrow",
+    oracle="""
+        SELECT event_id, user_id,
+               ROW_NUMBER() OVER w AS seq,
+               EPOCH_US(CAST(ts AS TIMESTAMP))
+                   - FIRST_VALUE(EPOCH_US(CAST(ts AS TIMESTAMP))) OVER w
+                   AS since_first_us
+        FROM events
+        WINDOW w AS (PARTITION BY user_id
+                     ORDER BY CAST(ts AS TIMESTAMP), event_id)
+    """,
+    operators=(60, 165),
+    doc="Arrow-native grouped map (#165, applyInArrow — new in Spark 4): "
+    "the same shard-per-invocation discipline as the pandas grouped "
+    "map (#60) but the group crosses the boundary as a pyarrow Table — "
+    "no pandas materialization, no index, no copy beyond Arrow "
+    "buffers; the kernel computes per-user event sequence numbers and "
+    "µs-since-first-event in numpy on zero-copy column views. Integer "
+    "arithmetic end to end, so the ROW_NUMBER/FIRST_VALUE SQL twin is "
+    "exact. Scale: shards bound interpreter invocations to O(64), the "
+    "sort is per-shard (no global order), and Arrow transfer is the "
+    "cheapest possible Python boundary for wide fan-out kernels.",
+)
+def q_udf_grouped_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pyarrow as pa
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+
+    def kernel(tbl: "pa.Table") -> "pa.Table":
+        event_id = tbl.column("event_id").to_numpy(zero_copy_only=False)
+        user_id = tbl.column("user_id").to_numpy(zero_copy_only=False)
+        ts_us = tbl.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        order = np.lexsort((event_id, ts_us, user_id))
+        u, e, t = user_id[order], event_id[order], ts_us[order]
+        # Per-user sequence/first-ts via run-length starts on the
+        # user-sorted array (vectorized; no Python-level per-user loop).
+        starts = np.flatnonzero(np.r_[True, u[1:] != u[:-1]])
+        run_id = np.cumsum(np.r_[True, u[1:] != u[:-1]]) - 1
+        seq = np.arange(len(u)) - starts[run_id] + 1
+        since_first = t - t[starts[run_id]]
+        return pa.table(
+            {
+                "event_id": pa.array(e, type=pa.int64()),
+                "user_id": pa.array(u, type=pa.int64()),
+                "seq": pa.array(seq.astype("int64")),
+                "since_first_us": pa.array(since_first.astype("int64")),
+            }
+        )
+
+    shard = F.pmod("user_id", F.lit(64)).alias("_shard")
+    return ev.groupBy(shard).applyInArrow(
+        kernel, "event_id bigint, user_id bigint, seq bigint, since_first_us bigint"
+    )
