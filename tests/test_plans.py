@@ -468,3 +468,31 @@ def test_runtime_bloom_filter_reaches_fact_scan(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_sql_udf_inlines_into_codegen(spark):
+    """#167: a SQL-defined function must disappear into the expression
+    tree — no UDF eval node of any kind, and the aggregation still
+    partial-aggregates around one exchange."""
+    plan = _plan(REGISTRY["q_sql_udf"].fn(spark, SF_SMOKE))
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "ScalaUDF", "PythonUDF"):
+        assert marker not in plan
+    assert plan.count("Aggregate") >= 2
+
+
+def test_pipe_syntax_plans_like_nested_select(spark):
+    """#168: the |> form must optimize to the same physical shape as
+    the nested SELECT — filter pushed into the scan, partial+final
+    aggregation; pipe syntax is ergonomics, not a different engine
+    path."""
+    plan = _plan(REGISTRY["q_pipe_syntax"].fn(spark, SF_SMOKE))
+    assert "PushedFilters" in plan and "o_orderstatus" in plan
+    assert plan.count("Aggregate") >= 2
+
+
+def test_param_sql_literal_reaches_scan(spark):
+    """#171: a bound :param must behave as an inlined literal for
+    pushdown — the quantity bound lands in the lineitem scan's
+    PushedFilters."""
+    plan = _plan(REGISTRY["q_param_sql"].fn(spark, SF_SMOKE))
+    assert "GreaterThanOrEqual(l_quantity,45.0)" in plan

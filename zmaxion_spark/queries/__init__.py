@@ -17,6 +17,7 @@ from zmaxion_spark.queries import (  # noqa: F401,E402
     scalar,
     scale_q,
     sources_q,
+    sql4_q,
     stats_q,
     streaming_q,
     subquery_q,
@@ -135,6 +136,11 @@ _NEXT_ROUND: list[str] = [
     "q_runtime_bloom_join",
     "q_udf_grouped_arrow",
     "q_stream_rocksdb_state",
+    "q_sql_udf",
+    "q_pipe_syntax",
+    "q_collation",
+    "q_try_functions",
+    "q_param_sql",
 ]
 
 
