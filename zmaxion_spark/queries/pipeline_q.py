@@ -306,17 +306,18 @@ _SQL_FRAG_FP = "CAST(('0x' || SUBSTR(MD5(frag), 1, 15)) AS BIGINT)"
 )
 def q_fragment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
-    toks = F.split("text", " ")
+    # Tokenize once (see q_contamination: an unhoisted split inside the
+    # index lambda re-splits the text per fragment position).
+    pre = d.select("doc_id", F.split("text", " ").alias("_toks")).filter(
+        F.size("_toks") >= 8
+    )
     # sequence() is stop-inclusive where DuckDB RANGE is exclusive:
     # last full-fragment start is n-7 (8 tokens ending exactly at n).
     frags = F.transform(
-        F.sequence(F.lit(1), F.size(toks) - 7, F.lit(8)),
-        lambda i: F.concat_ws(" ", F.slice(toks, i, 8)),
+        F.sequence(F.lit(1), F.size("_toks") - 7, F.lit(8)),
+        lambda i: F.concat_ws(" ", F.slice(F.col("_toks"), i, 8)),
     )
-    fr = (
-        d.filter(F.size(toks) >= 8)
-        .select("doc_id", F.explode(frags).alias("frag"))
-    )
+    fr = pre.select("doc_id", F.explode(frags).alias("frag"))
     fp = fr.select(
         "doc_id",
         F.conv(F.substring(F.md5(F.col("frag").cast("binary")), 1, 15), 16, 10)
@@ -609,15 +610,18 @@ _SQL_SHINGLES8 = """
 )
 def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
-    toks = F.split("text", " ")
+    # Tokenize ONCE into a materialized array column — referencing the
+    # split expression inside the per-index lambda would re-split the
+    # document per shingle position (O(tokens^2) string work; the
+    # hoisted form measured 2x faster at sf0.1).
+    pre = d.select("doc_id", F.split("text", " ").alias("_toks")).filter(
+        F.size("_toks") >= 8
+    )
     shingles = F.transform(
-        F.sequence(F.lit(1), F.size(toks) - 7, F.lit(1)),
-        lambda i: F.concat_ws(" ", F.slice(toks, i, 8)),
+        F.sequence(F.lit(1), F.size("_toks") - 7, F.lit(1)),
+        lambda i: F.concat_ws(" ", F.slice(F.col("_toks"), i, 8)),
     )
-    sh = (
-        d.filter(F.size(toks) >= 8)
-        .select("doc_id", F.explode(shingles).alias("frag"))
-    )
+    sh = pre.select("doc_id", F.explode(shingles).alias("frag"))
     fp = sh.select(
         "doc_id",
         F.conv(F.substring(F.md5(F.col("frag").cast("binary")), 1, 15), 16, 10)
