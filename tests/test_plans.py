@@ -496,3 +496,25 @@ def test_param_sql_literal_reaches_scan(spark):
     PushedFilters."""
     plan = _plan(REGISTRY["q_param_sql"].fn(spark, SF_SMOKE))
     assert "GreaterThanOrEqual(l_quantity,45.0)" in plan
+
+
+def test_gopher_quality_stays_jvm_with_partial_aggs(spark):
+    """#174: the corpus quality gates are pure JVM — no Python eval
+    nodes — and both the (doc_id, token) and (source) aggregations
+    partial-aggregate before their exchanges (token TF never ships
+    raw text)."""
+    plan = _plan(REGISTRY["q_gopher_quality"].fn(spark, SF_SMOKE))
+    for marker in ("BatchEvalPython", "ArrowEvalPython"):
+        assert marker not in plan
+    assert plan.count("HashAggregate") >= 4  # partial+final x two levels
+
+
+def test_state_reader_parallelism_matches_state_partitions(spark):
+    """#173: the statestore reader plans one input partition per state
+    shard — inspection parallelism is the stream's state parallelism,
+    not a single-threaded dump."""
+    df = REGISTRY["q_state_reader"].fn(spark, SF_SMOKE)
+    import os
+
+    n = int(os.environ.get("ZMX_STREAM_SHUFFLE", "8"))
+    assert df.rdd.getNumPartitions() == n

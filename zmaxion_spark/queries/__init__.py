@@ -8,6 +8,7 @@ from zmaxion_spark.queries import (  # noqa: F401,E402
     analytics_q,
     behavioral_q,
     ecs_q,
+    engine4_q,
     graph_q,
     llm,
     pipeline_q,
@@ -141,6 +142,10 @@ _NEXT_ROUND: list[str] = [
     "q_collation",
     "q_try_functions",
     "q_param_sql",
+    # --- round-3 fourth wave ---
+    "q_sql_scripting",
+    "q_state_reader",
+    "q_gopher_quality",
 ]
 
 
