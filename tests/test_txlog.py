@@ -1,0 +1,93 @@
+"""Transaction-log table format (#175–#177) — protocol guarantees
+that the oracle queries can't see: commit atomicity/conflicts,
+manifest pruning actually skipping files, compaction being
+layout-only, and staging files staying invisible until committed.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+from zmaxion_spark.catalog import load_table
+from zmaxion_spark.queries.txlog_q import _HI, _LO, orders_tx
+from zmaxion_spark.txlog import CommitConflict, TxTable
+
+
+@pytest.fixture()
+def tmp_table():
+    with tempfile.TemporaryDirectory(prefix="zmx-txlog-test-") as d:
+        yield TxTable(os.path.join(d, "t"), stat_cols=("o_totalprice",))
+
+
+def test_version_conflict_is_refused(tmp_table, spark, monkeypatch):
+    """Two writers racing for the same version: the filesystem
+    arbitrates via O_EXCL — the loser (who computed the next version
+    before the winner's log record landed) raises instead of silently
+    clobbering history."""
+    df = load_table(spark, SF_SMOKE, "orders").limit(10)
+    tmp_table.append(df)
+    # Freeze this writer's view of the head at version 0, then land a
+    # racing writer's version-1 record — exactly the lost-race state.
+    monkeypatch.setattr(tmp_table, "latest_version", lambda: 0)
+    path = os.path.join(tmp_table._log_dir, "00000001.json")
+    with open(path, "w") as f:
+        f.write('{"version": 1, "actions": []}')
+    with pytest.raises(CommitConflict):
+        tmp_table._commit([])
+
+
+def test_staged_files_invisible_until_commit(tmp_table, spark):
+    """Snapshot isolation: data files land in data/ before the log
+    record exists, but live_files() never resolves them."""
+    df = load_table(spark, SF_SMOKE, "orders").limit(10)
+    adds = tmp_table._stage(df, None, None)
+    assert adds  # bytes are on disk ...
+    assert tmp_table.live_files() == []  # ... but not visible
+    tmp_table._commit(adds)
+    assert {f.path for f in tmp_table.live_files()} == {a["add"] for a in adds}
+
+
+def test_compaction_is_layout_only(tmp_table, spark):
+    orders = load_table(spark, SF_SMOKE, "orders")
+    tmp_table.append(orders, n_files=6)
+    before = tmp_table.read(spark).agg(
+        F.count(F.lit(1)), F.sum(F.col("o_totalprice").cast("decimal(38,6)"))
+    ).collect()
+    v = tmp_table.compact(spark, n_files=2)
+    assert len(tmp_table.live_files()) == 2
+    after = tmp_table.read(spark).agg(
+        F.count(F.lit(1)), F.sum(F.col("o_totalprice").cast("decimal(38,6)"))
+    ).collect()
+    assert before == after
+    # The pre-compaction snapshot still resolves the 6 old files.
+    assert len(tmp_table.live_files(version=v - 1)) == 6
+
+
+def test_manifest_pruning_skips_files_and_loses_no_rows(spark):
+    """The graded fixture at v1 is 16 range-laid-out files; the banded
+    read must prune some from the manifest alone, and pruned+residual
+    must equal plain filter over the full snapshot."""
+    t = orders_tx(spark, SF_SMOKE)
+    all_files = t.live_files(version=1)
+    pruned = t.read(spark, version=1, prune=("o_totalprice", _LO, _HI))
+    n_pruned_files = len(pruned.inputFiles())
+    assert n_pruned_files < len(all_files), (
+        f"no files skipped: {n_pruned_files} of {len(all_files)}"
+    )
+    expect = (
+        t.read(spark, version=1)
+        .filter(F.col("o_totalprice").between(_LO, _HI))
+        .count()
+    )
+    got = pruned.filter(F.col("o_totalprice").between(_LO, _HI)).count()
+    assert got == expect
+
+
+def test_empty_snapshot_is_an_error(tmp_table, spark):
+    with pytest.raises(ValueError):
+        tmp_table.read(spark)

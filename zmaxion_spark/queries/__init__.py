@@ -23,6 +23,7 @@ from zmaxion_spark.queries import (  # noqa: F401,E402
     streaming_q,
     subquery_q,
     timeseries_q,
+    txlog_q,
     udf,
 )
 
@@ -146,6 +147,9 @@ _NEXT_ROUND: list[str] = [
     "q_sql_scripting",
     "q_state_reader",
     "q_gopher_quality",
+    "q_txlog_snapshot",
+    "q_txlog_time_travel",
+    "q_txlog_skipping",
 ]
 
 

@@ -1,0 +1,150 @@
+"""Transaction-log table-format graded queries — SURVEY.md §2.18
+(#175–#177).
+
+A logged orders table is built once per fixture generation (cached by
+the source parquet's identity, the round-2→3 lesson) with this commit
+history:
+
+    v0  append  orders WHERE o_orderstatus = 'O'   (range-laid-out)
+    v1  append  orders WHERE o_orderstatus = 'F'   (range-laid-out)
+    v2  compact entire live set into 4 files       (layout-only)
+
+Each graded query then proves one table-format guarantee against a
+DuckDB oracle stated over the ORIGINAL orders fixture — the table
+format must be a transparent layer over the data:
+
+- #175 snapshot read at head: compaction changed bytes on disk but
+  must not change a single value.
+- #176 time travel to v0: the pre-append world, reconstructed from
+  the log prefix.
+- #177 manifest data skipping at v1: file-level min/max pruning +
+  residual predicate == the plain WHERE — skipping is a superset
+  guarantee, never a filter.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from zmaxion_spark.catalog import load_table
+from zmaxion_spark.queries.helpers import dsum, sql_dsum
+from zmaxion_spark.queries.registry import query
+from zmaxion_spark.txlog import TxTable
+
+# Price band for the skipping query: inside the populated range at
+# every SF, so both engines see rows and several files fall outside.
+_LO, _HI = 50_000.0, 150_000.0
+
+
+def _table_root(sf_dir: str) -> str:
+    src = f"{sf_dir}/orders.parquet"
+    try:
+        st = os.stat(src)
+        ident = f"{src}:{st.st_size}:{int(st.st_mtime)}"
+    except OSError:
+        ident = src
+    key = hashlib.md5(ident.encode()).hexdigest()[:10]
+    return f"/tmp/zmx-txlog/{key}/orders_tx"
+
+
+def orders_tx(spark: SparkSession, sf_dir: str) -> TxTable:
+    """Build (or reuse) the logged orders table for this fixture
+    generation. The three-commit history above; idempotent — a
+    complete build is detected by its exact version set."""
+    root = _table_root(sf_dir)
+    t = TxTable(root, stat_cols=("o_totalprice",))
+    if t.versions() == [0, 1, 2]:
+        return t
+    # (Re)build from scratch — wipe any partial prior state.
+    import shutil
+
+    shutil.rmtree(root, ignore_errors=True)
+    t = TxTable(root, stat_cols=("o_totalprice",))
+    orders = load_table(spark, sf_dir, "orders")
+    t.append(
+        orders.filter(F.col("o_orderstatus") == "O"),
+        n_files=8,
+        range_col="o_totalprice",
+    )
+    t.append(
+        orders.filter(F.col("o_orderstatus") == "F"),
+        n_files=8,
+        range_col="o_totalprice",
+    )
+    t.compact(spark, n_files=4)
+    return t
+
+
+def _priority_agg(df: DataFrame) -> DataFrame:
+    return df.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum("o_totalprice", "total_price"),
+    )
+
+
+_ORACLE_AGG = f"""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_orders,
+           {sql_dsum("o_totalprice", "total_price")}
+    FROM orders
+    {{where}}
+    GROUP BY o_orderpriority
+"""
+
+
+@query(
+    "q_txlog_snapshot",
+    oracle=_ORACLE_AGG.format(where="WHERE o_orderstatus IN ('O', 'F')"),
+    operators=(175,),
+    doc="Table-format snapshot read (#175): head of the commit log "
+    "after append+append+compact. The compaction commit rewrote every "
+    "byte of data layout; the snapshot must still equal the plain SQL "
+    "over the source rows — the format is metadata, not data. Planning "
+    "cost is O(log size): live files resolve from JSON manifests, the "
+    "scan is a stock pushdown-capable parquet read.",
+)
+def q_txlog_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _priority_agg(orders_tx(spark, sf_dir).read(spark))
+
+
+@query(
+    "q_txlog_time_travel",
+    oracle=_ORACLE_AGG.format(where="WHERE o_orderstatus = 'O'"),
+    operators=(176,),
+    doc="Time travel (#176): snapshot at version 0 replays only the "
+    "first commit — the 'O'-status world before the second append "
+    "existed, although those files still sit in the same data/ dir "
+    "and a later commit logically removed-and-rewrote everything. "
+    "Reproducibility for training-data pipelines: a run pinned to a "
+    "version reads identical bytes forever (until vacuum).",
+)
+def q_txlog_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _priority_agg(orders_tx(spark, sf_dir).read(spark, version=0))
+
+
+@query(
+    "q_txlog_skipping",
+    oracle=_ORACLE_AGG.format(
+        where="WHERE o_orderstatus IN ('O', 'F') "
+        f"AND o_totalprice BETWEEN {_LO} AND {_HI}"
+    ),
+    operators=(177,),
+    doc="Manifest data skipping (#177): at v1 the table is 16 "
+    "range-laid-out files whose per-file [min,max] o_totalprice stats "
+    "live in the commit log; a banded read prunes non-intersecting "
+    "files from the MANIFEST before Spark lists a single path, then "
+    "applies the residual predicate (skipping is a superset "
+    "guarantee). tests/test_txlog.py pins that files were actually "
+    "skipped; this query grades that pruning never changes the "
+    "answer. At 100 TB this is the difference between planning over "
+    "stats and scanning to discover you could have skipped.",
+)
+def q_txlog_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = orders_tx(spark, sf_dir).read(
+        spark, version=1, prune=("o_totalprice", _LO, _HI)
+    )
+    return _priority_agg(df.filter(F.col("o_totalprice").between(_LO, _HI)))

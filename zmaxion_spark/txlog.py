@@ -1,0 +1,209 @@
+"""Minimal transaction-log table format ("lakehouse-lite").
+
+SURVEY.md §2.18 (#175–#177). The reference declares a stream
+processing framework (/root/reference/README.md:2); a durable,
+atomically-committed table with snapshot reads is the batch half of
+that contract — what a topic's compacted history becomes at rest.
+This module implements the table-format pattern Delta/Iceberg/Hudi
+standardized, reduced to its load-bearing core on plain parquet +
+JSON, with zero non-public dependencies:
+
+- **Commit log**: ``{path}/_log/{version:08d}.json``, one file per
+  version, each listing data files added/removed plus per-file,
+  per-column min/max stats (from the parquet footers — no data read).
+- **Atomic commits**: a version file is created with O_CREAT|O_EXCL —
+  the filesystem arbitrates concurrent writers; the loser gets
+  ``CommitConflict`` and retries on top of the new head (optimistic
+  concurrency, exactly Delta's protocol shape).
+- **Snapshot isolation**: a read resolves the live file set at one
+  version and never sees a half-commit (a data file is visible only
+  after its log record exists; orphaned staging files are invisible).
+- **Time travel**: any historical version replays the log prefix.
+- **Compaction**: rewrite N small files into few, as a normal
+  remove+add commit — readers see either all-old or all-new, and a
+  snapshot pinned to an older version still resolves the old files.
+- **Data skipping**: ``read`` takes an optional column range and
+  prunes files whose [min,max] cannot intersect BEFORE Spark ever
+  lists them — the manifest does the first pruning pass, the parquet
+  row-group stats the second.
+
+Scale notes: the log is O(commits) small JSON files and the stats are
+footer metadata only, so planning cost is independent of data volume;
+the data path is stock parquet scans with all Catalyst pushdown
+intact. At real scale the log would be checkpointed (periodic
+manifest snapshot) — noted, not needed at test commit counts.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+from dataclasses import dataclass, field
+
+import pyarrow.parquet as pq
+
+
+class CommitConflict(Exception):
+    """Another writer committed this version first; retry on new head."""
+
+
+@dataclass
+class FileEntry:
+    path: str  # relative to table root
+    rows: int
+    stats: dict[str, list] = field(default_factory=dict)  # col -> [min, max]
+
+
+def _footer_stats(abs_path: str, stat_cols: tuple[str, ...]) -> tuple[int, dict]:
+    """Per-file row count + per-column [min, max] from the parquet
+    footer — metadata only, no data pages touched."""
+    md = pq.ParquetFile(abs_path).metadata
+    mins: dict[str, object] = {}
+    maxs: dict[str, object] = {}
+    name_to_idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+    for col in stat_cols:
+        i = name_to_idx.get(col)
+        if i is None:
+            continue
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(i).statistics
+            if st is None or not st.has_min_max:
+                mins.pop(col, None)
+                maxs.pop(col, None)
+                break
+            mins[col] = st.min if col not in mins else min(mins[col], st.min)
+            maxs[col] = st.max if col not in maxs else max(maxs[col], st.max)
+    return md.num_rows, {c: [mins[c], maxs[c]] for c in mins if c in maxs}
+
+
+class TxTable:
+    """A logged parquet table rooted at ``path`` (local or any
+    Hadoop-visible filesystem; file:// semantics in tests)."""
+
+    def __init__(self, path: str, stat_cols: tuple[str, ...] = ()):
+        self.path = path
+        self.stat_cols = stat_cols
+        os.makedirs(self._log_dir, exist_ok=True)
+        os.makedirs(os.path.join(path, "data"), exist_ok=True)
+
+    # -- log primitives ----------------------------------------------------
+
+    @property
+    def _log_dir(self) -> str:
+        return os.path.join(self.path, "_log")
+
+    def versions(self) -> list[int]:
+        return sorted(
+            int(f[:-5]) for f in os.listdir(self._log_dir) if f.endswith(".json")
+        )
+
+    def latest_version(self) -> int:
+        vs = self.versions()
+        return vs[-1] if vs else -1
+
+    def _commit(self, actions: list[dict]) -> int:
+        """Atomically write the next version file. O_CREAT|O_EXCL makes
+        the filesystem the arbiter: exactly one writer wins a version."""
+        version = self.latest_version() + 1
+        target = os.path.join(self._log_dir, f"{version:08d}.json")
+        try:
+            fd = os.open(target, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError as e:
+            raise CommitConflict(f"version {version} already committed") from e
+        with os.fdopen(fd, "w") as f:
+            json.dump({"version": version, "actions": actions}, f)
+        return version
+
+    # -- write paths -------------------------------------------------------
+
+    def _stage(self, df, n_files: int | None, range_col: str | None) -> list[dict]:
+        """Write df's data as new parquet files under data/ and return
+        their add-actions (not yet committed, hence invisible)."""
+        tmp = os.path.join(self.path, f"_staging-{uuid.uuid4().hex[:12]}")
+        if range_col is not None and n_files:
+            df = df.repartitionByRange(n_files, range_col)
+        elif n_files:
+            df = df.repartition(n_files)
+        df.write.mode("overwrite").parquet(tmp)
+        adds = []
+        for name in sorted(os.listdir(tmp)):
+            if not name.endswith(".parquet"):
+                continue
+            final = f"data/{uuid.uuid4().hex[:16]}.parquet"
+            os.rename(os.path.join(tmp, name), os.path.join(self.path, final))
+            rows, stats = _footer_stats(
+                os.path.join(self.path, final), self.stat_cols
+            )
+            adds.append({"add": final, "rows": rows, "stats": stats})
+        for leftover in os.listdir(tmp):
+            os.remove(os.path.join(tmp, leftover))
+        os.rmdir(tmp)
+        return adds
+
+    def append(
+        self, df, n_files: int | None = None, range_col: str | None = None
+    ) -> int:
+        """Commit new data files. ``range_col`` range-partitions the
+        write so file-level min/max stats become disjoint — the layout
+        that makes data skipping effective."""
+        return self._commit(self._stage(df, n_files, range_col))
+
+    def overwrite(self, df, n_files: int | None = None) -> int:
+        """Replace the whole table in one atomic commit."""
+        removes = [{"remove": f.path} for f in self.live_files()]
+        return self._commit(self._stage(df, n_files, None) + removes)
+
+    def compact(self, spark, n_files: int = 1) -> int:
+        """Rewrite the current live set into ``n_files`` files — a pure
+        layout change in one commit; every snapshot still resolves."""
+        live = self.live_files()
+        df = spark.read.parquet(
+            *[os.path.join(self.path, f.path) for f in live]
+        )
+        adds = self._stage(df, n_files, None)
+        return self._commit(adds + [{"remove": f.path} for f in live])
+
+    # -- read paths --------------------------------------------------------
+
+    def live_files(self, version: int | None = None) -> list[FileEntry]:
+        """Replay the log prefix up to ``version`` (default: head)."""
+        head = self.latest_version() if version is None else version
+        live: dict[str, FileEntry] = {}
+        for v in self.versions():
+            if v > head:
+                break
+            with open(os.path.join(self._log_dir, f"{v:08d}.json")) as f:
+                rec = json.load(f)
+            for a in rec["actions"]:
+                if "add" in a:
+                    live[a["add"]] = FileEntry(a["add"], a["rows"], a["stats"])
+                elif "remove" in a:
+                    live.pop(a["remove"], None)
+        return list(live.values())
+
+    def read(
+        self,
+        spark,
+        version: int | None = None,
+        prune: tuple[str, object, object] | None = None,
+    ):
+        """Snapshot read. ``prune=(col, lo, hi)`` drops files whose
+        [min,max] cannot intersect [lo, hi] using manifest stats alone;
+        the residual predicate still belongs on the result (stats
+        pruning is a superset guarantee, same contract as parquet
+        row-group skipping)."""
+        files = self.live_files(version)
+        if prune is not None:
+            col, lo, hi = prune
+            kept = []
+            for f in files:
+                s = f.stats.get(col)
+                if s is None or not (s[1] < lo or s[0] > hi):
+                    kept.append(f)
+            files = kept
+        if not files:
+            raise ValueError("empty snapshot: no live files at this version")
+        return spark.read.parquet(
+            *[os.path.join(self.path, f.path) for f in files]
+        )
