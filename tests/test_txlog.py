@@ -91,3 +91,53 @@ def test_manifest_pruning_skips_files_and_loses_no_rows(spark):
 def test_empty_snapshot_is_an_error(tmp_table, spark):
     with pytest.raises(ValueError):
         tmp_table.read(spark)
+
+
+def test_stream_ingest_replay_is_idempotent(spark):
+    """#178: a second full drain re-delivers every micro-batch with a
+    fresh checkpoint; the (source, batchId) txn markers must skip all
+    of them — no new versions, no duplicate rows."""
+    from zmaxion_spark.queries.txlog_q import events_ingest_table
+
+    t1 = events_ingest_table(spark, SF_SMOKE)
+    versions = t1.versions()
+    rows = t1.read(spark).count()
+    t2 = events_ingest_table(spark, SF_SMOKE)
+    assert t2.versions() == versions
+    assert t2.read(spark).count() == rows
+
+
+def test_vacuum_trades_time_travel_for_storage(tmp_table, spark):
+    """#179: after vacuum at head, the head read survives and the
+    pre-overwrite snapshot stops resolving (its files are gone)."""
+    orders = load_table(spark, SF_SMOKE, "orders")
+    tmp_table.append(orders.filter(F.col("o_orderstatus") == "O"), n_files=2)
+    tmp_table.overwrite(orders.filter(F.col("o_orderstatus") == "F"), n_files=2)
+    head_before = tmp_table.read(spark).count()
+    deleted = tmp_table.vacuum(retain_from_version=tmp_table.latest_version())
+    assert deleted, "vacuum deleted nothing despite dead files"
+    assert tmp_table.read(spark).count() == head_before
+    with pytest.raises(Exception):
+        tmp_table.read(spark, version=0).count()
+
+
+def test_ecs_world_versions_are_consistent_snapshots(spark):
+    """#180: two saves stack versions; load(version=0) returns the
+    tick-1 world for EVERY component, not a mix."""
+    import tempfile
+
+    from zmaxion_spark.ecs import World
+
+    cust = load_table(spark, SF_SMOKE, "customer").limit(100)
+    w = World().register(
+        "balance", cust, key="c_custkey", cols={"c_acctbal": "balance"}
+    )
+    root = tempfile.mkdtemp(prefix="zmx-ecs-vers-") + "/world"
+    w.save(root)
+    w.run_system("balance", lambda df: df.withColumn("balance", F.col("balance") * 2))
+    w.save(root)
+    v0 = World.load(spark, root, version=0).component("balance")
+    v1 = World.load(spark, root, version=1).component("balance")
+    s0 = v0.agg(F.sum(F.col("balance").cast("decimal(38,6)"))).collect()[0][0]
+    s1 = v1.agg(F.sum(F.col("balance").cast("decimal(38,6)"))).collect()[0][0]
+    assert s1 == s0 * 2

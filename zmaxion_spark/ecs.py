@@ -100,6 +100,36 @@ class World:
         self._components[component] = untouched.unionByName(updated)
         return self
 
+    def save(self, root: str) -> dict[str, int]:
+        """Persist the world: one transaction-logged table (#175) per
+        component under ``root/<name>``, each snapshot an atomic
+        overwrite commit. Returns {component: committed version} — the
+        world's durable tick id. Repeated saves append versions, so
+        any historical world state time-travels back (#176)."""
+        import os
+
+        from zmaxion_spark.txlog import TxTable
+
+        versions: dict[str, int] = {}
+        for name, df in self._components.items():
+            versions[name] = TxTable(os.path.join(root, name)).overwrite(df)
+        return versions
+
+    @staticmethod
+    def load(spark, root: str, version: int | None = None) -> "World":
+        """Restore a saved world (optionally at a historical version,
+        uniform across components — each save commits every component
+        once, so version N is a consistent world-wide snapshot)."""
+        import os
+
+        from zmaxion_spark.txlog import TxTable
+
+        w = World()
+        for name in sorted(os.listdir(root)):
+            t = TxTable(os.path.join(root, name))
+            w._components[name] = t.read(spark, version=version)
+        return w
+
 
 class System:
     """A named system: a transformation over entities matching an ECS

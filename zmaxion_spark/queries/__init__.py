@@ -150,6 +150,9 @@ _NEXT_ROUND: list[str] = [
     "q_txlog_snapshot",
     "q_txlog_time_travel",
     "q_txlog_skipping",
+    "q_stream_to_txlog",
+    "q_txlog_vacuum",
+    "q_ecs_snapshot_restore",
 ]
 
 

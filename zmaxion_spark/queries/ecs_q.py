@@ -344,3 +344,74 @@ def q_ecs_stream_tick(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_entities"),
         F.sum("amount").cast("bigint").alias("total_amount"),
     )
+
+
+@query(
+    "q_ecs_snapshot_restore",
+    oracle=f"""
+        WITH t1 AS (SELECT c_custkey AS entity_id, c_mktsegment AS segment,
+                           CASE WHEN c_acctbal > 0 THEN c_acctbal * 1.05
+                                ELSE c_acctbal END AS balance
+                    FROM customer),
+             urg AS (SELECT DISTINCT o_custkey AS entity_id FROM orders
+                     WHERE o_orderpriority = '1-URGENT'),
+             t2 AS (SELECT entity_id, segment,
+                           CASE WHEN entity_id IN (SELECT entity_id FROM urg)
+                                THEN balance * 0.9 ELSE balance END AS balance
+                    FROM t1)
+        SELECT segment,
+               COUNT(*) AS n_entities,
+               {sql_dsum('balance', 'total_balance')}
+        FROM t2 GROUP BY segment
+    """,
+    operators=(83, 175, 176, 180),
+    doc="ECS world persistence (#180): tick 1 (+5% interest) runs, the "
+    "whole world saves as one transaction-logged table per component "
+    "(#175 — an atomic, versioned, durable tick boundary), a FRESH "
+    "world restores from disk, and tick 2 (-10% decay for "
+    "With(urgent_buyer)) continues from the restored state. Graded "
+    "against the straight two-tick SQL: the save/restore boundary must "
+    "be invisible — doubles round-trip parquet exactly. Repeated saves "
+    "stack versions, so any historical tick time-travels back (#176): "
+    "the streaming world's checkpoint/restore story (SURVEY §3.2 "
+    "boundary #4) re-expressed for the batch world.",
+)
+def q_ecs_snapshot_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    w = (
+        World()
+        .register("balance", cust, key="c_custkey", cols={"c_acctbal": "balance"})
+        .register("segment", cust, key="c_custkey", cols={"c_mktsegment": "segment"})
+        .register(
+            "urgent_buyer",
+            orders.filter(F.col("o_orderpriority") == "1-URGENT")
+            .select("o_custkey")
+            .distinct(),
+            key="o_custkey",
+        )
+    )
+    w.run_system(
+        "balance",
+        lambda df: df.withColumn(
+            "balance",
+            F.when(F.col("balance") > 0, F.col("balance") * 1.05).otherwise(
+                F.col("balance")
+            ),
+        ),
+    )
+    root = tempfile.mkdtemp(prefix="zmx-ecs-world-") + "/world"
+    w.save(root)
+    restored = World.load(spark, root)
+    restored.run_system(
+        "balance",
+        lambda df: df.withColumn("balance", F.col("balance") * 0.9),
+        with_=("urgent_buyer",),
+    )
+    return (
+        restored.query("balance", "segment")
+        .groupBy("segment")
+        .agg(F.count(F.lit(1)).alias("n_entities"), dsum("balance", "total_balance"))
+    )

@@ -102,7 +102,7 @@ class TxTable:
         vs = self.versions()
         return vs[-1] if vs else -1
 
-    def _commit(self, actions: list[dict]) -> int:
+    def _commit(self, actions: list[dict], meta: dict | None = None) -> int:
         """Atomically write the next version file. O_CREAT|O_EXCL makes
         the filesystem the arbiter: exactly one writer wins a version."""
         version = self.latest_version() + 1
@@ -112,8 +112,14 @@ class TxTable:
         except FileExistsError as e:
             raise CommitConflict(f"version {version} already committed") from e
         with os.fdopen(fd, "w") as f:
-            json.dump({"version": version, "actions": actions}, f)
+            json.dump(
+                {"version": version, "actions": actions, **(meta or {})}, f
+            )
         return version
+
+    def _read_record(self, version: int) -> dict:
+        with open(os.path.join(self._log_dir, f"{version:08d}.json")) as f:
+            return json.load(f)
 
     # -- write paths -------------------------------------------------------
 
@@ -148,6 +154,60 @@ class TxTable:
         write so file-level min/max stats become disjoint — the layout
         that makes data skipping effective."""
         return self._commit(self._stage(df, n_files, range_col))
+
+    def append_batch(self, df, source: str, batch_id: int) -> int | None:
+        """Exactly-once streaming ingestion: commit one micro-batch,
+        idempotently. The (source, batch_id) pair is recorded in the
+        commit; a replayed batch (foreachBatch retries after failure,
+        checkpoint recovery re-delivers the last batch) is detected in
+        the log and skipped — the streaming txn pattern Delta's
+        ``txnAppId``/``txnVersion`` standardized. Returns the committed
+        version, or None when the batch was already applied."""
+        applied = self._applied_batches(source)
+        if batch_id <= applied:
+            return None
+        adds = self._stage(df, None, None)
+        try:
+            return self._commit(
+                adds, meta={"txn": {"source": source, "batchId": batch_id}}
+            )
+        except CommitConflict:
+            # Concurrent commit advanced the head; re-check idempotence
+            # then retry once on the new head.
+            if batch_id <= self._applied_batches(source):
+                return None
+            return self._commit(
+                adds, meta={"txn": {"source": source, "batchId": batch_id}}
+            )
+
+    def _applied_batches(self, source: str) -> int:
+        """Highest batch_id already committed for ``source`` (-1 if
+        none). Batches commit in order per source, so one high-water
+        mark is the full idempotence state."""
+        hi = -1
+        for v in self.versions():
+            txn = self._read_record(v).get("txn")
+            if txn and txn.get("source") == source:
+                hi = max(hi, txn["batchId"])
+        return hi
+
+    def vacuum(self, retain_from_version: int) -> list[str]:
+        """Physically delete data files not live at ANY version >=
+        ``retain_from_version`` (the retention horizon). Time travel
+        before the horizon stops resolving — the documented trade for
+        reclaiming storage. Returns deleted paths."""
+        protected: set[str] = set()
+        for v in self.versions():
+            if v >= retain_from_version:
+                protected |= {f.path for f in self.live_files(version=v)}
+        deleted = []
+        data_dir = os.path.join(self.path, "data")
+        for name in sorted(os.listdir(data_dir)):
+            rel = f"data/{name}"
+            if rel not in protected:
+                os.remove(os.path.join(data_dir, name))
+                deleted.append(rel)
+        return deleted
 
     def overwrite(self, df, n_files: int | None = None) -> int:
         """Replace the whole table in one atomic commit."""
