@@ -141,3 +141,28 @@ def test_ecs_world_versions_are_consistent_snapshots(spark):
     s0 = v0.agg(F.sum(F.col("balance").cast("decimal(38,6)"))).collect()[0][0]
     s1 = v1.agg(F.sum(F.col("balance").cast("decimal(38,6)"))).collect()[0][0]
     assert s1 == s0 * 2
+
+
+def test_change_feed_ignores_compaction(spark):
+    """#183: the v2 compaction re-added every live file's rows with
+    dataChange:false; the feed after v0 must contain exactly the v1
+    append ('F' rows) — including compaction would roughly double it."""
+    t = orders_tx(spark, SF_SMOKE)
+    feed = t.read_changes(spark, since_version=0).count()
+    expect = (
+        load_table(spark, SF_SMOKE, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .count()
+    )
+    assert feed == expect
+
+
+def test_schema_evolution_nulls_old_files(tmp_table, spark):
+    orders = load_table(spark, SF_SMOKE, "orders")
+    tmp_table.append(orders.select("o_orderkey", "o_totalprice").limit(50))
+    tmp_table.append(
+        orders.select("o_orderkey", "o_totalprice", "o_orderpriority").limit(50)
+    )
+    df = tmp_table.read(spark, merge_schema=True)
+    assert "o_orderpriority" in df.columns
+    assert df.filter(F.col("o_orderpriority").isNull()).count() == 50

@@ -153,6 +153,9 @@ _NEXT_ROUND: list[str] = [
     "q_stream_to_txlog",
     "q_txlog_vacuum",
     "q_ecs_snapshot_restore",
+    "q_txlog_schema_evolution",
+    "q_txlog_merge",
+    "q_txlog_change_feed",
 ]
 
 

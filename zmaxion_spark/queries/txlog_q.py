@@ -38,6 +38,7 @@ from zmaxion_spark.txlog import TxTable
 # Price band for the skipping query: inside the populated range at
 # every SF, so both engines see rows and several files fall outside.
 _LO, _HI = 50_000.0, 150_000.0
+_FMT = "f2"  # txlog protocol generation (see _table_root)
 
 
 def _table_root(sf_dir: str) -> str:
@@ -47,7 +48,10 @@ def _table_root(sf_dir: str) -> str:
         ident = f"{src}:{st.st_size}:{int(st.st_mtime)}"
     except OSError:
         ident = src
-    key = hashlib.md5(ident.encode()).hexdigest()[:10]
+    # _FMT is the table-format protocol generation: bumping it orphans
+    # caches built by an older txlog (e.g. pre-dataChange markers) so a
+    # protocol change can never read a stale-format cache.
+    key = hashlib.md5(f"{ident}:{_FMT}".encode()).hexdigest()[:10]
     return f"/tmp/zmx-txlog/{key}/orders_tx"
 
 
@@ -287,3 +291,130 @@ def q_txlog_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
     t.overwrite(orders.filter(F.col("o_orderstatus") == "F"), n_files=4)
     t.vacuum(retain_from_version=t.latest_version())
     return _priority_agg(t.read(spark))
+
+
+# ---------------------------------------------------------------------------
+# #181–#183: schema evolution, MERGE INTO, change data feed
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_txlog_schema_evolution",
+    oracle=f"""
+        SELECT CASE WHEN o_orderstatus = 'F' THEN o_orderpriority
+                    ELSE '(pre-evolution)' END AS priority,
+               COUNT(*) AS n_orders,
+               {sql_dsum("o_totalprice", "total_price")}
+        FROM orders
+        WHERE o_orderstatus IN ('O', 'F')
+        GROUP BY 1
+    """,
+    operators=(181,),
+    doc="Schema evolution (#181): commit v0 writes (o_orderkey, "
+    "o_totalprice); commit v1 appends files that ALSO carry "
+    "o_orderpriority. A merge-schema snapshot read unions the file "
+    "schemas by NAME — old files surface the new column as NULL, no "
+    "rewrite of existing data (the only sane evolution cost model at "
+    "100 TB: schema changes are metadata, backfill is a separate, "
+    "explicit job). The graded output folds the NULLs into a "
+    "'(pre-evolution)' bucket so the evolution boundary itself is "
+    "hash-checked.",
+)
+def q_txlog_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    orders = load_table(spark, sf_dir, "orders")
+    t = TxTable(tempfile.mkdtemp(prefix="zmx-txlog-evo-") + "/t")
+    t.append(
+        orders.filter(F.col("o_orderstatus") == "O").select(
+            "o_orderkey", "o_totalprice"
+        ),
+        n_files=2,
+    )
+    t.append(
+        orders.filter(F.col("o_orderstatus") == "F").select(
+            "o_orderkey", "o_totalprice", "o_orderpriority"
+        ),
+        n_files=2,
+    )
+    return (
+        t.read(spark, merge_schema=True)
+        .groupBy(
+            F.coalesce("o_orderpriority", F.lit("(pre-evolution)")).alias(
+                "priority"
+            )
+        )
+        .agg(F.count(F.lit(1)).alias("n_orders"), dsum("o_totalprice", "total_price"))
+    )
+
+
+@query(
+    "q_txlog_merge",
+    oracle=f"""
+        WITH upserted AS (
+            SELECT o_orderkey, o_orderpriority,
+                   CASE WHEN o_totalprice > 150000 THEN o_totalprice * 1.1
+                        ELSE o_totalprice END AS o_totalprice
+            FROM orders WHERE o_orderstatus = 'O'
+            UNION ALL
+            SELECT o_orderkey, o_orderpriority, o_totalprice
+            FROM orders WHERE o_orderstatus = 'F'
+        )
+        SELECT o_orderpriority,
+               COUNT(*) AS n_orders,
+               {sql_dsum("o_totalprice", "total_price")}
+        FROM upserted GROUP BY o_orderpriority
+    """,
+    operators=(90, 182),
+    doc="MERGE INTO the log (#182): the lakehouse upsert loop end-to-"
+    "end — snapshot-read the base ('O' orders, committed v0), apply a "
+    "change-set (10% price bump for orders over 150k = UPDATEs; the "
+    "'F' orders = INSERTs) via latest-version-wins merge algebra "
+    "(functions/merge.py, one shuffle on the key), and land the result "
+    "as ONE atomic overwrite commit — readers see pre-merge or post-"
+    "merge, never a torn state. Copy-on-write at file granularity, "
+    "exactly Delta/Iceberg's default MERGE cost model.",
+)
+def q_txlog_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from zmaxion_spark.functions.merge import merge_upsert
+
+    orders = load_table(spark, sf_dir, "orders")
+    cols = ["o_orderkey", "o_orderpriority", "o_totalprice"]
+    t = TxTable(tempfile.mkdtemp(prefix="zmx-txlog-merge-") + "/t")
+    t.append(orders.filter(F.col("o_orderstatus") == "O").select(*cols), n_files=4)
+
+    base = t.read(spark).withColumn("_v", F.lit(0))
+    updates = (
+        base.filter(F.col("o_totalprice") > 150000)
+        .withColumn("o_totalprice", F.col("o_totalprice") * 1.1)
+        .withColumn("_v", F.lit(1))
+    )
+    inserts = (
+        orders.filter(F.col("o_orderstatus") == "F")
+        .select(*cols)
+        .withColumn("_v", F.lit(1))
+    )
+    merged = merge_upsert(base, updates.unionByName(inserts), "o_orderkey", "_v")
+    t.overwrite(merged.drop("_v"), n_files=4)
+    return _priority_agg(t.read(spark))
+
+
+@query(
+    "q_txlog_change_feed",
+    oracle=_ORACLE_AGG.format(where="WHERE o_orderstatus = 'F'"),
+    operators=(183,),
+    doc="Change data feed (#183): 'what changed after v0' on the "
+    "graded orders table = the files added by the v1 append — and NOT "
+    "the v2 compaction, whose commit rewrote every byte of the table "
+    "but carries dataChange:false. A feed that ignored the marker "
+    "would double the table here (compaction re-adds all rows); the "
+    "hash-exact match against the plain 'F'-subset SQL proves layout "
+    "maintenance is invisible to incremental consumers. This is how "
+    "downstream jobs consume a 100 TB table incrementally: O(changed "
+    "files), never a full-table diff.",
+)
+def q_txlog_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = orders_tx(spark, sf_dir)
+    return _priority_agg(t.read_changes(spark, since_version=0))

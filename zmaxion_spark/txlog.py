@@ -216,13 +216,35 @@ class TxTable:
 
     def compact(self, spark, n_files: int = 1) -> int:
         """Rewrite the current live set into ``n_files`` files — a pure
-        layout change in one commit; every snapshot still resolves."""
+        layout change in one commit; every snapshot still resolves.
+        The commit's actions carry ``dataChange: false`` so change-feed
+        readers (#183) know no rows were logically added or removed."""
         live = self.live_files()
         df = spark.read.parquet(
             *[os.path.join(self.path, f.path) for f in live]
         )
-        adds = self._stage(df, n_files, None)
-        return self._commit(adds + [{"remove": f.path} for f in live])
+        adds = [dict(a, dataChange=False) for a in self._stage(df, n_files, None)]
+        removes = [{"remove": f.path, "dataChange": False} for f in live]
+        return self._commit(adds + removes)
+
+    def read_changes(self, spark, since_version: int):
+        """Change data feed (#183): the rows logically ADDED after
+        ``since_version`` — the union of data files added by commits in
+        (since_version, head] whose actions carry dataChange != false.
+        Compaction commits rewrite bytes but add no rows; including
+        them would double-count, so they are excluded by their marker.
+        (Append-only history here; remove-side change rows would need
+        the removed files replayed with a _change_type column.)"""
+        paths = []
+        for v in self.versions():
+            if v <= since_version:
+                continue
+            for a in self._read_record(v)["actions"]:
+                if "add" in a and a.get("dataChange", True):
+                    paths.append(os.path.join(self.path, a["add"]))
+        if not paths:
+            raise ValueError(f"no data-changing commits after v{since_version}")
+        return spark.read.parquet(*paths)
 
     # -- read paths --------------------------------------------------------
 
@@ -247,6 +269,7 @@ class TxTable:
         spark,
         version: int | None = None,
         prune: tuple[str, object, object] | None = None,
+        merge_schema: bool = False,
     ):
         """Snapshot read. ``prune=(col, lo, hi)`` drops files whose
         [min,max] cannot intersect [lo, hi] using manifest stats alone;
@@ -264,6 +287,11 @@ class TxTable:
             files = kept
         if not files:
             raise ValueError("empty snapshot: no live files at this version")
-        return spark.read.parquet(
+        reader = spark.read
+        if merge_schema:
+            # Schema evolution across commits: merge file schemas by
+            # name; columns absent in older files read as NULL.
+            reader = reader.option("mergeSchema", "true")
+        return reader.parquet(
             *[os.path.join(self.path, f.path) for f in files]
         )
