@@ -166,3 +166,25 @@ def test_schema_evolution_nulls_old_files(tmp_table, spark):
     df = tmp_table.read(spark, merge_schema=True)
     assert "o_orderpriority" in df.columns
     assert df.filter(F.col("o_orderpriority").isNull()).count() == 50
+
+
+def test_txlog_stream_resumes_from_committed_offset(tmp_table, spark):
+    """#184: an availableNow drain checkpoints the consumed log
+    version; after a new commit, a resumed drain emits ONLY the new
+    commit's rows (no re-read of consumed versions)."""
+    import tempfile
+
+    from zmaxion_spark.streaming.pipeline import run_to_parquet
+    from zmaxion_spark.streaming.txlog_source import stream_txlog
+
+    orders = load_table(spark, SF_SMOKE, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    tmp_table.append(orders.limit(100))
+    out = tempfile.mkdtemp(prefix="zmx-txsrc-out-")
+    ckpt = tempfile.mkdtemp(prefix="zmx-txsrc-ckpt-")
+    run_to_parquet(stream_txlog(spark, tmp_table.path), out, checkpoint=ckpt)
+    assert spark.read.parquet(out).count() == 100
+    tmp_table.append(orders.limit(150))  # second commit: 150 more rows
+    run_to_parquet(stream_txlog(spark, tmp_table.path), out, checkpoint=ckpt)
+    assert spark.read.parquet(out).count() == 250

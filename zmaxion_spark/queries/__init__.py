@@ -156,6 +156,7 @@ _NEXT_ROUND: list[str] = [
     "q_txlog_schema_evolution",
     "q_txlog_merge",
     "q_txlog_change_feed",
+    "q_txlog_stream_source",
 ]
 
 

@@ -418,3 +418,42 @@ def q_txlog_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_txlog_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = orders_tx(spark, sf_dir)
     return _priority_agg(t.read_changes(spark, since_version=0))
+
+
+# ---------------------------------------------------------------------------
+# #184 the log as a streaming source (versions are offsets)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_txlog_stream_source",
+    oracle="""
+        SELECT event_type,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value
+        FROM events
+        GROUP BY event_type
+    """,
+    operators=(137, 184),
+    doc="The log as a streaming source (#184): the table that #178 "
+    "landed batch-by-batch is consumed back as a stream — commit "
+    "versions are the offsets, each micro-batch's input partitions are "
+    "the files those commits added (dataChange:false layout commits "
+    "invisible, so compaction never re-emits), and replay of a version "
+    "range re-reads identical immutable bytes. Full circle: "
+    "stream → exactly-once commits → table → stream, with the batch "
+    "aggregate of the original events as the oracle for the whole "
+    "round trip. Partition discovery is metadata-only on the driver; "
+    "data is read executor-side, one partition per committed file.",
+)
+def q_txlog_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from zmaxion_spark.streaming.pipeline import run_available_now
+    from zmaxion_spark.streaming.txlog_source import stream_txlog
+
+    t = events_ingest_table(spark, sf_dir)
+    sdf = stream_txlog(spark, t.path)
+    agg = sdf.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(38,6)")).cast("double").alias("total_value"),
+    )
+    return run_available_now(agg, name="txlog_stream", mode="complete")
