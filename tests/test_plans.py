@@ -518,3 +518,21 @@ def test_state_reader_parallelism_matches_state_partitions(spark):
 
     n = int(os.environ.get("ZMX_STREAM_SHUFFLE", "8"))
     assert df.rdd.getNumPartitions() == n
+
+
+def test_constraint_suite_row_local_rules_share_one_scan(spark):
+    """#186: the three row-local constraints must fold into a single
+    aggregation over ONE orders scan — adding a rule adds a counter,
+    not a pass. (The suite's other two scans are the distinct-count
+    and the FK probe, by design.)"""
+    plan = _plan(REGISTRY["q_constraint_suite"].fn(spark, SF_SMOKE))
+    assert plan.count("orders.parquet") <= 3
+    for marker in ("BatchEvalPython", "ArrowEvalPython"):
+        assert marker not in plan
+
+
+def test_countmin_probe_joins_broadcast_sketch(spark):
+    """#185: the d·w-counter sketch must broadcast to the probe side —
+    shuffling probes against a 16 KB aggregate would be a plan bug."""
+    plan = _plan(REGISTRY["q_countmin_sketch"].fn(spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan

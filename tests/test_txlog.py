@@ -188,3 +188,33 @@ def test_txlog_stream_resumes_from_committed_offset(tmp_table, spark):
     tmp_table.append(orders.limit(150))  # second commit: 150 more rows
     run_to_parquet(stream_txlog(spark, tmp_table.path), out, checkpoint=ckpt)
     assert spark.read.parquet(out).count() == 250
+
+
+def test_cluster_tightens_both_dimensions(spark):
+    """#187: after the Z-order layout commit, a 2-D banded read must
+    prune files using BOTH stats columns, and the cluster commit must
+    stay invisible to the change feed."""
+    import tempfile
+
+    from zmaxion_spark.queries.scale_q import zorder_value
+    from zmaxion_spark.queries.txlog_q import _HI, _LO
+
+    orders = load_table(spark, SF_SMOKE, "orders")
+    t = TxTable(
+        tempfile.mkdtemp(prefix="zmx-cluster-test-") + "/t",
+        stat_cols=("o_custkey", "o_totalprice"),
+    )
+    t.append(orders, n_files=8)
+    z = zorder_value(
+        (F.col("o_custkey") % 65536).cast("long"),
+        ((F.col("o_totalprice") / 10.0).cast("long") % 65536),
+    )
+    t.cluster(spark, z, n_files=8)
+    n_live = len(t.live_files())
+    pruned = t.read(
+        spark, prune=[("o_custkey", 100, 400), ("o_totalprice", _LO, _HI)]
+    )
+    assert len(pruned.inputFiles()) < n_live
+    # change feed after the initial append sees nothing (layout only)
+    with pytest.raises(ValueError):
+        t.read_changes(spark, since_version=0)

@@ -21,6 +21,7 @@ from zmaxion_spark.queries import (  # noqa: F401,E402
     sql4_q,
     stats_q,
     streaming_q,
+    sketch_q,
     subquery_q,
     timeseries_q,
     txlog_q,
@@ -157,6 +158,9 @@ _NEXT_ROUND: list[str] = [
     "q_txlog_merge",
     "q_txlog_change_feed",
     "q_txlog_stream_source",
+    "q_countmin_sketch",
+    "q_constraint_suite",
+    "q_txlog_cluster",
 ]
 
 

@@ -457,3 +457,62 @@ def q_txlog_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("value").cast("decimal(38,6)")).cast("double").alias("total_value"),
     )
     return run_available_now(agg, name="txlog_stream", mode="complete")
+
+
+# ---------------------------------------------------------------------------
+# #187 Z-order re-clustering as a layout commit
+# ---------------------------------------------------------------------------
+
+_CK_LO, _CK_HI = 100, 400
+
+
+@query(
+    "q_txlog_cluster",
+    oracle=f"""
+        SELECT o_orderpriority,
+               COUNT(*) AS n_orders,
+               {sql_dsum("o_totalprice", "total_price")}
+        FROM orders
+        WHERE o_custkey BETWEEN {_CK_LO} AND {_CK_HI}
+          AND o_totalprice BETWEEN {_LO} AND {_HI}
+        GROUP BY o_orderpriority
+    """,
+    operators=(156, 187),
+    doc="Z-order re-clustering of a logged table (#187): OPTIMIZE as a "
+    "commit. The table lands round-robin (stats useless), then one "
+    "dataChange:false commit rewrites it range-partitioned + sorted on "
+    "the Morton interleave of (o_custkey, o_totalprice-bucket) — so "
+    "BOTH dimensions' per-file [min,max] stats tighten at once, and a "
+    "2-D banded read prunes on the two manifest stats columns together "
+    "before any scan. Graded: pruned + residual == the plain 2-D WHERE "
+    "on the source rows. Change feeds and streaming consumers never "
+    "see the rewrite (dataChange:false, pinned in tests). This is the "
+    "maintenance loop of a 100 TB table: ingest fast and messy, "
+    "cluster asynchronously, skip forever.",
+)
+def q_txlog_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from zmaxion_spark.queries.scale_q import zorder_value
+
+    orders = load_table(spark, sf_dir, "orders")
+    t = TxTable(
+        tempfile.mkdtemp(prefix="zmx-txlog-cluster-") + "/t",
+        stat_cols=("o_custkey", "o_totalprice"),
+    )
+    t.append(orders, n_files=8)  # round-robin: stats overlap everywhere
+    z = zorder_value(
+        (F.col("o_custkey") % 65536).cast("long"),
+        ((F.col("o_totalprice") / 10.0).cast("long") % 65536),
+    )
+    t.cluster(spark, z, n_files=8)
+    df = t.read(
+        spark,
+        prune=[("o_custkey", _CK_LO, _CK_HI), ("o_totalprice", _LO, _HI)],
+    )
+    return _priority_agg(
+        df.filter(
+            F.col("o_custkey").between(_CK_LO, _CK_HI)
+            & F.col("o_totalprice").between(_LO, _HI)
+        )
+    )

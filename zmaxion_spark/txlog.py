@@ -227,6 +227,27 @@ class TxTable:
         removes = [{"remove": f.path, "dataChange": False} for f in live]
         return self._commit(adds + removes)
 
+    def cluster(self, spark, cluster_expr, n_files: int = 8) -> int:
+        """Re-cluster the live set by an expression (e.g. a Z-order
+        interleave): range-partition + sort the data on it, commit as
+        ``dataChange: false`` (a layout commit, invisible to change
+        feeds and streams). After clustering, per-file min/max stats on
+        the expression's source columns become tight, so manifest
+        pruning (#177) works on every dimension the expression mixes."""
+        live = self.live_files()
+        df = spark.read.parquet(
+            *[os.path.join(self.path, f.path) for f in live]
+        )
+        clustered = (
+            df.withColumn("_zmx_cluster", cluster_expr)
+            .repartitionByRange(n_files, "_zmx_cluster")
+            .sortWithinPartitions("_zmx_cluster")
+            .drop("_zmx_cluster")
+        )
+        adds = [dict(a, dataChange=False) for a in self._stage(clustered, None, None)]
+        removes = [{"remove": f.path, "dataChange": False} for f in live]
+        return self._commit(adds + removes)
+
     def read_changes(self, spark, since_version: int):
         """Change data feed (#183): the rows logically ADDED after
         ``since_version`` — the union of data files added by commits in
@@ -277,16 +298,23 @@ class TxTable:
         pruning is a superset guarantee, same contract as parquet
         row-group skipping)."""
         files = self.live_files(version)
-        if prune is not None:
-            col, lo, hi = prune
-            kept = []
-            for f in files:
-                s = f.stats.get(col)
-                if s is None or not (s[1] < lo or s[0] > hi):
-                    kept.append(f)
-            files = kept
         if not files:
             raise ValueError("empty snapshot: no live files at this version")
+        all_files = files
+        if prune is not None:
+            bands = [prune] if isinstance(prune, tuple) else list(prune)
+            for col, lo, hi in bands:
+                kept = []
+                for f in files:
+                    s = f.stats.get(col)
+                    if s is None or not (s[1] < lo or s[0] > hi):
+                        kept.append(f)
+                files = kept
+        if not files:
+            # Everything pruned: a legitimately-empty result — serve
+            # the schema from one live file with a false predicate.
+            one = os.path.join(self.path, all_files[0].path)
+            return spark.read.parquet(one).limit(0)
         reader = spark.read
         if merge_schema:
             # Schema evolution across commits: merge file schemas by
