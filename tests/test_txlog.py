@@ -218,3 +218,53 @@ def test_cluster_tightens_both_dimensions(spark):
     # change feed after the initial append sees nothing (layout only)
     with pytest.raises(ValueError):
         t.read_changes(spark, since_version=0)
+
+
+def test_bloom_index_skips_files(spark):
+    """#188: with range layout on price, a 10-key orderkey lookup must
+    prune at least one file via the bloom bitsets alone (min/max stats
+    can't help), and never lose a matching row."""
+    import tempfile
+
+    from zmaxion_spark.queries.txlog_q import _BLOOM_KEYS
+
+    orders = load_table(spark, SF_SMOKE, "orders").filter(
+        F.col("o_orderstatus") == "O"
+    )
+    t = TxTable(
+        tempfile.mkdtemp(prefix="zmx-bloom-test-") + "/t",
+        stat_cols=("o_totalprice",),
+        bloom_cols=("o_orderkey",),
+    )
+    t.append(orders, n_files=8, range_col="o_totalprice")
+    pruned = t.read(spark, bloom_point=("o_orderkey", _BLOOM_KEYS))
+    assert len(pruned.inputFiles()) < len(t.live_files())
+    expect = orders.filter(F.col("o_orderkey").isin(_BLOOM_KEYS)).count()
+    got = pruned.filter(F.col("o_orderkey").isin(_BLOOM_KEYS)).count()
+    assert got == expect
+
+
+def test_compaction_materializes_deletion_vectors(tmp_table, spark):
+    """#189: after delete_where, the vectors live in the log; after
+    compaction they are gone and the answer is unchanged — the rewrite
+    read through the vectors."""
+    orders = load_table(spark, SF_SMOKE, "orders")
+    tmp_table.append(orders, n_files=4)
+    tmp_table.delete_where(spark, F.col("o_orderstatus") == "P")
+    expect = tmp_table.read(spark).count()
+    assert any(f.dv for f in tmp_table.live_files())
+    tmp_table.compact(spark, n_files=2)
+    assert not any(f.dv for f in tmp_table.live_files())
+    assert tmp_table.read(spark).count() == expect
+    assert expect == orders.filter(F.col("o_orderstatus") != "P").count()
+
+
+def test_time_travel_predates_deletes(tmp_table, spark):
+    """#189 x #176: a snapshot before the delete commit still sees
+    every row — deletes are versioned like any other commit."""
+    orders = load_table(spark, SF_SMOKE, "orders")
+    tmp_table.append(orders, n_files=2)
+    total = orders.count()
+    tmp_table.delete_where(spark, F.col("o_orderstatus") == "P")
+    assert tmp_table.read(spark, version=0).count() == total
+    assert tmp_table.read(spark).count() < total

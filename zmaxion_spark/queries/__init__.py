@@ -161,6 +161,8 @@ _NEXT_ROUND: list[str] = [
     "q_countmin_sketch",
     "q_constraint_suite",
     "q_txlog_cluster",
+    "q_txlog_bloom_lookup",
+    "q_txlog_delete_vectors",
 ]
 
 

@@ -516,3 +516,79 @@ def q_txlog_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
             & F.col("o_totalprice").between(_LO, _HI)
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# #188 per-file bloom index, #189 deletion vectors
+# ---------------------------------------------------------------------------
+
+_BLOOM_KEYS = [k * 37 for k in range(10)]  # exist at every SF (keys 0..332)
+
+
+@query(
+    "q_txlog_bloom_lookup",
+    oracle=f"""
+        SELECT COUNT(*) AS n,
+               {sql_dsum("o_totalprice", "total_price")},
+               MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key
+        FROM orders
+        WHERE o_orderstatus = 'O'
+          AND o_orderkey IN ({", ".join(map(str, _BLOOM_KEYS))})
+    """,
+    operators=(188,),
+    doc="Per-file bloom index (#188): the table is range-laid-out on "
+    "o_totalprice, so o_orderkey point lookups get NOTHING from "
+    "min/max stats — the write path therefore records a 4096-bit "
+    "md5-hashed bloom bitset per file per indexed column (computed "
+    "DISTRIBUTED over the staged files; only set-bit positions reach "
+    "the manifest). A 10-key point lookup prunes every file whose "
+    "bitset proves absence, then applies the residual IN — superset "
+    "guarantee, graded hash-exact. Files actually skipped is pinned "
+    "in tests. This is the secondary-index story for a 100 TB table: "
+    "needle queries on non-layout columns stop scanning the haystack.",
+)
+def q_txlog_bloom_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    orders = load_table(spark, sf_dir, "orders")
+    t = TxTable(
+        tempfile.mkdtemp(prefix="zmx-txlog-bloom-") + "/t",
+        stat_cols=("o_totalprice",),
+        bloom_cols=("o_orderkey",),
+    )
+    t.append(
+        orders.filter(F.col("o_orderstatus") == "O"),
+        n_files=8,
+        range_col="o_totalprice",
+    )
+    df = t.read(spark, bloom_point=("o_orderkey", _BLOOM_KEYS))
+    return df.filter(F.col("o_orderkey").isin(_BLOOM_KEYS)).agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum("o_totalprice", "total_price"),
+        F.min("o_orderkey").alias("min_key"),
+        F.max("o_orderkey").alias("max_key"),
+    )
+
+
+@query(
+    "q_txlog_delete_vectors",
+    oracle=_ORACLE_AGG.format(where="WHERE o_orderstatus <> 'P'"),
+    operators=(189,),
+    doc="Deletion vectors (#189): DELETE WHERE status='P' rewrites "
+    "NOTHING — the commit records each affected file's matched row "
+    "indices (found via the _metadata.row_index pseudo-column, one "
+    "distributed scan), and every subsequent read subtracts them with "
+    "a broadcast anti-join on (file, row_index). Merge-on-read "
+    "deletes: a 100 TB table erases rows in seconds and pays rewrite "
+    "cost only when compaction chooses to materialize (tests pin that "
+    "compacting clears the vectors without changing the answer). The "
+    "graded read must equal the plain <> 'P' SQL.",
+)
+def q_txlog_delete_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    orders = load_table(spark, sf_dir, "orders")
+    t = TxTable(tempfile.mkdtemp(prefix="zmx-txlog-dv-") + "/t")
+    t.append(orders, n_files=4)
+    t.delete_where(spark, F.col("o_orderstatus") == "P")
+    return _priority_agg(t.read(spark))

@@ -53,6 +53,24 @@ class FileEntry:
     path: str  # relative to table root
     rows: int
     stats: dict[str, list] = field(default_factory=dict)  # col -> [min, max]
+    dv: list[int] = field(default_factory=list)  # deleted row indices
+    bloom: dict[str, list] = field(default_factory=dict)  # col -> set bits
+
+
+# Bloom geometry (#188): m bits, k md5-derived hash functions per key.
+BLOOM_M, BLOOM_K = 4096, 3
+
+
+def bloom_bits(value) -> list[int]:
+    """The k bit positions a key sets — driver-side twin of the
+    Spark-side expression in ``_bloom_for_files`` (same md5 arithmetic,
+    so executors and the pruning planner always agree)."""
+    import hashlib as _h
+
+    return [
+        int(_h.md5(f"bf{j}:{value}".encode()).hexdigest()[:8], 16) % BLOOM_M
+        for j in range(BLOOM_K)
+    ]
 
 
 def _footer_stats(abs_path: str, stat_cols: tuple[str, ...]) -> tuple[int, dict]:
@@ -81,9 +99,15 @@ class TxTable:
     """A logged parquet table rooted at ``path`` (local or any
     Hadoop-visible filesystem; file:// semantics in tests)."""
 
-    def __init__(self, path: str, stat_cols: tuple[str, ...] = ()):
+    def __init__(
+        self,
+        path: str,
+        stat_cols: tuple[str, ...] = (),
+        bloom_cols: tuple[str, ...] = (),
+    ):
         self.path = path
         self.stat_cols = stat_cols
+        self.bloom_cols = bloom_cols
         os.makedirs(self._log_dir, exist_ok=True)
         os.makedirs(os.path.join(path, "data"), exist_ok=True)
 
@@ -147,13 +171,100 @@ class TxTable:
         os.rmdir(tmp)
         return adds
 
+    def _bloom_for_files(self, spark, adds: list[dict]) -> None:
+        """Attach per-file bloom bitsets (#188) for ``bloom_cols`` to
+        freshly-staged add actions. Computed DISTRIBUTED: one scan of
+        the new files, k md5 hash bits per key exploded, distinct bit
+        positions aggregated per file — at most BLOOM_M ints per file
+        ever reach the driver (metadata-sized, like the stats)."""
+        from pyspark.sql import functions as F
+
+        paths = {os.path.join(self.path, a["add"]): a for a in adds}
+        if not paths:
+            return
+        df = spark.read.parquet(*paths)
+        for col in self.bloom_cols:
+            if col not in df.columns:
+                continue
+            hashes = [
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                F.lit(f"bf{j}:"), F.col(col).cast("string")
+                            ).cast("binary")
+                        ),
+                        1,
+                        8,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % BLOOM_M
+                for j in range(BLOOM_K)
+            ]
+            bits = (
+                df.select(
+                    F.col("_metadata.file_path").alias("fp"),
+                    F.explode(F.array(*hashes)).alias("bit"),
+                )
+                .distinct()
+                .groupBy("fp")
+                .agg(F.sort_array(F.collect_list("bit")).alias("bits"))
+                .collect()
+            )
+            for row in bits:
+                a = paths.get(row["fp"].removeprefix("file:"))
+                if a is not None:
+                    a.setdefault("bloom", {})[col] = [int(b) for b in row["bits"]]
+
     def append(
         self, df, n_files: int | None = None, range_col: str | None = None
     ) -> int:
         """Commit new data files. ``range_col`` range-partitions the
         write so file-level min/max stats become disjoint — the layout
         that makes data skipping effective."""
-        return self._commit(self._stage(df, n_files, range_col))
+        adds = self._stage(df, n_files, range_col)
+        if self.bloom_cols:
+            self._bloom_for_files(df.sparkSession, adds)
+        return self._commit(adds)
+
+    def delete_where(self, spark, predicate) -> int:
+        """Merge-on-read DELETE (#189): no data file is rewritten —
+        the commit records a deletion vector (matched row indices) per
+        affected file, and reads subtract them. The DV is
+        metadata-sized for selective deletes (at production scale:
+        roaring bitmaps); a later compaction materializes the deletes
+        and drops the vectors. GDPR-eraser / dedup-killer shape: a
+        100 TB table deletes a few million rows in seconds, paying
+        rewrite cost only when maintenance chooses to."""
+        from pyspark.sql import functions as F
+
+        live = self.live_files()
+        df = spark.read.parquet(
+            *[os.path.join(self.path, f.path) for f in live]
+        )
+        hits = (
+            df.filter(predicate)
+            .select(
+                F.col("_metadata.file_path").alias("fp"),
+                F.col("_metadata.row_index").alias("ri"),
+            )
+            .groupBy("fp")
+            .agg(F.sort_array(F.collect_list("ri")).alias("rows"))
+            .collect()
+        )
+        prefix = "file:" + self.path + "/"
+        actions = [
+            {
+                "dv": row["fp"].removeprefix(prefix),
+                "drop_rows": [int(r) for r in row["rows"]],
+            }
+            for row in hits
+        ]
+        if not actions:
+            raise ValueError("delete_where matched no rows")
+        return self._commit(actions)
 
     def append_batch(self, df, source: str, batch_id: int) -> int | None:
         """Exactly-once streaming ingestion: commit one micro-batch,
@@ -218,12 +329,14 @@ class TxTable:
         """Rewrite the current live set into ``n_files`` files — a pure
         layout change in one commit; every snapshot still resolves.
         The commit's actions carry ``dataChange: false`` so change-feed
-        readers (#183) know no rows were logically added or removed."""
+        readers (#183) know no rows were logically added or removed.
+        Deletion vectors (#189) are MATERIALIZED here — the rewrite
+        reads through them, so the new files carry no vectors."""
         live = self.live_files()
-        df = spark.read.parquet(
-            *[os.path.join(self.path, f.path) for f in live]
-        )
+        df = self.read(spark)
         adds = [dict(a, dataChange=False) for a in self._stage(df, n_files, None)]
+        if self.bloom_cols:
+            self._bloom_for_files(spark, adds)
         removes = [{"remove": f.path, "dataChange": False} for f in live]
         return self._commit(adds + removes)
 
@@ -233,11 +346,10 @@ class TxTable:
         ``dataChange: false`` (a layout commit, invisible to change
         feeds and streams). After clustering, per-file min/max stats on
         the expression's source columns become tight, so manifest
-        pruning (#177) works on every dimension the expression mixes."""
+        pruning (#177) works on every dimension the expression mixes.
+        Like compact, deletion vectors materialize in the rewrite."""
         live = self.live_files()
-        df = spark.read.parquet(
-            *[os.path.join(self.path, f.path) for f in live]
-        )
+        df = self.read(spark)
         clustered = (
             df.withColumn("_zmx_cluster", cluster_expr)
             .repartitionByRange(n_files, "_zmx_cluster")
@@ -280,9 +392,16 @@ class TxTable:
                 rec = json.load(f)
             for a in rec["actions"]:
                 if "add" in a:
-                    live[a["add"]] = FileEntry(a["add"], a["rows"], a["stats"])
+                    live[a["add"]] = FileEntry(
+                        a["add"], a["rows"], a["stats"],
+                        bloom=a.get("bloom", {}),
+                    )
                 elif "remove" in a:
                     live.pop(a["remove"], None)
+                elif "dv" in a:
+                    entry = live.get(a["dv"])
+                    if entry is not None:
+                        entry.dv = sorted(set(entry.dv) | set(a["drop_rows"]))
         return list(live.values())
 
     def read(
@@ -291,12 +410,17 @@ class TxTable:
         version: int | None = None,
         prune: tuple[str, object, object] | None = None,
         merge_schema: bool = False,
+        bloom_point: tuple[str, list] | None = None,
     ):
-        """Snapshot read. ``prune=(col, lo, hi)`` drops files whose
-        [min,max] cannot intersect [lo, hi] using manifest stats alone;
-        the residual predicate still belongs on the result (stats
-        pruning is a superset guarantee, same contract as parquet
-        row-group skipping)."""
+        """Snapshot read. ``prune=(col, lo, hi)`` (or a list of such
+        bands) drops files whose [min,max] cannot intersect using
+        manifest stats alone; ``bloom_point=(col, keys)`` drops files
+        whose bloom bitset proves none of the keys can be present.
+        Both are superset guarantees — the residual predicate still
+        belongs on the result (same contract as parquet row-group
+        skipping). Files with deletion vectors get their deleted rows
+        subtracted via an anti-join on (_metadata.file_path,
+        _metadata.row_index)."""
         files = self.live_files(version)
         if not files:
             raise ValueError("empty snapshot: no live files at this version")
@@ -310,6 +434,19 @@ class TxTable:
                     if s is None or not (s[1] < lo or s[0] > hi):
                         kept.append(f)
                 files = kept
+        if bloom_point is not None:
+            col, keys = bloom_point
+            want = [set(bloom_bits(k)) for k in keys]
+            kept = []
+            for f in files:
+                bset = f.bloom.get(col)
+                if bset is None:
+                    kept.append(f)  # no index: cannot exclude
+                    continue
+                bits = set(bset)
+                if any(w <= bits for w in want):
+                    kept.append(f)
+            files = kept
         if not files:
             # Everything pruned: a legitimately-empty result — serve
             # the schema from one live file with a false predicate.
@@ -320,6 +457,24 @@ class TxTable:
             # Schema evolution across commits: merge file schemas by
             # name; columns absent in older files read as NULL.
             reader = reader.option("mergeSchema", "true")
-        return reader.parquet(
+        df = reader.parquet(
             *[os.path.join(self.path, f.path) for f in files]
         )
+        dv_rows = [
+            (f"file:{os.path.join(self.path, f.path)}", int(ri))
+            for f in files
+            for ri in f.dv
+        ]
+        if dv_rows:
+            from pyspark.sql import functions as F
+
+            dv = F.broadcast(
+                spark.createDataFrame(dv_rows, "fp string, ri bigint")
+            )
+            df = df.join(
+                dv,
+                (F.col("_metadata.file_path") == dv["fp"])
+                & (F.col("_metadata.row_index") == dv["ri"]),
+                "left_anti",
+            )
+        return df
