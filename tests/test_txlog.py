@@ -268,3 +268,49 @@ def test_time_travel_predates_deletes(tmp_table, spark):
     tmp_table.delete_where(spark, F.col("o_orderstatus") == "P")
     assert tmp_table.read(spark, version=0).count() == total
     assert tmp_table.read(spark).count() < total
+
+
+def test_checkpoint_seeds_replay(tmp_table, spark):
+    """#190: live_files after a checkpoint must equal full replay —
+    including a post-checkpoint delete vector and remove."""
+    orders = load_table(spark, SF_SMOKE, "orders")
+    tmp_table.append(orders.limit(200), n_files=2)
+    tmp_table.append(orders.limit(100), n_files=1)
+    full_before = {f.path for f in tmp_table.live_files()}
+    v = tmp_table.write_checkpoint()
+    assert v == tmp_table.latest_version()
+    tmp_table.delete_where(spark, F.col("o_orderstatus") == "P")
+    seeded = tmp_table.live_files()
+    assert {f.path for f in seeded} == full_before
+    assert any(f.dv for f in seeded)
+    # time travel BEFORE the checkpoint still replays from scratch
+    assert len(tmp_table.live_files(version=0)) == 2
+
+
+def test_occ_append_retries_through_race(tmp_table, spark):
+    """#191: a commit whose snapshot predates a competing APPEND
+    commutes with it — commit_retry validates the unseen commit, finds
+    no removed read files, and lands on the new head."""
+    df = load_table(spark, SF_SMOKE, "orders").limit(10)
+    tmp_table.append(df)  # v0, our snapshot
+    read_set = {f.path for f in tmp_table.live_files()}
+    tmp_table.append(df)  # v1: competing append lands after our read
+    v = tmp_table.commit_retry(
+        [], read_files=read_set, snapshot_version=0
+    )
+    assert v == 2
+
+
+def test_occ_raises_on_removed_read_set(tmp_table, spark):
+    """#191: a transaction whose read set was invalidated by a
+    competing REMOVE must fail with ConcurrentModification, not
+    silently commit on top."""
+    from zmaxion_spark.txlog import ConcurrentModification
+
+    df = load_table(spark, SF_SMOKE, "orders").limit(10)
+    tmp_table.append(df)  # v0, our snapshot
+    read_set = {f.path for f in tmp_table.live_files()}
+    removed = sorted(read_set)[0]
+    tmp_table._commit([{"remove": removed}])  # v1: competitor removes it
+    with pytest.raises(ConcurrentModification):
+        tmp_table.commit_retry([], read_files=read_set, snapshot_version=0)

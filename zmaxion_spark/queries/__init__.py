@@ -163,6 +163,7 @@ _NEXT_ROUND: list[str] = [
     "q_txlog_cluster",
     "q_txlog_bloom_lookup",
     "q_txlog_delete_vectors",
+    "q_txlog_checkpointed_log",
 ]
 
 

@@ -592,3 +592,42 @@ def q_txlog_delete_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     t.append(orders, n_files=4)
     t.delete_where(spark, F.col("o_orderstatus") == "P")
     return _priority_agg(t.read(spark))
+
+
+# ---------------------------------------------------------------------------
+# #190 log checkpoints (long-log planning), #191 optimistic concurrency
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_txlog_checkpointed_log",
+    oracle=f"""
+        SELECT o_orderpriority,
+               COUNT(*) AS n_orders,
+               {sql_dsum("o_totalprice", "total_price")}
+        FROM orders
+        WHERE o_orderkey % 20 < 12
+        GROUP BY o_orderpriority
+    """,
+    operators=(190, 191),
+    doc="Checkpointed log replay (#190): the table accumulates 12 "
+    "append commits (orders sharded by o_orderkey%20), a checkpoint "
+    "manifest snapshots the live set mid-history, and MORE commits "
+    "follow — the head read must replay checkpoint + suffix and equal "
+    "the plain SQL over all 12 shards. This is what keeps planning "
+    "O(commits-since-checkpoint) instead of O(commits-ever) on a "
+    "table with years of history. Every append routes through the "
+    "optimistic-concurrency retry path (#191, appends commute; "
+    "conflict semantics pinned in tests/test_txlog.py).",
+    bench=False,  # 12 tiny commits exercise the log, not a scan path
+)
+def q_txlog_checkpointed_log(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    orders = load_table(spark, sf_dir, "orders")
+    t = TxTable(tempfile.mkdtemp(prefix="zmx-txlog-chk-") + "/t")
+    for shard in range(12):
+        t.append(orders.filter(F.col("o_orderkey") % 20 == shard), n_files=1)
+        if shard == 7:
+            t.write_checkpoint()
+    return _priority_agg(t.read(spark))

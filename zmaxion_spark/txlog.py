@@ -48,6 +48,11 @@ class CommitConflict(Exception):
     """Another writer committed this version first; retry on new head."""
 
 
+class ConcurrentModification(Exception):
+    """A competing commit invalidated this transaction's snapshot
+    (removed a file it read) — the transaction must restart."""
+
+
 @dataclass
 class FileEntry:
     path: str  # relative to table root
@@ -119,7 +124,9 @@ class TxTable:
 
     def versions(self) -> list[int]:
         return sorted(
-            int(f[:-5]) for f in os.listdir(self._log_dir) if f.endswith(".json")
+            int(f[:-5])
+            for f in os.listdir(self._log_dir)
+            if f.endswith(".json") and f[:-5].isdigit()
         )
 
     def latest_version(self) -> int:
@@ -144,6 +151,86 @@ class TxTable:
     def _read_record(self, version: int) -> dict:
         with open(os.path.join(self._log_dir, f"{version:08d}.json")) as f:
             return json.load(f)
+
+    # -- log checkpoints (#190): O(1) planning on long logs ----------------
+
+    def write_checkpoint(self) -> int:
+        """Snapshot the current live set into one manifest file so
+        readers replay O(commits since checkpoint), not O(commits ever)
+        — the Delta `_last_checkpoint` pattern. Returns the
+        checkpointed version. Idempotent per version; crash-safe (a
+        half-written checkpoint is ignored until its rename lands)."""
+        head = self.latest_version()
+        live = self.live_files(version=head)
+        payload = {
+            "version": head,
+            "live": [
+                {
+                    "path": f.path,
+                    "rows": f.rows,
+                    "stats": f.stats,
+                    "dv": f.dv,
+                    "bloom": f.bloom,
+                }
+                for f in live
+            ],
+        }
+        target = os.path.join(self._log_dir, f"chk-{head:08d}.json")
+        tmp = f"{target}.tmp-{os.getpid()}"
+        with open(tmp, "w") as f:
+            json.dump(payload, f)
+        os.replace(tmp, target)
+        return head
+
+    def _latest_checkpoint(self, head: int) -> dict | None:
+        best = None
+        for name in os.listdir(self._log_dir):
+            if name.startswith("chk-") and name.endswith(".json"):
+                v = int(name[4:-5])
+                if v <= head and (best is None or v > best):
+                    best = v
+        if best is None:
+            return None
+        with open(os.path.join(self._log_dir, f"chk-{best:08d}.json")) as f:
+            return json.load(f)
+
+    # -- optimistic concurrency with logical conflict check (#191) ---------
+
+    def commit_retry(
+        self,
+        actions: list[dict],
+        read_files: set[str] = frozenset(),
+        snapshot_version: int | None = None,
+        max_retries: int = 5,
+        meta: dict | None = None,
+    ) -> int:
+        """Commit with Delta-shaped optimistic concurrency.
+        ``snapshot_version`` is the head this transaction READ its
+        inputs at (default: now). Before every commit attempt, all
+        commits unseen at snapshot time are validated: if any REMOVED a
+        file in ``read_files``, the snapshot is stale in a way the
+        write cannot survive → ConcurrentModification (re-derive and
+        retry at the new snapshot). Commits that only added files
+        commute with us (appends always do), so a lost version race
+        just retries on the new head."""
+        checked = (
+            self.latest_version() if snapshot_version is None else snapshot_version
+        )
+        for _ in range(max_retries + 1):
+            head = self.latest_version()
+            for v in range(checked + 1, head + 1):
+                for a in self._read_record(v)["actions"]:
+                    if "remove" in a and a["remove"] in read_files:
+                        raise ConcurrentModification(
+                            f"commit v{v} removed {a['remove']} which "
+                            "this transaction read"
+                        )
+            checked = head
+            try:
+                return self._commit(actions, meta)
+            except CommitConflict:
+                continue
+        raise CommitConflict(f"lost {max_retries + 1} version races")
 
     # -- write paths -------------------------------------------------------
 
@@ -227,7 +314,9 @@ class TxTable:
         adds = self._stage(df, n_files, range_col)
         if self.bloom_cols:
             self._bloom_for_files(df.sparkSession, adds)
-        return self._commit(adds)
+        # Appends read nothing, so they commute with any concurrent
+        # commit — retry through version races (#191).
+        return self.commit_retry(adds)
 
     def delete_where(self, spark, predicate) -> int:
         """Merge-on-read DELETE (#189): no data file is rewritten —
@@ -382,10 +471,23 @@ class TxTable:
     # -- read paths --------------------------------------------------------
 
     def live_files(self, version: int | None = None) -> list[FileEntry]:
-        """Replay the log prefix up to ``version`` (default: head)."""
+        """Replay the log prefix up to ``version`` (default: head) —
+        seeded from the newest checkpoint manifest at or before it, so
+        replay work is O(commits since checkpoint)."""
         head = self.latest_version() if version is None else version
         live: dict[str, FileEntry] = {}
+        chk = self._latest_checkpoint(head)
+        chk_v = -1
+        if chk is not None:
+            chk_v = chk["version"]
+            for e in chk["live"]:
+                live[e["path"]] = FileEntry(
+                    e["path"], e["rows"], e["stats"],
+                    dv=e.get("dv", []), bloom=e.get("bloom", {}),
+                )
         for v in self.versions():
+            if v <= chk_v:
+                continue
             if v > head:
                 break
             with open(os.path.join(self._log_dir, f"{v:08d}.json")) as f:
