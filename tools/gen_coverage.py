@@ -82,6 +82,31 @@ OPERATORS: dict[int, str] = {
     142: "funnel_stream (stateful CEP)",
     143: "ecs_stream_tick (topic -> system -> world state)",
     144: "bucketed_colocated_join",
+    # §2.15 round-3 second wave (behavioral analytics)
+    145: "market_basket", 146: "retention_cohorts", 147: "ab_test_stats",
+    148: "skyline_pareto", 149: "inverted_index", 150: "bm25_scoring",
+    151: "cooccurrence_pmi", 152: "triangle_count", 153: "pagerank_fixed",
+    154: "spatial_grid_join", 155: "incremental_mv", 156: "zorder_layout",
+    157: "stream_cdc_apply",
+    # §2.16 round-3 third wave (statistics + interchange + Spark 4 SQL)
+    158: "stats_regression", 159: "gap_fill_locf", 160: "xml_semistructured",
+    161: "feature_hashing", 162: "stream_dedup_bounded",
+    163: "runtime_bloom_filter", 164: "stream_progress_metrics",
+    165: "arrow_grouped_map", 166: "rocksdb_state_store",
+    167: "sql_udf", 168: "pipe_syntax", 169: "collation",
+    170: "try_functions", 171: "param_sql",
+    # §2.17 round-3 fourth wave (control flow + state inspection)
+    172: "sql_scripting", 173: "state_reader", 174: "gopher_quality_gates",
+    # §2.18 transaction-log table format
+    175: "txlog_snapshot", 176: "txlog_time_travel", 177: "txlog_skipping",
+    178: "stream_to_txlog (exactly-once ingest)", 179: "txlog_vacuum",
+    180: "ecs_snapshot_restore", 181: "txlog_schema_evolution",
+    182: "txlog_merge", 183: "txlog_change_feed",
+    184: "txlog_stream_source (versions as offsets)",
+    # §2.19 sketches, quality gates, clustering, log protocol
+    185: "countmin_sketch", 186: "constraint_suite", 187: "txlog_cluster",
+    188: "txlog_bloom_index", 189: "txlog_delete_vectors",
+    190: "txlog_checkpointed_log", 191: "txlog_occ",
 }
 
 # Ops verified by tests rather than graded queries.
@@ -92,6 +117,9 @@ TEST_COVERED: dict[int, str] = {
     7: "tests/test_streaming.py::test_foreach_batch_side_channel",
     54: "tests/test_streaming.py::test_watermark_drops_late_data",
     139: "tests/test_properties.py::test_observe_metrics_single_pass",
+    164: "tests/test_streaming.py::test_progress_recorder_captures_batches",
+    191: "tests/test_txlog.py::test_occ_append_retries_through_race + "
+         "test_occ_raises_on_removed_read_set",
 }
 
 DESIGN_SLOTS: dict[int, str] = {
