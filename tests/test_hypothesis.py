@@ -310,3 +310,70 @@ def test_global_shuffle_two_phase_equals_total_order(spark, ids):
         ).collect()
     }
     assert two_phase == total
+
+
+# ---------------------------------------------------------------------------
+# Transaction-log model test (#175-#191): random command sequences vs
+# an in-memory reference model, checked at head AND at every
+# historical version — snapshot isolation, time travel, layout
+# invisibility and merge-on-read deletes all at once.
+# ---------------------------------------------------------------------------
+
+_cmd = st.sampled_from(["append", "delete", "compact", "overwrite"])
+
+
+@given(cmds=st.lists(_cmd, min_size=2, max_size=6), data=st.data())
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_txlog_random_history_matches_model(spark, cmds, data):
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from zmaxion_spark.txlog import TxTable
+
+    t = TxTable(tempfile.mkdtemp(prefix="zmx-hyp-txlog-") + "/t")
+    # model[v] = multiset of keys live at version v (keys are ints)
+    model_versions: list[list[int]] = []
+    live: list[int] = []
+    next_key = 0
+
+    def df_of(keys):
+        return spark.createDataFrame([(k,) for k in keys], "k bigint")
+
+    for cmd in cmds:
+        if cmd == "append" or not model_versions:
+            n = data.draw(st.integers(min_value=1, max_value=20))
+            keys = list(range(next_key, next_key + n))
+            next_key += n
+            t.append(df_of(keys))
+            live = live + keys
+        elif cmd == "delete":
+            # keep at least the max key alive: an all-rows delete would
+            # make the snapshot legitimately empty (read() raises) and
+            # the model would need the same special case — not the
+            # invariant under test here
+            if not live or max(live) < 1:
+                continue
+            cut = data.draw(st.integers(min_value=0, max_value=max(live) - 1))
+            doomed = [k for k in live if k <= cut]
+            if not doomed:
+                continue
+            t.delete_where(spark, F.col("k") <= cut)
+            live = [k for k in live if k > cut]
+        elif cmd == "compact":
+            t.compact(spark, n_files=1)
+            live = list(live)
+        elif cmd == "overwrite":
+            keys = list(range(next_key, next_key + 5))
+            next_key += 5
+            t.overwrite(df_of(keys))
+            live = keys
+        model_versions.append(sorted(live))
+
+    # Head and every historical version must match the model exactly.
+    for v, expect in enumerate(model_versions):
+        got = sorted(
+            r["k"] for r in t.read(spark, version=v).select("k").collect()
+        )
+        assert got == expect, f"version {v}: {got} != model {expect}"
