@@ -314,3 +314,30 @@ def test_occ_raises_on_removed_read_set(tmp_table, spark):
     tmp_table._commit([{"remove": removed}])  # v1: competitor removes it
     with pytest.raises(ConcurrentModification):
         tmp_table.commit_retry([], read_files=read_set, snapshot_version=0)
+
+
+def test_validated_commit_aborts_and_leaves_table_unchanged(tmp_table, spark):
+    """#193: a failing gate must raise BEFORE anything commits — the
+    version count and live set stay exactly as they were."""
+    from zmaxion_spark.functions.quality import Check
+    from zmaxion_spark.txlog import QualityGateFailure
+
+    orders = load_table(spark, SF_SMOKE, "orders")
+    tmp_table.append(orders.limit(10))
+    versions = tmp_table.versions()
+    impossible = Check("g").in_range("o_totalprice", -2.0, -1.0)
+    with pytest.raises(QualityGateFailure):
+        tmp_table.append(orders.limit(10), validate=impossible)
+    assert tmp_table.versions() == versions
+
+
+def test_medallion_rerun_is_idempotent(spark):
+    """#192: re-running the whole bronze->silver pipeline adds no new
+    silver versions and no rows."""
+    from zmaxion_spark.queries.txlog_q import _silver_table
+
+    s1 = _silver_table(spark, SF_SMOKE)
+    versions, rows = s1.versions(), s1.read(spark).count()
+    s2 = _silver_table(spark, SF_SMOKE)
+    assert s2.versions() == versions
+    assert s2.read(spark).count() == rows

@@ -107,6 +107,8 @@ OPERATORS: dict[int, str] = {
     185: "countmin_sketch", 186: "constraint_suite", 187: "txlog_cluster",
     188: "txlog_bloom_index", 189: "txlog_delete_vectors",
     190: "txlog_checkpointed_log", 191: "txlog_occ",
+    192: "medallion_pipeline (bronze->silver exactly-once)",
+    193: "txlog_validated_commit (quality-gated publish)",
 }
 
 # Ops verified by tests rather than graded queries.

@@ -164,6 +164,8 @@ _NEXT_ROUND: list[str] = [
     "q_txlog_bloom_lookup",
     "q_txlog_delete_vectors",
     "q_txlog_checkpointed_log",
+    "q_medallion_pipeline",
+    "q_txlog_validated_commit",
 ]
 
 

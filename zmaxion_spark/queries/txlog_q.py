@@ -631,3 +631,89 @@ def q_txlog_checkpointed_log(spark: SparkSession, sf_dir: str) -> DataFrame:
         if shard == 7:
             t.write_checkpoint()
     return _priority_agg(t.read(spark))
+
+
+# ---------------------------------------------------------------------------
+# #192 medallion pipeline, #193 validated commits
+# ---------------------------------------------------------------------------
+
+
+def _silver_table(spark: SparkSession, sf_dir: str) -> TxTable:
+    """bronze (events ingest table) consumed AS A STREAM, filtered and
+    landed exactly-once into a silver table — both hops idempotent."""
+    from zmaxion_spark.streaming.pipeline import run_foreach_batch
+    from zmaxion_spark.streaming.txlog_source import stream_txlog
+
+    bronze = events_ingest_table(spark, sf_dir)
+    root = os.path.join(os.path.dirname(bronze.path), "events_silver")
+    silver = TxTable(root)
+    if silver._applied_batches("silver") >= 0:
+        return silver  # the availableNow drain is a single batch
+    sdf = stream_txlog(spark, bronze.path).filter(F.col("value") > 100.0)
+    run_foreach_batch(
+        sdf, lambda df, bid: silver.append_batch(df, "silver", bid)
+    )
+    return silver
+
+
+@query(
+    "q_medallion_pipeline",
+    oracle="""
+        SELECT event_type,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value
+        FROM events
+        WHERE value > 100.0
+        GROUP BY event_type
+    """,
+    operators=(178, 184, 192),
+    doc="Medallion pipeline (#192): the full bronze->silver hop — the "
+    "chunked event topic lands exactly-once into the bronze table "
+    "(#178), bronze is consumed AS A STREAM (versions-as-offsets, "
+    "#184), a quality filter drops low-value events, and the result "
+    "lands exactly-once into silver — every hop an atomic, "
+    "(source,batchId)-idempotent commit, so replaying ANY stage "
+    "(including this whole graded query) adds nothing twice. The "
+    "oracle states the end-to-end contract in one SQL sentence over "
+    "the original events. This is the canonical 100 TB ingestion "
+    "architecture: tables as durable topics, commits as the only "
+    "coordination.",
+)
+def q_medallion_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    silver = _silver_table(spark, sf_dir)
+    return (
+        silver.read(spark)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), dsum("value", "total_value"))
+    )
+
+
+@query(
+    "q_txlog_validated_commit",
+    oracle=_ORACLE_AGG.format(where="WHERE o_orderstatus = 'O'"),
+    operators=(186, 193),
+    doc="Validated commit (#193): the constraint suite (#186) wired "
+    "into the commit path — append(validate=Check(...)) evaluates the "
+    "gate BEFORE staging and aborts on violations, so no published "
+    "version can ever contain data that failed its contract (the "
+    "failing path + table-unchanged invariant are pinned in "
+    "tests/test_txlog.py). Graded: a gated append that passes its "
+    "checks must land byte-identically to an ungated one.",
+)
+def q_txlog_validated_commit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from zmaxion_spark.functions.quality import Check
+
+    orders = load_table(spark, sf_dir, "orders")
+    t = TxTable(tempfile.mkdtemp(prefix="zmx-txlog-gate-") + "/t")
+    gate = (
+        Check("orders_gate")
+        .not_null("o_orderkey")
+        .in_range("o_totalprice", 0, 1_000_000)
+        .is_unique("o_orderkey")
+    )
+    t.append(
+        orders.filter(F.col("o_orderstatus") == "O"), n_files=4, validate=gate
+    )
+    return _priority_agg(t.read(spark))

@@ -53,6 +53,11 @@ class ConcurrentModification(Exception):
     (removed a file it read) — the transaction must restart."""
 
 
+class QualityGateFailure(Exception):
+    """A validated commit's constraint suite reported violations; the
+    commit was aborted before any data was staged."""
+
+
 @dataclass
 class FileEntry:
     path: str  # relative to table root
@@ -306,11 +311,33 @@ class TxTable:
                     a.setdefault("bloom", {})[col] = [int(b) for b in row["bits"]]
 
     def append(
-        self, df, n_files: int | None = None, range_col: str | None = None
+        self,
+        df,
+        n_files: int | None = None,
+        range_col: str | None = None,
+        validate=None,
     ) -> int:
         """Commit new data files. ``range_col`` range-partitions the
         write so file-level min/max stats become disjoint — the layout
-        that makes data skipping effective."""
+        that makes data skipping effective. ``validate`` (#193) is a
+        quality gate — a ``functions.quality.Check`` (or any callable
+        df -> report with (constraint_name, passed) columns) evaluated
+        BEFORE staging: violations abort the commit, so a published
+        version can never contain data that failed its contract."""
+        if validate is not None:
+            from pyspark.sql import functions as F
+
+            report = (
+                validate.run(df) if hasattr(validate, "run") else validate(df)
+            )
+            failed = [
+                r["constraint_name"]
+                for r in report.filter(~F.col("passed")).collect()
+            ]
+            if failed:
+                raise QualityGateFailure(
+                    f"commit aborted, failed constraints: {failed}"
+                )
         adds = self._stage(df, n_files, range_col)
         if self.bloom_cols:
             self._bloom_for_files(df.sparkSession, adds)
