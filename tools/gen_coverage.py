@@ -109,6 +109,7 @@ OPERATORS: dict[int, str] = {
     190: "txlog_checkpointed_log", 191: "txlog_occ",
     192: "medallion_pipeline (bronze->silver exactly-once)",
     193: "txlog_validated_commit (quality-gated publish)",
+    194: "ecs_despawn (world-wide DV erasure)",
 }
 
 # Ops verified by tests rather than graded queries.

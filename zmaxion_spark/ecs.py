@@ -116,6 +116,31 @@ class World:
         return versions
 
     @staticmethod
+    def despawn(spark, root: str, entity_ids) -> dict[str, int]:
+        """Remove entities from EVERY component table of a persisted
+        world — the ECS despawn, and equally the GDPR-erasure shape:
+        one deletion-vector commit per component (#189), no file
+        rewritten, vectors materialize at the next compaction. Returns
+        {component: commit version} for components that held any of
+        the entities; components without matches are untouched."""
+        import os
+
+        from pyspark.sql import functions as F
+
+        from zmaxion_spark.txlog import TxTable
+
+        versions: dict[str, int] = {}
+        for name in sorted(os.listdir(root)):
+            t = TxTable(os.path.join(root, name))
+            try:
+                versions[name] = t.delete_where(
+                    spark, F.col(ENTITY).isin(list(entity_ids))
+                )
+            except ValueError:
+                pass  # no rows matched in this component
+        return versions
+
+    @staticmethod
     def load(spark, root: str, version: int | None = None) -> "World":
         """Restore a saved world (optionally at a historical version,
         uniform across components — each save commits every component

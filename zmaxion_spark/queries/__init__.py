@@ -166,6 +166,7 @@ _NEXT_ROUND: list[str] = [
     "q_txlog_checkpointed_log",
     "q_medallion_pipeline",
     "q_txlog_validated_commit",
+    "q_ecs_despawn",
 ]
 
 

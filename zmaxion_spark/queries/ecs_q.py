@@ -415,3 +415,49 @@ def q_ecs_snapshot_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("segment")
         .agg(F.count(F.lit(1)).alias("n_entities"), dsum("balance", "total_balance"))
     )
+
+
+@query(
+    "q_ecs_despawn",
+    oracle=f"""
+        SELECT c_mktsegment AS segment,
+               COUNT(*) AS n_entities,
+               {sql_dsum('c_acctbal', 'total_balance')}
+        FROM customer
+        WHERE c_custkey % 10 <> 3
+        GROUP BY c_mktsegment
+    """,
+    operators=(83, 189, 194),
+    doc="ECS despawn (#194): entities c_custkey%10==3 are removed from "
+    "EVERY component table of a persisted world via one deletion-"
+    "vector commit per component (#189) — no file rewritten, the "
+    "GDPR-erasure shape applied world-wide. The restored world's "
+    "archetype query must equal the plain NOT-predicate SQL; the "
+    "pre-despawn world version still time-travels back intact "
+    "(versioned erasure: auditable until vacuum).",
+)
+def q_ecs_despawn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    cust = load_table(spark, sf_dir, "customer")
+    w = (
+        World()
+        .register("balance", cust, key="c_custkey", cols={"c_acctbal": "balance"})
+        .register("segment", cust, key="c_custkey", cols={"c_mktsegment": "segment"})
+    )
+    root = tempfile.mkdtemp(prefix="zmx-ecs-despawn-") + "/world"
+    w.save(root)
+    doomed = [
+        r["entity_id"]
+        for r in w.component("balance")
+        .filter(F.col("entity_id") % 10 == 3)
+        .select("entity_id")
+        .collect()
+    ]
+    World.despawn(spark, root, doomed)
+    restored = World.load(spark, root)
+    return (
+        restored.query("balance", "segment")
+        .groupBy("segment")
+        .agg(F.count(F.lit(1)).alias("n_entities"), dsum("balance", "total_balance"))
+    )
