@@ -110,6 +110,7 @@ OPERATORS: dict[int, str] = {
     192: "medallion_pipeline (bronze->silver exactly-once)",
     193: "txlog_validated_commit (quality-gated publish)",
     194: "ecs_despawn (world-wide DV erasure)",
+    195: "phrase_search (positional postings)",
 }
 
 # Ops verified by tests rather than graded queries.

@@ -167,6 +167,7 @@ _NEXT_ROUND: list[str] = [
     "q_medallion_pipeline",
     "q_txlog_validated_commit",
     "q_ecs_despawn",
+    "q_phrase_search",
 ]
 
 

@@ -276,3 +276,52 @@ def q_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(tot))
         .select("w_a", "w_b", "n_ab", "n_a", "n_b", pmi.alias("pmi"))
     )
+
+
+# ---------------------------------------------------------------------------
+# #195 positional phrase search
+# ---------------------------------------------------------------------------
+
+_PHRASE = ("table", "scan")
+
+
+@query(
+    "q_phrase_search",
+    oracle=f"""
+        WITH tok AS (
+            SELECT doc_id,
+                   UNNEST(STRING_SPLIT(text, ' ')) AS term,
+                   UNNEST(RANGE(1, LEN(STRING_SPLIT(text, ' ')) + 1)) AS pos
+            FROM documents
+        ),
+        t0 AS (SELECT doc_id, pos FROM tok WHERE term = '{_PHRASE[0]}'),
+        t1 AS (SELECT doc_id, pos FROM tok WHERE term = '{_PHRASE[1]}')
+        SELECT t0.doc_id, COUNT(*) AS n_hits
+        FROM t0 JOIN t1 ON t1.doc_id = t0.doc_id AND t1.pos = t0.pos + 1
+        GROUP BY t0.doc_id
+    """,
+    operators=(149, 195),
+    doc=f"Positional phrase search (#195): the query side of the "
+    f"inverted index — find every document containing the exact "
+    f"phrase '{' '.join(_PHRASE)}' by intersecting POSITIONAL "
+    "postings: term A's positions self-join term B's at offset +1, "
+    "equi-keyed on (doc_id, position). This is how phrase and "
+    "proximity queries run against a 100 TB index: per-term posting "
+    "lists are already partitioned by term, the adjacency check is an "
+    "equi-join (never a string re-scan of the corpus), and k-word "
+    "phrases chain k-1 such joins with each step shrinking the "
+    "candidate set.",
+)
+def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tok = _docs(spark, sf_dir).select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos0", "term")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "term")
+    t0 = tok.filter(F.col("term") == _PHRASE[0]).select("doc_id", "pos")
+    t1 = tok.filter(F.col("term") == _PHRASE[1]).select(
+        "doc_id", (F.col("pos") - 1).alias("pos")
+    )
+    return (
+        t0.join(t1, ["doc_id", "pos"])
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
