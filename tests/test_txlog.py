@@ -341,3 +341,52 @@ def test_medallion_rerun_is_idempotent(spark):
     s2 = _silver_table(spark, SF_SMOKE)
     assert s2.versions() == versions
     assert s2.read(spark).count() == rows
+
+
+def test_clone_is_zero_copy_and_isolated(tmp_table, spark):
+    """#196: the clone's data dir starts EMPTY (files referenced, not
+    copied); diverging the clone never touches the source."""
+    import tempfile
+
+    orders = load_table(spark, SF_SMOKE, "orders")
+    tmp_table.append(orders.filter(F.col("o_orderstatus") == "O"), n_files=2)
+    src_versions = tmp_table.versions()
+    src_rows = tmp_table.read(spark).count()
+    dest = tempfile.mkdtemp(prefix="zmx-clone-test-") + "/t"
+    clone = tmp_table.clone(dest)
+    assert os.listdir(os.path.join(dest, "data")) == []  # zero bytes copied
+    assert clone.read(spark).count() == src_rows
+    clone.append(orders.filter(F.col("o_orderstatus") == "F"), n_files=1)
+    assert tmp_table.versions() == src_versions
+    assert tmp_table.read(spark).count() == src_rows
+    assert clone.read(spark).count() > src_rows
+
+
+def test_restore_keeps_history(tmp_table, spark):
+    """#197: restore is a commit — the bad version remains readable,
+    and the restore can be time-traveled past."""
+    orders = load_table(spark, SF_SMOKE, "orders")
+    tmp_table.append(orders.filter(F.col("o_orderstatus") == "O"), n_files=2)
+    n0 = tmp_table.read(spark).count()
+    tmp_table.overwrite(orders.filter(F.col("o_orderstatus") == "F"), n_files=2)
+    n1 = tmp_table.read(spark).count()
+    v = tmp_table.restore(spark, version=0)
+    assert tmp_table.read(spark).count() == n0          # head rolled back
+    assert tmp_table.read(spark, version=1).count() == n1  # bad version intact
+    assert v == 2
+
+
+def test_metadata_aggs_and_dv_guard(tmp_table, spark):
+    """#198: manifest count/min-max match the scan; with deletion
+    vectors, count subtracts them and min/max refuses."""
+    t = TxTable(tmp_table.path + "_stats", stat_cols=("o_totalprice",))
+    orders = load_table(spark, SF_SMOKE, "orders")
+    t.append(orders, n_files=3)
+    assert t.metadata_count() == orders.count()
+    lo, hi = t.metadata_min_max("o_totalprice")
+    row = orders.agg(F.min("o_totalprice"), F.max("o_totalprice")).collect()[0]
+    assert (lo, hi) == (row[0], row[1])
+    t.delete_where(spark, F.col("o_orderstatus") == "P")
+    assert t.metadata_count() == t.read(spark).count()
+    with pytest.raises(ValueError):
+        t.metadata_min_max("o_totalprice")

@@ -111,6 +111,9 @@ OPERATORS: dict[int, str] = {
     193: "txlog_validated_commit (quality-gated publish)",
     194: "ecs_despawn (world-wide DV erasure)",
     195: "phrase_search (positional postings)",
+    196: "txlog_shallow_clone (zero-copy)",
+    197: "txlog_restore (head rollback commit)",
+    198: "txlog_metadata_agg (manifest-only count/min/max)",
 }
 
 # Ops verified by tests rather than graded queries.

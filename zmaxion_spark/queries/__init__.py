@@ -168,6 +168,9 @@ _NEXT_ROUND: list[str] = [
     "q_txlog_validated_commit",
     "q_ecs_despawn",
     "q_phrase_search",
+    "q_txlog_clone_divergence",
+    "q_txlog_restore",
+    "q_txlog_metadata_agg",
 ]
 
 

@@ -717,3 +717,103 @@ def q_txlog_validated_commit(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.filter(F.col("o_orderstatus") == "O"), n_files=4, validate=gate
     )
     return _priority_agg(t.read(spark))
+
+
+# ---------------------------------------------------------------------------
+# #196 shallow clone, #197 restore, #198 metadata-only aggregates
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_txlog_clone_divergence",
+    oracle=f"""
+        WITH src AS (
+            SELECT o_orderpriority, o_totalprice FROM orders
+            WHERE o_orderstatus IN ('O', 'F')
+        ),
+        cl AS (
+            SELECT o_orderpriority, o_totalprice FROM orders
+            WHERE o_orderstatus IN ('O', 'F')
+            UNION ALL
+            SELECT o_orderpriority, o_totalprice FROM orders
+            WHERE o_orderstatus = 'P'
+        )
+        SELECT o_orderpriority,
+               COUNT(*) AS n_clone,
+               {sql_dsum("o_totalprice", "total_clone")}
+        FROM cl GROUP BY o_orderpriority
+    """,
+    operators=(196,),
+    doc="Zero-copy shallow clone (#196): the clone's first commit "
+    "REFERENCES the source's data files — no byte copied, so cloning "
+    "a 100 TB table is one metadata write (the dev/staging-env "
+    "pattern). The graded path then DIVERGES the clone (appends the "
+    "'P' orders) and must equal source+divergence while the source "
+    "stays untouched (pinned in tests). Clone-local writes land in "
+    "the clone's own data dir; only the log knows the difference.",
+)
+def q_txlog_clone_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    orders = load_table(spark, sf_dir, "orders")
+    src = orders_tx(spark, sf_dir)
+    dest = tempfile.mkdtemp(prefix="zmx-txlog-clone-") + "/t"
+    clone = src.clone(dest)
+    clone.append(orders.filter(F.col("o_orderstatus") == "P"), n_files=2)
+    return clone.read(spark).groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_clone"),
+        dsum("o_totalprice", "total_clone"),
+    )
+
+
+@query(
+    "q_txlog_restore",
+    oracle=_ORACLE_AGG.format(where="WHERE o_orderstatus = 'O'"),
+    operators=(197,),
+    doc="RESTORE (#197): the operational undo button — after a bad "
+    "overwrite (the 'F' orders clobber the table), one metadata "
+    "commit rolls the HEAD back to version 0's file set; the graded "
+    "read at the NEW head must equal the original 'O' snapshot. "
+    "History stays intact: the bad version and the restore are both "
+    "still in the log, so the revert is itself auditable and "
+    "revertible. On a 100 TB table this is seconds, not a rewrite.",
+)
+def q_txlog_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    orders = load_table(spark, sf_dir, "orders")
+    t = TxTable(tempfile.mkdtemp(prefix="zmx-txlog-restore-") + "/t")
+    t.append(orders.filter(F.col("o_orderstatus") == "O"), n_files=4)
+    t.overwrite(orders.filter(F.col("o_orderstatus") == "F"), n_files=4)
+    t.restore(spark, version=0)
+    return _priority_agg(t.read(spark))
+
+
+@query(
+    "q_txlog_metadata_agg",
+    oracle="""
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               MIN(o_totalprice) AS min_price,
+               MAX(o_totalprice) AS max_price
+        FROM orders
+        WHERE o_orderstatus IN ('O', 'F')
+    """,
+    operators=(198,),
+    doc="Metadata-only aggregates (#198): COUNT(*) is the sum of "
+    "per-file row counts (minus deletion vectors), MIN/MAX fold the "
+    "manifest's per-file stats — ZERO data files opened, the "
+    "aggregation-pushdown endgame (what Delta/Iceberg do for "
+    "SELECT COUNT(*)). Guard rails are part of the operator: with "
+    "deletion vectors present, min/max correctly REFUSES (a deleted "
+    "row might have been the extremum) and falls back to a scan — "
+    "pinned in tests. Graded against the real aggregate over the "
+    "source rows.",
+    bench=False,  # the whole point is that nothing executes on Spark
+)
+def q_txlog_metadata_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = orders_tx(spark, sf_dir)
+    n = t.metadata_count()
+    lo, hi = t.metadata_min_max("o_totalprice")
+    return spark.createDataFrame(
+        [(n, float(lo), float(hi))], "n bigint, min_price double, max_price double"
+    )

@@ -476,6 +476,82 @@ class TxTable:
         removes = [{"remove": f.path, "dataChange": False} for f in live]
         return self._commit(adds + removes)
 
+    def clone(self, dest_path: str, version: int | None = None) -> "TxTable":
+        """Zero-copy SHALLOW CLONE (#196): the clone starts with one
+        commit referencing the SOURCE's data files by absolute path —
+        no byte copied. Diverging writes land clone-local files; the
+        source never sees them. (Vacuuming the source can orphan a
+        shallow clone — same documented trade as Delta's.)"""
+        files = self.live_files(version)
+        t = TxTable(dest_path, stat_cols=self.stat_cols, bloom_cols=self.bloom_cols)
+        t._commit(
+            [
+                {
+                    "add": os.path.relpath(
+                        os.path.join(self.path, f.path), dest_path
+                    ),
+                    "rows": f.rows,
+                    "stats": f.stats,
+                    **({"bloom": f.bloom} if f.bloom else {}),
+                }
+                for f in files
+            ],
+            meta={"clone_of": self.path, "clone_version": version},
+        )
+        # carry source deletion vectors into the clone's view
+        dv_actions = [
+            {"dv": os.path.relpath(os.path.join(self.path, f.path), dest_path),
+             "drop_rows": f.dv}
+            for f in files
+            if f.dv
+        ]
+        if dv_actions:
+            t._commit(dv_actions)
+        return t
+
+    def restore(self, spark, version: int) -> int:
+        """RESTORE (#197): roll the table's HEAD back to ``version`` as
+        a NEW commit (re-add that snapshot's live set, remove the
+        current one) — history stays intact, so the restore itself can
+        be time-traveled past or restored again. The operational undo
+        button: a bad MERGE on a 100 TB table reverts in one metadata
+        commit."""
+        target = {f.path: f for f in self.live_files(version)}
+        current = {f.path: f for f in self.live_files()}
+        actions: list[dict] = []
+        for path, f in target.items():
+            if path not in current:
+                actions.append(
+                    {"add": path, "rows": f.rows, "stats": f.stats,
+                     **({"bloom": f.bloom} if f.bloom else {})}
+                )
+        for path in current:
+            if path not in target:
+                actions.append({"remove": path})
+        if not actions:
+            raise ValueError(f"already at version {version}'s file set")
+        return self._commit(actions, meta={"restore_of": version})
+
+    def metadata_count(self, version: int | None = None) -> int:
+        """COUNT(*) answered from the manifest alone (#198): sum of
+        per-file row counts minus deletion-vector sizes — zero data
+        files opened. The aggregation-pushdown endgame for a 100 TB
+        table: the scan never happens."""
+        return sum(f.rows - len(f.dv) for f in self.live_files(version))
+
+    def metadata_min_max(self, col: str, version: int | None = None):
+        """MIN/MAX from manifest stats (#198). Only exact when no
+        deletion vectors touch the extreme files — checked: raises if
+        any live file carrying stats for ``col`` has a DV (a deleted
+        row might have been the extremum)."""
+        files = self.live_files(version)
+        stats = [f.stats[col] for f in files if col in f.stats]
+        if len(stats) != len(files):
+            raise ValueError(f"no manifest stats for {col} on every file")
+        if any(f.dv for f in files):
+            raise ValueError("deletion vectors present: min/max must scan")
+        return min(s[0] for s in stats), max(s[1] for s in stats)
+
     def read_changes(self, spark, since_version: int):
         """Change data feed (#183): the rows logically ADDED after
         ``since_version`` — the union of data files added by commits in
@@ -590,7 +666,7 @@ class TxTable:
             *[os.path.join(self.path, f.path) for f in files]
         )
         dv_rows = [
-            (f"file:{os.path.join(self.path, f.path)}", int(ri))
+            (f"file:{os.path.normpath(os.path.join(self.path, f.path))}", int(ri))
             for f in files
             for ri in f.dv
         ]
