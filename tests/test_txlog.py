@@ -390,3 +390,31 @@ def test_metadata_aggs_and_dv_guard(tmp_table, spark):
     assert t.metadata_count() == t.read(spark).count()
     with pytest.raises(ValueError):
         t.metadata_min_max("o_totalprice")
+
+
+def test_replace_where_refuses_stray_rows_and_prunes(tmp_table, spark):
+    """#199: rows outside the predicate abort the overwrite; partition
+    pruning reads only the named partition's files; untouched
+    partitions keep their exact file paths across the swap."""
+    orders = load_table(spark, SF_SMOKE, "orders").select(
+        "o_orderstatus", "o_orderpriority", "o_totalprice"
+    )
+    tmp_table.append_partitioned(orders, "o_orderstatus", files_per_part=2)
+    all_files = {f.path for f in tmp_table.live_files()}
+    only_o = tmp_table.read(spark, partitions={"o_orderstatus": ["O"]})
+    assert len(only_o.inputFiles()) == 2
+    assert only_o.filter(F.col("o_orderstatus") != "O").count() == 0
+    with pytest.raises(ValueError):
+        tmp_table.replace_where(orders, "o_orderstatus", ["O"])  # F/P stray
+    tmp_table.replace_where(
+        orders.filter(F.col("o_orderstatus") == "O"), "o_orderstatus", ["O"]
+    )
+    after = {f.path: f for f in tmp_table.live_files()}
+    untouched = {
+        p for p, f in after.items() if f.partition.get("o_orderstatus") != "O"
+    }
+    assert untouched == {
+        p for p in all_files
+        if p in after and after[p].partition.get("o_orderstatus") != "O"
+    }
+    assert untouched  # F and P partitions kept their bytes

@@ -114,6 +114,7 @@ OPERATORS: dict[int, str] = {
     196: "txlog_shallow_clone (zero-copy)",
     197: "txlog_restore (head rollback commit)",
     198: "txlog_metadata_agg (manifest-only count/min/max)",
+    199: "txlog_replace_where (dynamic partition overwrite)",
 }
 
 # Ops verified by tests rather than graded queries.

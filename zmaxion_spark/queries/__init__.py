@@ -171,6 +171,7 @@ _NEXT_ROUND: list[str] = [
     "q_txlog_clone_divergence",
     "q_txlog_restore",
     "q_txlog_metadata_agg",
+    "q_txlog_replace_where",
 ]
 
 

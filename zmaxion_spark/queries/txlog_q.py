@@ -817,3 +817,52 @@ def q_txlog_metadata_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [(n, float(lo), float(hi))], "n bigint, min_price double, max_price double"
     )
+
+
+# ---------------------------------------------------------------------------
+# #199 partitioned commits + dynamic partition overwrite (replaceWhere)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_txlog_replace_where",
+    oracle=f"""
+        WITH restated AS (
+            SELECT o_orderpriority,
+                   o_totalprice * 1.05 AS o_totalprice
+            FROM orders WHERE o_orderstatus = 'O'
+            UNION ALL
+            SELECT o_orderpriority, o_totalprice
+            FROM orders WHERE o_orderstatus IN ('F', 'P')
+        )
+        SELECT o_orderpriority,
+               COUNT(*) AS n_orders,
+               {sql_dsum("o_totalprice", "total_price")}
+        FROM restated GROUP BY o_orderpriority
+    """,
+    operators=(94, 199),
+    doc="Dynamic partition overwrite (#199, Delta replaceWhere): the "
+    "table is hive-partitioned on o_orderstatus (each file carries its "
+    "partition value as a manifest marker), and a restatement swaps "
+    "ONLY the 'O' partition (prices bumped 5%) in one atomic commit — "
+    "the 'F' and 'P' partitions' files are untouched bytes. This is "
+    "the daily-backfill pattern: recompute one day, swap it in, "
+    "nothing else moves. Rows outside the predicate are REFUSED "
+    "(pinned in tests) — a silently-widening overwrite is how "
+    "backfills eat tables. Partition pruning (metadata equality) is "
+    "also pinned in tests.",
+)
+def q_txlog_replace_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderstatus", "o_orderpriority", "o_totalprice"
+    )
+    t = TxTable(tempfile.mkdtemp(prefix="zmx-txlog-rw-") + "/t")
+    t.append_partitioned(orders, "o_orderstatus", files_per_part=2)
+    restated = (
+        t.read(spark, partitions={"o_orderstatus": ["O"]})
+        .withColumn("o_totalprice", F.col("o_totalprice") * 1.05)
+    )
+    t.replace_where(restated, "o_orderstatus", ["O"], files_per_part=2)
+    return _priority_agg(t.read(spark))

@@ -65,6 +65,7 @@ class FileEntry:
     stats: dict[str, list] = field(default_factory=dict)  # col -> [min, max]
     dv: list[int] = field(default_factory=list)  # deleted row indices
     bloom: dict[str, list] = field(default_factory=dict)  # col -> set bits
+    partition: dict[str, object] = field(default_factory=dict)  # col -> value
 
 
 # Bloom geometry (#188): m bits, k md5-derived hash functions per key.
@@ -176,6 +177,7 @@ class TxTable:
                     "stats": f.stats,
                     "dv": f.dv,
                     "bloom": f.bloom,
+                    "partition": f.partition,
                 }
                 for f in live
             ],
@@ -436,6 +438,59 @@ class TxTable:
                 deleted.append(rel)
         return deleted
 
+    def _stage_partitioned(self, df, part_col: str, files_per_part: int) -> list[dict]:
+        from pyspark.sql import functions as F
+
+        values = sorted(
+            r[0] for r in df.select(part_col).distinct().collect()
+        )
+        adds: list[dict] = []
+        for v in values:
+            sub = df.filter(F.col(part_col) == v)
+            staged = self._stage(sub, files_per_part, None)
+            for a in staged:
+                a["partition"] = {part_col: v}
+            adds += staged
+        return adds
+
+    def append_partitioned(
+        self, df, part_col: str, files_per_part: int = 1
+    ) -> int:
+        """Hive-style partitioned commit (#199): each staged file
+        belongs to exactly one value of ``part_col`` and carries that
+        value as a manifest marker — partition pruning becomes an
+        equality check on metadata, and partition-aligned rewrites
+        (``replace_where``) become exact file swaps. Partition
+        cardinality must be bounded (driver enumerates the values) —
+        the same contract as every hive-layout table."""
+        return self.commit_retry(
+            self._stage_partitioned(df, part_col, files_per_part)
+        )
+
+    def replace_where(
+        self, df, part_col: str, values: list, files_per_part: int = 1
+    ) -> int:
+        """Dynamic partition overwrite (Delta's ``replaceWhere``): ONE
+        atomic commit swaps the listed partitions for ``df``'s rows —
+        the backfill/restatement pattern (recompute yesterday, swap it
+        in, touch nothing else). Rows outside the predicate are
+        REFUSED (silently widening an overwrite is how backfills eat
+        tables)."""
+        from pyspark.sql import functions as F
+
+        stray = df.filter(~F.col(part_col).isin(values)).limit(1).count()
+        if stray:
+            raise ValueError(
+                f"replace_where df contains rows outside {part_col} in {values}"
+            )
+        removes = [
+            {"remove": f.path}
+            for f in self.live_files()
+            if f.partition.get(part_col) in values
+        ]
+        adds = self._stage_partitioned(df, part_col, files_per_part)
+        return self._commit(adds + removes)
+
     def overwrite(self, df, n_files: int | None = None) -> int:
         """Replace the whole table in one atomic commit."""
         removes = [{"remove": f.path} for f in self.live_files()]
@@ -493,6 +548,7 @@ class TxTable:
                     "rows": f.rows,
                     "stats": f.stats,
                     **({"bloom": f.bloom} if f.bloom else {}),
+                    **({"partition": f.partition} if f.partition else {}),
                 }
                 for f in files
             ],
@@ -523,7 +579,8 @@ class TxTable:
             if path not in current:
                 actions.append(
                     {"add": path, "rows": f.rows, "stats": f.stats,
-                     **({"bloom": f.bloom} if f.bloom else {})}
+                     **({"bloom": f.bloom} if f.bloom else {}),
+                     **({"partition": f.partition} if f.partition else {})}
                 )
         for path in current:
             if path not in target:
@@ -587,6 +644,7 @@ class TxTable:
                 live[e["path"]] = FileEntry(
                     e["path"], e["rows"], e["stats"],
                     dv=e.get("dv", []), bloom=e.get("bloom", {}),
+                    partition=e.get("partition", {}),
                 )
         for v in self.versions():
             if v <= chk_v:
@@ -600,6 +658,7 @@ class TxTable:
                     live[a["add"]] = FileEntry(
                         a["add"], a["rows"], a["stats"],
                         bloom=a.get("bloom", {}),
+                        partition=a.get("partition", {}),
                     )
                 elif "remove" in a:
                     live.pop(a["remove"], None)
@@ -616,6 +675,7 @@ class TxTable:
         prune: tuple[str, object, object] | None = None,
         merge_schema: bool = False,
         bloom_point: tuple[str, list] | None = None,
+        partitions: dict[str, list] | None = None,
     ):
         """Snapshot read. ``prune=(col, lo, hi)`` (or a list of such
         bands) drops files whose [min,max] cannot intersect using
@@ -630,6 +690,12 @@ class TxTable:
         if not files:
             raise ValueError("empty snapshot: no live files at this version")
         all_files = files
+        if partitions is not None:
+            # partition pruning: metadata equality, the cheapest skip
+            files = [
+                f for f in files
+                if all(f.partition.get(c) in vs for c, vs in partitions.items())
+            ]
         if prune is not None:
             bands = [prune] if isinstance(prune, tuple) else list(prune)
             for col, lo, hi in bands:
