@@ -115,6 +115,7 @@ OPERATORS: dict[int, str] = {
     197: "txlog_restore (head rollback commit)",
     198: "txlog_metadata_agg (manifest-only count/min/max)",
     199: "txlog_replace_where (dynamic partition overwrite)",
+    200: "corpus_to_shards (capstone training-data pipeline)",
 }
 
 # Ops verified by tests rather than graded queries.

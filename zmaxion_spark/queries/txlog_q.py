@@ -866,3 +866,124 @@ def q_txlog_replace_where(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     t.replace_where(restated, "o_orderstatus", ["O"], files_per_part=2)
     return _priority_agg(t.read(spark))
+
+
+# ---------------------------------------------------------------------------
+# #200 capstone: corpus -> quality gates -> dedup -> chunks -> shards
+# ---------------------------------------------------------------------------
+
+_CAP_CHUNK = 64  # tokens per training chunk
+_N_SHARDS = 8
+
+
+@query(
+    "q_corpus_to_shards",
+    oracle=f"""
+        WITH d AS (
+            SELECT doc_id, source, text,
+                   STRING_SPLIT(text, ' ') AS w,
+                   LEN(STRING_SPLIT(text, ' ')) AS n
+            FROM documents
+        ),
+        gated AS (
+            SELECT * FROM d
+            WHERE n BETWEEN 10 AND 100000
+              AND LEN(LIST_FILTER(w, t -> t IN ('the', 'a', 'of', 'to', 'and')))
+                  * 100 >= n
+        ),
+        dedup AS (
+            SELECT * FROM gated
+            WHERE doc_id = (SELECT MIN(g2.doc_id) FROM gated g2
+                            WHERE MD5(g2.text) = MD5(gated.text))
+        ),
+        chunks AS (
+            SELECT doc_id % {_N_SHARDS} AS shard, source,
+                   UNNEST(generate_series(0, CAST(n - 1 AS BIGINT), {_CAP_CHUNK}))
+                       AS start,
+                   n
+            FROM dedup
+        )
+        SELECT shard,
+               CAST(COUNT(*) AS BIGINT) AS n_chunks,
+               CAST(SUM(LEAST(start + {_CAP_CHUNK}, n) - start) AS BIGINT)
+                   AS n_tokens,
+               CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
+        FROM chunks GROUP BY shard
+    """,
+    operators=(69, 125, 174, 193, 199, 200),
+    doc="Capstone corpus pipeline (#200): documents flow through "
+    "quality gates (word-count bounds + stopword floor, #174), exact "
+    "content dedup (md5, lowest-doc-id-wins, #69), fixed-window "
+    f"chunking ({_CAP_CHUNK} tokens, #125), and land as training "
+    f"shards in a hive-partitioned tx-table ({_N_SHARDS} shards, "
+    "#199) behind a validated commit (#193: chunk lengths in-range, "
+    "shard not-null). The graded result reads BACK from the committed "
+    "table — so the oracle's single SQL sentence checks the whole "
+    "pipeline INCLUDING the storage round-trip. Every stage is "
+    "JVM-side DataFrame algebra; the only shuffles are the dedup "
+    "group-by and the final shard aggregation. This is the full "
+    "100 TB training-data path: gate, dedup, chunk, shard, publish — "
+    "with the publish atomic and quality-gated.",
+    bench=True,
+)
+def q_corpus_to_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from pyspark.sql.window import Window
+
+    from zmaxion_spark.functions.quality import Check
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text",
+        F.split("text", " ").alias("w"),
+        F.size(F.split("text", " ")).alias("n"),
+    )
+    stop = F.size(
+        F.filter("w", lambda t: t.isin("the", "a", "of", "to", "and"))
+    )
+    gated = d.filter(
+        F.col("n").between(10, 100000) & (stop * 100 >= F.col("n"))
+    )
+    keep = Window.partitionBy(F.md5(F.col("text").cast("binary")))
+    dedup = (
+        gated.withColumn("_keep", F.min("doc_id").over(keep))
+        .filter(F.col("doc_id") == F.col("_keep"))
+        .drop("_keep")
+    )
+    chunks = dedup.select(
+        (F.col("doc_id") % _N_SHARDS).alias("shard"),
+        "source",
+        F.explode(
+            F.sequence(F.lit(0), F.col("n") - 1, F.lit(_CAP_CHUNK))
+        ).alias("start"),
+        "n",
+    ).select(
+        "shard",
+        "source",
+        "start",
+        (F.least(F.col("start") + _CAP_CHUNK, F.col("n")) - F.col("start"))
+        .alias("chunk_tokens"),
+    )
+    gate = (
+        Check("shard_publish_gate")
+        .not_null("shard")
+        .in_range("chunk_tokens", 1, _CAP_CHUNK)
+    )
+    t = TxTable(tempfile.mkdtemp(prefix="zmx-corpus-shards-") + "/t")
+    # validated, hive-partitioned publish (gate BEFORE the commit)
+    report = gate.run(chunks)
+    failed = [
+        r["constraint_name"] for r in report.filter(~F.col("passed")).collect()
+    ]
+    if failed:
+        raise ValueError(f"shard publish gate failed: {failed}")
+    t.append_partitioned(chunks, "shard", files_per_part=1)
+    return (
+        t.read(spark)
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum("chunk_tokens").alias("n_tokens"),
+            F.count_distinct("source").alias("n_sources"),
+        )
+    )
