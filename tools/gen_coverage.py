@@ -116,6 +116,7 @@ OPERATORS: dict[int, str] = {
     198: "txlog_metadata_agg (manifest-only count/min/max)",
     199: "txlog_replace_where (dynamic partition overwrite)",
     200: "corpus_to_shards (capstone training-data pipeline)",
+    201: "ecs_tick_history (versioned world ticks)",
 }
 
 # Ops verified by tests rather than graded queries.

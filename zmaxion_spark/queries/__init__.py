@@ -173,6 +173,7 @@ _NEXT_ROUND: list[str] = [
     "q_txlog_metadata_agg",
     "q_txlog_replace_where",
     "q_corpus_to_shards",
+    "q_ecs_tick_history",
 ]
 
 

@@ -461,3 +461,74 @@ def q_ecs_despawn(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("segment")
         .agg(F.count(F.lit(1)).alias("n_entities"), dsum("balance", "total_balance"))
     )
+
+
+@query(
+    "q_ecs_tick_history",
+    oracle=f"""
+        WITH t1 AS (
+            SELECT user_id, COUNT(*) AS n,
+                   CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total
+            FROM events WHERE event_id % 2 = 0 GROUP BY user_id
+        ),
+        t2 AS (
+            SELECT user_id, COUNT(*) AS n,
+                   CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total
+            FROM events GROUP BY user_id
+        )
+        SELECT 0 AS tick, user_id % 8 AS bucket,
+               CAST(SUM(n) AS BIGINT) AS n_events,
+               CAST(SUM(CAST(total AS DECIMAL(38,6))) AS DOUBLE) AS total_value
+        FROM t1 GROUP BY 2
+        UNION ALL
+        SELECT 1 AS tick, user_id % 8 AS bucket,
+               CAST(SUM(n) AS BIGINT) AS n_events,
+               CAST(SUM(CAST(total AS DECIMAL(38,6))) AS DOUBLE) AS total_value
+        FROM t2 GROUP BY 2
+    """,
+    operators=(83, 180, 201),
+    doc="Versioned world-tick history (#201): the ECS/streaming/"
+    "lakehouse triangle closed. Tick 1 folds half the event stream "
+    "(event_id%2=0) into a per-user counters component and SAVES the "
+    "world (version 0); tick 2 folds the rest and saves again "
+    "(version 1). The graded result reads BOTH historical worlds back "
+    "from the log and reports per-bucket totals tagged by tick — so "
+    "the oracle checks that every world version is a faithful, "
+    "durable, time-travelable snapshot of cumulative state. This is "
+    "the reference's 'world tick' made auditable: any past tick of a "
+    "100 TB world is one metadata replay away.",
+)
+def q_ecs_tick_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from zmaxion_spark.catalog import load_table as _lt
+
+    events = _lt(spark, sf_dir, "events").select("event_id", "user_id", "value")
+
+    def fold(df):
+        return df.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(38,6)")).cast("double").alias("total"),
+        )
+
+    root = tempfile.mkdtemp(prefix="zmx-ecs-history-") + "/world"
+    w = World().register(
+        "counters", fold(events.filter(F.col("event_id") % 2 == 0)),
+        key="user_id",
+    )
+    w.save(root)  # version 0: the tick-1 world
+    w2 = World().register("counters", fold(events), key="user_id")
+    w2.save(root)  # version 1: cumulative world after tick 2
+
+    out = []
+    for tick in (0, 1):
+        state = World.load(spark, root, version=tick).component("counters")
+        out.append(
+            state.groupBy((F.col("entity_id") % 8).alias("bucket")).agg(
+                F.sum("n").alias("n_events"),
+                F.sum(F.col("total").cast("decimal(38,6)"))
+                .cast("double")
+                .alias("total_value"),
+            ).select(F.lit(tick).alias("tick"), "bucket", "n_events", "total_value")
+        )
+    return out[0].unionByName(out[1])
