@@ -117,6 +117,14 @@ OPERATORS: dict[int, str] = {
     199: "txlog_replace_where (dynamic partition overwrite)",
     200: "corpus_to_shards (capstone training-data pipeline)",
     201: "ecs_tick_history (versioned world ticks)",
+    # §2.20 governance, scale diagnostics, retrieval diversity
+    202: "k_anonymity (QI audit + l-diversity)",
+    203: "dp_noisy_count (deterministic Laplace release)",
+    204: "kmv_distinct (mergeable theta sketch)",
+    205: "skew_diagnose (salt-factor recommendation)",
+    206: "shortest_path (bounded-hop BFS)",
+    207: "mmr_rerank (diversified top-k)",
+    208: "url_canonical_dedup",
 }
 
 # Ops verified by tests rather than graded queries.

@@ -9,6 +9,7 @@ from zmaxion_spark.queries import (  # noqa: F401,E402
     behavioral_q,
     ecs_q,
     engine4_q,
+    governance_q,
     graph_q,
     llm,
     pipeline_q,
@@ -174,6 +175,14 @@ _NEXT_ROUND: list[str] = [
     "q_txlog_replace_where",
     "q_corpus_to_shards",
     "q_ecs_tick_history",
+    # --- round-4 wave (this session): governance + scale diagnostics ---
+    "q_k_anonymity",
+    "q_dp_noisy_count",
+    "q_url_canonical_dedup",
+    "q_kmv_distinct",
+    "q_skew_diagnose",
+    "q_shortest_path",
+    "q_mmr_rerank",
 ]
 
 

@@ -325,3 +325,180 @@ def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_hits"))
     )
+
+
+# ---------------------------------------------------------------------------
+# #207 MMR diversified re-ranking
+# ---------------------------------------------------------------------------
+
+_MMR_LAM = 0.7
+_MMR_K = 5
+_MMR_CAND = 12
+
+
+def _mmr_oracle() -> str:
+    """Greedy MMR as K chained CTEs (argmax per query per step via
+    QUALIFY) — generated, since each step references all prior picks."""
+    from zmaxion_spark.queries.llm import _sql_cosine
+
+    steps = []
+    for t in range(2, _MMR_K + 1):
+        prev = " UNION ALL ".join(
+            f"SELECT qid, vec_id FROM s{i}" for i in range(1, t)
+        )
+        steps.append(f"""
+        prev{t} AS ({prev}),
+        s{t} AS (
+            SELECT qid, vec_id, rel, {t} AS mmr_rank, score FROM (
+                SELECT c.qid, c.vec_id, c.rel,
+                       {_MMR_LAM!r} * c.rel - {1 - _MMR_LAM!r} * MAX(p.sim) AS score
+                FROM cand c
+                JOIN p ON p.qid = c.qid AND p.i = c.vec_id
+                JOIN prev{t} s ON s.qid = p.qid AND s.vec_id = p.j
+                WHERE NOT EXISTS (SELECT 1 FROM prev{t} x
+                                  WHERE x.qid = c.qid AND x.vec_id = c.vec_id)
+                GROUP BY c.qid, c.vec_id, c.rel
+            ) QUALIFY ROW_NUMBER() OVER (PARTITION BY qid
+                                         ORDER BY score DESC, vec_id) = 1
+        )""")
+    picks = " UNION ALL ".join(
+        f"SELECT qid, vec_id, mmr_rank, score FROM s{i}"
+        for i in range(1, _MMR_K + 1)
+    )
+    return f"""
+        WITH q AS (SELECT vec_id AS qid, embedding AS qv
+                   FROM embeddings WHERE vec_id < 3),
+        scored AS (
+            SELECT q.qid, e.vec_id, e.embedding,
+                   {_sql_cosine('q.qv', 'e.embedding')} AS rel
+            FROM q CROSS JOIN embeddings e WHERE e.vec_id <> q.qid
+        ),
+        cand AS (
+            SELECT qid, vec_id, embedding, rel,
+                   ROW_NUMBER() OVER (PARTITION BY qid
+                                      ORDER BY rel DESC, vec_id) AS rn
+            FROM scored QUALIFY rn <= {_MMR_CAND}
+        ),
+        p AS (
+            SELECT a.qid, a.vec_id AS i, b.vec_id AS j,
+                   {_sql_cosine('a.embedding', 'b.embedding')} AS sim
+            FROM cand a JOIN cand b
+              ON a.qid = b.qid AND a.vec_id <> b.vec_id
+        ),
+        s1 AS (
+            SELECT qid, vec_id, rel, 1 AS mmr_rank,
+                   {_MMR_LAM!r} * rel AS score
+            FROM cand
+            QUALIFY ROW_NUMBER() OVER (PARTITION BY qid
+                                       ORDER BY {_MMR_LAM!r} * rel DESC,
+                                                vec_id) = 1
+        ),{",".join(steps)}
+        SELECT qid, vec_id, CAST(mmr_rank AS INT) AS mmr_rank,
+               ROUND(score, 9) AS mmr_score
+        FROM ({picks})
+    """
+
+
+@query(
+    "q_mmr_rerank",
+    oracle=_mmr_oracle(),
+    operators=(33, 72, 207),
+    doc=f"MMR diversified re-ranking (#207): per query, the top-"
+    f"{_MMR_CAND} cosine candidates are greedily re-ranked by maximal "
+    f"marginal relevance (lambda={_MMR_LAM}) — each of the {_MMR_K} "
+    "steps picks the candidate maximizing lam*relevance - "
+    "(1-lam)*max-similarity-to-already-picked, the standard redundancy "
+    "killer for RAG retrieval. Parity is HASH-EXACT, not heuristic: "
+    "relevance and candidate-candidate similarities use the repo's "
+    "left-fold cosine (bit-identical to DuckDB list_reduce), and the "
+    "greedy argmax chain is unrolled into K deterministic dataframe "
+    "steps here / K chained CTEs in the oracle, ties broken by vec_id. "
+    "Scale shape: queries broadcast against the corpus scan for "
+    "candidates (or LSH-pruned via #73), then all per-step work is "
+    "bounded by k*candidates rows per query — the quadratic term "
+    "never touches the corpus.",
+)
+def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from zmaxion_spark.functions.similarity import cosine
+
+    lam, com = F.lit(_MMR_LAM), F.lit(1 - _MMR_LAM)
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    scored = (
+        e.join(F.broadcast(q), F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "vec_id",
+            "embedding",
+            cosine(F.col("qv"), F.col("embedding")).alias("rel"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("rel").desc(), "vec_id")
+    # Materialize candidates ONCE (eager localCheckpoint): the greedy
+    # loop references `cand` 3x per step — without truncation each step
+    # would recompute the corpus-wide cosine scan.
+    cand = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _MMR_CAND)
+        .select("qid", "vec_id", "embedding", "rel")
+        .localCheckpoint()
+    )
+    a = cand.select(
+        F.col("qid").alias("pqid"),
+        F.col("vec_id").alias("i"),
+        F.col("embedding").alias("va"),
+    )
+    b = cand.select(
+        F.col("qid").alias("pqid"),
+        F.col("vec_id").alias("j"),
+        F.col("embedding").alias("vb"),
+    )
+    p = (
+        a.join(b, ["pqid"])
+        .filter(F.col("i") != F.col("j"))
+        .select("pqid", "i", "j", cosine(F.col("va"), F.col("vb")).alias("sim"))
+        .localCheckpoint()
+    )
+    wpick = Window.partitionBy("qid").orderBy(F.col("score").desc(), "vec_id")
+    s1 = (
+        cand.withColumn("score", lam * F.col("rel"))
+        .withColumn("pick", F.row_number().over(wpick))
+        .filter(F.col("pick") == 1)
+        .select("qid", "vec_id", F.lit(1).cast("int").alias("mmr_rank"), "score")
+    )
+    out = s1
+    for t in range(2, _MMR_K + 1):
+        prev = out.select("qid", "vec_id")
+        maxsim = (
+            p.join(
+                prev.select(
+                    F.col("qid").alias("pqid"), F.col("vec_id").alias("j")
+                ),
+                ["pqid", "j"],
+            )
+            .groupBy("pqid", "i")
+            .agg(F.max("sim").alias("max_sim"))
+        )
+        pick = (
+            cand.join(prev, ["qid", "vec_id"], "left_anti")
+            .join(
+                maxsim,
+                (F.col("qid") == F.col("pqid")) & (F.col("vec_id") == F.col("i")),
+            )
+            .withColumn("score", lam * F.col("rel") - com * F.col("max_sim"))
+            .withColumn("pick", F.row_number().over(wpick))
+            .filter(F.col("pick") == 1)
+            .select(
+                "qid", "vec_id", F.lit(t).cast("int").alias("mmr_rank"), "score"
+            )
+        )
+        # Checkpoint the accumulator: pick_t's plan embeds out_{t-1},
+        # so an unbroken lineage replays every earlier argmax per step.
+        out = out.unionByName(pick).localCheckpoint()
+    return out.select(
+        "qid", "vec_id", "mmr_rank", F.round("score", 9).alias("mmr_score")
+    )

@@ -406,3 +406,93 @@ def q_runtime_bloom_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+# ---------------------------------------------------------------------------
+# #205 key-skew diagnostics — the pre-flight check before a big join
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_skew_diagnose",
+    oracle="""
+        WITH freq AS (
+            SELECT o_custkey, COUNT(*) AS f FROM orders GROUP BY o_custkey
+        ),
+        s AS (
+            SELECT COUNT(*) AS n_keys,
+                   CAST(SUM(f) AS BIGINT) AS n_rows,
+                   MAX(f) AS max_freq,
+                   CAST(SUM(f * f) AS BIGINT) AS sum_f2
+            FROM freq
+        ),
+        hot AS (
+            SELECT COUNT(*) AS hot_keys
+            FROM freq, s
+            WHERE f * s.n_keys > 2 * s.n_rows
+        )
+        SELECT s.n_rows, s.n_keys, s.max_freq,
+               ROUND(CAST(s.max_freq AS DOUBLE) / s.n_rows, 9) AS max_share,
+               ROUND(SQRT(CAST(s.sum_f2 AS DOUBLE) / s.n_keys
+                          - (CAST(s.n_rows AS DOUBLE) / s.n_keys)
+                            * (CAST(s.n_rows AS DOUBLE) / s.n_keys))
+                     / (CAST(s.n_rows AS DOUBLE) / s.n_keys), 9) AS freq_cv,
+               hot.hot_keys,
+               CAST(CEIL(CAST(s.max_freq AS DOUBLE) * 32.0 / s.n_rows) AS BIGINT)
+                   AS salt_factor
+        FROM s, hot
+    """,
+    operators=(84, 205),
+    doc="Key-skew diagnostics (#205): one pass over the join-key "
+    "frequency table yields the numbers that decide a 100 TB shuffle "
+    "strategy — max key share, coefficient of variation of key "
+    "frequencies, the count of keys hotter than 2x the mean, and the "
+    "salt factor that would split the hottest key into ideal-partition-"
+    "sized chunks (ceil(max_freq / (rows/32 partitions))). This is the "
+    "measured input to join_salted (#84) and AQE skew thresholds: "
+    "measure, don't guess. All integer-exact aggregates (counts and "
+    "sum of squares are BIGINT-exact) folded into single IEEE "
+    "expressions, so the oracle match is bit-exact. Cost: two hash "
+    "aggregates over an 8-byte key — negligible next to the join it "
+    "de-risks; at 100 TB run it on the same scan that builds runtime "
+    "filters.",
+)
+def q_skew_diagnose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    freq = o.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("f"))
+    s = freq.groupBy().agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("f").alias("n_rows"),
+        F.max("f").alias("max_freq"),
+        F.sum(F.col("f") * F.col("f")).alias("sum_f2"),
+    )
+    hot = (
+        freq.crossJoin(F.broadcast(s.select("n_keys", F.col("n_rows").alias("nr"))))
+        .filter(F.col("f") * F.col("n_keys") > 2 * F.col("nr"))
+        .groupBy()
+        .agg(F.count(F.lit(1)).alias("hot_keys"))
+    )
+    return (
+        s.crossJoin(F.broadcast(hot))
+        .select(
+            "n_rows",
+            "n_keys",
+            "max_freq",
+            F.round(F.col("max_freq").cast("double") / F.col("n_rows"), 9).alias(
+                "max_share"
+            ),
+            F.round(
+                F.sqrt(
+                    F.col("sum_f2").cast("double") / F.col("n_keys")
+                    - (F.col("n_rows").cast("double") / F.col("n_keys"))
+                    * (F.col("n_rows").cast("double") / F.col("n_keys"))
+                )
+                / (F.col("n_rows").cast("double") / F.col("n_keys")),
+                9,
+            ).alias("freq_cv"),
+            "hot_keys",
+            F.ceil(F.col("max_freq").cast("double") * 32.0 / F.col("n_rows"))
+            .cast("bigint")
+            .alias("salt_factor"),
+        )
+    )

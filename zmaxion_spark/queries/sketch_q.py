@@ -171,3 +171,115 @@ def q_constraint_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .fk("o_custkey", customer, "c_custkey")
         .run(orders)
     )
+
+
+# ---------------------------------------------------------------------------
+# #204 KMV (k-minimum-values) theta sketch — mergeable distinct counts
+# ---------------------------------------------------------------------------
+
+_KMV_K = 64
+_TWO52 = 4503599627370496.0  # 2^52 — 13 md5 hex chars normalize to [0,1)
+
+
+@query(
+    "q_kmv_distinct",
+    oracle=f"""
+        WITH keys AS (
+            SELECT DISTINCT c_mktsegment AS seg, c_custkey AS k FROM customer
+        ),
+        hashed AS (
+            SELECT seg, k,
+                   CAST(('0x' || SUBSTR(MD5('kmv:' || CAST(k AS VARCHAR)), 1, 13))
+                        AS BIGINT) / {int(_TWO52)} AS h
+            FROM keys
+        ),
+        sk AS (
+            SELECT seg, h,
+                   ROW_NUMBER() OVER (PARTITION BY seg ORDER BY h) AS rn
+            FROM hashed QUALIFY rn <= {_KMV_K}
+        ),
+        per_seg AS (
+            SELECT s.seg,
+                   (SELECT COUNT(*) FROM keys WHERE keys.seg = s.seg) AS exact_n,
+                   ROUND(({_KMV_K} - 1) / MAX(CASE WHEN rn = {_KMV_K} THEN h END), 9)
+                       AS est_n
+            FROM sk s GROUP BY s.seg
+        ),
+        merged AS (
+            SELECT 'ALL' AS seg,
+                   (SELECT COUNT(*) FROM keys) AS exact_n,
+                   ROUND(({_KMV_K} - 1) / MAX(CASE WHEN grn = {_KMV_K} THEN h END), 9)
+                       AS est_n
+            FROM (SELECT h, ROW_NUMBER() OVER (ORDER BY h) AS grn FROM sk)
+        ),
+        unioned AS (SELECT * FROM per_seg UNION ALL SELECT * FROM merged)
+        SELECT seg, exact_n, est_n,
+               ROUND(ABS(est_n - exact_n) / exact_n, 9) AS rel_err
+        FROM unioned
+    """,
+    operators=(26, 204),
+    doc=f"KMV/theta distinct-count sketch (#204): per market segment keep "
+    f"the {_KMV_K} smallest md5-normalized hashes of the key domain; the "
+    f"distinct estimate is (k-1)/h_k. The md5 hash makes the whole sketch "
+    "engine-reproducible, so the oracle grades the exact sketch values, "
+    "and the 'ALL' row is computed by MERGING the per-segment sketches "
+    "(union of k-min sets re-cut to k) — the property that matters at "
+    "100 TB: executors sketch partitions independently, the reduce is "
+    f"k={_KMV_K} doubles per group, and union/intersection cardinalities "
+    "come from sketch algebra, never a re-scan. Estimates land within "
+    "~1/sqrt(k) of exact; both exact_n and est_n are graded columns.",
+)
+def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    keys = (
+        load_table(spark, sf_dir, "customer")
+        .select(F.col("c_mktsegment").alias("seg"), F.col("c_custkey").alias("k"))
+        .distinct()
+    )
+    h = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("kmv:"), F.col("k").cast("string")).cast("binary")), 1, 13),
+            16,
+            10,
+        ).cast("long")
+        / F.lit(_TWO52)
+    ).alias("h")
+    hashed = keys.select("seg", h)
+    sk = (
+        hashed.withColumn("rn", F.row_number().over(Window.partitionBy("seg").orderBy("h")))
+        .filter(F.col("rn") <= _KMV_K)
+    )
+    exact = keys.groupBy("seg").agg(F.count(F.lit(1)).alias("exact_n"))
+    per_seg = (
+        sk.groupBy("seg")
+        .agg(
+            F.round(
+                (_KMV_K - 1) / F.max(F.when(F.col("rn") == _KMV_K, F.col("h"))), 9
+            ).alias("est_n")
+        )
+        .join(exact, "seg")
+        .select("seg", "exact_n", "est_n")
+    )
+    merged_kth = (
+        sk.withColumn("grn", F.row_number().over(Window.orderBy("h")))
+        .groupBy()
+        .agg(
+            F.round(
+                (_KMV_K - 1) / F.max(F.when(F.col("grn") == _KMV_K, F.col("h"))), 9
+            ).alias("est_n")
+        )
+    )
+    exact_all = keys.groupBy().agg(F.count(F.lit(1)).alias("exact_n"))
+    merged = (
+        exact_all.crossJoin(merged_kth)
+        .select(F.lit("ALL").alias("seg"), "exact_n", "est_n")
+    )
+    return per_seg.unionByName(merged).select(
+        "seg",
+        "exact_n",
+        "est_n",
+        F.round(F.abs(F.col("est_n") - F.col("exact_n")) / F.col("exact_n"), 9).alias(
+            "rel_err"
+        ),
+    )
