@@ -125,6 +125,9 @@ OPERATORS: dict[int, str] = {
     206: "shortest_path (bounded-hop BFS)",
     207: "mmr_rerank (diversified top-k)",
     208: "url_canonical_dedup",
+    209: "rrf_fusion (hybrid-search combiner)",
+    210: "join_cardinality (sketch-based CBO estimate)",
+    211: "label_propagation (majority-vote spreading)",
 }
 
 # Ops verified by tests rather than graded queries.

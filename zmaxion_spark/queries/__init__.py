@@ -183,6 +183,9 @@ _NEXT_ROUND: list[str] = [
     "q_skew_diagnose",
     "q_shortest_path",
     "q_mmr_rerank",
+    "q_rrf_fusion",
+    "q_join_cardinality",
+    "q_label_propagation",
 ]
 
 

@@ -266,6 +266,37 @@ _BFS_HOPS = 5
 _BFS_SRC = 0
 
 
+def _sparse_cosupply_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric sparsified supplier co-supply edge list (suppliers
+    sharing a part, near-neighbor ids only so the graph has real
+    diameter), materialized ONCE via eager localCheckpoint: iterative
+    consumers (#206 BFS, #211 label propagation) would otherwise
+    recompute the lineitem self-join that derives it every round."""
+    ps = (
+        _t(spark, sf_dir, "lineitem")
+        .select(F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    a, b = ps.alias("a"), ps.alias("b")
+    half = (
+        a.join(
+            b,
+            (F.col("a.p") == F.col("b.p"))
+            & (F.col("b.s") - F.col("a.s")).between(1, 3),
+        )
+        .select(F.col("a.s").alias("src"), F.col("b.s").alias("dst"))
+        .distinct()
+    )
+    return (
+        half.unionAll(
+            half.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+
+
+
 @query(
     "q_shortest_path",
     oracle=f"""
@@ -304,31 +335,7 @@ _BFS_SRC = 0
     "DuckDB recursive CTE with UNION dedup, MIN(d) per node.",
 )
 def q_shortest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ps = (
-        _t(spark, sf_dir, "lineitem")
-        .select(F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s"))
-        .distinct()
-    )
-    a, b = ps.alias("a"), ps.alias("b")
-    half = (
-        a.join(
-            b,
-            (F.col("a.p") == F.col("b.p"))
-            & (F.col("b.s") - F.col("a.s")).between(1, 3),
-        )
-        .select(F.col("a.s").alias("src"), F.col("b.s").alias("dst"))
-        .distinct()
-    )
-    # Materialize the edge list ONCE (eager localCheckpoint): five
-    # frontier joins + five anti-joins would otherwise each recompute
-    # the lineitem self-join that derives it — the dominant cost.
-    e = (
-        half.unionAll(
-            half.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-        )
-        .distinct()
-        .localCheckpoint()
-    )
+    e = _sparse_cosupply_edges(spark, sf_dir)
     dist = e.sparkSession.range(1).select(
         F.lit(_BFS_SRC).cast("long").alias("node"),
         F.lit(0).cast("long").alias("dist"),
@@ -347,3 +354,97 @@ def q_shortest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
         dist = dist.unionAll(nxt).localCheckpoint()
         frontier = nxt.localCheckpoint()
     return dist
+
+
+# ---------------------------------------------------------------------------
+# #211 semi-supervised label propagation (community / category spreading)
+# ---------------------------------------------------------------------------
+
+_LP_ROUNDS = 3
+
+_LP_EDGE_SQL = """
+        ps AS (
+            SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem
+        ),
+        half AS (
+            SELECT DISTINCT a.s AS src, b.s AS dst
+            FROM ps a JOIN ps b ON a.p = b.p AND b.s - a.s BETWEEN 1 AND 3
+        ),
+        e AS (
+            SELECT src, dst FROM half
+            UNION SELECT dst AS src, src AS dst FROM half
+        )"""
+
+
+def _lp_oracle() -> str:
+    rounds = []
+    for t in range(1, _LP_ROUNDS + 1):
+        rounds.append(f"""
+        n{t} AS (
+            SELECT e.dst AS node, l.label, COUNT(*) AS c
+            FROM l{t - 1} l JOIN e ON e.src = l.node
+            WHERE NOT EXISTS (SELECT 1 FROM l{t - 1} x WHERE x.node = e.dst)
+            GROUP BY 1, 2
+        ),
+        p{t} AS (
+            SELECT node, label, {t} AS r FROM n{t}
+            QUALIFY ROW_NUMBER() OVER (PARTITION BY node
+                                       ORDER BY c DESC, label) = 1
+        ),
+        l{t} AS (SELECT * FROM l{t - 1} UNION ALL SELECT * FROM p{t})""")
+    return f"""
+        WITH {_LP_EDGE_SQL},
+        l0 AS (
+            SELECT s_suppkey AS node, s_nationkey AS label, 0 AS r
+            FROM supplier WHERE s_suppkey % 10 = 0
+        ),{",".join(rounds)}
+        SELECT node, label, CAST(r AS INT) AS labeled_round
+        FROM l{_LP_ROUNDS}
+    """
+
+
+@query(
+    "q_label_propagation",
+    oracle=_lp_oracle(),
+    operators=(206, 211),
+    doc=f"Semi-supervised label propagation (#211): every 10th supplier "
+    "is seeded with its nation as a label; for {_LP_ROUNDS} synchronous "
+    "rounds each unlabeled node adopts the majority label among its "
+    "already-labeled co-supply neighbors (ties -> smallest label — the "
+    "deterministic tiebreak that makes the run engine-reproducible). "
+    "The category-spreading / community-bootstrap primitive. Scale "
+    "shape: per round ONE equi-join of the labeled frontier against "
+    "the edge list + one (node,label) count aggregate + one window "
+    "argmax — all shuffles keyed on node ids, state is one row per "
+    "labeled node, and the edge list is materialized once. Oracle: "
+    "the rounds unrolled as chained CTEs.",
+)
+def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    e = _sparse_cosupply_edges(spark, sf_dir)
+    lab = (
+        _t(spark, sf_dir, "supplier")
+        .filter(F.col("s_suppkey") % 10 == 0)
+        .select(
+            F.col("s_suppkey").alias("node"),
+            F.col("s_nationkey").alias("label"),
+            F.lit(0).cast("int").alias("labeled_round"),
+        )
+    )
+    wpick = Window.partitionBy("node").orderBy(F.col("c").desc(), "label")
+    for t in range(1, _LP_ROUNDS + 1):
+        counts = (
+            e.join(lab.select(F.col("node").alias("src"), "label"), "src")
+            .select(F.col("dst").alias("node"), "label")
+            .join(lab.select("node"), "node", "left_anti")
+            .groupBy("node", "label")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        pick = (
+            counts.withColumn("pk", F.row_number().over(wpick))
+            .filter(F.col("pk") == 1)
+            .select("node", "label", F.lit(t).cast("int").alias("labeled_round"))
+        )
+        lab = lab.unionByName(pick).localCheckpoint()
+    return lab

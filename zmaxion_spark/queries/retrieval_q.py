@@ -502,3 +502,139 @@ def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "qid", "vec_id", "mmr_rank", F.round("score", 9).alias("mmr_score")
     )
+
+
+# ---------------------------------------------------------------------------
+# #209 reciprocal-rank fusion of a lexical and a semantic ranker
+# ---------------------------------------------------------------------------
+
+_RRF_C = 60
+_RRF_TOPN = 20
+
+
+def _rrf_oracle() -> str:
+    from zmaxion_spark.queries.llm import _sql_cosine
+
+    return f"""
+        WITH tok AS (SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS term
+                     FROM documents),
+        dl AS (SELECT doc_id, LEN(STRING_SPLIT(text, ' ')) AS dl FROM documents),
+        gl AS (SELECT COUNT(*) AS n_docs,
+                      CAST(SUM(CAST(LEN(STRING_SPLIT(text, ' ')) AS DECIMAL(38,6)))
+                           AS DOUBLE) / COUNT(*) AS avgdl
+               FROM documents),
+        tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok
+               WHERE term IN {tuple(_BM25_TERMS)!r} GROUP BY 1, 2),
+        dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+        bm25 AS (
+            SELECT tf.doc_id,
+                   ROUND(CAST(SUM(CAST(
+                       LN(1 + (n_docs - df + 0.5) / (df + 0.5))
+                       * (tf * ({_BM25_K1} + 1))
+                       / (tf + {_BM25_K1} * (1 - {_BM25_B} + {_BM25_B} * dl / avgdl))
+                   AS DECIMAL(38,6))) AS DOUBLE), 9) AS bm25
+            FROM tf
+            JOIN dfq USING (term)
+            JOIN dl ON dl.doc_id = tf.doc_id
+            CROSS JOIN gl
+            GROUP BY tf.doc_id
+        ),
+        lex AS (
+            SELECT doc_id,
+                   ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS r_lex
+            FROM bm25 WHERE doc_id < 500
+        ),
+        qv AS (SELECT embedding AS v FROM embeddings WHERE vec_id = 0),
+        sem AS (
+            SELECT e.vec_id AS doc_id,
+                   ROW_NUMBER() OVER (
+                       ORDER BY {_sql_cosine('e.embedding', 'qv.v')} DESC,
+                                e.vec_id) AS r_sem
+            FROM embeddings e CROSS JOIN qv
+        ),
+        fused AS (
+            SELECT COALESCE(lex.doc_id, sem.doc_id) AS doc_id,
+                   lex.r_lex, sem.r_sem,
+                   COALESCE(CAST(1 AS DOUBLE) / ({_RRF_C} + lex.r_lex), 0)
+                   + COALESCE(CAST(1 AS DOUBLE) / ({_RRF_C} + sem.r_sem), 0)
+                       AS rrf_score
+            FROM lex FULL OUTER JOIN sem ON lex.doc_id = sem.doc_id
+        )
+        SELECT doc_id, r_lex, r_sem,
+               ROUND(rrf_score, 9) AS rrf_score,
+               CAST(ROW_NUMBER() OVER (ORDER BY rrf_score DESC, doc_id) AS BIGINT)
+                   AS rrf_rank
+        FROM fused
+        QUALIFY rrf_rank <= {_RRF_TOPN}
+    """
+
+
+@query(
+    "q_rrf_fusion",
+    oracle=_rrf_oracle(),
+    operators=(150, 209),
+    doc=f"Reciprocal-rank fusion (#209): a lexical ranking (BM25 over "
+    "the fixed query terms) and a semantic ranking (cosine to a query "
+    "embedding) are fused by summing 1/(60+rank) per ranker — the "
+    "standard hybrid-search combiner, robust to incomparable score "
+    "scales. Docs ranked by only one ranker contribute one term (full "
+    f"outer join, missing rank -> 0); top-{_RRF_TOPN} fused docs "
+    "returned with both source ranks graded. Scale shape: each ranker "
+    "is its own pruned pipeline (posting-list filter / broadcast query "
+    "vector), the fusion joins two rank-sized (not corpus-sized) "
+    "relations, and adding a third ranker adds a term, not a rescan.",
+)
+def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from zmaxion_spark.functions.similarity import cosine
+
+    bm25 = q_bm25_scoring(spark, sf_dir).select("doc_id", "bm25")
+    lex = (
+        bm25.filter(F.col("doc_id") < 500)
+        .withColumn(
+            "r_lex",
+            F.row_number().over(Window.orderBy(F.col("bm25").desc(), "doc_id")),
+        )
+        .select("doc_id", "r_lex")
+    )
+    e = load_table(spark, sf_dir, "embeddings")
+    qv = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("v"))
+    sem = (
+        e.crossJoin(F.broadcast(qv))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            cosine(F.col("embedding"), F.col("v")).alias("cos"),
+        )
+        .withColumn(
+            "r_sem",
+            F.row_number().over(Window.orderBy(F.col("cos").desc(), "doc_id")),
+        )
+        .select("doc_id", "r_sem")
+    )
+    one = F.lit(1).cast("double")
+    fused = (
+        lex.join(sem, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            "r_lex",
+            "r_sem",
+            (
+                F.coalesce(one / (_RRF_C + F.col("r_lex")), F.lit(0.0))
+                + F.coalesce(one / (_RRF_C + F.col("r_sem")), F.lit(0.0))
+            ).alias("rrf_score"),
+        )
+    )
+    return (
+        fused.withColumn(
+            "rrf_rank",
+            F.row_number()
+            .over(Window.orderBy(F.col("rrf_score").desc(), "doc_id"))
+            .cast("bigint"),
+        )
+        .filter(F.col("rrf_rank") <= _RRF_TOPN)
+        .select(
+            "doc_id", "r_lex", "r_sem",
+            F.round("rrf_score", 9).alias("rrf_score"), "rrf_rank",
+        )
+    )

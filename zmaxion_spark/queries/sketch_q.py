@@ -283,3 +283,152 @@ def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rel_err"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# #210 sketch-based join-cardinality estimation (theta intersection)
+# ---------------------------------------------------------------------------
+
+_JC_K = 128
+
+
+@query(
+    "q_join_cardinality",
+    oracle=f"""
+        WITH da AS (SELECT DISTINCT o_custkey AS k FROM orders),
+        db AS (SELECT DISTINCT c_custkey AS k FROM customer WHERE c_acctbal > 0),
+        ha AS (SELECT k, CAST(('0x' || SUBSTR(MD5('jc:' || CAST(k AS VARCHAR)), 1, 13))
+                             AS BIGINT) / 4503599627370496 AS h FROM da),
+        hb AS (SELECT k, CAST(('0x' || SUBSTR(MD5('jc:' || CAST(k AS VARCHAR)), 1, 13))
+                             AS BIGINT) / 4503599627370496 AS h FROM db),
+        ka AS (SELECT h FROM ha QUALIFY ROW_NUMBER() OVER (ORDER BY h) <= {_JC_K}),
+        kb AS (SELECT h FROM hb QUALIFY ROW_NUMBER() OVER (ORDER BY h) <= {_JC_K}),
+        ku AS (
+            SELECT h, ROW_NUMBER() OVER (ORDER BY h) AS rn
+            FROM (SELECT h FROM ka UNION SELECT h FROM kb)
+            QUALIFY rn <= {_JC_K}
+        ),
+        theta AS (SELECT MAX(CASE WHEN rn = {_JC_K} THEN h END) AS th FROM ku),
+        inter AS (
+            SELECT COUNT(*) AS n_both
+            FROM ku
+            WHERE EXISTS (SELECT 1 FROM ka WHERE ka.h = ku.h)
+              AND EXISTS (SELECT 1 FROM kb WHERE kb.h = ku.h)
+        ),
+        mult AS (
+            SELECT CAST(COUNT(*) AS DOUBLE)
+                   / COUNT(DISTINCT o_custkey) AS avg_mult
+            FROM orders
+        ),
+        exact AS (
+            SELECT COUNT(*) AS exact_join_rows,
+                   COUNT(DISTINCT o.o_custkey) AS exact_overlap
+            FROM orders o JOIN customer c
+              ON o.o_custkey = c.c_custkey AND c.c_acctbal > 0
+        )
+        SELECT exact.exact_overlap,
+               ROUND(CAST(n_both AS DOUBLE) / {_JC_K}
+                     * (({_JC_K} - 1) / th), 9) AS est_overlap,
+               exact.exact_join_rows,
+               ROUND(CAST(n_both AS DOUBLE) / {_JC_K}
+                     * (({_JC_K} - 1) / th) * avg_mult, 9) AS est_join_rows
+        FROM exact, theta, inter, mult
+    """,
+    operators=(26, 204, 210),
+    doc=f"Join-cardinality estimation from theta sketches (#210): the "
+    "cost-based-optimizer move at 100 TB — estimate |A join B| WITHOUT "
+    "running the join. Both join-key domains are KMV-sketched "
+    f"(k={_JC_K} smallest md5 hashes), the union sketch's theta and "
+    "the count of union survivors present in BOTH sketches give "
+    "Jaccard and union estimates, hence the key-overlap estimate; "
+    "multiplying by the fact side's average key multiplicity predicts "
+    "the join output size. md5 hashing makes the sketches "
+    "engine-reproducible, so est_* columns are graded hash-exact "
+    "alongside the exact truth they approximate. Scale shape: two "
+    "sketch builds (mergeable, map-side) + O(k) driver-light algebra "
+    "vs the full shuffle the estimate avoids; the exact columns exist "
+    "only to grade the estimator.",
+)
+def q_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+
+    def _h(k):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("jc:"), k.cast("string")).cast("binary")),
+                    1,
+                    13,
+                ),
+                16,
+                10,
+            ).cast("long")
+            / F.lit(4503599627370496.0)
+        )
+
+    da = orders.select(F.col("o_custkey").alias("k")).distinct()
+    db = (
+        customer.filter(F.col("c_acctbal") > 0)
+        .select(F.col("c_custkey").alias("k"))
+        .distinct()
+    )
+    ka = (
+        da.select(_h(F.col("k")).alias("h"))
+        .withColumn("rn", F.row_number().over(Window.orderBy("h")))
+        .filter(F.col("rn") <= _JC_K)
+        .select("h")
+    )
+    kb = (
+        db.select(_h(F.col("k")).alias("h"))
+        .withColumn("rn", F.row_number().over(Window.orderBy("h")))
+        .filter(F.col("rn") <= _JC_K)
+        .select("h")
+    )
+    ku = (
+        ka.union(kb)
+        .distinct()
+        .withColumn("rn", F.row_number().over(Window.orderBy("h")))
+        .filter(F.col("rn") <= _JC_K)
+    )
+    theta = ku.groupBy().agg(
+        F.max(F.when(F.col("rn") == _JC_K, F.col("h"))).alias("th")
+    )
+    inter = (
+        ku.join(ka, "h", "left_semi")
+        .join(kb, "h", "left_semi")
+        .groupBy()
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    mult = orders.groupBy().agg(
+        (
+            F.count(F.lit(1)).cast("double") / F.countDistinct("o_custkey")
+        ).alias("avg_mult")
+    )
+    exact = (
+        orders.join(
+            customer.filter(F.col("c_acctbal") > 0),
+            orders.o_custkey == customer.c_custkey,
+        )
+        .groupBy()
+        .agg(
+            F.count(F.lit(1)).alias("exact_join_rows"),
+            F.countDistinct("o_custkey").alias("exact_overlap"),
+        )
+    )
+    est_overlap = (
+        F.col("n_both").cast("double") / _JC_K * ((_JC_K - 1) / F.col("th"))
+    )
+    return (
+        exact.crossJoin(F.broadcast(theta))
+        .crossJoin(F.broadcast(inter))
+        .crossJoin(F.broadcast(mult))
+        .select(
+            "exact_overlap",
+            F.round(est_overlap, 9).alias("est_overlap"),
+            "exact_join_rows",
+            F.round(est_overlap * F.col("avg_mult"), 9).alias("est_join_rows"),
+        )
+    )
