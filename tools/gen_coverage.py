@@ -128,6 +128,9 @@ OPERATORS: dict[int, str] = {
     209: "rrf_fusion (hybrid-search combiner)",
     210: "join_cardinality (sketch-based CBO estimate)",
     211: "label_propagation (majority-vote spreading)",
+    212: "woe_binning (information value)",
+    213: "target_encoding (smoothed category means)",
+    214: "kfold_cv (deterministic folds + LOFO means)",
 }
 
 # Ops verified by tests rather than graded queries.

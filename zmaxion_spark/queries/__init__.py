@@ -12,6 +12,7 @@ from zmaxion_spark.queries import (  # noqa: F401,E402
     governance_q,
     graph_q,
     llm,
+    mlprep_q,
     pipeline_q,
     pipeline3_q,
     relational,
@@ -186,6 +187,9 @@ _NEXT_ROUND: list[str] = [
     "q_rrf_fusion",
     "q_join_cardinality",
     "q_label_propagation",
+    "q_woe_binning",
+    "q_target_encoding",
+    "q_kfold_cv",
 ]
 
 
