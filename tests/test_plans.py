@@ -536,3 +536,49 @@ def test_countmin_probe_joins_broadcast_sketch(spark):
     shuffling probes against a 16 KB aggregate would be a plan bug."""
     plan = _plan(REGISTRY["q_countmin_sketch"].fn(spark, SF_SMOKE))
     assert "BroadcastHashJoin" in plan
+
+
+def test_target_encoding_broadcasts_dimension_and_global(spark):
+    """#213: the customer dimension and both tiny aggregate sides must
+    broadcast — a shuffle join keyed on the fact table for a 5-row
+    encoder table would be a plan bug at 100 TB."""
+    plan = _plan(REGISTRY["q_target_encoding"].fn(spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_woe_binning_is_two_aggregates_no_sort(spark):
+    """#212: equal-width WOE binning must not plan a global sort —
+    bin edges come from one min/max aggregate, unlike quantile
+    binning. Any Sort in this plan means someone swapped in ntile."""
+    plan = _plan(REGISTRY["q_woe_binning"].fn(spark, SF_SMOKE))
+    assert "Sort " not in plan and "SortExec" not in plan
+    assert "partial_min" in plan or "partial_max" in plan
+
+
+def test_mmr_candidates_are_checkpointed(spark):
+    """#207: the greedy MMR loop must run over materialized candidate /
+    pair-sim frames (localCheckpoint -> ExistingRDD scans), not replay
+    the corpus-wide cosine scan per step."""
+    plan = _plan(REGISTRY["q_mmr_rerank"].fn(spark, SF_SMOKE), "simple")
+    assert "ExistingRDD" in plan
+    assert "embeddings" not in plan  # corpus scan fully behind checkpoints
+
+
+def test_bfs_edges_are_checkpointed(spark):
+    """#206: the BFS edge list must be materialized once — the final
+    plan must read checkpointed RDDs, not re-derive the lineitem
+    self-join per hop."""
+    plan = _plan(REGISTRY["q_shortest_path"].fn(spark, SF_SMOKE), "simple")
+    assert "ExistingRDD" in plan
+    assert "lineitem" not in plan
+
+
+def test_kfold_reads_orders_once(spark):
+    """#214: the k leave-one-fold-out means must come from ONE scan of
+    orders — a k-row window supplies the global totals; a separate
+    global aggregate would recompute the whole fold lineage."""
+    plan = _plan(REGISTRY["q_kfold_cv"].fn(spark, SF_SMOKE))
+    assert plan.count("Scan parquet") == 2  # tree line + detail line
+    assert plan.count("+- Exchange") <= 2  # fold shuffle + window gather
+    assert "partial_count" in plan or "partial_sum" in plan

@@ -131,6 +131,7 @@ OPERATORS: dict[int, str] = {
     212: "woe_binning (information value)",
     213: "target_encoding (smoothed category means)",
     214: "kfold_cv (deterministic folds + LOFO means)",
+    215: "stream_anomaly (prequential z-score state)",
 }
 
 # Ops verified by tests rather than graded queries.

@@ -190,6 +190,7 @@ _NEXT_ROUND: list[str] = [
     "q_woe_binning",
     "q_target_encoding",
     "q_kfold_cv",
+    "q_stream_anomaly",
 ]
 
 

@@ -195,15 +195,17 @@ _CV_K = 5
                    CAST(SUM(CAST(t AS DECIMAL(38,6))) AS DOUBLE) AS sum_t
             FROM f GROUP BY fold
         ),
-        g AS (
-            SELECT CAST(SUM(n) AS BIGINT) AS n_all,
-                   CAST(SUM(CAST(sum_t AS DECIMAL(38,6))) AS DOUBLE) AS sum_all
+        wide AS (
+            SELECT fold, n, sum_t,
+                   CAST(SUM(n) OVER () AS BIGINT) AS n_all,
+                   CAST(SUM(CAST(sum_t AS DECIMAL(38,6))) OVER () AS DOUBLE)
+                       AS sum_all
             FROM per
         )
         SELECT fold, n,
                ROUND(sum_t / n, 9) AS mean_in_fold,
                ROUND((sum_all - sum_t) / (n_all - n), 9) AS mean_out_of_fold
-        FROM per CROSS JOIN g
+        FROM wide
     """,
     operators=(47, 214),
     doc=f"Deterministic {_CV_K}-fold cross-validation statistics "
@@ -236,16 +238,28 @@ def q_kfold_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("long")
         % _CV_K
     )
+    from pyspark.sql.window import Window
+
     f = o.select(fold.alias("fold"), F.col("o_totalprice").alias("t"))
     per = f.groupBy("fold").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(F.col("t").cast("decimal(38,6)")).cast("double").alias("sum_t"),
     )
-    g = per.groupBy().agg(
-        F.sum("n").cast("bigint").alias("n_all"),
-        F.sum(F.col("sum_t").cast("decimal(38,6)")).cast("double").alias("sum_all"),
+    # Global totals via an unpartitioned window over the k-row fold
+    # aggregate — ONE scan of orders; a separate global aggregate
+    # would make Catalyst recompute the whole fold lineage.
+    w = Window.partitionBy()
+    per = per.select(
+        "fold",
+        "n",
+        "sum_t",
+        F.sum("n").over(w).cast("bigint").alias("n_all"),
+        F.sum(F.col("sum_t").cast("decimal(38,6)"))
+        .over(w)
+        .cast("double")
+        .alias("sum_all"),
     )
-    return per.crossJoin(F.broadcast(g)).select(
+    return per.select(
         "fold",
         "n",
         F.round(F.col("sum_t") / F.col("n"), 9).alias("mean_in_fold"),

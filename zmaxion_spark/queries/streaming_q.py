@@ -669,3 +669,58 @@ def q_stream_rocksdb_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         "total_value",
     )
+
+
+@query(
+    "q_stream_anomaly",
+    oracle="""
+        WITH c AS (
+            SELECT user_id, event_id, ts, value,
+                   CAST(ROUND(value * 100) AS BIGINT) AS cents
+            FROM events
+        ),
+        w AS (
+            SELECT user_id, event_id, value, cents,
+                   COUNT(*) OVER f AS n_prev,
+                   CAST(SUM(cents) OVER f AS BIGINT) AS s_prev,
+                   CAST(SUM(cents * cents) OVER f AS BIGINT) AS s2_prev
+            FROM c
+            WINDOW f AS (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        ),
+        z AS (
+            SELECT user_id, event_id, value, n_prev,
+                   (cents - CAST(s_prev AS DOUBLE) / n_prev)
+                   / SQRT((CAST(s2_prev AS DOUBLE)
+                           - CAST(s_prev AS DOUBLE) * s_prev / n_prev)
+                          / n_prev) AS z
+            FROM w
+            WHERE n_prev >= 10
+              AND (CAST(s2_prev AS DOUBLE)
+                   - CAST(s_prev AS DOUBLE) * s_prev / n_prev) > 0
+        )
+        SELECT user_id, event_id, value, n_prev, ROUND(z, 9) AS z
+        FROM z WHERE ABS(z) > 3
+    """,
+    operators=(53, 92, 215),
+    doc="Prequential streaming anomaly detection (#215): each event is "
+    "z-scored against the running mean/std of its user's PRIOR events "
+    "only (test-then-update — a flagged event never contaminates its "
+    "own baseline), flagged at |z| > 3 after a 10-event warmup, then "
+    "folded into per-key state (applyInPandasWithState). Parity is "
+    "hash-exact because the state is three integers (count, cents sum, "
+    "squared-cents sum — order-independent), z is one IEEE expression "
+    "over exact operands mirrored by the oracle's integer window sums, "
+    "and rounding happens JVM-side. Scale shape: state is 24 bytes per "
+    "key forever, emissions are append-mode (each anomaly exactly "
+    "once), and the same topology runs unchanged on an unbounded "
+    "topic — the oracle grades the replayed-history equivalence.",
+)
+def q_stream_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from zmaxion_spark.streaming.stateful import prequential_zscore
+
+    ev = stream_events(spark, sf_dir).select("user_id", "event_id", "ts", "value")
+    t = run_available_now(prequential_zscore(ev), "anomalies", mode="append")
+    return t.select(
+        "user_id", "event_id", "value", "n_prev", F.round("z", 9).alias("z")
+    )

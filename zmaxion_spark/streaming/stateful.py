@@ -201,3 +201,49 @@ def cdc_last_write_wins(changes: DataFrame) -> DataFrame:
     return changes.groupBy("user_id").applyInPandasWithState(
         update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
     )
+
+
+def prequential_zscore(
+    events: DataFrame, warmup: int = 10, threshold: float = 3.0
+) -> DataFrame:
+    """Prequential (test-then-update) anomaly detection per user: each
+    event is z-scored against the running mean/std of the PRIOR events
+    only, then folded into the state — the online-learning evaluation
+    discipline, so a flagged event never influences its own baseline.
+
+    Engine-parity design: the state is three INTEGERS (n, sum of
+    value-cents, sum of squared cents — events.value carries exactly 2
+    decimals, so cents are exact), which makes the running moments
+    order-independent and the z expression a single IEEE tree over
+    exact operands. The batch oracle reproduces it with integer window
+    sums over (ts, event_id) order; z is emitted RAW and rounded
+    JVM-side so ROUND semantics match the oracle exactly."""
+
+    out_schema = "user_id bigint, event_id bigint, value double, n_prev bigint, z double"
+    state_schema = "n bigint, s bigint, s2 bigint"
+
+    def update(key, pdfs, state: GroupState):
+        import math
+
+        import pandas as pd  # local for worker
+
+        rows = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
+        n, s, s2 = state.get if state.exists else (0, 0, 0)
+        out = []
+        for ev_id, val in zip(rows["event_id"], rows["value"]):
+            c = int(math.floor(val * 100 + 0.5))  # exact cents (val > 0)
+            if n >= warmup:
+                var_num = float(s2) - float(s) * s / n
+                if var_num > 0:
+                    z = (c - s / n) / math.sqrt(var_num / n)
+                    if abs(z) > threshold:
+                        out.append((key[0], ev_id, val, n, z))
+            n, s, s2 = n + 1, s + c, s2 + c * c
+        state.update((n, s, s2))
+        yield pd.DataFrame(
+            out, columns=["user_id", "event_id", "value", "n_prev", "z"]
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
