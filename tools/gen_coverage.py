@@ -132,6 +132,7 @@ OPERATORS: dict[int, str] = {
     213: "target_encoding (smoothed category means)",
     214: "kfold_cv (deterministic folds + LOFO means)",
     215: "stream_anomaly (prequential z-score state)",
+    216: "phash_dedup (banded perceptual hashing)",
 }
 
 # Ops verified by tests rather than graded queries.

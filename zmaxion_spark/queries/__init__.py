@@ -191,6 +191,7 @@ _NEXT_ROUND: list[str] = [
     "q_target_encoding",
     "q_kfold_cv",
     "q_stream_anomaly",
+    "q_phash_dedup",
 ]
 
 

@@ -1245,3 +1245,141 @@ def q_embedding_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
             davg("val", "dim_avg"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# #216 perceptual-hash (aHash) near-duplicate detection for media
+# ---------------------------------------------------------------------------
+
+_PH_MAX_HAMMING = 6
+
+
+@query(
+    "q_phash_dedup",
+    oracle=f"""
+        WITH img AS (
+            SELECT doc_id, text, LENGTH(text) // 64 AS w
+            FROM documents WHERE doc_id % 2 = 0 AND LENGTH(text) >= 64
+        ),
+        px AS (
+            SELECT doc_id, i,
+                   CAST(('0x' || SUBSTR(MD5(SUBSTR(text, 1 + i * w, w)), 1, 2))
+                        AS BIGINT) AS p
+            FROM img CROSS JOIN (SELECT UNNEST(RANGE(64)) AS i)
+        ),
+        tot AS (
+            SELECT doc_id, i, p,
+                   CAST(SUM(p) OVER (PARTITION BY doc_id) AS BIGINT) AS total
+            FROM px
+        ),
+        bands AS (
+            SELECT doc_id, i // 16 AS j,
+                   CAST(SUM(CASE WHEN 64 * p > total
+                                 THEN CAST(POWER(2, i % 16) AS BIGINT)
+                                 ELSE 0 END) AS BIGINT) AS band
+            FROM tot GROUP BY doc_id, i // 16
+        ),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bands a JOIN bands b
+              ON a.j = b.j AND a.band = b.band AND a.doc_id < b.doc_id
+        ),
+        ham AS (
+            SELECT c.doc_a, c.doc_b,
+                   CAST(SUM(BIT_COUNT(XOR(ba.band, bb.band))) AS BIGINT) AS hamming
+            FROM cand c
+            JOIN bands ba ON ba.doc_id = c.doc_a
+            JOIN bands bb ON bb.doc_id = c.doc_b AND bb.j = ba.j
+            GROUP BY c.doc_a, c.doc_b
+        )
+        SELECT doc_a, doc_b, hamming FROM ham
+        WHERE hamming <= {_PH_MAX_HAMMING}
+    """,
+    operators=(70, 75, 216),
+    doc=f"Perceptual-hash near-duplicate detection for media (#216): "
+    "each image's 8x8 'thumbnail' (this container ships no codec, so "
+    "the decode is the documented deterministic fake — the payload is "
+    "cut into 64 equal slices and each slice md5-folds to one luma "
+    "byte, preserving LOCALITY like real pixels: payloads differing "
+    "in one region differ in few pixels; a deployment swaps in real "
+    "thumbnails and NOTHING downstream changes) is average-hashed: "
+    "bit_i = pixel_i > mean, packed into four 16-bit bands. "
+    "Candidates come from a band-bucket equi-join (pigeonhole: any "
+    "pair within hamming 3 shares a band — the simhash blocking "
+    "discipline, #70), verified by exact banded hamming distance "
+    f"(bit_count(xor)), kept at <= {_PH_MAX_HAMMING}. Everything is "
+    "integer-exact, so the whole pipeline — hash, blocking, verify — "
+    "is graded hash-exact. Scale shape: hashing is one scan + one "
+    "per-doc shuffle; the quadratic term only ever touches band-"
+    "bucket collision groups, never the corpus.",
+)
+def q_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    img = (
+        _t(spark, sf_dir, "documents")
+        .filter((F.col("doc_id") % 2 == 0) & (F.length("text") >= 64))
+        .select(
+            "doc_id", "text", F.expr("length(text) div 64").alias("w")
+        )
+    )
+    px = img.select(
+        "doc_id",
+        "text",
+        "w",
+        F.explode(F.sequence(F.lit(0), F.lit(63))).alias("i"),
+    ).select(
+        "doc_id",
+        "i",
+        F.conv(
+            F.substring(
+                F.md5(F.expr("substring(text, 1 + i * w, w)").cast("binary")), 1, 2
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("p"),
+    )
+    tot = px.withColumn(
+        "total", F.sum("p").over(Window.partitionBy("doc_id")).cast("bigint")
+    )
+    bands = (
+        tot.groupBy("doc_id", (F.col("i") / 16).cast("int").alias("j"))
+        .agg(
+            F.sum(
+                F.when(
+                    64 * F.col("p") > F.col("total"),
+                    F.expr("CAST(POWER(2, i % 16) AS BIGINT)"),
+                ).otherwise(F.lit(0).cast("bigint"))
+            )
+            .cast("bigint")
+            .alias("band")
+        )
+    )
+    a = bands.select(
+        F.col("doc_id").alias("doc_a"), F.col("j").alias("ja"), F.col("band").alias("ba")
+    )
+    b = bands.select(
+        F.col("doc_id").alias("doc_b"), F.col("j").alias("jb"), F.col("band").alias("bb")
+    )
+    cand = (
+        a.join(b, (F.col("ja") == F.col("jb")) & (F.col("ba") == F.col("bb")) & (F.col("doc_a") < F.col("doc_b")))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    ham = (
+        cand.join(
+            bands.select(F.col("doc_id").alias("doc_a"), F.col("j"), F.col("band").alias("band_a")),
+            "doc_a",
+        )
+        .join(
+            bands.select(F.col("doc_id").alias("doc_b"), F.col("j"), F.col("band").alias("band_b")),
+            ["doc_b", "j"],
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.sum(F.expr("bit_count(band_a ^ band_b)")).cast("bigint").alias("hamming")
+        )
+    )
+    return ham.filter(F.col("hamming") <= _PH_MAX_HAMMING)
