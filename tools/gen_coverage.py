@@ -133,6 +133,9 @@ OPERATORS: dict[int, str] = {
     214: "kfold_cv (deterministic folds + LOFO means)",
     215: "stream_anomaly (prequential z-score state)",
     216: "phash_dedup (banded perceptual hashing)",
+    217: "embedding_covariance (outer-product agg)",
+    218: "bloom_prefilter (measured-FP semi-join)",
+    219: "quantile_sample (deterministic AQP sample)",
 }
 
 # Ops verified by tests rather than graded queries.

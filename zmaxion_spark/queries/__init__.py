@@ -192,6 +192,9 @@ _NEXT_ROUND: list[str] = [
     "q_kfold_cv",
     "q_stream_anomaly",
     "q_phash_dedup",
+    "q_embedding_covariance",
+    "q_bloom_prefilter",
+    "q_quantile_sample",
 ]
 
 

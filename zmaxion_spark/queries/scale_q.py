@@ -496,3 +496,136 @@ def q_skew_diagnose(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("salt_factor"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# #218 bloom pre-filter semi-join with measured false-positive rate
+# ---------------------------------------------------------------------------
+
+_BL_M = 4096  # bits
+_BL_K = 3  # hash probes
+
+
+def _bl_bit_sql(j: str, key: str) -> str:
+    return (
+        f"CAST(('0x' || SUBSTR(MD5('bl' || {j} || ':' || {key}), 1, 8)) "
+        f"AS BIGINT) % {_BL_M}"
+    )
+
+
+@query(
+    "q_bloom_prefilter",
+    oracle=f"""
+        WITH good AS (
+            SELECT DISTINCT c_custkey AS k FROM customer WHERE c_acctbal > 5000
+        ),
+        js AS (SELECT UNNEST(RANGE({_BL_K})) AS j),
+        bits AS (
+            SELECT DISTINCT j, {_bl_bit_sql('j', 'CAST(k AS VARCHAR)')} AS b
+            FROM good CROSS JOIN js
+        ),
+        probes AS (
+            SELECT o.o_orderkey, o.o_custkey, js.j,
+                   {_bl_bit_sql('js.j', 'CAST(o.o_custkey AS VARCHAR)')} AS b
+            FROM orders o CROSS JOIN js
+        ),
+        cand AS (
+            SELECT o_orderkey, o_custkey
+            FROM probes p
+            WHERE EXISTS (SELECT 1 FROM bits WHERE bits.j = p.j AND bits.b = p.b)
+            GROUP BY o_orderkey, o_custkey
+            HAVING COUNT(*) = {_BL_K}
+        ),
+        stats AS (
+            SELECT COUNT(*) AS n_candidates,
+                   CAST(SUM(CASE WHEN EXISTS (SELECT 1 FROM good
+                                              WHERE good.k = cand.o_custkey)
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_true
+            FROM cand
+        ),
+        tot AS (SELECT COUNT(*) AS n_orders FROM orders)
+        SELECT n_orders, n_candidates, n_true,
+               n_candidates - n_true AS n_false_positive,
+               ROUND(CAST(n_candidates - n_true AS DOUBLE)
+                     / (n_orders - n_true), 9) AS fp_rate
+        FROM stats CROSS JOIN tot
+    """,
+    operators=(15, 188, 218),
+    doc=f"Bloom pre-filter semi-join (#218): a {_BL_M}-bit, "
+    f"{_BL_K}-probe bloom set of the qualifying customer keys is built "
+    "as a RELATION of set bits (md5-derived, engine-reproducible), the "
+    "fact table probes it k times and keeps rows where all probes hit, "
+    "and the exact semi-join then grades the filter: candidates, true "
+    "members, false positives, measured FP rate — all hash-exact. "
+    "This is the shuffle-avoidance pattern behind runtime filters "
+    "(#163) made explicit and persistent: at 100 TB the bit relation "
+    "(<= m rows) broadcasts everywhere a fact scan runs, drops the "
+    "bulk of non-matching rows BEFORE the join shuffle, and never "
+    "false-negatives (graded: n_true candidates == every true match). "
+    "The FP rate column is the capacity-planning number: it prices "
+    "the wasted shuffle the filter failed to prevent.",
+)
+def q_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+
+    def bit(j_col, key_col):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit("bl"),
+                            j_col.cast("string"),
+                            F.lit(":"),
+                            key_col.cast("string"),
+                        ).cast("binary")
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % _BL_M
+        )
+
+    good = (
+        c.filter(F.col("c_acctbal") > 5000).select(F.col("c_custkey").alias("k")).distinct()
+    )
+    js = F.explode(F.sequence(F.lit(0), F.lit(_BL_K - 1))).alias("j")
+    bits = (
+        good.select("k", js)
+        .select("j", bit(F.col("j"), F.col("k")).alias("b"))
+        .distinct()
+    )
+    probes = o.select("o_orderkey", "o_custkey", js).select(
+        "o_orderkey", "o_custkey", "j", bit(F.col("j"), F.col("o_custkey")).alias("b")
+    )
+    cand = (
+        probes.join(F.broadcast(bits), ["j", "b"], "left_semi")
+        .groupBy("o_orderkey", "o_custkey")
+        .agg(F.count(F.lit(1)).alias("hits"))
+        .filter(F.col("hits") == _BL_K)
+        .select("o_orderkey", "o_custkey")
+    )
+    stats = cand.join(
+        F.broadcast(good), cand.o_custkey == good.k, "left_outer"
+    ).groupBy().agg(
+        F.count(F.lit(1)).alias("n_candidates"),
+        F.sum(F.when(F.col("k").isNotNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_true"),
+    )
+    tot = o.groupBy().agg(F.count(F.lit(1)).alias("n_orders"))
+    return stats.crossJoin(F.broadcast(tot)).select(
+        "n_orders",
+        "n_candidates",
+        "n_true",
+        (F.col("n_candidates") - F.col("n_true")).alias("n_false_positive"),
+        F.round(
+            (F.col("n_candidates") - F.col("n_true")).cast("double")
+            / (F.col("n_orders") - F.col("n_true")),
+            9,
+        ).alias("fp_rate"),
+    )

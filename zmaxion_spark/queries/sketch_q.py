@@ -432,3 +432,116 @@ def q_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(est_overlap * F.col("avg_mult"), 9).alias("est_join_rows"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# #219 hash-sample quantile estimation (BlinkDB-style deterministic sample)
+# ---------------------------------------------------------------------------
+
+_QS_RATE = 16  # keep keys where md5-bucket % 16 == 0 (1/16 sample)
+_QS_QS = (25, 50, 90, 99)  # percentiles, as integers for exact rank math
+
+
+@query(
+    "q_quantile_sample",
+    oracle=f"""
+        WITH full_r AS (
+            SELECT o_totalprice AS v,
+                   ROW_NUMBER() OVER (ORDER BY o_totalprice, o_orderkey) AS r,
+                   COUNT(*) OVER () AS n
+            FROM orders
+        ),
+        samp_r AS (
+            SELECT o_totalprice AS v,
+                   ROW_NUMBER() OVER (ORDER BY o_totalprice, o_orderkey) AS r,
+                   COUNT(*) OVER () AS n
+            FROM orders
+            WHERE CAST(('0x' || SUBSTR(MD5('qs:' || CAST(o_orderkey AS VARCHAR)),
+                                       1, 8)) AS BIGINT) % {_QS_RATE} = 0
+        ),
+        qs AS (SELECT UNNEST(ARRAY{list(_QS_QS)}) AS q)
+        SELECT qs.q,
+               MAX(CASE WHEN f.r = GREATEST(1, (qs.q * f.n + 99) // 100)
+                        THEN f.v END) AS exact_v,
+               MAX(CASE WHEN s.r = GREATEST(1, (qs.q * s.n + 99) // 100)
+                        THEN s.v END) AS est_v,
+               ROUND(ABS(MAX(CASE WHEN s.r = GREATEST(1, (qs.q * s.n + 99) // 100)
+                                  THEN s.v END)
+                         - MAX(CASE WHEN f.r = GREATEST(1, (qs.q * f.n + 99) // 100)
+                                    THEN f.v END))
+                     / MAX(CASE WHEN f.r = GREATEST(1, (qs.q * f.n + 99) // 100)
+                               THEN f.v END), 9) AS rel_err
+        FROM qs
+        CROSS JOIN full_r f
+        CROSS JOIN samp_r s
+        GROUP BY qs.q
+    """,
+    operators=(26, 219),
+    doc=f"Hash-sample quantile estimation (#219): a deterministic "
+    f"1/{_QS_RATE} sample (md5 of the row key — same rows in every "
+    "engine, every run, every cluster size) is sorted once and its "
+    "discrete quantiles (rank ceil(q*n/100), ties by key) estimate the "
+    "full-data quantiles; both are graded, plus the realized relative "
+    "error. The BlinkDB/approximate-query-processing discipline: at "
+    "100 TB the full sort is the thing you cannot afford — the sample "
+    "sort costs 1/{_QS_RATE} the shuffle, the estimate error scales "
+    "as O(1/sqrt(sample)), and because the sample is a pure hash "
+    "predicate it pushes into the scan and composes with every other "
+    "operator. Integer rank arithmetic keeps the whole comparison "
+    "hash-exact.",
+)
+def q_quantile_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+
+    def ranked(df):
+        w = Window.orderBy("o_totalprice", "o_orderkey")
+        return df.select(
+            F.col("o_totalprice").alias("v"),
+            F.row_number().over(w).alias("r"),
+            F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+        )
+
+    samp = o.filter(
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(F.lit("qs:"), F.col("o_orderkey").cast("string")).cast(
+                        "binary"
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % _QS_RATE
+        == 0
+    )
+    qs = spark.range(1).select(
+        F.explode(F.array(*[F.lit(q) for q in _QS_QS])).alias("q")
+    )
+
+    def pick(df, out):
+        r = ranked(df)
+        return (
+            qs.crossJoin(r)
+            .filter(
+                F.col("r")
+                == F.greatest(F.lit(1), F.expr("(q * n + 99) div 100"))
+            )
+            .select("q", F.col("v").alias(out))
+        )
+
+    exact = pick(o, "exact_v")
+    est = pick(samp, "est_v")
+    return exact.join(est, "q").select(
+        "q",
+        "exact_v",
+        "est_v",
+        F.round(
+            F.abs(F.col("est_v") - F.col("exact_v")) / F.col("exact_v"), 9
+        ).alias("rel_err"),
+    )

@@ -316,3 +316,116 @@ def q_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("doc_id").alias("n_docs"),
         F.sum("sgn").cast("bigint").alias("signed_tf"),
     )
+
+
+# ---------------------------------------------------------------------------
+# #217 embedding covariance / correlation matrix via outer-product agg
+# ---------------------------------------------------------------------------
+
+_COV_DEC = "decimal(38,18)"
+
+
+@query(
+    "q_embedding_covariance",
+    oracle="""
+        WITH ij AS (
+            SELECT a.i AS i, b.i AS j
+            FROM (SELECT UNNEST(RANGE(1, 65)) AS i) a,
+                 (SELECT UNNEST(RANGE(1, 65)) AS i) b
+            WHERE b.i >= a.i
+        ),
+        sums AS (
+            SELECT ij.i, ij.j,
+                   COUNT(*) AS n,
+                   CAST(SUM(CAST(CAST(e.embedding[ij.i] AS DOUBLE)
+                                 AS DECIMAL(38,18))) AS DOUBLE) AS sx,
+                   CAST(SUM(CAST(CAST(e.embedding[ij.j] AS DOUBLE)
+                                 AS DECIMAL(38,18))) AS DOUBLE) AS sy,
+                   CAST(SUM(CAST(CAST(e.embedding[ij.i] AS DOUBLE)
+                                 * CAST(e.embedding[ij.j] AS DOUBLE)
+                                 AS DECIMAL(38,18))) AS DOUBLE) AS sxy
+            FROM embeddings e CROSS JOIN ij
+            GROUP BY ij.i, ij.j
+        ),
+        cov AS (
+            SELECT i, j, n,
+                   (sxy - sx * sy / n) / n AS cov_raw
+            FROM sums
+        ),
+        diag AS (SELECT i, cov_raw AS var_i FROM cov WHERE i = j)
+        SELECT c.i, c.j,
+               ROUND(c.cov_raw, 9) AS cov,
+               ROUND(c.cov_raw / SQRT(da.var_i * db.var_i), 9) AS corr
+        FROM cov c
+        JOIN diag da ON da.i = c.i
+        JOIN diag db ON db.i = c.j
+    """,
+    operators=(44, 158, 217),
+    doc="Embedding covariance/correlation matrix (#217): the upper "
+    "triangle of the 64x64 covariance matrix via OUTER-PRODUCT "
+    "aggregation — each vector contributes its d(d+1)/2 pairwise "
+    "products to a partial-aggregated groupBy on (i,j), the "
+    "whitening/PCA precursor every embedding pipeline needs. Products "
+    "sum through DECIMAL(38,18) (the PageRank discipline) so the "
+    "matrix is order-independent and graded hash-exact; correlations "
+    "divide by the diagonal rejoined from the same result. Scale "
+    "shape: the heavy stage is one scan with map-side combine into "
+    "d(d+1)/2 = 2080 cells — state is O(d^2) regardless of corpus "
+    "size, the reduce is a constant-size matrix, and 1000 executors "
+    "merge partial matrices additively (never raw vectors).",
+)
+def q_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    x = F.transform(F.col("embedding"), lambda v: v.cast("double"))
+    pairs = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), F.lit(64)),
+            lambda i: F.transform(
+                F.sequence(i, F.lit(64)),
+                lambda j: F.struct(
+                    i.alias("i"),
+                    j.alias("j"),
+                    F.element_at(x, i).alias("xi"),
+                    F.element_at(x, j).alias("xj"),
+                ),
+            ),
+        )
+    )
+    ex = e.select(F.explode(pairs).alias("p")).select(
+        F.col("p.i").alias("i"),
+        F.col("p.j").alias("j"),
+        F.col("p.xi").alias("xi"),
+        F.col("p.xj").alias("xj"),
+    )
+    sums = ex.groupBy("i", "j").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("xi").cast(_COV_DEC)).cast("double").alias("sx"),
+        F.sum(F.col("xj").cast(_COV_DEC)).cast("double").alias("sy"),
+        F.sum((F.col("xi") * F.col("xj")).cast(_COV_DEC)).cast("double").alias("sxy"),
+    )
+    cov = sums.select(
+        "i",
+        "j",
+        ((F.col("sxy") - F.col("sx") * F.col("sy") / F.col("n")) / F.col("n")).alias(
+            "cov_raw"
+        ),
+    )
+    diag = cov.filter(F.col("i") == F.col("j")).select(
+        F.col("i").alias("d"), F.col("cov_raw").alias("var_i")
+    )
+    return (
+        cov.join(F.broadcast(diag), cov.i == F.col("d"))
+        .drop("d")
+        .withColumnRenamed("var_i", "va")
+        .join(F.broadcast(diag), cov.j == F.col("d"))
+        .drop("d")
+        .withColumnRenamed("var_i", "vb")
+        .select(
+            "i",
+            "j",
+            F.round("cov_raw", 9).alias("cov"),
+            F.round(F.col("cov_raw") / F.sqrt(F.col("va") * F.col("vb")), 9).alias(
+                "corr"
+            ),
+        )
+    )
