@@ -136,6 +136,8 @@ OPERATORS: dict[int, str] = {
     217: "embedding_covariance (outer-product agg)",
     218: "bloom_prefilter (measured-FP semi-join)",
     219: "quantile_sample (deterministic AQP sample)",
+    220: "stream_countmin (sketch as streaming state)",
+    221: "bpe_train (tokenizer merge learning)",
 }
 
 # Ops verified by tests rather than graded queries.

@@ -195,6 +195,8 @@ _NEXT_ROUND: list[str] = [
     "q_embedding_covariance",
     "q_bloom_prefilter",
     "q_quantile_sample",
+    "q_stream_countmin",
+    "q_bpe_train",
 ]
 
 

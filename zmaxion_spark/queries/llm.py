@@ -1383,3 +1383,147 @@ def q_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return ham.filter(F.col("hamming") <= _PH_MAX_HAMMING)
+
+
+# ---------------------------------------------------------------------------
+# #221 BPE tokenizer training (merge learning over the word vocabulary)
+# ---------------------------------------------------------------------------
+
+_BPE_ROUNDS = 3
+_BPE_MIN_FREQ = 10
+
+
+def _bpe_oracle() -> str:
+    """BPE rounds unrolled as chained CTEs. Words are represented as
+    bracket-delimited symbol strings ('[a][b][c]') so a merge is ONE
+    non-regex REPLACE — bracket delimiters make matches boundary-safe
+    and non-overlapping exactly like greedy BPE."""
+    ctes = []
+    for t in range(1, _BPE_ROUNDS + 1):
+        ctes.append(f"""
+        p{t} AS (
+            SELECT sym[i] AS ls, sym[i + 1] AS rs, CAST(SUM(f) AS BIGINT) AS cnt
+            FROM (SELECT f, STRING_SPLIT(SUBSTR(rp, 2, LEN(rp) - 2), '][') AS sym
+                  FROM v{t - 1})
+            CROSS JOIN UNNEST(RANGE(1, LEN(sym))) AS u(i)
+            GROUP BY 1, 2
+        ),
+        m{t} AS (
+            SELECT ls, rs, cnt, {t} AS mr FROM p{t}
+            ORDER BY cnt DESC, ls, rs LIMIT 1
+        ),
+        v{t} AS (
+            SELECT f, REPLACE(rp, '[' || m{t}.ls || '][' || m{t}.rs || ']',
+                              '[' || m{t}.ls || m{t}.rs || ']') AS rp
+            FROM v{t - 1} CROSS JOIN m{t}
+        )""")
+    picks = " UNION ALL ".join(
+        f"SELECT mr, ls, rs, cnt FROM m{i}" for i in range(1, _BPE_ROUNDS + 1)
+    )
+    return f"""
+        WITH tok AS (SELECT UNNEST(STRING_SPLIT(text, ' ')) AS w FROM documents),
+        wf AS (
+            SELECT w, CAST(COUNT(*) AS BIGINT) AS f FROM tok
+            WHERE REGEXP_MATCHES(w, '^[a-z]+$')
+            GROUP BY w HAVING COUNT(*) >= {_BPE_MIN_FREQ}
+        ),
+        v0 AS (
+            SELECT f,
+                   '[' || ARRAY_TO_STRING(
+                       LIST_TRANSFORM(RANGE(1, LEN(w) + 1),
+                                      i -> SUBSTR(w, i, 1)), '][') || ']' AS rp
+            FROM wf
+        ),{",".join(ctes)}
+        SELECT mr AS merge_rank, ls AS left_sym, rs AS right_sym, cnt AS pair_count
+        FROM ({picks})
+    """
+
+
+@query(
+    "q_bpe_train",
+    oracle=_bpe_oracle(),
+    operators=(41, 65, 221),
+    doc=f"BPE tokenizer training (#221): learn the first {_BPE_ROUNDS} "
+    "byte-pair merges from the corpus — the vocabulary-construction "
+    "step of every modern tokenizer. The distributed stage is the word "
+    f"count (min freq {_BPE_MIN_FREQ}); merges then iterate on the "
+    "vocabulary-sized (word, freq) table: adjacent symbol pairs "
+    "weighted by word frequency, argmax pair (count desc, pair asc — "
+    "deterministic), merge applied via ONE boundary-safe REPLACE on "
+    "a bracket-delimited symbol string ('[a][b]' -> '[ab]', exactly "
+    "greedy-BPE non-overlapping semantics in both engines). Scale "
+    "shape: the corpus is touched ONCE (word count with map-side "
+    "combine); every merge round runs on the vocab table — thousands "
+    "of rows, broadcast-sized — so 100 more merges cost zero extra "
+    "corpus scans. Graded hash-exact: each learned merge and its "
+    "pair count.",
+)
+def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    wf = (
+        _t(spark, sf_dir, "documents")
+        .select(F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.col("w").rlike("^[a-z]+$"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("f"))
+        .filter(F.col("f") >= _BPE_MIN_FREQ)
+    )
+    v = wf.select(
+        "f",
+        F.concat(
+            F.lit("["),
+            F.concat_ws(
+                "][",
+                F.expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))"),
+            ),
+            F.lit("]"),
+        ).alias("rp"),
+    ).localCheckpoint()
+    merges = []
+    for t in range(1, _BPE_ROUNDS + 1):
+        syms = v.select(
+            "f",
+            F.split(
+                F.expr("substring(rp, 2, length(rp) - 2)"), "\\]\\["
+            ).alias("s"),
+        ).filter(F.size("s") >= 2)
+        pairs = (
+            syms.select(
+                "f",
+                F.expr(
+                    "explode(transform(sequence(1, size(s) - 1), "
+                    "i -> struct(element_at(s, i) AS ls, element_at(s, i + 1) AS rs)))"
+                ).alias("pr"),
+            )
+            .select("f", F.col("pr.ls").alias("ls"), F.col("pr.rs").alias("rs"))
+            .groupBy("ls", "rs")
+            .agg(F.sum("f").cast("bigint").alias("cnt"))
+        )
+        best = (
+            pairs.orderBy(F.col("cnt").desc(), "ls", "rs")
+            .limit(1)
+            .localCheckpoint()
+        )
+        merges.append(
+            best.select(F.lit(t).alias("mr"), "ls", "rs", "cnt")
+        )
+        v = (
+            v.crossJoin(F.broadcast(best.select("ls", "rs")))
+            .select(
+                "f",
+                F.replace(
+                    F.col("rp"),
+                    F.concat(F.lit("["), F.col("ls"), F.lit("]["), F.col("rs"), F.lit("]")),
+                    F.concat(F.lit("["), F.col("ls"), F.col("rs"), F.lit("]")),
+                ).alias("rp"),
+            )
+            .localCheckpoint()
+        )
+    out = merges[0]
+    for m in merges[1:]:
+        out = out.unionByName(m)
+    return out.select(
+        F.col("mr").alias("merge_rank"),
+        F.col("ls").alias("left_sym"),
+        F.col("rs").alias("right_sym"),
+        F.col("cnt").alias("pair_count"),
+    )

@@ -724,3 +724,88 @@ def q_stream_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.select(
         "user_id", "event_id", "value", "n_prev", F.round("z", 9).alias("z")
     )
+
+
+@query(
+    "q_stream_countmin",
+    oracle=None,  # set below — shared with the batch CMS (identical sketch)
+    operators=(26, 185, 220),
+    doc="Streaming Count-Min maintenance (#220): the same md5 CMS as "
+    "#185, but maintained as STREAMING STATE — each micro-batch folds "
+    "its events into the d x w counter grid via a streaming groupBy in "
+    "update mode, and the final probe estimates must hash-match the "
+    "batch-built sketch exactly (counts are monotone, so max per cell "
+    "on the update-mode sink is the final grid). This is the "
+    "sketches-as-state discipline: an unbounded topic summarized into "
+    "16 KB of mergeable state, restart-safe via the state store, "
+    "queryable at any point; a production variant windows the sketch "
+    "per hour and the commutative merge is the same addition.",
+)
+def q_stream_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from zmaxion_spark.queries.sketch_q import _D, _cms_bucket
+
+    ev = stream_events(spark, sf_dir).select("user_id")
+    jb = F.explode(
+        F.array(
+            *[
+                F.struct(F.lit(j).alias("j"), _cms_bucket(j, F.col("user_id")))
+                for j in range(_D)
+            ]
+        )
+    ).alias("jb")
+    cells = ev.select(jb).select(F.col("jb.j").alias("j"), F.col("jb.b").alias("b"))
+    sketch_t = run_available_now(
+        cells.groupBy("j", "b").agg(F.count(F.lit(1)).alias("c")),
+        "cms",
+        mode="update",
+    )
+    sketch = sketch_t.groupBy("j", "b").agg(F.max("c").alias("c"))
+    # Probe set and estimate shape identical to the batch CMS (#185).
+    from zmaxion_spark.catalog import load_table as _lt
+
+    probes = (
+        _lt(spark, sf_dir, "events")
+        .select("user_id")
+        .filter(F.col("user_id") % 7 == 0)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("exact_n"))
+    )
+    pb = probes.select(
+        "user_id",
+        "exact_n",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(j).alias("j"), _cms_bucket(j, F.col("user_id")))
+                    for j in range(_D)
+                ]
+            )
+        ).alias("jb"),
+    ).select("user_id", "exact_n", F.col("jb.j").alias("j"), F.col("jb.b").alias("b"))
+    return (
+        pb.join(F.broadcast(sketch), ["j", "b"])
+        .groupBy("user_id", "exact_n")
+        .agg(F.min("c").alias("est_n"))
+        .select(
+            "user_id",
+            "exact_n",
+            "est_n",
+            (F.col("est_n") - F.col("exact_n")).alias("overcount"),
+        )
+    )
+
+
+def _wire_stream_countmin_oracle() -> None:
+    """The streaming CMS must reproduce the batch CMS bit-for-bit, so
+    it shares #185's oracle SQL verbatim (same sketch, same probes)."""
+    from zmaxion_spark.queries.registry import REGISTRY, Query
+
+    import zmaxion_spark.queries.sketch_q  # noqa: F401  (registers #185)
+
+    q = REGISTRY["q_stream_countmin"]
+    REGISTRY["q_stream_countmin"] = Query(
+        q.name, q.fn, REGISTRY["q_countmin_sketch"].oracle, q.operators, q.doc, q.bench
+    )
+
+
+_wire_stream_countmin_oracle()
