@@ -377,31 +377,44 @@ _COV_DEC = "decimal(38,18)"
 def q_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     x = F.transform(F.col("embedding"), lambda v: v.cast("double"))
-    pairs = F.flatten(
-        F.transform(
-            F.sequence(F.lit(1), F.lit(64)),
-            lambda i: F.transform(
-                F.sequence(i, F.lit(64)),
-                lambda j: F.struct(
-                    i.alias("i"),
-                    j.alias("j"),
-                    F.element_at(x, i).alias("xi"),
-                    F.element_at(x, j).alias("xj"),
-                ),
-            ),
-        )
+    # Cast-and-explode ONCE (the hash-once discipline from
+    # functions/dedup.py): a single nested pair expression would make
+    # CollapseProject re-evaluate the cast array per pair (~2080x per
+    # row — measured 31s at sf0.1); posexplode + equi-self-join on the
+    # vector id builds the same upper triangle at ~1/10th the cost.
+    ex1 = e.select("vec_id", F.posexplode(x).alias("pos", "v")).select(
+        "vec_id", (F.col("pos") + 1).alias("i"), F.col("v")
     )
-    ex = e.select(F.explode(pairs).alias("p")).select(
-        F.col("p.i").alias("i"),
-        F.col("p.j").alias("j"),
-        F.col("p.xi").alias("xi"),
-        F.col("p.xj").alias("xj"),
+    a = ex1.select("vec_id", F.col("i"), F.col("v").alias("xi"))
+    b = ex1.select("vec_id", F.col("i").alias("j"), F.col("v").alias("xj"))
+    ex = a.join(b, "vec_id").filter(F.col("j") >= F.col("i")).select(
+        "i", "j", "xi", "xj"
     )
-    sums = ex.groupBy("i", "j").agg(
+    # The marginal sums depend on ONE index — computing them inside the
+    # pair aggregate would run three decimal sums over d(d+1)/2 x n
+    # rows instead of one; decimal sums are order-independent, so the
+    # 1-D sums joined back are value-identical to the oracle's per-pair
+    # formulation.
+    oned = ex1.groupBy("i").agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(F.col("xi").cast(_COV_DEC)).cast("double").alias("sx"),
-        F.sum(F.col("xj").cast(_COV_DEC)).cast("double").alias("sy"),
-        F.sum((F.col("xi") * F.col("xj")).cast(_COV_DEC)).cast("double").alias("sxy"),
+        F.sum(F.col("v").cast(_COV_DEC)).cast("double").alias("sx"),
+    )
+    sums = (
+        ex.groupBy("i", "j")
+        .agg(
+            F.sum((F.col("xi") * F.col("xj")).cast(_COV_DEC))
+            .cast("double")
+            .alias("sxy")
+        )
+        .join(F.broadcast(oned), "i")
+        .join(
+            F.broadcast(
+                oned.select(
+                    F.col("i").alias("j"), F.col("sx").alias("sy")
+                )
+            ),
+            "j",
+        )
     )
     cov = sums.select(
         "i",
