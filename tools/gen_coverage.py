@@ -138,6 +138,9 @@ OPERATORS: dict[int, str] = {
     219: "quantile_sample (deterministic AQP sample)",
     220: "stream_countmin (sketch as streaming state)",
     221: "bpe_train (tokenizer merge learning)",
+    222: "quality_classifier (logistic scoring expression)",
+    223: "subject_access (GDPR export report)",
+    224: "attribution_touch (first/last-touch credit)",
 }
 
 # Ops verified by tests rather than graded queries.

@@ -197,6 +197,9 @@ _NEXT_ROUND: list[str] = [
     "q_quantile_sample",
     "q_stream_countmin",
     "q_bpe_train",
+    "q_quality_classifier",
+    "q_subject_access",
+    "q_attribution_touch",
 ]
 
 

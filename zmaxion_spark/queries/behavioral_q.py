@@ -328,3 +328,69 @@ def q_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     return part.join(
         F.broadcast(sky), ["p_retailprice", "p_size"], "left_semi"
     ).select("p_partkey", "p_retailprice", "p_size")
+
+
+# ---------------------------------------------------------------------------
+# #224 first/last-touch attribution
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_attribution_touch",
+    oracle="""
+        WITH ordered AS (
+            SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS ts,
+                   value,
+                   FIRST_VALUE(CASE WHEN event_type = 'click' THEN event_id END
+                               IGNORE NULLS) OVER f AS first_touch,
+                   LAST_VALUE(CASE WHEN event_type = 'click' THEN event_id END
+                              IGNORE NULLS) OVER f AS last_touch
+            FROM events
+            WINDOW f AS (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        )
+        SELECT user_id, event_id AS conversion_id,
+               ROUND(CAST(value AS DOUBLE), 9) AS revenue,
+               first_touch, last_touch,
+               CAST(first_touch IS NOT NULL AS INT) AS attributed
+        FROM ordered
+        WHERE event_type = 'purchase'
+    """,
+    operators=(31, 224),
+    doc="First/last-touch attribution (#224): every purchase is "
+    "attributed to the user's FIRST and LAST preceding click (strictly "
+    "before the conversion — ROWS ... 1 PRECEDING with IGNORE NULLS "
+    "first/last_value over (ts, event_id) order), the marketing "
+    "credit-assignment primitive behind every ads dashboard. "
+    "Unattributed conversions (no prior click) are kept and flagged — "
+    "dropping them silently is the classic attribution bug. Scale "
+    "shape: ONE window pass per user partition, no self-join of the "
+    "event stream against itself; at 100 TB the stream partitions by "
+    "user and the window state is two event ids.",
+)
+def q_attribution_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    f = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    click_id = F.when(F.col("event_type") == "click", F.col("event_id"))
+    ordered = ev.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        "value",
+        F.first(click_id, ignorenulls=True).over(f).alias("first_touch"),
+        F.last(click_id, ignorenulls=True).over(f).alias("last_touch"),
+    )
+    return ordered.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("conversion_id"),
+        F.round(F.col("value").cast("double"), 9).alias("revenue"),
+        "first_touch",
+        "last_touch",
+        F.col("first_touch").isNotNull().cast("int").alias("attributed"),
+    )

@@ -270,3 +270,165 @@ def q_url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("doc_id").alias("keeper_doc_id"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# #222 quality-classifier scoring (fixed-weight logistic model)
+# ---------------------------------------------------------------------------
+
+import hashlib as _hashlib
+
+
+def _clf_weights() -> list[float]:
+    """Fixed md5-derived weights in [-1, 1) — the stand-in for a
+    trained quality classifier's parameters; deterministic plan-time
+    constants, identical in the oracle."""
+    ws = []
+    for j in range(4):
+        h = int(_hashlib.md5(f"qclf:{j}".encode()).hexdigest()[:13], 16)
+        ws.append(round(h / 4503599627370496.0 * 2 - 1, 6))
+    return ws
+
+
+_W = _clf_weights()
+
+
+@query(
+    "q_quality_classifier",
+    oracle=f"""
+        WITH feat AS (
+            SELECT doc_id,
+                   LN(1 + LENGTH(text)) AS x1,
+                   CAST(LENGTH(text) AS DOUBLE)
+                       / LEN(STRING_SPLIT(text, ' ')) AS x2,
+                   CAST(LENGTH(text) - LENGTH(REPLACE(text, ' ', ''))
+                        AS DOUBLE) / LENGTH(text) AS x3
+            FROM documents WHERE LENGTH(text) > 0
+        ),
+        z AS (
+            SELECT doc_id,
+                   {_W[0]!r} + {_W[1]!r} * x1 + {_W[2]!r} * x2 + {_W[3]!r} * x3 AS z
+            FROM feat
+        )
+        SELECT doc_id,
+               ROUND(1 / (1 + EXP(-z)), 9) AS quality_score,
+               CAST(1 / (1 + EXP(-z)) > 0.5 AS INT) AS keep
+        FROM z
+    """,
+    operators=(64, 222),
+    doc="Quality-classifier scoring (#222): a fixed-weight logistic "
+    "model (weights are md5-derived plan-time constants standing in "
+    "for trained parameters — swap in real weights and nothing else "
+    "changes) scores every document from cheap row-local features "
+    "(log-length, mean word length, whitespace ratio) through a "
+    "sigmoid; keep = score > 0.5. This is the fasttext-style quality "
+    "filter shape of every corpus pipeline: model application is a "
+    "SCALAR EXPRESSION, not a service call — one scan, zero shuffles, "
+    "fully inside whole-stage codegen, and the filter composes with "
+    "dedup/gates in the same pass. Graded hash-exact (EXP rides "
+    "ROUND(9)).",
+)
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    x1 = F.log(1 + F.length("text"))
+    x2 = F.length("text").cast("double") / F.size(F.split("text", " "))
+    x3 = (
+        F.length("text") - F.length(F.regexp_replace("text", " ", ""))
+    ).cast("double") / F.length("text")
+    z = F.lit(_W[0]) + F.lit(_W[1]) * x1 + F.lit(_W[2]) * x2 + F.lit(_W[3]) * x3
+    score = 1 / (1 + F.exp(-z))
+    return d.select(
+        "doc_id",
+        F.round(score, 9).alias("quality_score"),
+        (score > 0.5).cast("int").alias("keep"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# #223 subject-access report (GDPR Article 15 export)
+# ---------------------------------------------------------------------------
+
+_SAR_KEYS = (7, 42, 99)
+
+
+@query(
+    "q_subject_access",
+    oracle=f"""
+        SELECT 'customer' AS record_type, c_custkey AS subject_id,
+               COUNT(*) AS n_records,
+               CAST(NULL AS TIMESTAMP) AS first_seen,
+               CAST(NULL AS TIMESTAMP) AS last_seen
+        FROM customer WHERE c_custkey IN {_SAR_KEYS!r}
+        GROUP BY c_custkey
+        UNION ALL
+        SELECT 'orders', o_custkey, COUNT(*),
+               MIN(o_orderdate), MAX(o_orderdate)
+        FROM orders WHERE o_custkey IN {_SAR_KEYS!r}
+        GROUP BY o_custkey
+        UNION ALL
+        SELECT 'events', user_id, COUNT(*),
+               MIN(CAST(ts AS TIMESTAMP)), MAX(CAST(ts AS TIMESTAMP))
+        FROM events WHERE user_id IN {_SAR_KEYS!r}
+        GROUP BY user_id
+    """,
+    operators=(37, 223),
+    doc="Subject-access report (#223): everything the warehouse holds "
+    "about a set of data subjects, one row per (table, subject) with "
+    "record counts and first/last activity — the GDPR Article-15 "
+    "export and the read-side complement of erasure (#194 "
+    "ecs_despawn / deletion vectors). Scale shape: each branch is an "
+    "ID-filtered scan (the IN predicate pushes into parquet row-group "
+    "skipping; at 100 TB these become bloom/point-index lookups, "
+    "#188) + a tiny aggregate, unioned — cost scales with the "
+    "subject's data, not the warehouse.",
+)
+def q_subject_access(spark: SparkSession, sf_dir: str) -> DataFrame:
+    keys = list(_SAR_KEYS)
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey").isin(keys))
+        .groupBy(F.col("c_custkey").alias("subject_id"))
+        .agg(F.count(F.lit(1)).alias("n_records"))
+        .select(
+            F.lit("customer").alias("record_type"),
+            "subject_id",
+            "n_records",
+            F.lit(None).cast("timestamp").alias("first_seen"),
+            F.lit(None).cast("timestamp").alias("last_seen"),
+        )
+    )
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey").isin(keys))
+        .groupBy(F.col("o_custkey").alias("subject_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_records"),
+            F.min("o_orderdate").alias("first_seen"),
+            F.max("o_orderdate").alias("last_seen"),
+        )
+        .select(
+            F.lit("orders").alias("record_type"),
+            "subject_id",
+            "n_records",
+            "first_seen",
+            "last_seen",
+        )
+    )
+    e = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id").isin(keys))
+        .groupBy(F.col("user_id").alias("subject_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_records"),
+            F.min("ts").alias("first_seen"),
+            F.max("ts").alias("last_seen"),
+        )
+        .select(
+            F.lit("events").alias("record_type"),
+            "subject_id",
+            "n_records",
+            "first_seen",
+            "last_seen",
+        )
+    )
+    return c.unionByName(o).unionByName(e)
