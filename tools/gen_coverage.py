@@ -141,6 +141,9 @@ OPERATORS: dict[int, str] = {
     222: "quality_classifier (logistic scoring expression)",
     223: "subject_access (GDPR export report)",
     224: "attribution_touch (first/last-touch credit)",
+    225: "hard_negatives (contrastive mining)",
+    226: "model_eval_auc (midrank Mann-Whitney)",
+    227: "calibration_ece (reliability bins)",
 }
 
 # Ops verified by tests rather than graded queries.

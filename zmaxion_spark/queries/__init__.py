@@ -200,6 +200,9 @@ _NEXT_ROUND: list[str] = [
     "q_quality_classifier",
     "q_subject_access",
     "q_attribution_touch",
+    "q_hard_negatives",
+    "q_model_eval_auc",
+    "q_calibration_ece",
 ]
 
 

@@ -298,11 +298,11 @@ _W = _clf_weights()
     oracle=f"""
         WITH feat AS (
             SELECT doc_id,
-                   LN(1 + LENGTH(text)) AS x1,
+                   LN(1 + LENGTH(text)) - 5.5 AS x1,
                    CAST(LENGTH(text) AS DOUBLE)
-                       / LEN(STRING_SPLIT(text, ' ')) AS x2,
+                       / LEN(STRING_SPLIT(text, ' ')) - 6.0 AS x2,
                    CAST(LENGTH(text) - LENGTH(REPLACE(text, ' ', ''))
-                        AS DOUBLE) / LENGTH(text) AS x3
+                        AS DOUBLE) / LENGTH(text) - 0.16 AS x3
             FROM documents WHERE LENGTH(text) > 0
         ),
         z AS (
@@ -330,11 +330,11 @@ _W = _clf_weights()
 )
 def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
-    x1 = F.log(1 + F.length("text"))
-    x2 = F.length("text").cast("double") / F.size(F.split("text", " "))
+    x1 = F.log(1 + F.length("text")) - 5.5
+    x2 = F.length("text").cast("double") / F.size(F.split("text", " ")) - 6.0
     x3 = (
         F.length("text") - F.length(F.regexp_replace("text", " ", ""))
-    ).cast("double") / F.length("text")
+    ).cast("double") / F.length("text") - 0.16
     z = F.lit(_W[0]) + F.lit(_W[1]) * x1 + F.lit(_W[2]) * x2 + F.lit(_W[3]) * x3
     score = 1 / (1 + F.exp(-z))
     return d.select(

@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from zmaxion_spark.catalog import load_table
+from zmaxion_spark.queries.governance_q import _W as _QW, q_quality_classifier
 from zmaxion_spark.queries.registry import query
 
 # ---------------------------------------------------------------------------
@@ -266,4 +267,253 @@ def q_kfold_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             (F.col("sum_all") - F.col("sum_t")) / (F.col("n_all") - F.col("n")), 9
         ).alias("mean_out_of_fold"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# #225 hard-negative mining for contrastive training
+# ---------------------------------------------------------------------------
+
+_HN_K = 5
+
+
+def _hn_oracle() -> str:
+    from zmaxion_spark.queries.llm import _sql_cosine
+
+    return f"""
+        WITH q AS (SELECT vec_id AS qid, label AS qlabel, embedding AS qv
+                   FROM embeddings WHERE vec_id < 3),
+        scored AS (
+            SELECT q.qid, e.vec_id, e.label,
+                   {_sql_cosine('q.qv', 'e.embedding')} AS cos_sim
+            FROM q CROSS JOIN embeddings e
+            WHERE e.label <> q.qlabel
+        )
+        SELECT qid, vec_id, label, ROUND(cos_sim, 9) AS cos_sim, rank FROM (
+            SELECT qid, vec_id, label, cos_sim,
+                   ROW_NUMBER() OVER (PARTITION BY qid
+                                      ORDER BY cos_sim DESC, vec_id) AS rank
+            FROM scored
+        ) WHERE rank <= {_HN_K}
+    """
+
+
+@query(
+    "q_hard_negatives",
+    oracle=_hn_oracle(),
+    operators=(33, 72, 225),
+    doc=f"Hard-negative mining (#225): for each anchor, the top-"
+    f"{_HN_K} most-similar vectors with a DIFFERENT label — the "
+    "contrastive-training data generator (easy negatives teach "
+    "nothing; the hardest wrong answers shape the margin). Same "
+    "broadcast-anchor x corpus-scan shape as exact top-k search "
+    "(#72) with the label-mismatch predicate applied BEFORE ranking; "
+    "at 100 TB the corpus side prunes via the LSH/IVF variants and "
+    "the negative set writes straight into training shards (#132).",
+)
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from zmaxion_spark.functions.similarity import cosine
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"),
+        F.col("label").alias("qlabel"),
+        F.col("embedding").alias("qv"),
+    )
+    scored = (
+        e.join(F.broadcast(q), F.col("label") != F.col("qlabel"))
+        .select(
+            "qid",
+            "vec_id",
+            "label",
+            cosine(F.col("qv"), F.col("embedding")).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cos_sim").desc(), "vec_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _HN_K)
+        .select("qid", "vec_id", "label", F.round("cos_sim", 9).alias("cos_sim"), "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# #226 exact AUC (Mann-Whitney with midranks)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_model_eval_auc",
+    oracle="""
+        WITH scored AS (
+            SELECT d.doc_id,
+                   CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y,
+                   q.quality_score AS s
+            FROM documents d
+            JOIN (
+                SELECT doc_id,
+                       ROUND(1 / (1 + EXP(-(z))), 9) AS quality_score
+                FROM (
+                    SELECT doc_id, 0.160745 + 0.904206 * (LN(1 + LENGTH(text)) - 5.5)
+                           + 0.461865 * (CAST(LENGTH(text) AS DOUBLE)
+                                     / LEN(STRING_SPLIT(text, ' ')) - 6.0)
+                           + 0.160662 * (CAST(LENGTH(text)
+                                          - LENGTH(REPLACE(text, ' ', ''))
+                                          AS DOUBLE) / LENGTH(text) - 0.16) AS z
+                    FROM documents WHERE LENGTH(text) > 0
+                )
+            ) q ON q.doc_id = d.doc_id
+        ),
+        ranked AS (
+            SELECT y,
+                   RANK() OVER (ORDER BY s) AS rmin,
+                   COUNT(*) OVER (PARTITION BY s) AS tie_n
+            FROM scored
+        ),
+        agg AS (
+            SELECT CAST(SUM(y) AS BIGINT) AS n_pos,
+                   CAST(COUNT(*) - SUM(y) AS BIGINT) AS n_neg,
+                   CAST(SUM(CASE WHEN y = 1
+                                 THEN rmin + (tie_n - 1) / CAST(2 AS DOUBLE)
+                                 ELSE 0 END) AS DOUBLE) AS rank_sum_pos
+            FROM ranked
+        )
+        SELECT n_pos, n_neg,
+               ROUND((rank_sum_pos - CAST(n_pos AS DOUBLE) * (n_pos + 1) / 2)
+                     / (CAST(n_pos AS DOUBLE) * n_neg), 9) AS auc
+        FROM agg
+    """,
+    operators=(31, 226),
+    doc="Exact AUC (#226): the Mann-Whitney rank-sum formulation with "
+    "midranks for ties — AUC = (R_pos - n_pos(n_pos+1)/2) / "
+    "(n_pos*n_neg) — evaluating the #222 quality classifier against "
+    "an 'is-English' label. One global rank window + one aggregate: "
+    "the O(n log n) exact computation, not the O(n^2) pair count, and "
+    "the midrank sum is half-integer-exact so the metric is graded "
+    "hash-exact. At 100 TB: rank via sort-based window (range "
+    "partitioned), or bucket scores into fixed histogram bins and "
+    "compute AUC from bin counts (the streaming/approx variant).",
+)
+def q_model_eval_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    scored = q_quality_classifier(spark, sf_dir).join(
+        d.select("doc_id", F.when(F.col("lang") == "en", 1).otherwise(0).alias("y")),
+        "doc_id",
+    ).select("y", F.col("quality_score").alias("s"))
+    ranked = scored.select(
+        "y",
+        F.rank().over(Window.orderBy("s")).alias("rmin"),
+        F.count(F.lit(1)).over(Window.partitionBy("s")).alias("tie_n"),
+    )
+    agg = ranked.groupBy().agg(
+        F.sum("y").cast("bigint").alias("n_pos"),
+        (F.count(F.lit(1)) - F.sum("y")).cast("bigint").alias("n_neg"),
+        F.sum(
+            F.when(
+                F.col("y") == 1,
+                F.col("rmin") + (F.col("tie_n") - 1) / F.lit(2.0),
+            ).otherwise(F.lit(0.0))
+        )
+        .cast("double")
+        .alias("rank_sum_pos"),
+    )
+    return agg.select(
+        "n_pos",
+        "n_neg",
+        F.round(
+            (
+                F.col("rank_sum_pos")
+                - F.col("n_pos").cast("double") * (F.col("n_pos") + 1) / 2
+            )
+            / (F.col("n_pos").cast("double") * F.col("n_neg")),
+            9,
+        ).alias("auc"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# #227 calibration bins + expected calibration error
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_calibration_ece",
+    oracle="""
+        WITH scored AS (
+            SELECT CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y,
+                   q.quality_score AS s
+            FROM documents d
+            JOIN (
+                SELECT doc_id,
+                       ROUND(1 / (1 + EXP(-(z))), 9) AS quality_score
+                FROM (
+                    SELECT doc_id, 0.160745 + 0.904206 * (LN(1 + LENGTH(text)) - 5.5)
+                           + 0.461865 * (CAST(LENGTH(text) AS DOUBLE)
+                                     / LEN(STRING_SPLIT(text, ' ')) - 6.0)
+                           + 0.160662 * (CAST(LENGTH(text)
+                                          - LENGTH(REPLACE(text, ' ', ''))
+                                          AS DOUBLE) / LENGTH(text) - 0.16) AS z
+                    FROM documents WHERE LENGTH(text) > 0
+                )
+            ) q ON q.doc_id = d.doc_id
+        ),
+        bins AS (
+            SELECT LEAST(CAST(FLOOR(s * 10) AS BIGINT), 9) AS bin,
+                   COUNT(*) AS n,
+                   CAST(SUM(CAST(s AS DECIMAL(38,6))) AS DOUBLE) AS sum_s,
+                   CAST(SUM(y) AS BIGINT) AS n_pos
+            FROM scored GROUP BY 1
+        ),
+        tot AS (SELECT CAST(SUM(n) AS BIGINT) AS n_all FROM bins)
+        SELECT bin, n,
+               ROUND(sum_s / n, 9) AS mean_predicted,
+               ROUND(CAST(n_pos AS DOUBLE) / n, 9) AS observed_rate,
+               ROUND(ABS(sum_s / n - CAST(n_pos AS DOUBLE) / n), 9) AS gap,
+               ROUND(CAST(n AS DOUBLE) / n_all
+                     * ABS(sum_s / n - CAST(n_pos AS DOUBLE) / n), 9)
+                   AS ece_part
+        FROM bins CROSS JOIN tot
+    """,
+    operators=(23, 227),
+    doc="Calibration / reliability bins (#227): predictions from the "
+    "#222 classifier bucketed into 10 confidence bins; per bin the "
+    "mean predicted probability, the observed positive rate, their "
+    "gap, and the bin's weighted contribution to Expected Calibration "
+    "Error (sum of ece_part = ECE). The model-monitoring companion to "
+    "AUC (#226): AUC ranks, calibration trusts. One hash aggregate "
+    "over 10 bins, decimal score sums for order independence — "
+    "hash-exact, and at 100 TB the bins are a mergeable 10-row state "
+    "maintainable per micro-batch like any sketch (#220).",
+)
+def q_calibration_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    scored = q_quality_classifier(spark, sf_dir).join(
+        d.select("doc_id", F.when(F.col("lang") == "en", 1).otherwise(0).alias("y")),
+        "doc_id",
+    ).select("y", F.col("quality_score").alias("s"))
+    bins = scored.groupBy(
+        F.least(F.floor(F.col("s") * 10).cast("bigint"), F.lit(9).cast("bigint")).alias(
+            "bin"
+        )
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("s").cast("decimal(38,6)")).cast("double").alias("sum_s"),
+        F.sum("y").cast("bigint").alias("n_pos"),
+    )
+    tot = bins.groupBy().agg(F.sum("n").cast("bigint").alias("n_all"))
+    mean_p = F.col("sum_s") / F.col("n")
+    obs = F.col("n_pos").cast("double") / F.col("n")
+    return bins.crossJoin(F.broadcast(tot)).select(
+        "bin",
+        "n",
+        F.round(mean_p, 9).alias("mean_predicted"),
+        F.round(obs, 9).alias("observed_rate"),
+        F.round(F.abs(mean_p - obs), 9).alias("gap"),
+        F.round(F.col("n").cast("double") / F.col("n_all") * F.abs(mean_p - obs), 9).alias(
+            "ece_part"
+        ),
     )
