@@ -144,6 +144,8 @@ OPERATORS: dict[int, str] = {
     225: "hard_negatives (contrastive mining)",
     226: "model_eval_auc (midrank Mann-Whitney)",
     227: "calibration_ece (reliability bins)",
+    228: "entity_resolution (block-match-canonicalize)",
+    229: "markov_transitions (journey chain estimation)",
 }
 
 # Ops verified by tests rather than graded queries.

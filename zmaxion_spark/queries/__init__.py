@@ -203,6 +203,8 @@ _NEXT_ROUND: list[str] = [
     "q_hard_negatives",
     "q_model_eval_auc",
     "q_calibration_ece",
+    "q_entity_resolution",
+    "q_markov_transitions",
 ]
 
 

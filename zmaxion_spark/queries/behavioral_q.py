@@ -394,3 +394,63 @@ def q_attribution_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
         "last_touch",
         F.col("first_touch").isNotNull().cast("int").alias("attributed"),
     )
+
+
+# ---------------------------------------------------------------------------
+# #229 behavior Markov chain (event-transition matrix)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_markov_transitions",
+    oracle="""
+        WITH ordered AS (
+            SELECT user_id, event_type,
+                   LEAD(event_type) OVER (PARTITION BY user_id
+                                          ORDER BY CAST(ts AS TIMESTAMP),
+                                                   event_id) AS next_type
+            FROM events
+        ),
+        t AS (
+            SELECT event_type AS from_type, next_type AS to_type,
+                   COUNT(*) AS n
+            FROM ordered WHERE next_type IS NOT NULL
+            GROUP BY 1, 2
+        ),
+        row_tot AS (
+            SELECT from_type, CAST(SUM(n) AS BIGINT) AS n_from FROM t
+            GROUP BY from_type
+        )
+        SELECT t.from_type, t.to_type, t.n,
+               ROUND(CAST(t.n AS DOUBLE) / r.n_from, 9) AS p
+        FROM t JOIN row_tot r ON r.from_type = t.from_type
+    """,
+    operators=(31, 229),
+    doc="Behavior Markov chain (#229): the event-type transition "
+    "matrix P(next | current) estimated from per-user event sequences "
+    "— one LEAD window over (ts, event_id) order, one count aggregate, "
+    "row-normalized. The user-journey model behind next-action "
+    "prediction, anomaly scoring on sequences (rare transitions), and "
+    "simulation. Scale shape: the window partitions by user (state = "
+    "one row), the transition matrix is |types|^2 — mergeable across "
+    "partitions and micro-batches like any sketch; integer counts "
+    "keep the probabilities hash-exact.",
+)
+def q_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ordered = ev.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).filter(F.col("next_type").isNotNull())
+    t = ordered.groupBy(
+        F.col("event_type").alias("from_type"), F.col("next_type").alias("to_type")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    row_tot = t.groupBy("from_type").agg(F.sum("n").cast("bigint").alias("n_from"))
+    return t.join(F.broadcast(row_tot), "from_type").select(
+        "from_type",
+        "to_type",
+        "n",
+        F.round(F.col("n").cast("double") / F.col("n_from"), 9).alias("p"),
+    )

@@ -432,3 +432,105 @@ def q_subject_access(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return c.unionByName(o).unionByName(e)
+
+
+# ---------------------------------------------------------------------------
+# #228 entity resolution (MDM): block -> match -> canonicalize
+# ---------------------------------------------------------------------------
+
+_ER_LEV = 20
+
+
+@query(
+    "q_entity_resolution",
+    oracle=f"""
+        WITH recs AS (
+            SELECT c_custkey * 10 AS rid, c_name AS name,
+                   c_nationkey AS nat, c_custkey AS digits
+            FROM customer
+            UNION ALL
+            SELECT c_custkey * 10 + 1, 'Customer #' || CAST(c_custkey AS VARCHAR),
+                   c_nationkey, c_custkey
+            FROM customer WHERE c_custkey % 5 = 0
+            UNION ALL
+            SELECT c_custkey * 10 + 2, 'CUSTOMER #' || CAST(c_custkey AS VARCHAR),
+                   c_nationkey, c_custkey
+            FROM customer WHERE c_custkey % 10 = 0
+        ),
+        edges AS (
+            SELECT a.rid AS ra, b.rid AS rb
+            FROM recs a JOIN recs b
+              ON a.nat = b.nat AND a.digits = b.digits AND a.rid < b.rid
+            WHERE LEVENSHTEIN(a.name, b.name) <= {_ER_LEV}
+        ),
+        adj AS (
+            SELECT ra AS rid, rb AS nb FROM edges
+            UNION ALL SELECT rb, ra FROM edges
+            UNION ALL SELECT rid, rid FROM recs
+        )
+        SELECT rid, MIN(nb) AS entity_id,
+               CAST(MIN(nb) <> rid AS INT) AS merged
+        FROM adj GROUP BY rid
+    """,
+    operators=(93, 70, 228),
+    doc="Entity resolution (#228), the MDM pipeline end-to-end: dirty "
+    "duplicate records (two deterministic name variants per selected "
+    "customer — spacing/zero-padding/case corruptions) are blocked on "
+    "(nation, normalized numeric key), matched inside blocks by "
+    f"Levenshtein <= {_ER_LEV} on the name, and canonicalized to the "
+    "minimum record id over each match component (variants link "
+    "star-wise to their base, so ONE min-over-neighbors pass is exact "
+    "— the general case iterates exactly like dup-clustering #70). "
+    "Scale shape: the quadratic matcher runs only INSIDE blocks "
+    "(classic ER blocking), edges shuffle as id pairs, and the "
+    "canonical map is one aggregate — ready to feed MERGE (#182) for "
+    "golden-record upserts. Every record is graded: rid -> entity_id "
+    "+ merged flag.",
+)
+def q_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    base = c.select(
+        (F.col("c_custkey") * 10).alias("rid"),
+        F.col("c_name").alias("name"),
+        F.col("c_nationkey").alias("nat"),
+        F.col("c_custkey").alias("digits"),
+    )
+    v1 = c.filter(F.col("c_custkey") % 5 == 0).select(
+        (F.col("c_custkey") * 10 + 1).alias("rid"),
+        F.concat(F.lit("Customer #"), F.col("c_custkey").cast("string")).alias("name"),
+        F.col("c_nationkey").alias("nat"),
+        F.col("c_custkey").alias("digits"),
+    )
+    v2 = c.filter(F.col("c_custkey") % 10 == 0).select(
+        (F.col("c_custkey") * 10 + 2).alias("rid"),
+        F.concat(F.lit("CUSTOMER #"), F.col("c_custkey").cast("string")).alias("name"),
+        F.col("c_nationkey").alias("nat"),
+        F.col("c_custkey").alias("digits"),
+    )
+    recs = base.unionByName(v1).unionByName(v2)
+    a = recs.select(
+        F.col("rid").alias("ra"), F.col("name").alias("na"), "nat", "digits"
+    )
+    b = recs.select(
+        F.col("rid").alias("rb"), F.col("name").alias("nb_name"), F.col("nat").alias("natb"), F.col("digits").alias("digitsb")
+    )
+    edges = (
+        a.join(
+            b,
+            (F.col("nat") == F.col("natb"))
+            & (F.col("digits") == F.col("digitsb"))
+            & (F.col("ra") < F.col("rb")),
+        )
+        .filter(F.levenshtein(F.col("na"), F.col("nb_name")) <= _ER_LEV)
+        .select("ra", "rb")
+    )
+    adj = (
+        edges.select(F.col("ra").alias("rid"), F.col("rb").alias("nb"))
+        .unionByName(edges.select(F.col("rb").alias("rid"), F.col("ra").alias("nb")))
+        .unionByName(recs.select("rid", F.col("rid").alias("nb")))
+    )
+    return adj.groupBy("rid").agg(F.min("nb").alias("entity_id")).select(
+        "rid",
+        "entity_id",
+        (F.col("entity_id") != F.col("rid")).cast("int").alias("merged"),
+    )
