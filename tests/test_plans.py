@@ -582,3 +582,38 @@ def test_kfold_reads_orders_once(spark):
     assert plan.count("Scan parquet") == 2  # tree line + detail line
     assert plan.count("+- Exchange") <= 2  # fold shuffle + window gather
     assert "partial_count" in plan or "partial_sum" in plan
+
+
+def test_attribution_is_one_window_pass(spark):
+    """#224: attribution must be a single window pass over the event
+    stream — a self-join of events against events would be the classic
+    O(n^2) attribution bug."""
+    plan = _plan(REGISTRY["q_attribution_touch"].fn(spark, SF_SMOKE))
+    assert "Join" not in plan
+    assert plan.count("Window") >= 1
+
+
+def test_bpe_scans_corpus_once(spark):
+    """#221: BPE merge rounds must iterate on the vocabulary table, not
+    re-scan the corpus — the plan reads checkpointed vocab RDDs and
+    documents appears in no scan."""
+    plan = _plan(REGISTRY["q_bpe_train"].fn(spark, SF_SMOKE), "simple")
+    assert "ExistingRDD" in plan
+    assert "documents" not in plan
+
+
+def test_bloom_prefilter_broadcasts_bits(spark):
+    """#218: the bloom bit relation must broadcast onto the fact probe
+    — shuffling the fact table to meet a 4KB bit set defeats the
+    operator's purpose."""
+    plan = _plan(REGISTRY["q_bloom_prefilter"].fn(spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+
+
+def test_entity_resolution_matches_inside_blocks(spark):
+    """#228: the ER matcher must be an equi-join on the blocking key
+    with Levenshtein as a post-join filter — a nested-loop cross
+    product over records would be the unblocked O(n^2) matcher."""
+    plan = _plan(REGISTRY["q_entity_resolution"].fn(spark, SF_SMOKE))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
