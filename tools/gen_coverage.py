@@ -146,6 +146,9 @@ OPERATORS: dict[int, str] = {
     227: "calibration_ece (reliability bins)",
     228: "entity_resolution (block-match-canonicalize)",
     229: "markov_transitions (journey chain estimation)",
+    230: "bandit_ucb (deterministic allocation)",
+    231: "sequence_mining (frequent trigrams)",
+    232: "bpe_apply (learned-merge tokenization)",
 }
 
 # Ops verified by tests rather than graded queries.

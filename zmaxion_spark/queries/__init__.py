@@ -205,6 +205,9 @@ _NEXT_ROUND: list[str] = [
     "q_calibration_ece",
     "q_entity_resolution",
     "q_markov_transitions",
+    "q_bandit_ucb",
+    "q_sequence_mining",
+    "q_bpe_apply",
 ]
 
 

@@ -454,3 +454,147 @@ def q_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.round(F.col("n").cast("double") / F.col("n_from"), 9).alias("p"),
     )
+
+
+# ---------------------------------------------------------------------------
+# #230 multi-armed bandit allocation (UCB1)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_bandit_ucb",
+    oracle="""
+        WITH arms AS (
+            SELECT user_id % 4 AS arm,
+                   COUNT(*) AS n_pulls,
+                   CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_rewards
+            FROM events GROUP BY 1
+        ),
+        tot AS (SELECT CAST(SUM(n_pulls) AS BIGINT) AS n_total FROM arms),
+        scored AS (
+            SELECT arm, n_pulls, n_rewards,
+                   CAST(n_rewards AS DOUBLE) / n_pulls AS mean_reward,
+                   CAST(n_rewards AS DOUBLE) / n_pulls
+                   + SQRT(2 * LN(CAST(n_total AS DOUBLE)) / n_pulls) AS ucb
+            FROM arms CROSS JOIN tot
+        )
+        SELECT arm, n_pulls, n_rewards,
+               ROUND(mean_reward, 9) AS mean_reward,
+               ROUND(ucb, 9) AS ucb,
+               CAST(ucb = (SELECT MAX(ucb) FROM scored) AS INT) AS chosen
+        FROM scored
+    """,
+    operators=(24, 230),
+    doc="Multi-armed bandit allocation (#230), UCB1: per experiment arm "
+    "(deterministic user-hash assignment), pull and reward counts, the "
+    "empirical mean, and the upper-confidence-bound score mean + "
+    "sqrt(2 ln N / n); the next-batch traffic winner is the max-UCB "
+    "arm. UCB1 is fully deterministic — no posterior sampling — so "
+    "the whole decision is graded hash-exact, which is exactly the "
+    "property a reproducible experimentation platform wants. Scale "
+    "shape: one hash aggregate to |arms| rows; the allocation decision "
+    "is algebra on the aggregate, and the same state merges across "
+    "micro-batches for an online bandit (#220 discipline).",
+)
+def q_bandit_ucb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    arms = ev.groupBy((F.col("user_id") % 4).alias("arm")).agg(
+        F.count(F.lit(1)).alias("n_pulls"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_rewards"),
+    )
+    tot = arms.groupBy().agg(F.sum("n_pulls").cast("bigint").alias("n_total"))
+    mean = F.col("n_rewards").cast("double") / F.col("n_pulls")
+    ucb = mean + F.sqrt(
+        2 * F.log(F.col("n_total").cast("double")) / F.col("n_pulls")
+    )
+    scored = arms.crossJoin(F.broadcast(tot)).select(
+        "arm", "n_pulls", "n_rewards", mean.alias("mean_reward"), ucb.alias("ucb")
+    )
+    return scored.withColumn(
+        "max_ucb", F.max("ucb").over(Window.partitionBy())
+    ).select(
+        "arm",
+        "n_pulls",
+        "n_rewards",
+        F.round("mean_reward", 9).alias("mean_reward"),
+        F.round("ucb", 9).alias("ucb"),
+        (F.col("ucb") == F.col("max_ucb")).cast("int").alias("chosen"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# #231 sequential pattern mining (frequent contiguous event trigrams)
+# ---------------------------------------------------------------------------
+
+_SEQ_TOP = 15
+
+
+@query(
+    "q_sequence_mining",
+    oracle=f"""
+        WITH ordered AS (
+            SELECT event_type AS e1,
+                   LEAD(event_type, 1) OVER w AS e2,
+                   LEAD(event_type, 2) OVER w AS e3
+            FROM events
+            WINDOW w AS (PARTITION BY user_id
+                         ORDER BY CAST(ts AS TIMESTAMP), event_id)
+        ),
+        pat AS (
+            SELECT e1, e2, e3, COUNT(*) AS n
+            FROM ordered WHERE e3 IS NOT NULL
+            GROUP BY 1, 2, 3
+        ),
+        tot AS (SELECT CAST(SUM(n) AS BIGINT) AS n_total FROM pat)
+        SELECT e1, e2, e3, n,
+               ROUND(CAST(n AS DOUBLE) / n_total, 9) AS support,
+               rnk
+        FROM (
+            SELECT e1, e2, e3, n, n_total,
+                   ROW_NUMBER() OVER (ORDER BY n DESC, e1, e2, e3) AS rnk
+            FROM pat CROSS JOIN tot
+        ) WHERE rnk <= {_SEQ_TOP}
+    """,
+    operators=(31, 231),
+    doc=f"Sequential pattern mining (#231): the top-{_SEQ_TOP} most "
+    "frequent CONTIGUOUS event trigrams across user journeys, with "
+    "support — the order-2 extension of the Markov matrix (#229) and "
+    "the workhorse of funnel discovery (vs #147's fixed funnel, this "
+    "finds the funnels). Two LEAD windows materialize trigrams "
+    "row-locally (no self-joins of the event stream), then one count "
+    "aggregate; |types|^3 bounded state, integer counts, hash-exact. "
+    "At 100 TB: identical shape, with the trigram space small enough "
+    "to broadcast the result anywhere.",
+)
+def q_sequence_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ordered = ev.select(
+        F.col("event_type").alias("e1"),
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    ).filter(F.col("e3").isNotNull())
+    pat = ordered.groupBy("e1", "e2", "e3").agg(F.count(F.lit(1)).alias("n"))
+    tot = pat.groupBy().agg(F.sum("n").cast("bigint").alias("n_total"))
+    ranked = (
+        pat.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "rnk",
+            F.row_number().over(
+                Window.orderBy(F.col("n").desc(), "e1", "e2", "e3")
+            ),
+        )
+        .filter(F.col("rnk") <= _SEQ_TOP)
+    )
+    return ranked.select(
+        "e1", "e2", "e3", "n",
+        F.round(F.col("n").cast("double") / F.col("n_total"), 9).alias("support"),
+        "rnk",
+    )

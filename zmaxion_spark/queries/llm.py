@@ -1527,3 +1527,117 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rs").alias("right_sym"),
         F.col("cnt").alias("pair_count"),
     )
+
+
+# ---------------------------------------------------------------------------
+# #232 BPE application — tokenize the corpus with the learned merges
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_bpe_apply",
+    oracle=None,  # replaced below with the simplified twin
+    operators=(65, 221, 232),
+    doc="BPE application (#232): tokenize every document with the "
+    "merges learned by #221 — the train/apply split of a real "
+    "tokenizer pipeline. Each document's words become bracket-symbol "
+    "strings, the three learned merges apply as three sequential "
+    "boundary-safe REPLACEs (greedy, non-overlapping — identical "
+    "semantics in both engines), and the graded output is per-doc "
+    "token counts before/after plus the realized compression. Scale "
+    "shape: training never rescans the corpus (vocab-sized rounds); "
+    "application is ONE corpus scan with three codegen string ops — "
+    "the merge table rides along as three broadcast 1-row joins, "
+    "never a collect.",
+)
+def q_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    train = q_bpe_train(spark, sf_dir)
+    m = [
+        F.broadcast(
+            train.filter(F.col("merge_rank") == t).select(
+                F.col("left_sym").alias(f"l{t}"), F.col("right_sym").alias(f"r{t}")
+            )
+        )
+        for t in (1, 2, 3)
+    ]
+    d = _t(spark, sf_dir, "documents")
+    rp = F.expr(
+        "array_join(transform(filter(split(text, ' '), w -> length(w) > 0), "
+        "w -> concat('[', array_join(transform(sequence(1, length(w)), "
+        "i -> substring(w, i, 1)), ']['), ']')), ' ')"
+    )
+    df = d.select("doc_id", rp.alias("rp"))
+    for t in (1, 2, 3):
+        df = df.crossJoin(m[t - 1]).select(
+            "doc_id",
+            F.replace(
+                F.col("rp"),
+                F.concat(F.lit("["), F.col(f"l{t}"), F.lit("]["), F.col(f"r{t}"), F.lit("]")),
+                F.concat(F.lit("["), F.col(f"l{t}"), F.col(f"r{t}"), F.lit("]")),
+            ).alias("rp"),
+        )
+    out = df.join(d.select("doc_id", "text"), "doc_id").select(
+        "doc_id",
+        (
+            F.length(F.col("rp"))
+            - F.length(F.regexp_replace(F.col("rp"), "\\[", ""))
+        ).alias("n_tokens"),
+        F.length(F.regexp_replace("text", " ", "")).alias("n_chars"),
+    )
+    return out.select(
+        "doc_id",
+        "n_chars",
+        "n_tokens",
+        (F.col("n_chars") - F.col("n_tokens")).alias("n_merges_applied"),
+        F.round(F.col("n_tokens").cast("double") / F.col("n_chars"), 9).alias(
+            "compression"
+        ),
+    )
+
+
+def _wire_bpe_apply_oracle() -> None:
+    """Pair #232 with a direct SQL twin: per-doc char and token counts
+    after applying the three learned merges."""
+    from zmaxion_spark.queries.registry import REGISTRY, Query
+
+    base = _bpe_oracle()
+    body = base[: base.rindex("SELECT mr AS merge_rank")]
+    body = body[body.index("WITH") + 4 :].rstrip().rstrip(",")
+    oracle = f"""
+        WITH {body},
+        dr AS (
+            SELECT doc_id,
+                   LENGTH(REPLACE(text, ' ', '')) AS n_chars,
+                   ARRAY_TO_STRING(LIST_TRANSFORM(
+                       LIST_FILTER(STRING_SPLIT(text, ' '), w -> LEN(w) > 0),
+                       w -> '[' || ARRAY_TO_STRING(
+                                LIST_TRANSFORM(RANGE(1, LEN(w) + 1),
+                                               i -> SUBSTR(w, i, 1)), '][')
+                            || ']'), ' ') AS rp
+            FROM documents
+        ),
+        applied AS (
+            SELECT doc_id, n_chars,
+                   REPLACE(REPLACE(REPLACE(rp,
+                       '[' || m1.ls || '][' || m1.rs || ']',
+                       '[' || m1.ls || m1.rs || ']'),
+                       '[' || m2.ls || '][' || m2.rs || ']',
+                       '[' || m2.ls || m2.rs || ']'),
+                       '[' || m3.ls || '][' || m3.rs || ']',
+                       '[' || m3.ls || m3.rs || ']') AS fin
+            FROM dr CROSS JOIN m1 CROSS JOIN m2 CROSS JOIN m3
+        )
+        SELECT doc_id,
+               CAST(n_chars AS BIGINT) AS n_chars,
+               CAST(LEN(fin) - LEN(REPLACE(fin, '[', '')) AS BIGINT) AS n_tokens,
+               CAST(n_chars - (LEN(fin) - LEN(REPLACE(fin, '[', '')))
+                    AS BIGINT) AS n_merges_applied,
+               ROUND(CAST(LEN(fin) - LEN(REPLACE(fin, '[', '')) AS DOUBLE)
+                     / n_chars, 9) AS compression
+        FROM applied
+    """
+    q = REGISTRY["q_bpe_apply"]
+    REGISTRY["q_bpe_apply"] = Query(q.name, q.fn, oracle, q.operators, q.doc, q.bench)
+
+
+_wire_bpe_apply_oracle()
