@@ -149,6 +149,8 @@ OPERATORS: dict[int, str] = {
     230: "bandit_ucb (deterministic allocation)",
     231: "sequence_mining (frequent trigrams)",
     232: "bpe_apply (learned-merge tokenization)",
+    233: "kaplan_meier (censoring-aware survival)",
+    234: "psi_drift (population stability index)",
 }
 
 # Ops verified by tests rather than graded queries.

@@ -208,6 +208,8 @@ _NEXT_ROUND: list[str] = [
     "q_bandit_ucb",
     "q_sequence_mining",
     "q_bpe_apply",
+    "q_kaplan_meier",
+    "q_psi_drift",
 ]
 
 

@@ -442,3 +442,208 @@ def q_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# #233 Kaplan-Meier survival estimate (time-to-churn)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_kaplan_meier",
+    oracle="""
+        WITH span AS (
+            SELECT user_id,
+                   EPOCH_US(MAX(CAST(ts AS TIMESTAMP))
+                            - MIN(CAST(ts AS TIMESTAMP))) // 86400000000
+                       AS life_days,
+                   CAST(MAX(CAST(ts AS TIMESTAMP))
+                        < (SELECT MAX(CAST(ts AS TIMESTAMP))
+                           FROM events) - INTERVAL 12 HOUR AS INT) AS churned
+            FROM events GROUP BY user_id
+        ),
+        t AS (
+            SELECT life_days AS t, COUNT(*) AS n_at_t,
+                   CAST(SUM(churned) AS BIGINT) AS d
+            FROM span GROUP BY life_days
+        ),
+        risk AS (
+            SELECT t, d,
+                   CAST(SUM(n_at_t) OVER (ORDER BY t DESC
+                                          ROWS BETWEEN UNBOUNDED PRECEDING
+                                          AND CURRENT ROW) AS BIGINT) AS n_risk
+            FROM t
+        ),
+        km AS (
+            SELECT t, d, n_risk,
+                   EXP(SUM(LN(1 - CAST(d AS DOUBLE) / n_risk))
+                       OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW)) AS s
+            FROM risk WHERE d > 0
+        )
+        SELECT t AS life_days, d AS n_churned, n_risk,
+               ROUND(s, 9) AS survival
+        FROM km
+    """,
+    operators=(31, 233),
+    doc="Kaplan-Meier survival estimate (#233): time-to-churn curves "
+    "from the event stream — per-user lifetime in days, churn = no "
+    "activity in the final 12-hour window (others right-censored), "
+    "risk sets via a reverse cumulative count, and the product-limit "
+    "estimator computed as exp(cumulative sum of ln(1 - d/n)) so the "
+    "running product is a WINDOW AGGREGATE (one pass) rather than a "
+    "sequential loop. The retention/reliability curve behind churn "
+    "dashboards and failure analysis. Hash-exact: integer risk sets, "
+    "identical IEEE ln/exp trees, ROUND(9). Scale: two hash "
+    "aggregates + two windows over |distinct lifetimes| rows.",
+)
+def q_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    gmax = ev.groupBy().agg(F.max("ts").alias("gmax"))
+    span = (
+        ev.groupBy("user_id")
+        .agg(F.min("ts").alias("t0"), F.max("ts").alias("t1"))
+        .crossJoin(F.broadcast(gmax))
+        .select(
+            F.expr("(unix_micros(t1) - unix_micros(t0)) div 86400000000").alias(
+                "life_days"
+            ),
+            (
+                F.col("t1") < F.col("gmax") - F.expr("INTERVAL 12 HOURS")
+            )
+            .cast("int")
+            .alias("churned"),
+        )
+    )
+    t = span.groupBy(F.col("life_days").alias("t")).agg(
+        F.count(F.lit(1)).alias("n_at_t"),
+        F.sum("churned").cast("bigint").alias("d"),
+    )
+    w_desc = Window.orderBy(F.col("t").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    risk = t.select(
+        "t", "d", F.sum("n_at_t").over(w_desc).cast("bigint").alias("n_risk")
+    )
+    w_asc = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    km = (
+        risk.filter(F.col("d") > 0)
+        .select(
+            "t",
+            "d",
+            "n_risk",
+            F.exp(
+                F.sum(
+                    F.log(1 - F.col("d").cast("double") / F.col("n_risk"))
+                ).over(w_asc)
+            ).alias("s"),
+        )
+    )
+    return km.select(
+        F.col("t").alias("life_days"),
+        F.col("d").alias("n_churned"),
+        "n_risk",
+        F.round("s", 9).alias("survival"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# #234 population stability index (feature drift detection)
+# ---------------------------------------------------------------------------
+
+_PSI_BINS = 10
+
+
+@query(
+    "q_psi_drift",
+    oracle=f"""
+        WITH half AS (
+            SELECT o_totalprice AS v,
+                   CAST(o_orderdate >= (SELECT MIN(o_orderdate)
+                                        + (MAX(o_orderdate) - MIN(o_orderdate)) / 2
+                                        FROM orders) AS INT) AS recent
+            FROM orders
+        ),
+        mm AS (SELECT MIN(v) AS lo, MAX(v) AS hi FROM half),
+        b AS (
+            SELECT LEAST(CAST(FLOOR((v - lo) / (hi - lo) * {_PSI_BINS}) AS BIGINT),
+                         {_PSI_BINS - 1}) AS bin,
+                   recent
+            FROM half CROSS JOIN mm
+        ),
+        cnt AS (
+            SELECT bin,
+                   CAST(SUM(1 - recent) AS BIGINT) AS n_base,
+                   CAST(SUM(recent) AS BIGINT) AS n_recent
+            FROM b GROUP BY bin
+        ),
+        tot AS (
+            SELECT CAST(SUM(n_base) AS BIGINT) AS nb,
+                   CAST(SUM(n_recent) AS BIGINT) AS nr
+            FROM cnt
+        )
+        SELECT bin, n_base, n_recent,
+               ROUND(CAST(n_base AS DOUBLE) / nb, 9) AS p_base,
+               ROUND(CAST(n_recent AS DOUBLE) / nr, 9) AS p_recent,
+               ROUND((CAST(n_recent AS DOUBLE) / nr
+                      - CAST(n_base AS DOUBLE) / nb)
+                     * LN((CAST(n_recent AS DOUBLE) / nr + 1e-6)
+                          / (CAST(n_base AS DOUBLE) / nb + 1e-6)), 9)
+                   AS psi_part
+        FROM cnt CROSS JOIN tot
+    """,
+    operators=(23, 234),
+    doc=f"Population Stability Index (#234): the model-monitoring "
+    "drift metric — order values split into older/recent halves at "
+    "the median date, binned into {_PSI_BINS} shared equal-width bins, "
+    "and each bin contributes (p_recent - p_base)*ln(p_recent/p_base) "
+    "(epsilon-smoothed); sum of psi_part = PSI, with >0.2 the "
+    "classic retrain trigger. The companion to calibration (#227): "
+    "PSI watches the INPUT distribution, ECE watches the output. "
+    "Scale shape: one min/max broadcast + one hash aggregate to "
+    f"{_PSI_BINS} bins — mergeable monitoring state, integer counts, "
+    "hash-exact.",
+)
+def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    mid = o.groupBy().agg(
+        (
+            F.min("o_orderdate")
+            + ((F.max("o_orderdate") - F.min("o_orderdate")) / 2)
+        ).alias("mid")
+    )
+    half = o.crossJoin(F.broadcast(mid)).select(
+        F.col("o_totalprice").alias("v"),
+        (F.col("o_orderdate") >= F.col("mid")).cast("int").alias("recent"),
+    )
+    mm = half.groupBy().agg(F.min("v").alias("lo"), F.max("v").alias("hi"))
+    b = half.crossJoin(F.broadcast(mm)).select(
+        F.least(
+            F.floor((F.col("v") - F.col("lo")) / (F.col("hi") - F.col("lo")) * _PSI_BINS)
+            .cast("bigint"),
+            F.lit(_PSI_BINS - 1).cast("bigint"),
+        ).alias("bin"),
+        "recent",
+    )
+    cnt = b.groupBy("bin").agg(
+        F.sum(1 - F.col("recent")).cast("bigint").alias("n_base"),
+        F.sum("recent").cast("bigint").alias("n_recent"),
+    )
+    tot = cnt.groupBy().agg(
+        F.sum("n_base").cast("bigint").alias("nb"),
+        F.sum("n_recent").cast("bigint").alias("nr"),
+    )
+    pb = F.col("n_base").cast("double") / F.col("nb")
+    pr = F.col("n_recent").cast("double") / F.col("nr")
+    return cnt.crossJoin(F.broadcast(tot)).select(
+        "bin",
+        "n_base",
+        "n_recent",
+        F.round(pb, 9).alias("p_base"),
+        F.round(pr, 9).alias("p_recent"),
+        F.round((pr - pb) * F.log((pr + 1e-6) / (pb + 1e-6)), 9).alias("psi_part"),
+    )
