@@ -151,6 +151,8 @@ OPERATORS: dict[int, str] = {
     232: "bpe_apply (learned-merge tokenization)",
     233: "kaplan_meier (censoring-aware survival)",
     234: "psi_drift (population stability index)",
+    235: "roc_curve (threshold operating points)",
+    236: "feature_store_pit (leakage-free assembly)",
 }
 
 # Ops verified by tests rather than graded queries.

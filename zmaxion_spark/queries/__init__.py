@@ -210,6 +210,8 @@ _NEXT_ROUND: list[str] = [
     "q_bpe_apply",
     "q_kaplan_meier",
     "q_psi_drift",
+    "q_roc_curve",
+    "q_feature_store_pit",
 ]
 
 

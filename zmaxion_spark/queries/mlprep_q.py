@@ -517,3 +517,182 @@ def q_calibration_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ece_part"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# #235 ROC curve points
+# ---------------------------------------------------------------------------
+
+_ROC_STEPS = 10
+
+
+@query(
+    "q_roc_curve",
+    oracle=f"""
+        WITH scored AS (
+            SELECT CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y,
+                   q.quality_score AS s
+            FROM documents d
+            JOIN (
+                SELECT doc_id,
+                       ROUND(1 / (1 + EXP(-(z))), 9) AS quality_score
+                FROM (
+                    SELECT doc_id, 0.160745 + 0.904206 * (LN(1 + LENGTH(text)) - 5.5)
+                           + 0.461865 * (CAST(LENGTH(text) AS DOUBLE)
+                                     / LEN(STRING_SPLIT(text, ' ')) - 6.0)
+                           + 0.160662 * (CAST(LENGTH(text)
+                                          - LENGTH(REPLACE(text, ' ', ''))
+                                          AS DOUBLE) / LENGTH(text) - 0.16) AS z
+                    FROM documents WHERE LENGTH(text) > 0
+                )
+            ) q ON q.doc_id = d.doc_id
+        ),
+        th AS (SELECT UNNEST(RANGE(0, {_ROC_STEPS} + 1)) AS k),
+        tot AS (
+            SELECT CAST(SUM(y) AS BIGINT) AS n_pos,
+                   CAST(COUNT(*) - SUM(y) AS BIGINT) AS n_neg
+            FROM scored
+        )
+        SELECT th.k,
+               ROUND(CAST(th.k AS DOUBLE) / {_ROC_STEPS}, 9) AS threshold,
+               CAST(SUM(CASE WHEN s >= CAST(th.k AS DOUBLE) / {_ROC_STEPS}
+                             AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+               CAST(SUM(CASE WHEN s >= CAST(th.k AS DOUBLE) / {_ROC_STEPS}
+                             AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+               ROUND(CAST(SUM(CASE WHEN s >= CAST(th.k AS DOUBLE) / {_ROC_STEPS}
+                                   AND y = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                     / tot.n_pos, 9) AS tpr,
+               ROUND(CAST(SUM(CASE WHEN s >= CAST(th.k AS DOUBLE) / {_ROC_STEPS}
+                                   AND y = 0 THEN 1 ELSE 0 END) AS DOUBLE)
+                     / tot.n_neg, 9) AS fpr
+        FROM th CROSS JOIN scored CROSS JOIN tot
+        GROUP BY th.k, tot.n_pos, tot.n_neg
+    """,
+    operators=(24, 235),
+    doc=f"ROC curve (#235): TPR/FPR at {_ROC_STEPS + 1} fixed "
+    "thresholds for the #222 classifier — the operating-point view "
+    "that AUC (#226) integrates away; threshold selection (recall "
+    "floor, FPR budget) reads straight off these rows. Computed as "
+    "ONE conditional aggregate over the threshold grid x scored rows "
+    "(grid is 11 rows — the 'cross join' is a broadcast fan-out, the "
+    "scan stays single-pass). Integer confusion counts -> hash-exact.",
+)
+def q_roc_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    scored = q_quality_classifier(spark, sf_dir).join(
+        d.select("doc_id", F.when(F.col("lang") == "en", 1).otherwise(0).alias("y")),
+        "doc_id",
+    ).select("y", F.col("quality_score").alias("s"))
+    th = spark.range(0, _ROC_STEPS + 1).select(F.col("id").alias("k"))
+    tot = scored.groupBy().agg(
+        F.sum("y").cast("bigint").alias("n_pos"),
+        (F.count(F.lit(1)) - F.sum("y")).cast("bigint").alias("n_neg"),
+    )
+    thr = F.col("k").cast("double") / _ROC_STEPS
+    hit = F.col("s") >= thr
+    g = (
+        scored.crossJoin(F.broadcast(th))
+        .crossJoin(F.broadcast(tot))
+        .groupBy("k", "n_pos", "n_neg")
+        .agg(
+            F.sum(F.when(hit & (F.col("y") == 1), 1).otherwise(0))
+            .cast("bigint")
+            .alias("tp"),
+            F.sum(F.when(hit & (F.col("y") == 0), 1).otherwise(0))
+            .cast("bigint")
+            .alias("fp"),
+        )
+    )
+    return g.select(
+        "k",
+        F.round(F.col("k").cast("double") / _ROC_STEPS, 9).alias("threshold"),
+        "tp",
+        "fp",
+        F.round(F.col("tp").cast("double") / F.col("n_pos"), 9).alias("tpr"),
+        F.round(F.col("fp").cast("double") / F.col("n_neg"), 9).alias("fpr"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# #236 point-in-time feature assembly (leakage-free training set)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_feature_store_pit",
+    oracle="""
+        WITH ordered AS (
+            SELECT user_id, event_id, event_type,
+                   CAST(ts AS TIMESTAMP) AS ts, value,
+                   COUNT(*) OVER f AS n_prior,
+                   CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                        OVER f AS BIGINT) AS n_prior_clicks,
+                   CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                        OVER f AS BIGINT) AS n_prior_errors,
+                   CAST(SUM(CAST(value AS DECIMAL(38,6))) OVER f AS DOUBLE)
+                       AS prior_value_sum
+            FROM events
+            WINDOW f AS (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        )
+        SELECT user_id, event_id AS label_event_id,
+               n_prior,
+               n_prior_clicks,
+               n_prior_errors,
+               ROUND(prior_value_sum, 9) AS prior_value_sum,
+               ROUND(CAST(value AS DOUBLE), 9) AS label_value
+        FROM ordered
+        WHERE event_type = 'purchase' AND n_prior >= 1
+    """,
+    operators=(31, 32, 236),
+    doc="Point-in-time feature assembly (#236): for every label event "
+    "(purchase), the feature vector is computed from STRICTLY PRIOR "
+    "events only — activity counts, per-type counts, decimal-exact "
+    "prior spend — via an UNBOUNDED..1 PRECEDING frame over "
+    "(ts, event_id). This is the feature-store guarantee that kills "
+    "label leakage, the bug that silently inflates every offline "
+    "metric; the frame boundary IS the guarantee, graded hash-exact. "
+    "Scale shape: one window pass per user partition assembles ALL "
+    "features (adding a feature adds an aggregate, not a pass or an "
+    "as-of join), and the same frame discipline extends to "
+    "RANGE-bounded lookback windows (#121 rolling_time_window).",
+)
+def q_feature_store_pit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    f = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ordered = ev.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        "value",
+        F.count(F.lit(1)).over(f).alias("n_prior"),
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .over(f)
+        .cast("bigint")
+        .alias("n_prior_clicks"),
+        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+        .over(f)
+        .cast("bigint")
+        .alias("n_prior_errors"),
+        F.sum(F.col("value").cast("decimal(38,6)"))
+        .over(f)
+        .cast("double")
+        .alias("prior_value_sum"),
+    )
+    return ordered.filter(
+        (F.col("event_type") == "purchase") & (F.col("n_prior") >= 1)
+    ).select(
+        "user_id",
+        F.col("event_id").alias("label_event_id"),
+        "n_prior",
+        "n_prior_clicks",
+        "n_prior_errors",
+        F.round("prior_value_sum", 9).alias("prior_value_sum"),
+        F.round(F.col("value").cast("double"), 9).alias("label_value"),
+    )
