@@ -153,6 +153,8 @@ OPERATORS: dict[int, str] = {
     234: "psi_drift (population stability index)",
     235: "roc_curve (threshold operating points)",
     236: "feature_store_pit (leakage-free assembly)",
+    237: "cusum_changepoint (sequential control chart)",
+    238: "forecast_backtest (seasonal-naive MAPE)",
 }
 
 # Ops verified by tests rather than graded queries.

@@ -212,6 +212,8 @@ _NEXT_ROUND: list[str] = [
     "q_psi_drift",
     "q_roc_curve",
     "q_feature_store_pit",
+    "q_cusum_changepoint",
+    "q_forecast_backtest",
 ]
 
 

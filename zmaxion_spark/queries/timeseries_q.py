@@ -342,3 +342,175 @@ def q_rolling_time_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("value").cast("decimal(38,6)")).over(w).cast("double")
         .alias("value_last_hour"),
     )
+
+
+# ---------------------------------------------------------------------------
+# #237 CUSUM change-point detection over the daily series
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_cusum_changepoint",
+    oracle="""
+        WITH RECURSIVE d AS (
+            SELECT DATE_TRUNC('day', CAST(ts AS TIMESTAMP)) AS dd,
+                   CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+                       AS cents
+            FROM events GROUP BY 1
+        ),
+        idx AS (
+            SELECT cents, ROW_NUMBER() OVER (ORDER BY dd) AS i FROM d
+        ),
+        base AS (
+            SELECT CAST(SUM(cents) AS DOUBLE) / 10 AS mu,
+                   SQRT((CAST(SUM(cents * cents) AS DOUBLE)
+                         - CAST(SUM(cents) AS DOUBLE) * SUM(cents) / 10) / 10)
+                       AS sd
+            FROM idx WHERE i <= 10
+        ),
+        walk(i, sp, sn) AS (
+            SELECT 0, CAST(0 AS DOUBLE), CAST(0 AS DOUBLE)
+            UNION ALL
+            SELECT x.i,
+                   GREATEST(CAST(0 AS DOUBLE),
+                            w.sp + (x.cents - b.mu - 0.5 * b.sd)),
+                   GREATEST(CAST(0 AS DOUBLE),
+                            w.sn - (x.cents - b.mu + 0.5 * b.sd))
+            FROM walk w JOIN idx x ON x.i = w.i + 1 CROSS JOIN base b
+        )
+        SELECT w.i AS day_idx, x.cents,
+               ROUND(w.sp, 9) AS cusum_pos,
+               ROUND(w.sn, 9) AS cusum_neg,
+               CAST(w.sp > 4 * b.sd OR w.sn > 4 * b.sd AS INT) AS alarm
+        FROM walk w JOIN idx x ON x.i = w.i CROSS JOIN base b
+        WHERE w.i >= 1
+    """,
+    operators=(53, 92, 237),
+    doc="CUSUM change-point detection (#237): daily revenue (exact "
+    "integer cents) monitored by the two-sided cumulative-sum control "
+    "chart — S+ = max(0, S+ + (x - mu - k)), S- = max(0, S- - "
+    "(x - mu + k)) with baseline mu/sd from the first 10 days, "
+    "k = 0.5sd slack, 4sd alarm threshold. The inherently SEQUENTIAL "
+    "recursion runs on the 30-row AGGREGATED series (a bounded "
+    "applyInPandas group), never the raw stream — the correct "
+    "decomposition at 100 TB: the heavy stage is the distributed "
+    "daily aggregate; the control chart is O(days). Oracle: DuckDB "
+    "recursive CTE stepping the identical IEEE recursion; integer "
+    "inputs make the whole chart hash-exact.",
+)
+def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    import pandas as pd
+
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(F.date_trunc("day", F.col("ts")).alias("dd")).agg(
+        F.sum(F.round(F.col("value") * 100).cast("bigint")).cast("bigint").alias("cents")
+    )
+
+    schema = (
+        "day_idx bigint, cents bigint, cusum_pos double, cusum_neg double, "
+        "alarm int"
+    )
+
+    def chart(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("dd").reset_index(drop=True)
+        head = pdf["cents"].iloc[:10]
+        s, s2, n = int(head.sum()), int((head * head).sum()), 10
+        mu = float(s) / n
+        sd = math.sqrt((float(s2) - float(s) * s / n) / n)
+        sp = sn = 0.0
+        rows = []
+        for i, c in enumerate(pdf["cents"], start=1):
+            c = int(c)
+            sp = max(0.0, sp + (c - mu - 0.5 * sd))
+            sn = max(0.0, sn - (c - mu + 0.5 * sd))
+            rows.append(
+                (i, c, sp, sn, int(sp > 4 * sd or sn > 4 * sd))
+            )
+        return pd.DataFrame(
+            rows, columns=["day_idx", "cents", "cusum_pos", "cusum_neg", "alarm"]
+        )
+
+    out = (
+        daily.withColumn("g", F.lit(1))
+        .groupBy("g")
+        .applyInPandas(lambda pdf: chart(pdf), schema)
+    )
+    # Round JVM-side: Spark/DuckDB ROUND share half-up semantics,
+    # python round() is banker's — emit raw state, round here.
+    return out.select(
+        "day_idx", "cents",
+        F.round("cusum_pos", 9).alias("cusum_pos"),
+        F.round("cusum_neg", 9).alias("cusum_neg"),
+        "alarm",
+    )
+
+
+# ---------------------------------------------------------------------------
+# #238 seasonal-naive forecast backtest (MAPE / bias per series)
+# ---------------------------------------------------------------------------
+
+_FC_LAG = 7  # weekly seasonal-naive: forecast(d) = actual(d - 7)
+
+
+@query(
+    "q_forecast_backtest",
+    oracle=f"""
+        WITH d AS (
+            SELECT event_type,
+                   DATE_TRUNC('day', CAST(ts AS TIMESTAMP)) AS dd,
+                   CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+                       AS cents
+            FROM events GROUP BY 1, 2
+        ),
+        fc AS (
+            SELECT event_type, dd, cents,
+                   LAG(cents, {_FC_LAG}) OVER (PARTITION BY event_type
+                                               ORDER BY dd) AS fcast
+            FROM d
+        )
+        SELECT event_type,
+               COUNT(*) AS n_backtest,
+               CAST(SUM(cents - fcast) AS BIGINT) AS bias_cents,
+               ROUND(CAST(SUM(CAST(ABS(cents - fcast) / CAST(cents AS DOUBLE)
+                                   AS DECIMAL(38,18))) AS DOUBLE)
+                     / COUNT(*), 9) AS mape
+        FROM fc WHERE fcast IS NOT NULL
+        GROUP BY event_type
+    """,
+    operators=(31, 238),
+    doc=f"Seasonal-naive forecast backtest (#238): forecast(day) = "
+    f"actual(day - {_FC_LAG}) per event-type series (the benchmark "
+    "every real forecaster must beat), backtested over the overlap "
+    "with per-series MAPE and signed bias. LAG over (series, day) — "
+    "one window pass on the aggregated daily table — then one "
+    "aggregate; absolute-percentage errors are single IEEE divisions "
+    "of exact integer cents, summed through DECIMAL(38,18) for order "
+    "independence. At 100 TB the pattern holds: the backtest cost is "
+    "the daily rollup, and swapping in a real model only changes the "
+    "fcast column.",
+)
+def q_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = _t(spark, sf_dir, "events")
+    d = ev.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("dd")
+    ).agg(
+        F.sum(F.round(F.col("value") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("cents")
+    )
+    w = Window.partitionBy("event_type").orderBy("dd")
+    fc = d.withColumn("fcast", F.lag("cents", _FC_LAG).over(w)).filter(
+        F.col("fcast").isNotNull()
+    )
+    ape = F.abs(F.col("cents") - F.col("fcast")) / F.col("cents").cast("double")
+    return fc.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_backtest"),
+        F.sum(F.col("cents") - F.col("fcast")).cast("bigint").alias("bias_cents"),
+        F.round(
+            F.sum(ape.cast("decimal(38,18)")).cast("double") / F.count(F.lit(1)), 9
+        ).alias("mape"),
+    )
