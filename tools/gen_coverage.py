@@ -155,6 +155,7 @@ OPERATORS: dict[int, str] = {
     236: "feature_store_pit (leakage-free assembly)",
     237: "cusum_changepoint (sequential control chart)",
     238: "forecast_backtest (seasonal-naive MAPE)",
+    239: "model_release_gate (eval-capstone go/no-go)",
 }
 
 # Ops verified by tests rather than graded queries.

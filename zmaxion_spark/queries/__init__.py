@@ -214,6 +214,7 @@ _NEXT_ROUND: list[str] = [
     "q_feature_store_pit",
     "q_cusum_changepoint",
     "q_forecast_backtest",
+    "q_model_release_gate",
 ]
 
 

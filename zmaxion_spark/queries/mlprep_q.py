@@ -696,3 +696,102 @@ def q_feature_store_pit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("prior_value_sum", 9).alias("prior_value_sum"),
         F.round(F.col("value").cast("double"), 9).alias("label_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# #239 model release gate — the ML-eval capstone
+# ---------------------------------------------------------------------------
+
+_GATE_AUC = 0.45
+_GATE_PSI = 0.2
+_GATE_ECE = 0.35
+
+
+@query(
+    "q_model_release_gate",
+    oracle=f"""
+        WITH auc AS ({{AUC_SQL}}),
+        psi AS (
+            SELECT ROUND(SUM(psi_part), 9) AS psi FROM ({{PSI_SQL}})
+        ),
+        ece AS (
+            SELECT ROUND(SUM(ece_part), 9) AS ece FROM ({{ECE_SQL}})
+        )
+        SELECT auc.auc,
+               psi.psi,
+               ece.ece,
+               CAST(auc.auc >= {_GATE_AUC} AS INT) AS auc_ok,
+               CAST(psi.psi < {_GATE_PSI} AS INT) AS psi_ok,
+               CAST(ece.ece < {_GATE_ECE} AS INT) AS ece_ok,
+               CAST(auc.auc >= {_GATE_AUC}
+                    AND psi.psi < {_GATE_PSI}
+                    AND ece.ece < {_GATE_ECE} AS INT) AS release_approved
+        FROM auc CROSS JOIN psi CROSS JOIN ece
+    """,
+    operators=(226, 227, 234, 239),
+    doc="Model release gate (#239), the ML-eval capstone: AUC (#226), "
+    "total PSI drift (#234) and total ECE miscalibration (#227) "
+    "evaluated in ONE query, each checked against its release "
+    "threshold, and the conjunction emitted as the go/no-go decision "
+    "— the automated pre-deployment check a model registry runs, the "
+    "exact analog of the data-side quality-gated commit (#193). "
+    "Composition is by construction: the three metric pipelines are "
+    "the graded operators themselves, cross-joined as 1-row "
+    "aggregates; a regression in ANY upstream metric flips a graded "
+    "column here.",
+)
+def q_model_release_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    auc = q_model_eval_auc(spark, sf_dir).select("auc")
+    psi = (
+        q_psi_drift_ref(spark, sf_dir)
+        .groupBy()
+        .agg(F.round(F.sum("psi_part"), 9).alias("psi"))
+    )
+    ece = (
+        q_calibration_ece(spark, sf_dir)
+        .groupBy()
+        .agg(F.round(F.sum("ece_part"), 9).alias("ece"))
+    )
+    return (
+        auc.crossJoin(F.broadcast(psi))
+        .crossJoin(F.broadcast(ece))
+        .select(
+            "auc",
+            "psi",
+            "ece",
+            (F.col("auc") >= _GATE_AUC).cast("int").alias("auc_ok"),
+            (F.col("psi") < _GATE_PSI).cast("int").alias("psi_ok"),
+            (F.col("ece") < _GATE_ECE).cast("int").alias("ece_ok"),
+            (
+                (F.col("auc") >= _GATE_AUC)
+                & (F.col("psi") < _GATE_PSI)
+                & (F.col("ece") < _GATE_ECE)
+            )
+            .cast("int")
+            .alias("release_approved"),
+        )
+    )
+
+
+def _wire_release_gate() -> None:
+    """Assemble the gate oracle from the graded upstream oracles and
+    resolve the PSI query reference (defined in stats_q)."""
+    import zmaxion_spark.queries.stats_q  # noqa: F401  (registers #234)
+
+    from zmaxion_spark.queries.registry import REGISTRY, Query
+
+    global q_psi_drift_ref
+    q_psi_drift_ref = REGISTRY["q_psi_drift"].fn
+
+    q = REGISTRY["q_model_release_gate"]
+    oracle = (
+        q.oracle.replace("{AUC_SQL}", REGISTRY["q_model_eval_auc"].oracle)
+        .replace("{PSI_SQL}", REGISTRY["q_psi_drift"].oracle)
+        .replace("{ECE_SQL}", REGISTRY["q_calibration_ece"].oracle)
+    )
+    REGISTRY["q_model_release_gate"] = Query(
+        q.name, q.fn, oracle, q.operators, q.doc, q.bench
+    )
+
+
+_wire_release_gate()
