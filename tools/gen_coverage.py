@@ -156,6 +156,7 @@ OPERATORS: dict[int, str] = {
     237: "cusum_changepoint (sequential control chart)",
     238: "forecast_backtest (seasonal-naive MAPE)",
     239: "model_release_gate (eval-capstone go/no-go)",
+    240: "bitmap_index (packed-word set algebra)",
 }
 
 # Ops verified by tests rather than graded queries.

@@ -215,6 +215,7 @@ _NEXT_ROUND: list[str] = [
     "q_cusum_changepoint",
     "q_forecast_backtest",
     "q_model_release_gate",
+    "q_bitmap_index",
 ]
 
 

@@ -629,3 +629,84 @@ def q_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
             9,
         ).alias("fp_rate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# #240 bitmap index — set algebra on packed bitmaps
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_bitmap_index",
+    oracle="""
+        WITH b AS (
+            SELECT c_mktsegment AS seg,
+                   c_custkey // 63 AS word_idx,
+                   CAST(BIT_OR(CAST(1 AS BIGINT) << CAST(c_custkey % 63 AS INT))
+                        AS BIGINT) AS word
+            FROM customer
+            WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
+            GROUP BY 1, 2
+        ),
+        pair AS (
+            SELECT COALESCE(x.word_idx, y.word_idx) AS word_idx,
+                   COALESCE(x.word, 0) AS wa,
+                   COALESCE(y.word, 0) AS wb
+            FROM (SELECT word_idx, word FROM b WHERE seg = 'BUILDING') x
+            FULL OUTER JOIN (SELECT word_idx, word FROM b
+                             WHERE seg = 'MACHINERY') y
+              ON x.word_idx = y.word_idx
+        )
+        SELECT CAST(SUM(BIT_COUNT(wa)) AS BIGINT) AS n_building,
+               CAST(SUM(BIT_COUNT(wb)) AS BIGINT) AS n_machinery,
+               CAST(SUM(BIT_COUNT(wa & wb)) AS BIGINT) AS n_both,
+               CAST(SUM(BIT_COUNT(wa | wb)) AS BIGINT) AS n_either,
+               CAST(SUM(BIT_COUNT(wa & ~wb)) AS BIGINT) AS n_building_only
+        FROM pair
+    """,
+    operators=(26, 240),
+    doc="Bitmap index (#240): customer membership per segment packed "
+    "into 63-bit words (key div 63; bit 63 stays clear so the shift "
+    "never touches the sign bit in either engine), "
+    "then segment set algebra — intersection, union, difference "
+    "cardinalities — as bitwise AND/OR/ANDNOT + popcount over aligned "
+    "words, never a key-level join. The OLAP bitmap-index pattern "
+    "(Druid/Pinot/roaring): at 100 TB a segment bitmap is ~keys/8 "
+    "bytes, words build with ONE bit_or aggregate (mergeable "
+    "map-side), and every boolean segment combination costs a linear "
+    "word scan. Integer-exact end to end, graded hash-exact.",
+)
+def q_bitmap_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment").isin("BUILDING", "MACHINERY")
+    )
+    b = c.groupBy(
+        F.col("c_mktsegment").alias("seg"),
+        F.expr("c_custkey div 63").alias("word_idx"),
+    ).agg(
+        F.bit_or(
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(c_custkey % 63 AS INT))")
+        )
+        .cast("bigint")
+        .alias("word")
+    )
+    x = b.filter(F.col("seg") == "BUILDING").select(
+        "word_idx", F.col("word").alias("wa")
+    )
+    y = b.filter(F.col("seg") == "MACHINERY").select(
+        F.col("word_idx").alias("wib"), F.col("word").alias("wb")
+    )
+    pair = (
+        x.join(y, x.word_idx == y.wib, "full_outer")
+        .select(
+            F.coalesce(F.col("wa"), F.lit(0)).alias("wa"),
+            F.coalesce(F.col("wb"), F.lit(0)).alias("wb"),
+        )
+    )
+    return pair.groupBy().agg(
+        F.sum(F.expr("bit_count(wa)")).cast("bigint").alias("n_building"),
+        F.sum(F.expr("bit_count(wb)")).cast("bigint").alias("n_machinery"),
+        F.sum(F.expr("bit_count(wa & wb)")).cast("bigint").alias("n_both"),
+        F.sum(F.expr("bit_count(wa | wb)")).cast("bigint").alias("n_either"),
+        F.sum(F.expr("bit_count(wa & ~wb)")).cast("bigint").alias("n_building_only"),
+    )
