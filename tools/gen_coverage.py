@@ -157,6 +157,7 @@ OPERATORS: dict[int, str] = {
     238: "forecast_backtest (seasonal-naive MAPE)",
     239: "model_release_gate (eval-capstone go/no-go)",
     240: "bitmap_index (packed-word set algebra)",
+    241: "geohash_rollup (multi-resolution spatial index)",
 }
 
 # Ops verified by tests rather than graded queries.

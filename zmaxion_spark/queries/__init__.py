@@ -216,6 +216,7 @@ _NEXT_ROUND: list[str] = [
     "q_forecast_backtest",
     "q_model_release_gate",
     "q_bitmap_index",
+    "q_geohash_rollup",
 ]
 
 

@@ -710,3 +710,98 @@ def q_bitmap_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.expr("bit_count(wa | wb)")).cast("bigint").alias("n_either"),
         F.sum(F.expr("bit_count(wa & ~wb)")).cast("bigint").alias("n_building_only"),
     )
+
+
+# ---------------------------------------------------------------------------
+# #241 geohash encode + multi-resolution spatial rollup
+# ---------------------------------------------------------------------------
+
+_GH_BITS = 15  # per-axis quantization bits -> 30-bit cell -> 6 base32 chars
+_GH_B32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+
+def _interleave_sql(lat_int: str, lon_int: str, div: str = "//") -> str:
+    """30-bit lon/lat bit-interleave as a sum of shifted bit tests —
+    ONE generator serves both engines; only the integer-division token
+    differs (DuckDB `//`, Spark `div`)."""
+    terms = []
+    for i in range(_GH_BITS):
+        terms.append(f"((({lon_int}) {div} {1 << i}) % 2) * {1 << (2 * i + 1)}")
+        terms.append(f"((({lat_int}) {div} {1 << i}) % 2) * {1 << (2 * i)}")
+    return " + ".join(terms)
+
+
+def _gh_char_sql(cell: str, chunk: int, div: str = "//") -> str:
+    shift = 1 << (5 * (6 - chunk))
+    return (
+        f"SUBSTR('{_GH_B32}', "
+        f"CAST((({cell}) {div} {shift}) % 32 AS INT) + 1, 1)"
+    )
+
+
+@query(
+    "q_geohash_rollup",
+    oracle=f"""
+        WITH pts AS (
+            SELECT c_custkey,
+                   {_SQL_COORD.format(p='lat:', k='c_custkey', m=120000, o=60)} AS lat,
+                   {_SQL_COORD.format(p='lon:', k='c_custkey', m=360000, o=180)} AS lon
+            FROM customer
+        ),
+        q AS (
+            SELECT c_custkey,
+                   CAST(FLOOR((lat + 90) / 180 * {1 << _GH_BITS}) AS BIGINT) AS lai,
+                   CAST(FLOOR((lon + 180) / 360 * {1 << _GH_BITS}) AS BIGINT) AS loi
+            FROM pts
+        ),
+        cells AS (
+            SELECT c_custkey, {_interleave_sql('lai', 'loi')} AS cell FROM q
+        ),
+        gh AS (
+            SELECT c_custkey,
+                   {" || ".join(_gh_char_sql("cell", c) for c in range(1, 7))} AS geohash6
+            FROM cells
+        )
+        SELECT SUBSTR(geohash6, 1, 3) AS gh3,
+               COUNT(*) AS n_points,
+               COUNT(DISTINCT SUBSTR(geohash6, 1, 5)) AS n_subcells5
+        FROM gh
+        GROUP BY 1
+    """,
+    operators=(154, 241),
+    doc=f"Geohash encode + multi-resolution rollup (#241): synthetic "
+    "md5-derived coordinates quantized to {_GH_BITS} bits per axis, "
+    "lon/lat bits interleaved into a 30-bit cell (the interleave "
+    "expression is GENERATED once and shared verbatim by both "
+    "engines), base32-encoded to 6-char geohashes, then rolled up at "
+    "two resolutions (3-char ~ 156 km, 5-char ~ 4.9 km cells). The "
+    "spatial drill-down index every geo dashboard uses: PREFIX "
+    "aggregation means coarser cells are substring groupBys of the "
+    "same column — no re-encode, and the geohash is a pushdown-able "
+    "partition/cluster key at 100 TB (Z-order in disguise, #187). "
+    "Integer bit arithmetic end-to-end: hash-exact.",
+)
+def q_geohash_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        _coord("lat:", F.col("c_custkey"), 120000, 60).alias("lat"),
+        _coord("lon:", F.col("c_custkey"), 360000, 180).alias("lon"),
+    )
+    q = cust.select(
+        "c_custkey",
+        F.floor((F.col("lat") + 90) / 180 * (1 << _GH_BITS)).cast("bigint").alias("lai"),
+        F.floor((F.col("lon") + 180) / 360 * (1 << _GH_BITS)).cast("bigint").alias("loi"),
+    )
+    cells = q.select(
+        "c_custkey", F.expr(_interleave_sql("lai", "loi", div="div")).alias("cell")
+    )
+    gh = cells.select(
+        "c_custkey",
+        F.concat(
+            *[F.expr(_gh_char_sql("cell", c, div="div")) for c in range(1, 7)]
+        ).alias("geohash6"),
+    )
+    return gh.groupBy(F.substring("geohash6", 1, 3).alias("gh3")).agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.countDistinct(F.substring("geohash6", 1, 5)).alias("n_subcells5"),
+    )
