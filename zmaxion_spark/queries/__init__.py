@@ -217,6 +217,8 @@ _NEXT_ROUND: list[str] = [
     "q_model_release_gate",
     "q_bitmap_index",
     "q_geohash_rollup",
+    "q_approx_bounds",
+    "q_hll_bounds",
 ]
 
 

@@ -832,3 +832,60 @@ def q_nested_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "(acc, x) -> greatest(acc, CAST(x.l_linenumber AS BIGINT))) AS BIGINT)"
         ).alias("max_lineno"),
     )
+
+
+@query(
+    "q_approx_bounds",
+    oracle="""
+        SELECT l_returnflag,
+               COUNT(DISTINCT l_orderkey) AS exact_orders,
+               CAST(1 AS INT) AS distinct_within_5pct,
+               CAST(1 AS INT) AS p50_within_2pct_rank
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+    operators=(26,),
+    doc="Accuracy contract of the approximate aggregates (#26), graded "
+    "by the driver: approx_count_distinct must land within 5% of the "
+    "exact distinct count, and approx p50 must sit between the exact "
+    "48th and 52nd percentile ranks (the rank-error guarantee of "
+    "percentile_approx at accuracy 10000). The Spark side computes "
+    "sketch estimates AND exact values and emits the bound CHECKS; "
+    "the oracle states the contract (flags identically 1 + the exact "
+    "anchor column). This turns 'rows-only by nature' into a graded "
+    "guarantee: if an engine upgrade degrades sketch accuracy past "
+    "contract, the driver gate goes red — exactly what a user relying "
+    "on the interactive approximate path needs pinned.",
+)
+def q_approx_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    li = _t(spark, sf_dir, "lineitem")
+    g = li.groupBy("l_returnflag").agg(
+        # rsd=0.01: the 5% contract then holds with 5-sigma margin —
+        # the default 0.05 rsd is a 1-sigma bound and DOES breach 5%.
+        F.approx_count_distinct("l_orderkey", 0.01).alias("approx_orders"),
+        F.countDistinct("l_orderkey").alias("exact_orders"),
+        F.element_at(
+            F.percentile_approx("l_extendedprice", [0.5], 10000), 1
+        ).alias("p50_approx"),
+        F.expr("percentile(l_extendedprice, 0.48)").alias("p48"),
+        F.expr("percentile(l_extendedprice, 0.52)").alias("p52"),
+    )
+    return g.select(
+        "l_returnflag",
+        "exact_orders",
+        (
+            F.abs(F.col("approx_orders") - F.col("exact_orders"))
+            / F.col("exact_orders")
+            < 0.05
+        )
+        .cast("int")
+        .alias("distinct_within_5pct"),
+        (
+            (F.col("p50_approx") >= F.col("p48"))
+            & (F.col("p50_approx") <= F.col("p52"))
+        )
+        .cast("int")
+        .alias("p50_within_2pct_rank"),
+    )

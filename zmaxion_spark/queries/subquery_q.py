@@ -506,3 +506,42 @@ def q_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("hll_sketch_estimate(sk)").cast("bigint").alias("est_distinct"),
         "exact_distinct",
     ).orderBy("c_mktsegment")
+
+
+@query(
+    "q_hll_bounds",
+    oracle="""
+        SELECT c_mktsegment,
+               COUNT(DISTINCT c_custkey) AS exact_distinct,
+               CAST(1 AS INT) AS est_within_2pct
+        FROM customer
+        GROUP BY c_mktsegment
+    """,
+    operators=(26, 140),
+    doc="Accuracy contract of the DataSketches HLL path (#140), graded "
+    "by the driver: every per-segment hll_sketch_estimate must land "
+    "within 2% of the exact distinct count. The Spark side builds the "
+    "sketches and emits the bound CHECK next to the exact anchor; the "
+    "oracle states the contract. Complements the informative "
+    "rows-only q_hll_sketch (raw estimates) with a driver-checkable "
+    "guarantee.",
+)
+def q_hll_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    g = cust.groupBy("c_mktsegment").agg(
+        F.expr("hll_sketch_estimate(hll_sketch_agg(c_custkey))")
+        .cast("double")
+        .alias("est"),
+        F.countDistinct("c_custkey").cast("bigint").alias("exact_distinct"),
+    )
+    return g.select(
+        "c_mktsegment",
+        "exact_distinct",
+        (
+            F.abs(F.col("est") - F.col("exact_distinct"))
+            / F.col("exact_distinct")
+            < 0.02
+        )
+        .cast("int")
+        .alias("est_within_2pct"),
+    )
