@@ -158,6 +158,7 @@ OPERATORS: dict[int, str] = {
     239: "model_release_gate (eval-capstone go/no-go)",
     240: "bitmap_index (packed-word set algebra)",
     241: "geohash_rollup (multi-resolution spatial index)",
+    242: "fairness_audit (disparate-impact gate)",
 }
 
 # Ops verified by tests rather than graded queries.

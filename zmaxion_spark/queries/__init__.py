@@ -219,6 +219,7 @@ _NEXT_ROUND: list[str] = [
     "q_geohash_rollup",
     "q_approx_bounds",
     "q_hll_bounds",
+    "q_fairness_audit",
 ]
 
 

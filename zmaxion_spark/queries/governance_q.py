@@ -534,3 +534,90 @@ def q_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         "entity_id",
         (F.col("entity_id") != F.col("rid")).cast("int").alias("merged"),
     )
+
+
+# ---------------------------------------------------------------------------
+# #242 fairness audit — subgroup rates + disparate impact
+# ---------------------------------------------------------------------------
+
+
+def _fairness_oracle() -> str:
+    from zmaxion_spark.queries.registry import REGISTRY
+
+    return """
+        WITH scored AS ({CLF}),
+        g AS (
+            SELECT d.lang,
+                   COUNT(*) AS n,
+                   CAST(SUM(s.keep) AS BIGINT) AS n_kept,
+                   CAST(SUM(s.keep) AS DOUBLE) / COUNT(*) AS keep_rate
+            FROM documents d JOIN scored s ON s.doc_id = d.doc_id
+            GROUP BY d.lang
+        ),
+        mx AS (SELECT MAX(keep_rate) AS max_rate FROM g)
+        SELECT lang, n, n_kept,
+               ROUND(keep_rate, 9) AS keep_rate,
+               ROUND(keep_rate / max_rate, 9) AS impact_ratio,
+               CAST(keep_rate / max_rate >= 0.8 AS INT) AS passes_80pct_rule
+        FROM g CROSS JOIN mx
+    """
+
+
+@query(
+    "q_fairness_audit",
+    oracle=None,  # assembled below from the classifier oracle
+    operators=(202, 242),
+    doc="Fairness audit (#242): the #222 quality filter's keep rate "
+    "per language subgroup, each group's impact ratio against the "
+    "most-favored group, and the four-fifths (80%) disparate-impact "
+    "rule as a graded flag — the bias gate a corpus pipeline must run "
+    "before a filter silently skews the training mix against a "
+    "language. Composes with the release gate (#239) and k-anonymity "
+    "(#202) as the governance tier. One broadcast join + one hash "
+    "aggregate; rates are single divisions of exact integers, "
+    "hash-exact.",
+)
+def q_fairness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    scored = q_quality_classifier(spark, sf_dir).select("doc_id", "keep")
+    g = (
+        d.select("doc_id", "lang")
+        .join(scored, "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("keep").cast("bigint").alias("n_kept"),
+        )
+        .withColumn("keep_rate", F.col("n_kept").cast("double") / F.col("n"))
+    )
+    g = g.withColumn("max_rate", F.max("keep_rate").over(Window.partitionBy()))
+    return g.select(
+        "lang",
+        "n",
+        "n_kept",
+        F.round("keep_rate", 9).alias("keep_rate"),
+        F.round(F.col("keep_rate") / F.col("max_rate"), 9).alias("impact_ratio"),
+        (F.col("keep_rate") / F.col("max_rate") >= 0.8)
+        .cast("int")
+        .alias("passes_80pct_rule"),
+    )
+
+
+def _wire_fairness_oracle() -> None:
+    from zmaxion_spark.queries.registry import REGISTRY, Query
+
+    clf = REGISTRY["q_quality_classifier"].oracle
+    q = REGISTRY["q_fairness_audit"]
+    REGISTRY["q_fairness_audit"] = Query(
+        q.name,
+        q.fn,
+        _fairness_oracle().replace("{CLF}", clf),
+        q.operators,
+        q.doc,
+        q.bench,
+    )
+
+
+_wire_fairness_oracle()
