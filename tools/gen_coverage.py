@@ -159,6 +159,7 @@ OPERATORS: dict[int, str] = {
     240: "bitmap_index (packed-word set algebra)",
     241: "geohash_rollup (multi-resolution spatial index)",
     242: "fairness_audit (disparate-impact gate)",
+    243: "temperature_mix (mT5-style mixture sampling)",
 }
 
 # Ops verified by tests rather than graded queries.

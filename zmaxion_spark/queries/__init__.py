@@ -220,6 +220,7 @@ _NEXT_ROUND: list[str] = [
     "q_approx_bounds",
     "q_hll_bounds",
     "q_fairness_audit",
+    "q_temperature_mix",
 ]
 
 

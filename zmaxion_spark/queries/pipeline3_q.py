@@ -425,3 +425,125 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     incoming = fp.filter(F.col("grp") == 0).select("doc_id", "fp")
     corpus = fp.filter(F.col("grp") != 0).select("fp").distinct()
     return incoming.join(corpus, "fp", "left_anti").select("doc_id", "fp")
+
+
+# ---------------------------------------------------------------------------
+# #243 temperature-scaled mixture sampling (the multilingual recipe)
+# ---------------------------------------------------------------------------
+
+_TMIX_ALPHA = 0.3
+_TMIX_TOTAL = 2000
+
+
+@query(
+    "q_temperature_mix",
+    oracle=f"""
+        WITH g AS (
+            SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang
+        ),
+        w AS (
+            SELECT lang, n_docs,
+                   CAST(POWER(n_docs, {_TMIX_ALPHA}) AS DECIMAL(38,9)) AS wq
+            FROM g
+        ),
+        t AS (SELECT CAST(SUM(wq) AS DECIMAL(38,9)) AS denom FROM w),
+        mix AS (
+            SELECT lang, n_docs,
+                   CAST(wq AS DOUBLE) / CAST(denom AS DOUBLE) AS p
+            FROM w CROSS JOIN t
+        ),
+        tgt AS (
+            SELECT lang, n_docs, p,
+                   LEAST(CAST(FLOOR(p * {_TMIX_TOTAL}) AS BIGINT), n_docs)
+                       AS target_n
+            FROM mix
+        ),
+        ranked AS (
+            SELECT d.lang,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY d.lang
+                       ORDER BY MD5('tmix:' || CAST(d.doc_id AS VARCHAR)),
+                                d.doc_id) AS rn
+            FROM documents d
+        ),
+        sampled AS (
+            SELECT r.lang, COUNT(*) AS sampled_n
+            FROM ranked r JOIN tgt ON tgt.lang = r.lang
+            WHERE r.rn <= tgt.target_n
+            GROUP BY r.lang
+        )
+        SELECT tgt.lang, tgt.n_docs,
+               ROUND(tgt.p, 9) AS mix_weight,
+               tgt.target_n,
+               COALESCE(sampled.sampled_n, 0) AS sampled_n
+        FROM tgt LEFT JOIN sampled ON sampled.lang = tgt.lang
+    """,
+    operators=(80, 243),
+    doc=f"Temperature-scaled mixture sampling (#243): per-language "
+    f"sampling weights p_i ∝ n_i^{_TMIX_ALPHA} (the mT5/XLM-R recipe "
+    "that up-weights low-resource languages relative to proportional "
+    "sampling), deterministic md5-ranked selection to the per-group "
+    "targets, realized counts graded beside the weights. Parity "
+    "detail: POWER() results quantize through DECIMAL(38,9) BEFORE "
+    "the exact decimal normalization sum, so a last-ulp pow() "
+    "difference can never flip a FLOOR at a target boundary. Scale "
+    "shape: weights come from one |langs|-row aggregate; selection "
+    "is a per-group rank window over a hash — at 100 TB swap the "
+    "window for a hash-threshold filter (q_weighted_sample) and keep "
+    "identical targets.",
+)
+def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    g = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    w = g.select(
+        "lang",
+        "n_docs",
+        F.pow("n_docs", _TMIX_ALPHA).cast("decimal(38,9)").alias("wq"),
+    )
+    t = w.groupBy().agg(F.sum("wq").cast("decimal(38,9)").alias("denom"))
+    mix = w.crossJoin(F.broadcast(t)).select(
+        "lang",
+        "n_docs",
+        (F.col("wq").cast("double") / F.col("denom").cast("double")).alias("p"),
+    )
+    tgt = mix.select(
+        "lang",
+        "n_docs",
+        "p",
+        F.least(
+            F.floor(F.col("p") * _TMIX_TOTAL).cast("bigint"), F.col("n_docs")
+        ).alias("target_n"),
+    )
+    ranked = d.select(
+        "lang",
+        F.row_number()
+        .over(
+            Window.partitionBy("lang").orderBy(
+                F.md5(
+                    F.concat(F.lit("tmix:"), F.col("doc_id").cast("string")).cast(
+                        "binary"
+                    )
+                ),
+                "doc_id",
+            )
+        )
+        .alias("rn"),
+    )
+    sampled = (
+        ranked.join(F.broadcast(tgt.select("lang", "target_n")), "lang")
+        .filter(F.col("rn") <= F.col("target_n"))
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("sampled_n"))
+    )
+    return (
+        tgt.join(sampled, "lang", "left_outer")
+        .select(
+            "lang",
+            "n_docs",
+            F.round("p", 9).alias("mix_weight"),
+            "target_n",
+            F.coalesce(F.col("sampled_n"), F.lit(0)).alias("sampled_n"),
+        )
+    )
