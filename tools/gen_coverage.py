@@ -160,6 +160,7 @@ OPERATORS: dict[int, str] = {
     241: "geohash_rollup (multi-resolution spatial index)",
     242: "fairness_audit (disparate-impact gate)",
     243: "temperature_mix (mT5-style mixture sampling)",
+    244: "dead_letter (quarantine routing census)",
 }
 
 # Ops verified by tests rather than graded queries.

@@ -221,6 +221,7 @@ _NEXT_ROUND: list[str] = [
     "q_hll_bounds",
     "q_fairness_audit",
     "q_temperature_mix",
+    "q_dead_letter",
 ]
 
 

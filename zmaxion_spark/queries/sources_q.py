@@ -330,3 +330,89 @@ def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("total_price"),
     )
+
+
+# ---------------------------------------------------------------------------
+# #244 dead-letter quarantine routing
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_dead_letter",
+    oracle="""
+        WITH raw AS (
+            SELECT event_id,
+                   CASE
+                       WHEN event_id % 13 = 0 THEN SUBSTR(props, 1, 4)
+                       WHEN event_id % 17 = 0 THEN ''
+                       WHEN event_id % 19 = 0 THEN '{"other": 1}'
+                       ELSE props
+                   END AS payload
+            FROM events
+        ),
+        parsed AS (
+            SELECT event_id, payload,
+                   TRY_CAST(payload AS JSON) AS j
+            FROM raw
+        ),
+        routed AS (
+            SELECT event_id,
+                   CASE
+                       WHEN payload = '' THEN 'empty_payload'
+                       WHEN j IS NULL THEN 'malformed_json'
+                       WHEN json_extract(j, '$.k') IS NULL THEN 'missing_field'
+                       ELSE 'ok'
+                   END AS route
+            FROM parsed
+        )
+        SELECT route,
+               COUNT(*) AS n,
+               MIN(event_id) AS first_event,
+               MAX(event_id) AS last_event
+        FROM routed
+        GROUP BY route
+    """,
+    operators=(46, 244),
+    doc="Dead-letter quarantine routing (#244): payloads that fail "
+    "parsing are ROUTED, never dropped and never allowed to kill the "
+    "job — the DLQ discipline of every production ingest. Synthetic "
+    "corruption (truncated / empty payloads on deterministic ids) is "
+    "classified by failure reason via TRY-parsing (try_parse_json returns "
+    "NULL instead of raising), and the per-route census is graded. "
+    "The same projection runs unchanged under Structured Streaming "
+    "(it is row-local); quarantined rows write to their own sink and "
+    "replay after a parser fix — at 100 TB a 0.1% quarantine is "
+    "millions of rows someone must be able to audit (first/last ids "
+    "graded here).",
+)
+def q_dead_letter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    payload = (
+        F.when(F.col("event_id") % 13 == 0, F.substring("props", 1, 4))
+        .when(F.col("event_id") % 17 == 0, F.lit(""))
+        .when(F.col("event_id") % 19 == 0, F.lit('{"other": 1}'))
+        .otherwise(F.col("props"))
+    )
+    parsed = ev.select(
+        "event_id",
+        payload.alias("payload"),
+        F.try_parse_json(payload).alias("j"),
+    )
+    route = (
+        F.when(F.col("payload") == "", F.lit("empty_payload"))
+        .when(F.col("j").isNull(), F.lit("malformed_json"))
+        .when(
+            F.expr("try_variant_get(j, '$.k', 'int')").isNull(),
+            F.lit("missing_field"),
+        )
+        .otherwise(F.lit("ok"))
+    )
+    return (
+        parsed.select("event_id", route.alias("route"))
+        .groupBy("route")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("event_id").alias("first_event"),
+            F.max("event_id").alias("last_event"),
+        )
+    )
