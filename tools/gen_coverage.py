@@ -161,6 +161,7 @@ OPERATORS: dict[int, str] = {
     242: "fairness_audit (disparate-impact gate)",
     243: "temperature_mix (mT5-style mixture sampling)",
     244: "dead_letter (quarantine routing census)",
+    245: "isotonic_calibration (minimax PAVA closed form)",
 }
 
 # Ops verified by tests rather than graded queries.

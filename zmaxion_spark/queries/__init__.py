@@ -222,6 +222,7 @@ _NEXT_ROUND: list[str] = [
     "q_fairness_audit",
     "q_temperature_mix",
     "q_dead_letter",
+    "q_isotonic_calibration",
 ]
 
 

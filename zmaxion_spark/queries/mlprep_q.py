@@ -795,3 +795,108 @@ def _wire_release_gate() -> None:
 
 
 _wire_release_gate()
+
+
+# ---------------------------------------------------------------------------
+# #245 isotonic calibration (minimax closed form, no sequential PAVA)
+# ---------------------------------------------------------------------------
+
+
+def _isotonic_oracle() -> str:
+    from zmaxion_spark.queries.registry import REGISTRY
+
+    return """
+        WITH cal AS ({ECE}),
+        b AS (
+            SELECT bin, n, CAST(ROUND(observed_rate * n) AS BIGINT) AS n_pos
+            FROM cal
+        ),
+        iv AS (
+            SELECT j.bin AS j, k.bin AS k,
+                   CAST(SUM(m.n_pos) AS DOUBLE) / SUM(m.n) AS avg_rate
+            FROM b j JOIN b k ON j.bin <= k.bin
+            JOIN b m ON m.bin BETWEEN j.bin AND k.bin
+            GROUP BY j.bin, k.bin
+        ),
+        stage1 AS (
+            SELECT i.bin AS bin, iv.j,
+                   MIN(iv.avg_rate) AS min_k
+            FROM b i JOIN iv ON iv.j <= i.bin AND iv.k >= i.bin
+            GROUP BY i.bin, iv.j
+        ),
+        iso AS (
+            SELECT bin, MAX(min_k) AS iso_rate FROM stage1 GROUP BY bin
+        )
+        SELECT b.bin, b.n,
+               ROUND(CAST(b.n_pos AS DOUBLE) / b.n, 9) AS observed_rate,
+               ROUND(iso.iso_rate, 9) AS isotonic_rate
+        FROM b JOIN iso ON iso.bin = b.bin
+    """
+
+
+@query(
+    "q_isotonic_calibration",
+    oracle=None,  # assembled below from the calibration-bin oracle
+    operators=(227, 245),
+    doc="Isotonic calibration (#245): the monotone recalibration map "
+    "over the #227 confidence bins, computed via the CLOSED-FORM "
+    "minimax identity iso(i) = max_{j<=i} min_{k>=i} avg(j..k) "
+    "instead of the sequential pool-adjacent-violators loop — minimax "
+    "over O(bins^2) intervals is pure join+aggregate algebra, so the "
+    "classically 'inherently sequential' fit distributes and grades "
+    "hash-exact (interval averages are single divisions of exact "
+    "integer pool sums). The standard score-recalibration step when "
+    "ECE (#227) fails the release gate (#239). Bins are 10 rows; at "
+    "100 TB the binning aggregate is the only data-scale stage.",
+)
+def q_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cal = q_calibration_ece(spark, sf_dir).select("bin", "n", "observed_rate")
+    b = cal.select(
+        "bin",
+        "n",
+        F.round(F.col("observed_rate") * F.col("n")).cast("bigint").alias("n_pos"),
+    ).localCheckpoint()
+    j = b.select(F.col("bin").alias("j"))
+    k = b.select(F.col("bin").alias("k"))
+    m = b.select(F.col("bin").alias("mb"), F.col("n").alias("mn"), F.col("n_pos").alias("mp"))
+    iv = (
+        j.join(k, F.col("j") <= F.col("k"))
+        .join(m, (F.col("mb") >= F.col("j")) & (F.col("mb") <= F.col("k")))
+        .groupBy("j", "k")
+        .agg((F.sum("mp").cast("double") / F.sum("mn")).alias("avg_rate"))
+    )
+    i = b.select(F.col("bin").alias("i"))
+    stage1 = (
+        i.join(iv, (F.col("j") <= F.col("i")) & (F.col("k") >= F.col("i")))
+        .groupBy("i", "j")
+        .agg(F.min("avg_rate").alias("min_k"))
+    )
+    iso = stage1.groupBy("i").agg(F.max("min_k").alias("iso_rate"))
+    return (
+        b.join(iso, b.bin == iso.i)
+        .select(
+            "bin",
+            "n",
+            F.round(F.col("n_pos").cast("double") / F.col("n"), 9).alias(
+                "observed_rate"
+            ),
+            F.round("iso_rate", 9).alias("isotonic_rate"),
+        )
+    )
+
+
+def _wire_isotonic_oracle() -> None:
+    from zmaxion_spark.queries.registry import REGISTRY, Query
+
+    q = REGISTRY["q_isotonic_calibration"]
+    REGISTRY["q_isotonic_calibration"] = Query(
+        q.name,
+        q.fn,
+        _isotonic_oracle().replace("{ECE}", REGISTRY["q_calibration_ece"].oracle),
+        q.operators,
+        q.doc,
+        q.bench,
+    )
+
+
+_wire_isotonic_oracle()
