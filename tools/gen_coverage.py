@@ -162,6 +162,7 @@ OPERATORS: dict[int, str] = {
     243: "temperature_mix (mT5-style mixture sampling)",
     244: "dead_letter (quarantine routing census)",
     245: "isotonic_calibration (minimax PAVA closed form)",
+    246: "slo_burn_rate (error-budget alerting)",
 }
 
 # Ops verified by tests rather than graded queries.

@@ -223,6 +223,7 @@ _NEXT_ROUND: list[str] = [
     "q_temperature_mix",
     "q_dead_letter",
     "q_isotonic_calibration",
+    "q_slo_burn_rate",
 ]
 
 

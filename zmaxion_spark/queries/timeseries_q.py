@@ -514,3 +514,75 @@ def q_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(ape.cast("decimal(38,18)")).cast("double") / F.count(F.lit(1)), 9
         ).alias("mape"),
     )
+
+
+# ---------------------------------------------------------------------------
+# #246 SLO error-budget burn rate
+# ---------------------------------------------------------------------------
+
+_SLO_TARGET = 0.025  # error-rate SLO: <= 2.5% of events are 'error'
+_SLO_FAST_BURN = 2.0  # alerting threshold on the burn multiple
+
+
+@query(
+    "q_slo_burn_rate",
+    oracle=f"""
+        WITH h AS (
+            SELECT DATE_TRUNC('hour', CAST(ts AS TIMESTAMP)) AS hour,
+                   COUNT(*) AS n,
+                   CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_err
+            FROM events GROUP BY 1
+        ),
+        w AS (
+            SELECT hour, n, n_err,
+                   CAST(SUM(n) OVER f AS BIGINT) AS n_6h,
+                   CAST(SUM(n_err) OVER f AS BIGINT) AS err_6h
+            FROM h
+            WINDOW f AS (ORDER BY hour ROWS BETWEEN 5 PRECEDING AND CURRENT ROW)
+        )
+        SELECT EPOCH_US(hour) AS hour_us, n, n_err,
+               ROUND(CAST(err_6h AS DOUBLE) / n_6h / {_SLO_TARGET}, 9)
+                   AS burn_6h,
+               CAST(CAST(err_6h AS DOUBLE) / n_6h / {_SLO_TARGET}
+                    > {_SLO_FAST_BURN} AS INT) AS fast_burn_alert
+        FROM w
+    """,
+    operators=(31, 246),
+    doc=f"SLO error-budget burn rate (#246): hourly error rates over a "
+    "rolling 6-hour window expressed as a MULTIPLE of the "
+    f"{_SLO_TARGET:.1%} error-rate SLO — burn > {_SLO_FAST_BURN}x "
+    "fires the fast-burn alert (the Google-SRE multiwindow alerting "
+    "pattern: page on burning the budget too fast, not on raw error "
+    "count). One hourly rollup + one ROWS-frame window; counts are "
+    "integer-exact so the burn multiples grade hash-exact. At 100 TB "
+    "the rollup partial-aggregates and the window state is six "
+    "integer pairs per series — the same shape maintained streaming "
+    "via a sliding window (#50).",
+)
+def q_slo_burn_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = _t(spark, sf_dir, "events")
+    h = ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("hour")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_err"),
+    )
+    f = Window.orderBy("hour").rowsBetween(-5, Window.currentRow)
+    w = h.select(
+        "hour",
+        "n",
+        "n_err",
+        F.sum("n").over(f).cast("bigint").alias("n_6h"),
+        F.sum("n_err").over(f).cast("bigint").alias("err_6h"),
+    )
+    burn = F.col("err_6h").cast("double") / F.col("n_6h") / _SLO_TARGET
+    return w.select(
+        F.unix_micros(F.col("hour")).alias("hour_us"),
+        "n",
+        "n_err",
+        F.round(burn, 9).alias("burn_6h"),
+        (burn > _SLO_FAST_BURN).cast("int").alias("fast_burn_alert"),
+    )
