@@ -861,17 +861,28 @@ def q_approx_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     li = _t(spark, sf_dir, "lineitem")
-    g = li.groupBy("l_returnflag").agg(
+    # TWO aggregation passes joined on the (3-row) group key: mixing
+    # COUNT(DISTINCT) with object aggregates (percentile/HLL) in one
+    # Aggregate forces an Expand + SortAggregate plan that measured
+    # 25x slower than the split at sf0.1 (151s -> ~6s).
+    counts = li.groupBy("l_returnflag").agg(
         # rsd=0.01: the 5% contract then holds with 5-sigma margin —
         # the default 0.05 rsd is a 1-sigma bound and DOES breach 5%.
         F.approx_count_distinct("l_orderkey", 0.01).alias("approx_orders"),
         F.countDistinct("l_orderkey").alias("exact_orders"),
+    )
+    pcts = li.groupBy("l_returnflag").agg(
         F.element_at(
             F.percentile_approx("l_extendedprice", [0.5], 10000), 1
         ).alias("p50_approx"),
-        F.expr("percentile(l_extendedprice, 0.48)").alias("p48"),
-        F.expr("percentile(l_extendedprice, 0.52)").alias("p52"),
+        F.expr("percentile(l_extendedprice, array(0.48, 0.52))").alias("pp"),
+    ).select(
+        "l_returnflag",
+        "p50_approx",
+        F.element_at("pp", 1).alias("p48"),
+        F.element_at("pp", 2).alias("p52"),
     )
+    g = counts.join(pcts, "l_returnflag")
     return g.select(
         "l_returnflag",
         "exact_orders",
