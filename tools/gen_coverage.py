@@ -163,6 +163,9 @@ OPERATORS: dict[int, str] = {
     244: "dead_letter (quarantine routing census)",
     245: "isotonic_calibration (minimax PAVA closed form)",
     246: "slo_burn_rate (error-budget alerting)",
+    247: "rfm_segmentation (marketing quintiles)",
+    248: "ltv_cohorts (lifetime-value curves)",
+    249: "diff_in_diff (2x2 causal estimate)",
 }
 
 # Ops verified by tests rather than graded queries.

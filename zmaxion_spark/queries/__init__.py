@@ -224,6 +224,9 @@ _NEXT_ROUND: list[str] = [
     "q_dead_letter",
     "q_isotonic_calibration",
     "q_slo_burn_rate",
+    "q_rfm_segmentation",
+    "q_ltv_cohorts",
+    "q_diff_in_diff",
 ]
 
 

@@ -598,3 +598,278 @@ def q_sequence_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("n").cast("double") / F.col("n_total"), 9).alias("support"),
         "rnk",
     )
+
+
+# ---------------------------------------------------------------------------
+# #247 RFM segmentation
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_rfm_segmentation",
+    oracle="""
+        WITH base AS (
+            SELECT o_custkey,
+                   MAX(o_orderdate) AS last_order,
+                   COUNT(*) AS frequency,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
+                       AS monetary
+            FROM orders GROUP BY o_custkey
+        ),
+        scored AS (
+            SELECT o_custkey,
+                   NTILE(5) OVER (ORDER BY last_order, o_custkey) AS r_score,
+                   NTILE(5) OVER (ORDER BY frequency, o_custkey) AS f_score,
+                   NTILE(5) OVER (ORDER BY monetary, o_custkey) AS m_score
+            FROM base
+        ),
+        labeled AS (
+            SELECT o_custkey, r_score, f_score, m_score,
+                   CASE
+                       WHEN r_score >= 4 AND f_score >= 4 THEN 'champion'
+                       WHEN r_score >= 4 THEN 'recent'
+                       WHEN f_score >= 4 THEN 'loyal_lapsing'
+                       WHEN r_score <= 2 AND f_score <= 2 THEN 'at_risk'
+                       ELSE 'regular'
+                   END AS segment
+            FROM scored
+        )
+        SELECT segment,
+               COUNT(*) AS n_customers,
+               CAST(SUM(r_score) AS BIGINT) AS sum_r,
+               CAST(SUM(f_score) AS BIGINT) AS sum_f,
+               CAST(SUM(m_score) AS BIGINT) AS sum_m
+        FROM labeled GROUP BY segment
+    """,
+    operators=(30, 247),
+    doc="RFM segmentation (#247): recency / frequency / monetary "
+    "quintiles per customer (NTILE over deterministic total orders — "
+    "ties broken by key, the cross-engine-identity requirement) mapped "
+    "to the classic marketing segments (champion / recent / "
+    "loyal_lapsing / at_risk / regular), censused per segment. One "
+    "aggregate + three rank windows over the customer-level table — "
+    "at 100 TB the windows run over |customers|, not |orders|, and "
+    "the quintile boundaries can swap to approx-quantile cutoffs "
+    "without changing downstream labels' shape.",
+)
+def q_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    base = o.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(F.col("o_totalprice").cast("decimal(38,6)"))
+        .cast("double")
+        .alias("monetary"),
+    )
+    scored = base.select(
+        "o_custkey",
+        F.ntile(5).over(Window.orderBy("last_order", "o_custkey")).alias("r_score"),
+        F.ntile(5).over(Window.orderBy("frequency", "o_custkey")).alias("f_score"),
+        F.ntile(5).over(Window.orderBy("monetary", "o_custkey")).alias("m_score"),
+    )
+    segment = (
+        F.when((F.col("r_score") >= 4) & (F.col("f_score") >= 4), "champion")
+        .when(F.col("r_score") >= 4, "recent")
+        .when(F.col("f_score") >= 4, "loyal_lapsing")
+        .when((F.col("r_score") <= 2) & (F.col("f_score") <= 2), "at_risk")
+        .otherwise("regular")
+    )
+    return (
+        scored.withColumn("segment", segment)
+        .groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum("r_score").cast("bigint").alias("sum_r"),
+            F.sum("f_score").cast("bigint").alias("sum_f"),
+            F.sum("m_score").cast("bigint").alias("sum_m"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# #248 cohort LTV curves
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_ltv_cohorts",
+    oracle="""
+        WITH firsts AS (
+            SELECT o_custkey,
+                   DATE_TRUNC('year', MIN(o_orderdate)) AS cohort
+            FROM orders GROUP BY o_custkey
+        ),
+        rev AS (
+            SELECT f.cohort,
+                   CAST(EXTRACT(YEAR FROM o.o_orderdate)
+                        - EXTRACT(YEAR FROM f.cohort) AS BIGINT) AS age_years,
+                   COUNT(*) AS n_orders,
+                   SUM(CAST(o.o_totalprice AS DECIMAL(38,6))) AS revenue_dec
+            FROM orders o JOIN firsts f ON f.o_custkey = o.o_custkey
+            GROUP BY 1, 2
+        ),
+        size_ AS (
+            SELECT cohort, COUNT(*) AS cohort_n FROM firsts GROUP BY cohort
+        )
+        SELECT EPOCH_US(r.cohort) AS cohort_us, r.age_years, r.n_orders,
+               s.cohort_n,
+               CAST(CAST(CAST(SUM(r.revenue_dec)
+                          OVER (PARTITION BY r.cohort ORDER BY r.age_years
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                          AS DOUBLE) / s.cohort_n AS DECIMAL(38,6)) AS DOUBLE)
+                   AS cum_ltv_per_user
+        FROM rev r JOIN size_ s ON s.cohort = r.cohort
+    """,
+    operators=(31, 146, 248),
+    doc="Cohort LTV curves (#248): customers grouped by first-order "
+    "year; per cohort age, cumulative revenue per cohort member — the "
+    "lifetime-value curve that prices acquisition. Cumulative sums "
+    "ride DECIMAL(38,6) windows (order-independent within the frame), "
+    "divided by the cohort size, so every curve point grades "
+    "hash-exact. Scale shape: first-order extraction and the "
+    "(cohort, age) rollup both partial-aggregate; the window runs "
+    "over |cohorts| x |ages| rows only.",
+)
+def q_ltv_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    firsts = o.groupBy("o_custkey").agg(
+        F.date_trunc("year", F.min("o_orderdate")).alias("cohort")
+    )
+    rev = (
+        o.join(firsts, "o_custkey")
+        .groupBy(
+            "cohort",
+            (F.year("o_orderdate") - F.year("cohort")).cast("bigint").alias(
+                "age_years"
+            ),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(38,6)")).alias(
+                "revenue_dec"
+            ),
+        )
+    )
+    size = firsts.groupBy("cohort").agg(F.count(F.lit(1)).alias("cohort_n"))
+    w = (
+        Window.partitionBy("cohort")
+        .orderBy("age_years")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        rev.join(F.broadcast(size), "cohort")
+        .select(
+            F.unix_micros(F.col("cohort")).alias("cohort_us"),
+            "age_years",
+            "n_orders",
+            "cohort_n",
+            # Quantize at 6 decimals (the stats_q._r6 large-magnitude
+            # rule): the cumulative sums exceed 17 significant digits,
+            # where the decimal->double CAST itself differs by an ulp
+            # between engines; 1e-6 quantization gives 1000x margin.
+            (F.sum("revenue_dec").over(w).cast("double") / F.col("cohort_n"))
+            .cast("decimal(38,6)")
+            .cast("double")
+            .alias("cum_ltv_per_user"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# #249 difference-in-differences
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_diff_in_diff",
+    oracle="""
+        WITH mid AS (
+            SELECT (MIN(EPOCH_US(CAST(ts AS TIMESTAMP)))
+                    + MAX(EPOCH_US(CAST(ts AS TIMESTAMP)))) // 2 AS m_us
+            FROM events
+        ),
+        cells AS (
+            SELECT CAST(user_id % 2 AS INT) AS treated,
+                   CAST(EPOCH_US(CAST(ts AS TIMESTAMP)) >= mid.m_us AS INT)
+                       AS post,
+                   COUNT(*) AS n,
+                   CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_v
+            FROM events CROSS JOIN mid
+            GROUP BY 1, 2
+        ),
+        means AS (
+            SELECT treated, post, n,
+                   sum_v / n AS mean_v
+            FROM cells
+        ),
+        wide AS (
+            SELECT
+                MAX(CASE WHEN treated = 1 AND post = 1 THEN mean_v END) AS t_post,
+                MAX(CASE WHEN treated = 1 AND post = 0 THEN mean_v END) AS t_pre,
+                MAX(CASE WHEN treated = 0 AND post = 1 THEN mean_v END) AS c_post,
+                MAX(CASE WHEN treated = 0 AND post = 0 THEN mean_v END) AS c_pre,
+                CAST(SUM(n) AS BIGINT) AS n_total
+            FROM means
+        )
+        SELECT n_total,
+               ROUND(t_pre, 9) AS t_pre, ROUND(t_post, 9) AS t_post,
+               ROUND(c_pre, 9) AS c_pre, ROUND(c_post, 9) AS c_post,
+               ROUND((t_post - t_pre) - (c_post - c_pre), 9) AS did_estimate
+        FROM wide
+    """,
+    operators=(24, 249),
+    doc="Difference-in-differences (#249): the 2x2 causal-inference "
+    "workhorse — treated/control (deterministic user-hash assignment) "
+    "x pre/post (midpoint split), cell means from decimal-exact sums, "
+    "and the DiD estimate (T_post - T_pre) - (C_post - C_pre) that "
+    "nets out both group baselines and secular trends. One hash "
+    "aggregate to 4 cells + algebra; the estimator every holdout "
+    "launch-readout uses, graded hash-exact. Composes with the A/B "
+    "test stats (#146) which assume no pre-period — DiD is the "
+    "upgrade when randomization is imperfect.",
+)
+def q_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    mid = ev.groupBy().agg(
+        F.expr("(min(unix_micros(ts)) + max(unix_micros(ts))) div 2").alias(
+            "m_us"
+        )
+    )
+    cells = (
+        ev.crossJoin(F.broadcast(mid))
+        .groupBy(
+            (F.col("user_id") % 2).cast("int").alias("treated"),
+            (F.unix_micros("ts") >= F.col("m_us")).cast("int").alias("post"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(38,6)"))
+            .cast("double")
+            .alias("sum_v"),
+        )
+    )
+    means = cells.select(
+        "treated", "post", "n", (F.col("sum_v") / F.col("n")).alias("mean_v")
+    )
+    wide = means.groupBy().agg(
+        F.max(F.when((F.col("treated") == 1) & (F.col("post") == 1), F.col("mean_v"))).alias("t_post"),
+        F.max(F.when((F.col("treated") == 1) & (F.col("post") == 0), F.col("mean_v"))).alias("t_pre"),
+        F.max(F.when((F.col("treated") == 0) & (F.col("post") == 1), F.col("mean_v"))).alias("c_post"),
+        F.max(F.when((F.col("treated") == 0) & (F.col("post") == 0), F.col("mean_v"))).alias("c_pre"),
+        F.sum("n").cast("bigint").alias("n_total"),
+    )
+    return wide.select(
+        "n_total",
+        F.round("t_pre", 9).alias("t_pre"),
+        F.round("t_post", 9).alias("t_post"),
+        F.round("c_pre", 9).alias("c_pre"),
+        F.round("c_post", 9).alias("c_post"),
+        F.round(
+            (F.col("t_post") - F.col("t_pre")) - (F.col("c_post") - F.col("c_pre")),
+            9,
+        ).alias("did_estimate"),
+    )
