@@ -166,6 +166,8 @@ OPERATORS: dict[int, str] = {
     247: "rfm_segmentation (marketing quintiles)",
     248: "ltv_cohorts (lifetime-value curves)",
     249: "diff_in_diff (2x2 causal estimate)",
+    250: "benford_screen (leading-digit forensics)",
+    251: "abc_pareto (revenue concentration census)",
 }
 
 # Ops verified by tests rather than graded queries.

@@ -227,6 +227,8 @@ _NEXT_ROUND: list[str] = [
     "q_rfm_segmentation",
     "q_ltv_cohorts",
     "q_diff_in_diff",
+    "q_benford_screen",
+    "q_abc_pareto",
 ]
 
 

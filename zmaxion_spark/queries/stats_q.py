@@ -647,3 +647,149 @@ def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(pr, 9).alias("p_recent"),
         F.round((pr - pb) * F.log((pr + 1e-6) / (pb + 1e-6)), 9).alias("psi_part"),
     )
+
+
+# ---------------------------------------------------------------------------
+# #250 Benford's-law conformance screening
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_benford_screen",
+    oracle="""
+        WITH d AS (
+            SELECT CAST(SUBSTR(CAST(CAST(FLOOR(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1)
+                        AS BIGINT) AS digit
+            FROM orders WHERE o_totalprice >= 1
+        ),
+        obs AS (SELECT digit, COUNT(*) AS n FROM d GROUP BY digit),
+        tot AS (SELECT CAST(SUM(n) AS BIGINT) AS n_all FROM obs)
+        SELECT obs.digit, obs.n,
+               ROUND(CAST(obs.n AS DOUBLE) / tot.n_all, 9) AS observed_p,
+               ROUND(LN(1 + CAST(1 AS DOUBLE) / obs.digit) / LN(10), 9)
+                   AS benford_p,
+               ROUND((CAST(obs.n AS DOUBLE) / tot.n_all
+                      - LN(1 + CAST(1 AS DOUBLE) / obs.digit) / LN(10))
+                     * (CAST(obs.n AS DOUBLE) / tot.n_all
+                        - LN(1 + CAST(1 AS DOUBLE) / obs.digit) / LN(10))
+                     / (LN(1 + CAST(1 AS DOUBLE) / obs.digit) / LN(10)), 9)
+                   AS chi2_part
+        FROM obs CROSS JOIN tot
+    """,
+    operators=(43, 250),
+    doc="Benford's-law conformance screening (#250): the classic "
+    "forensic-audit analytic — leading-digit frequencies of order "
+    "values against the log10(1+1/d) expectation, with per-digit "
+    "chi-square contributions (n x their sum is the test statistic; "
+    "synthetic uniform prices intentionally FAIL Benford, which is "
+    "the point of screening). One scalar projection + one 9-row "
+    "aggregate; identical IEEE ln trees with ROUND(9) absorption. "
+    "At 100 TB: a per-entity GROUP BY upgrade screens every vendor/"
+    "account in the same single pass.",
+)
+def q_benford_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") >= 1)
+    d = o.select(
+        F.substring(
+            F.floor("o_totalprice").cast("bigint").cast("string"), 1, 1
+        )
+        .cast("bigint")
+        .alias("digit")
+    )
+    obs = d.groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
+    tot = obs.groupBy().agg(F.sum("n").cast("bigint").alias("n_all"))
+    p_obs = F.col("n").cast("double") / F.col("n_all")
+    p_ben = F.log(1 + F.lit(1).cast("double") / F.col("digit")) / F.log(F.lit(10.0))
+    return obs.crossJoin(F.broadcast(tot)).select(
+        "digit",
+        "n",
+        F.round(p_obs, 9).alias("observed_p"),
+        F.round(p_ben, 9).alias("benford_p"),
+        F.round((p_obs - p_ben) * (p_obs - p_ben) / p_ben, 9).alias("chi2_part"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# #251 ABC / Pareto analysis
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_abc_pareto",
+    oracle="""
+        WITH per AS (
+            SELECT o_custkey,
+                   SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS rev_dec
+            FROM orders GROUP BY o_custkey
+        ),
+        ranked AS (
+            SELECT o_custkey, rev_dec,
+                   CAST(SUM(rev_dec) OVER (ORDER BY rev_dec DESC, o_custkey
+                                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                           AND CURRENT ROW) AS DOUBLE)
+                   / CAST((SELECT CAST(SUM(rev_dec) AS DECIMAL(38,6)) FROM per)
+                          AS DOUBLE) AS cum_share
+            FROM per
+        ),
+        classed AS (
+            SELECT o_custkey,
+                   CASE WHEN cum_share <= 0.8 THEN 'A'
+                        WHEN cum_share <= 0.95 THEN 'B'
+                        ELSE 'C' END AS abc_class,
+                   CAST(rev_dec AS DOUBLE) AS revenue
+            FROM ranked
+        )
+        SELECT abc_class,
+               COUNT(*) AS n_customers,
+               CAST(CAST(SUM(CAST(revenue AS DECIMAL(38,6))) AS DECIMAL(38,6))
+                    AS DOUBLE) AS class_revenue
+        FROM classed GROUP BY abc_class
+    """,
+    operators=(31, 251),
+    doc="ABC / Pareto analysis (#251): customers ranked by revenue, "
+    "cumulative-share classed A (first 80% of revenue) / B (to 95%) / "
+    "C (tail) — the 80/20 concentration census behind inventory and "
+    "account prioritization. The cumulative share is a decimal-exact "
+    "frame window over the per-customer aggregate (ties broken by "
+    "key); class boundaries compare identically-computed doubles, so "
+    "membership is engine-identical and the census grades hash-exact. "
+    "At 100 TB the window runs over |customers|; a two-pass "
+    "percentile-threshold variant removes even that sort.",
+)
+def q_abc_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    per = o.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(38,6)")).alias("rev_dec")
+    )
+    tot = per.groupBy().agg(
+        F.sum("rev_dec").cast("decimal(38,6)").alias("tot_dec")
+    )
+    w = Window.orderBy(F.col("rev_dec").desc(), "o_custkey").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ranked = per.crossJoin(F.broadcast(tot)).select(
+        "o_custkey",
+        F.col("rev_dec").cast("double").alias("revenue"),
+        (
+            F.sum("rev_dec").over(w).cast("double")
+            / F.col("tot_dec").cast("double")
+        ).alias("cum_share"),
+    )
+    abc = (
+        F.when(F.col("cum_share") <= 0.8, "A")
+        .when(F.col("cum_share") <= 0.95, "B")
+        .otherwise("C")
+    )
+    return (
+        ranked.withColumn("abc_class", abc)
+        .groupBy("abc_class")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum(F.col("revenue").cast("decimal(38,6)"))
+            .cast("decimal(38,6)")
+            .cast("double")
+            .alias("class_revenue"),
+        )
+    )
