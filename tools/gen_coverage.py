@@ -168,6 +168,9 @@ OPERATORS: dict[int, str] = {
     249: "diff_in_diff (2x2 causal estimate)",
     250: "benford_screen (leading-digit forensics)",
     251: "abc_pareto (revenue concentration census)",
+    252: "concentration (Gini / HHI / top-share)",
+    253: "robust_stats (trimmed + winsorized means)",
+    254: "max_drawdown (peak-to-trough risk)",
 }
 
 # Ops verified by tests rather than graded queries.

@@ -229,6 +229,9 @@ _NEXT_ROUND: list[str] = [
     "q_diff_in_diff",
     "q_benford_screen",
     "q_abc_pareto",
+    "q_concentration",
+    "q_robust_stats",
+    "q_max_drawdown",
 ]
 
 

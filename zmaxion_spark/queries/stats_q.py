@@ -793,3 +793,267 @@ def q_abc_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("class_revenue"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# #252 concentration metrics: Gini, HHI, top-share
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_concentration",
+    oracle="""
+        WITH per AS (
+            SELECT o_custkey,
+                   SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS rev_dec
+            FROM orders GROUP BY o_custkey
+        ),
+        r AS (
+            SELECT rev_dec,
+                   ROW_NUMBER() OVER (ORDER BY rev_dec, o_custkey) AS i,
+                   COUNT(*) OVER () AS n,
+                   CAST(SUM(rev_dec) OVER () AS DECIMAL(38,6)) AS tot
+            FROM per
+        ),
+        parts AS (
+            SELECT n,
+                   CAST(SUM(CAST((2 * i - n - 1) AS DECIMAL(38,6)) * rev_dec)
+                        AS DOUBLE) AS gini_num,
+                   CAST(MAX(tot) AS DOUBLE) AS tot_d,
+                   CAST(SUM(CAST(CAST(rev_dec AS DOUBLE) / CAST(tot AS DOUBLE)
+                                 * (CAST(rev_dec AS DOUBLE) / CAST(tot AS DOUBLE))
+                                 AS DECIMAL(38,18))) AS DOUBLE) AS hhi,
+                   CAST(SUM(CASE WHEN i > n - 10 THEN rev_dec ELSE CAST(0 AS DECIMAL(38,6)) END)
+                        AS DOUBLE) AS top10_rev
+            FROM r GROUP BY n
+        )
+        SELECT n AS n_customers,
+               ROUND(gini_num / (n * tot_d), 9) AS gini,
+               ROUND(hhi, 9) AS hhi,
+               ROUND(top10_rev / tot_d, 9) AS top10_share
+        FROM parts
+    """,
+    operators=(31, 252),
+    doc="Concentration metrics (#252): the Gini coefficient via the "
+    "rank identity sum((2i-n-1)·x_i)/(n·total) over revenue-ranked "
+    "customers (ties by key), the Herfindahl-Hirschman index "
+    "sum(share²) through DECIMAL(38,18), and the top-10 customer "
+    "revenue share — the inequality/market-concentration statistics "
+    "regulators and revenue teams both use. Rank weights are exact "
+    "integers times exact decimals, so every metric grades "
+    "hash-exact. One rank window over |customers| + one aggregate.",
+)
+def q_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    per = o.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(38,6)")).alias("rev_dec")
+    )
+    wall = Window.partitionBy()
+    r = per.select(
+        "rev_dec",
+        F.row_number().over(Window.orderBy("rev_dec", "o_custkey")).alias("i"),
+        F.count(F.lit(1)).over(wall).alias("n"),
+        F.sum("rev_dec").over(wall).cast("decimal(38,6)").alias("tot"),
+    )
+    share = F.col("rev_dec").cast("double") / F.col("tot").cast("double")
+    parts = r.groupBy("n").agg(
+        F.sum((2 * F.col("i") - F.col("n") - 1).cast("decimal(38,6)") * F.col("rev_dec"))
+        .cast("double")
+        .alias("gini_num"),
+        F.max("tot").cast("double").alias("tot_d"),
+        F.sum((share * share).cast("decimal(38,18)")).cast("double").alias("hhi"),
+        F.sum(
+            F.when(F.col("i") > F.col("n") - 10, F.col("rev_dec")).otherwise(
+                F.lit(0).cast("decimal(38,6)")
+            )
+        )
+        .cast("double")
+        .alias("top10_rev"),
+    )
+    return parts.select(
+        F.col("n").alias("n_customers"),
+        F.round(F.col("gini_num") / (F.col("n") * F.col("tot_d")), 9).alias("gini"),
+        F.round("hhi", 9).alias("hhi"),
+        F.round(F.col("top10_rev") / F.col("tot_d"), 9).alias("top10_share"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# #253 robust statistics: trimmed and winsorized means
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_robust_stats",
+    oracle="""
+        WITH r AS (
+            SELECT l_returnflag, l_extendedprice AS v,
+                   ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                                      ORDER BY l_extendedprice, l_orderkey,
+                                               l_linenumber) AS i,
+                   COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+            FROM lineitem
+        ),
+        marked AS (
+            SELECT l_returnflag, v, n,
+                   CAST(i > n // 20 AND i <= n - n // 20 AS INT) AS kept,
+                   CASE WHEN i <= n // 20 THEN 'lo'
+                        WHEN i > n - n // 20 THEN 'hi'
+                        ELSE 'mid' END AS zone
+            FROM r
+        ),
+        caps AS (
+            SELECT l_returnflag,
+                   MIN(CASE WHEN zone = 'mid' THEN v END) AS lo_cap,
+                   MAX(CASE WHEN zone = 'mid' THEN v END) AS hi_cap
+            FROM marked GROUP BY l_returnflag
+        )
+        SELECT m.l_returnflag,
+               CAST(SUM(m.kept) AS BIGINT) AS n_kept,
+               CAST(SUM(CASE WHEN m.kept = 1
+                             THEN CAST(m.v AS DECIMAL(38,6))
+                             ELSE CAST(0 AS DECIMAL(38,6)) END) AS DOUBLE)
+                   / SUM(m.kept) AS trimmed_mean,
+               CAST(SUM(CAST(CASE WHEN m.zone = 'lo' THEN c.lo_cap
+                                  WHEN m.zone = 'hi' THEN c.hi_cap
+                                  ELSE m.v END AS DECIMAL(38,6))) AS DOUBLE)
+                   / COUNT(*) AS winsorized_mean
+        FROM marked m JOIN caps c ON c.l_returnflag = m.l_returnflag
+        GROUP BY m.l_returnflag
+    """,
+    operators=(31, 253),
+    doc="Robust statistics (#253): 5%-trimmed and 5%-winsorized means "
+    "of extended price per return flag — the outlier-resistant "
+    "location estimates that stop one fat-finger row from moving a "
+    "dashboard. Trim boundaries come from integer rank cutoffs (i > "
+    "n/20, ties broken by key — engine-identical membership, no "
+    "percentile interpolation to drift); winsorizing caps tails at "
+    "the kept-zone extremes. All sums through DECIMAL(38,6); "
+    "hash-exact. One rank window + one aggregate per group.",
+)
+def q_robust_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_returnflag").orderBy(
+        "l_extendedprice", "l_orderkey", "l_linenumber"
+    )
+    r = li.select(
+        "l_returnflag",
+        F.col("l_extendedprice").alias("v"),
+        F.row_number().over(w).alias("i"),
+        F.count(F.lit(1)).over(Window.partitionBy("l_returnflag")).alias("n"),
+    )
+    lo_out = F.col("i") <= F.expr("n div 20")
+    hi_out = F.col("i") > F.col("n") - F.expr("n div 20")
+    marked = r.select(
+        "l_returnflag",
+        "v",
+        "n",
+        ((~lo_out) & (~hi_out)).cast("int").alias("kept"),
+        F.when(lo_out, "lo").when(hi_out, "hi").otherwise("mid").alias("zone"),
+    )
+    caps = marked.groupBy("l_returnflag").agg(
+        F.min(F.when(F.col("zone") == "mid", F.col("v"))).alias("lo_cap"),
+        F.max(F.when(F.col("zone") == "mid", F.col("v"))).alias("hi_cap"),
+    )
+    dec0 = F.lit(0).cast("decimal(38,6)")
+    wins_v = (
+        F.when(F.col("zone") == "lo", F.col("lo_cap"))
+        .when(F.col("zone") == "hi", F.col("hi_cap"))
+        .otherwise(F.col("v"))
+    )
+    return (
+        marked.join(F.broadcast(caps), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum("kept").cast("bigint").alias("n_kept"),
+            (
+                F.sum(
+                    F.when(F.col("kept") == 1, F.col("v").cast("decimal(38,6)"))
+                    .otherwise(dec0)
+                ).cast("double")
+                / F.sum("kept")
+            ).alias("trimmed_mean"),
+            (
+                F.sum(wins_v.cast("decimal(38,6)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("winsorized_mean"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# #254 max drawdown over the daily revenue curve
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_max_drawdown",
+    oracle="""
+        WITH d AS (
+            SELECT DATE_TRUNC('day', CAST(ts AS TIMESTAMP)) AS dd,
+                   CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+                       AS cents
+            FROM events GROUP BY 1
+        ),
+        cum_t AS (
+            SELECT dd,
+                   CAST(SUM(cents) OVER (ORDER BY dd
+                                         ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND CURRENT ROW) AS BIGINT) AS cum
+            FROM d
+        ),
+        c AS (
+            SELECT dd, cum,
+                   CAST(MAX(cum) OVER (ORDER BY dd
+                                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND CURRENT ROW) AS BIGINT) AS peak
+            FROM cum_t
+        ),
+        dd2 AS (
+            SELECT dd, cum, peak,
+                   peak - cum AS drawdown_cents
+            FROM c
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+               CAST(MAX(drawdown_cents) AS BIGINT) AS max_drawdown_cents,
+               ROUND(CAST(MAX(drawdown_cents) AS DOUBLE)
+                     / MAX(peak), 9) AS max_drawdown_frac
+        FROM dd2
+    """,
+    operators=(31, 254),
+    doc="Maximum drawdown (#254): the peak-to-trough decline of the "
+    "cumulative daily revenue curve — the finance/risk metric that "
+    "also catches revenue-pipeline regressions (a drawdown on a "
+    "cumulative business metric means negative days). Running sum -> "
+    "running peak -> max gap, all integer-exact cents through nested "
+    "frame windows; the fractional drawdown divides two identically-"
+    "derived values. Window state is O(1) per step, series length is "
+    "|days|.",
+)
+def q_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = _t(spark, sf_dir, "events")
+    d = ev.groupBy(F.date_trunc("day", F.col("ts")).alias("dd")).agg(
+        F.sum(F.round(F.col("value") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("cents")
+    )
+    wcum = Window.orderBy("dd").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    c = d.select(
+        "dd", F.sum("cents").over(wcum).cast("bigint").alias("cum")
+    ).select(
+        "dd", "cum", F.max("cum").over(wcum).cast("bigint").alias("peak")
+    )
+    dd2 = c.select("dd", "cum", "peak", (F.col("peak") - F.col("cum")).alias("drawdown_cents"))
+    return dd2.groupBy().agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.max("drawdown_cents").cast("bigint").alias("max_drawdown_cents"),
+        F.round(
+            F.max("drawdown_cents").cast("double") / F.max("peak"), 9
+        ).alias("max_drawdown_frac"),
+    )
