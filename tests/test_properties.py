@@ -752,3 +752,73 @@ def test_cusum_alarm_requires_excursion(spark):
     for r in rows:
         if r.alarm:
             assert max(r.cusum_pos, r.cusum_neg) > 0
+
+
+def test_abc_classes_partition_revenue(spark):
+    """#251: A/B/C classes must partition customers and revenue; the A
+    class holds the largest share by construction."""
+    rows = {r.abc_class: r for r in REGISTRY["q_abc_pareto"].fn(spark, SF_SMOKE).collect()}
+    assert set(rows) <= {"A", "B", "C"} and "A" in rows
+    per = REGISTRY["q_abc_pareto"].fn(spark, SF_SMOKE)
+    total_rev = sum(r.class_revenue for r in rows.values())
+    assert rows["A"].class_revenue / total_rev >= 0.5
+
+
+def test_concentration_metrics_in_valid_ranges(spark):
+    """#252: Gini and HHI are bounded; top-10 share within (0, 1]."""
+    [r] = REGISTRY["q_concentration"].fn(spark, SF_SMOKE).collect()
+    assert 0.0 <= r.gini < 1.0
+    assert 1.0 / r.n_customers <= r.hhi <= 1.0
+    assert 0.0 < r.top10_share <= 1.0
+
+
+def test_robust_means_are_interior(spark):
+    """#253: the trimmed mean must sit inside the winsorized bounds'
+    neighborhood — both estimates within each group's raw min/max and
+    close to each other relative to the untrimmed spread."""
+    raw = {
+        r.l_returnflag: r
+        for r in load_table(spark, SF_SMOKE, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.min("l_extendedprice").alias("lo"),
+            F.max("l_extendedprice").alias("hi"),
+        )
+        .collect()
+    }
+    for r in REGISTRY["q_robust_stats"].fn(spark, SF_SMOKE).collect():
+        b = raw[r.l_returnflag]
+        assert b.lo <= r.trimmed_mean <= b.hi
+        assert b.lo <= r.winsorized_mean <= b.hi
+        assert abs(r.trimmed_mean - r.winsorized_mean) < (b.hi - b.lo) * 0.1
+
+
+def test_max_drawdown_nonnegative_and_bounded(spark):
+    """#254: drawdown is nonnegative and its fraction <= 1 (revenue
+    cents are positive, so the cumulative curve never dips below 0)."""
+    [r] = REGISTRY["q_max_drawdown"].fn(spark, SF_SMOKE).collect()
+    assert r.max_drawdown_cents >= 0
+    assert 0.0 <= r.max_drawdown_frac <= 1.0
+
+
+def test_isotonic_output_is_monotone(spark):
+    """#245: the recalibration map must be non-decreasing in bin order
+    — the defining property of isotonic regression."""
+    rows = sorted(
+        REGISTRY["q_isotonic_calibration"].fn(spark, SF_SMOKE).collect(),
+        key=lambda r: r.bin,
+    )
+    rates = [r.isotonic_rate for r in rows]
+    assert all(a <= b + 1e-12 for a, b in zip(rates, rates[1:]))
+
+
+def test_temperature_mix_upweights_low_resource(spark):
+    """#243: temperature scaling must give every language a sampling
+    weight at least its proportional share if it is below-average
+    sized (the low-resource up-weighting that motivates the recipe)."""
+    rows = REGISTRY["q_temperature_mix"].fn(spark, SF_SMOKE).collect()
+    total = sum(r.n_docs for r in rows)
+    for r in rows:
+        prop = r.n_docs / total
+        if prop < 1.0 / len(rows):
+            assert r.mix_weight > prop
