@@ -171,6 +171,8 @@ OPERATORS: dict[int, str] = {
     252: "concentration (Gini / HHI / top-share)",
     253: "robust_stats (trimmed + winsorized means)",
     254: "max_drawdown (peak-to-trough risk)",
+    255: "time_to_convert (funnel velocity percentiles)",
+    256: "dedup_threshold_sweep (estimator calibration)",
 }
 
 # Ops verified by tests rather than graded queries.

@@ -232,6 +232,8 @@ _NEXT_ROUND: list[str] = [
     "q_concentration",
     "q_robust_stats",
     "q_max_drawdown",
+    "q_time_to_convert",
+    "q_dedup_threshold_sweep",
 ]
 
 

@@ -873,3 +873,101 @@ def q_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             9,
         ).alias("did_estimate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# #255 time-to-convert distribution
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_time_to_convert",
+    oracle="""
+        WITH s AS (
+            SELECT user_id, MIN(EPOCH_US(CAST(ts AS TIMESTAMP))) AS signup_us
+            FROM events WHERE event_type = 'signup' GROUP BY user_id
+        ),
+        p AS (
+            SELECT e.user_id,
+                   MIN(EPOCH_US(CAST(e.ts AS TIMESTAMP))) AS purchase_us
+            FROM events e JOIN s ON s.user_id = e.user_id
+            WHERE e.event_type = 'purchase'
+              AND EPOCH_US(CAST(e.ts AS TIMESTAMP)) >= s.signup_us
+            GROUP BY e.user_id
+        ),
+        lat AS (
+            SELECT p.user_id,
+                   (p.purchase_us - s.signup_us) // 60000000 AS minutes,
+                   ROW_NUMBER() OVER (ORDER BY p.purchase_us - s.signup_us,
+                                               p.user_id) AS rn,
+                   COUNT(*) OVER () AS n
+            FROM p JOIN s ON s.user_id = p.user_id
+        )
+        SELECT CAST(MAX(n) AS BIGINT) AS n_converted,
+               CAST(MIN(minutes) AS BIGINT) AS min_minutes,
+               CAST(MAX(CASE WHEN rn = GREATEST(1, (n + 1) // 2)
+                             THEN minutes END) AS BIGINT) AS median_minutes,
+               CAST(MAX(CASE WHEN rn = GREATEST(1, (9 * n + 9) // 10)
+                             THEN minutes END) AS BIGINT) AS p90_minutes,
+               CAST(MAX(minutes) AS BIGINT) AS max_minutes
+        FROM lat
+    """,
+    operators=(31, 147, 255),
+    doc="Time-to-convert distribution (#255): the latency from each "
+    "user's first signup to their first subsequent purchase, "
+    "summarized as exact rank-selected median/p90 (integer-microsecond "
+    "latencies, discrete ranks with key tiebreaks — engine-identical "
+    "selection, no interpolation) — the funnel-velocity companion to "
+    "conversion-rate funnels (#147): not just WHETHER users convert "
+    "but HOW FAST, which prices activation campaigns. Two filtered "
+    "min-aggregates + one rank window over |converters|.",
+)
+def q_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min(F.unix_micros("ts")).alias("signup_us"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s, "user_id")
+        .filter(F.unix_micros("ts") >= F.col("signup_us"))
+        .groupBy("user_id")
+        .agg(F.min(F.unix_micros("ts")).alias("purchase_us"))
+    )
+    lat = (
+        p.join(s, "user_id")
+        .select(
+            "user_id",
+            F.expr("(purchase_us - signup_us) div 60000000").alias("minutes"),
+            (F.col("purchase_us") - F.col("signup_us")).alias("lat_us"),
+        )
+        .select(
+            "minutes",
+            F.row_number()
+            .over(Window.orderBy("lat_us", "user_id"))
+            .alias("rn"),
+            F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+        )
+    )
+    return lat.groupBy().agg(
+        F.max("n").cast("bigint").alias("n_converted"),
+        F.min("minutes").cast("bigint").alias("min_minutes"),
+        F.max(
+            F.when(F.col("rn") == F.greatest(F.lit(1), F.expr("(n + 1) div 2")), F.col("minutes"))
+        )
+        .cast("bigint")
+        .alias("median_minutes"),
+        F.max(
+            F.when(
+                F.col("rn") == F.greatest(F.lit(1), F.expr("(9 * n + 9) div 10")),
+                F.col("minutes"),
+            )
+        )
+        .cast("bigint")
+        .alias("p90_minutes"),
+        F.max("minutes").cast("bigint").alias("max_minutes"),
+    )

@@ -1641,3 +1641,132 @@ def _wire_bpe_apply_oracle() -> None:
 
 
 _wire_bpe_apply_oracle()
+
+
+# ---------------------------------------------------------------------------
+# #256 dedup threshold calibration sweep
+# ---------------------------------------------------------------------------
+
+_SWEEP_TS = (0.5, 0.6, 0.7, 0.8, 0.9)
+
+
+def _sweep_oracle() -> str:
+    eq_terms = " + ".join(
+        f"CAST(a.h{j} = b.h{j} AS INT)" for j in range(12)
+    )
+    ths = ", ".join(f"CAST({t} AS DOUBLE)" for t in _SWEEP_TS)
+    return f"""
+        WITH {_MINHASH_CTES},
+        est AS (
+            SELECT c.doc_a, c.doc_b,
+                   ({eq_terms}) / CAST(12 AS DOUBLE) AS est_j
+            FROM cand c
+            JOIN sig a ON a.doc_id = c.doc_a
+            JOIN sig b ON b.doc_id = c.doc_b
+        ),
+        joined AS (
+            SELECT e.est_j, s.jacc
+            FROM est e JOIN scored s
+              ON s.doc_a = e.doc_a AND s.doc_b = e.doc_b
+        ),
+        th AS (SELECT UNNEST(ARRAY[{ths}]) AS t)
+        SELECT th.t AS threshold,
+               CAST(SUM(CAST(est_j >= th.t AND jacc >= th.t AS INT)) AS BIGINT)
+                   AS tp,
+               CAST(SUM(CAST(est_j >= th.t AND jacc < th.t AS INT)) AS BIGINT)
+                   AS fp,
+               CAST(SUM(CAST(est_j < th.t AND jacc >= th.t AS INT)) AS BIGINT)
+                   AS fn,
+               ROUND(CAST(SUM(CAST(est_j >= th.t AND jacc >= th.t AS INT))
+                          AS DOUBLE)
+                     / NULLIF(SUM(CAST(est_j >= th.t AS INT)), 0), 9)
+                   AS precision_,
+               ROUND(CAST(SUM(CAST(est_j >= th.t AND jacc >= th.t AS INT))
+                          AS DOUBLE)
+                     / NULLIF(SUM(CAST(jacc >= th.t AS INT)), 0), 9) AS recall_
+        FROM th CROSS JOIN joined
+        GROUP BY th.t
+    """
+
+
+@query(
+    "q_dedup_threshold_sweep",
+    oracle=_sweep_oracle(),
+    operators=(70, 256),
+    doc="Dedup threshold calibration (#256): the methodology step "
+    "nobody grades — for each candidate pair from the md5 MinHash-LSH "
+    "pipeline (#70), the SIGNATURE-estimated Jaccard (matching "
+    "minhash fraction) is swept against the exact Jaccard across five "
+    "thresholds, yielding per-threshold precision/recall of the "
+    "estimator. This is how a pipeline picks its dedup threshold "
+    "empirically instead of by folklore; because both the signatures "
+    "and the exact re-score are engine-reproducible, the whole "
+    "calibration table grades hash-exact. Cost: the candidate set "
+    "only — the sweep itself is one conditional aggregate over "
+    "5 x |candidates| rows.",
+)
+def q_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    sh = d.filter(F.size(toks) >= 3).select("doc_id", T.shingles(toks, 3).alias("s"))
+    sig = D.minhash_signature_grouped(sh, "doc_id", F.col("s"), 12).localCheckpoint()
+    bands = sig.select(
+        "doc_id", F.posexplode(F.array(*D.band_keys("h", 12, 3))).alias("bi", "band")
+    )
+    x = bands.select(F.col("doc_id").alias("doc_a"), "bi", "band")
+    y = bands.select(F.col("doc_id").alias("doc_b"), "bi", "band")
+    cand = (
+        x.join(y, ["bi", "band"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    siga = sig.select(
+        F.col("doc_id").alias("doc_a"), *[F.col(f"h{j}").alias(f"a{j}") for j in range(12)]
+    )
+    sigb = sig.select(
+        F.col("doc_id").alias("doc_b"), *[F.col(f"h{j}").alias(f"b{j}") for j in range(12)]
+    )
+    eq_sum = sum(
+        (F.col(f"a{j}") == F.col(f"b{j}")).cast("int") for j in range(12)
+    )
+    est = (
+        cand.join(siga, "doc_a")
+        .join(sigb, "doc_b")
+        .select("doc_a", "doc_b", (eq_sum / F.lit(12.0)).alias("est_j"))
+    )
+    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("sa"))
+    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("sb"))
+    joined = (
+        est.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("est_j", D.jaccard(F.col("sa"), F.col("sb")).alias("jacc"))
+    )
+    th = joined.sparkSession.range(1).select(
+        F.explode(F.array(*[F.lit(float(t)) for t in _SWEEP_TS])).alias("t")
+    )
+    pred = F.col("est_j") >= F.col("t")
+    actual = F.col("jacc") >= F.col("t")
+    g = (
+        joined.crossJoin(F.broadcast(th))
+        .groupBy("t")
+        .agg(
+            F.sum((pred & actual).cast("int")).cast("bigint").alias("tp"),
+            F.sum((pred & ~actual).cast("int")).cast("bigint").alias("fp"),
+            F.sum(((~pred) & actual).cast("int")).cast("bigint").alias("fn"),
+            F.sum(pred.cast("int")).alias("n_pred"),
+            F.sum(actual.cast("int")).alias("n_act"),
+        )
+    )
+    return g.select(
+        F.col("t").alias("threshold"),
+        "tp",
+        "fp",
+        "fn",
+        F.round(
+            F.col("tp").cast("double") / F.nullif(F.col("n_pred"), F.lit(0)), 9
+        ).alias("precision_"),
+        F.round(
+            F.col("tp").cast("double") / F.nullif(F.col("n_act"), F.lit(0)), 9
+        ).alias("recall_"),
+    )
