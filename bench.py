@@ -63,6 +63,17 @@ def main() -> None:
     if errors:
         out["errors"] = errors
     print(json.dumps(out))
+    # The driver snapshots only the LAST 2000 chars of stdout into
+    # BENCH_r{N}.json, which clips ~160 queries' timings. Keep the full
+    # record locally so round-over-round perf diffs stay possible.
+    try:
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "BENCH_local.json"), "w"
+        ) as f:
+            json.dump(out, f, indent=1, sort_keys=True)
+    except OSError:
+        pass  # a read-only checkout must not fail the bench
     if errors:
         print(f"bench: {len(errors)} queries errored: {sorted(errors)}", file=sys.stderr)
         sys.exit(1)

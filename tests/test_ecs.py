@@ -123,3 +123,38 @@ def test_schedule_checkpoint_truncates_lineage(spark):
     with contextlib.redirect_stdout(buf):
         ckpt.component("v").explain()
     assert "Scan ExistingRDD" in buf.getvalue() or "LocalTableScan" in buf.getvalue()
+
+
+def test_despawn_accepts_predicate_and_dataframe(spark, tmp_path):
+    """World.despawn must route a Column predicate and a doomed-id
+    DataFrame through the deletion-vector delete without a driver-side
+    id list, and the three input shapes (predicate / DataFrame / list)
+    must erase identically."""
+    from zmaxion_spark.ecs import ENTITY, World
+
+    base = spark.createDataFrame(
+        [(i, float(i * 10)) for i in range(20)], f"{ENTITY} long, v double"
+    )
+
+    def fresh(tag: str) -> str:
+        root = str(tmp_path / tag)
+        w = World()
+        w._components["v"] = base
+        w.save(root)
+        return root
+
+    survivors = {i for i in range(20) if i % 3 != 0}
+
+    r1 = fresh("pred")
+    World.despawn(spark, r1, F.col(ENTITY) % 3 == 0)
+    r2 = fresh("df")
+    doomed_df = base.filter(F.col(ENTITY) % 3 == 0).select(ENTITY)
+    World.despawn(spark, r2, doomed_df)
+    r3 = fresh("list")
+    World.despawn(spark, r3, [i for i in range(20) if i % 3 == 0])
+
+    for root in (r1, r2, r3):
+        got = {
+            r[0] for r in World.load(spark, root).component("v").collect()
+        }
+        assert got == survivors, root

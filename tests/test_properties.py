@@ -637,27 +637,51 @@ def test_cdc_apply_idempotent_and_delete_free(spark):
 
 
 def test_phash_banding_is_complete_for_close_pairs(spark):
-    """#216 blocking guarantee: 64 bits in 4 bands — any pair within
-    hamming distance 3 MUST share a band (pigeonhole), so the banded
-    candidate join can only miss pairs the threshold would reject
-    anyway. Verified against all-pairs brute force at smoke scale."""
+    """#216 blocking guarantee vs all-pairs brute force: recompute each
+    doc's 64-bit average-hash in plain Python, enumerate EVERY pair,
+    and require the banded pipeline's output to equal exactly the set
+    of pairs within the hamming threshold. Pigeonhole (4 bands x 16
+    bits, threshold 3) says a close pair always shares a band, so the
+    blocked join must be lossless — this asserts it, rather than
+    restating the identity."""
+    import hashlib
     import itertools
 
     from zmaxion_spark.queries.llm import _PH_MAX_HAMMING
 
     rows = REGISTRY["q_phash_dedup"].fn(spark, SF_SMOKE).collect()
-    found = {(r.doc_a, r.doc_b) for r in rows}
-    # Brute force: recompute band words per doc and all-pairs hamming.
-    d = load_table(spark, SF_SMOKE, "documents")
-    # reuse the graded pipeline's own bands by re-deriving hamming from
-    # the query at threshold 64 (no filter) would need a code path; we
-    # instead assert found pairs satisfy the threshold + symmetry/ids.
+    found = {(r.doc_a, r.doc_b): r.hamming for r in rows}
     for a, b in found:
         assert a < b
-    assert all(r.hamming <= _PH_MAX_HAMMING for r in rows)
-    # Any found pair with hamming <= 3 shares a band by construction;
-    # completeness for <=3 is the pigeonhole identity (4 bands, 64 bits).
-    assert 4 * (64 // 4) == 64
+
+    docs = (
+        load_table(spark, SF_SMOKE, "documents")
+        .filter((F.col("doc_id") % 2 == 0) & (F.length("text") >= 64))
+        .select("doc_id", "text")
+        .collect()
+    )
+    assert docs, "fixture yielded no image docs at smoke scale"
+
+    def phash(text: str) -> int:
+        w = len(text) // 64
+        px = [
+            int(hashlib.md5(text[i * w : (i + 1) * w].encode()).hexdigest()[:2], 16)
+            for i in range(64)
+        ]
+        total = sum(px)
+        return sum(1 << i for i, p in enumerate(px) if 64 * p > total)
+
+    hashes = sorted((r.doc_id, phash(r.text)) for r in docs)
+    close = {
+        (a, b): bin(ha ^ hb).count("1")
+        for (a, ha), (b, hb) in itertools.combinations(hashes, 2)
+        if bin(ha ^ hb).count("1") <= _PH_MAX_HAMMING
+    }
+    missed = sorted(set(close) - set(found))
+    extra = sorted(set(found) - set(close))
+    assert not missed, f"banding missed close pairs: {missed[:5]}"
+    assert not extra, f"pipeline emitted non-close pairs: {extra[:5]}"
+    assert found == close, "banded hamming disagrees with brute force"
 
 
 def test_kmv_estimates_within_theory_bound(spark):

@@ -116,15 +116,22 @@ class World:
         return versions
 
     @staticmethod
-    def despawn(spark, root: str, entity_ids) -> dict[str, int]:
+    def despawn(spark, root: str, doomed) -> dict[str, int]:
         """Remove entities from EVERY component table of a persisted
         world — the ECS despawn, and equally the GDPR-erasure shape:
         one deletion-vector commit per component (#189), no file
         rewritten, vectors materialize at the next compaction. Returns
         {component: commit version} for components that held any of
-        the entities; components without matches are untouched."""
+        the entities; components without matches are untouched.
+
+        ``doomed`` may be a Column predicate over the component rows
+        ("despawn by predicate"), a DataFrame carrying an entity_id
+        column (distributed semi-join delete — the doomed set never
+        passes through the driver), or a plain iterable of ids (small
+        explicit lists, e.g. one GDPR request)."""
         import os
 
+        from pyspark.sql import Column, DataFrame
         from pyspark.sql import functions as F
 
         from zmaxion_spark.txlog import TxTable
@@ -133,9 +140,14 @@ class World:
         for name in sorted(os.listdir(root)):
             t = TxTable(os.path.join(root, name))
             try:
-                versions[name] = t.delete_where(
-                    spark, F.col(ENTITY).isin(list(entity_ids))
-                )
+                if isinstance(doomed, DataFrame):
+                    versions[name] = t.delete_matching(spark, doomed, ENTITY)
+                elif isinstance(doomed, Column):
+                    versions[name] = t.delete_where(spark, doomed)
+                else:
+                    versions[name] = t.delete_where(
+                        spark, F.col(ENTITY).isin(list(doomed))
+                    )
             except ValueError:
                 pass  # no rows matched in this component
         return versions

@@ -250,7 +250,11 @@ def q_ecs_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(F.col("balance")),
         ),
     )
-    Schedule(debit, score, settle).run(w)
+    # checkpoint=True materializes each stage boundary: without it the
+    # final plan re-derives every component from the base scans once
+    # per consumer (36 scans in the r03 plan audit); with it a tick
+    # reads each input once and later stages read ExistingRDD.
+    Schedule(debit, score, settle).run(w, checkpoint=True)
     return (
         w.query("balance", "segment")
         .groupBy("segment")
@@ -431,10 +435,14 @@ def q_ecs_snapshot_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="ECS despawn (#194): entities c_custkey%10==3 are removed from "
     "EVERY component table of a persisted world via one deletion-"
     "vector commit per component (#189) — no file rewritten, the "
-    "GDPR-erasure shape applied world-wide. The restored world's "
-    "archetype query must equal the plain NOT-predicate SQL; the "
-    "pre-despawn world version still time-travels back intact "
-    "(versioned erasure: auditable until vacuum).",
+    "GDPR-erasure shape applied world-wide. The doomed set is a "
+    "Column PREDICATE pushed straight into the DV delete (no driver-"
+    "side id list — despawn-by-predicate stays distributed at any "
+    "scale; World.despawn also accepts a DataFrame for semi-join "
+    "deletes). The restored world's archetype query must equal the "
+    "plain NOT-predicate SQL; the pre-despawn world version still "
+    "time-travels back intact (versioned erasure: auditable until "
+    "vacuum).",
 )
 def q_ecs_despawn(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
@@ -447,14 +455,7 @@ def q_ecs_despawn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     root = tempfile.mkdtemp(prefix="zmx-ecs-despawn-") + "/world"
     w.save(root)
-    doomed = [
-        r["entity_id"]
-        for r in w.component("balance")
-        .filter(F.col("entity_id") % 10 == 3)
-        .select("entity_id")
-        .collect()
-    ]
-    World.despawn(spark, root, doomed)
+    World.despawn(spark, root, F.col("entity_id") % 10 == 3)
     restored = World.load(spark, root)
     return (
         restored.query("balance", "segment")

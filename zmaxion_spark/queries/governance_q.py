@@ -44,7 +44,7 @@ _K = 5
     doc=f"k-anonymity audit (#202): every quasi-identifier class "
     "(nation, market segment, account-balance band) is scored for "
     "re-identification risk — class size n, l-diversity of the "
-    "sensitive high-balance flag, a k>={_K} pass flag and the 1/n "
+    f"sensitive high-balance flag, a k>={_K} pass flag and the 1/n "
     "linkage risk. The release gate (suppress classes with k_anon=0) "
     "is then one filter. Scale shape: a single hash aggregate over "
     "the QI columns — the audit costs exactly one groupBy shuffle of "
@@ -125,15 +125,17 @@ def _unit(col: F.Column) -> F.Column:
         FROM u
     """,
     operators=(203,),
-    doc="Differentially-private release counts (#203): per-group "
-    "Laplace(1/eps) noise via the inverse CDF over an md5-seeded "
-    "uniform — the draw is a pure function of the group key, so the "
-    "release is reproducible (and the oracle reproduces the exact "
-    "noise, grading the mechanism itself rather than a tolerance "
-    "band). Deterministic seeding is also what a real pipeline wants: "
-    "re-running the publish job must not spend fresh privacy budget. "
-    "Scale shape: noise is a per-group scalar expression on top of "
-    "one hash aggregate; zero extra shuffles.",
+    doc="Laplace noise-injection mechanics demo (#203). NOT a "
+    "differential-privacy mechanism: the noise is a deterministic "
+    "function of the PUBLIC group key (so anyone can recompute and "
+    "subtract it), and true_n/noise are emitted alongside noisy_n so "
+    "the oracle can grade the inverse-CDF transform hash-exactly. A "
+    "real epsilon-DP release needs cryptographically random draws "
+    "seeded per-release with budget accounting, and must publish ONLY "
+    "noisy_n — swap _unit() for a secret-keyed PRF and drop the "
+    "true_n/noise columns to get there; the distributed shape (per-"
+    "group scalar expression over one hash aggregate, zero extra "
+    "shuffles) is exactly what that production mechanism would use.",
 )
 def q_dp_noisy_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")

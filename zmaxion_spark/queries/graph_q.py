@@ -212,6 +212,12 @@ def q_pagerank_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders")
     cust = _t(spark, sf_dir, "customer")
     supp = _t(spark, sf_dir, "supplier")
+    # Loop invariants are materialized ONCE via eager localCheckpoint
+    # (the _sparse_cosupply_edges discipline): without it, every
+    # unrolled iteration replays the 4-table star join that derives the
+    # edge list — measured as 88 scans / 43 exchanges in the r03 plan
+    # audit. Rank quantization (ROUND 12 each step) makes the result
+    # checkpoint-invariant.
     e = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
@@ -220,14 +226,16 @@ def q_pagerank_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst")
         )
         .agg(F.count(F.lit(1)).alias("w"))
+        .localCheckpoint()
     )
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionAll(e.select(F.col("dst").alias("node")))
         .distinct()
+        .localCheckpoint()
     )
     n = nodes.agg(F.count(F.lit(1)).alias("n"))
-    outw = e.groupBy("src").agg(F.sum("w").alias("w_out"))
+    outw = e.groupBy("src").agg(F.sum("w").alias("w_out")).localCheckpoint()
     r = nodes.crossJoin(F.broadcast(n)).select(
         "node", (F.lit(1.0) / F.col("n")).alias("rank")
     )
@@ -408,7 +416,7 @@ def _lp_oracle() -> str:
     oracle=_lp_oracle(),
     operators=(206, 211),
     doc=f"Semi-supervised label propagation (#211): every 10th supplier "
-    "is seeded with its nation as a label; for {_LP_ROUNDS} synchronous "
+    f"is seeded with its nation as a label; for {_LP_ROUNDS} synchronous "
     "rounds each unlabeled node adopts the majority label among its "
     "already-labeled co-supply neighbors (ties -> smallest label — the "
     "deterministic tiebreak that makes the run engine-reproducible). "

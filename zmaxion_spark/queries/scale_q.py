@@ -770,7 +770,7 @@ def _gh_char_sql(cell: str, chunk: int, div: str = "//") -> str:
     """,
     operators=(154, 241),
     doc=f"Geohash encode + multi-resolution rollup (#241): synthetic "
-    "md5-derived coordinates quantized to {_GH_BITS} bits per axis, "
+    f"md5-derived coordinates quantized to {_GH_BITS} bits per axis, "
     "lon/lat bits interleaved into a 30-bit cell (the interleave "
     "expression is GENERATED once and shared verbatim by both "
     "engines), base32-encoded to 6-char geohashes, then rolled up at "

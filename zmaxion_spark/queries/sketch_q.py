@@ -484,7 +484,7 @@ _QS_QS = (25, 50, 90, 99)  # percentiles, as integers for exact rank math
     "full-data quantiles; both are graded, plus the realized relative "
     "error. The BlinkDB/approximate-query-processing discipline: at "
     "100 TB the full sort is the thing you cannot afford — the sample "
-    "sort costs 1/{_QS_RATE} the shuffle, the estimate error scales "
+    f"sort costs 1/{_QS_RATE} the shuffle, the estimate error scales "
     "as O(1/sqrt(sample)), and because the sample is a pure hash "
     "predicate it pushes into the scan and composes with every other "
     "operator. Integer rank arithmetic keeps the whole comparison "

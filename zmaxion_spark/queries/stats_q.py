@@ -479,7 +479,7 @@ def q_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
                    EXP(SUM(LN(1 - CAST(d AS DOUBLE) / n_risk))
                        OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
                              AND CURRENT ROW)) AS s
-            FROM risk WHERE d > 0
+            FROM risk WHERE d > 0 AND d < n_risk
         )
         SELECT t AS life_days, d AS n_churned, n_risk,
                ROUND(s, 9) AS survival
@@ -530,8 +530,14 @@ def q_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
     w_asc = Window.orderBy("t").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
+    # d == n_risk (everyone still at risk churned at the terminal
+    # lifetime) would put LN(0) in the product-limit tail: DuckDB throws
+    # ("cannot take logarithm of zero") while Spark returns NULL — a
+    # data-dependent oracle divergence. Drop the terminal point on BOTH
+    # sides; it can only be the largest observed lifetime, so no later
+    # row's cumulative sum depends on it.
     km = (
-        risk.filter(F.col("d") > 0)
+        risk.filter((F.col("d") > 0) & (F.col("d") < F.col("n_risk")))
         .select(
             "t",
             "d",
@@ -599,7 +605,7 @@ _PSI_BINS = 10
     operators=(23, 234),
     doc=f"Population Stability Index (#234): the model-monitoring "
     "drift metric — order values split into older/recent halves at "
-    "the median date, binned into {_PSI_BINS} shared equal-width bins, "
+    f"the median date, binned into {_PSI_BINS} shared equal-width bins, "
     "and each bin contributes (p_recent - p_base)*ln(p_recent/p_base) "
     "(epsilon-smoothed); sum of psi_part = PSI, with >0.2 the "
     "classic retrain trigger. The companion to calibration (#227): "

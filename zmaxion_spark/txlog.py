@@ -362,13 +362,48 @@ class TxTable:
         df = spark.read.parquet(
             *[os.path.join(self.path, f.path) for f in live]
         )
-        hits = (
-            df.filter(predicate)
-            .select(
+        return self._dv_commit(
+            df.filter(predicate).select(
                 F.col("_metadata.file_path").alias("fp"),
                 F.col("_metadata.row_index").alias("ri"),
             )
-            .groupBy("fp")
+        )
+
+    def delete_matching(self, spark, keys_df, key_col: str) -> int:
+        """DataFrame-native DELETE: drop every row whose ``key_col``
+        appears in ``keys_df`` (any DataFrame carrying that column).
+        Same deletion-vector commit as :meth:`delete_where`, but the
+        match is a distributed LEFT SEMI join — the doomed-key set
+        never passes through the driver, so "delete these N million
+        keys" scales where an ``isin([...])`` predicate list cannot.
+        The ``_metadata`` pseudo-column is projected off the scan
+        BEFORE the join (it only resolves against the file source)."""
+        from pyspark.sql import functions as F
+
+        live = self.live_files()
+        df = spark.read.parquet(
+            *[os.path.join(self.path, f.path) for f in live]
+        )
+        tagged = df.select(
+            key_col,
+            F.col("_metadata.file_path").alias("fp"),
+            F.col("_metadata.row_index").alias("ri"),
+        )
+        keys = keys_df.select(key_col).distinct()
+        return self._dv_commit(
+            tagged.join(keys, key_col, "left_semi").select("fp", "ri")
+        )
+
+    def _dv_commit(self, matched) -> int:
+        """Commit deletion vectors for matched rows, given as a frame
+        of (fp = _metadata.file_path, ri = _metadata.row_index): group
+        per file and record one DV action per affected file. Only the
+        per-file index LISTS reach the driver — O(deleted rows) ints,
+        the same payload the commit JSON itself must hold."""
+        from pyspark.sql import functions as F
+
+        hits = (
+            matched.groupBy("fp")
             .agg(F.sort_array(F.collect_list("ri")).alias("rows"))
             .collect()
         )
@@ -381,7 +416,7 @@ class TxTable:
             for row in hits
         ]
         if not actions:
-            raise ValueError("delete_where matched no rows")
+            raise ValueError("delete matched no rows")
         return self._commit(actions)
 
     def append_batch(self, df, source: str, batch_id: int) -> int | None:
