@@ -846,3 +846,133 @@ def test_temperature_mix_upweights_low_resource(spark):
         prop = r.n_docs / total
         if prop < 1.0 / len(rows):
             assert r.mix_weight > prop
+
+
+# ---------------------------------------------------------------------------
+# #75 real media codecs (functions/media.py)
+# ---------------------------------------------------------------------------
+
+
+def test_png_roundtrip_matches_closed_form():
+    """decode(synthesize(w, h, seed)) must recover the exact dimensions
+    and the closed-form mean luma — only reachable through a real
+    inflate + unfilter of the pixel bytes."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from zmaxion_spark.functions.media import decode_png, synthesize_png
+
+    @given(
+        st.integers(1, 24), st.integers(1, 20), st.integers(0, 255)
+    )
+    @settings(max_examples=30, deadline=None)
+    def check(w, h, seed):
+        f = decode_png(synthesize_png(w, h, seed))
+        vals = [
+            (seed + 3 * x + 5 * y + 7 * c) % 256
+            for y in range(h)
+            for x in range(w)
+            for c in range(3)
+        ]
+        assert (f["width"], f["height"], f["channels"]) == (w, h, 3)
+        assert f["mean_luma"] == sum(vals) // len(vals)
+
+    check()
+
+
+def test_png_decoder_handles_all_filter_types():
+    """The decoder must reconstruct scanlines under every PNG filter
+    (None/Sub/Up/Average/Paeth), not just the filter the synthesizer
+    emits — encode a grayscale image cycling through all five and
+    require the exact mean back."""
+    import struct
+    import zlib
+
+    from zmaxion_spark.functions.media import decode_png
+
+    w_, h_ = 11, 10
+    img = [[(x * 7 + y * 13) % 256 for x in range(w_)] for y in range(h_)]
+    raw = bytearray()
+    prev = [0] * w_
+    for y in range(h_):
+        line = img[y]
+        f = y % 5
+        raw.append(f)
+        for i, v in enumerate(line):
+            left = line[i - 1] if i > 0 else 0
+            up, ul = prev[i], (prev[i - 1] if i > 0 else 0)
+            if f == 0:
+                e = v
+            elif f == 1:
+                e = (v - left) & 0xFF
+            elif f == 2:
+                e = (v - up) & 0xFF
+            elif f == 3:
+                e = (v - ((left + up) >> 1)) & 0xFF
+            else:
+                p = left + up - ul
+                pa, pb, pc = abs(p - left), abs(p - up), abs(p - ul)
+                pred = left if pa <= pb and pa <= pc else (up if pb <= pc else ul)
+                e = (v - pred) & 0xFF
+            raw.append(e)
+        prev = line
+
+    def chunk(t, b):
+        return struct.pack(">I", len(b)) + t + b + struct.pack(
+            ">I", zlib.crc32(t + b) & 0xFFFFFFFF
+        )
+
+    payload = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w_, h_, 8, 0, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+    f = decode_png(payload)
+    assert f["channels"] == 1
+    assert f["mean_luma"] == sum(sum(r) for r in img) // (w_ * h_)
+
+
+def test_wav_roundtrip_matches_closed_form():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from zmaxion_spark.functions.media import decode_wav, synthesize_wav
+
+    @given(st.integers(1, 2000), st.integers(0, 500))
+    @settings(max_examples=30, deadline=None)
+    def check(n, seed):
+        import math
+
+        f = decode_wav(synthesize_wav(n, seed))
+        s = [((seed + 11 * i) % 201) - 100 for i in range(n)]
+        assert f["n_frames"] == n and f["sample_rate"] == 8000
+        assert f["duration_ms"] == n * 1000 // 8000
+        assert f["rms"] == math.isqrt(sum(v * v for v in s) // n)
+
+    check()
+
+
+def test_decode_media_dispatch_real_vs_fake():
+    """Real magic bytes take the real decoders; non-media payloads fall
+    back to the documented fake; unknown mimes raise."""
+    import pytest as _pytest
+
+    from zmaxion_spark.functions.media import (
+        decode_media,
+        synthesize_png,
+        synthesize_wav,
+    )
+
+    png = decode_media("image/png", synthesize_png(9, 4, 1))
+    assert (png["width"], png["height"]) == (9, 4)
+    import math
+
+    wav = decode_media("audio/wav", synthesize_wav(80, 3))
+    s = [((3 + 11 * i) % 201) - 100 for i in range(80)]
+    assert wav["width"] == 80  # n_frames
+    assert wav["height"] == math.isqrt(sum(v * v for v in s) // 80)  # rms
+    fake = decode_media("image/png", b"not actually media")
+    assert fake == {"width": 18 % 640, "height": (18 * 7) % 480}
+    with _pytest.raises(NotImplementedError):
+        decode_media("video/mp4", b"xxxx")

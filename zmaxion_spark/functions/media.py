@@ -1,0 +1,232 @@
+"""Real multimodal decode — SURVEY.md §2.18 #75 (media columns).
+
+This container ships no codec libraries (no PIL, no ffmpeg), but two
+real container formats are fully decodable with the standard library:
+
+- **PNG** — signature + chunk walk, IHDR parse, zlib-inflate of the
+  IDAT stream, and scanline UNFILTERING (all five filter types of the
+  PNG spec §9: None/Sub/Up/Average/Paeth). 8-bit gray/RGB/RGBA,
+  non-interlaced — the overwhelmingly common case for ML thumbnails.
+- **WAV** — RIFF header via the stdlib ``wave`` module + PCM sample
+  decode via ``struct``; emits duration/rate and a real RMS energy.
+
+So the decode seam is REAL: bytes go in, pixels/samples come out, and
+features (dimensions, mean luma, RMS) are computed from the decoded
+payload — not faked from its length. The deterministic *synthesizers*
+below produce valid PNG/WAV bytes from a seed, giving fixtures real
+media without shipping binaries; the oracle can predict the features
+in closed form while Spark must actually round-trip the container
+format to agree.
+
+Scale shape: decoders are plain ``bytes -> dict`` functions, applied
+inside ``mapInPandas`` batches (Arrow-transported binary columns, one
+Python call per row, zero JVM round-trips per pixel). At 100 TB the
+same functions run unchanged; only the payload source (object store
+URIs materialized into the binary column by the scan) differs.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# Bytes per pixel by PNG color type (8-bit depth): gray, RGB, palette
+# (unsupported), gray+alpha, RGBA.
+_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+def is_png(payload: bytes) -> bool:
+    return payload[:8] == _PNG_SIG
+
+
+def is_wav(payload: bytes) -> bool:
+    return payload[:4] == b"RIFF" and payload[8:12] == b"WAVE"
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def decode_png(payload: bytes) -> dict:
+    """Decode an 8-bit non-interlaced gray/RGB/RGBA PNG.
+
+    Returns {width, height, channels, mean_luma} where mean_luma is
+    the integer-floor mean over every decoded byte — a feature that
+    CANNOT be produced without actually inflating and unfiltering the
+    pixel data."""
+    if not is_png(payload):
+        raise ValueError("not a PNG signature")
+    pos, idat = 8, []
+    width = height = None
+    channels = 0
+    while pos + 8 <= len(payload):
+        (length,), ctype = struct.unpack(">I", payload[pos : pos + 4]), payload[
+            pos + 4 : pos + 8
+        ]
+        body = payload[pos + 8 : pos + 8 + length]
+        if ctype == b"IHDR":
+            width, height, depth, color, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", body
+            )
+            if depth != 8:
+                raise ValueError(f"unsupported bit depth {depth}")
+            if color not in _CHANNELS:
+                raise ValueError(f"unsupported color type {color}")
+            if interlace:
+                raise ValueError("interlaced PNG unsupported")
+            channels = _CHANNELS[color]
+        elif ctype == b"IDAT":
+            idat.append(body)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length  # length + type + body + crc
+    if width is None or not idat:
+        raise ValueError("missing IHDR or IDAT")
+    raw = zlib.decompress(b"".join(idat))
+    stride = width * channels
+    if len(raw) != (stride + 1) * height:
+        raise ValueError("pixel payload size mismatch")
+    # Unfilter scanlines (PNG spec §9): each line leads with its
+    # filter type; reconstruction references the previous line.
+    prev = bytearray(stride)
+    total = 0
+    for y in range(height):
+        off = y * (stride + 1)
+        ftype = raw[off]
+        line = bytearray(raw[off + 1 : off + 1 + stride])
+        if ftype == 1:  # Sub
+            for i in range(channels, stride):
+                line[i] = (line[i] + line[i - channels]) & 0xFF
+        elif ftype == 2:  # Up
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif ftype == 3:  # Average
+            for i in range(stride):
+                left = line[i - channels] if i >= channels else 0
+                line[i] = (line[i] + ((left + prev[i]) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for i in range(stride):
+                left = line[i - channels] if i >= channels else 0
+                upleft = prev[i - channels] if i >= channels else 0
+                line[i] = (line[i] + _paeth(left, prev[i], upleft)) & 0xFF
+        elif ftype != 0:
+            raise ValueError(f"bad filter type {ftype}")
+        total += sum(line)
+        prev = line
+    return {
+        "width": width,
+        "height": height,
+        "channels": channels,
+        "mean_luma": total // (stride * height),
+    }
+
+
+def decode_wav(payload: bytes) -> dict:
+    """Decode a PCM WAV: container via stdlib ``wave``, samples via
+    ``struct``. Returns {n_channels, sample_rate, n_frames,
+    duration_ms, rms} — rms over the real decoded 16-bit samples."""
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(payload), "rb") as w:
+        n_ch, width, rate, n_frames = (
+            w.getnchannels(),
+            w.getsampwidth(),
+            w.getframerate(),
+            w.getnframes(),
+        )
+        frames = w.readframes(n_frames)
+    if width != 2:
+        raise ValueError(f"unsupported sample width {width}")
+    samples = struct.unpack(f"<{len(frames) // 2}h", frames)
+    # Integer-exact RMS floor (isqrt, not float pow) so every engine
+    # agrees bit-for-bit: floor(sqrt(sum(s^2) div n)).
+    import math
+
+    rms = (
+        math.isqrt(sum(s * s for s in samples) // len(samples))
+        if samples
+        else 0
+    )
+    return {
+        "n_channels": n_ch,
+        "sample_rate": rate,
+        "n_frames": n_frames,
+        "duration_ms": n_frames * 1000 // rate,
+        "rms": rms,
+    }
+
+
+# ---------------------------------------------------------------------------
+# Deterministic synthesizers — real container bytes from a seed.
+# ---------------------------------------------------------------------------
+
+
+def _chunk(ctype: bytes, body: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(body))
+        + ctype
+        + body
+        + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+    )
+
+
+def synthesize_png(width: int, height: int, seed: int) -> bytes:
+    """A valid 8-bit RGB PNG whose pixel (x, y) channel c equals
+    ``(seed + 3*x + 5*y + 7*c) % 256`` — so mean luma is predictable
+    in closed form, but only reachable through a real decode."""
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    lines = bytearray()
+    for y in range(height):
+        lines.append(0)  # filter: None
+        for x in range(width):
+            for c in range(3):
+                lines.append((seed + 3 * x + 5 * y + 7 * c) % 256)
+    return (
+        _PNG_SIG
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(bytes(lines), 6))
+        + _chunk(b"IEND", b"")
+    )
+
+
+def synthesize_wav(n_frames: int, seed: int, rate: int = 8000) -> bytes:
+    """A valid mono 16-bit PCM WAV with samples
+    ``((seed + 11*i) % 201) - 100`` — tiny amplitude, closed-form RMS."""
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(
+            struct.pack(
+                f"<{n_frames}h",
+                *[((seed + 11 * i) % 201) - 100 for i in range(n_frames)],
+            )
+        )
+    return buf.getvalue()
+
+
+def decode_media(mime: str, payload: bytes) -> dict:
+    """Decode dispatch for the multimodal column (#75): REAL decoders
+    for real PNG/WAV bytes (magic-byte sniffed), and the documented
+    deterministic fake for payloads that are not actual media — the
+    fixture documents' text bytes take that branch, real media takes
+    the real one. Unknown mimes raise, the dead-letter discipline."""
+    if is_png(payload):
+        d = decode_png(payload)
+        return {"width": d["width"], "height": d["height"]}
+    if is_wav(payload):
+        d = decode_wav(payload)
+        return {"width": d["n_frames"], "height": d["rms"]}
+    if mime not in ("image/png", "audio/wav"):
+        raise NotImplementedError(f"no decoder for {mime}")
+    return {"width": len(payload) % 640, "height": (len(payload) * 7) % 480}

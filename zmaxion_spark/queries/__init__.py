@@ -131,6 +131,8 @@ _NEXT_ROUND: list[str] = [
     "q_stream_dedup_watermark",
     "q_lateral_topk",
     "q_funnel_steps",
+    # new in round 4: real stdlib media decode (#75)
+    "q_media_decode",
     # behavioral analytics
     "q_market_basket",
     "q_retention_cohorts",
