@@ -173,6 +173,8 @@ OPERATORS: dict[int, str] = {
     254: "max_drawdown (peak-to-trough risk)",
     255: "time_to_convert (funnel velocity percentiles)",
     256: "dedup_threshold_sweep (estimator calibration)",
+    # §2.21 round-4 wave (custom sink protocol)
+    257: "python_datasource_sink (manifest-committed writer + batchId-idempotent stream sink)",
 }
 
 # Ops verified by tests rather than graded queries.

@@ -131,8 +131,10 @@ _NEXT_ROUND: list[str] = [
     "q_stream_dedup_watermark",
     "q_lateral_topk",
     "q_funnel_steps",
-    # new in round 4: real stdlib media decode (#75)
+    # new in round 4: real stdlib media decode (#75), python sink (#257)
     "q_media_decode",
+    "q_python_datasink",
+    "q_stream_python_sink",
     # behavioral analytics
     "q_market_basket",
     "q_retention_cohorts",

@@ -419,3 +419,154 @@ def q_dead_letter(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("event_id").alias("last_event"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# #257 Python DataSource sink (writer twin of #136) + #258 stream variant
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_python_datasink",
+    oracle="""
+        WITH b AS (
+            SELECT event_type, user_id % 16 AS bucket,
+                   COUNT(*) AS n,
+                   CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+                       AS cents
+            FROM events GROUP BY 1, 2
+        )
+        SELECT event_type,
+               CAST(SUM(n) AS BIGINT) AS n_events,
+               CAST(SUM(cents) AS BIGINT) AS total_cents,
+               CAST(COUNT(*) AS BIGINT) AS n_sink_rows
+        FROM b GROUP BY event_type
+    """,
+    operators=(6, 257),
+    doc="Python DataSource SINK (#257): the write side of Spark 4's "
+    "Python DataSource API. Per-(event_type, user-bucket) integer "
+    "aggregates are written through df.write.format('zmx_topic_sink') "
+    "— each task streams its rows into a uuid part file and returns a "
+    "(file, rows) commit message; the driver's commit() publishes an "
+    "atomic manifest listing exactly the committed files, and the "
+    "read-back (read_sink) resolves manifests ONLY, so aborted or "
+    "orphan part files can never leak into results (a decoy orphan is "
+    "planted and must stay invisible). The graded output re-aggregates "
+    "the read-back, proving rows survived the two-phase commit "
+    "bit-exactly: integer counts and cents, nothing float on the wire. "
+    "Scale: rows never touch the driver — O(tasks) commit messages "
+    "do, the same fold every production commit protocol performs.",
+)
+def q_python_datasink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from zmaxion_spark.streaming.pysink import (
+        TopicSinkDataSource,
+        read_sink,
+    )
+
+    spark.dataSource.register(TopicSinkDataSource)
+    ev = load_table(spark, sf_dir, "events")
+    rows = (
+        ev.groupBy(
+            "event_type", (F.col("user_id") % 16).alias("bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("cents"),
+        )
+    )
+    path = tempfile.mkdtemp(prefix="zmx-pysink-")
+    (
+        rows.repartition(4)
+        .write.format("zmx_topic_sink")
+        .option("path", path)
+        .mode("append")
+        .save()
+    )
+    # Plant an orphan (no manifest entry): the committed read must
+    # not see it — this is the protocol's whole point.
+    with open(os.path.join(path, "parts", "part-orphan.jsonl"), "w") as f:
+        f.write('{"event_type": "GHOST", "bucket": 0, "n": 1, "cents": 1}\n')
+    back = read_sink(
+        spark, path,
+        "event_type string, bucket bigint, n bigint, cents bigint",
+    )
+    return back.groupBy("event_type").agg(
+        F.sum("n").cast("bigint").alias("n_events"),
+        F.sum("cents").cast("bigint").alias("total_cents"),
+        F.count(F.lit(1)).cast("bigint").alias("n_sink_rows"),
+    )
+
+
+@query(
+    "q_stream_python_sink",
+    oracle="""
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+                   AS total_cents
+        FROM events
+        GROUP BY event_type
+    """,
+    operators=(7, 57, 257),
+    doc="STREAMING Python DataSource sink (#257 stream side): the "
+    "chunked events topic drains through writeStream.format("
+    "'zmx_topic_sink') with one manifest per micro-batch, keyed by "
+    "batchId — a replayed batch id is detected in the manifest chain "
+    "and its part files dropped instead of double-published, the same "
+    "(source, batchId) idempotence contract as the txlog ingest "
+    "(#178), now implemented entirely inside a Python DataSource "
+    "StreamWriter. Re-running this query replays every batch against "
+    "the cached sink directory and must re-prove the skip path; the "
+    "graded aggregate equals the plain batch aggregate of events.",
+)
+def q_stream_python_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from zmaxion_spark.queries.txlog_q import _events_chunks
+    from zmaxion_spark.streaming.pipeline import _checkpoint_dir
+    from zmaxion_spark.streaming.pysink import (
+        TopicSinkDataSource,
+        committed_batch_ids,
+        read_sink,
+    )
+
+    spark.dataSource.register(TopicSinkDataSource)
+    chunks = _events_chunks(spark, sf_dir)
+    sink_dir = f"{os.path.dirname(chunks)}/pysink_out"
+    n_chunks = len([f for f in os.listdir(chunks) if f.endswith(".parquet")])
+    if len(committed_batch_ids(sink_dir)) != n_chunks:
+        import shutil
+
+        shutil.rmtree(sink_dir, ignore_errors=True)
+        os.makedirs(sink_dir, exist_ok=True)
+        schema = T.StructType(
+            [
+                T.StructField("event_id", T.LongType()),
+                T.StructField("event_type", T.StringType()),
+                T.StructField("value", T.DoubleType()),
+            ]
+        )
+        sdf = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(chunks)
+        )
+        q = (
+            sdf.select(
+                "event_type",
+                F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+            )
+            .writeStream.format("zmx_topic_sink")
+            .option("path", sink_dir)
+            .option("checkpointLocation", _checkpoint_dir())
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    back = read_sink(spark, sink_dir, "event_type string, cents bigint")
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("cents").cast("bigint").alias("total_cents"),
+    )
