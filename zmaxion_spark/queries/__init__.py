@@ -131,10 +131,12 @@ _NEXT_ROUND: list[str] = [
     "q_stream_dedup_watermark",
     "q_lateral_topk",
     "q_funnel_steps",
-    # new in round 4: real stdlib media decode (#75), python sink (#257)
+    # new in round 4: real stdlib media decode (#75), python sink (#257),
+    # approx_top_k contract (#26/#85)
     "q_media_decode",
     "q_python_datasink",
     "q_stream_python_sink",
+    "q_approx_topk",
     # behavioral analytics
     "q_market_basket",
     "q_retention_cohorts",

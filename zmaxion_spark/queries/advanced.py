@@ -871,16 +871,48 @@ def q_approx_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("l_orderkey", 0.01).alias("approx_orders"),
         F.countDistinct("l_orderkey").alias("exact_orders"),
     )
-    pcts = li.groupBy("l_returnflag").agg(
+    approx = li.groupBy("l_returnflag").agg(
         F.element_at(
             F.percentile_approx("l_extendedprice", [0.5], 10000), 1
         ).alias("p50_approx"),
-        F.expr("percentile(l_extendedprice, array(0.48, 0.52))").alias("pp"),
-    ).select(
-        "l_returnflag",
-        "p50_approx",
-        F.element_at("pp", 1).alias("p48"),
-        F.element_at("pp", 2).alias("p52"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    # Exact rank bounds via histogram + running count, not
+    # percentile()'s object aggregate: the object agg buffers every
+    # group value in ONE in-memory array (OOM-shaped at scale). Here a
+    # partial-aggregated groupBy first shrinks rows to |distinct
+    # prices| — map-side combined, so the shuffle and the window sort
+    # scale with value cardinality, not row count — and the rank-r
+    # value is min{v : cum(v) >= r}, a conditional min. The rank
+    # guarantee of percentile_approx at accuracy 10000 (±n/10000) sits
+    # comfortably inside the discrete [ceil(.48n), floor(.52n)]
+    # bracket, so the contract flags are exact.
+    hist = li.groupBy("l_returnflag", "l_extendedprice").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    w = Window.partitionBy("l_returnflag").orderBy("l_extendedprice").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = hist.select(
+        "l_returnflag", "l_extendedprice", F.sum("c").over(w).alias("cum")
+    )
+    pcts = (
+        cum.join(F.broadcast(approx), "l_returnflag")
+        .groupBy("l_returnflag", "p50_approx")
+        .agg(
+            F.min(
+                F.when(
+                    F.col("cum") >= F.ceil(0.48 * F.col("n_rows")),
+                    F.col("l_extendedprice"),
+                )
+            ).alias("p48"),
+            F.min(
+                F.when(
+                    F.col("cum") >= F.floor(0.52 * F.col("n_rows")),
+                    F.col("l_extendedprice"),
+                )
+            ).alias("p52"),
+        )
     )
     g = counts.join(pcts, "l_returnflag")
     return g.select(

@@ -545,3 +545,65 @@ def q_quantile_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.abs(F.col("est_v") - F.col("exact_v")) / F.col("exact_v"), 9
         ).alias("rel_err"),
     )
+
+
+# ---------------------------------------------------------------------------
+# #26/#85 approx_top_k — Spark 4.1's built-in top-k sketch, graded
+# ---------------------------------------------------------------------------
+
+_ATK_K = 10
+_ATK_CAP = 100_000  # maxItemsTracked
+
+
+@query(
+    "q_approx_topk",
+    oracle=f"""
+        WITH toks AS (
+            SELECT UNNEST(STRING_SPLIT(text, ' ')) AS token FROM documents
+        ),
+        counts AS (
+            SELECT token, COUNT(*) AS n FROM toks
+            WHERE token <> '' GROUP BY token
+        )
+        SELECT token, CAST(n AS BIGINT) AS n,
+               CAST(ROW_NUMBER() OVER (ORDER BY n DESC, token) AS BIGINT)
+                   AS rank
+        FROM counts
+        ORDER BY n DESC, token
+        LIMIT {_ATK_K}
+    """,
+    operators=(26, 85),
+    doc=f"approx_top_k graded against exact truth (#26/#85): Spark "
+    "4.1's built-in frequent-items sketch tracks the corpus token "
+    f"stream with capacity {_ATK_CAP}; above the distinct-token "
+    "cardinality of the fixtures the tracked counts are EXACT, so the "
+    f"sketch's top-{_ATK_K} — re-sorted deterministically by (count "
+    "desc, token) to neutralize tie order, which the sketch does not "
+    "define — must hash-match DuckDB's exact top-k. The production "
+    "posture this pins: approx_top_k is a constant-size mergeable "
+    "aggregate (partial sketches combine map-side, one reduce of "
+    "O(capacity) state), replacing the full token groupBy + global "
+    "sort with a single pass at 100 TB; when cardinality exceeds "
+    "capacity the counts degrade gracefully to estimates with "
+    "documented error instead of failing.",
+)
+def q_approx_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        F.explode(F.split("text", " ")).alias("token")
+    ).filter(F.col("token") != "")
+    sk = toks.agg(
+        F.expr(f"approx_top_k(token, {_ATK_K * 4}, {_ATK_CAP})").alias("tk")
+    )
+    items = sk.select(F.explode("tk").alias("e")).select(
+        F.col("e.item").alias("token"), F.col("e.count").cast("bigint").alias("n")
+    )
+    w = Window.orderBy(F.col("n").desc(), "token")
+    return (
+        items.select(
+            "token", "n", F.row_number().over(w).cast("bigint").alias("rank")
+        )
+        .filter(F.col("rank") <= _ATK_K)
+    )
