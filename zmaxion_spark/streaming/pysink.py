@@ -73,13 +73,19 @@ def _manifest_paths(path: str) -> list[str]:
 
 def _publish(path: str, files: list[dict], batch_id: int | None) -> None:
     """Atomic manifest publish (tmp + rename), one manifest per job /
-    micro-batch; readers take the union of manifests."""
+    micro-batch; readers take the union of manifests. The name carries
+    a sequence prefix for human ordering plus a uuid suffix so two
+    CONCURRENT committers can never rename onto the same manifest
+    (POSIX rename overwrites silently — with a bare counter the loser's
+    commit would vanish); nothing on the read side depends on the
+    counter being gapless."""
     n = len(_manifest_paths(path))
     body = {"files": files, "batch_id": batch_id}
-    tmp = os.path.join(path, f".manifest-{n:08d}.tmp")
+    name = f"manifest-{n:08d}-{uuid.uuid4().hex[:8]}.json"
+    tmp = os.path.join(path, "." + name + ".tmp")
     with open(tmp, "w") as f:
         json.dump(body, f, sort_keys=True)
-    os.rename(tmp, os.path.join(path, f"manifest-{n:08d}.json"))
+    os.rename(tmp, os.path.join(path, name))
 
 
 def committed_batch_ids(path: str) -> set[int]:

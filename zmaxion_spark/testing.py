@@ -21,13 +21,22 @@ from zmaxion_spark.catalog import TABLES
 
 
 def duckdb_connect(sf_dir: str):
-    """Register fixture views exactly as the driver does (plain parquet)."""
+    """Register fixture views exactly as the driver does (plain parquet).
+
+    Driver fixtures are single files (`<t>.parquet`); Spark-written
+    fixtures (tools/make_sfn.py scale-ups) are DIRECTORIES of part
+    files under the same name — glob those."""
+    import os
+
     import duckdb
 
     con = duckdb.connect()
     for t in TABLES:
+        src = f"{sf_dir}/{t}.parquet"
+        if os.path.isdir(src):
+            src = f"{src}/*.parquet"
         con.execute(
-            f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+            f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM read_parquet('{src}')"
         )
     return con
 
