@@ -459,22 +459,26 @@ _QS_QS = (25, 50, 90, 99)  # percentiles, as integers for exact rank math
             WHERE CAST(('0x' || SUBSTR(MD5('qs:' || CAST(o_orderkey AS VARCHAR)),
                                        1, 8)) AS BIGINT) % {_QS_RATE} = 0
         ),
-        qs AS (SELECT UNNEST(ARRAY{list(_QS_QS)}) AS q)
-        SELECT qs.q,
-               MAX(CASE WHEN f.r = GREATEST(1, (qs.q * f.n + 99) // 100)
-                        THEN f.v END) AS exact_v,
-               MAX(CASE WHEN s.r = GREATEST(1, (qs.q * s.n + 99) // 100)
-                        THEN s.v END) AS est_v,
-               ROUND(ABS(MAX(CASE WHEN s.r = GREATEST(1, (qs.q * s.n + 99) // 100)
-                                  THEN s.v END)
-                         - MAX(CASE WHEN f.r = GREATEST(1, (qs.q * f.n + 99) // 100)
-                                    THEN f.v END))
-                     / MAX(CASE WHEN f.r = GREATEST(1, (qs.q * f.n + 99) // 100)
-                               THEN f.v END), 9) AS rel_err
-        FROM qs
-        CROSS JOIN full_r f
-        CROSS JOIN samp_r s
-        GROUP BY qs.q
+        qs AS (SELECT UNNEST(ARRAY{list(_QS_QS)}) AS q),
+        -- Two LINEAR probes joined on q. A single
+        -- qs x full_r x samp_r cross join is O(n * sample) — measured
+        -- as a 5x10^11-row product at sf1 that wedged the oracle for
+        -- 20+ minutes while the small-sf gate sailed through it.
+        fq AS (
+            SELECT qs.q AS q,
+                   MAX(CASE WHEN f.r = GREATEST(1, (qs.q * f.n + 99) // 100)
+                            THEN f.v END) AS exact_v
+            FROM qs CROSS JOIN full_r f GROUP BY qs.q
+        ),
+        sq AS (
+            SELECT qs.q AS q,
+                   MAX(CASE WHEN s.r = GREATEST(1, (qs.q * s.n + 99) // 100)
+                            THEN s.v END) AS est_v
+            FROM qs CROSS JOIN samp_r s GROUP BY qs.q
+        )
+        SELECT fq.q, fq.exact_v, sq.est_v,
+               ROUND(ABS(sq.est_v - fq.exact_v) / fq.exact_v, 9) AS rel_err
+        FROM fq JOIN sq ON fq.q = sq.q
     """,
     operators=(26, 219),
     doc=f"Hash-sample quantile estimation (#219): a deterministic "

@@ -601,10 +601,13 @@ def q_stream_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = stream_events(spark, sf_dir)
     t = run_available_now(funnel_state(ev), "funnel", mode="update")
     last = t.groupBy("user_id").agg(F.max("step").alias("step"))
+    # coalesce(0): a drained-empty stream must still emit typed zero
+    # counts (SUM over zero rows is NULL -> pandas float64 -> dtype
+    # mismatch vs the oracle's BIGINT), matching the oracle's COUNT.
     return last.agg(
-        F.sum(F.when(F.col("step") >= 1, 1).otherwise(0)).cast("bigint").alias("step1_click"),
-        F.sum(F.when(F.col("step") >= 2, 1).otherwise(0)).cast("bigint").alias("step2_view"),
-        F.sum(F.when(F.col("step") >= 3, 1).otherwise(0)).cast("bigint").alias("step3_purchase"),
+        F.coalesce(F.sum(F.when(F.col("step") >= 1, 1).otherwise(0)), F.lit(0)).cast("bigint").alias("step1_click"),
+        F.coalesce(F.sum(F.when(F.col("step") >= 2, 1).otherwise(0)), F.lit(0)).cast("bigint").alias("step2_view"),
+        F.coalesce(F.sum(F.when(F.col("step") >= 3, 1).otherwise(0)), F.lit(0)).cast("bigint").alias("step3_purchase"),
     )
 
 

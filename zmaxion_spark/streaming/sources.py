@@ -41,17 +41,33 @@ def _events_file_schema(spark: SparkSession, sf_dir: str) -> T.StructType:
 
 
 def _as_stream_dir(sf_dir: str, table: str) -> str:
-    """The file stream source requires a directory; expose the single
-    fixture parquet through a cached symlink dir (fixtures read-only)."""
+    """The file stream source requires a flat directory; expose the
+    fixture parquet through a cached symlink dir (fixtures read-only).
+    Driver fixtures are single files; Spark-written scale-ups
+    (tools/make_sfn.py) are DIRECTORIES of part files — the file
+    stream does not recurse into a symlinked subdirectory (it would
+    silently deliver zero rows), so link each part file flat, which
+    also gives the replay natural multi-file micro-batching."""
     import hashlib
     import os
 
+    src = f"{sf_dir}/{table}.parquet"
     key = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
     d = f"/tmp/zmx-stream/{key}/{table}"
     os.makedirs(d, exist_ok=True)
-    link = f"{d}/{table}.parquet"
-    if not os.path.exists(link):
-        os.symlink(f"{sf_dir}/{table}.parquet", link)
+    if os.path.isdir(src):
+        stale = f"{d}/{table}.parquet"  # pre-fix cache: link to the dir
+        if os.path.islink(stale) and os.path.isdir(stale):
+            os.unlink(stale)
+        for part in sorted(os.listdir(src)):
+            if part.endswith(".parquet"):
+                link = f"{d}/{part}"
+                if not os.path.exists(link):
+                    os.symlink(f"{src}/{part}", link)
+    else:
+        link = f"{d}/{table}.parquet"
+        if not os.path.exists(link):
+            os.symlink(src, link)
     return d
 
 
