@@ -403,6 +403,97 @@ def dedup_by_cosine(
     )
 
 
+def _sim_join_exact_pairjoin(
+    df: DataFrame, id_col: str, vec_col: str, threshold: float
+) -> DataFrame:
+    """Distributed exact fallback for :func:`sim_join_exact`: the
+    triangular theta self-join scored with the Arrow cosine. Quadratic
+    by semantics but fully partitioned (n_a × n_b task grid), no driver
+    state. Past this shape's budget the answer is sim_join_lsh."""
+    a = df.select(F.col(id_col).alias("id_a"), _d(F.col(vec_col)).alias("_va"))
+    b = df.select(F.col(id_col).alias("id_b"), _d(F.col(vec_col)).alias("_vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "id_b", cosine_arrow(F.col("_va"), F.col("_vb")).alias("cos_sim")
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
+def sim_join_exact(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+    broadcast_max_rows: int = 2_000_000,
+) -> DataFrame:
+    """Exact all-pairs similarity self-join: every (id_a < id_b) pair
+    with cosine ≥ threshold, plus the similarity itself.
+
+    Shape: SIZE-GUARDED, same discipline as :func:`dedup_by_cosine`.
+    Under the ceiling the corpus matrix is broadcast once and each
+    partition scores its rows against it with column-at-a-time rank-1
+    accumulation — the SQL left-fold cosine reproduced IEEE-exactly —
+    so each vector crosses Arrow once instead of once per pair, and no
+    pair row ever carries a vector. The naive theta join materializes
+    n² rows × two 64-float arrays through a nested-loop join (~200 GB
+    at 20k vectors) before a single interpreted lambda runs; this
+    shape moves O(n) vectors and emits only the surviving pairs. Past
+    the ceiling it falls back to the distributed triangular pair join
+    (quadratic but partitioned, Arrow-scored)."""
+    spark = df.sparkSession
+    probe = (
+        df.select(F.col(id_col), _d(F.col(vec_col)).alias("_v"))
+        .limit(broadcast_max_rows + 1)
+        .toPandas()
+    )
+    if len(probe) > broadcast_max_rows:
+        return _sim_join_exact_pairjoin(df, id_col, vec_col, threshold)
+    ids_np = probe[id_col].to_numpy()
+    mat = np.vstack(probe["_v"].to_numpy()).astype(np.float64)
+    bc = spark.sparkContext.broadcast((ids_np, mat))
+
+    out_schema = T.StructType(
+        [
+            T.StructField("id_a", T.LongType()),
+            T.StructField("id_b", T.LongType()),
+            T.StructField("cos_sim", T.DoubleType()),
+        ]
+    )
+
+    def score(batches):
+        corpus_ids, corpus = bc.value
+        dim = corpus.shape[1]
+        c_sq = np.zeros(len(corpus))
+        for j in range(dim):
+            c_sq = c_sq + corpus[:, j] * corpus[:, j]
+        c_norm = np.sqrt(c_sq)
+        for pdf_in in batches:
+            batch = np.vstack(pdf_in["_v"].to_numpy()).astype(np.float64)
+            dots = np.zeros((len(batch), len(corpus)))
+            b_sq = np.zeros(len(batch))
+            for j in range(dim):
+                dots = dots + np.outer(batch[:, j], corpus[:, j])
+                b_sq = b_sq + batch[:, j] * batch[:, j]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = dots / np.outer(np.sqrt(b_sq), c_norm)
+            bids = pdf_in[id_col].to_numpy()
+            hit = (cos >= threshold) & (corpus_ids[None, :] > bids[:, None])
+            bi, cj = np.nonzero(hit)
+            yield pd.DataFrame(
+                {
+                    "id_a": bids[bi],
+                    "id_b": corpus_ids[cj],
+                    "cos_sim": cos[bi, cj],
+                }
+            )
+
+    return df.select(F.col(id_col), _d(F.col(vec_col)).alias("_v")).mapInPandas(
+        score, out_schema
+    )
+
+
 def topk_neighbors(
     queries_df: DataFrame,
     corpus_df: DataFrame,

@@ -738,18 +738,16 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     operators=(73,),
     doc="All-pairs similarity join, exact variant (cos ≥ 0.35). The n² "
-    "baseline the LSH path is measured against.",
+    "baseline the LSH path is measured against. Size-guarded broadcast-"
+    "matrix shape (see functions/similarity.sim_join_exact): the naive "
+    "theta join pushes n² pair rows each carrying two vectors through a "
+    "nested-loop join (>10 min at 20k vectors); the matrix shape scores "
+    "fold-order-exact batches against one broadcast copy in seconds.",
     bench=False,
 )
 def q_sim_join_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "embeddings")
-    a = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
-    b = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
-    return (
-        a.join(b, F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", S.cosine(F.col("va"), F.col("vb")).alias("cos_sim"))
-        .filter(F.col("cos_sim") >= 0.35)
-    )
+    return S.sim_join_exact(e, "vec_id", "embedding", 0.35)
 
 
 @query(
