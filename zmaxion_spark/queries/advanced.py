@@ -861,16 +861,22 @@ def q_approx_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     li = _t(spark, sf_dir, "lineitem")
-    # TWO aggregation passes joined on the (3-row) group key: mixing
-    # COUNT(DISTINCT) with object aggregates (percentile/HLL) in one
-    # Aggregate forces an Expand + SortAggregate plan that measured
-    # 25x slower than the split at sf0.1 (151s -> ~6s).
-    counts = li.groupBy("l_returnflag").agg(
+    # SEPARATE aggregation passes joined on the (3-row) group key:
+    # mixing COUNT(DISTINCT) with object aggregates (percentile/HLL)
+    # in one Aggregate forces an Expand + SortAggregate plan that
+    # measured 25x slower than the split at sf0.1 (151s -> ~6s), and
+    # even approx_count_distinct alongside countDistinct pays the
+    # Expand (9.3s fused vs 1.9s + 1.8s split at sf0.1) because the
+    # rsd=0.01 register array rides every expanded row.
+    approx_counts = li.groupBy("l_returnflag").agg(
         # rsd=0.01: the 5% contract then holds with 5-sigma margin —
         # the default 0.05 rsd is a 1-sigma bound and DOES breach 5%.
         F.approx_count_distinct("l_orderkey", 0.01).alias("approx_orders"),
+    )
+    exact_counts = li.groupBy("l_returnflag").agg(
         F.countDistinct("l_orderkey").alias("exact_orders"),
     )
+    counts = approx_counts.join(exact_counts, "l_returnflag")
     approx = li.groupBy("l_returnflag").agg(
         F.element_at(
             F.percentile_approx("l_extendedprice", [0.5], 10000), 1
