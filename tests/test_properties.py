@@ -976,3 +976,83 @@ def test_decode_media_dispatch_real_vs_fake():
     assert fake == {"width": 18 % 640, "height": (18 * 7) % 480}
     with _pytest.raises(NotImplementedError):
         decode_media("video/mp4", b"xxxx")
+
+
+# ---------------------------------------------------------------------------
+# round-4 second wave: #258 prefix-filtered exact set-sim join, #259 JL
+# projection, #260 PCA power iteration
+# ---------------------------------------------------------------------------
+
+
+def test_ppjoin_prefix_filter_is_lossless(spark):
+    """Every pair found WITHOUT the prefix filter (full shingle join +
+    exact verify) must appear in the prefix-filtered result — the
+    PPJoin completeness theorem, checked brute-force at smoke scale
+    (the sf0.01 oracle re-proves it hash-exact)."""
+    from zmaxion_spark.functions import text as TX
+
+    d = load_table(spark, SF_SMOKE, "documents")
+    base = d.select(
+        "doc_id", TX.shingles(F.split("text", " "), 3).alias("arr")
+    ).filter(F.size("arr") >= 1)
+    sh = base.select("doc_id", F.explode("arr").alias("t"))
+    a = sh.select(F.col("doc_id").alias("id_a"), "t")
+    b = sh.select(F.col("doc_id").alias("id_b"), "t")
+    inter = (
+        a.join(b, "t")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    sz = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("s"))
+    truth = {
+        (r.id_a, r.id_b)
+        for r in inter.join(sz.withColumnRenamed("doc_id", "id_a_"), F.col("id_a") == F.col("id_a_"))
+        .withColumnRenamed("s", "sa")
+        .join(sz.withColumnRenamed("doc_id", "id_b_"), F.col("id_b") == F.col("id_b_"))
+        .withColumnRenamed("s", "sb")
+        .filter(F.col("i") / (F.col("sa") + F.col("sb") - F.col("i")) >= 0.6)
+        .collect()
+    }
+    got = {(r.id_a, r.id_b) for r in _rows(spark, "q_set_sim_join_prefix")}
+    assert got == truth
+    assert truth, "smoke fixture should contain planted near-dups"
+
+
+def test_jl_projection_distortion_centered(spark):
+    rows = _rows(spark, "q_jl_projection")
+    assert rows
+    ratios = [r.distortion for r in rows]
+    assert all(r > 0 for r in ratios)
+    mean = sum(ratios) / len(ratios)
+    # E[ratio] = 1 for JL with ±1/sqrt(k) entries; k=16 is coarse, so
+    # only the mean (not each pair) is tightly concentrated.
+    assert 0.7 < mean < 1.3, mean
+
+
+def test_pca_power_matches_numpy_eig(spark):
+    import numpy as np
+
+    rows = sorted(_rows(spark, "q_pca_power"), key=lambda r: r.dim_i)
+    v = np.array([r.loading for r in rows])
+    lam = rows[0].eigenvalue
+    e = load_table(spark, SF_SMOKE, "embeddings")
+    mat = np.vstack(
+        [np.asarray(r.embedding, dtype=np.float64) for r in e.collect()]
+    )
+    C = np.cov(mat, rowvar=False, bias=True)
+    # The graded invariant is the ITERATION, not the data's spectral
+    # gap (synthetic embeddings are near-isotropic, so 8 rounds need
+    # not converge to the top eigenvector): the result must be the
+    # C^8 @ ones direction, and the Rayleigh quotient must sit inside
+    # the spectrum and equal v'Cv/v'v for the emitted v.
+    ref = np.ones(64)
+    for _ in range(8):
+        ref = C @ ref
+        ref = ref / np.max(np.abs(ref))
+    cos = abs(np.dot(v, ref)) / (np.linalg.norm(v) * np.linalg.norm(ref))
+    assert cos > 0.999999, cos
+    w = np.linalg.eigvalsh(C)
+    assert w[0] - 1e-12 <= lam <= w[-1] + 1e-12, (lam, w[0], w[-1])
+    ray = float(v @ C @ v) / float(v @ v)
+    assert abs(lam - ray) < 1e-6, (lam, ray)

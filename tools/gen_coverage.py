@@ -175,6 +175,11 @@ OPERATORS: dict[int, str] = {
     256: "dedup_threshold_sweep (estimator calibration)",
     # §2.21 round-4 wave (custom sink protocol)
     257: "python_datasource_sink (manifest-committed writer + batchId-idempotent stream sink)",
+    # §2.21 round-4 second wave: exact similarity + spectral + chained state
+    258: "set_sim_join_prefix (PPJoin-filtered exact Jaccard join)",
+    259: "jl_projection (Johnson-Lindenstrauss + distortion audit)",
+    260: "pca_power (top principal component via power iteration)",
+    261: "stream_chained_agg (two stateful operators in one query)",
 }
 
 # Ops verified by tests rather than graded queries.

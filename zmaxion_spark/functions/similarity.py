@@ -378,28 +378,54 @@ def dedup_by_cosine(
         for j in range(dim):
             c_sq = c_sq + corpus[:, j] * corpus[:, j]
         c_norm = np.sqrt(c_sq)
+        # Bound the scoring working set: the dots matrix is
+        # |chunk| x |corpus| float64, and Arrow hands us ~10k-row
+        # batches — at a 200k-vector corpus that is 16 GB PER WORKER
+        # (measured JVM death at the sf10 smoke). Chunk rows so each
+        # worker holds ~64 MB of scores regardless of corpus size.
+        chunk = max(1, 8_000_000 // max(1, len(corpus)))
+        tmp = None
         for pdf_in in batches:
-            batch = np.vstack(pdf_in["_v"].to_numpy()).astype(np.float64)
-            dots = np.zeros((len(batch), len(corpus)))
-            b_sq = np.zeros(len(batch))
-            for j in range(dim):
-                dots = dots + np.outer(batch[:, j], corpus[:, j])
-                b_sq = b_sq + batch[:, j] * batch[:, j]
-            with np.errstate(divide="ignore", invalid="ignore"):
-                cos = dots / np.outer(np.sqrt(b_sq), c_norm)
-            bids = pdf_in[id_col].to_numpy()
-            hit = (cos >= threshold) & (corpus_ids[None, :] < bids[:, None])
-            dup = np.where(
-                hit.any(axis=1),
-                np.where(hit, corpus_ids[None, :], np.iinfo(np.int64).max).min(axis=1),
-                -1,
-            )
-            dup_ser = pd.Series(dup, dtype="Int64")
-            dup_ser[dup < 0] = pd.NA
-            yield pd.DataFrame({id_col: bids, "dup_of": dup_ser})
+            for lo in range(0, len(pdf_in), chunk):
+                sub = pdf_in.iloc[lo : lo + chunk]
+                batch = np.vstack(sub["_v"].to_numpy()).astype(np.float64)
+                dots = np.zeros((len(batch), len(corpus)))
+                b_sq = np.zeros(len(batch))
+                if tmp is None or tmp.shape != dots.shape:
+                    tmp = np.empty_like(dots)
+                # In-place rank-1 accumulation into preallocated
+                # buffers: per-j `dots = dots + np.outer(...)` allocates
+                # two chunk-x-corpus arrays 64 times per chunk, and the
+                # allocator churn (not the flops) dominated the sf10
+                # run. Same IEEE add order, zero per-j allocations.
+                for j in range(dim):
+                    np.multiply(batch[:, j, None], corpus[None, :, j], out=tmp)
+                    dots += tmp
+                    b_sq += batch[:, j] * batch[:, j]
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    cos = dots / np.outer(np.sqrt(b_sq), c_norm)
+                bids = sub[id_col].to_numpy()
+                hit = (cos >= threshold) & (corpus_ids[None, :] < bids[:, None])
+                dup = np.where(
+                    hit.any(axis=1),
+                    np.where(hit, corpus_ids[None, :], np.iinfo(np.int64).max).min(
+                        axis=1
+                    ),
+                    -1,
+                )
+                dup_ser = pd.Series(dup, dtype="Int64")
+                dup_ser[dup < 0] = pd.NA
+                yield pd.DataFrame({id_col: bids, "dup_of": dup_ser})
 
-    return df.select(F.col(id_col), _d(F.col(vec_col)).alias("_v")).mapInPandas(
-        score, out_schema
+    # Spread the quadratic scoring work across every core: the source
+    # is often a handful of parquet splits, which would leave all but a
+    # few workers idle while each survivor grinds |corpus|-wide scores.
+    # The shuffled payload is only O(n) (id, vector) rows.
+    n_parts = 2 * spark.sparkContext.defaultParallelism
+    return (
+        df.select(F.col(id_col), _d(F.col(vec_col)).alias("_v"))
+        .repartition(n_parts)
+        .mapInPandas(score, out_schema)
     )
 
 
@@ -469,28 +495,47 @@ def sim_join_exact(
         for j in range(dim):
             c_sq = c_sq + corpus[:, j] * corpus[:, j]
         c_norm = np.sqrt(c_sq)
+        # Same working-set bound as dedup_by_cosine's scorer: chunk
+        # rows so the |chunk| x |corpus| score matrix stays ~64 MB per
+        # worker at any corpus size (unchunked 10k-row Arrow batches
+        # OOM-killed the JVM at the 200k-vector sf10 smoke).
+        chunk = max(1, 8_000_000 // max(1, len(corpus)))
+        tmp = None
         for pdf_in in batches:
-            batch = np.vstack(pdf_in["_v"].to_numpy()).astype(np.float64)
-            dots = np.zeros((len(batch), len(corpus)))
-            b_sq = np.zeros(len(batch))
-            for j in range(dim):
-                dots = dots + np.outer(batch[:, j], corpus[:, j])
-                b_sq = b_sq + batch[:, j] * batch[:, j]
-            with np.errstate(divide="ignore", invalid="ignore"):
-                cos = dots / np.outer(np.sqrt(b_sq), c_norm)
-            bids = pdf_in[id_col].to_numpy()
-            hit = (cos >= threshold) & (corpus_ids[None, :] > bids[:, None])
-            bi, cj = np.nonzero(hit)
-            yield pd.DataFrame(
-                {
-                    "id_a": bids[bi],
-                    "id_b": corpus_ids[cj],
-                    "cos_sim": cos[bi, cj],
-                }
-            )
+            for lo in range(0, len(pdf_in), chunk):
+                sub = pdf_in.iloc[lo : lo + chunk]
+                batch = np.vstack(sub["_v"].to_numpy()).astype(np.float64)
+                dots = np.zeros((len(batch), len(corpus)))
+                b_sq = np.zeros(len(batch))
+                if tmp is None or tmp.shape != dots.shape:
+                    tmp = np.empty_like(dots)
+                # In-place accumulation, see dedup_by_cosine's scorer.
+                for j in range(dim):
+                    np.multiply(batch[:, j, None], corpus[None, :, j], out=tmp)
+                    dots += tmp
+                    b_sq += batch[:, j] * batch[:, j]
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    cos = dots / np.outer(np.sqrt(b_sq), c_norm)
+                bids = sub[id_col].to_numpy()
+                hit = (cos >= threshold) & (corpus_ids[None, :] > bids[:, None])
+                bi, cj = np.nonzero(hit)
+                yield pd.DataFrame(
+                    {
+                        "id_a": bids[bi],
+                        "id_b": corpus_ids[cj],
+                        "cos_sim": cos[bi, cj],
+                    }
+                )
 
-    return df.select(F.col(id_col), _d(F.col(vec_col)).alias("_v")).mapInPandas(
-        score, out_schema
+    # Spread the quadratic scoring work across every core: the source
+    # is often a handful of parquet splits, which would leave all but a
+    # few workers idle while each survivor grinds |corpus|-wide scores.
+    # The shuffled payload is only O(n) (id, vector) rows.
+    n_parts = 2 * spark.sparkContext.defaultParallelism
+    return (
+        df.select(F.col(id_col), _d(F.col(vec_col)).alias("_v"))
+        .repartition(n_parts)
+        .mapInPandas(score, out_schema)
     )
 
 

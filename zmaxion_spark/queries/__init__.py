@@ -28,6 +28,7 @@ from zmaxion_spark.queries import (  # noqa: F401,E402
     timeseries_q,
     txlog_q,
     udf,
+    vector_q,
 )
 
 # ---------------------------------------------------------------------------
@@ -137,6 +138,12 @@ _NEXT_ROUND: list[str] = [
     "q_python_datasink",
     "q_stream_python_sink",
     "q_approx_topk",
+    # new in round 4 second wave: exact set-sim join (#258), JL
+    # projection (#259), PCA power iteration (#260)
+    "q_set_sim_join_prefix",
+    "q_jl_projection",
+    "q_pca_power",
+    "q_stream_chained_agg",
     # behavioral analytics
     "q_market_basket",
     "q_retention_cohorts",

@@ -812,3 +812,65 @@ def _wire_stream_countmin_oracle() -> None:
 
 
 _wire_stream_countmin_oracle()
+
+
+@query(
+    "q_stream_chained_agg",
+    oracle=f"""
+        WITH mx AS (
+            SELECT MAX(EPOCH(CAST(ts AS TIMESTAMP))) AS m FROM events
+        ),
+        inner5 AS (
+            SELECT {_SQL_BUCKET.format(w=300)} AS w5,
+                   event_type,
+                   COUNT(*) AS n,
+                   SUM(CAST(value AS DECIMAL(38,6))) AS sv
+            FROM events GROUP BY 1, 2
+        )
+        SELECT CAST(FLOOR(w5 / 900) * 900 AS BIGINT) AS w_start_sec,
+               event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_subwindows,
+               CAST(SUM(n) AS BIGINT) AS n_events,
+               CAST(SUM(sv) AS DOUBLE) AS total_value
+        FROM inner5, mx
+        GROUP BY 1, 2, mx.m
+        HAVING CAST(FLOOR(w5 / 900) * 900 AS BIGINT) + 900 <= mx.m - 600
+    """,
+    operators=(48, 49, 53, 54, 55, 261),
+    doc="CHAINED stateful operators in one streaming query (#261, "
+    "Spark 3.4+ multiple-stateful-operator support): a 5-minute "
+    "tumbling aggregation feeds a second 15-minute tumbling "
+    "aggregation over the FIRST one's window column — two stateful "
+    "exec nodes in a single append-mode topology, something older "
+    "engines force into two jobs with an intermediate sink. Append "
+    "emission is watermark-gated end-to-end: the drain's no-data flush "
+    "batch emits exactly the 15-minute windows whose end precedes the "
+    "final watermark (max event time - 10 min), and the oracle states "
+    "that cutoff explicitly (HAVING end <= max_ts - 600). Inner "
+    "partial sums stay DECIMAL(38,6) across the chain so the outer "
+    "re-aggregation is order-independent and the gate hash-exact. "
+    "Scale: state is per-window-per-type (bounded by watermark "
+    "eviction at BOTH levels); the chain removes the intermediate "
+    "topic a two-job design would shuffle through.",
+)
+def q_stream_chained_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = stream_events(spark, sf_dir).withWatermark("ts", "10 minutes")
+    inner = ev.groupBy(F.window("ts", "5 minutes"), "event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast(DEC)).alias("sv"),
+    )
+    outer = inner.groupBy(
+        F.window(F.col("window"), "15 minutes"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n_subwindows"),
+        F.sum("n").cast("bigint").alias("n_events"),
+        F.sum("sv").cast("double").alias("total_value"),
+    )
+    t = run_available_now(outer, "chained_agg", mode="append")
+    return t.select(
+        F.unix_timestamp(F.col("window.start")).alias("w_start_sec"),
+        "event_type",
+        F.col("n_subwindows").cast("bigint").alias("n_subwindows"),
+        "n_events",
+        "total_value",
+    )

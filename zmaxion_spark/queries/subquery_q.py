@@ -318,6 +318,14 @@ def q_recursive_bom(spark: SparkSession, sf_dir: str) -> DataFrame:
     from zmaxion_spark.catalog import register_views
 
     register_views(spark, sf_dir, ["part"])
+    # The walk visits every partkey once, so total recursion output is
+    # bounded by |part| — but Spark's cteRecursionRowLimit safety valve
+    # defaults to 1M rows and kills the (correct, terminating) query on
+    # fixtures past ~1M parts (hit at the sf10 smoke). Size the limit
+    # from the actual domain instead of disabling it: termination stays
+    # protected by a real bound, one cheap dimension count pays for it.
+    n = spark.table("part").count()
+    spark.conf.set("spark.sql.cteRecursionRowLimit", str(max(1_000_000, 2 * n)))
     return spark.sql(
         """
         WITH RECURSIVE walk(p_partkey, depth) AS (

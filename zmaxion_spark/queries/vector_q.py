@@ -1,0 +1,458 @@
+"""Round-4 second wave: exact set-similarity join + spectral embedding ops.
+
+Three operators the LLM-pipeline family was still missing:
+
+- #258 ``set_sim_join_prefix`` — EXACT Jaccard self-join with PPJoin-
+  style prefix filtering: the deterministic counterpart of the
+  probabilistic MinHash-LSH path (#70), sharing its shingle domain.
+  The DuckDB oracle computes ground truth WITHOUT the prefix filter,
+  so the gate hash-proves the filter's completeness, not just the
+  arithmetic.
+- #259 ``jl_projection`` — Johnson-Lindenstrauss random projection
+  (md5-derived ±1 planes, the LSH hyperplane discipline) with a
+  per-pair distance-distortion audit.
+- #260 ``pca_power`` — top principal component of the embedding
+  corpus by power iteration over the hash-exact covariance matrix
+  (#217's DECIMAL(38,18) outer-product aggregate), unrolled to a
+  fixed round count on both engines.
+
+Reference parity note: /root/reference declares no source (SURVEY §0);
+these extend SURVEY §2.21.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from zmaxion_spark.catalog import load_table
+from zmaxion_spark.functions import similarity as S
+from zmaxion_spark.functions import text as TX
+from zmaxion_spark.queries.registry import query
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+def _d(col):
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+# ---------------------------------------------------------------------------
+# #258 exact set-similarity join with prefix filtering (PPJoin-lite)
+# ---------------------------------------------------------------------------
+
+_SSJ_T = 0.6  # Jaccard threshold
+
+_SSJ_ORACLE = f"""
+    WITH words AS (
+        SELECT doc_id, STRING_SPLIT(text, ' ') AS w FROM documents
+    ),
+    sh AS (
+        SELECT doc_id,
+               UNNEST(LIST_DISTINCT([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                                     FOR i IN RANGE(1, LEN(w) - 1)])) AS t
+        FROM words WHERE LEN(w) >= 3
+    ),
+    sz AS (SELECT doc_id, COUNT(*) AS s FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+        FROM sh a JOIN sh b ON a.t = b.t AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, i AS inter_sh,
+           sa.s AS sz_a, sb.s AS sz_b,
+           CAST(i AS DOUBLE) / CAST(sa.s + sb.s - i AS DOUBLE) AS jaccard
+    FROM inter
+    JOIN sz sa ON id_a = sa.doc_id
+    JOIN sz sb ON id_b = sb.doc_id
+    WHERE CAST(i AS DOUBLE) / CAST(sa.s + sb.s - i AS DOUBLE) >= {_SSJ_T}
+"""
+
+
+@query(
+    "q_set_sim_join_prefix",
+    oracle=_SSJ_ORACLE,
+    operators=(68, 70, 258),
+    doc=f"Exact set-similarity self-join (Jaccard >= {_SSJ_T} on distinct "
+    "3-token shingles) with PPJoin-style prefix filtering: tokens "
+    "ordered globally by ascending document frequency, each set keeps "
+    "only its |s| - ceil(t*|s|) + 1 rarest shingles as its prefix, and "
+    "candidate pairs come from a prefix-shingle equi-join — if "
+    "J(a,b) >= t the prefixes must share a shingle, so the filter is "
+    "lossless while pruning the candidate space to the rare-token "
+    "buckets. Survivors are verified with an exact integer "
+    "intersection. THE ORACLE DOES NOT USE THE FILTER: DuckDB computes "
+    "ground truth from the full shingle join, so a hash-exact pass "
+    "proves the prefix filter dropped nothing. Scale: the shuffled "
+    "candidate stream carries (doc_id, shingle) prefixes only (the "
+    "rarest ~40% of each set), bucket sizes are document frequencies "
+    "of RARE tokens (small by construction), and verification joins "
+    "sorted shingle arrays for candidate pairs only — the exact twin "
+    "of what MinHash-LSH (#70) approximates.",
+)
+def q_set_sim_join_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    base = d.select(
+        "doc_id", TX.shingles(F.split("text", " "), 3).alias("arr")
+    ).filter(F.size("arr") >= 1)
+    sh = base.select("doc_id", F.explode("arr").alias("t"))
+    # Global rarity order = (document frequency ASC, shingle ASC); the
+    # vocabulary-sized frequency table broadcasts to rank each doc's
+    # shingles without a second corpus shuffle.
+    freq = sh.groupBy("t").agg(F.count(F.lit(1)).alias("df"))
+    ranked = sh.join(F.broadcast(freq), "t")
+    pos_w = Window.partitionBy("doc_id").orderBy("df", "t")
+    sized = ranked.select(
+        "doc_id",
+        "t",
+        F.row_number().over(pos_w).alias("pos"),
+        F.count(F.lit(1)).over(Window.partitionBy("doc_id")).alias("sz"),
+    )
+    prefix = sized.filter(
+        F.col("pos") <= F.col("sz") - F.ceil(F.lit(_SSJ_T) * F.col("sz")) + 1
+    ).select("doc_id", "t")
+    cand = (
+        prefix.alias("a")
+        .join(prefix.alias("b"), "t")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .distinct()
+    )
+    arrs = base.select("doc_id", F.array_sort("arr").alias("sarr"))
+    va = arrs.select(F.col("doc_id").alias("id_a"), F.col("sarr").alias("_va"))
+    vb = arrs.select(F.col("doc_id").alias("id_b"), F.col("sarr").alias("_vb"))
+    verified = (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.size(F.array_intersect("_va", "_vb")).alias("inter_sh"),
+            F.size("_va").alias("sz_a"),
+            F.size("_vb").alias("sz_b"),
+        )
+        .withColumn(
+            "jaccard",
+            F.col("inter_sh").cast("double")
+            / (F.col("sz_a") + F.col("sz_b") - F.col("inter_sh")).cast("double"),
+        )
+    )
+    return verified.filter(F.col("jaccard") >= _SSJ_T)
+
+
+# ---------------------------------------------------------------------------
+# #259 Johnson-Lindenstrauss projection + distortion audit
+# ---------------------------------------------------------------------------
+
+_JL_K = 16
+_JL_DIM = 64
+_JL_SEED = 7
+_JL_SCALE = 0.25  # 1/sqrt(16), exact in binary
+_JL_PLANES = S.hyperplanes(_JL_K, _JL_DIM, seed=_JL_SEED)
+
+
+def _sql_plane(plane: list[float]) -> str:
+    return "[" + ", ".join(str(v) for v in plane) + "]"
+
+
+def _sql_signdot(vec: str, plane: list[float]) -> str:
+    return (
+        f"{_JL_SCALE} * LIST_REDUCE(LIST_PREPEND(CAST(0 AS DOUBLE), "
+        f"LIST_TRANSFORM(RANGE(1, {_JL_DIM + 1}), "
+        f"i -> CAST({vec}[i] AS DOUBLE) * ({_sql_plane(plane)}[i]))), "
+        "(acc, x) -> acc + x)"
+    )
+
+
+def _jl_oracle() -> str:
+    d2_terms = " + ".join(
+        f"(({_sql_signdot('a.embedding', p)}) - ({_sql_signdot('b.embedding', p)}))"
+        f" * (({_sql_signdot('a.embedding', p)}) - ({_sql_signdot('b.embedding', p)}))"
+        for p in _JL_PLANES
+    )
+    orig = (
+        f"LIST_REDUCE(LIST_PREPEND(CAST(0 AS DOUBLE), "
+        f"LIST_TRANSFORM(RANGE(1, {_JL_DIM + 1}), "
+        "i -> (CAST(a.embedding[i] AS DOUBLE) - CAST(b.embedding[i] AS DOUBLE))"
+        " * (CAST(a.embedding[i] AS DOUBLE) - CAST(b.embedding[i] AS DOUBLE)))), "
+        "(acc, x) -> acc + x)"
+    )
+    return f"""
+        WITH pairs AS (
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   ({orig}) AS orig_d2,
+                   ({d2_terms}) AS proj_d2
+            FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
+        )
+        SELECT id_a, id_b,
+               CAST(CAST(orig_d2 AS DECIMAL(38,9)) AS DOUBLE) AS orig_d2,
+               CAST(CAST(proj_d2 AS DECIMAL(38,9)) AS DOUBLE) AS proj_d2,
+               CAST(CAST(proj_d2 / orig_d2 AS DECIMAL(38,9)) AS DOUBLE)
+                   AS distortion
+        FROM pairs WHERE orig_d2 > 0
+    """
+
+
+def _spark_signdot(vec, plane: list[float]):
+    lits = F.array(*[F.lit(v) for v in plane])
+    return F.lit(_JL_SCALE) * F.aggregate(
+        F.zip_with(vec, lits, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+@query(
+    "q_jl_projection",
+    oracle=_jl_oracle(),
+    operators=(71, 259),
+    doc=f"Johnson-Lindenstrauss random projection: {_JL_DIM}-dim "
+    f"embeddings projected to {_JL_K} dims with deterministic "
+    "±1/sqrt(k) planes (the md5 hyperplane discipline of the LSH "
+    "family, so every engine and executor sees identical planes), then "
+    "a distance-distortion audit over consecutive-id pairs: "
+    "projected/original squared euclidean distance per pair. Signs are "
+    "exact ±1 multiplies and 1/sqrt(16)=0.25 is binary-exact, so both "
+    "engines run the identical left-fold IEEE tree and the gate is "
+    "hash-exact after DECIMAL(38,9) quantization. Scale: projection is "
+    "a row-local expression (no shuffle); the audit pairs join on a "
+    "key shifted by one — at 100 TB the projection runs inside the "
+    "scan and the pair join shuffles only (id, 16 floats).",
+)
+def q_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings")
+    proj = e.select(
+        "vec_id",
+        _d(F.col("embedding")).alias("v"),
+        F.array(
+            *[_spark_signdot(_d(F.col("embedding")), p) for p in _JL_PLANES]
+        ).alias("p"),
+    )
+    a = proj.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("v").alias("va"),
+        F.col("p").alias("pa"),
+    )
+    b = proj.select(
+        (F.col("vec_id") - 1).alias("id_a"),
+        F.col("vec_id").alias("id_b"),
+        F.col("v").alias("vb"),
+        F.col("p").alias("pb"),
+    )
+    j = a.join(b, "id_a")
+    orig = F.aggregate(
+        F.zip_with(F.col("va"), F.col("vb"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    dterms = [
+        (F.col("pa")[i] - F.col("pb")[i]) * (F.col("pa")[i] - F.col("pb")[i])
+        for i in range(_JL_K)
+    ]
+    projd2 = reduce(lambda x, y: x + y, dterms)
+    out = j.select(
+        "id_a",
+        "id_b",
+        orig.alias("_orig"),
+        projd2.alias("_proj"),
+    ).filter(F.col("_orig") > 0)
+
+    def r9(c):
+        return c.cast("decimal(38,9)").cast("double")
+
+    return out.select(
+        "id_a",
+        "id_b",
+        r9(F.col("_orig")).alias("orig_d2"),
+        r9(F.col("_proj")).alias("proj_d2"),
+        r9(F.col("_proj") / F.col("_orig")).alias("distortion"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# #260 top principal component by power iteration over the graded covariance
+# ---------------------------------------------------------------------------
+
+_PCA_T = 8  # power-iteration rounds, unrolled identically on both engines
+_COV_DEC = "decimal(38,18)"
+
+_PCA_FOLD = (
+    "LIST_REDUCE(LIST_PREPEND(CAST(0 AS DOUBLE), "
+    "LIST_TRANSFORM(RANGE(1, 65), k -> {terms})), (acc, x) -> acc + x)"
+)
+
+
+def _pca_oracle() -> str:
+    parts = [
+        """
+        WITH ij AS (
+            SELECT a.i AS i, b.i AS j
+            FROM (SELECT UNNEST(RANGE(1, 65)) AS i) a,
+                 (SELECT UNNEST(RANGE(1, 65)) AS i) b
+            WHERE b.i >= a.i
+        ),
+        sums AS (
+            SELECT ij.i, ij.j,
+                   COUNT(*) AS n,
+                   CAST(SUM(CAST(CAST(e.embedding[ij.i] AS DOUBLE)
+                                 AS DECIMAL(38,18))) AS DOUBLE) AS sx,
+                   CAST(SUM(CAST(CAST(e.embedding[ij.j] AS DOUBLE)
+                                 AS DECIMAL(38,18))) AS DOUBLE) AS sy,
+                   CAST(SUM(CAST(CAST(e.embedding[ij.i] AS DOUBLE)
+                                 * CAST(e.embedding[ij.j] AS DOUBLE)
+                                 AS DECIMAL(38,18))) AS DOUBLE) AS sxy
+            FROM embeddings e CROSS JOIN ij
+            GROUP BY ij.i, ij.j
+        ),
+        cov AS MATERIALIZED (
+            SELECT i, j, (sxy - sx * sy / n) / n AS c FROM sums
+        ),
+        full_m AS (
+            SELECT i, j, c FROM cov
+            UNION ALL
+            SELECT j AS i, i AS j, c FROM cov WHERE i < j
+        ),
+        crows AS MATERIALIZED (
+            SELECT i, LIST(c ORDER BY j) AS cl FROM full_m GROUP BY i
+        ),
+        v0 AS (SELECT LIST_TRANSFORM(RANGE(1, 65),
+                                     k -> CAST(1 AS DOUBLE)) AS v)
+        """
+    ]
+    prev = "v0"
+    for t in range(1, _PCA_T + 1):
+        fold = _PCA_FOLD.format(terms=f"r.cl[k] * {prev}.v[k]")
+        parts.append(
+            f", w{t} AS MATERIALIZED (SELECT r.i, {fold} AS wi FROM crows r, {prev})"
+            f", v{t} AS MATERIALIZED (SELECT LIST_TRANSFORM(l.w, x -> x / mm.m) AS v "
+            f"FROM (SELECT LIST(wi ORDER BY i) AS w FROM w{t}) l, "
+            f"(SELECT MAX(ABS(wi)) AS m FROM w{t}) mm)"
+        )
+        prev = f"v{t}"
+    last = prev
+    foldw = _PCA_FOLD.format(terms=f"r.cl[k] * {last}.v[k]")
+    parts.append(
+        f", wf AS MATERIALIZED (SELECT r.i, {foldw} AS wi FROM crows r, {last})"
+        ", wfl AS (SELECT LIST(wi ORDER BY i) AS w FROM wf)"
+        ", ray AS (SELECT "
+        + _PCA_FOLD.format(terms=f"{last}.v[k] * wfl.w[k]")
+        + " / "
+        + _PCA_FOLD.format(terms=f"{last}.v[k] * {last}.v[k]")
+        + f" AS lam FROM {last}, wfl)"
+    )
+    parts.append(
+        f"""
+        SELECT t.k AS dim_i,
+               CAST(CAST({last}.v[t.k] AS DECIMAL(38,9)) AS DOUBLE)
+                   AS loading,
+               CAST(CAST(ray.lam AS DECIMAL(38,9)) AS DOUBLE)
+                   AS eigenvalue
+        FROM (SELECT UNNEST(RANGE(1, 65)) AS k) t, {last}, ray
+        """
+    )
+    return "".join(parts)
+
+
+@query(
+    "q_pca_power",
+    oracle=_pca_oracle(),
+    operators=(217, 260),
+    doc=f"Top principal component of the embedding corpus by power "
+    f"iteration ({_PCA_T} rounds, max-abs normalized), run over the "
+    "hash-exact covariance matrix of #217 (DECIMAL(38,18) outer-"
+    "product sums, so the matrix is order-independent and bit-"
+    "identical on both engines). The iteration itself is bounded "
+    "64x64 driver math — the same discipline as IVF centroid "
+    "training: the DISTRIBUTED stage is the covariance reduce (one "
+    "scan, map-side combined into 2080 cells regardless of corpus "
+    "size); the eigensolve touches no row data. Every multiply/fold "
+    "is an explicit ascending left fold mirrored by the oracle's "
+    "unrolled LIST_REDUCE chain, so loadings and the Rayleigh "
+    "eigenvalue grade hash-exact after DECIMAL(38,9) quantization. "
+    "Scale: at 100 TB nothing changes — d(d+1)/2 cells is the only "
+    "reduce state, and the driver step is O(T*d^2) flops.",
+)
+def q_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings")
+    x = F.transform(F.col("embedding"), lambda v: v.cast("double"))
+    ex1 = e.select("vec_id", F.posexplode(x).alias("pos", "v")).select(
+        "vec_id", (F.col("pos") + 1).alias("i"), F.col("v")
+    )
+    a = ex1.select("vec_id", F.col("i"), F.col("v").alias("xi"))
+    b = ex1.select("vec_id", F.col("i").alias("j"), F.col("v").alias("xj"))
+    ex = a.join(b, "vec_id").filter(F.col("j") >= F.col("i")).select(
+        "i", "j", "xi", "xj"
+    )
+    oned = ex1.groupBy("i").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("v").cast(_COV_DEC)).cast("double").alias("sx"),
+    )
+    cov = (
+        ex.groupBy("i", "j")
+        .agg(
+            F.sum((F.col("xi") * F.col("xj")).cast(_COV_DEC))
+            .cast("double")
+            .alias("sxy")
+        )
+        .join(F.broadcast(oned), "i")
+        .join(
+            F.broadcast(
+                oned.select(F.col("i").alias("j"), F.col("sx").alias("sy"))
+            ),
+            "j",
+        )
+        .select(
+            "i",
+            "j",
+            (
+                (F.col("sxy") - F.col("sx") * F.col("sy") / F.col("n"))
+                / F.col("n")
+            ).alias("c"),
+        )
+    )
+    # Bounded driver pull: d(d+1)/2 = 2080 cells, independent of corpus
+    # size. Mirror the triangle, then iterate with the exact left-fold
+    # order the oracle's LIST_REDUCE chain uses.
+    cells = {(r["i"], r["j"]): r["c"] for r in cov.collect()}
+    d = 64
+    C = [
+        [cells[(i, j)] if i <= j else cells[(j, i)] for j in range(1, d + 1)]
+        for i in range(1, d + 1)
+    ]
+
+    def matvec(v: list[float]) -> list[float]:
+        out = []
+        for i in range(d):
+            acc = 0.0
+            for k in range(d):
+                acc = acc + C[i][k] * v[k]
+            out.append(acc)
+        return out
+
+    v = [1.0] * d
+    for _ in range(_PCA_T):
+        w = matvec(v)
+        m = max(abs(x_) for x_ in w)
+        v = [x_ / m for x_ in w]
+    w = matvec(v)
+    num = 0.0
+    for k in range(d):
+        num = num + v[k] * w[k]
+    den = 0.0
+    for k in range(d):
+        den = den + v[k] * v[k]
+    lam = num / den
+    rows = [(k + 1, v[k], lam) for k in range(d)]
+    out = spark.createDataFrame(rows, ["dim_i", "_loading", "_eig"])
+    return out.select(
+        F.col("dim_i").cast("bigint").alias("dim_i"),
+        F.col("_loading").cast("decimal(38,9)").cast("double").alias("loading"),
+        F.col("_eig").cast("decimal(38,9)").cast("double").alias("eigenvalue"),
+    )
