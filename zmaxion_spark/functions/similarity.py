@@ -295,6 +295,33 @@ def ivf_topk(
     )
 
 
+def _fold_cosine_rows(A: np.ndarray, B: np.ndarray) -> np.ndarray:
+    """Row-aligned exact cosines in the SQL left-fold order (three
+    independent ascending-j folds, like :func:`cosine`) — the rescore
+    half of the BLAS-prefilter/exact-verify contract below."""
+    n, dim = A.shape
+    acc = np.zeros(n)
+    asq = np.zeros(n)
+    bsq = np.zeros(n)
+    for j in range(dim):
+        acc = acc + A[:, j] * B[:, j]
+        asq = asq + A[:, j] * A[:, j]
+        bsq = bsq + B[:, j] * B[:, j]
+    denom = np.sqrt(asq) * np.sqrt(bsq)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        return np.where(denom > 0, acc / denom, np.nan)
+
+
+# The BLAS prefilter band: a 64-term float64 dot differs from the fold
+# order by <~1e-13 relative, so any pair whose fold cosine could reach
+# the threshold sits inside threshold - 1e-6 under BLAS with eight
+# orders of magnitude to spare. Pairs below the band are provably below
+# threshold in BOTH orders; pairs inside it get the exact fold rescore.
+_BLAS_BAND = 1e-6
+
+
+
+
 def _dedup_by_cosine_pairjoin(
     df: DataFrame, id_col: str, vec_col: str, threshold: float
 ) -> DataFrame:
@@ -372,49 +399,38 @@ def dedup_by_cosine(
 
     def score(batches):
         corpus_ids, corpus = bc.value
-        dim = corpus.shape[1]
-        # Left-fold norms of the corpus, once per task.
-        c_sq = np.zeros(len(corpus))
-        for j in range(dim):
-            c_sq = c_sq + corpus[:, j] * corpus[:, j]
-        c_norm = np.sqrt(c_sq)
-        # Bound the scoring working set: the dots matrix is
-        # |chunk| x |corpus| float64, and Arrow hands us ~10k-row
-        # batches — at a 200k-vector corpus that is 16 GB PER WORKER
-        # (measured JVM death at the sf10 smoke). Chunk rows so each
-        # worker holds ~64 MB of scores regardless of corpus size.
-        chunk = max(1, 8_000_000 // max(1, len(corpus)))
-        tmp = None
+        # BLAS-prefilter / exact-verify: the bulk n x |corpus| scoring
+        # runs as a real matmul (compute-bound, cache-blocked — the
+        # fold-order elementwise accumulation it replaces was memory-
+        # bandwidth-bound and 20x slower at the 200k-vector fixture),
+        # then ONLY pairs inside the epsilon band of the threshold get
+        # the exact left-fold rescore, so emitted values and threshold
+        # decisions are bit-identical to the SQL-lambda cosine.
+        c_norm = np.sqrt((corpus * corpus).sum(axis=1))
+        chunk = max(1, 32_000_000 // max(1, len(corpus)))
+        imax = np.iinfo(np.int64).max
         for pdf_in in batches:
             for lo in range(0, len(pdf_in), chunk):
                 sub = pdf_in.iloc[lo : lo + chunk]
                 batch = np.vstack(sub["_v"].to_numpy()).astype(np.float64)
-                dots = np.zeros((len(batch), len(corpus)))
-                b_sq = np.zeros(len(batch))
-                if tmp is None or tmp.shape != dots.shape:
-                    tmp = np.empty_like(dots)
-                # In-place rank-1 accumulation into preallocated
-                # buffers: per-j `dots = dots + np.outer(...)` allocates
-                # two chunk-x-corpus arrays 64 times per chunk, and the
-                # allocator churn (not the flops) dominated the sf10
-                # run. Same IEEE add order, zero per-j allocations.
-                for j in range(dim):
-                    np.multiply(batch[:, j, None], corpus[None, :, j], out=tmp)
-                    dots += tmp
-                    b_sq += batch[:, j] * batch[:, j]
-                with np.errstate(divide="ignore", invalid="ignore"):
-                    cos = dots / np.outer(np.sqrt(b_sq), c_norm)
                 bids = sub[id_col].to_numpy()
-                hit = (cos >= threshold) & (corpus_ids[None, :] < bids[:, None])
-                dup = np.where(
-                    hit.any(axis=1),
-                    np.where(hit, corpus_ids[None, :], np.iinfo(np.int64).max).min(
-                        axis=1
-                    ),
-                    -1,
-                )
+                dots = batch @ corpus.T
+                b_norm = np.sqrt((batch * batch).sum(axis=1))
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    cos = dots / np.outer(b_norm, c_norm)
+                with np.errstate(invalid="ignore"):
+                    cand = (cos >= threshold - _BLAS_BAND) & (
+                        corpus_ids[None, :] < bids[:, None]
+                    )
+                bi, cj = np.nonzero(cand)
+                dup = np.full(len(batch), imax)
+                if len(bi):
+                    exact = _fold_cosine_rows(batch[bi], corpus[cj])
+                    with np.errstate(invalid="ignore"):
+                        keep = exact >= threshold
+                    np.minimum.at(dup, bi[keep], corpus_ids[cj[keep]])
                 dup_ser = pd.Series(dup, dtype="Int64")
-                dup_ser[dup < 0] = pd.NA
+                dup_ser[dup == imax] = pd.NA
                 yield pd.DataFrame({id_col: bids, "dup_of": dup_ser})
 
     # Spread the quadratic scoring work across every core: the source
@@ -490,40 +506,36 @@ def sim_join_exact(
 
     def score(batches):
         corpus_ids, corpus = bc.value
-        dim = corpus.shape[1]
-        c_sq = np.zeros(len(corpus))
-        for j in range(dim):
-            c_sq = c_sq + corpus[:, j] * corpus[:, j]
-        c_norm = np.sqrt(c_sq)
-        # Same working-set bound as dedup_by_cosine's scorer: chunk
-        # rows so the |chunk| x |corpus| score matrix stays ~64 MB per
-        # worker at any corpus size (unchunked 10k-row Arrow batches
-        # OOM-killed the JVM at the 200k-vector sf10 smoke).
-        chunk = max(1, 8_000_000 // max(1, len(corpus)))
-        tmp = None
+        # BLAS-prefilter / exact-verify, see dedup_by_cosine's scorer:
+        # matmul finds everything within an epsilon band of the
+        # threshold, the exact left-fold rescores only those pairs, so
+        # emitted cosines are bit-identical to the SQL-lambda fold.
+        c_norm = np.sqrt((corpus * corpus).sum(axis=1))
+        chunk = max(1, 32_000_000 // max(1, len(corpus)))
         for pdf_in in batches:
             for lo in range(0, len(pdf_in), chunk):
                 sub = pdf_in.iloc[lo : lo + chunk]
                 batch = np.vstack(sub["_v"].to_numpy()).astype(np.float64)
-                dots = np.zeros((len(batch), len(corpus)))
-                b_sq = np.zeros(len(batch))
-                if tmp is None or tmp.shape != dots.shape:
-                    tmp = np.empty_like(dots)
-                # In-place accumulation, see dedup_by_cosine's scorer.
-                for j in range(dim):
-                    np.multiply(batch[:, j, None], corpus[None, :, j], out=tmp)
-                    dots += tmp
-                    b_sq += batch[:, j] * batch[:, j]
-                with np.errstate(divide="ignore", invalid="ignore"):
-                    cos = dots / np.outer(np.sqrt(b_sq), c_norm)
                 bids = sub[id_col].to_numpy()
-                hit = (cos >= threshold) & (corpus_ids[None, :] > bids[:, None])
-                bi, cj = np.nonzero(hit)
+                dots = batch @ corpus.T
+                b_norm = np.sqrt((batch * batch).sum(axis=1))
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    cos = dots / np.outer(b_norm, c_norm)
+                with np.errstate(invalid="ignore"):
+                    cand = (cos >= threshold - _BLAS_BAND) & (
+                        corpus_ids[None, :] > bids[:, None]
+                    )
+                bi, cj = np.nonzero(cand)
+                if not len(bi):
+                    continue
+                exact = _fold_cosine_rows(batch[bi], corpus[cj])
+                with np.errstate(invalid="ignore"):
+                    keep = exact >= threshold
                 yield pd.DataFrame(
                     {
-                        "id_a": bids[bi],
-                        "id_b": corpus_ids[cj],
-                        "cos_sim": cos[bi, cj],
+                        "id_a": bids[bi[keep]],
+                        "id_b": corpus_ids[cj[keep]],
+                        "cos_sim": exact[keep],
                     }
                 )
 

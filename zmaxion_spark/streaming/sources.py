@@ -51,23 +51,32 @@ def _as_stream_dir(sf_dir: str, table: str) -> str:
     import hashlib
     import os
 
-    src = f"{sf_dir}/{table}.parquet"
-    key = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    # Always link ABSOLUTE targets: a relative sf_dir would otherwise
+    # produce links resolved relative to the cache dir — every one
+    # broken, and a broken link both delivers a silent 0-row stream
+    # AND fails os.path.exists, so the "already linked" check retried
+    # the symlink into FileExistsError (measured at the sf10 smoke,
+    # invoked with a relative .scratch path).
+    src = os.path.abspath(os.path.join(sf_dir, f"{table}.parquet"))
+    key = hashlib.md5(src.encode()).hexdigest()[:8]
     d = f"/tmp/zmx-stream/{key}/{table}"
     os.makedirs(d, exist_ok=True)
+
+    def _link(link: str, target: str) -> None:
+        if os.path.islink(link) and os.readlink(link) != target:
+            os.unlink(link)  # stale or broken (e.g. relative) link
+        if not os.path.lexists(link):
+            os.symlink(target, link)
+
     if os.path.isdir(src):
         stale = f"{d}/{table}.parquet"  # pre-fix cache: link to the dir
         if os.path.islink(stale) and os.path.isdir(stale):
             os.unlink(stale)
         for part in sorted(os.listdir(src)):
             if part.endswith(".parquet"):
-                link = f"{d}/{part}"
-                if not os.path.exists(link):
-                    os.symlink(f"{src}/{part}", link)
+                _link(f"{d}/{part}", f"{src}/{part}")
     else:
-        link = f"{d}/{table}.parquet"
-        if not os.path.exists(link):
-            os.symlink(src, link)
+        _link(f"{d}/{table}.parquet", src)
     return d
 
 
