@@ -97,9 +97,14 @@ _SSJ_ORACLE = f"""
 )
 def q_set_sim_join_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
-    base = d.select(
-        "doc_id", TX.shingles(F.split("text", " "), 3).alias("arr")
-    ).filter(F.size("arr") >= 1)
+    base = (
+        d.select("doc_id", TX.shingles(F.split("text", " "), 3).alias("arr"))
+        .filter(F.size("arr") >= 1)
+        # Referenced by both the candidate pipeline and the verify
+        # join — checkpoint so the shingle HOF runs once per doc, not
+        # once per consumer (the REGRESSIONS.md loop-invariant rule).
+        .localCheckpoint(eager=True)
+    )
     sh = base.select("doc_id", F.explode("arr").alias("t"))
     # Global rarity order = (document frequency ASC, shingle ASC); the
     # vocabulary-sized frequency table broadcasts to rank each doc's
