@@ -180,6 +180,7 @@ OPERATORS: dict[int, str] = {
     259: "jl_projection (Johnson-Lindenstrauss + distortion audit)",
     260: "pca_power (top principal component via power iteration)",
     261: "stream_chained_agg (two stateful operators in one query)",
+    262: "containment_dedup (asymmetric near-superset detection)",
 }
 
 # Ops verified by tests rather than graded queries.

@@ -144,6 +144,7 @@ _NEXT_ROUND: list[str] = [
     "q_jl_projection",
     "q_pca_power",
     "q_stream_chained_agg",
+    "q_containment_dedup",
     # behavioral analytics
     "q_market_basket",
     "q_retention_cohorts",

@@ -461,3 +461,108 @@ def q_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("_loading").cast("decimal(38,9)").cast("double").alias("loading"),
         F.col("_eig").cast("decimal(38,9)").cast("double").alias("eigenvalue"),
     )
+
+
+# ---------------------------------------------------------------------------
+# #262 containment dedup: asymmetric near-superset detection
+# ---------------------------------------------------------------------------
+
+_CTN_T = 0.9  # containment threshold |A ∩ B| / |A|
+
+
+@query(
+    "q_containment_dedup",
+    oracle=f"""
+        WITH words AS (
+            SELECT doc_id, STRING_SPLIT(text, ' ') AS w FROM documents
+        ),
+        sh AS (
+            SELECT doc_id,
+                   UNNEST(LIST_DISTINCT([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                                         FOR i IN RANGE(1, LEN(w) - 1)])) AS t
+            FROM words WHERE LEN(w) >= 3
+        ),
+        sz AS (SELECT doc_id, COUNT(*) AS s FROM sh GROUP BY doc_id),
+        inter AS (
+            SELECT a.doc_id AS contained_id, b.doc_id AS container_id,
+                   COUNT(*) AS i
+            FROM sh a JOIN sh b ON a.t = b.t AND a.doc_id <> b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT contained_id, container_id, i AS inter_sh,
+               sa.s AS sz_contained,
+               CAST(i AS DOUBLE) / CAST(sa.s AS DOUBLE) AS containment
+        FROM inter JOIN sz sa ON contained_id = sa.doc_id
+        WHERE CAST(i AS DOUBLE) / CAST(sa.s AS DOUBLE) >= {_CTN_T}
+    """,
+    operators=(68, 70, 262),
+    doc=f"Containment dedup (#262): asymmetric near-SUPERSET detection — "
+    f"|A∩B| / |A| >= {_CTN_T} flags documents whose shingle set is "
+    "(almost) contained in another document's, the quote/boilerplate/"
+    "chunk-of-a-larger-doc case that symmetric Jaccard (#258/#70) "
+    "structurally misses (containment 0.9 can coexist with Jaccard "
+    "0.1 when the container is 10x larger). Prefix filter on the "
+    "CONTAINED side only: if containment >= t, the container can miss "
+    "at most |A| - ceil(t*|A|) of A's shingles, so A's (that many "
+    "+ 1) rarest shingles must hit — candidates come from joining "
+    "those prefixes against the full shingle stream, exact integer "
+    "intersection verifies. The oracle computes filter-free ground "
+    "truth, hash-proving the prefix lossless. Scale: the full-side "
+    "join key is still the rare prefix shingle, so bucket sizes are "
+    "rare-token document frequencies; shuffles carry (doc_id, "
+    "shingle) only.",
+)
+def q_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    base = (
+        d.select("doc_id", TX.shingles(F.split("text", " "), 3).alias("arr"))
+        .filter(F.size("arr") >= 1)
+        .localCheckpoint(eager=True)
+    )
+    sh = base.select("doc_id", F.explode("arr").alias("t"))
+    freq = sh.groupBy("t").agg(F.count(F.lit(1)).alias("df"))
+    ranked = sh.join(F.broadcast(freq), "t")
+    pos_w = Window.partitionBy("doc_id").orderBy("df", "t")
+    sized = ranked.select(
+        "doc_id",
+        "t",
+        F.row_number().over(pos_w).alias("pos"),
+        F.count(F.lit(1)).over(Window.partitionBy("doc_id")).alias("sz"),
+    )
+    prefix = sized.filter(
+        F.col("pos") <= F.col("sz") - F.ceil(F.lit(_CTN_T) * F.col("sz")) + 1
+    ).select(F.col("doc_id").alias("contained_id"), "t")
+    cand = (
+        prefix.join(
+            sh.select(F.col("doc_id").alias("container_id"), "t"), "t"
+        )
+        .filter(F.col("contained_id") != F.col("container_id"))
+        .select("contained_id", "container_id")
+        .distinct()
+    )
+    arrs = base.select("doc_id", F.array_sort("arr").alias("sarr"))
+    verified = (
+        cand.join(
+            arrs.select(
+                F.col("doc_id").alias("contained_id"), F.col("sarr").alias("_va")
+            ),
+            "contained_id",
+        )
+        .join(
+            arrs.select(
+                F.col("doc_id").alias("container_id"), F.col("sarr").alias("_vb")
+            ),
+            "container_id",
+        )
+        .select(
+            "contained_id",
+            "container_id",
+            F.size(F.array_intersect("_va", "_vb")).alias("inter_sh"),
+            F.size("_va").alias("sz_contained"),
+        )
+        .withColumn(
+            "containment",
+            F.col("inter_sh").cast("double") / F.col("sz_contained").cast("double"),
+        )
+    )
+    return verified.filter(F.col("containment") >= _CTN_T)
