@@ -637,3 +637,21 @@ def test_entity_resolution_matches_inside_blocks(spark):
     plan = _plan(REGISTRY["q_entity_resolution"].fn(spark, SF_SMOKE))
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_prefix_joins_avoid_cartesian(spark):
+    """#258/#262: both prefix-filtered set joins must be equi-joins on
+    the shingle key — a nested-loop pair enumeration would be the
+    unfiltered O(n^2) join the prefix filter exists to avoid."""
+    for name in ("q_set_sim_join_prefix", "q_containment_dedup"):
+        plan = _plan(REGISTRY[name].fn(spark, SF_SMOKE))
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_jl_projection_is_row_local_until_pair_join(spark):
+    """#259: the projection must not shuffle vectors — the only
+    exchange feeds the consecutive-id pair join."""
+    plan = _plan(REGISTRY["q_jl_projection"].fn(spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -1056,3 +1056,61 @@ def test_pca_power_matches_numpy_eig(spark):
     assert w[0] - 1e-12 <= lam <= w[-1] + 1e-12, (lam, w[0], w[-1])
     ray = float(v @ C @ v) / float(v @ v)
     assert abs(lam - ray) < 1e-6, (lam, ray)
+
+
+def test_containment_prefix_filter_is_lossless(spark):
+    """#262 twin of the #258 completeness check: every pair found by
+    the filter-free containment join must survive the prefix filter."""
+    from zmaxion_spark.functions import text as TX
+
+    d = load_table(spark, SF_SMOKE, "documents")
+    base = d.select(
+        "doc_id", TX.shingles(F.split("text", " "), 3).alias("arr")
+    ).filter(F.size("arr") >= 1)
+    sh = base.select("doc_id", F.explode("arr").alias("t"))
+    a = sh.select(F.col("doc_id").alias("contained_id"), "t")
+    b = sh.select(F.col("doc_id").alias("container_id"), "t")
+    inter = (
+        a.join(b, "t")
+        .filter(F.col("contained_id") != F.col("container_id"))
+        .groupBy("contained_id", "container_id")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    sz = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("s"))
+    truth = {
+        (r.contained_id, r.container_id)
+        for r in inter.join(
+            sz.withColumnRenamed("doc_id", "contained_id"), "contained_id"
+        )
+        .filter(F.col("i") / F.col("s") >= 0.9)
+        .collect()
+    }
+    got = {
+        (r.contained_id, r.container_id)
+        for r in _rows(spark, "q_containment_dedup")
+    }
+    assert got == truth
+    assert truth, "smoke fixture should contain containment pairs"
+
+
+def test_stream_chained_agg_matches_batch_two_level(spark):
+    """#261: the chained streaming topology must equal the two-level
+    batch aggregation under the stated watermark cutoff."""
+    rows = _rows(spark, "q_stream_chained_agg")
+    ev = load_table(spark, SF_SMOKE, "events")
+    mx = ev.agg(F.max(F.unix_timestamp("ts"))).collect()[0][0]
+    inner = ev.groupBy(
+        (F.floor(F.unix_timestamp("ts") / 300) * 300).alias("w5"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    outer = (
+        inner.groupBy(
+            (F.floor(F.col("w5") / 900) * 900).cast("bigint").alias("w15"),
+            "event_type",
+        )
+        .agg(F.sum("n").cast("bigint").alias("n_events"))
+        .filter(F.col("w15") + 900 <= mx - 600)
+    )
+    truth = {(r.w15, r.event_type): r.n_events for r in outer.collect()}
+    got = {(r.w_start_sec, r.event_type): r.n_events for r in rows}
+    assert got == truth
+    assert truth
