@@ -47,72 +47,11 @@ from zmaxion_spark.queries import (  # noqa: F401,E402
 # ---------------------------------------------------------------------------
 
 _GRADE_FIRST = [
-    # --- txlog: the transactional-table family (#175-#200) ---
-    "q_txlog_snapshot",
-    "q_txlog_time_travel",
-    "q_txlog_skipping",
-    "q_stream_to_txlog",
-    "q_txlog_vacuum",
-    "q_txlog_schema_evolution",
-    "q_txlog_merge",
-    "q_txlog_change_feed",
-    "q_txlog_stream_source",
-    "q_txlog_cluster",
-    "q_txlog_bloom_lookup",
-    "q_txlog_delete_vectors",
-    "q_txlog_checkpointed_log",
-    "q_medallion_pipeline",
-    "q_txlog_validated_commit",
-    "q_txlog_clone_divergence",
-    "q_txlog_restore",
-    "q_txlog_metadata_agg",
-    "q_txlog_replace_where",
-    "q_corpus_to_shards",
-    # --- ECS world state over txlog (#143, #180, #194, #201) ---
-    "q_ecs_stream_tick",
-    "q_ecs_snapshot_restore",
-    "q_ecs_despawn",
-    "q_ecs_tick_history",
-    # --- stateful streaming (#142, #157, #166, #173, #215, #220) ---
-    "q_stream_funnel",
-    "q_stream_cdc_apply",
-    "q_stream_anomaly",
-    "q_stream_countmin",
-    "q_stream_rocksdb_state",
-    "q_state_reader",
-    # --- retrieval (#149, #150, #195, #207, #209) ---
-    "q_inverted_index",
-    "q_bm25_scoring",
-    "q_phrase_search",
-    "q_mmr_rerank",
-    "q_rrf_fusion",
-    # --- ML evaluation + calibration (#226-#239) ---
-    "q_model_eval_auc",
-    "q_calibration_ece",
-    "q_roc_curve",
-    "q_feature_store_pit",
-    "q_model_release_gate",
-    "q_kaplan_meier",
-    "q_psi_drift",
-    "q_isotonic_calibration",
-    # --- LLM corpus + graph + governance anchors ---
-    "q_gopher_quality",
-    "q_bpe_train",
-    "q_bpe_apply",
-    "q_entity_resolution",
-    "q_k_anonymity",
-    "q_pagerank_nations",
-    "q_triangle_count",
-]
-
-
-# Positions 51+: the remaining never-driver-graded queries, in
-# round-5-then-round-6 rotation order (the first 50 here become
-# round 5's window; the tail lands in round 6). Queries with green
-# driver rows already recorded (CORRECTNESS_r01-r03) keep their
-# registration order behind these — their evidence is on record.
-_NEXT_ROUND: list[str] = [
-    # ==================== round-5 window candidates ====================
+    # ==================== ROUND-5 WINDOW ====================
+    # (the 50 never-driver-graded queries staged in round 4's
+    # _NEXT_ROUND, promoted verbatim; CORRECTNESS_r04.json recorded the
+    # round-4 block 50/50 green, so its names drop to the back of the
+    # registry with their evidence on record.)
     # sources / SQL-surface family
     "q_scan_orc",
     "q_compact_scan",
@@ -132,14 +71,15 @@ _NEXT_ROUND: list[str] = [
     "q_stream_dedup_watermark",
     "q_lateral_topk",
     "q_funnel_steps",
-    # new in round 4: real stdlib media decode (#75), python sink (#257),
+    # round-4 additions: stdlib media decode (#75), python sink (#257),
     # approx_top_k contract (#26/#85)
     "q_media_decode",
     "q_python_datasink",
     "q_stream_python_sink",
     "q_approx_topk",
-    # new in round 4 second wave: exact set-sim join (#258), JL
-    # projection (#259), PCA power iteration (#260)
+    # round-4 second wave: exact set-sim join (#258), JL projection
+    # (#259), PCA power iteration (#260), chained stateful aggs (#261),
+    # containment dedup (#262)
     "q_set_sim_join_prefix",
     "q_jl_projection",
     "q_pca_power",
@@ -172,9 +112,17 @@ _NEXT_ROUND: list[str] = [
     # sketches
     "q_countmin_sketch",
     "q_kmv_distinct",
+]
+
+
+# Positions 51+: the remaining never-driver-graded queries, in round-6
+# order (every oracle-paired query has a driver row after round 6).
+# Queries with green driver rows already recorded (CORRECTNESS_r01-r04)
+# keep their registration order behind these.
+_NEXT_ROUND: list[str] = [
+    # ==================== round-6 window candidates ====================
     "q_join_cardinality",
     "q_quantile_sample",
-    # stats
     "q_regression_stats",
     "q_gap_fill_locf",
     "q_xml_roundtrip",
@@ -182,7 +130,6 @@ _NEXT_ROUND: list[str] = [
     "q_embedding_covariance",
     "q_cusum_changepoint",
     "q_forecast_backtest",
-    # ==================== round-6 window candidates ====================
     "q_cooccurrence_pmi",
     "q_phash_dedup",
     "q_dedup_threshold_sweep",
