@@ -296,6 +296,161 @@ def simhash_near_pairs(sig_df: DataFrame, id_col: str, max_hamming: int = 3) -> 
     )
 
 
+def _prefix_candidate_pairs(
+    df: DataFrame, id_col: str, arr_col: str, threshold: float
+) -> DataFrame:
+    """PPJoin prefix-filter candidate pairs (#258's machinery).
+
+    Tokens are ordered globally by (document frequency ASC, token ASC);
+    each set keeps only its ``|s| - ceil(t*|s|) + 1`` rarest tokens as
+    its prefix, and candidates come from a prefix-token equi-join. Any
+    pair with Jaccard >= t MUST share a prefix token under a common
+    total order, so the filter is lossless for the final >= t verify.
+    The frequency table is vocabulary-sized (one row per distinct
+    token) and broadcasts; the shuffled candidate stream carries only
+    the rare ~(1-t) fraction of each set's tokens."""
+    toks = df.select(F.col(id_col).alias("_pid"), F.explode(arr_col).alias("_t"))
+    freq = toks.groupBy("_t").agg(F.count(F.lit(1)).alias("_df"))
+    pos_w = Window.partitionBy("_pid").orderBy("_df", "_t")
+    sized = toks.join(F.broadcast(freq), "_t").select(
+        "_pid",
+        "_t",
+        F.row_number().over(pos_w).alias("_pos"),
+        F.count(F.lit(1)).over(Window.partitionBy("_pid")).alias("_sz"),
+    )
+    prefix = sized.filter(
+        F.col("_pos") <= F.col("_sz") - F.ceil(F.lit(threshold) * F.col("_sz")) + 1
+    ).select("_pid", "_t")
+    return (
+        prefix.alias("a")
+        .join(prefix.alias("b"), "_t")
+        .filter(F.col("a._pid") < F.col("b._pid"))
+        .select(F.col("a._pid").alias("_ga"), F.col("b._pid").alias("_gb"))
+        .distinct()
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    set_col: str,
+    *,
+    n_hashes: int = 12,
+    band_size: int = 3,
+    threshold: float = 0.5,
+    bucket_cap: int = 64,
+) -> DataFrame:
+    """#70 MinHash-LSH near-dup pairs with the SCALE.md bucket-size cap.
+
+    Returns ``(doc_a, doc_b, jacc)``: every unordered id pair that
+    shares at least one LSH band bucket AND has exact Jaccard >=
+    threshold — byte-identical output to the classic unguarded band
+    self-join, with its two quadratic failure modes bounded:
+
+    1. **Duplication collapse.** Ids with identical shingle SETS are
+       grouped under a 64-bit fingerprint of the sorted set first; all
+       signature, banding, and verification work happens once per
+       DISTINCT set, and member pairs expand only at the very end.
+       Within-group pairs are emitted directly at jacc = 1.0 —
+       identical sets share every band by construction, so they are
+       always LSH candidates, and J = n/n is exactly 1.0 in IEEE on
+       both engines. A corpus that is 99% copies (the measured sf10
+       100-way replication profile that went 15x superlinear) now
+       costs the same as its distinct 1% until the final
+       (id, id, jacc) expansion, which is output cardinality and
+       therefore irreducible.
+    2. **Band-bucket cap.** A count pre-pass sizes every (band_idx,
+       band_key) bucket at GROUP level. Buckets <= bucket_cap run the
+       classic equi-self-join (candidate volume ∝ bucket² is fine once
+       bucket <= cap). Oversized buckets — boilerplate corpora where
+       many DISTINCT sets collide on a band — divert to the PPJoin
+       prefix-filtered candidate join over the affected groups only,
+       re-checked for actual band co-occurrence so the LSH contract
+       (pairs must share a band) is preserved exactly. The prefix
+       filter retains every pair with J >= threshold and the final
+       exact verify drops sub-threshold pairs on either path, so the
+       diversion is lossless; worst-case work falls from O(bucket²)
+       to O(pairs that can actually pass the threshold)."""
+    n_bands = n_hashes // band_size
+    canon = df.select(
+        F.col(id_col).alias("_id"), F.array_sort(set_col).alias("_ss")
+    ).withColumn("_gid", F.xxhash64(F.concat_ws("\x00", "_ss")))
+    # Three small frames are each consumed by 2-4 downstream joins —
+    # checkpoint so the shingle/signature pipelines run once, not once
+    # per consumer (the REGRESSIONS.md loop-invariant rule).
+    members = canon.select("_id", "_gid").localCheckpoint(eager=True)
+    groups = (
+        canon.select("_gid", "_ss")
+        .dropDuplicates(["_gid"])
+        .localCheckpoint(eager=True)
+    )
+    sig = minhash_signature_grouped(
+        groups, "_gid", F.col("_ss"), n_hashes
+    ).localCheckpoint(eager=True)
+
+    bands = sig.select(
+        "_gid",
+        F.posexplode(F.array(*band_keys("h", n_hashes, band_size))).alias(
+            "_bi", "_band"
+        ),
+    )
+    sizes = bands.groupBy("_bi", "_band").agg(F.count(F.lit(1)).alias("_bn"))
+    tagged = bands.join(sizes, ["_bi", "_band"]).localCheckpoint(eager=True)
+
+    small = tagged.filter(F.col("_bn") <= bucket_cap)
+    cand_small = (
+        small.select(F.col("_gid").alias("_ga"), "_bi", "_band")
+        .join(small.select(F.col("_gid").alias("_gb"), "_bi", "_band"), ["_bi", "_band"])
+        .filter(F.col("_ga") < F.col("_gb"))
+        .select("_ga", "_gb")
+    )
+
+    heavy_ids = tagged.filter(F.col("_bn") > bucket_cap).select("_gid").distinct()
+    heavy = groups.join(heavy_ids, "_gid")
+    barr = sig.select(
+        "_gid", F.array(*band_keys("h", n_hashes, band_size)).alias("_bk")
+    )
+    share_band = None
+    for j in range(n_bands):
+        term = F.col("_bka")[j] == F.col("_bkb")[j]
+        share_band = term if share_band is None else (share_band | term)
+    cand_heavy = (
+        _prefix_candidate_pairs(heavy, "_gid", "_ss", threshold)
+        .join(barr.select(F.col("_gid").alias("_ga"), F.col("_bk").alias("_bka")), "_ga")
+        .join(barr.select(F.col("_gid").alias("_gb"), F.col("_bk").alias("_bkb")), "_gb")
+        .filter(share_band)
+        .select("_ga", "_gb")
+    )
+
+    cand = cand_small.unionByName(cand_heavy).distinct()
+    gpairs = (
+        cand.join(groups.select(F.col("_gid").alias("_ga"), F.col("_ss").alias("_sa")), "_ga")
+        .join(groups.select(F.col("_gid").alias("_gb"), F.col("_ss").alias("_sb")), "_gb")
+        .select("_ga", "_gb", jaccard(F.col("_sa"), F.col("_sb")).alias("jacc"))
+        .filter(F.col("jacc") >= threshold)
+    )
+    cross = (
+        gpairs.join(members.select(F.col("_gid").alias("_ga"), F.col("_id").alias("_ida")), "_ga")
+        .join(members.select(F.col("_gid").alias("_gb"), F.col("_id").alias("_idb")), "_gb")
+        .select(
+            F.least("_ida", "_idb").alias("doc_a"),
+            F.greatest("_ida", "_idb").alias("doc_b"),
+            "jacc",
+        )
+    )
+    within = (
+        members.select("_gid", F.col("_id").alias("_ida"))
+        .join(members.select("_gid", F.col("_id").alias("_idb")), "_gid")
+        .filter(F.col("_ida") < F.col("_idb"))
+        .select(
+            F.col("_ida").alias("doc_a"),
+            F.col("_idb").alias("doc_b"),
+            F.lit(1.0).alias("jacc"),
+        )
+    )
+    return cross.unionByName(within)
+
+
 def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst",
                          max_iter: int = 20) -> DataFrame:
     """Duplicate clustering: smallest-id label propagation.

@@ -130,6 +130,8 @@ _NEXT_ROUND: list[str] = [
     "q_embedding_covariance",
     "q_cusum_changepoint",
     "q_forecast_backtest",
+    # new in round 5: hash-proof of the LSH bucket-cap diversion path
+    "q_dedup_minhash_capped",
     "q_cooccurrence_pmi",
     "q_phash_dedup",
     "q_dedup_threshold_sweep",

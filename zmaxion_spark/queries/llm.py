@@ -372,8 +372,14 @@ _MINHASH_SQL = (
     operators=(70,),
     doc="MinHash-LSH near-dup detection: md5 base hash once per shingle, "
     "12 universal-hash minhashes via min-aggregates → 4 bands × 3 rows "
-    "→ band-bucket self-join → exact Jaccard re-score ≥ 0.5. "
-    "Oracle runs the byte-identical hash pipeline in DuckDB.",
+    "→ capped band-bucket join → exact Jaccard re-score ≥ 0.5. "
+    "Identical shingle sets collapse to one group before any signature "
+    "work (the sf10 100-way-duplication profile that was 15x "
+    "superlinear now costs its distinct fraction), and a bucket-count "
+    "pre-pass diverts oversized band buckets to a prefix-filtered "
+    "candidate join (see dedup.minhash_lsh_pairs). The oracle is the "
+    "UNGUARDED band self-join, so a hash-exact pass proves both "
+    "defenses lossless.",
 )
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
@@ -381,28 +387,32 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = d.filter(F.size(toks) >= 3).select(
         "doc_id", T.shingles(toks, 3).alias("s")
     )
-    sig = D.minhash_signature_grouped(sh, "doc_id", F.col("s"), 12)
-    # One posexplode instead of a 4-way union keeps the signature
-    # pipeline (split → shingle → 12 md5 minhashes) computed once per
-    # join side; only (doc_id, bi, band) ever shuffles.
-    bands = sig.select(
-        "doc_id", F.posexplode(F.array(*D.band_keys("h", 12, 3))).alias("bi", "band")
+    return D.minhash_lsh_pairs(
+        sh, "doc_id", "s", n_hashes=12, band_size=3, threshold=0.5
     )
-    x = bands.select(F.col("doc_id").alias("doc_a"), "bi", "band")
-    y = bands.select(F.col("doc_id").alias("doc_b"), "bi", "band")
-    cand = (
-        x.join(y, ["bi", "band"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
-        .distinct()
+
+
+@query(
+    "q_dedup_minhash_capped",
+    oracle=_MINHASH_SQL,
+    operators=(70,),
+    doc="Heavy-path proof for the LSH bucket cap: same pipeline as "
+    "q_dedup_minhash_lsh but with bucket_cap=2, small enough that the "
+    "graded sf0.01 fixture (max band bucket = 3) actually DIVERTS "
+    "buckets through the PPJoin prefix-filter + band-co-occurrence "
+    "path. The oracle is the identical unguarded band join, so this "
+    "row hash-proves the diversion path itself — not just the classic "
+    "small-bucket join — returns the exact LSH candidate set.",
+    bench=False,
+)
+def q_dedup_minhash_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    sh = d.filter(F.size(toks) >= 3).select(
+        "doc_id", T.shingles(toks, 3).alias("s")
     )
-    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("sa"))
-    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("sb"))
-    return (
-        cand.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .select("doc_a", "doc_b", D.jaccard(F.col("sa"), F.col("sb")).alias("jacc"))
-        .filter(F.col("jacc") >= 0.5)
+    return D.minhash_lsh_pairs(
+        sh, "doc_id", "s", n_hashes=12, band_size=3, threshold=0.5, bucket_cap=2
     )
 
 
