@@ -31,6 +31,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from zmaxion_spark.catalog import load_table
+from zmaxion_spark.functions import moments as M
 from zmaxion_spark.functions import timeseries as TS
 from zmaxion_spark.queries.helpers import dsum, sql_dsum
 from zmaxion_spark.queries.registry import query
@@ -327,31 +328,8 @@ _COV_DEC = "decimal(38,18)"
 
 @query(
     "q_embedding_covariance",
-    oracle="""
-        WITH ij AS (
-            SELECT a.i AS i, b.i AS j
-            FROM (SELECT UNNEST(RANGE(1, 65)) AS i) a,
-                 (SELECT UNNEST(RANGE(1, 65)) AS i) b
-            WHERE b.i >= a.i
-        ),
-        sums AS (
-            SELECT ij.i, ij.j,
-                   COUNT(*) AS n,
-                   CAST(SUM(CAST(CAST(e.embedding[ij.i] AS DOUBLE)
-                                 AS DECIMAL(38,18))) AS DOUBLE) AS sx,
-                   CAST(SUM(CAST(CAST(e.embedding[ij.j] AS DOUBLE)
-                                 AS DECIMAL(38,18))) AS DOUBLE) AS sy,
-                   CAST(SUM(CAST(CAST(e.embedding[ij.i] AS DOUBLE)
-                                 * CAST(e.embedding[ij.j] AS DOUBLE)
-                                 AS DECIMAL(38,18))) AS DOUBLE) AS sxy
-            FROM embeddings e CROSS JOIN ij
-            GROUP BY ij.i, ij.j
-        ),
-        cov AS (
-            SELECT i, j, n,
-                   (sxy - sx * sy / n) / n AS cov_raw
-            FROM sums
-        ),
+    oracle=f"""
+        WITH {M.COV_CELLS_SQL},
         diag AS (SELECT i, cov_raw AS var_i FROM cov WHERE i = j)
         SELECT c.i, c.j,
                ROUND(c.cov_raw, 9) AS cov,
@@ -366,63 +344,21 @@ _COV_DEC = "decimal(38,18)"
     "aggregation — each vector contributes its d(d+1)/2 pairwise "
     "products to a partial-aggregated groupBy on (i,j), the "
     "whitening/PCA precursor every embedding pipeline needs. Products "
-    "sum through DECIMAL(38,18) (the PageRank discipline) so the "
-    "matrix is order-independent and graded hash-exact; correlations "
-    "divide by the diagonal rejoined from the same result. Scale "
-    "shape: the heavy stage is one scan with map-side combine into "
-    "d(d+1)/2 = 2080 cells — state is O(d^2) regardless of corpus "
-    "size, the reduce is a constant-size matrix, and 1000 executors "
-    "merge partial matrices additively (never raw vectors).",
+    "quantize to exact dyadic integers (FLOOR(p*2^40+0.5): float32 "
+    "inputs make every product an exact 48-bit double, so the scaled "
+    "floor is exactly computed on both engines) and sum as "
+    "order-independent integers — see functions/moments.py for why "
+    "this replaced the per-element DECIMAL(38,18) cast (same bit-exact "
+    "guarantee, ~10x cheaper per element). Correlations divide by the "
+    "diagonal rejoined from the same result. Scale shape: scan -> "
+    "generator -> generator -> partial hash-agg, ZERO joins before "
+    "the d(d+1)/2 = 2080-cell merge — state is O(d^2) regardless of "
+    "corpus size and 1000 executors merge partial integer matrices "
+    "additively (never raw vectors).",
 )
 def q_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
-    x = F.transform(F.col("embedding"), lambda v: v.cast("double"))
-    # Cast-and-explode ONCE (the hash-once discipline from
-    # functions/dedup.py): a single nested pair expression would make
-    # CollapseProject re-evaluate the cast array per pair (~2080x per
-    # row — measured 31s at sf0.1); posexplode + equi-self-join on the
-    # vector id builds the same upper triangle at ~1/10th the cost.
-    ex1 = e.select("vec_id", F.posexplode(x).alias("pos", "v")).select(
-        "vec_id", (F.col("pos") + 1).alias("i"), F.col("v")
-    )
-    a = ex1.select("vec_id", F.col("i"), F.col("v").alias("xi"))
-    b = ex1.select("vec_id", F.col("i").alias("j"), F.col("v").alias("xj"))
-    ex = a.join(b, "vec_id").filter(F.col("j") >= F.col("i")).select(
-        "i", "j", "xi", "xj"
-    )
-    # The marginal sums depend on ONE index — computing them inside the
-    # pair aggregate would run three decimal sums over d(d+1)/2 x n
-    # rows instead of one; decimal sums are order-independent, so the
-    # 1-D sums joined back are value-identical to the oracle's per-pair
-    # formulation.
-    oned = ex1.groupBy("i").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum(F.col("v").cast(_COV_DEC)).cast("double").alias("sx"),
-    )
-    sums = (
-        ex.groupBy("i", "j")
-        .agg(
-            F.sum((F.col("xi") * F.col("xj")).cast(_COV_DEC))
-            .cast("double")
-            .alias("sxy")
-        )
-        .join(F.broadcast(oned), "i")
-        .join(
-            F.broadcast(
-                oned.select(
-                    F.col("i").alias("j"), F.col("sx").alias("sy")
-                )
-            ),
-            "j",
-        )
-    )
-    cov = sums.select(
-        "i",
-        "j",
-        ((F.col("sxy") - F.col("sx") * F.col("sy") / F.col("n")) / F.col("n")).alias(
-            "cov_raw"
-        ),
-    )
+    cov = M.cov_cells(e).withColumnRenamed("c", "cov_raw")
     diag = cov.filter(F.col("i") == F.col("j")).select(
         F.col("i").alias("d"), F.col("cov_raw").alias("var_i")
     )

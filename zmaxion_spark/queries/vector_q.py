@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from zmaxion_spark.catalog import load_table
+from zmaxion_spark.functions import moments as _M
 from zmaxion_spark.functions import similarity as S
 from zmaxion_spark.functions import text as TX
 from zmaxion_spark.queries.registry import query
@@ -286,7 +287,6 @@ def q_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _PCA_T = 8  # power-iteration rounds, unrolled identically on both engines
-_COV_DEC = "decimal(38,18)"
 
 _PCA_FOLD = (
     "LIST_REDUCE(LIST_PREPEND(CAST(0 AS DOUBLE), "
@@ -296,33 +296,12 @@ _PCA_FOLD = (
 
 def _pca_oracle() -> str:
     parts = [
-        """
-        WITH ij AS (
-            SELECT a.i AS i, b.i AS j
-            FROM (SELECT UNNEST(RANGE(1, 65)) AS i) a,
-                 (SELECT UNNEST(RANGE(1, 65)) AS i) b
-            WHERE b.i >= a.i
-        ),
-        sums AS (
-            SELECT ij.i, ij.j,
-                   COUNT(*) AS n,
-                   CAST(SUM(CAST(CAST(e.embedding[ij.i] AS DOUBLE)
-                                 AS DECIMAL(38,18))) AS DOUBLE) AS sx,
-                   CAST(SUM(CAST(CAST(e.embedding[ij.j] AS DOUBLE)
-                                 AS DECIMAL(38,18))) AS DOUBLE) AS sy,
-                   CAST(SUM(CAST(CAST(e.embedding[ij.i] AS DOUBLE)
-                                 * CAST(e.embedding[ij.j] AS DOUBLE)
-                                 AS DECIMAL(38,18))) AS DOUBLE) AS sxy
-            FROM embeddings e CROSS JOIN ij
-            GROUP BY ij.i, ij.j
-        ),
-        cov AS MATERIALIZED (
-            SELECT i, j, (sxy - sx * sy / n) / n AS c FROM sums
-        ),
+        f"""
+        WITH {_M.COV_CELLS_SQL},
         full_m AS (
-            SELECT i, j, c FROM cov
+            SELECT i, j, cov_raw AS c FROM cov
             UNION ALL
-            SELECT j AS i, i AS j, c FROM cov WHERE i < j
+            SELECT j AS i, i AS j, cov_raw AS c FROM cov WHERE i < j
         ),
         crows AS MATERIALIZED (
             SELECT i, LIST(c ORDER BY j) AS cl FROM full_m GROUP BY i
@@ -371,9 +350,10 @@ def _pca_oracle() -> str:
     operators=(217, 260),
     doc=f"Top principal component of the embedding corpus by power "
     f"iteration ({_PCA_T} rounds, max-abs normalized), run over the "
-    "hash-exact covariance matrix of #217 (DECIMAL(38,18) outer-"
-    "product sums, so the matrix is order-independent and bit-"
-    "identical on both engines). The iteration itself is bounded "
+    "hash-exact covariance matrix of #217 (exact dyadic-quantized "
+    "integer outer-product sums — functions/moments.py — so the "
+    "matrix is order-independent and bit-identical on both engines). "
+    "The iteration itself is bounded "
     "64x64 driver math — the same discipline as IVF centroid "
     "training: the DISTRIBUTED stage is the covariance reduce (one "
     "scan, map-side combined into 2080 cells regardless of corpus "
@@ -386,42 +366,7 @@ def _pca_oracle() -> str:
 )
 def q_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "embeddings")
-    x = F.transform(F.col("embedding"), lambda v: v.cast("double"))
-    ex1 = e.select("vec_id", F.posexplode(x).alias("pos", "v")).select(
-        "vec_id", (F.col("pos") + 1).alias("i"), F.col("v")
-    )
-    a = ex1.select("vec_id", F.col("i"), F.col("v").alias("xi"))
-    b = ex1.select("vec_id", F.col("i").alias("j"), F.col("v").alias("xj"))
-    ex = a.join(b, "vec_id").filter(F.col("j") >= F.col("i")).select(
-        "i", "j", "xi", "xj"
-    )
-    oned = ex1.groupBy("i").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum(F.col("v").cast(_COV_DEC)).cast("double").alias("sx"),
-    )
-    cov = (
-        ex.groupBy("i", "j")
-        .agg(
-            F.sum((F.col("xi") * F.col("xj")).cast(_COV_DEC))
-            .cast("double")
-            .alias("sxy")
-        )
-        .join(F.broadcast(oned), "i")
-        .join(
-            F.broadcast(
-                oned.select(F.col("i").alias("j"), F.col("sx").alias("sy"))
-            ),
-            "j",
-        )
-        .select(
-            "i",
-            "j",
-            (
-                (F.col("sxy") - F.col("sx") * F.col("sy") / F.col("n"))
-                / F.col("n")
-            ).alias("c"),
-        )
-    )
+    cov = _M.cov_cells(e)
     # Bounded driver pull: d(d+1)/2 = 2080 cells, independent of corpus
     # size. Mirror the triangle, then iterate with the exact left-fold
     # order the oracle's LIST_REDUCE chain uses.
