@@ -130,8 +130,11 @@ _NEXT_ROUND: list[str] = [
     "q_embedding_covariance",
     "q_cusum_changepoint",
     "q_forecast_backtest",
-    # new in round 5: hash-proof of the LSH bucket-cap diversion path
+    # new in round 5: hash-proof of the LSH bucket-cap diversion path +
+    # recall contracts for the approximate ANN paths
     "q_dedup_minhash_capped",
+    "q_sim_topk_ivf_recall",
+    "q_sim_join_lsh_recall",
     "q_cooccurrence_pmi",
     "q_phash_dedup",
     "q_dedup_threshold_sweep",

@@ -775,6 +775,130 @@ def q_sim_join_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.sim_join_lsh(e, "vec_id", "embedding", 0.35, n_tables=8, bits_per_table=6)
 
 
+@query(
+    "q_sim_topk_ivf_recall",
+    oracle=f"""
+        WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 3),
+             scored AS (SELECT q.qid, e.vec_id,
+                               {_sql_cosine('q.qv', 'e.embedding')} AS cos_sim
+                        FROM q CROSS JOIN embeddings e),
+             ranked AS (SELECT qid, vec_id FROM (
+                 SELECT qid, vec_id,
+                        ROW_NUMBER() OVER (PARTITION BY qid
+                                           ORDER BY cos_sim DESC, vec_id) AS rank
+                 FROM scored) WHERE rank <= 5)
+        SELECT qid,
+               ARRAY_TO_STRING(LIST(vec_id ORDER BY vec_id), ',') AS exact_top5,
+               CAST(1 AS INT) AS recall_ge_080
+        FROM ranked GROUP BY qid
+    """,
+    operators=(33, 72),
+    doc="Recall contract for the approximate IVF path (#72), graded by "
+    "the driver — the q_hll_bounds pattern applied to ANN: the Spark "
+    "side runs BOTH the exact brute-force top-5 and the IVF n_probe=4 "
+    "approximation, emits the exact neighbor list per query as the "
+    "anchor (proving the denominator), and grades the aggregate "
+    "recall@5 across queries against a 0.8 floor (measured 0.93-1.0 "
+    "across sf0.001-0.1; probing 4/16 cells on clustered data). The "
+    "oracle recomputes the exact side and states the contract. "
+    "Complements the informative rows-only q_sim_topk_ivf with a "
+    "driver-checkable guarantee.",
+    bench=False,
+)
+def q_sim_topk_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    corpus = e.select("vec_id", F.col("embedding").alias("cv"))
+    exact = (
+        S.topk_neighbors(queries, corpus, "qv", "cv", 5, "qid", "vec_id")
+        .select("qid", "vec_id")
+        .localCheckpoint(eager=True)
+    )
+    approx = S.ivf_topk(
+        e.select(F.col("vec_id").alias("cid"), "embedding"),
+        e.filter(F.col("vec_id") < 3).select(F.col("vec_id").alias("qid_"), "embedding"),
+        5,
+        "cid",
+        "qid_",
+        n_cells=16,
+        n_probe=4,
+    ).select(F.col("qid_").alias("qid"), F.col("cid").alias("vec_id"))
+    hits = approx.join(exact, ["qid", "vec_id"]).agg(
+        F.count(F.lit(1)).alias("_nhit")
+    )
+    total = exact.agg(F.count(F.lit(1)).alias("_nex"))
+    check = hits.crossJoin(total).select(
+        (F.col("_nhit").cast("double") / F.col("_nex") >= 0.8)
+        .cast("int")
+        .alias("recall_ge_080")
+    )
+    anchors = exact.groupBy("qid").agg(
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.sort_array(F.collect_list("vec_id")), lambda x: x.cast("string")
+            ),
+        ).alias("exact_top5")
+    )
+    return anchors.crossJoin(check).select("qid", "exact_top5", "recall_ge_080")
+
+
+@query(
+    "q_sim_join_lsh_recall",
+    oracle=f"""
+        WITH ex AS (
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE {_sql_cosine('a.embedding', 'b.embedding')} >= 0.35
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_exact_pairs,
+               CAST(1 AS INT) AS precision_is_one,
+               CAST(1 AS INT) AS recall_ge_025
+        FROM ex
+    """,
+    operators=(72, 73),
+    doc="Recall/precision contract for the LSH-pruned similarity join "
+    "(#73), graded by the driver: the Spark side runs BOTH the exact "
+    "all-pairs join (cos >= 0.35) and the 8-table x 6-bit "
+    "sign-random-projection LSH variant, anchors the exact pair count "
+    "(proving the denominator against the oracle's n^2 recount), "
+    "checks precision == 1 (every LSH survivor must be in the exact "
+    "set — it was exact-rescored) and recall >= 0.25 (theory "
+    "1-(1-p^6)^8; measured 0.38-0.42 across sf0.001-0.1). NOTE: the "
+    "oracle recount is n^2 in DuckDB — fine at the graded sf0.01, "
+    "excluded from large-SF local gates like q_sim_join_exact's.",
+    bench=False,
+)
+def q_sim_join_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings")
+    ex = (
+        S.sim_join_exact(e, "vec_id", "embedding", 0.35)
+        .select("id_a", "id_b")
+        .localCheckpoint(eager=True)
+    )
+    ls = (
+        S.sim_join_lsh(e, "vec_id", "embedding", 0.35, n_tables=8, bits_per_table=6)
+        .select("id_a", "id_b")
+        .localCheckpoint(eager=True)
+    )
+    n_ex = ex.agg(F.count(F.lit(1)).alias("n_exact_pairs"))
+    n_ls = ls.agg(F.count(F.lit(1)).alias("_nl"))
+    n_in = ls.join(ex, ["id_a", "id_b"]).agg(F.count(F.lit(1)).alias("_ni"))
+    return (
+        n_ex.crossJoin(n_ls)
+        .crossJoin(n_in)
+        .select(
+            F.col("n_exact_pairs").cast("bigint").alias("n_exact_pairs"),
+            (F.col("_ni") == F.col("_nl")).cast("int").alias("precision_is_one"),
+            (F.col("_ni").cast("double") / F.col("n_exact_pairs") >= 0.25)
+            .cast("int")
+            .alias("recall_ge_025"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # #74 lexicon sentiment
 # ---------------------------------------------------------------------------
