@@ -598,8 +598,15 @@ def q_approx_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = d.select(
         F.explode(F.split("text", " ")).alias("token")
     ).filter(F.col("token") != "")
+    # Fetch the sketch's ENTIRE tracked set (k = capacity), not a
+    # truncated top-4k: approx_top_k's own tie order at a truncation
+    # boundary is undefined, so a tie group straddling the fetch
+    # cutoff could retain a lexicographically different member than
+    # the oracle's (n DESC, token) order picks. With no boundary there
+    # is no straddle; the deterministic re-sort below owns ALL
+    # ordering. Still O(capacity) — constant, mergeable state.
     sk = toks.agg(
-        F.expr(f"approx_top_k(token, {_ATK_K * 4}, {_ATK_CAP})").alias("tk")
+        F.expr(f"approx_top_k(token, {_ATK_CAP}, {_ATK_CAP})").alias("tk")
     )
     items = sk.select(F.explode("tk").alias("e")).select(
         F.col("e.item").alias("token"), F.col("e.count").cast("bigint").alias("n")

@@ -325,8 +325,15 @@ def q_recursive_bom(spark: SparkSession, sf_dir: str) -> DataFrame:
     # from the actual domain instead of disabling it: termination stays
     # protected by a real bound, one cheap dimension count pays for it.
     n = spark.table("part").count()
+    # Scope the raised valve to THIS query: the limit is read at
+    # execution time, so materialize the (tiny, depth-rows) result
+    # under the raised conf and restore the previous value after —
+    # otherwise the 2x|part| limit leaks into every later recursive
+    # CTE on the shared session and weakens their runaway protection.
+    prev = spark.conf.get("spark.sql.cteRecursionRowLimit", None)
     spark.conf.set("spark.sql.cteRecursionRowLimit", str(max(1_000_000, 2 * n)))
-    return spark.sql(
+    try:
+        return spark.sql(
         """
         WITH RECURSIVE walk(p_partkey, depth) AS (
             SELECT CAST(1 AS BIGINT), CAST(0 AS BIGINT)
@@ -344,7 +351,12 @@ def q_recursive_bom(spark: SparkSession, sf_dir: str) -> DataFrame:
                MIN(p_partkey) AS min_key, MAX(p_partkey) AS max_key
         FROM walk GROUP BY depth
         """
-    )
+        ).localCheckpoint(eager=True)
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.cteRecursionRowLimit")
+        else:
+            spark.conf.set("spark.sql.cteRecursionRowLimit", prev)
 
 
 # ---------------------------------------------------------------------------

@@ -24,6 +24,17 @@ Scale: the data path is executor-parallel (one part file per task,
 no driver round-trip for rows); only the O(tasks) commit messages
 fold at the driver, identical to every production commit protocol
 (parquet's file commit, Delta's transaction log).
+
+DEPLOYMENT REQUIREMENT — shared filesystem. ``_write_part`` writes
+with plain ``os``/``open`` on the EXECUTOR's local filesystem while
+``commit``/``abort`` and the ``read_sink`` helpers run on the DRIVER:
+the protocol is only correct when driver and executors see one
+filesystem (local mode, NFS, or a FUSE-mounted object store). On a
+multi-node cluster without one, commit would publish part-file names
+the driver-side readers cannot see. To deploy beyond that, swap the
+``os``-module calls for a filesystem abstraction (fsspec / Hadoop FS
+through the JVM) — the two-phase commit protocol itself is
+placement-agnostic.
 """
 
 from __future__ import annotations

@@ -58,9 +58,24 @@ def _as_stream_dir(sf_dir: str, table: str) -> str:
     # the symlink into FileExistsError (measured at the sf10 smoke,
     # invoked with a relative .scratch path).
     src = os.path.abspath(os.path.join(sf_dir, f"{table}.parquet"))
-    key = hashlib.md5(src.encode()).hexdigest()[:8]
+    # Key on size+mtime as well as the path (the _events_chunks rule):
+    # regenerating a directory-shaped fixture in place writes new
+    # random part-file names under the SAME path, and a path-only key
+    # would keep serving dangling links to the deleted parts.
+    try:
+        st = os.stat(src)
+        stamp = f"{src}|{st.st_size}|{st.st_mtime_ns}"
+    except OSError:
+        stamp = src
+    key = hashlib.md5(stamp.encode()).hexdigest()[:8]
     d = f"/tmp/zmx-stream/{key}/{table}"
     os.makedirs(d, exist_ok=True)
+    # Belt-and-braces for dir fixtures whose mtime did not move: drop
+    # any cached link whose target no longer exists.
+    for entry in os.listdir(d):
+        link = f"{d}/{entry}"
+        if os.path.islink(link) and not os.path.exists(link):
+            os.unlink(link)
 
     def _link(link: str, target: str) -> None:
         if os.path.islink(link) and os.readlink(link) != target:
