@@ -509,7 +509,10 @@ def q_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_nationkey").alias("nat"),
         F.col("c_custkey").alias("digits"),
     )
-    recs = base.unionByName(v1).unionByName(v2)
+    # Three downstream consumers (both edge sides + the adj self rows)
+    # would each re-derive the 3-scan dirty-variant union — 15 scans in
+    # the audited plan. Materialize the variant frame once.
+    recs = base.unionByName(v1).unionByName(v2).localCheckpoint(eager=True)
     a = recs.select(
         F.col("rid").alias("ra"), F.col("name").alias("na"), "nat", "digits"
     )

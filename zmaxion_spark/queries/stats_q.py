@@ -358,7 +358,10 @@ _COV_DEC = "decimal(38,18)"
 )
 def q_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
-    cov = M.cov_cells(e).withColumnRenamed("c", "cov_raw")
+    # The diagonal rejoin consumes the cells twice more; materialize
+    # the 2080-cell matrix once instead of re-running the corpus scan
+    # per consumer.
+    cov = M.cov_cells(e).withColumnRenamed("c", "cov_raw").localCheckpoint(eager=True)
     diag = cov.filter(F.col("i") == F.col("j")).select(
         F.col("i").alias("d"), F.col("cov_raw").alias("var_i")
     )
