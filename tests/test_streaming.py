@@ -180,23 +180,48 @@ def test_kafka_parse_topology_without_broker(spark):
 
 
 def test_transform_with_state_topology_builds(spark):
-    """#114 design slot: the transformWithState topology must BUILD
-    (analysis passes, schema is typed) even where google.protobuf is
-    absent from the workers; full execution is gated on that import."""
+    """#114: the transformWithState topology must BUILD (analysis
+    passes, schema is typed) regardless of protobuf availability."""
     from zmaxion_spark.streaming.sources import stream_events
     from zmaxion_spark.streaming.stateful import running_counters_v2
 
     sdf = running_counters_v2(stream_events(spark, SF_SMOKE))
     assert sdf.isStreaming
     assert [f.name for f in sdf.schema.fields] == ["user_id", "n_events", "max_value"]
-    try:
-        import google.protobuf  # noqa: F401
-    except ImportError:
-        return  # runtime path needs the state-server wire format
-    from zmaxion_spark.streaming.pipeline import run_available_now
 
-    t = run_available_now(sdf, "counters_v2_test", mode="update")
-    assert t.groupBy("user_id").count().count() > 0
+
+def test_transform_with_state_executes_parity_vs_v1(spark):
+    """#114 EXECUTION (closed round 5): run the transformWithState
+    counters end-to-end through the protobuf shim + RocksDB store and
+    assert per-user parity with the #53 applyInPandasWithState twin
+    AND batch SQL over the same fixture."""
+    from zmaxion_spark._protoshim import ensure_protobuf
+    from zmaxion_spark.queries import REGISTRY
+
+    if not ensure_protobuf():
+        import pytest
+
+        pytest.skip("no google.protobuf runtime on this host")
+    v2 = {
+        r.user_id: (r.n_events, r.max_value)
+        for r in REGISTRY["q_stream_stateful_v2"].fn(spark, SF_SMOKE).collect()
+    }
+    batch = {
+        r.user_id: (r.n_events, r.max_value)
+        for r in spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.max("value").alias("max_value"),
+        )
+        .collect()
+    }
+    assert v2 == batch
+    v1 = {
+        r.user_id: r.n_events
+        for r in REGISTRY["q_stream_stateful_counters"].fn(spark, SF_SMOKE).collect()
+    }
+    assert {u: n for u, (n, _) in v2.items()} == v1
 
 
 def test_multi_sink_fanout_each_exactly_once(spark, tmp_path):

@@ -135,6 +135,7 @@ _NEXT_ROUND: list[str] = [
     "q_dedup_minhash_capped",
     "q_sim_topk_ivf_recall",
     "q_sim_join_lsh_recall",
+    "q_stream_stateful_v2",
     "q_cooccurrence_pmi",
     "q_phash_dedup",
     "q_dedup_threshold_sweep",
