@@ -35,7 +35,12 @@ def main() -> None:
     sf = float(m.group(1)) if m else None
     spark = get_spark("zmaxion-bench")
 
-    names = [n for n, q in sorted(REGISTRY.items()) if q.bench]
+    # Default: the headline set (q.bench). SPARK_GRAFT_BENCH_ALL=1
+    # folds in the bench=False queries too (fixture-writing and
+    # shape-duplicate demos excluded from the driver's headline number
+    # but still timed in the local full-registry record).
+    bench_all = os.environ.get("SPARK_GRAFT_BENCH_ALL") == "1"
+    names = [n for n, q in sorted(REGISTRY.items()) if q.bench or bench_all]
     # Warm up: JVM, codegen, parquet footer cache — not graded.
     try:
         run_one(spark, REGISTRY[names[0]], sf_dir)
@@ -62,18 +67,22 @@ def main() -> None:
     }
     if errors:
         out["errors"] = errors
+    if bench_all:
+        out["mode"] = "full-registry"
     print(json.dumps(out))
     # The driver snapshots only the LAST 2000 chars of stdout into
     # BENCH_r{N}.json, which clips ~160 queries' timings. Keep the full
     # record locally so round-over-round perf diffs stay possible.
-    try:
-        with open(
-            os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                         "BENCH_local.json"), "w"
-        ) as f:
-            json.dump(out, f, indent=1, sort_keys=True)
-    except OSError:
-        pass  # a read-only checkout must not fail the bench
+    # Full-registry runs additionally persist to BENCH_full.json, which
+    # the driver's headline runs never clobber.
+    here = os.path.dirname(os.path.abspath(__file__))
+    targets = ["BENCH_local.json"] + (["BENCH_full.json"] if bench_all else [])
+    for fname in targets:
+        try:
+            with open(os.path.join(here, fname), "w") as f:
+                json.dump(out, f, indent=1, sort_keys=True)
+        except OSError:
+            pass  # a read-only checkout must not fail the bench
     if errors:
         print(f"bench: {len(errors)} queries errored: {sorted(errors)}", file=sys.stderr)
         sys.exit(1)

@@ -162,6 +162,20 @@ def decode_wav(payload: bytes) -> dict:
     }
 
 
+def decode_wav_samples(payload: bytes) -> list[int]:
+    """Decode a mono 16-bit PCM WAV to its raw sample list — the
+    feature-extraction entry point (windowed RMS / zero-crossings /
+    peak in queries/udf.py's q_audio_features)."""
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(payload), "rb") as w:
+        if w.getsampwidth() != 2:
+            raise ValueError(f"unsupported sample width {w.getsampwidth()}")
+        frames = w.readframes(w.getnframes())
+    return list(struct.unpack(f"<{len(frames) // 2}h", frames))
+
+
 # ---------------------------------------------------------------------------
 # Deterministic synthesizers — real container bytes from a seed.
 # ---------------------------------------------------------------------------

@@ -136,6 +136,13 @@ _NEXT_ROUND: list[str] = [
     "q_sim_topk_ivf_recall",
     "q_sim_join_lsh_recall",
     "q_stream_stateful_v2",
+    "q_rank_metrics",
+    "q_audio_features",
+    "q_vocab_coverage",
+    "q_char_entropy",
+    "q_group_split",
+    "q_negative_sampling",
+    "q_graph_2hop",
     "q_cooccurrence_pmi",
     "q_phash_dedup",
     "q_dedup_threshold_sweep",

@@ -456,3 +456,71 @@ def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         lab = lab.unionByName(pick).localCheckpoint()
     return lab
+
+
+# ---------------------------------------------------------------------------
+# #270 graph_2hop_agg — two-hop neighborhood feature aggregation
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_graph_2hop",
+    oracle="""
+        WITH edge AS (
+            SELECT DISTINCT o.o_custkey AS cust, l.l_suppkey AS supp
+            FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        ),
+        anchors AS (SELECT cust, supp FROM edge WHERE cust % 50 = 0),
+        hop1 AS (
+            SELECT cust, COUNT(*) AS n_suppliers FROM anchors GROUP BY cust
+        ),
+        hop2 AS (
+            SELECT a.cust,
+                   COUNT(DISTINCT e.cust) - 1 AS n_cocustomers
+            FROM anchors a JOIN edge e ON e.supp = a.supp
+            GROUP BY a.cust
+        )
+        SELECT h1.cust AS custkey,
+               CAST(h1.n_suppliers AS BIGINT) AS n_suppliers,
+               CAST(h2.n_cocustomers AS BIGINT) AS n_cocustomers
+        FROM hop1 h1 JOIN hop2 h2 ON h1.cust = h2.cust
+    """,
+    operators=(13, 25, 270),
+    doc="Two-hop neighborhood aggregation (#270), the fraud/risk "
+    "feature-engineering staple: over the customer–supplier bipartite "
+    "graph derived from orders x lineitem, each anchor customer gets "
+    "its 1-hop degree (distinct suppliers) and its 2-hop reach "
+    "(distinct OTHER customers sharing any supplier — the 'how "
+    "connected is this entity's neighborhood' signal). Distinct-"
+    "collapsing the edge list FIRST bounds every later join by the "
+    "graph's true edge count, not the lineitem multiplicity; the "
+    "2-hop expansion joins anchors (a pruned subset) against the "
+    "supplier-keyed edge list, so the shuffle carries (supp, cust) "
+    "pairs — the classic neighborhood-explosion guard is anchoring, "
+    "not global n^2. At 100 TB: edges bucket by supp; skewed "
+    "super-node suppliers would salt (#84's machinery).",
+)
+def q_graph_2hop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("cust"), "o_orderkey"
+    )
+    l = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"), F.col("l_suppkey").alias("supp")
+    )
+    edge = o.join(l, "o_orderkey").select("cust", "supp").distinct().localCheckpoint(
+        eager=True
+    )
+    anchors = edge.filter(F.col("cust") % 50 == 0)
+    hop1 = anchors.groupBy("cust").agg(F.count(F.lit(1)).alias("n_suppliers"))
+    hop2 = (
+        anchors.join(
+            edge.select(F.col("cust").alias("ocust"), "supp"), "supp"
+        )
+        .groupBy("cust")
+        .agg((F.countDistinct("ocust") - 1).alias("n_cocustomers"))
+    )
+    return hop1.join(hop2, "cust").select(
+        F.col("cust").alias("custkey"),
+        F.col("n_suppliers").cast("bigint").alias("n_suppliers"),
+        F.col("n_cocustomers").cast("bigint").alias("n_cocustomers"),
+    )

@@ -395,7 +395,7 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_dedup_minhash_capped",
     oracle=_MINHASH_SQL,
-    operators=(70,),
+    operators=(70, 263),
     doc="Heavy-path proof for the LSH bucket cap: same pipeline as "
     "q_dedup_minhash_lsh but with bucket_cap=2, small enough that the "
     "graded sf0.01 fixture (max band bucket = 3) actually DIVERTS "
@@ -792,7 +792,7 @@ def q_sim_join_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(1 AS INT) AS recall_ge_080
         FROM ranked GROUP BY qid
     """,
-    operators=(33, 72),
+    operators=(33, 72, 264),
     doc="Recall contract for the approximate IVF path (#72), graded by "
     "the driver — the q_hll_bounds pattern applied to ANN: the Spark "
     "side runs BOTH the exact brute-force top-5 and the IVF n_probe=4 "
@@ -858,7 +858,7 @@ def q_sim_topk_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(1 AS INT) AS recall_ge_025
         FROM ex
     """,
-    operators=(72, 73),
+    operators=(72, 73, 264),
     doc="Recall/precision contract for the LSH-pruned similarity join "
     "(#73), graded by the driver: the Spark side runs BOTH the exact "
     "all-pairs join (cos >= 0.35) and the 8-table x 6-bit "
@@ -1901,4 +1901,167 @@ def q_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             F.col("tp").cast("double") / F.nullif(F.col("n_act"), F.lit(0)), 9
         ).alias("recall_"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# #266 vocab_coverage — tokenizer-vocabulary health over the corpus
+# ---------------------------------------------------------------------------
+
+_VC_N = 256  # vocabulary size (top-N tokens by corpus frequency)
+
+
+@query(
+    "q_vocab_coverage",
+    oracle=f"""
+        WITH tok AS (SELECT d.lang, t.term
+                     FROM documents d,
+                          UNNEST(STRING_SPLIT(d.text, ' ')) AS t(term)
+                     WHERE t.term <> ''),
+        freq AS (SELECT term, COUNT(*) AS n FROM tok GROUP BY term),
+        vocab AS (SELECT term FROM (
+            SELECT term, ROW_NUMBER() OVER (ORDER BY n DESC, term) AS r
+            FROM freq) WHERE r <= {_VC_N}),
+        hit AS (
+            SELECT tok.lang,
+                   COUNT(*) AS n_tokens,
+                   CAST(SUM(CASE WHEN v.term IS NOT NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_covered,
+                   COUNT(DISTINCT tok.term) AS n_types,
+                   COUNT(DISTINCT v.term) AS n_types_covered
+            FROM tok LEFT JOIN vocab v ON v.term = tok.term
+            GROUP BY tok.lang
+        )
+        SELECT lang, CAST(n_tokens AS BIGINT) AS n_tokens,
+               n_covered,
+               ROUND(CAST(n_covered AS DOUBLE) / n_tokens, 9) AS coverage,
+               CAST(n_types - n_types_covered AS BIGINT) AS oov_types
+        FROM hit
+    """,
+    operators=(64, 66, 266),
+    doc=f"Tokenizer-vocabulary coverage audit (#266): build the "
+    f"top-{_VC_N} corpus vocabulary by (frequency DESC, token) — the "
+    "deterministic tiebreak every cross-engine rank needs — then per "
+    "language report token-occurrence coverage and the count of "
+    "out-of-vocabulary TYPES. The tokenizer-health gate every "
+    "training-data pipeline runs before committing to a vocab size: "
+    "low coverage in a language means that language will fragment "
+    "into bytes/unks. Scale: vocab is top-N of a map-side-combined "
+    "frequency table (broadcastable by construction); the coverage "
+    "pass is one explode + broadcast-hash left join + per-lang "
+    "aggregate — no shuffle carries more than (lang, term).",
+)
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    d = _t(spark, sf_dir, "documents")
+    tok = d.select(
+        "lang", F.explode(F.split("text", " ")).alias("term")
+    ).filter(F.col("term") != "")
+    freq = tok.groupBy("term").agg(F.count(F.lit(1)).alias("n"))
+    vocab = (
+        freq.withColumn(
+            "r", F.row_number().over(Window.orderBy(F.col("n").desc(), "term"))
+        )
+        .filter(F.col("r") <= _VC_N)
+        .select(F.col("term").alias("vterm"))
+    )
+    hit = (
+        tok.join(F.broadcast(vocab), tok.term == F.col("vterm"), "left")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.when(F.col("vterm").isNotNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_covered"),
+            F.countDistinct("term").alias("n_types"),
+            F.countDistinct("vterm").alias("n_types_covered"),
+        )
+    )
+    return hit.select(
+        "lang",
+        "n_tokens",
+        "n_covered",
+        F.round(F.col("n_covered").cast("double") / F.col("n_tokens"), 9).alias(
+            "coverage"
+        ),
+        (F.col("n_types") - F.col("n_types_covered")).cast("bigint").alias("oov_types"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# #271 char_entropy_gate — character-distribution quality screen
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_char_entropy",
+    oracle="""
+        WITH ch AS (
+            SELECT d.doc_id, d.lang, c.c
+            FROM documents d,
+                 UNNEST(STRING_SPLIT(d.text, '')) AS c(c)
+        ),
+        per AS (
+            SELECT doc_id, lang, c, COUNT(*) AS k FROM ch GROUP BY 1, 2, 3
+        ),
+        tot AS (
+            SELECT doc_id, CAST(SUM(k) AS BIGINT) AS n FROM per GROUP BY doc_id
+        ),
+        ent AS (
+            SELECT per.doc_id, per.lang,
+                   CAST(SUM(CAST(
+                       -(CAST(k AS DOUBLE) / n) * LOG2(CAST(k AS DOUBLE) / n)
+                   AS DECIMAL(38,9))) AS DOUBLE) AS h
+            FROM per JOIN tot USING (doc_id)
+            GROUP BY per.doc_id, per.lang
+        )
+        SELECT lang,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(CASE WHEN h < 3.0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_low_entropy,
+               ROUND(CAST(SUM(CAST(h AS DECIMAL(38,9))) AS DOUBLE)
+                     / COUNT(*), 9) AS mean_entropy
+        FROM ent GROUP BY lang
+    """,
+    operators=(66, 174, 271),
+    doc="Character-entropy quality gate (#271): per-document Shannon "
+    "entropy of the character distribution (H = -sum p*log2 p), "
+    "rolled up per language with a low-entropy census (H < 3 bits "
+    "flags repeated-character spam, padding, and degenerate "
+    "boilerplate that length/stopword gates miss). Parity: each "
+    "-p*log2(p) term is an identical IEEE tree on both engines (k and "
+    "n are integers), per-doc terms sum through DECIMAL(38,9) for "
+    "order independence, and the per-lang mean rounds at 1e-9. "
+    "Scale: explode-to-characters -> two map-side-combined "
+    "aggregations; the shuffle carries (doc_id, char, count), "
+    "bounded by |alphabet| per doc.",
+)
+def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    ch = d.select(
+        "doc_id", "lang", F.explode(F.split("text", "")).alias("c")
+    )
+    per = ch.groupBy("doc_id", "lang", "c").agg(F.count(F.lit(1)).alias("k"))
+    tot = per.groupBy("doc_id").agg(F.sum("k").alias("n"))
+    p = F.col("k").cast("double") / F.col("n")
+    ent = (
+        per.join(tot, "doc_id")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.sum((-p * F.log2(p)).cast("decimal(38,9)"))
+            .cast("double")
+            .alias("h")
+        )
+    )
+    return ent.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(F.col("h") < 3.0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_low_entropy"),
+        F.round(
+            F.sum(F.col("h").cast("decimal(38,9)")).cast("double")
+            / F.count(F.lit(1)),
+            9,
+        ).alias("mean_entropy"),
     )

@@ -900,3 +900,199 @@ def _wire_isotonic_oracle() -> None:
 
 
 _wire_isotonic_oracle()
+
+
+# ---------------------------------------------------------------------------
+# #268 group_split_leakfree — group-aware split + leakage audit
+# ---------------------------------------------------------------------------
+
+_GS_HASH = "CAST(('0x' || SUBSTR(MD5(CAST({col} AS VARCHAR)), 1, 8)) AS BIGINT)"
+
+
+@query(
+    "q_group_split",
+    oracle=f"""
+        WITH assigned AS (
+            SELECT user_id, event_id,
+                   CASE WHEN {_GS_HASH.format(col='user_id')} % 10 < 8
+                        THEN 'train' ELSE 'test' END AS split
+            FROM events
+        ),
+        per AS (
+            SELECT split, CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   COUNT(DISTINCT user_id) AS n_groups
+            FROM assigned GROUP BY split
+        ),
+        leak AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS leaked_groups FROM (
+                SELECT user_id FROM assigned
+                GROUP BY user_id HAVING COUNT(DISTINCT split) > 1)
+        )
+        SELECT split, n_rows, n_groups, leaked_groups
+        FROM per CROSS JOIN leak
+    """,
+    operators=(25, 77, 268),
+    doc="Group-aware train/test split (#268): rows split by a hash of "
+    "their GROUP key (user), never the row id, so all of a user's "
+    "events land on one side — the leakage-prevention rule for any "
+    "model evaluated per-entity (a row-hash split would let the model "
+    "memorize the test users from their train rows). The query emits "
+    "the per-split census AND the graded leakage audit: the count of "
+    "groups appearing in more than one split, which the construction "
+    "forces to 0 — the oracle recomputes the audit independently, so "
+    "a hash-exact pass PROVES leak-freedom rather than asserting it. "
+    "Deterministic md5 bucketing keeps membership stable across runs, "
+    "engines, and incremental data. Scale: the assignment is a "
+    "row-local projection; the audit is one groupBy on the group key.",
+)
+def q_group_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string").cast("binary")), 1, 8), 16, 10)
+        .cast("long")
+        % 10
+    )
+    assigned = ev.select(
+        "user_id",
+        "event_id",
+        F.when(bucket < 8, "train").otherwise("test").alias("split"),
+    ).localCheckpoint(eager=True)
+    per = assigned.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("user_id").alias("n_groups"),
+    )
+    leak = (
+        assigned.groupBy("user_id")
+        .agg(F.countDistinct("split").alias("ns"))
+        .filter(F.col("ns") > 1)
+        .agg(F.count(F.lit(1)).alias("leaked_groups"))
+    )
+    return per.crossJoin(F.broadcast(leak)).select(
+        "split", "n_rows", "n_groups", "leaked_groups"
+    )
+
+
+# ---------------------------------------------------------------------------
+# #269 negative_sampling — smoothed-unigram deterministic negatives
+# ---------------------------------------------------------------------------
+
+_NS_K = 3  # negatives per sampled document
+_NS_V = 64  # candidate vocabulary size
+
+
+@query(
+    "q_negative_sampling",
+    oracle=f"""
+        WITH tok AS (SELECT UNNEST(STRING_SPLIT(text, ' ')) AS term
+                     FROM documents),
+        freq AS (SELECT term, COUNT(*) AS n FROM tok
+                 WHERE term <> '' GROUP BY term),
+        vocab AS (
+            SELECT term, n,
+                   SQRT(SQRT(CAST(n * n * n AS DOUBLE))) AS w,
+                   ROW_NUMBER() OVER (ORDER BY n DESC, term) AS r
+            FROM freq QUALIFY r <= {_NS_V}
+        ),
+        cum AS (
+            SELECT term, r, w,
+                   SUM(w) OVER (ORDER BY r
+                                ROWS UNBOUNDED PRECEDING) AS cw
+            FROM vocab
+        ),
+        tot AS (SELECT MAX(cw) AS tw FROM cum),
+        slots AS (
+            SELECT d.doc_id, k.k,
+                   CAST(('0x' || SUBSTR(MD5('neg:' || CAST(d.doc_id AS VARCHAR)
+                        || ':' || CAST(k.k AS VARCHAR)), 1, 13)) AS BIGINT)
+                   / 4503599627370496 * tot.tw AS u
+            FROM documents d
+            CROSS JOIN (SELECT UNNEST(RANGE(1, {_NS_K} + 1)) AS k) k
+            CROSS JOIN tot
+            WHERE d.doc_id % 7 = 0
+        )
+        SELECT s.doc_id, CAST(s.k AS BIGINT) AS k,
+               ARG_MIN(c.term, c.r) AS neg_term,
+               CAST(MIN(c.r) AS BIGINT) AS neg_rank
+        FROM slots s JOIN cum c ON c.cw >= s.u
+        GROUP BY s.doc_id, s.k
+    """,
+    operators=(44, 225, 269),
+    doc=f"Smoothed-unigram negative sampling (#269), the word2vec/"
+    "contrastive-training draw: candidate vocabulary = top-"
+    f"{_NS_V} tokens, sampling weight n^0.75 computed as "
+    "SQRT(SQRT(n^3)) — two correctly-rounded IEEE ops over an exact "
+    "integer cube, bit-identical on both engines where POW's libm "
+    "would drift — and {_NS_K} negatives per sampled doc drawn by "
+    "inverse-CDF: an md5-derived uniform in [0, W) against the "
+    "running-sum weight table (first bucket with cum >= u, the "
+    "argmin-by-rank tiebreak). Every draw is reproducible from "
+    "(doc_id, slot) alone — resumable shard-parallel sampling with "
+    "no RNG state. Scale: the CDF table is vocab-sized (broadcast); "
+    "draws are row-local expressions; the lookup is a broadcast "
+    "range join bounded by |vocab| per draw — at 100 TB swap in a "
+    "bucketized searchsorted via mapInPandas, same contract.",
+)
+def q_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(F.explode(F.split("text", " ")).alias("term")).filter(
+        F.col("term") != ""
+    )
+    freq = tok.groupBy("term").agg(F.count(F.lit(1)).alias("n"))
+    w = F.sqrt(F.sqrt((F.col("n") * F.col("n") * F.col("n")).cast("double")))
+    vocab = (
+        freq.select("term", "n", w.alias("w"))
+        .withColumn(
+            "r", F.row_number().over(Window.orderBy(F.col("n").desc(), "term"))
+        )
+        .filter(F.col("r") <= _NS_V)
+    )
+    cum = vocab.select(
+        "term",
+        "r",
+        F.sum("w")
+        .over(Window.orderBy("r").rowsBetween(Window.unboundedPreceding, 0))
+        .alias("cw"),
+    ).localCheckpoint(eager=True)
+    tw = cum.agg(F.max("cw").alias("tw"))
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("neg:"),
+                        F.col("doc_id").cast("string"),
+                        F.lit(":"),
+                        F.col("k").cast("string"),
+                    ).cast("binary")
+                ),
+                1,
+                13,
+            ),
+            16,
+            10,
+        ).cast("long")
+        / F.lit(4503599627370496)
+        * F.col("tw")
+    )
+    slots = (
+        d.filter(F.col("doc_id") % 7 == 0)
+        .select("doc_id")
+        .crossJoin(F.broadcast(tw))
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(1), F.lit(_NS_K))).alias("k"),
+            F.col("tw"),
+        )
+        .select("doc_id", "k", u.alias("u"))
+    )
+    return (
+        slots.join(F.broadcast(cum), F.col("cw") >= F.col("u"))
+        .groupBy("doc_id", "k")
+        .agg(
+            F.min_by("term", "r").alias("neg_term"),
+            F.min("r").cast("bigint").alias("neg_rank"),
+        )
+        .select("doc_id", F.col("k").cast("bigint").alias("k"), "neg_term", "neg_rank")
+    )

@@ -638,3 +638,161 @@ def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("rrf_score", 9).alias("rrf_score"), "rrf_rank",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# #265 rank_metrics — NDCG@k + MRR grading the retrieval ranking
+# ---------------------------------------------------------------------------
+
+_RM_K = 10
+_RM_TERMS = ("scan", "join", "vector", "stream")
+
+_RM_ORACLE = f"""
+    WITH tok AS (SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS term
+                 FROM documents),
+    dl AS (SELECT doc_id, LEN(STRING_SPLIT(text, ' ')) AS dl FROM documents),
+    gl AS (SELECT COUNT(*) AS n_docs,
+                  CAST(SUM(CAST(LEN(STRING_SPLIT(text, ' ')) AS DECIMAL(38,6)))
+                       AS DOUBLE) / COUNT(*) AS avgdl
+           FROM documents),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok
+           WHERE term IN {tuple(_RM_TERMS)!r} GROUP BY 1, 2),
+    dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    scored AS (
+        SELECT tf.term, tf.doc_id,
+               LEAST(tf.tf, 3) AS rel,
+               ROUND(CAST(CAST(
+                   LN(1 + (n_docs - df + 0.5) / (df + 0.5))
+                   * (tf * ({_BM25_K1} + 1))
+                   / (tf + {_BM25_K1} * (1 - {_BM25_B} + {_BM25_B} * dl / avgdl))
+               AS DECIMAL(38,9)) AS DOUBLE), 9) AS s
+        FROM tf JOIN dfq USING (term) JOIN dl ON dl.doc_id = tf.doc_id
+        CROSS JOIN gl
+    ),
+    ranked AS (
+        SELECT term, doc_id, rel, s,
+               ROW_NUMBER() OVER (PARTITION BY term
+                                  ORDER BY s DESC, doc_id) AS rnk,
+               ROW_NUMBER() OVER (PARTITION BY term
+                                  ORDER BY rel DESC, doc_id) AS ideal_rnk
+        FROM scored
+    ),
+    dcg AS (
+        SELECT term,
+               CAST(SUM(CASE WHEN rnk <= {_RM_K} THEN CAST(
+                   (POW(2, rel) - 1) / LOG2(rnk + 1) AS DECIMAL(38,6))
+                   ELSE CAST(0 AS DECIMAL(38,6)) END) AS DOUBLE) AS dcg,
+               CAST(SUM(CASE WHEN ideal_rnk <= {_RM_K} THEN CAST(
+                   (POW(2, rel) - 1) / LOG2(ideal_rnk + 1) AS DECIMAL(38,6))
+                   ELSE CAST(0 AS DECIMAL(38,6)) END) AS DOUBLE) AS idcg,
+               MIN(CASE WHEN rel >= 2 THEN rnk END) AS first_rel,
+               CAST(COUNT(*) AS BIGINT) AS n_results
+        FROM ranked GROUP BY term
+    )
+    SELECT term, n_results,
+           ROUND(dcg / idcg, 9) AS ndcg_at_k,
+           ROUND(COALESCE(CAST(1 AS DOUBLE) / first_rel, 0.0), 9) AS mrr
+    FROM dcg
+"""
+
+
+@query(
+    "q_rank_metrics",
+    oracle=_RM_ORACLE,
+    operators=(150, 265),
+    doc=f"Retrieval ranking quality (#265): NDCG@{_RM_K} and MRR per "
+    "single-term query over the per-term BM25 ranking, with graded "
+    "relevance labels derived deterministically from the data "
+    "(rel = min(tf, 3) — the standard capped-gain convention). "
+    "DCG = sum (2^rel - 1)/log2(rank+1) over the system ranking, "
+    "IDCG from the ideal (rel desc) ordering, MRR = 1/rank of the "
+    "first rel >= 2 hit. System ranks order by the ROUND(9)-quantized "
+    "score (identical double on both engines) with doc_id tiebreak, "
+    "so ranks are cross-engine deterministic; DCG terms are identical "
+    "IEEE values summed through DECIMAL(38,6). The eval-side twin of "
+    "the BM25 scorer (#150): a retrieval stack is not done until its "
+    "ranking is GRADED, and this makes the grade itself a "
+    "driver-checked quantity. Scale: per-query state is the top-k "
+    "frontier; everything reduces by (term) after a rank window over "
+    "candidate postings only.",
+)
+def q_rank_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    d = _docs(spark, sf_dir)
+    toks = F.split("text", " ")
+    tok = d.select("doc_id", F.explode(toks).alias("term")).filter(
+        F.col("term").isin(*_RM_TERMS)
+    )
+    dl = d.select("doc_id", F.size(toks).alias("dl"))
+    gl = d.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (
+            F.sum(F.size(toks).cast("decimal(38,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avgdl"),
+    )
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(
+        1
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    denom = F.col("tf") + _BM25_K1 * (
+        1 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl")
+    )
+    score = F.round(
+        (idf * (F.col("tf") * (_BM25_K1 + 1)) / denom)
+        .cast("decimal(38,9)")
+        .cast("double"),
+        9,
+    )
+    scored = (
+        tf.join(F.broadcast(dfq), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(gl))
+        .select(
+            "term",
+            "doc_id",
+            F.least(F.col("tf"), F.lit(3)).alias("rel"),
+            score.alias("s"),
+        )
+    )
+    w_sys = Window.partitionBy("term").orderBy(F.col("s").desc(), "doc_id")
+    w_ideal = Window.partitionBy("term").orderBy(F.col("rel").desc(), "doc_id")
+    ranked = scored.select(
+        "term",
+        "rel",
+        F.row_number().over(w_sys).alias("rnk"),
+        F.row_number().over(w_ideal).alias("ideal_rnk"),
+    )
+    gain = F.pow(F.lit(2.0), F.col("rel")) - 1
+    zero = F.lit(0).cast("decimal(38,6)")
+    agg = ranked.groupBy("term").agg(
+        F.sum(
+            F.when(
+                F.col("rnk") <= _RM_K,
+                (gain / F.log2(F.col("rnk") + 1)).cast("decimal(38,6)"),
+            ).otherwise(zero)
+        )
+        .cast("double")
+        .alias("dcg"),
+        F.sum(
+            F.when(
+                F.col("ideal_rnk") <= _RM_K,
+                (gain / F.log2(F.col("ideal_rnk") + 1)).cast("decimal(38,6)"),
+            ).otherwise(zero)
+        )
+        .cast("double")
+        .alias("idcg"),
+        F.min(F.when(F.col("rel") >= 2, F.col("rnk"))).alias("first_rel"),
+        F.count(F.lit(1)).alias("n_results"),
+    )
+    return agg.select(
+        "term",
+        "n_results",
+        F.round(F.col("dcg") / F.col("idcg"), 9).alias("ndcg_at_k"),
+        F.round(
+            F.coalesce(F.lit(1.0) / F.col("first_rel"), F.lit(0.0)), 9
+        ).alias("mrr"),
+    )

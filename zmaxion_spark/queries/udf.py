@@ -345,6 +345,92 @@ def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# #267 audio_features — windowed frame features through the real codec
+# ---------------------------------------------------------------------------
+
+_AF_WIN = 50  # frames per analysis window
+
+
+@query(
+    "q_audio_features",
+    oracle=f"""
+        WITH dims AS (
+            SELECT doc_id, 200 + doc_id % 100 AS nf, doc_id % 211 AS wseed
+            FROM documents WHERE doc_id % 10 = 1
+        ),
+        s AS (
+            SELECT d.doc_id, w.w AS win, i.i AS i,
+                   (d.wseed + 11 * (w.w * {_AF_WIN} + i.i)) % 201 - 100 AS s,
+                   CASE WHEN i.i > 0 THEN
+                        (d.wseed + 11 * (w.w * {_AF_WIN} + i.i - 1)) % 201 - 100
+                   END AS sp
+            FROM dims d
+            CROSS JOIN (SELECT UNNEST(RANGE(6)) AS w) w
+            CROSS JOIN (SELECT UNNEST(RANGE({_AF_WIN})) AS i) i
+            WHERE w.w < d.nf // {_AF_WIN}
+        )
+        SELECT doc_id, CAST(win AS BIGINT) AS win,
+               CAST(MAX(ABS(s)) AS BIGINT) AS peak,
+               CAST(SUM(CASE WHEN sp IS NOT NULL AND s * sp < 0
+                             THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings,
+               CAST(FLOOR(SQRT(CAST(SUM(s * s) AS BIGINT) // {_AF_WIN}))
+                    AS BIGINT) AS rms
+        FROM s GROUP BY doc_id, win
+    """,
+    operators=(62, 75, 267),
+    doc=f"Windowed audio feature extraction (#267): every sampled doc "
+    "gets a genuine mono 16-bit PCM WAV synthesized from its id, the "
+    "mapInPandas stage DECODES it with the stdlib RIFF/PCM codec "
+    f"(functions/media.decode_wav_samples), frames slice into "
+    f"{_AF_WIN}-frame analysis windows, and per window it emits peak "
+    "amplitude, zero-crossing count (sign products of adjacent "
+    "samples), and integer-exact RMS (isqrt of the mean square) — "
+    "the frame->window->features shape of real audio pipelines "
+    "(VAD, loudness normalization, silence trimming). All features "
+    "are integers over decoded sample values, so the oracle predicts "
+    "them in closed form from the synthesis recipe — reachable only "
+    "through the actual PCM bytes. Scale: synthesis+decode+windowing "
+    "are row-local in one Arrow-batched pass, no shuffle; with "
+    "object-store audio the same pass decodes fetched bytes.",
+)
+def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from zmaxion_spark.functions.media import decode_wav_samples, synthesize_wav
+
+    d = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 10 == 1)
+        .select("doc_id")
+    )
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import math
+
+        for pdf in batches:
+            rows = {"doc_id": [], "win": [], "peak": [], "zero_crossings": [], "rms": []}
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                samples = decode_wav_samples(synthesize_wav(200 + i % 100, i % 211))
+                for w in range(len(samples) // _AF_WIN):
+                    win = samples[w * _AF_WIN : (w + 1) * _AF_WIN]
+                    zc = sum(
+                        1 for a, b in zip(win, win[1:]) if a * b < 0
+                    )
+                    rows["doc_id"].append(i)
+                    rows["win"].append(w)
+                    rows["peak"].append(max(abs(s) for s in win))
+                    rows["zero_crossings"].append(zc)
+                    rows["rms"].append(
+                        math.isqrt(sum(s * s for s in win) // _AF_WIN)
+                    )
+            yield pd.DataFrame(rows)
+
+    return d.mapInPandas(
+        extract,
+        "doc_id bigint, win bigint, peak bigint, zero_crossings bigint, rms bigint",
+    )
+
+
+# ---------------------------------------------------------------------------
 # #63 Python UDTF (lateral table function)
 # ---------------------------------------------------------------------------
 
