@@ -1114,3 +1114,30 @@ def test_stream_chained_agg_matches_batch_two_level(spark):
     got = {(r.w_start_sec, r.event_type): r.n_events for r in rows}
     assert got == truth
     assert truth
+
+
+def test_minhash_lsh_pairs_invariant_to_bucket_cap(spark):
+    """#263: the bucket-cap diversion must be LOSSLESS — the pair set
+    (and every jacc value) is identical for any cap, including cap=1
+    where EVERY multi-occupant bucket routes through the prefix-filter
+    path, and a huge cap where none does."""
+    from zmaxion_spark.functions.dedup import minhash_lsh_pairs
+    from zmaxion_spark.functions.text import shingles
+
+    d = load_table(spark, SF_SMOKE, "documents")
+    toks = F.split("text", " ")
+    sh = d.filter(F.size(toks) >= 3).select("doc_id", shingles(toks, 3).alias("s"))
+
+    def pairs(cap):
+        return {
+            (r.doc_a, r.doc_b, round(r.jacc, 12))
+            for r in minhash_lsh_pairs(
+                sh, "doc_id", "s", n_hashes=12, band_size=3,
+                threshold=0.5, bucket_cap=cap,
+            ).collect()
+        }
+
+    unguarded = pairs(10**9)
+    assert unguarded  # fixture plants near-dups; empty means a bug
+    assert pairs(1) == unguarded
+    assert pairs(2) == unguarded
