@@ -181,6 +181,22 @@ OPERATORS: dict[int, str] = {
     260: "pca_power (top principal component via power iteration)",
     261: "stream_chained_agg (two stateful operators in one query)",
     262: "containment_dedup (asymmetric near-superset detection)",
+    # §2.22 round-5 wave (scale defenses graded, eval + multimodal depth)
+    263: "lsh_bucket_cap (lossless oversized-bucket diversion)",
+    264: "ann_recall_contract (graded IVF/LSH accuracy bounds)",
+    265: "rank_metrics (NDCG@10 + MRR over BM25 rankings)",
+    266: "vocab_coverage (tokenizer vocabulary health)",
+    267: "audio_features (windowed PCM feature extraction)",
+    268: "group_split_leakfree (group-aware split + leakage audit)",
+    269: "negative_sampling (smoothed-unigram word2vec negatives)",
+    270: "graph_2hop_agg (two-hop neighborhood features)",
+    271: "char_entropy_gate (character-distribution spam screen)",
+    # §2.23 round-5 third wave (statistical inference + clustering)
+    272: "ks_test (two-sample Kolmogorov-Smirnov drift)",
+    273: "kmeans_fixed (fixed-iteration Lloyd clustering)",
+    274: "bootstrap_ci (Poisson-bootstrap confidence interval)",
+    275: "seasonal_decompose (MA detrend + day-of-week index)",
+    276: "mutual_information (MI + entropies + NMI)",
 }
 
 # Ops verified by tests rather than graded queries.
@@ -202,10 +218,10 @@ DESIGN_SLOTS: dict[int, str] = {
        "same parse_kafka_topology projection and offset-resume "
        "semantics through a custom Python DataSource emitting the "
        "exact Kafka wire schema",
-    114: "transformWithState processor (streaming/stateful.py "
-         "running_counters_v2): topology builds and schema is pinned in "
-         "tests/test_streaming.py, but execution needs google.protobuf "
-         "in the Python workers, absent in this container",
+    # 114 CLOSED in round 5: transformWithState executes end-to-end
+    # through zmaxion_spark/_protoshim and is graded by
+    # q_stream_stateful_v2 (parity vs the #53 applyInPandasWithState
+    # twin) — no longer a design slot.
 }
 
 

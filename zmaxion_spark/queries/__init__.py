@@ -11,6 +11,7 @@ from zmaxion_spark.queries import (  # noqa: F401,E402
     engine4_q,
     governance_q,
     graph_q,
+    inference_q,
     llm,
     mlprep_q,
     pipeline_q,
@@ -143,6 +144,12 @@ _NEXT_ROUND: list[str] = [
     "q_group_split",
     "q_negative_sampling",
     "q_graph_2hop",
+    # round-5 third wave: statistical inference + clustering (#272-#276)
+    "q_ks_test",
+    "q_kmeans_fixed",
+    "q_bootstrap_ci",
+    "q_seasonal_decompose",
+    "q_mutual_information",
     "q_cooccurrence_pmi",
     "q_phash_dedup",
     "q_dedup_threshold_sweep",

@@ -1,0 +1,785 @@
+"""Statistical-inference + clustering wave — SURVEY.md §2 (#272–#276).
+
+Round-5 third wave: the distribution-comparison and resampling
+machinery a production data-quality stack runs beside PSI (#234) and
+the eval suite (#226–#239), plus the one classic unsupervised
+primitive the engine still lacked (fixed-iteration Lloyd k-means).
+
+Parity disciplines specific to this module (all proven elsewhere in
+the repo, reused verbatim):
+
+- Empirical CDFs and rank statistics stay INTEGER (counts, cents) as
+  long as possible; each final statistic is a short identical IEEE
+  tree on both engines quantized through DECIMAL(38,9) (stats_q._r9).
+- "Randomness" is md5-derived at plan level (the q_weighted_sample
+  discipline): Poisson(1) bootstrap weights come from inverse-CDF
+  lookup of a 13-hex-char md5 uniform against hard-coded cumulative
+  cutoffs, so every resample is reproducible from (key, replicate)
+  alone on both engines.
+- Iterative k-means unrolls as MATERIALIZED CTE chains in DuckDB
+  (the q_pca_power lesson: DuckDB re-inlines chained CTEs otherwise)
+  while Spark folds per-round centroids back in as literal arrays —
+  centroid cells are k·d bounded driver state, the documented
+  IVF-centroid discipline, never a data collect.
+- Squared L2 distances are pure-double LEFT FOLDS over the dimension
+  axis (Spark ``aggregate`` over ``zip_with`` vs DuckDB
+  ``list_reduce``/``list_transform`` — the q_pca_power-proven
+  bit-exact pattern), NOT per-term decimal sums. Measured reason:
+  quantizing each squared-diff term through a decimal cast diverges
+  between engines at any scale — Spark rescales the SHORTEST decimal
+  repr (BigDecimal.valueOf) while DuckDB rounds the true binary
+  expansion, and float-derived products land on half-boundaries often
+  enough that one term in ~10^5 flips (measured at both scale 15 and
+  scale 9 on sf0.1). A fold has no per-term rounding at all: both
+  engines execute the identical 64-term IEEE chain, so distances are
+  bit-identical and the (dist, cluster) argmin is deterministic.
+  Only the 4 final inertia SUMS quantize (dist -> DECIMAL(38,9),
+  summed exactly) — fold-output doubles have full-entropy mantissas,
+  nowhere near the rescale ambiguity zone.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from zmaxion_spark.catalog import load_table
+from zmaxion_spark.queries.registry import query
+
+_US_PER_DAY = 86_400_000_000
+
+# sqrt(-ln(0.025)/2): the two-sided alpha=0.05 KS critical coefficient.
+_KS_C05 = 1.3581015157406195
+
+# Cumulative Poisson(1) CDF cutoffs P(X <= k) for k = 0..5; a uniform
+# u maps to the smallest k with u < cutoff[k] (k = 6 beyond). Literal
+# doubles so both engines compare against bit-identical constants.
+_POIS1_CDF = (
+    0.36787944117144233,
+    0.7357588823428847,
+    0.9196986029286058,
+    0.9810118431238462,
+    0.9963401531726563,
+    0.9994058151824183,
+)
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+def _r9(col, alias: str):
+    """double -> DECIMAL(38,9) -> double quantization (see stats_q._r9)."""
+    return col.cast("decimal(38,9)").cast("double").alias(alias)
+
+
+# ---------------------------------------------------------------------------
+# #272 two-sample Kolmogorov–Smirnov drift test
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_ks_test",
+    oracle=f"""
+        WITH span AS (
+            SELECT (MIN(EPOCH_US(CAST(ts AS TIMESTAMP)))
+                    + MAX(EPOCH_US(CAST(ts AS TIMESTAMP)))) // 2 AS mid
+            FROM events
+        ),
+        pts AS (
+            SELECT event_type,
+                   CAST(ROUND(value * 100) AS BIGINT) AS cents,
+                   CASE WHEN EPOCH_US(CAST(ts AS TIMESTAMP)) <= span.mid
+                        THEN 1 ELSE 0 END AS in_a
+            FROM events, span
+        ),
+        cells AS (
+            SELECT event_type, cents,
+                   CAST(SUM(in_a) AS BIGINT) AS ca,
+                   CAST(SUM(1 - in_a) AS BIGINT) AS cb
+            FROM pts GROUP BY 1, 2
+        ),
+        cdf AS (
+            SELECT event_type,
+                   SUM(ca) OVER (PARTITION BY event_type ORDER BY cents)
+                       AS cum_a,
+                   SUM(cb) OVER (PARTITION BY event_type ORDER BY cents)
+                       AS cum_b,
+                   SUM(ca) OVER (PARTITION BY event_type) AS n_a,
+                   SUM(cb) OVER (PARTITION BY event_type) AS n_b
+            FROM cells
+        ),
+        ks AS (
+            SELECT event_type,
+                   CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+                   CAST(CAST(MAX(ABS(CAST(cum_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+                                     - CAST(cum_b AS DOUBLE) / CAST(n_b AS DOUBLE)))
+                             AS DECIMAL(38,9)) AS DOUBLE) AS ks_d,
+                   CAST(CAST(CAST({_KS_C05!r} AS DOUBLE)
+                             * SQRT(CAST(n_a + n_b AS DOUBLE)
+                                    / CAST(n_a * n_b AS DOUBLE))
+                             AS DECIMAL(38,9)) AS DOUBLE) AS ks_crit_05
+            FROM cdf GROUP BY event_type, n_a, n_b
+        )
+        SELECT event_type, n_a, n_b, ks_d, ks_crit_05,
+               CAST(CASE WHEN ks_d > ks_crit_05 THEN 1 ELSE 0 END AS BIGINT)
+                   AS drift
+        FROM ks
+    """,
+    operators=(23, 31, 43, 272),
+    doc="Two-sample Kolmogorov–Smirnov drift test (#272): per event "
+    "type, the value distribution of the first half of the time span "
+    "vs the second (split at the integer epoch-micro midpoint — "
+    "interval/2 halves days integrally in DuckDB, so midpoints are "
+    "computed in BIGINT micros on both engines). D = sup over "
+    "distinct values of |ECDF_a - ECDF_b|, with the alpha=0.05 "
+    "two-sided critical value and a drift flag — the nonparametric "
+    "companion to PSI (#234) that needs no binning choice. Parity: "
+    "values collapse to exact cents, CDFs are integer running counts, "
+    "each ECDF gap is two IEEE divisions of exact integers, max is "
+    "order-independent, result quantized at 1e-9. Scale: the groupBy "
+    "collapses ties map-side so the shuffle carries (series, "
+    "distinct-value) rows, and every window partitions by the series "
+    "key — no global single-partition sort anywhere.",
+)
+def q_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.unix_micros("ts").alias("us"),
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    span = e.agg(
+        F.expr("(min(us) + max(us)) div 2").alias("mid")
+    )
+    pts = e.join(F.broadcast(span)).select(
+        "event_type",
+        "cents",
+        F.when(F.col("us") <= F.col("mid"), 1).otherwise(0).alias("in_a"),
+    )
+    cells = pts.groupBy("event_type", "cents").agg(
+        F.sum("in_a").cast("bigint").alias("ca"),
+        F.sum(1 - F.col("in_a")).cast("bigint").alias("cb"),
+    )
+    w_cum = (
+        Window.partitionBy("event_type")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("event_type")
+    cdf = cells.select(
+        "event_type",
+        F.sum("ca").over(w_cum).alias("cum_a"),
+        F.sum("cb").over(w_cum).alias("cum_b"),
+        F.sum("ca").over(w_all).alias("n_a"),
+        F.sum("cb").over(w_all).alias("n_b"),
+    )
+    gap = F.abs(
+        F.col("cum_a").cast("double") / F.col("n_a").cast("double")
+        - F.col("cum_b").cast("double") / F.col("n_b").cast("double")
+    )
+    crit = F.lit(_KS_C05) * F.sqrt(
+        (F.col("n_a") + F.col("n_b")).cast("double")
+        / (F.col("n_a") * F.col("n_b")).cast("double")
+    )
+    ks = cdf.groupBy("event_type", "n_a", "n_b").agg(
+        _r9(F.max(gap), "ks_d"),
+        _r9(F.first(crit), "ks_crit_05"),
+    )
+    return ks.select(
+        "event_type",
+        F.col("n_a").cast("bigint").alias("n_a"),
+        F.col("n_b").cast("bigint").alias("n_b"),
+        "ks_d",
+        "ks_crit_05",
+        F.when(F.col("ks_d") > F.col("ks_crit_05"), 1)
+        .otherwise(0)
+        .cast("bigint")
+        .alias("drift"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# #273 fixed-iteration Lloyd k-means over the embedding corpus
+# ---------------------------------------------------------------------------
+
+_KM_K = 4
+_KM_ITERS = 3
+_KM_DIM = 64
+
+_KM_SEED_WORD = "CAST(('0x' || SUBSTR(MD5(CAST(vec_id AS VARCHAR)), 1, 8)) AS BIGINT)"
+
+
+def _km_sql_assign(cells: str, out: str) -> str:
+    """One DuckDB Lloyd assignment round: left-fold double distance
+    against each centroid list -> deterministic (dist, cluster) argmin."""
+    return f"""
+        {out}_l AS MATERIALIZED (
+            SELECT cluster, LIST(val ORDER BY pos) AS vals
+            FROM {cells} GROUP BY cluster
+        ),
+        {out} AS MATERIALIZED (
+            SELECT vec_id, label, embedding, cluster, dist FROM (
+                SELECT e.vec_id, e.label, e.embedding, c.cluster,
+                       LIST_REDUCE(
+                           LIST_TRANSFORM(range(1, {_KM_DIM + 1}),
+                               i -> (CAST(e.embedding[i] AS DOUBLE)
+                                     - c.vals[i])
+                                    * (CAST(e.embedding[i] AS DOUBLE)
+                                       - c.vals[i])),
+                           (acc, x) -> acc + x) AS dist
+                FROM embeddings e, {out}_l c
+            )
+            QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
+                                       ORDER BY dist, cluster) = 1
+        )"""
+
+
+def _km_sql_update(assign: str, prev: str, out: str) -> str:
+    """One DuckDB centroid update: per-(cluster, dim) decimal-exact
+    mean; empty clusters keep their previous centroid (COALESCE)."""
+    return f"""
+        {out}_m AS MATERIALIZED (
+            SELECT a.cluster, t.i AS pos,
+                   CAST(SUM(CAST(CAST(a.embedding[t.i + 1] AS DOUBLE)
+                                 AS DECIMAL(38,9))) AS DOUBLE)
+                       / COUNT(*) AS val
+            FROM {assign} a, range({_KM_DIM}) t(i)
+            GROUP BY a.cluster, t.i
+        ),
+        {out} AS MATERIALIZED (
+            SELECT p.cluster, p.pos, COALESCE(m.val, p.val) AS val
+            FROM {prev} p
+            LEFT JOIN {out}_m m ON m.cluster = p.cluster AND m.pos = p.pos
+        )"""
+
+
+@query(
+    "q_kmeans_fixed",
+    oracle=f"""
+        WITH seeds AS MATERIALIZED (
+            SELECT vec_id, embedding,
+                   ROW_NUMBER() OVER (ORDER BY {_KM_SEED_WORD}, vec_id) - 1
+                       AS cluster
+            FROM embeddings
+            QUALIFY ROW_NUMBER() OVER (ORDER BY {_KM_SEED_WORD}, vec_id)
+                    <= {_KM_K}
+        ),
+        c0 AS MATERIALIZED (
+            SELECT cluster, t.i AS pos,
+                   CAST(embedding[t.i + 1] AS DOUBLE) AS val
+            FROM seeds, range({_KM_DIM}) t(i)
+        ),
+        {_km_sql_assign("c0", "a1")},
+        {_km_sql_update("a1", "c0", "c1")},
+        {_km_sql_assign("c1", "a2")},
+        {_km_sql_update("a2", "c1", "c2")},
+        {_km_sql_assign("c2", "a3")},
+        lab AS (
+            SELECT cluster, label, COUNT(*) AS k FROM a3 GROUP BY 1, 2
+        ),
+        top_lab AS (
+            SELECT cluster, label AS top_label FROM lab
+            QUALIFY ROW_NUMBER() OVER (PARTITION BY cluster
+                                       ORDER BY k DESC, label) = 1
+        )
+        SELECT a3.cluster,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(a3.dist AS DECIMAL(38,9))) AS DOUBLE)
+                   AS inertia,
+               CAST(MIN(t.top_label) AS BIGINT) AS top_label
+        FROM a3 JOIN top_lab t ON t.cluster = a3.cluster
+        GROUP BY a3.cluster
+    """,
+    operators=(44, 62, 273),
+    doc=f"Fixed-iteration Lloyd k-means (#273): k={_KM_K} centroids "
+    f"over the {_KM_DIM}-dim embedding corpus, md5-ranked "
+    f"deterministic seeding, {_KM_ITERS} unrolled assign/update "
+    "rounds, reporting final cluster sizes, exact inertia, and the "
+    "majority ground-truth label per cluster. Distances are pure-"
+    "double left folds over the dimension axis — bit-identical on "
+    "both engines (see the module docstring for why per-term decimal "
+    "quantization is NOT portable) — so the (dist, cluster) argmin "
+    "tie-break is engine-deterministic; centroid means are decimal-"
+    "exact sums over one IEEE division. Spark folds each round's k*d=256 centroid cells "
+    "back in as literal arrays (bounded driver state, the IVF-"
+    "centroid discipline) so assignment is row-local against "
+    "broadcast constants and the only shuffle per round is the "
+    "k*d-cell map-side-combined mean; DuckDB unrolls the rounds as "
+    "MATERIALIZED CTEs (the q_pca_power re-inlining lesson). Empty "
+    "clusters deterministically keep their previous centroid on both "
+    "engines.",
+)
+def q_kmeans_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = (
+        _t(spark, sf_dir, "embeddings")
+        .select(
+            "vec_id",
+            "label",
+            F.col("embedding").cast("array<double>").alias("v"),
+        )
+        .cache()
+    )
+    word = F.conv(
+        F.substring(F.md5(F.col("vec_id").cast("string").cast("binary")), 1, 8),
+        16,
+        10,
+    ).cast("long")
+    seed_rows = emb.orderBy(word, "vec_id").limit(_KM_K).collect()
+    cents: dict[int, list[float]] = {
+        i: [float(x) for x in r.v] for i, r in enumerate(seed_rows)
+    }
+
+    def assign(c: dict[int, list[float]]) -> DataFrame:
+        cands = []
+        for cid in sorted(c):
+            lit_vec = F.array(*[F.lit(x) for x in c[cid]])
+            terms = F.zip_with(
+                F.col("v"), lit_vec, lambda x, y: (x - y) * (x - y)
+            )
+            dist = F.aggregate(
+                terms, F.lit(0.0), lambda acc, t: acc + t
+            )
+            cands.append(
+                F.struct(dist.alias("dist"), F.lit(cid).alias("cluster"))
+            )
+        best = F.array_min(F.array(*cands))
+        return emb.select(
+            "vec_id",
+            "label",
+            "v",
+            best.getField("cluster").alias("cluster"),
+            best.getField("dist").alias("dist"),
+        )
+
+    a = assign(cents)
+    for _ in range(_KM_ITERS - 1):
+        # centroid update: k*d cells, map-side combined, bounded collect
+        cells = (
+            a.select("cluster", F.posexplode("v").alias("pos", "x"))
+            .groupBy("cluster", "pos")
+            .agg(
+                (
+                    F.sum(F.col("x").cast("decimal(38,9)")).cast("double")
+                    / F.count(F.lit(1))
+                ).alias("val")
+            )
+            .collect()
+        )
+        new_c = dict(cents)  # empty clusters keep previous centroids
+        by_cluster: dict[int, dict[int, float]] = {}
+        for r in cells:
+            by_cluster.setdefault(r.cluster, {})[r.pos] = r.val
+        for cid, dims in by_cluster.items():
+            new_c[cid] = [dims[p] for p in range(_KM_DIM)]
+        cents = new_c
+        a = assign(cents)
+
+    lab = a.groupBy("cluster", "label").agg(F.count(F.lit(1)).alias("k"))
+    w = Window.partitionBy("cluster").orderBy(F.desc("k"), "label")
+    top = (
+        lab.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("cluster", F.col("label").alias("top_label"))
+    )
+    return (
+        a.groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("dist").cast("decimal(38,9)"))
+            .cast("double")
+            .alias("inertia"),
+        )
+        .join(top, "cluster")
+        .select(
+            "cluster",
+            F.col("n").cast("bigint").alias("n"),
+            "inertia",
+            F.col("top_label").cast("bigint").alias("top_label"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# #274 Poisson-bootstrap confidence interval
+# ---------------------------------------------------------------------------
+
+_B = 64  # bootstrap replicates; 95% CI = rank-2 / rank-63 resample means
+
+
+def _pois_case_sql(u: str) -> str:
+    parts = [
+        f"WHEN {u} < CAST({c!r} AS DOUBLE) THEN {k}"
+        for k, c in enumerate(_POIS1_CDF)
+    ]
+    return "CASE " + " ".join(parts) + " ELSE 6 END"
+
+
+@query(
+    "q_bootstrap_ci",
+    oracle=f"""
+        WITH draws AS (
+            SELECT o.o_orderpriority, b.b,
+                   {_pois_case_sql(
+                       "CAST(CAST(('0x' || SUBSTR(MD5(CAST(o.o_orderkey AS VARCHAR)"
+                       " || ':' || CAST(b.b AS VARCHAR)), 1, 13)) AS BIGINT)"
+                       " AS DOUBLE) / 4503599627370496"
+                   )} AS w,
+                   CAST(o.o_totalprice AS DECIMAL(38,6)) AS price
+            FROM orders o, range({_B}) b(b)
+        ),
+        res AS (
+            SELECT o_orderpriority, b,
+                   CAST(SUM(w * price) AS DOUBLE)
+                       / CAST(SUM(w) AS DOUBLE) AS mean_b
+            FROM draws GROUP BY 1, 2
+            HAVING SUM(w) > 0
+        ),
+        ranked AS (
+            SELECT o_orderpriority, mean_b,
+                   ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                      ORDER BY mean_b, b) AS rk,
+                   COUNT(*) OVER (PARTITION BY o_orderpriority) AS nb
+            FROM res
+        ),
+        ci AS (
+            SELECT o_orderpriority,
+                   MAX(CASE WHEN rk = 2 THEN mean_b END) AS ci_lo,
+                   MAX(CASE WHEN rk = nb - 1 THEN mean_b END) AS ci_hi,
+                   CAST(MAX(nb) AS BIGINT) AS n_resamples
+            FROM ranked GROUP BY o_orderpriority
+        ),
+        pt AS (
+            SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
+                       / CAST(COUNT(*) AS DOUBLE) AS mean_price
+            FROM orders GROUP BY o_orderpriority
+        )
+        SELECT pt.o_orderpriority, pt.n, pt.mean_price,
+               ci.ci_lo, ci.ci_hi, ci.n_resamples
+        FROM pt JOIN ci USING (o_orderpriority)
+    """,
+    operators=(24, 43, 47, 274),
+    doc=f"Poisson-bootstrap 95% CI (#274) of mean order value per "
+    f"priority class: each (order, replicate) draws a deterministic "
+    f"Poisson(1) weight by inverse-CDF lookup of the md5 uniform "
+    f"hash(orderkey:b)/2^52 against hard-coded cumulative cutoffs — "
+    f"the standard single-pass bootstrap for data too large to "
+    f"resample by index (each of the {_B} replicates is a weighted "
+    "aggregate, never a materialized copy). Resample means are "
+    "decimal-exact sums over one IEEE division; the CI is rank-"
+    "selected (rank 2 / rank B-1 of B=64), no interpolation to "
+    "drift. Scale: the replicate explode is a generator (no shuffle "
+    "of its input) and partial aggregation collapses it map-side, so "
+    "the exchange carries B x |groups| rows regardless of data size.",
+)
+def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.col("o_totalprice").cast("decimal(38,6)").alias("price"),
+    )
+    draws = o.select(
+        "o_orderpriority",
+        "price",
+        F.explode(F.sequence(F.lit(0), F.lit(_B - 1))).alias("b"),
+        "o_orderkey",
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("o_orderkey").cast("string"),
+                        F.lit(":"),
+                        F.col("b").cast("string"),
+                    ).cast("binary")
+                ),
+                1,
+                13,
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        .cast("double")
+        / F.lit(4503599627370496.0)
+    )
+    # Project u as its own column BEFORE the inverse-CDF CASE: Spark's
+    # codegen does not common-subexpression-eliminate across WHEN
+    # branches, so inlining u into the 6 predicates re-evaluates the
+    # md5|conv chain per branch (measured 2x slower at sf0.1). The
+    # intermediate select leaves enough CSE structure to evaluate it
+    # ~once. (A transform()-bound lambda variable would force exactly
+    # once but drops the expression out of whole-stage codegen —
+    # measured SLOWER than the partially-eliminated CASE.)
+    stepped = draws.select("o_orderpriority", "b", "price", u.alias("u"))
+    w = F.lit(6)
+    for k in range(len(_POIS1_CDF) - 1, -1, -1):
+        w = F.when(F.col("u") < F.lit(_POIS1_CDF[k]), F.lit(k)).otherwise(w)
+    res = (
+        stepped.select("o_orderpriority", "b", w.alias("w"), "price")
+        .groupBy("o_orderpriority", "b")
+        .agg(
+            (
+                F.sum(F.col("w") * F.col("price")).cast("double")
+                / F.sum("w").cast("double")
+            ).alias("mean_b"),
+            F.sum("w").alias("wn"),
+        )
+        .filter(F.col("wn") > 0)
+    )
+    wr = Window.partitionBy("o_orderpriority").orderBy("mean_b", "b")
+    wall = Window.partitionBy("o_orderpriority")
+    ranked = res.select(
+        "o_orderpriority",
+        "mean_b",
+        F.row_number().over(wr).alias("rk"),
+        F.count(F.lit(1)).over(wall).alias("nb"),
+    )
+    ci = ranked.groupBy("o_orderpriority").agg(
+        F.max(F.when(F.col("rk") == 2, F.col("mean_b"))).alias("ci_lo"),
+        F.max(
+            F.when(F.col("rk") == F.col("nb") - 1, F.col("mean_b"))
+        ).alias("ci_hi"),
+        F.max("nb").cast("bigint").alias("n_resamples"),
+    )
+    pt = o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        (
+            F.sum("price").cast("double") / F.count(F.lit(1)).cast("double")
+        ).alias("mean_price"),
+    )
+    return pt.join(ci, "o_orderpriority").select(
+        "o_orderpriority", "n", "mean_price", "ci_lo", "ci_hi", "n_resamples"
+    )
+
+
+# ---------------------------------------------------------------------------
+# #275 seasonal decomposition (centered-MA detrend + day-of-week index)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_seasonal_decompose",
+    oracle="""
+        WITH daily AS (
+            SELECT event_type,
+                   EPOCH_US(CAST(ts AS TIMESTAMP)) // 86400000000 AS day_idx,
+                   CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+                       AS cents
+            FROM events GROUP BY 1, 2
+        ),
+        ma AS (
+            SELECT event_type, day_idx, cents,
+                   SUM(cents) OVER w AS sum7,
+                   COUNT(*) OVER w AS cnt7
+            FROM daily
+            WINDOW w AS (PARTITION BY event_type ORDER BY day_idx
+                         ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+        ),
+        detr AS (
+            SELECT event_type,
+                   CAST((day_idx + 4) % 7 AS BIGINT) AS dow,
+                   7 * cents - sum7 AS d7
+            FROM ma WHERE cnt7 = 7
+        )
+        SELECT event_type, dow,
+               CAST(COUNT(*) AS BIGINT) AS n_days,
+               CAST(CAST(CAST(SUM(d7) AS DOUBLE)
+                         / CAST(COUNT(*) * 700 AS DOUBLE)
+                         AS DECIMAL(38,9)) AS DOUBLE) AS seasonal,
+               CAST(CAST(SQRT(CAST(COUNT(*) * SUM(CAST(d7 AS DECIMAL(18,0))
+                                               * CAST(d7 AS DECIMAL(18,0)))
+                                   - SUM(CAST(d7 AS DECIMAL(18,0)))
+                                     * SUM(CAST(d7 AS DECIMAL(18,0)))
+                                   AS DOUBLE)
+                              / CAST(COUNT(*) * (COUNT(*) - 1) AS DOUBLE))
+                         / CAST(700 AS DOUBLE)
+                         AS DECIMAL(38,9)) AS DOUBLE) AS resid_sd
+        FROM detr
+        WHERE dow IS NOT NULL
+        GROUP BY event_type, dow
+        HAVING COUNT(*) >= 2
+    """,
+    operators=(31, 42, 87, 275),
+    doc="Classical seasonal decomposition (#275) of the daily revenue "
+    "series per event type: centered 7-day moving-average trend, "
+    "day-of-week seasonal index of the detrended series, and the "
+    "residual standard deviation (trend-and-season-removed noise "
+    "floor — the input an anomaly threshold actually wants). "
+    "Everything stays INTEGER until the final statistics: detrended "
+    "value is scaled by 7 (d7 = 7*cents - sum7, exact BIGINT), the "
+    "seasonal index is one IEEE division, and the residual sd within "
+    "a (type, dow) cell equals the sd of d7/700 — computed from "
+    "decimal-exact sum/sum-of-squares, so no per-row float "
+    "accumulates anywhere. Day-of-week derives from epoch days "
+    "((d + 4) % 7), immune to engine DOW-origin disagreement. "
+    "Scale: one map-side-combined daily rollup, then windows "
+    "partitioned by series key over |days| rows.",
+)
+def q_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr(f"unix_micros(ts) div {_US_PER_DAY}").alias("day_idx"),
+        F.round(F.col("value") * 100).cast("bigint").alias("c"),
+    )
+    daily = e.groupBy("event_type", "day_idx").agg(
+        F.sum("c").cast("bigint").alias("cents")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day_idx")
+        .rowsBetween(-3, 3)
+    )
+    ma = daily.select(
+        "event_type",
+        "day_idx",
+        "cents",
+        F.sum("cents").over(w).alias("sum7"),
+        F.count(F.lit(1)).over(w).alias("cnt7"),
+    )
+    detr = ma.filter(F.col("cnt7") == 7).select(
+        "event_type",
+        ((F.col("day_idx") + 4) % 7).cast("bigint").alias("dow"),
+        (7 * F.col("cents") - F.col("sum7")).alias("d7"),
+    )
+    d7dec = F.col("d7").cast("decimal(18,0)")
+    n = F.count(F.lit(1))
+    sx = F.sum(d7dec)
+    sx2 = F.sum(d7dec * d7dec)
+    return (
+        detr.groupBy("event_type", "dow")
+        .agg(
+            n.cast("bigint").alias("n_days"),
+            _r9(
+                F.sum("d7").cast("double")
+                / (n * 700).cast("double"),
+                "seasonal",
+            ),
+            _r9(
+                F.sqrt(
+                    (n * sx2 - sx * sx).cast("double")
+                    / (n * (n - 1)).cast("double")
+                )
+                / F.lit(700.0),
+                "resid_sd",
+            ),
+        )
+        .filter(F.col("n_days") >= 2)
+    )
+
+
+# ---------------------------------------------------------------------------
+# #276 mutual information between two categorical columns
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_mutual_information",
+    oracle="""
+        WITH cells AS (
+            SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS k
+            FROM documents GROUP BY 1, 2
+        ),
+        marg AS (
+            SELECT lang, source, k,
+                   SUM(k) OVER (PARTITION BY lang) AS kl,
+                   SUM(k) OVER (PARTITION BY source) AS ks,
+                   SUM(k) OVER () AS n
+            FROM cells
+        ),
+        mi AS (
+            SELECT CAST(MAX(n) AS BIGINT) AS n_docs,
+                   CAST(SUM(CAST(
+                       (CAST(k AS DOUBLE) / CAST(n AS DOUBLE))
+                       * LN(CAST(k * n AS DOUBLE) / CAST(kl * ks AS DOUBLE))
+                       AS DECIMAL(38,9))) AS DOUBLE) AS mi_nats
+            FROM marg
+        ),
+        hl AS (
+            SELECT CAST(SUM(CAST(
+                       -(CAST(kl AS DOUBLE) / CAST(n AS DOUBLE))
+                       * LN(CAST(kl AS DOUBLE) / CAST(n AS DOUBLE))
+                       AS DECIMAL(38,9))) AS DOUBLE) AS h_lang
+            FROM (SELECT DISTINCT lang, kl, n FROM marg)
+        ),
+        hs AS (
+            SELECT CAST(SUM(CAST(
+                       -(CAST(ks AS DOUBLE) / CAST(n AS DOUBLE))
+                       * LN(CAST(ks AS DOUBLE) / CAST(n AS DOUBLE))
+                       AS DECIMAL(38,9))) AS DOUBLE) AS h_source
+            FROM (SELECT DISTINCT source, ks, n FROM marg)
+        )
+        SELECT n_docs,
+               CAST(CAST(mi_nats AS DECIMAL(38,9)) AS DOUBLE) AS mi_nats,
+               CAST(CAST(h_lang AS DECIMAL(38,9)) AS DOUBLE) AS h_lang,
+               CAST(CAST(h_source AS DECIMAL(38,9)) AS DOUBLE) AS h_source,
+               CAST(CAST(mi_nats / SQRT(h_lang * h_source)
+                         AS DECIMAL(38,9)) AS DOUBLE) AS nmi
+        FROM mi, hl, hs
+    """,
+    operators=(23, 31, 43, 276),
+    doc="Mutual information (#276) between document language and "
+    "source: MI = sum over cells of p(x,y)*ln(p(x,y)/(p(x)p(y))), "
+    "with both marginal entropies and the sqrt-normalized NMI — the "
+    "symmetric dependence measure beside the supervised WOE/IV "
+    "(#212) for feature-redundancy screening. One pass builds the "
+    "joint contingency cells; marginals are window sums OVER the "
+    "cells (never a second scan of the data). Each MI term is an "
+    "identical IEEE tree on exact integer counts, terms sum through "
+    "DECIMAL(38,9) (the #271 entropy discipline). Scale: the "
+    "shuffle carries one row per observed (x,y) cell — bounded by "
+    "the category-domain product, independent of row count.",
+)
+def q_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    # localCheckpoint: three consumers (MI + two marginal entropies)
+    # must not re-derive the cells — i.e. re-scan the corpus — per
+    # branch; the materialized frame is |lang|x|source| rows.
+    cells = (
+        d.groupBy("lang", "source")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("k"))
+        .localCheckpoint(eager=True)
+    )
+    marg = cells.select(
+        "lang",
+        "source",
+        "k",
+        F.sum("k").over(Window.partitionBy("lang")).alias("kl"),
+        F.sum("k").over(Window.partitionBy("source")).alias("ks"),
+        F.sum("k").over(Window.partitionBy()).alias("n"),
+    )
+    term = (F.col("k").cast("double") / F.col("n").cast("double")) * F.log(
+        (F.col("k") * F.col("n")).cast("double")
+        / (F.col("kl") * F.col("ks")).cast("double")
+    )
+    mi = marg.agg(
+        F.max("n").cast("bigint").alias("n_docs"),
+        F.sum(term.cast("decimal(38,9)")).cast("double").alias("mi_nats"),
+    )
+
+    def _h(col: str, tot: str, alias: str) -> DataFrame:
+        p = F.col(tot).cast("double") / F.col("n").cast("double")
+        return (
+            marg.select(col, tot, "n")
+            .distinct()
+            .agg(
+                F.sum((-p * F.log(p)).cast("decimal(38,9)"))
+                .cast("double")
+                .alias(alias)
+            )
+        )
+
+    out = mi.join(_h("lang", "kl", "h_lang")).join(
+        _h("source", "ks", "h_source")
+    )
+    return out.select(
+        "n_docs",
+        _r9(F.col("mi_nats"), "mi_nats"),
+        _r9(F.col("h_lang"), "h_lang"),
+        _r9(F.col("h_source"), "h_source"),
+        _r9(
+            F.col("mi_nats") / F.sqrt(F.col("h_lang") * F.col("h_source")),
+            "nmi",
+        ),
+    )
