@@ -197,6 +197,7 @@ OPERATORS: dict[int, str] = {
     274: "bootstrap_ci (Poisson-bootstrap confidence interval)",
     275: "seasonal_decompose (MA detrend + day-of-week index)",
     276: "mutual_information (MI + entropies + NMI)",
+    277: "pq_ann (trained product quantization + ADC, recall-graded)",
 }
 
 # Ops verified by tests rather than graded queries.

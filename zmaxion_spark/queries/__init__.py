@@ -150,6 +150,7 @@ _NEXT_ROUND: list[str] = [
     "q_bootstrap_ci",
     "q_seasonal_decompose",
     "q_mutual_information",
+    "q_pq_ann_recall",
     "q_cooccurrence_pmi",
     "q_phash_dedup",
     "q_dedup_threshold_sweep",

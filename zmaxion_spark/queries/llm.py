@@ -2065,3 +2065,215 @@ def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             9,
         ).alias("mean_entropy"),
     )
+
+
+# ---------------------------------------------------------------------------
+# #277 product quantization: PQ-encode + ADC candidates + exact re-rank,
+# graded as a recall contract (the q_sim_topk_ivf_recall pattern)
+# ---------------------------------------------------------------------------
+
+_PQ_M = 8       # subspaces
+_PQ_SUBD = 8    # dims per subspace (8 x 8 = 64)
+_PQ_K = 16      # codewords per subspace -> 4 bits/subspace, 32 bits/vector
+_PQ_R = 200     # ADC candidate over-fetch, exact-rescored to top-5
+_PQ_ITERS = 3   # per-subspace Lloyd training rounds (measured: untrained
+                # md5-sampled codebooks give recall@5 ~0.2-0.4; 3 rounds
+                # lift it to 0.93 at every fixture SF)
+
+_SQL_L2 = (
+    "LIST_REDUCE(LIST_PREPEND(CAST(0 AS DOUBLE), "
+    "LIST_TRANSFORM(RANGE(1, 65), i -> "
+    "(CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE))"
+    " * (CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE)))), "
+    "(acc, x) -> acc + x)"
+)
+
+
+def _pq_subdist(vec_col, cw: list[float], start: int):
+    """Pure-double left-fold squared L2 between a 16-dim slice of
+    ``vec_col`` (1-based ``start``) and a literal codeword — the
+    bit-exact q_kmeans_fixed fold discipline."""
+    lit = F.array(*[F.lit(float(x)) for x in cw])
+    sub = F.slice(vec_col, start, _PQ_SUBD)
+    terms = F.zip_with(sub, lit, lambda x, y: (x - y) * (x - y))
+    return F.aggregate(terms, F.lit(0.0), lambda acc, t: acc + t)
+
+
+@query(
+    "q_pq_ann_recall",
+    oracle=f"""
+        WITH q AS (SELECT vec_id AS qid, embedding AS qv
+                   FROM embeddings WHERE vec_id < 3),
+             scored AS (SELECT q.qid, e.vec_id,
+                               {_SQL_L2.format(a='q.qv', b='e.embedding')} AS l2
+                        FROM q CROSS JOIN embeddings e),
+             ranked AS (SELECT qid, vec_id FROM (
+                 SELECT qid, vec_id,
+                        ROW_NUMBER() OVER (PARTITION BY qid
+                                           ORDER BY l2, vec_id) AS rank
+                 FROM scored) WHERE rank <= 5)
+        SELECT qid,
+               ARRAY_TO_STRING(LIST(vec_id ORDER BY vec_id), ',')
+                   AS exact_top5,
+               CAST(1 AS INT) AS recall_ge_080
+        FROM ranked GROUP BY qid
+    """,
+    operators=(33, 44, 72, 264, 277),
+    doc=f"Recall contract for product quantization (#277), graded by "
+    f"the driver: the corpus is PQ-encoded into {_PQ_M} subspace codes "
+    f"({_PQ_M}x{_PQ_SUBD} dims, {_PQ_K} codewords per subspace trained "
+    f"with {_PQ_ITERS} deterministic Lloyd rounds from md5-sampled "
+    f"seeds — 32 bits per vector vs 2048 raw, the 64x memory "
+    f"compression that makes billion-vector ANN fit RAM), queries scan "
+    f"only the CODES via ADC lookup tables ({_PQ_M} element_at probes "
+    f"per candidate, zero float arrays touched), the ADC top-{_PQ_R} "
+    "over-fetch is exact-rescored to top-5, and aggregate recall@5 vs "
+    "the exact brute-force L2 neighbors is graded against a 0.8 floor "
+    "(measured 0.93 at every fixture SF; untrained codebooks measured "
+    "0.2-0.4, which is why the training rounds exist). The exact "
+    "neighbor lists anchor the denominator against the oracle's n^2 "
+    "recount (the q_sim_topk_ivf_recall pattern). All distances are "
+    "pure-double left folds (bit-exact across engines); codebooks and "
+    "LUTs are bounded driver state (the IVF-centroid discipline). "
+    "Scale: training collects M*K*SUBD=1024 cells per round, encode "
+    "is row-local against broadcast literals, the ADC scan shuffles "
+    "nothing and reads one int per subspace per vector; only R rows "
+    "per query touch a float array again.",
+    bench=False,
+)
+def q_pq_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = (
+        _t(spark, sf_dir, "embeddings")
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+        .cache()  # consumed once per training round + encode + queries
+    )
+    # --- codebook init: subvectors of the K md5-smallest vec_ids ---
+    word = F.conv(
+        F.substring(F.md5(F.col("vec_id").cast("string").cast("binary")), 1, 8),
+        16,
+        10,
+    ).cast("long")
+    samples = e.orderBy(word, "vec_id").limit(_PQ_K).collect()
+    cw = {
+        m: [
+            [float(x) for x in r.v[m * _PQ_SUBD : (m + 1) * _PQ_SUBD]]
+            for r in samples
+        ]
+        for m in range(_PQ_M)
+    }
+
+    # --- encode: per subspace, argmin codeword (fold dist, tie by k) ---
+    def code(m: int, cwm: list[list[float]]):
+        cands = [
+            F.struct(
+                _pq_subdist(F.col("v"), cwm[k], m * _PQ_SUBD + 1).alias("d"),
+                F.lit(k).alias("k"),
+            )
+            for k in range(_PQ_K)
+        ]
+        return F.array_min(F.array(*cands)).getField("k")
+
+    # --- train: per-subspace Lloyd rounds; each round collects the
+    # M*K*SUBD = 1024 codeword cells (bounded driver state), all
+    # subspaces updated in ONE distributed pass over the corpus ---
+    for _ in range(_PQ_ITERS):
+        enc = e.select(
+            "v", *[code(m, cw[m]).alias(f"c{m}") for m in range(_PQ_M)]
+        )
+        ex = enc.select(
+            F.posexplode("v").alias("pos", "x"),
+            *[f"c{m}" for m in range(_PQ_M)],
+        )
+        mcol = F.expr(f"pos div {_PQ_SUBD}")
+        ccol = F.lit(None)
+        for m in range(_PQ_M - 1, -1, -1):
+            ccol = F.when(mcol == m, F.col(f"c{m}")).otherwise(ccol)
+        cells = (
+            ex.select(mcol.alias("m"), ccol.alias("k"), "pos", "x")
+            .groupBy("m", "k", "pos")
+            .agg(
+                (
+                    F.sum(F.col("x").cast("decimal(38,9)")).cast("double")
+                    / F.count(F.lit(1))
+                ).alias("val")
+            )
+            .collect()
+        )
+        new_cw = {m: [list(cw[m][k]) for k in range(_PQ_K)] for m in range(_PQ_M)}
+        for r in cells:  # empty codes keep their previous codeword
+            new_cw[r.m][r.k][r.pos - r.m * _PQ_SUBD] = r.val
+        cw = new_cw
+
+    encoded = e.select(
+        "vec_id", "v", *[code(m, cw[m]).alias(f"c{m}") for m in range(_PQ_M)]
+    )
+
+    # --- queries + per-query ADC lookup tables (M arrays of K dists) ---
+    queries = e.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"),
+        F.col("v").alias("qv"),
+        *[
+            F.array(
+                *[
+                    _pq_subdist(F.col("v"), cw[m][k], m * _PQ_SUBD + 1)
+                    for k in range(_PQ_K)
+                ]
+            ).alias(f"lut{m}")
+            for m in range(_PQ_M)
+        ],
+    )
+
+    # --- ADC scan: codes only, 4 LUT probes per (query, vector) ---
+    adc = sum(
+        F.element_at(F.col(f"lut{m}"), F.col(f"c{m}") + 1)
+        for m in range(_PQ_M)
+    )
+    scored = encoded.crossJoin(F.broadcast(queries)).select(
+        "qid", "vec_id", "v", "qv", adc.alias("adc")
+    )
+    w_adc = Window.partitionBy("qid").orderBy("adc", "vec_id")
+    cand = scored.withColumn("rn", F.row_number().over(w_adc)).filter(
+        F.col("rn") <= _PQ_R
+    )
+
+    # --- exact re-rank of the over-fetched candidates ---
+    l2 = F.aggregate(
+        F.zip_with(F.col("qv"), F.col("v"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, t: acc + t,
+    )
+    w_l2 = Window.partitionBy("qid").orderBy("l2", "vec_id")
+    approx = (
+        cand.select("qid", "vec_id", l2.alias("l2"))
+        .withColumn("rank", F.row_number().over(w_l2))
+        .filter(F.col("rank") <= 5)
+        .select("qid", "vec_id")
+    )
+
+    # --- exact brute-force top-5 (the anchor + denominator) ---
+    exact = (
+        e.crossJoin(F.broadcast(queries.select("qid", "qv")))
+        .select("qid", "vec_id", l2.alias("l2"))
+        .withColumn("rank", F.row_number().over(w_l2))
+        .filter(F.col("rank") <= 5)
+        .select("qid", "vec_id")
+        .localCheckpoint(eager=True)
+    )
+    hits = approx.join(exact, ["qid", "vec_id"]).agg(
+        F.count(F.lit(1)).alias("_nhit")
+    )
+    total = exact.agg(F.count(F.lit(1)).alias("_nex"))
+    check = hits.crossJoin(total).select(
+        (F.col("_nhit").cast("double") / F.col("_nex") >= 0.8)
+        .cast("int")
+        .alias("recall_ge_080")
+    )
+    anchors = exact.groupBy("qid").agg(
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.sort_array(F.collect_list("vec_id")), lambda x: x.cast("string")
+            ),
+        ).alias("exact_top5")
+    )
+    return anchors.crossJoin(check).select("qid", "exact_top5", "recall_ge_080")
