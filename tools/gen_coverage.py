@@ -198,6 +198,10 @@ OPERATORS: dict[int, str] = {
     275: "seasonal_decompose (MA detrend + day-of-week index)",
     276: "mutual_information (MI + entropies + NMI)",
     277: "pq_ann (trained product quantization + ADC, recall-graded)",
+    278: "conformal_intervals (split-conformal coverage contract)",
+    279: "quantile_normalize (rank-matched global profile)",
+    280: "chi2_screen (chi-square feature selection)",
+    281: "stream_drift (windowed PSI vs static reference)",
 }
 
 # Ops verified by tests rather than graded queries.

@@ -151,6 +151,10 @@ _NEXT_ROUND: list[str] = [
     "q_seasonal_decompose",
     "q_mutual_information",
     "q_pq_ann_recall",
+    "q_conformal_intervals",
+    "q_quantile_normalize",
+    "q_chi2_screen",
+    "q_stream_drift",
     "q_cooccurrence_pmi",
     "q_phash_dedup",
     "q_dedup_threshold_sweep",

@@ -783,3 +783,328 @@ def q_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
             "nmi",
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# #278 split-conformal prediction intervals (Mondrian, per priority class)
+# ---------------------------------------------------------------------------
+
+_CP_FLOOR = 0.85  # graded finite-sample coverage floor (nominal 0.9)
+
+
+@query(
+    "q_conformal_intervals",
+    oracle=f"""
+        WITH split AS (
+            SELECT o_orderpriority AS grp, o_totalprice AS y, o_orderkey,
+                   CAST(('0x' || SUBSTR(MD5(CAST(o_orderkey AS VARCHAR)), 1, 8))
+                        AS BIGINT) % 4 AS b
+            FROM orders
+        ),
+        model AS (
+            SELECT grp,
+                   CAST(SUM(CAST(y AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*)
+                       AS pred
+            FROM split WHERE b <= 1 GROUP BY grp
+        ),
+        cal AS (
+            SELECT s.grp, ABS(s.y - m.pred) AS r, s.o_orderkey
+            FROM split s JOIN model m USING (grp) WHERE s.b = 2
+        ),
+        caln AS (SELECT grp, CAST(COUNT(*) AS BIGINT) AS n_cal FROM cal GROUP BY grp),
+        qhat AS (
+            SELECT c.grp, caln.n_cal, MIN(c.r) AS q_hat
+            FROM (
+                SELECT grp, r,
+                       ROW_NUMBER() OVER (PARTITION BY grp
+                                          ORDER BY r, o_orderkey) AS rn
+                FROM cal
+            ) c
+            JOIN caln USING (grp)
+            WHERE c.rn = (9 * (caln.n_cal + 1) + 9) // 10
+            GROUP BY c.grp, caln.n_cal
+        ),
+        test AS (
+            SELECT s.grp, ABS(s.y - m.pred) AS r
+            FROM split s JOIN model m USING (grp) WHERE s.b = 3
+        )
+        SELECT t.grp AS o_orderpriority,
+               q.n_cal,
+               CAST(COUNT(*) AS BIGINT) AS n_test,
+               CAST(CAST(q.q_hat AS DECIMAL(38,6)) AS DOUBLE) AS q_hat,
+               CAST(CAST(CAST(SUM(CASE WHEN t.r <= q.q_hat THEN 1 ELSE 0 END)
+                              AS DOUBLE) / COUNT(*)
+                         AS DECIMAL(38,9)) AS DOUBLE) AS coverage,
+               CAST(CASE WHEN CAST(SUM(CASE WHEN t.r <= q.q_hat THEN 1 ELSE 0 END)
+                              AS DOUBLE) / COUNT(*) >= {_CP_FLOOR}
+                    THEN 1 ELSE 0 END AS BIGINT) AS coverage_ok
+        FROM test t JOIN qhat q ON q.grp = t.grp
+        GROUP BY t.grp, q.n_cal, q.q_hat
+    """,
+    operators=(30, 43, 47, 278),
+    doc="Split-conformal prediction intervals (#278), Mondrian per "
+    "priority class: a 50/25/25 md5 split trains the (deliberately "
+    "simple) per-group mean model, the calibration quarter yields "
+    "q_hat = the ceil(0.9*(n+1))-th smallest absolute residual — the "
+    "distribution-free finite-sample quantile — and the held-out "
+    "quarter grades empirical coverage of pred +/- q_hat against a "
+    "0.85 floor (nominal 0.9; the conformal guarantee needs NO "
+    "distributional assumption, which is the whole point). Rank "
+    "selection is exact (ties by key, no interpolation); the model "
+    "mean is a decimal-exact sum over one IEEE division. Scale: two "
+    "hash aggregates over |groups| cells plus one rank window per "
+    "group over the calibration quarter.",
+)
+def q_conformal_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    word = F.conv(
+        F.substring(
+            F.md5(F.col("o_orderkey").cast("string").cast("binary")), 1, 8
+        ),
+        16,
+        10,
+    ).cast("long")
+    # cache: five consumers (model/cal/caln/qhat/test) must read the
+    # split projection once, not re-scan the table per branch
+    split = o.select(
+        F.col("o_orderpriority").alias("grp"),
+        F.col("o_totalprice").alias("y"),
+        "o_orderkey",
+        (word % 4).alias("b"),
+    ).cache()
+    model = (
+        split.filter(F.col("b") <= 1)
+        .groupBy("grp")
+        .agg(
+            (
+                F.sum(F.col("y").cast("decimal(38,6)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("pred")
+        )
+    )
+    cal = (
+        split.filter(F.col("b") == 2)
+        .join(F.broadcast(model), "grp")
+        .select("grp", F.abs(F.col("y") - F.col("pred")).alias("r"), "o_orderkey")
+    )
+    caln = cal.groupBy("grp").agg(F.count(F.lit(1)).cast("bigint").alias("n_cal"))
+    w = Window.partitionBy("grp").orderBy("r", "o_orderkey")
+    qhat = (
+        cal.withColumn("rn", F.row_number().over(w))
+        .join(F.broadcast(caln), "grp")
+        # ceil(0.9*(n+1)) as INTEGER ceil division: a double 0.9*(n+1)
+        # can land an ulp above/below the integer when n+1 is a
+        # multiple of 10 while DuckDB's DECIMAL literal product is
+        # exact — CEIL would then disagree by 1 rank.
+        .filter(F.col("rn") == F.expr("(9 * (n_cal + 1) + 9) div 10"))
+        .groupBy("grp", "n_cal")
+        .agg(F.min("r").alias("q_hat"))
+    )
+    test = (
+        split.filter(F.col("b") == 3)
+        .join(F.broadcast(model), "grp")
+        .select("grp", F.abs(F.col("y") - F.col("pred")).alias("r"))
+    )
+    cov = F.sum(F.when(F.col("r") <= F.col("q_hat"), 1).otherwise(0)).cast(
+        "double"
+    ) / F.count(F.lit(1))
+    return (
+        test.join(F.broadcast(qhat), "grp")
+        .groupBy(F.col("grp").alias("o_orderpriority"), "n_cal", "q_hat")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_test"),
+            cov.cast("decimal(38,9)").cast("double").alias("coverage"),
+            (cov >= _CP_FLOOR).cast("bigint").alias("coverage_ok"),
+        )
+        .select(
+            "o_orderpriority",
+            "n_cal",
+            "n_test",
+            F.col("q_hat").cast("decimal(38,6)").cast("double").alias("q_hat"),
+            "coverage",
+            "coverage_ok",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# #279 quantile normalization (rank-matched to the global profile)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_quantile_normalize",
+    oracle="""
+        WITH ranked AS (
+            SELECT doc_id, source, n_chars,
+                   ROW_NUMBER() OVER (PARTITION BY source
+                                      ORDER BY n_chars, doc_id) AS gr,
+                   COUNT(*) OVER (PARTITION BY source) AS ng,
+                   COUNT(*) OVER () AS n
+            FROM documents
+        ),
+        cum AS (
+            SELECT n_chars AS val,
+                   SUM(k) OVER (ORDER BY n_chars)
+                       - k + 1 AS lo,
+                   SUM(k) OVER (ORDER BY n_chars) AS hi
+            FROM (SELECT n_chars, CAST(COUNT(*) AS BIGINT) AS k
+                  FROM documents GROUP BY n_chars)
+        ),
+        mapped AS (
+            SELECT r.source, r.n_chars,
+                   ((2 * r.gr - 1) * r.n + r.ng) // (2 * r.ng) AS tr,
+                   c.val AS norm_chars
+            FROM ranked r
+            JOIN cum c
+              ON ((2 * r.gr - 1) * r.n + r.ng) // (2 * r.ng) >= c.lo
+             AND ((2 * r.gr - 1) * r.n + r.ng) // (2 * r.ng) <= c.hi
+        )
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS sum_before,
+               CAST(SUM(norm_chars) AS BIGINT) AS sum_after,
+               CAST(MAX(ABS(norm_chars - n_chars)) AS BIGINT) AS max_shift
+        FROM mapped GROUP BY source
+    """,
+    operators=(17, 30, 279),
+    doc="Quantile normalization (#279): each source's document-length "
+    "distribution is rank-matched onto the GLOBAL length profile "
+    "(within-group rank gr of ng maps to the global order statistic "
+    "at rank ((2*gr-1)*N + ng) // (2*ng), the integer-exact midpoint "
+    "quantile) — the cross-source debiasing step that makes length "
+    "gates comparable across crawls, and the batch-effect remover "
+    "bioinformatics runs on arrays. Everything is integer rank "
+    "algebra: no interpolation, no floats anywhere. The global "
+    "profile compresses to (distinct value, rank range) cells "
+    "(the exact-quantile-at-scale discipline) and the rank lookup is "
+    "a broadcast range join against it — the global sort never "
+    "materializes a single-partition pass over raw rows.",
+)
+def q_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    wg = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    n_tot = d.agg(F.count(F.lit(1)).alias("n"))
+    ranked = d.crossJoin(F.broadcast(n_tot)).select(
+        "source",
+        "n_chars",
+        F.row_number().over(wg).alias("gr"),
+        F.count(F.lit(1)).over(Window.partitionBy("source")).alias("ng"),
+        "n",
+    )
+    k = d.groupBy("n_chars").agg(F.count(F.lit(1)).cast("bigint").alias("k"))
+    wc = Window.orderBy("n_chars").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = k.select(
+        F.col("n_chars").alias("val"),
+        (F.sum("k").over(wc) - F.col("k") + 1).alias("lo"),
+        F.sum("k").over(wc).alias("hi"),
+    )
+    tr = F.expr("((2 * gr - 1) * n + ng) div (2 * ng)")
+    mapped = (
+        ranked.withColumn("tr", tr)
+        .join(
+            F.broadcast(cum),
+            (F.col("tr") >= F.col("lo")) & (F.col("tr") <= F.col("hi")),
+        )
+        .select("source", "n_chars", F.col("val").alias("norm_chars"))
+    )
+    return mapped.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("sum_before"),
+        F.sum("norm_chars").cast("bigint").alias("sum_after"),
+        F.max(F.abs(F.col("norm_chars") - F.col("n_chars")))
+        .cast("bigint")
+        .alias("max_shift"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# #280 chi-square feature screening (per-source dependence on language)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_chi2_screen",
+    oracle="""
+        WITH cells AS (
+            SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS o
+            FROM documents GROUP BY 1, 2
+        ),
+        grid AS (
+            SELECT l.lang, s.source, l.kl, s.ks, s.n,
+                   COALESCE(c.o, 0) AS o
+            FROM (SELECT lang, SUM(o) AS kl FROM cells GROUP BY lang) l
+            CROSS JOIN (SELECT source, SUM(o) AS ks, SUM(SUM(o)) OVER () AS n
+                        FROM cells GROUP BY source) s
+            LEFT JOIN cells c ON c.lang = l.lang AND c.source = s.source
+        ),
+        parts AS (
+            SELECT source,
+                   CAST(SUM(CAST(
+                       (CAST(o AS DOUBLE)
+                        - CAST(kl * ks AS DOUBLE) / CAST(n AS DOUBLE))
+                       * (CAST(o AS DOUBLE)
+                          - CAST(kl * ks AS DOUBLE) / CAST(n AS DOUBLE))
+                       / (CAST(kl * ks AS DOUBLE) / CAST(n AS DOUBLE))
+                       AS DECIMAL(38,9))) AS DOUBLE) AS chi2_src,
+                   CAST(COUNT(*) - 1 AS BIGINT) AS dof
+            FROM grid GROUP BY source
+        )
+        SELECT source, dof,
+               CAST(CAST(chi2_src AS DECIMAL(38,9)) AS DOUBLE) AS chi2_src,
+               CAST(ROW_NUMBER() OVER (ORDER BY CAST(CAST(chi2_src AS
+                        DECIMAL(38,9)) AS DOUBLE) DESC, source) AS BIGINT)
+                   AS rnk
+        FROM parts
+    """,
+    operators=(23, 31, 43, 280),
+    doc="Chi-square feature screening (#280): per source, the "
+    "chi-square statistic of its language distribution against the "
+    "corpus-wide expectation E = row*col/n — ranked descending, the "
+    "classic supervised feature-selection screen beside the symmetric "
+    "MI (#276) and the monotone WOE/IV (#212). The grid CTE "
+    "materializes EMPTY cells too (COALESCE 0): a sparse cells-only "
+    "sum silently understates chi2 by every (O-E)^2/E = E term a "
+    "missing combination contributes. Each term is an identical IEEE "
+    "tree on exact integer marginals, summed through DECIMAL(38,9); "
+    "ranks order by the quantized statistic with a source tiebreak. "
+    "Scale: the shuffle carries one row per (lang, source) cell.",
+)
+def q_chi2_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    cells = d.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("o")
+    ).localCheckpoint(eager=True)
+    lmarg = cells.groupBy("lang").agg(F.sum("o").alias("kl"))
+    smarg = cells.groupBy("source").agg(F.sum("o").alias("ks"))
+    n = cells.agg(F.sum("o").alias("n"))
+    grid = (
+        lmarg.crossJoin(F.broadcast(smarg))
+        .crossJoin(F.broadcast(n))
+        .join(cells, ["lang", "source"], "left")
+        .select(
+            "lang",
+            "source",
+            "kl",
+            "ks",
+            "n",
+            F.coalesce(F.col("o"), F.lit(0)).alias("o"),
+        )
+    )
+    e = (F.col("kl") * F.col("ks")).cast("double") / F.col("n").cast("double")
+    term = (F.col("o").cast("double") - e) * (F.col("o").cast("double") - e) / e
+    parts = grid.groupBy("source").agg(
+        F.sum(term.cast("decimal(38,9)")).cast("double").alias("chi2_src"),
+        (F.count(F.lit(1)) - 1).cast("bigint").alias("dof"),
+    )
+    wr = Window.orderBy(
+        F.desc(F.col("chi2_src").cast("decimal(38,9)").cast("double")), "source"
+    )
+    return parts.select(
+        "source",
+        "dof",
+        F.col("chi2_src").cast("decimal(38,9)").cast("double").alias("chi2_src"),
+        F.row_number().over(wr).cast("bigint").alias("rnk"),
+    )

@@ -927,3 +927,168 @@ def q_stream_chained_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         "total_value",
     )
+
+
+# ---------------------------------------------------------------------------
+# #281 streaming drift monitor: windowed PSI vs a static reference profile
+# ---------------------------------------------------------------------------
+
+_DRIFT_BINS = 10
+_DRIFT_BIN_CENTS = 5000  # $50 fixed-width bins over the value range
+_DRIFT_REF_DAYS = 7
+_DRIFT_ALERT = 0.2
+
+_SQL_DRIFT_BUCKET = (
+    f"LEAST(CAST(ROUND(value * 100) AS BIGINT) // {_DRIFT_BIN_CENTS}, "
+    f"{_DRIFT_BINS - 1})"
+)
+
+
+@query(
+    "q_stream_drift",
+    oracle=f"""
+        WITH ev AS (
+            SELECT {_SQL_BUCKET.format(w=86400)} AS w_start_sec,
+                   {_SQL_DRIFT_BUCKET} AS bucket
+            FROM events
+        ),
+        mind AS (SELECT MIN(w_start_sec) AS d0 FROM ev),
+        ref AS (
+            SELECT bucket, CAST(COUNT(*) AS BIGINT) AS k
+            FROM ev, mind
+            WHERE w_start_sec < d0 + {_DRIFT_REF_DAYS} * 86400
+            GROUP BY bucket
+        ),
+        refn AS (SELECT CAST(SUM(k) AS BIGINT) AS nr FROM ref),
+        refp AS (
+            SELECT b.b AS bucket,
+                   CAST(COALESCE(r.k, 0) AS DOUBLE) / CAST(refn.nr AS DOUBLE)
+                       AS q
+            FROM range({_DRIFT_BINS}) b(b)
+            LEFT JOIN ref r ON r.bucket = b.b, refn
+        ),
+        wins AS (
+            SELECT w_start_sec, bucket, CAST(COUNT(*) AS BIGINT) AS n
+            FROM ev GROUP BY 1, 2
+        ),
+        wn AS (
+            SELECT w_start_sec, CAST(SUM(n) AS BIGINT) AS n_events
+            FROM wins GROUP BY 1
+        ),
+        grid AS (
+            SELECT w.w_start_sec, w.n_events, b.b AS bucket,
+                   CAST(COALESCE(x.n, 0) AS BIGINT) AS n
+            FROM wn w
+            CROSS JOIN range({_DRIFT_BINS}) b(b)
+            LEFT JOIN wins x
+              ON x.w_start_sec = w.w_start_sec AND x.bucket = b.b
+        ),
+        scored AS (
+            SELECT g.w_start_sec, g.n_events,
+                   CAST(SUM(CAST(
+                       (CAST(g.n AS DOUBLE) / CAST(g.n_events AS DOUBLE) - p.q)
+                       * LN((CAST(g.n AS DOUBLE) / CAST(g.n_events AS DOUBLE)
+                             + 1e-6) / (p.q + 1e-6))
+                       AS DECIMAL(38,9))) AS DOUBLE) AS psi
+            FROM grid g JOIN refp p ON p.bucket = g.bucket
+            GROUP BY g.w_start_sec, g.n_events
+        )
+        SELECT w_start_sec, n_events,
+               CAST(CAST(psi AS DECIMAL(38,9)) AS DOUBLE) AS psi,
+               CAST(CASE WHEN psi > CAST({_DRIFT_ALERT!r} AS DOUBLE)
+                    THEN 1 ELSE 0 END AS BIGINT) AS drift
+        FROM scored
+    """,
+    operators=(3, 21, 48, 49, 55, 234, 281),
+    doc=f"Streaming drift monitor (#281): the stream maintains a "
+    f"tumbling daily census of {_DRIFT_BINS} fixed ${_DRIFT_BIN_CENTS // 100} "
+    "value bins (fixed edges, NOT data-dependent min/max — a monitor "
+    "cannot re-scan history per batch), and each emitted window is "
+    "scored batch-side with PSI against the static reference profile "
+    "built from the fixture's first "
+    f"{_DRIFT_REF_DAYS} days — the stream-static shape of the #234 "
+    f"drift metric, alerting at PSI > {_DRIFT_ALERT}. Missing bins "
+    "matter: the window x bin grid is completed with zeros before "
+    "scoring (a sparse join silently understates drift exactly when "
+    "a bin COLLAPSES, the strongest drift signal of all). Bin ids and "
+    "counts are integers end-to-end; each PSI term is an identical "
+    "IEEE tree, epsilon-smoothed like #234, summed through "
+    "DECIMAL(38,9). Scale: streaming state is windows x bins cells; "
+    "the reference broadcast is 10 rows; nothing downstream of the "
+    "windowed census touches a raw event again.",
+)
+def q_stream_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bucket = F.expr(
+        f"least(cast(round(value * 100) as bigint) div {_DRIFT_BIN_CENTS}, "
+        f"{_DRIFT_BINS - 1})"
+    )
+    win = (
+        Pipeline.from_events(spark, sf_dir)
+        .transform(lambda df: df.select("ts", bucket.alias("bucket")))
+        .watermark("ts", "1 day")
+        .tumbling("1 day", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .to_memory("drift_census", mode="complete")
+    )
+    wins = win.select(
+        F.unix_timestamp(F.col("window.start")).alias("w_start_sec"),
+        "bucket",
+        F.col("n").cast("bigint").alias("n"),
+    ).localCheckpoint(eager=True)
+
+    # static reference profile: first N days, zero-completed bins
+    ev = load_table(spark, sf_dir, "events").select(
+        # integer div, not floor(a/b): a double ratio an ulp below an
+        # exact-midnight boundary would floor into the previous day
+        F.expr("(unix_timestamp(ts) div 86400) * 86400")
+        .cast("bigint")
+        .alias("w_start_sec"),
+        bucket.alias("bucket"),
+    )
+    d0 = ev.agg(F.min("w_start_sec").alias("d0"))
+    ref = (
+        ev.crossJoin(F.broadcast(d0))
+        .filter(F.col("w_start_sec") < F.col("d0") + _DRIFT_REF_DAYS * 86400)
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("k"))
+    )
+    refn = ref.agg(F.sum("k").cast("bigint").alias("nr"))
+    bins = spark.range(_DRIFT_BINS).select(F.col("id").alias("bucket"))
+    refp = (
+        bins.join(ref, "bucket", "left")
+        .crossJoin(F.broadcast(refn))
+        .select(
+            "bucket",
+            (
+                F.coalesce(F.col("k"), F.lit(0)).cast("double")
+                / F.col("nr").cast("double")
+            ).alias("q"),
+        )
+    )
+
+    wn = wins.groupBy("w_start_sec").agg(
+        F.sum("n").cast("bigint").alias("n_events")
+    )
+    grid = (
+        wn.crossJoin(F.broadcast(bins))
+        .join(wins, ["w_start_sec", "bucket"], "left")
+        .select(
+            "w_start_sec",
+            "n_events",
+            "bucket",
+            F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n"),
+        )
+    )
+    p = F.col("n").cast("double") / F.col("n_events").cast("double")
+    part = (p - F.col("q")) * F.log((p + 1e-6) / (F.col("q") + 1e-6))
+    scored = (
+        grid.join(F.broadcast(refp), "bucket")
+        .groupBy("w_start_sec", "n_events")
+        .agg(F.sum(part.cast("decimal(38,9)")).cast("double").alias("psi"))
+    )
+    return scored.select(
+        "w_start_sec",
+        "n_events",
+        F.col("psi").cast("decimal(38,9)").cast("double").alias("psi"),
+        (F.col("psi") > F.lit(_DRIFT_ALERT)).cast("bigint").alias("drift"),
+    )
