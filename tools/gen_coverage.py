@@ -202,6 +202,8 @@ OPERATORS: dict[int, str] = {
     279: "quantile_normalize (rank-matched global profile)",
     280: "chi2_screen (chi-square feature selection)",
     281: "stream_drift (windowed PSI vs static reference)",
+    282: "k_core (bounded-round graph peel + convergence census)",
+    283: "margin_bitext (mutual-NN margin-ratio parallel-pair mining)",
 }
 
 # Ops verified by tests rather than graded queries.

@@ -155,6 +155,8 @@ _NEXT_ROUND: list[str] = [
     "q_quantile_normalize",
     "q_chi2_screen",
     "q_stream_drift",
+    "q_kcore",
+    "q_margin_bitext",
     "q_cooccurrence_pmi",
     "q_phash_dedup",
     "q_dedup_threshold_sweep",

@@ -524,3 +524,117 @@ def q_graph_2hop(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_suppliers").cast("bigint").alias("n_suppliers"),
         F.col("n_cocustomers").cast("bigint").alias("n_cocustomers"),
     )
+
+
+# ---------------------------------------------------------------------------
+# #282 k-core decomposition (bounded peel rounds + convergence flag)
+# ---------------------------------------------------------------------------
+
+_KCORE_K = 3
+_KCORE_ROUNDS = 5
+
+
+def _kcore_sql() -> str:
+    """Unrolled peel: per round, degrees over surviving edges, drop
+    nodes with degree < K, drop incident edges; census per round."""
+    parts = [f"WITH {_SQL_COPURCHASE_EDGES}, e0 AS MATERIALIZED (SELECT u, v FROM e)"]
+    sel = []
+    for r in range(1, _KCORE_ROUNDS + 1):
+        prev = f"e{r - 1}"
+        parts.append(f"""
+        d{r} AS MATERIALIZED (
+            SELECT node, CAST(SUM(c) AS BIGINT) AS deg FROM (
+                SELECT u AS node, COUNT(*) AS c FROM {prev} GROUP BY u
+                UNION ALL
+                SELECT v AS node, COUNT(*) AS c FROM {prev} GROUP BY v
+            ) GROUP BY node
+        ),
+        k{r} AS MATERIALIZED (SELECT node FROM d{r} WHERE deg >= {_KCORE_K}),
+        e{r} AS MATERIALIZED (
+            SELECT p.u, p.v FROM {prev} p
+            JOIN k{r} a ON a.node = p.u
+            JOIN k{r} b ON b.node = p.v
+        )""")
+        sel.append(
+            f"SELECT {r} AS round,"
+            f" (SELECT CAST(COUNT(*) AS BIGINT) FROM k{r}) AS n_nodes,"
+            f" (SELECT CAST(COUNT(*) AS BIGINT) FROM e{r}) AS n_edges"
+        )
+    last, prev = f"e{_KCORE_ROUNDS}", f"e{_KCORE_ROUNDS - 1}"
+    return (
+        ",".join(parts)
+        + ", census AS (" + " UNION ALL ".join(sel) + ")"
+        + f""",
+        conv AS (
+            SELECT CAST(CASE WHEN (SELECT COUNT(*) FROM {last})
+                              = (SELECT COUNT(*) FROM {prev})
+                        THEN 1 ELSE 0 END AS BIGINT) AS converged
+        )
+        SELECT census.round, census.n_nodes, census.n_edges, conv.converged
+        FROM census, conv"""
+    )
+
+
+@query(
+    "q_kcore",
+    oracle=_kcore_sql(),
+    operators=(13, 23, 282),
+    doc=f"k-core decomposition (#282) of the co-purchase graph: "
+    f"{_KCORE_ROUNDS} unrolled peel rounds at k={_KCORE_K} — each round "
+    "recomputes degrees over surviving edges and drops nodes below k "
+    "with their incident edges — emitting the per-round (nodes, edges) "
+    "census plus a converged flag (last two edge sets equal). The "
+    "dense-subgraph extractor behind community seeds and spam-ring "
+    "detection; the census exposes HOW FAST the graph sheds its "
+    "periphery, which a single fixpoint answer hides. Bounded rounds "
+    "are the house fixpoint discipline (recursion valves, sf10 "
+    "lesson); integers end-to-end, trivially hash-exact. Scale: each "
+    "round is one degree aggregate + two semi-joins, all partitioned "
+    "by node id; the edge frame localCheckpoints per round so lineage "
+    "does not replay the peel chain.",
+    bench=False,
+)
+def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    a = items.alias("a")
+    b = items.alias("b")
+    pr = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    edges = pr.filter(F.col("c") >= 2).select("u", "v").localCheckpoint(eager=True)
+
+    censuses = []
+    prev_edge_count = edges.count()
+    converged = 0
+    for r in range(1, _KCORE_ROUNDS + 1):
+        deg = (
+            edges.select(F.col("u").alias("node"))
+            .unionAll(edges.select(F.col("v").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
+        )
+        keep = deg.filter(F.col("deg") >= _KCORE_K).select("node")
+        edges = (
+            edges.join(keep.withColumnRenamed("node", "u"), "u", "left_semi")
+            .join(keep.withColumnRenamed("node", "v"), "v", "left_semi")
+            .select("u", "v")
+            .localCheckpoint(eager=True)
+        )
+        n_nodes, n_edges = keep.count(), edges.count()
+        censuses.append((r, n_nodes, n_edges))
+        if r == _KCORE_ROUNDS:
+            converged = int(n_edges == prev_edge_count)
+        prev_edge_count = n_edges
+    return spark.createDataFrame(
+        [(r, n, m, converged) for r, n, m in censuses],
+        "round INT, n_nodes BIGINT, n_edges BIGINT, converged BIGINT",
+    )

@@ -2277,3 +2277,145 @@ def q_pq_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("exact_top5")
     )
     return anchors.crossJoin(check).select("qid", "exact_top5", "recall_ge_080")
+
+
+# ---------------------------------------------------------------------------
+# #283 margin-based bitext mining (mutual-NN + margin ratio, CCMatrix-style)
+# ---------------------------------------------------------------------------
+
+_BT_TOPK = 4          # margin denominator: avg of each side's top-4 sims
+_BT_THRESHOLD = 1.05  # accept pairs with margin above this
+
+
+@query(
+    "q_margin_bitext",
+    oracle=f"""
+        WITH a AS (SELECT vec_id AS ida, embedding AS va
+                   FROM embeddings WHERE vec_id % 2 = 0),
+             b AS (SELECT vec_id AS idb, embedding AS vb
+                   FROM embeddings WHERE vec_id % 2 = 1),
+             s AS (SELECT a.ida, b.idb,
+                          {_sql_cosine('a.va', 'b.vb')} AS cos_sim
+                   FROM a CROSS JOIN b),
+             ra AS (SELECT ida, idb, cos_sim,
+                           ROW_NUMBER() OVER (PARTITION BY ida
+                                              ORDER BY cos_sim DESC, idb)
+                               AS rn
+                    FROM s),
+             rb AS (SELECT ida, idb, cos_sim,
+                           ROW_NUMBER() OVER (PARTITION BY idb
+                                              ORDER BY cos_sim DESC, ida)
+                               AS rn
+                    FROM s),
+             suma AS (
+                 SELECT ida,
+                        MAX(CASE WHEN rn = 1 THEN cos_sim END)
+                        + MAX(CASE WHEN rn = 2 THEN cos_sim END)
+                        + MAX(CASE WHEN rn = 3 THEN cos_sim END)
+                        + MAX(CASE WHEN rn = 4 THEN cos_sim END) AS sa
+                 FROM ra WHERE rn <= {_BT_TOPK} GROUP BY ida
+             ),
+             sumb AS (
+                 SELECT idb,
+                        MAX(CASE WHEN rn = 1 THEN cos_sim END)
+                        + MAX(CASE WHEN rn = 2 THEN cos_sim END)
+                        + MAX(CASE WHEN rn = 3 THEN cos_sim END)
+                        + MAX(CASE WHEN rn = 4 THEN cos_sim END) AS sb
+                 FROM rb WHERE rn <= {_BT_TOPK} GROUP BY idb
+             ),
+             besta AS (SELECT ida, idb, cos_sim FROM ra WHERE rn = 1),
+             bestb AS (SELECT ida, idb FROM rb WHERE rn = 1)
+        SELECT t.ida AS id_a, t.idb AS id_b,
+               CAST(CAST(t.cos_sim AS DECIMAL(38,9)) AS DOUBLE) AS cos_sim,
+               CAST(CAST(t.cos_sim * 8 / (suma.sa + sumb.sb)
+                         AS DECIMAL(38,9)) AS DOUBLE) AS margin,
+               CAST(CASE WHEN bestb.ida IS NOT NULL THEN 1 ELSE 0 END
+                    AS BIGINT) AS mutual,
+               CAST(CASE WHEN bestb.ida IS NOT NULL
+                          AND t.cos_sim * 8 / (suma.sa + sumb.sb)
+                              > CAST({_BT_THRESHOLD!r} AS DOUBLE)
+                    THEN 1 ELSE 0 END AS BIGINT) AS accepted
+        FROM besta t
+        JOIN suma ON suma.ida = t.ida
+        JOIN sumb ON sumb.idb = t.idb
+        LEFT JOIN bestb ON bestb.ida = t.ida AND bestb.idb = t.idb
+    """,
+    operators=(31, 44, 71, 283),
+    doc=f"Margin-based bitext mining (#283), the LASER/CCMatrix "
+    "parallel-corpus extractor: even-id vectors are the source side, "
+    "odd-id the target; each source's best target is scored by the "
+    "RATIO margin cos(a,b) / ((avgTop{_BT_TOPK}(a) + avgTop{_BT_TOPK}"
+    f"(b))/2) — absolute cosine thresholds fail because hubs are near "
+    "everything, the margin asks 'closer than your other neighbors?' "
+    f"— and accepted when mutual-best AND margin > {_BT_THRESHOLD}. "
+    "Parity: cosines are bit-exact left folds; the top-4 sum pivots "
+    "ranks to columns (MAX CASE rn=1..4) so 4 doubles add in one "
+    "fixed IEEE order — a SUM over rows would merge in partition "
+    "order; margin = cos*8/(sa+sb) is one division (the /4-and-/2 "
+    "folded into *8, exact powers of two). Scale: the n^2 scoring is "
+    "the calibration shape — production swaps in the LSH/IVF/PQ "
+    "candidate generators (#72/#73/#277) and keeps margin + "
+    "mutual-best verbatim; rank windows partition per side id.",
+    bench=False,
+)
+def q_margin_bitext(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings")
+    a = e.filter(F.col("vec_id") % 2 == 0).select(
+        F.col("vec_id").alias("ida"), F.col("embedding").alias("va")
+    )
+    b = e.filter(F.col("vec_id") % 2 == 1).select(
+        F.col("vec_id").alias("idb"), F.col("embedding").alias("vb")
+    )
+    s = (
+        a.crossJoin(b)
+        .select("ida", "idb", S.cosine(F.col("va"), F.col("vb")).alias("cos_sim"))
+        .localCheckpoint(eager=True)  # scored once, consumed by 4 branches
+    )
+    wa = Window.partitionBy("ida").orderBy(F.desc("cos_sim"), "idb")
+    wb = Window.partitionBy("idb").orderBy(F.desc("cos_sim"), "ida")
+    ra = s.withColumn("rn", F.row_number().over(wa))
+    rb = s.withColumn("rn", F.row_number().over(wb))
+
+    def top_sum(r: DataFrame, key: str, alias: str) -> DataFrame:
+        terms = [
+            F.max(F.when(F.col("rn") == i, F.col("cos_sim")))
+            for i in range(1, _BT_TOPK + 1)
+        ]
+        expr = terms[0]
+        for t in terms[1:]:
+            expr = expr + t
+        return (
+            r.filter(F.col("rn") <= _BT_TOPK)
+            .groupBy(key)
+            .agg(expr.alias(alias))
+        )
+
+    suma = top_sum(ra, "ida", "sa")
+    sumb = top_sum(rb, "idb", "sb")
+    besta = ra.filter(F.col("rn") == 1).select("ida", "idb", "cos_sim")
+    bestb = rb.filter(F.col("rn") == 1).select(
+        F.col("ida").alias("ida_m"), F.col("idb").alias("idb_m"), F.lit(1).alias("m")
+    )
+    margin = F.col("cos_sim") * 8 / (F.col("sa") + F.col("sb"))
+    out = (
+        besta.join(suma, "ida")
+        .join(sumb, "idb")
+        .join(
+            bestb,
+            (F.col("ida") == F.col("ida_m")) & (F.col("idb") == F.col("idb_m")),
+            "left",
+        )
+    )
+    return out.select(
+        F.col("ida").alias("id_a"),
+        F.col("idb").alias("id_b"),
+        F.col("cos_sim").cast("decimal(38,9)").cast("double").alias("cos_sim"),
+        margin.cast("decimal(38,9)").cast("double").alias("margin"),
+        F.coalesce(F.col("m"), F.lit(0)).cast("bigint").alias("mutual"),
+        (
+            (F.coalesce(F.col("m"), F.lit(0)) == 1)
+            & (margin > F.lit(_BT_THRESHOLD))
+        )
+        .cast("bigint")
+        .alias("accepted"),
+    )
