@@ -204,6 +204,8 @@ OPERATORS: dict[int, str] = {
     281: "stream_drift (windowed PSI vs static reference)",
     282: "k_core (bounded-round graph peel + convergence census)",
     283: "margin_bitext (mutual-NN margin-ratio parallel-pair mining)",
+    284: "propensity_match (nearest-neighbor ATT with caliper)",
+    285: "cep_negation (A..B with NO C between, MATCH_RECOGNIZE-style)",
 }
 
 # Ops verified by tests rather than graded queries.

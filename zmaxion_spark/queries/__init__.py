@@ -157,6 +157,8 @@ _NEXT_ROUND: list[str] = [
     "q_stream_drift",
     "q_kcore",
     "q_margin_bitext",
+    "q_propensity_match",
+    "q_pattern_negation",
     "q_cooccurrence_pmi",
     "q_phash_dedup",
     "q_dedup_threshold_sweep",

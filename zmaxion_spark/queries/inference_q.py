@@ -1108,3 +1108,202 @@ def q_chi2_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("chi2_src").cast("decimal(38,9)").cast("double").alias("chi2_src"),
         F.row_number().over(wr).cast("bigint").alias("rnk"),
     )
+
+
+# ---------------------------------------------------------------------------
+# #284 propensity-score matching (nearest-neighbor ATT with caliper)
+# ---------------------------------------------------------------------------
+
+# Fixed-coefficient propensity model (the #222 discipline: md5-derived
+# plan-time constants standing in for trained parameters) and the
+# deterministic md5-uniform treatment draw it biases.
+_PSM_W0, _PSM_W1, _PSM_W2 = -0.8, 0.25, -0.1
+_PSM_CALIPER = 0.05
+
+
+@query(
+    "q_propensity_match",
+    oracle=f"""
+        WITH rev AS (
+            SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS y
+            FROM orders GROUP BY o_custkey
+        ),
+        units AS (
+            SELECT c.c_custkey AS id,
+                   CAST(COALESCE(rev.y, 0) AS DOUBLE) AS y,
+                   ROUND(1 / (1 + EXP(-({_PSM_W0!r}
+                       + {_PSM_W1!r} * (c.c_acctbal / 1000.0)
+                       + {_PSM_W2!r} * (c.c_nationkey % 5)))), 9) AS p,
+                   CAST(CAST(('0x' || SUBSTR(MD5(CAST(c.c_custkey AS VARCHAR)),
+                                             1, 13)) AS BIGINT) AS DOUBLE)
+                       / 4503599627370496 AS u
+            FROM customer c LEFT JOIN rev ON rev.o_custkey = c.c_custkey
+        ),
+        flagged AS (
+            SELECT id, y, p, CAST(u < p AS INT) AS treated
+            FROM units
+        ),
+        stacked AS (
+            SELECT id, y, p, treated,
+                   LAST_VALUE(CASE WHEN treated = 0
+                                   THEN struct_pack(p := p, y := y, id := id)
+                              END IGNORE NULLS)
+                       OVER (ORDER BY p, treated, id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS bwd,
+                   FIRST_VALUE(CASE WHEN treated = 0
+                                    THEN struct_pack(p := p, y := y, id := id)
+                               END IGNORE NULLS)
+                       OVER (ORDER BY p, treated, id
+                             ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+                       AS fwd
+            FROM flagged
+        ),
+        matched AS (
+            SELECT id, y, p,
+                   CASE
+                     WHEN bwd IS NULL AND fwd IS NULL THEN NULL
+                     WHEN fwd IS NULL THEN bwd
+                     WHEN bwd IS NULL THEN fwd
+                     WHEN p - bwd.p <= fwd.p - p THEN bwd
+                     ELSE fwd
+                   END AS m
+            FROM stacked WHERE treated = 1
+        ),
+        pairs AS (
+            SELECT id, y, p, m.p AS pc, m.y AS yc
+            FROM matched
+            WHERE m IS NOT NULL AND ABS(p - m.p) <= {_PSM_CALIPER!r}
+        )
+        SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM matched) AS n_treated,
+               CAST(COUNT(*) AS BIGINT) AS n_matched,
+               CAST(CAST(SUM(CAST(y - yc AS DECIMAL(38,6))) AS DOUBLE)
+                    / COUNT(*) AS DOUBLE) AS att,
+               CAST(CAST(CAST(SUM(CAST(p AS DECIMAL(38,9))) AS DOUBLE)
+                    / COUNT(*) AS DECIMAL(38,9)) AS DOUBLE) AS mean_p_treated,
+               CAST(CAST(CAST(SUM(CAST(pc AS DECIMAL(38,9))) AS DOUBLE)
+                    / COUNT(*) AS DECIMAL(38,9)) AS DOUBLE) AS mean_p_control
+        FROM pairs
+    """,
+    operators=(14, 31, 43, 284),
+    doc="Propensity-score matching (#284), the causal-inference "
+    "workhorse beside diff-in-diff (#249): a fixed-coefficient "
+    "logistic propensity (the #222 pattern) both BIASES the "
+    "deterministic md5-uniform treatment draw (confounding by "
+    "construction — treated units really do have higher balances) "
+    "and then deconfounds it: each treated customer matches its "
+    "nearest control by propensity (backward/forward ignore-nulls "
+    "window scan over the p-sorted stack — the asof-join shape, no "
+    "n^2 pair join), a 0.05 caliper drops poor matches, and ATT = "
+    "mean(y_t - y_matched). Propensities ride ROUND(9) (EXP "
+    "discipline) so the sort order and caliper are engine-"
+    "deterministic; outcome differences sum through DECIMAL(38,6). "
+    "Scale: one rollup + one global sort of |customers| units — the "
+    "single-partition window is the calibration shape; range-bucket "
+    "the p axis and match within buckets (the #154 grid discipline) "
+    "to parallelize.",
+)
+def q_propensity_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    rev = o.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(38,6)")).alias("y")
+    )
+    z = (
+        F.lit(_PSM_W0)
+        + F.lit(_PSM_W1) * (F.col("c_acctbal") / 1000.0)
+        + F.lit(_PSM_W2) * (F.col("c_nationkey") % 5)
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.col("c_custkey").cast("string").cast("binary")), 1, 13
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        .cast("double")
+        / F.lit(4503599627370496.0)
+    )
+    units = (
+        c.join(rev, c.c_custkey == rev.o_custkey, "left")
+        .select(
+            F.col("c_custkey").alias("id"),
+            F.coalesce(F.col("y"), F.lit(0).cast("decimal(38,6)"))
+            .cast("double")
+            .alias("y"),
+            F.round(1 / (1 + F.exp(-z)), 9).alias("p"),
+            u.alias("u"),
+        )
+        .select(
+            "id", "y", "p", (F.col("u") < F.col("p")).cast("int").alias("treated")
+        )
+    )
+    ctrl = F.when(
+        F.col("treated") == 0, F.struct(F.col("p"), F.col("y"), F.col("id"))
+    )
+    w_b = Window.orderBy("p", "treated", "id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    # forward nearest as a RUNNING window over the reversed order:
+    # Spark evaluates (CURRENT ROW, UNBOUNDED FOLLOWING) frames by
+    # re-scanning current..end for EVERY row — O(n^2), measured 677 s
+    # at sf1 — while running (UNBOUNDED PRECEDING, CURRENT ROW) frames
+    # accumulate incrementally in O(n).
+    w_f = Window.orderBy(
+        F.desc("p"), F.desc("treated"), F.desc("id")
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    stacked = units.select(
+        "id",
+        "y",
+        "p",
+        "treated",
+        F.last(ctrl, ignorenulls=True).over(w_b).alias("bwd"),
+        F.last(ctrl, ignorenulls=True).over(w_f).alias("fwd"),
+    )
+    m = (
+        F.when(F.col("bwd").isNull() & F.col("fwd").isNull(), F.lit(None))
+        .when(F.col("fwd").isNull(), F.col("bwd"))
+        .when(F.col("bwd").isNull(), F.col("fwd"))
+        .when(
+            F.col("p") - F.col("bwd.p") <= F.col("fwd.p") - F.col("p"),
+            F.col("bwd"),
+        )
+        .otherwise(F.col("fwd"))
+    )
+    matched = (
+        stacked.filter(F.col("treated") == 1)
+        .withColumn("m", m)
+        .select("id", "y", "p", "m")
+        .localCheckpoint(eager=True)  # two consumers: census + pairs
+    )
+    n_treated = matched.agg(F.count(F.lit(1)).cast("bigint").alias("n_treated"))
+    pairs = matched.filter(
+        F.col("m").isNotNull()
+        & (F.abs(F.col("p") - F.col("m.p")) <= _PSM_CALIPER)
+    ).select("y", "p", F.col("m.p").alias("pc"), F.col("m.y").alias("yc"))
+    agg = pairs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_matched"),
+        (
+            F.sum((F.col("y") - F.col("yc")).cast("decimal(38,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("att"),
+        (
+            F.sum(F.col("p").cast("decimal(38,9)")).cast("double")
+            / F.count(F.lit(1))
+        )
+        .cast("decimal(38,9)")
+        .cast("double")
+        .alias("mean_p_treated"),
+        (
+            F.sum(F.col("pc").cast("decimal(38,9)")).cast("double")
+            / F.count(F.lit(1))
+        )
+        .cast("decimal(38,9)")
+        .cast("double")
+        .alias("mean_p_control"),
+    )
+    return n_treated.crossJoin(agg).select(
+        "n_treated", "n_matched", "att", "mean_p_treated", "mean_p_control"
+    )

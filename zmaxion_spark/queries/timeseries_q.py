@@ -19,7 +19,7 @@ Parity disciplines used here:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from zmaxion_spark.catalog import load_table
@@ -585,4 +585,118 @@ def q_slo_burn_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_err",
         F.round(burn, 9).alias("burn_6h"),
         (burn > _SLO_FAST_BURN).cast("int").alias("fast_burn_alert"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# #285 CEP negation pattern: A ... B with NO C between (batch MATCH_RECOGNIZE)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_pattern_negation",
+    oracle="""
+        WITH seq AS (
+            SELECT user_id, event_type,
+                   EPOCH_US(CAST(ts AS TIMESTAMP)) AS us,
+                   EPOCH_US(CAST(ts AS TIMESTAMP)) // 86400000000 AS day_idx,
+                   event_id
+            FROM events
+        ),
+        marked AS (
+            SELECT user_id, event_type, day_idx,
+                   MAX(CASE WHEN event_type = 'view'
+                            THEN struct_pack(us := us, eid := event_id)
+                       END)
+                       OVER (PARTITION BY user_id ORDER BY us, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND 1 PRECEDING) AS last_view,
+                   MAX(CASE WHEN event_type = 'error'
+                            THEN struct_pack(us := us, eid := event_id)
+                       END)
+                       OVER (PARTITION BY user_id ORDER BY us, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND 1 PRECEDING) AS last_error
+            FROM seq
+        ),
+        purchases AS (
+            SELECT day_idx,
+                   CASE WHEN last_view IS NOT NULL THEN 1 ELSE 0 END AS has_view,
+                   CASE WHEN last_view IS NOT NULL AND (last_error IS NULL
+                             OR (last_error.us, last_error.eid)
+                                < (last_view.us, last_view.eid))
+                        THEN 1 ELSE 0 END AS clean
+            FROM marked WHERE event_type = 'purchase'
+        )
+        SELECT CAST(day_idx AS BIGINT) AS day_idx,
+               CAST(COUNT(*) AS BIGINT) AS n_purchases,
+               CAST(SUM(has_view) AS BIGINT) AS n_with_view,
+               CAST(SUM(clean) AS BIGINT) AS n_clean,
+               CAST(SUM(has_view) - SUM(clean) AS BIGINT) AS n_tainted
+        FROM purchases GROUP BY day_idx
+    """,
+    operators=(31, 86, 141, 285),
+    doc="CEP negation pattern (#285), the MATCH_RECOGNIZE semantics "
+    "the sequence family (#141/#142/#231) cannot express: per user, "
+    "'view then purchase with NO error between' — negation needs the "
+    "ABSENCE of an event inside an interval, which funnel step counts "
+    "structurally miss (an error-then-recovery journey looks "
+    "identical to a clean one by step counts alone). Two ignore-"
+    "before-current running MAX windows carry the latest prior view "
+    "and error per user; a purchase is clean iff a view precedes it "
+    "and the latest error is older than that view (struct max orders "
+    "by (us, event_id), deterministic under same-microsecond ties). "
+    "Census per day: purchases / with-view / clean / tainted — all "
+    "integers, hash-exact. Scale: one per-user window pass, no "
+    "joins, no state beyond two structs per user-partition scan.",
+)
+def q_pattern_negation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.unix_micros("ts").alias("us"),
+        F.expr(f"unix_micros(ts) div {86400000000}").alias("day_idx"),
+        "event_id",
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    mark = lambda t: F.max(  # noqa: E731
+        F.when(
+            F.col("event_type") == t,
+            F.struct(F.col("us"), F.col("event_id").alias("eid")),
+        )
+    ).over(w)
+    marked = e.select(
+        "event_type",
+        "day_idx",
+        mark("view").alias("last_view"),
+        mark("error").alias("last_error"),
+    )
+    has_view = F.col("last_view").isNotNull()
+    clean = has_view & (
+        F.col("last_error").isNull()
+        | (
+            F.struct(F.col("last_error.us"), F.col("last_error.eid"))
+            < F.struct(F.col("last_view.us"), F.col("last_view.eid"))
+        )
+    )
+    purchases = marked.filter(F.col("event_type") == "purchase").select(
+        "day_idx",
+        has_view.cast("int").alias("has_view"),
+        clean.cast("int").alias("clean"),
+    )
+    return purchases.groupBy("day_idx").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_purchases"),
+        F.sum("has_view").cast("bigint").alias("n_with_view"),
+        F.sum("clean").cast("bigint").alias("n_clean"),
+        (F.sum("has_view") - F.sum("clean")).cast("bigint").alias("n_tainted"),
+    ).select(
+        F.col("day_idx").cast("bigint").alias("day_idx"),
+        "n_purchases",
+        "n_with_view",
+        "n_clean",
+        "n_tainted",
     )
