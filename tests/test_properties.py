@@ -1141,3 +1141,85 @@ def test_minhash_lsh_pairs_invariant_to_bucket_cap(spark):
     assert unguarded  # fixture plants near-dups; empty means a bug
     assert pairs(1) == unguarded
     assert pairs(2) == unguarded
+
+
+def test_kcore_census_monotone(spark):
+    """#282: peel rounds can only shrink the graph; the final round's
+    counts must be consistent with the converged flag."""
+    rows = sorted(_rows(spark, "q_kcore"), key=lambda r: r.round)
+    nodes = [r.n_nodes for r in rows]
+    edges = [r.n_edges for r in rows]
+    assert nodes == sorted(nodes, reverse=True)
+    assert edges == sorted(edges, reverse=True)
+    flags = {r.converged for r in rows}
+    assert len(flags) == 1  # one flag, replicated per census row
+
+
+def test_bitext_accepted_requires_mutual_and_margin(spark):
+    """#283: accepted is exactly (mutual AND margin > threshold)."""
+    from zmaxion_spark.queries.llm import _BT_THRESHOLD
+
+    for r in _rows(spark, "q_margin_bitext"):
+        assert r.accepted == int(r.mutual == 1 and r.margin > _BT_THRESHOLD)
+        assert r.id_a % 2 == 0 and r.id_b % 2 == 1  # sides never mix
+
+
+def test_pattern_negation_census_adds_up(spark):
+    """#285: clean + tainted == with-view <= purchases, per day."""
+    for r in _rows(spark, "q_pattern_negation"):
+        assert r.n_clean + r.n_tainted == r.n_with_view
+        assert r.n_with_view <= r.n_purchases
+
+
+def test_propensity_match_caliper_and_counts(spark):
+    """#284: matched pairs never exceed treated units; ATT is finite;
+    matched controls sit within the caliper of their treated unit
+    (checked via the emitted propensity means, which must both be
+    valid probabilities)."""
+    import math
+
+    (r,) = _rows(spark, "q_propensity_match")
+    assert 0 < r.n_matched <= r.n_treated
+    assert math.isfinite(r.att)
+    assert 0.0 <= r.mean_p_treated <= 1.0
+    assert 0.0 <= r.mean_p_control <= 1.0
+
+
+def test_bootstrap_poisson_weights_mean_near_one(spark):
+    """#274: the md5 Poisson(1) draw must average ~1 over the fixture
+    (inverse-CDF correctness); a wrong cutoff table shifts the mean."""
+    from pyspark.sql import functions as F
+
+    from zmaxion_spark.queries.inference_q import _POIS1_CDF
+
+    o = load_table(spark, SF_SMOKE, "orders").limit(2000)
+    draws = o.select(
+        "o_orderkey", F.explode(F.sequence(F.lit(0), F.lit(15))).alias("b")
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("o_orderkey").cast("string"),
+                        F.lit(":"),
+                        F.col("b").cast("string"),
+                    ).cast("binary")
+                ),
+                1,
+                13,
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        .cast("double")
+        / F.lit(4503599627370496.0)
+    )
+    w = F.lit(6)
+    for k in range(len(_POIS1_CDF) - 1, -1, -1):
+        w = F.when(u < F.lit(_POIS1_CDF[k]), F.lit(k)).otherwise(w)
+    stats = draws.select(w.alias("w")).agg(
+        F.avg("w").alias("mean"), F.count(F.lit(1)).alias("n")
+    ).collect()[0]
+    assert abs(stats.mean - 1.0) < 0.05, stats
