@@ -206,6 +206,8 @@ OPERATORS: dict[int, str] = {
     283: "margin_bitext (mutual-NN margin-ratio parallel-pair mining)",
     284: "propensity_match (nearest-neighbor ATT with caliper)",
     285: "cep_negation (A..B with NO C between, MATCH_RECOGNIZE-style)",
+    286: "sequential_ab (group-sequential monitoring boundary)",
+    287: "neyman_allocation (variance-optimal stratified budgets)",
 }
 
 # Ops verified by tests rather than graded queries.

@@ -159,6 +159,8 @@ _NEXT_ROUND: list[str] = [
     "q_margin_bitext",
     "q_propensity_match",
     "q_pattern_negation",
+    "q_sequential_ab",
+    "q_neyman_allocation",
     "q_cooccurrence_pmi",
     "q_phash_dedup",
     "q_dedup_threshold_sweep",

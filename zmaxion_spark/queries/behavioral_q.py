@@ -971,3 +971,158 @@ def q_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("p90_minutes"),
         F.max("minutes").cast("bigint").alias("max_minutes"),
     )
+
+
+# ---------------------------------------------------------------------------
+# #286 sequential A/B testing (group-sequential monitoring boundary)
+# ---------------------------------------------------------------------------
+
+_SEQ_Z025 = 1.959963984540054  # Phi^-1(0.975)
+_SEQ_LOOKS = 30                # one look per fixture day
+
+
+@query(
+    "q_sequential_ab",
+    oracle=f"""
+        WITH e AS (
+            SELECT user_id % 2 AS variant,
+                   EPOCH_US(CAST(ts AS TIMESTAMP)) // 86400000000 AS day_idx,
+                   CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS conv
+            FROM events
+        ),
+        d0 AS (SELECT MIN(day_idx) AS d0 FROM e),
+        daily AS (
+            SELECT variant, day_idx - d0.d0 + 1 AS k,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(conv) AS BIGINT) AS c
+            FROM e, d0 GROUP BY 1, 2
+        ),
+        cum AS (
+            SELECT variant, k,
+                   SUM(n) OVER (PARTITION BY variant ORDER BY k) AS n,
+                   SUM(c) OVER (PARTITION BY variant ORDER BY k) AS c
+            FROM daily
+        ),
+        wide AS (
+            SELECT k,
+                   CAST(MAX(CASE WHEN variant = 0 THEN n END) AS BIGINT) AS n0,
+                   CAST(MAX(CASE WHEN variant = 0 THEN c END) AS BIGINT) AS c0,
+                   CAST(MAX(CASE WHEN variant = 1 THEN n END) AS BIGINT) AS n1,
+                   CAST(MAX(CASE WHEN variant = 1 THEN c END) AS BIGINT) AS c1
+            FROM cum GROUP BY k
+            HAVING n0 IS NOT NULL AND n1 IS NOT NULL
+        ),
+        z AS (
+            SELECT k, n0, n1,
+                   CAST(CAST(
+                       (CAST(c0 AS DOUBLE) / CAST(n0 AS DOUBLE)
+                        - CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+                       / SQRT((CAST(c0 + c1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE))
+                              * (1 - CAST(c0 + c1 AS DOUBLE)
+                                     / CAST(n0 + n1 AS DOUBLE))
+                              * (CAST(n0 + n1 AS DOUBLE)
+                                 / CAST(n0 * n1 AS DOUBLE)))
+                       AS DECIMAL(38,9)) AS DOUBLE) AS z_k,
+                   CAST(CAST(CAST({_SEQ_Z025!r} AS DOUBLE)
+                             * SQRT(CAST({_SEQ_LOOKS} AS DOUBLE)
+                                    / CAST(k AS DOUBLE))
+                             AS DECIMAL(38,9)) AS DOUBLE) AS bound_k
+            FROM wide
+        )
+        SELECT k, n0, n1, z_k, bound_k,
+               CAST(CASE WHEN ABS(z_k) > bound_k THEN 1 ELSE 0 END AS BIGINT)
+                   AS crossed
+        FROM z
+    """,
+    operators=(31, 43, 147, 286),
+    doc=f"Group-sequential A/B monitoring (#286), the peeking-safe "
+    "companion to the fixed-horizon test (#147): per daily look k, "
+    "the pooled two-proportion z on CUMULATIVE user_id-parity "
+    "variants is compared against the O'Brien-Fleming-shaped "
+    f"boundary z_alpha*sqrt(K/k) (K={_SEQ_LOOKS} looks, alpha=0.05 "
+    "two-sided) — early looks demand overwhelming evidence, the "
+    "final look approaches the fixed-horizon critical value; "
+    "'crossed' marks looks where the monitor may stop. Naive daily "
+    "peeking at 1.96 inflates false positives several-fold, which "
+    "is why every experimentation platform ships a spending "
+    "boundary. Cumulative counts are integer window sums; z and the "
+    "boundary are identical IEEE trees quantized at 1e-9. Scale: "
+    "one map-side-combined daily rollup, then windows over "
+    "|variants| x |days| cells.",
+)
+def q_sequential_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events").select(
+        (F.col("user_id") % 2).alias("variant"),
+        F.expr("unix_micros(ts) div 86400000000").alias("day_idx"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("conv"),
+    )
+    d0 = e.agg(F.min("day_idx").alias("d0"))
+    daily = (
+        e.crossJoin(F.broadcast(d0))
+        .groupBy("variant", (F.col("day_idx") - F.col("d0") + 1).alias("k"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("conv").cast("bigint").alias("c"),
+        )
+    )
+    w = (
+        Window.partitionBy("variant")
+        .orderBy("k")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = daily.select(
+        "variant",
+        "k",
+        F.sum("n").over(w).alias("n"),
+        F.sum("c").over(w).alias("c"),
+    )
+    wide = (
+        cum.groupBy("k")
+        .agg(
+            F.max(F.when(F.col("variant") == 0, F.col("n")))
+            .cast("bigint")
+            .alias("n0"),
+            F.max(F.when(F.col("variant") == 0, F.col("c")))
+            .cast("bigint")
+            .alias("c0"),
+            F.max(F.when(F.col("variant") == 1, F.col("n")))
+            .cast("bigint")
+            .alias("n1"),
+            F.max(F.when(F.col("variant") == 1, F.col("c")))
+            .cast("bigint")
+            .alias("c1"),
+        )
+        .filter(F.col("n0").isNotNull() & F.col("n1").isNotNull())
+    )
+    p = (F.col("c0") + F.col("c1")).cast("double") / (
+        F.col("n0") + F.col("n1")
+    ).cast("double")
+    z = (
+        F.col("c0").cast("double") / F.col("n0").cast("double")
+        - F.col("c1").cast("double") / F.col("n1").cast("double")
+    ) / F.sqrt(
+        p
+        * (1 - p)
+        * (
+            (F.col("n0") + F.col("n1")).cast("double")
+            / (F.col("n0") * F.col("n1")).cast("double")
+        )
+    )
+    bound = F.lit(_SEQ_Z025) * F.sqrt(
+        F.lit(float(_SEQ_LOOKS)) / F.col("k").cast("double")
+    )
+    zf = wide.select(
+        "k",
+        "n0",
+        "n1",
+        z.cast("decimal(38,9)").cast("double").alias("z_k"),
+        bound.cast("decimal(38,9)").cast("double").alias("bound_k"),
+    )
+    return zf.select(
+        "k",
+        "n0",
+        "n1",
+        "z_k",
+        "bound_k",
+        (F.abs(F.col("z_k")) > F.col("bound_k")).cast("bigint").alias("crossed"),
+    )

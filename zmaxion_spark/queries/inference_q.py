@@ -1307,3 +1307,133 @@ def q_propensity_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     return n_treated.crossJoin(agg).select(
         "n_treated", "n_matched", "att", "mean_p_treated", "mean_p_control"
     )
+
+
+# ---------------------------------------------------------------------------
+# #287 Neyman-allocated stratified sampling
+# ---------------------------------------------------------------------------
+
+_NEY_TOTAL = 100  # total sample budget across strata
+
+
+@query(
+    "q_neyman_allocation",
+    oracle=f"""
+        WITH s AS (
+            SELECT lang,
+                   CAST(COUNT(*) AS BIGINT) AS nh,
+                   SUM(CAST(n_chars AS DECIMAL(18,0))) AS sx,
+                   SUM(CAST(n_chars AS DECIMAL(18,0))
+                       * CAST(n_chars AS DECIMAL(18,0))) AS sx2
+            FROM documents GROUP BY lang
+        ),
+        sig AS (
+            SELECT lang, nh,
+                   CAST(CAST(SQRT(CAST(nh * sx2 - sx * sx AS DOUBLE)
+                                  / CAST(nh * (nh - 1) AS DOUBLE))
+                             AS DECIMAL(38,9)) AS DOUBLE) AS sigma
+            FROM s WHERE nh >= 2
+        ),
+        wts AS (
+            SELECT lang, nh, sigma,
+                   CAST(CAST(CAST(nh AS DOUBLE) * sigma AS DECIMAL(38,9))
+                        AS DOUBLE) AS wh,
+                   SUM(CAST(CAST(CAST(nh AS DOUBLE) * sigma AS DECIMAL(38,9))
+                            AS DOUBLE)) OVER () AS wsum
+            FROM sig
+        ),
+        fr AS (
+            SELECT lang, nh, sigma,
+                   CAST(CAST({_NEY_TOTAL} * wh / wsum AS DECIMAL(38,9))
+                        AS DOUBLE) AS alloc
+            FROM wts
+        ),
+        fl AS (
+            SELECT lang, nh, sigma, alloc,
+                   CAST(FLOOR(alloc) AS BIGINT) AS base,
+                   alloc - FLOOR(alloc) AS rem
+            FROM fr
+        ),
+        tot AS (SELECT CAST(SUM(base) AS BIGINT) AS used FROM fl),
+        ranked AS (
+            SELECT fl.*, tot.used,
+                   ROW_NUMBER() OVER (ORDER BY rem DESC, lang) AS rr
+            FROM fl, tot
+        )
+        SELECT lang, nh, sigma,
+               CAST(base + CASE WHEN rr <= {_NEY_TOTAL} - used
+                                THEN 1 ELSE 0 END AS BIGINT) AS n_alloc
+        FROM ranked
+    """,
+    operators=(23, 31, 80, 287),
+    doc=f"Neyman-allocated stratified sampling (#287): the survey-"
+    f"sampling optimum n_h ∝ N_h·σ_h distributes a {_NEY_TOTAL}-row "
+    "budget across language strata by size TIMES within-stratum "
+    "spread — variance-dense strata earn more rows than proportional "
+    "allocation gives them, which is why stratified estimators beat "
+    "uniform sampling at equal budget (the principled upgrade to the "
+    "equal-per-group #80 balancer). Integerization uses the "
+    "largest-remainder method (floor + rank the fractional parts) so "
+    "allocations sum EXACTLY to the budget — naive per-stratum "
+    "rounding over- or under-spends it. σ_h comes from decimal-exact "
+    "integer Σx/Σx² (no per-row float accumulates); every derived "
+    "double is an identical IEEE tree quantized at 1e-9, and the "
+    "remainder ranking tie-breaks on the stratum key. Scale: one "
+    "map-side-combined rollup to |strata| cells; everything after "
+    "is window algebra over those cells.",
+)
+def q_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    xdec = F.col("n_chars").cast("decimal(18,0)")
+    s = d.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("nh"),
+        F.sum(xdec).alias("sx"),
+        F.sum(xdec * xdec).alias("sx2"),
+    )
+    sig = s.filter(F.col("nh") >= 2).select(
+        "lang",
+        "nh",
+        _r9(
+            F.sqrt(
+                (F.col("nh") * F.col("sx2") - F.col("sx") * F.col("sx")).cast(
+                    "double"
+                )
+                / (F.col("nh") * (F.col("nh") - 1)).cast("double")
+            ),
+            "sigma",
+        ),
+    )
+    wh = _r9(F.col("nh").cast("double") * F.col("sigma"), "wh")
+    wts = sig.select("lang", "nh", "sigma", wh).withColumn(
+        "wsum", F.sum("wh").over(Window.partitionBy())
+    )
+    fr = wts.select(
+        "lang",
+        "nh",
+        "sigma",
+        _r9(F.lit(_NEY_TOTAL) * F.col("wh") / F.col("wsum"), "alloc"),
+    )
+    fl = fr.select(
+        "lang",
+        "nh",
+        "sigma",
+        "alloc",
+        F.floor("alloc").cast("bigint").alias("base"),
+        (F.col("alloc") - F.floor("alloc")).alias("rem"),
+    )
+    tot = fl.agg(F.sum("base").cast("bigint").alias("used"))
+    ranked = fl.crossJoin(F.broadcast(tot)).withColumn(
+        "rr", F.row_number().over(Window.orderBy(F.desc("rem"), "lang"))
+    )
+    return ranked.select(
+        "lang",
+        "nh",
+        "sigma",
+        (
+            F.col("base")
+            + F.when(F.col("rr") <= F.lit(_NEY_TOTAL) - F.col("used"), 1)
+            .otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_alloc"),
+    )
