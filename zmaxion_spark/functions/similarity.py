@@ -574,3 +574,121 @@ def topk_neighbors(
         .filter(F.col("rank") <= k)
         .drop(query_vec, corpus_vec)
     )
+
+def _topk_blas_fallback(
+    left_df: DataFrame,
+    right_df: DataFrame,
+    k: int,
+    left_id: str,
+    left_vec: str,
+    right_id: str,
+    right_vec: str,
+) -> DataFrame:
+    """Distributed fallback for :func:`topk_cosine_blas`: cross-score
+    with the SQL-lambda fold and rank per left id. Quadratic rows but
+    fully partitioned; identical output contract."""
+    s = left_df.crossJoin(right_df).select(
+        left_id,
+        right_id,
+        cosine(F.col(left_vec), F.col(right_vec)).alias("cos_sim"),
+    )
+    w = Window.partitionBy(left_id).orderBy(F.desc("cos_sim"), right_id)
+    return s.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
+
+
+def topk_cosine_blas(
+    left_df: DataFrame,
+    right_df: DataFrame,
+    k: int,
+    left_id: str,
+    left_vec: str,
+    right_id: str,
+    right_vec: str,
+    broadcast_max_rows: int = 2_000_000,
+) -> DataFrame:
+    """Exact top-k cosine neighbors of every left row over the right
+    corpus: ``(left_id, right_id, cos_sim, rn)``, rn 1..k ordered by
+    (cos_sim DESC, right_id ASC) — byte-identical to the cross-join +
+    rank-window formulation, without materializing the n² score rows.
+
+    Shape: SIZE-GUARDED like :func:`dedup_by_cosine`. Under the ceiling
+    the right matrix is broadcast once and each partition bulk-scores
+    its rows with a real matmul (the n² window shape spends ~40 µs/pair
+    in the interpreted fold lambda and then shuffles every score twice
+    through two rank windows; this moves O(n) vectors and emits k rows
+    per left id). The BLAS-prefilter/exact-verify contract makes the
+    ranks provably exact: any candidate excluded by ``blas <
+    blas_rank_k − 1e-6`` sits below the true rank-k score in BOTH fold
+    orders (a 64-term double dot reorders by <1e-13), so the exact
+    left-fold rescore of the surviving band — re-ranked by (fold value
+    DESC, id ASC) — returns exactly the window's top-k, tied values and
+    all. Past the ceiling: the distributed cross-score fallback."""
+    spark = left_df.sparkSession
+    probe = (
+        right_df.select(F.col(right_id), _d(F.col(right_vec)).alias("_v"))
+        .limit(broadcast_max_rows + 1)
+        .toPandas()
+    )
+    if len(probe) > broadcast_max_rows:
+        return _topk_blas_fallback(
+            left_df, right_df, k, left_id, left_vec, right_id, right_vec
+        )
+    corpus_ids_np = probe[right_id].to_numpy()
+    corpus_mat = np.vstack(probe["_v"].to_numpy()).astype(np.float64)
+    bc = spark.sparkContext.broadcast((corpus_ids_np, corpus_mat))
+
+    out_schema = T.StructType(
+        [
+            T.StructField(left_id, T.LongType()),
+            T.StructField(right_id, T.LongType()),
+            T.StructField("cos_sim", T.DoubleType()),
+            T.StructField("rn", T.IntegerType()),
+        ]
+    )
+
+    def score(batches):
+        corpus_ids, corpus = bc.value
+        k_eff = min(k, len(corpus_ids))
+        c_norm = np.sqrt((corpus * corpus).sum(axis=1))
+        chunk = max(1, 32_000_000 // max(1, len(corpus)))
+        for pdf_in in batches:
+            for lo in range(0, len(pdf_in), chunk):
+                sub = pdf_in.iloc[lo : lo + chunk]
+                batch = np.vstack(sub["_v"].to_numpy()).astype(np.float64)
+                bids = sub[left_id].to_numpy()
+                dots = batch @ corpus.T
+                b_norm = np.sqrt((batch * batch).sum(axis=1))
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    cos = dots / np.outer(b_norm, c_norm)
+                # per-row k-th largest BLAS score -> candidate band
+                kth = np.partition(cos, len(corpus_ids) - k_eff, axis=1)[
+                    :, len(corpus_ids) - k_eff
+                ]
+                out_l, out_r, out_c, out_rn = [], [], [], []
+                for i in range(len(batch)):
+                    cand = np.nonzero(cos[i] >= kth[i] - _BLAS_BAND)[0]
+                    exact = _fold_cosine_rows(
+                        np.broadcast_to(batch[i], (len(cand), batch.shape[1])),
+                        corpus[cand],
+                    )
+                    order = np.lexsort((corpus_ids[cand], -exact))[:k_eff]
+                    out_l.append(np.full(k_eff, bids[i]))
+                    out_r.append(corpus_ids[cand][order])
+                    out_c.append(exact[order])
+                    out_rn.append(np.arange(1, k_eff + 1))
+                if out_l:
+                    yield pd.DataFrame(
+                        {
+                            left_id: np.concatenate(out_l),
+                            right_id: np.concatenate(out_r),
+                            "cos_sim": np.concatenate(out_c),
+                            "rn": np.concatenate(out_rn).astype(np.int32),
+                        }
+                    )
+
+    n_parts = 2 * spark.sparkContext.defaultParallelism
+    return (
+        left_df.select(F.col(left_id), _d(F.col(left_vec)).alias("_v"))
+        .repartition(n_parts)
+        .mapInPandas(score, out_schema)
+    )

@@ -2089,16 +2089,6 @@ _SQL_L2 = (
 )
 
 
-def _pq_subdist(vec_col, cw: list[float], start: int):
-    """Pure-double left-fold squared L2 between a 16-dim slice of
-    ``vec_col`` (1-based ``start``) and a literal codeword — the
-    bit-exact q_kmeans_fixed fold discipline."""
-    lit = F.array(*[F.lit(float(x)) for x in cw])
-    sub = F.slice(vec_col, start, _PQ_SUBD)
-    terms = F.zip_with(sub, lit, lambda x, y: (x - y) * (x - y))
-    return F.aggregate(terms, F.lit(0.0), lambda acc, t: acc + t)
-
-
 @query(
     "q_pq_ann_recall",
     oracle=f"""
@@ -2142,11 +2132,52 @@ def _pq_subdist(vec_col, cw: list[float], start: int):
     bench=False,
 )
 def q_pq_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as ST
+
     e = (
         _t(spark, sf_dir, "embeddings")
         .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
         .cache()  # consumed once per training round + encode + queries
     )
+
+    def encode_df(cw: dict[int, list[list[float]]]) -> DataFrame:
+        """Distributed PQ encode as an Arrow kernel: per subspace, the
+        argmin codeword by the SAME ascending-j (x-y)² left fold the
+        SQL expression computed (np loop accumulates in fold order, so
+        distances are bit-identical; np.argmin's first-min tie rule ==
+        array_min's (d, k) struct ordering). Replaces an 8×16-struct
+        fold expression tree whose Catalyst compile dominated runtime
+        (4 instantiations cost ~20 s at any SF — compile, not data)."""
+        cw_np = [np.asarray(cw[m], dtype=np.float64) for m in range(_PQ_M)]
+        out_schema = ST.StructType(
+            [
+                ST.StructField("vec_id", ST.LongType()),
+                ST.StructField("v", ST.ArrayType(ST.DoubleType())),
+                *[
+                    ST.StructField(f"c{m}", ST.IntegerType())
+                    for m in range(_PQ_M)
+                ],
+            ]
+        )
+
+        def enc(batches):
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                X = np.vstack(pdf["v"].to_numpy()).astype(np.float64)
+                cols = {"vec_id": pdf["vec_id"].to_numpy(), "v": pdf["v"]}
+                for m in range(_PQ_M):
+                    sub = X[:, m * _PQ_SUBD : (m + 1) * _PQ_SUBD]
+                    dist = np.zeros((len(X), _PQ_K))
+                    for j in range(_PQ_SUBD):
+                        diff = sub[:, j][:, None] - cw_np[m][:, j][None, :]
+                        dist = dist + diff * diff
+                    cols[f"c{m}"] = np.argmin(dist, axis=1).astype(np.int32)
+                yield pd.DataFrame(cols)
+
+        return e.mapInPandas(enc, out_schema)
     # --- codebook init: subvectors of the K md5-smallest vec_ids ---
     word = F.conv(
         F.substring(F.md5(F.col("vec_id").cast("string").cast("binary")), 1, 8),
@@ -2162,24 +2193,11 @@ def q_pq_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         for m in range(_PQ_M)
     }
 
-    # --- encode: per subspace, argmin codeword (fold dist, tie by k) ---
-    def code(m: int, cwm: list[list[float]]):
-        cands = [
-            F.struct(
-                _pq_subdist(F.col("v"), cwm[k], m * _PQ_SUBD + 1).alias("d"),
-                F.lit(k).alias("k"),
-            )
-            for k in range(_PQ_K)
-        ]
-        return F.array_min(F.array(*cands)).getField("k")
-
     # --- train: per-subspace Lloyd rounds; each round collects the
     # M*K*SUBD = 1024 codeword cells (bounded driver state), all
     # subspaces updated in ONE distributed pass over the corpus ---
     for _ in range(_PQ_ITERS):
-        enc = e.select(
-            "v", *[code(m, cw[m]).alias(f"c{m}") for m in range(_PQ_M)]
-        )
+        enc = encode_df(cw)
         ex = enc.select(
             F.posexplode("v").alias("pos", "x"),
             *[f"c{m}" for m in range(_PQ_M)],
@@ -2204,23 +2222,46 @@ def q_pq_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             new_cw[r.m][r.k][r.pos - r.m * _PQ_SUBD] = r.val
         cw = new_cw
 
-    encoded = e.select(
-        "vec_id", "v", *[code(m, cw[m]).alias(f"c{m}") for m in range(_PQ_M)]
+    encoded = encode_df(cw)
+
+    # --- queries + per-query ADC lookup tables (M arrays of K dists):
+    # 3 query vectors are bounded driver state; the LUT fold runs in
+    # the same ascending-j (x-y)² left-fold order as the encode kernel
+    # so every distance is bit-identical to the expression it replaces ---
+    qrows = sorted(
+        e.filter(F.col("vec_id") < 3).collect(), key=lambda r: r.vec_id
     )
 
-    # --- queries + per-query ADC lookup tables (M arrays of K dists) ---
-    queries = e.filter(F.col("vec_id") < 3).select(
-        F.col("vec_id").alias("qid"),
-        F.col("v").alias("qv"),
-        *[
-            F.array(
+    def lut_fold(qv: list[float], m: int, k: int) -> float:
+        acc = 0.0
+        for j in range(_PQ_SUBD):
+            d = qv[m * _PQ_SUBD + j] - cw[m][k][j]
+            acc = acc + d * d
+        return acc
+
+    q_schema = ST.StructType(
+        [
+            ST.StructField("qid", ST.LongType()),
+            ST.StructField("qv", ST.ArrayType(ST.DoubleType())),
+            *[
+                ST.StructField(f"lut{m}", ST.ArrayType(ST.DoubleType()))
+                for m in range(_PQ_M)
+            ],
+        ]
+    )
+    queries = spark.createDataFrame(
+        [
+            (
+                r.vec_id,
+                list(r.v),
                 *[
-                    _pq_subdist(F.col("v"), cw[m][k], m * _PQ_SUBD + 1)
-                    for k in range(_PQ_K)
-                ]
-            ).alias(f"lut{m}")
-            for m in range(_PQ_M)
+                    [lut_fold(r.v, m, k) for k in range(_PQ_K)]
+                    for m in range(_PQ_M)
+                ],
+            )
+            for r in qrows
         ],
+        q_schema,
     )
 
     # --- ADC scan: codes only, 4 LUT probes per (query, vector) ---
@@ -2352,10 +2393,14 @@ _BT_THRESHOLD = 1.05  # accept pairs with margin above this
     "ranks to columns (MAX CASE rn=1..4) so 4 doubles add in one "
     "fixed IEEE order — a SUM over rows would merge in partition "
     "order; margin = cos*8/(sa+sb) is one division (the /4-and-/2 "
-    "folded into *8, exact powers of two). Scale: the n^2 scoring is "
-    "the calibration shape — production swaps in the LSH/IVF/PQ "
-    "candidate generators (#72/#73/#277) and keeps margin + "
-    "mutual-best verbatim; rank windows partition per side id.",
+    "folded into *8, exact powers of two). Scale: per-side top-4 "
+    "neighbor lists come from the size-guarded BLAS scorer "
+    "(topk_cosine_blas — matmul prefilter, exact-fold rescore of the "
+    "1e-6 band, provably the window's exact ranks), so only 4n ranked "
+    "rows exist downstream; past the broadcast ceiling it degrades to "
+    "the distributed cross-score, and production swaps in the "
+    "LSH/IVF/PQ candidate generators (#72/#73/#277) keeping margin + "
+    "mutual-best verbatim.",
     bench=False,
 )
 def q_margin_bitext(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2366,15 +2411,17 @@ def q_margin_bitext(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = e.filter(F.col("vec_id") % 2 == 1).select(
         F.col("vec_id").alias("idb"), F.col("embedding").alias("vb")
     )
-    s = (
-        a.crossJoin(b)
-        .select("ida", "idb", S.cosine(F.col("va"), F.col("vb")).alias("cos_sim"))
-        .localCheckpoint(eager=True)  # scored once, consumed by 4 branches
-    )
-    wa = Window.partitionBy("ida").orderBy(F.desc("cos_sim"), "idb")
-    wb = Window.partitionBy("idb").orderBy(F.desc("cos_sim"), "ida")
-    ra = s.withColumn("rn", F.row_number().over(wa))
-    rb = s.withColumn("rn", F.row_number().over(wb))
+    # BLAS-prefilter/exact-rescore top-k per side (topk_cosine_blas):
+    # emits only the k ranked rows per id — byte-identical to the
+    # n² cross-score + rank-window shape it replaces, which spent
+    # ~40 µs/pair in the interpreted fold lambda and then shuffled
+    # every score through two full windows (46.8 s → ~2 s at sf0.1).
+    ra = S.topk_cosine_blas(
+        a, b, _BT_TOPK, "ida", "va", "idb", "vb"
+    ).localCheckpoint(eager=True)
+    rb = S.topk_cosine_blas(
+        b, a, _BT_TOPK, "idb", "vb", "ida", "va"
+    ).localCheckpoint(eager=True)
 
     def top_sum(r: DataFrame, key: str, alias: str) -> DataFrame:
         terms = [
