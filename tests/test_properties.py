@@ -1223,3 +1223,51 @@ def test_bootstrap_poisson_weights_mean_near_one(spark):
         F.avg("w").alias("mean"), F.count(F.lit(1)).alias("n")
     ).collect()[0]
     assert abs(stats.mean - 1.0) < 0.05, stats
+
+
+def test_bleu_precisions_monotone_and_bounded(spark):
+    """#288: hyp ⊂ ref per doc ⇒ p1 == 1 exactly (every hyp unigram is
+    clipped against a ref count at least as large); longer grams only
+    lose matches; BLEU sits strictly under the geometric mean of the
+    four precisions because the brevity penalty is strictly < 1."""
+    for r in _rows(spark, "q_bleu_eval"):
+        assert r.hyp_len < r.ref_len
+        assert r.p1 == 1.0
+        assert 1.0 >= r.p1 >= r.p2 >= r.p3 >= r.p4 > 0.0
+        geo = (r.p1 * r.p2 * r.p3 * r.p4) ** 0.25
+        assert 0.0 < r.bleu < geo + 1e-9
+
+
+def test_ipw_partition_and_ess(spark):
+    """#289: treated + control == |customer|; the effective sample
+    size can never exceed the actual control count (Cauchy-Schwarz)."""
+    import math
+
+    (r,) = _rows(spark, "q_ipw_att")
+    n_cust = load_table(spark, SF_SMOKE, "customer").count()
+    assert r.n_treated + r.n_control == n_cust
+    assert 0 < r.ess_control <= r.n_control
+    assert math.isfinite(r.att_ipw)
+
+
+def test_cohens_kappa_cells_and_bounds(spark):
+    """#290: confusion cells partition each language; kappa is
+    chance-corrected so it must sit at or below raw agreement po."""
+    rows = _rows(spark, "q_cohens_kappa")
+    assert rows
+    for r in rows:
+        assert r.n11 + r.n10 + r.n01 + r.n00 == r.n
+        assert 0.0 <= r.po <= 1.0
+        assert -1.0 <= r.kappa <= 1.0
+        assert r.kappa <= r.po + 1e-9
+
+
+def test_range_bucket_join_contains_anchor(spark):
+    """#291: every anchor interval contains at least its own order, and
+    the aggregate sum is consistent with the interval bounds."""
+    rows = _rows(spark, "q_range_bucket_join")
+    assert len(rows) == 64
+    for r in rows:
+        assert r.lo_cents < r.hi_cents
+        assert r.n_orders >= 1
+        assert r.n_orders * r.lo_cents <= r.sum_cents <= r.n_orders * r.hi_cents

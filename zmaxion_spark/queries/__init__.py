@@ -182,6 +182,11 @@ _NEXT_ROUND: list[str] = [
     "q_concentration",
     "q_robust_stats",
     "q_max_drawdown",
+    # round-5 fourth wave: eval + causal + scale-join depth (#288-#291)
+    "q_bleu_eval",
+    "q_ipw_att",
+    "q_cohens_kappa",
+    "q_range_bucket_join",
     # rows-only by nature (driver records the weaker check once)
     "q_hll_sketch",
     "q_approx_bounds",

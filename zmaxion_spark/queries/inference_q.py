@@ -1437,3 +1437,237 @@ def q_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_alloc"),
     )
+
+
+# ---------------------------------------------------------------------------
+# #289 inverse-propensity weighting (the estimator twin of #284)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_ipw_att",
+    oracle=f"""
+        WITH rev AS (
+            SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS y
+            FROM orders GROUP BY o_custkey
+        ),
+        units AS (
+            SELECT c.c_custkey AS id,
+                   CAST(COALESCE(rev.y, 0) AS DOUBLE) AS y,
+                   ROUND(1 / (1 + EXP(-({_PSM_W0!r}
+                       + {_PSM_W1!r} * (c.c_acctbal / 1000.0)
+                       + {_PSM_W2!r} * (c.c_nationkey % 5)))), 9) AS p,
+                   CAST(CAST(('0x' || SUBSTR(MD5(CAST(c.c_custkey AS VARCHAR)),
+                                             1, 13)) AS BIGINT) AS DOUBLE)
+                       / 4503599627370496 AS u
+            FROM customer c LEFT JOIN rev ON rev.o_custkey = c.c_custkey
+        ),
+        w AS (
+            SELECT y, p, CAST(u < p AS INT) AS treated, p / (1 - p) AS odds
+            FROM units
+        ),
+        t AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_treated,
+                   SUM(CAST(y AS DECIMAL(38,6))) AS sy
+            FROM w WHERE treated = 1
+        ),
+        c AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_control,
+                   SUM(CAST(y * odds AS DECIMAL(38,9))) AS swy,
+                   SUM(CAST(odds AS DECIMAL(38,9))) AS sw,
+                   SUM(CAST(odds * odds AS DECIMAL(38,9))) AS sw2
+            FROM w WHERE treated = 0
+        )
+        SELECT t.n_treated, c.n_control,
+               CAST(CAST(CAST(t.sy AS DOUBLE) / t.n_treated
+                         - CAST(c.swy AS DOUBLE) / CAST(c.sw AS DOUBLE)
+                         AS DECIMAL(38,6)) AS DOUBLE) AS att_ipw,
+               CAST(CAST(CAST(c.sw AS DOUBLE) * CAST(c.sw AS DOUBLE)
+                         / CAST(c.sw2 AS DOUBLE)
+                         AS DECIMAL(38,6)) AS DOUBLE) AS ess_control
+        FROM t CROSS JOIN c
+    """,
+    operators=(24, 43, 284, 289),
+    doc="Inverse-propensity-weighted ATT (#289), the estimator twin of "
+    "matching (#284) over the SAME confounded construction: controls "
+    "are reweighted by the odds p/(1-p) so their covariate "
+    "distribution mimics the treated population's, ATT = mean(y|T=1) "
+    "- Σ(w·y)/Σw. Where matching DISCARDS distant controls, IPW keeps "
+    "every unit — the emitted effective sample size (Σw)²/Σw² is the "
+    "diagnostic that says how many controls the weights actually "
+    "retain (extreme propensities crater it, the practical reason "
+    "IPW ships with trimming). Parity: p rides ROUND(9) (the #284 "
+    "discipline), odds/products are identical IEEE trees quantized "
+    "DECIMAL(38,9) before the exact sum, the two final statistics "
+    "quantize at scale 6 (1e5-magnitude outcomes — the _r6 rule). "
+    "Scale: two filtered global aggregates over one rollup join — "
+    "map-side combined, no window, no n² anything; the weight table "
+    "never materializes per-pair state.",
+)
+def q_ipw_att(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    rev = o.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(38,6)")).alias("y")
+    )
+    z = (
+        F.lit(_PSM_W0)
+        + F.lit(_PSM_W1) * (F.col("c_acctbal") / 1000.0)
+        + F.lit(_PSM_W2) * (F.col("c_nationkey") % 5)
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.col("c_custkey").cast("string").cast("binary")), 1, 13
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        .cast("double")
+        / F.lit(4503599627370496.0)
+    )
+    units = c.join(rev, c.c_custkey == rev.o_custkey, "left").select(
+        F.coalesce(F.col("y"), F.lit(0).cast("decimal(38,6)"))
+        .cast("double")
+        .alias("y"),
+        F.round(1 / (1 + F.exp(-z)), 9).alias("p"),
+        u.alias("u"),
+    )
+    w = units.select(
+        "y",
+        "p",
+        (F.col("u") < F.col("p")).cast("int").alias("treated"),
+        (F.col("p") / (1 - F.col("p"))).alias("odds"),
+    )
+    t = w.filter(F.col("treated") == 1).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_treated"),
+        F.sum(F.col("y").cast("decimal(38,6)")).alias("sy"),
+    )
+    ctl = w.filter(F.col("treated") == 0).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_control"),
+        F.sum((F.col("y") * F.col("odds")).cast("decimal(38,9)")).alias("swy"),
+        F.sum(F.col("odds").cast("decimal(38,9)")).alias("sw"),
+        F.sum((F.col("odds") * F.col("odds")).cast("decimal(38,9)")).alias(
+            "sw2"
+        ),
+    )
+    return t.crossJoin(ctl).select(
+        "n_treated",
+        "n_control",
+        (
+            F.col("sy").cast("double") / F.col("n_treated")
+            - F.col("swy").cast("double") / F.col("sw").cast("double")
+        )
+        .cast("decimal(38,6)")
+        .cast("double")
+        .alias("att_ipw"),
+        (
+            F.col("sw").cast("double")
+            * F.col("sw").cast("double")
+            / F.col("sw2").cast("double")
+        )
+        .cast("decimal(38,6)")
+        .cast("double")
+        .alias("ess_control"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# #290 Cohen's kappa inter-annotator agreement
+# ---------------------------------------------------------------------------
+
+_KAP_CHARS = 300   # annotator A: document length gate
+_KAP_RATIO = 5.5   # annotator B: chars-per-token density gate
+
+
+@query(
+    "q_cohens_kappa",
+    oracle=f"""
+        WITH t AS (
+            SELECT lang,
+                   CASE WHEN n_chars >= {_KAP_CHARS} THEN 1 ELSE 0 END AS a,
+                   CASE WHEN n_chars / LEN(STRING_SPLIT(text, ' '))
+                             >= {_KAP_RATIO!r} THEN 1 ELSE 0 END AS b
+            FROM documents
+        ),
+        cells AS (
+            SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(a * b) AS BIGINT) AS n11,
+                   CAST(SUM(a * (1 - b)) AS BIGINT) AS n10,
+                   CAST(SUM((1 - a) * b) AS BIGINT) AS n01,
+                   CAST(SUM((1 - a) * (1 - b)) AS BIGINT) AS n00
+            FROM t GROUP BY lang
+        )
+        SELECT lang, n, n11, n10, n01, n00,
+               CAST(CAST(CAST(n11 + n00 AS DOUBLE) / n
+                         AS DECIMAL(38,9)) AS DOUBLE) AS po,
+               CAST(CAST(
+                   CAST((n11 + n10) * (n11 + n01)
+                        + (n01 + n00) * (n10 + n00) AS DOUBLE)
+                   / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))
+                   AS DECIMAL(38,9)) AS DOUBLE) AS pe,
+               CAST(CAST(
+                   (CAST(n11 + n00 AS DOUBLE) / n
+                    - CAST((n11 + n10) * (n11 + n01)
+                           + (n01 + n00) * (n10 + n00) AS DOUBLE)
+                      / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+                   / (1 - CAST((n11 + n10) * (n11 + n01)
+                               + (n01 + n00) * (n10 + n00) AS DOUBLE)
+                          / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+                   AS DECIMAL(38,9)) AS DOUBLE) AS kappa
+        FROM cells
+    """,
+    operators=(23, 41, 290),
+    doc=f"Cohen's kappa (#290), the chance-corrected agreement score "
+    "every labeling pipeline reports before trusting annotations: two "
+    f"deterministic rule annotators (A: n_chars ≥ {_KAP_CHARS}; B: "
+    f"chars-per-token ≥ {_KAP_RATIO} — length vs density, correlated "
+    "but not identical signals) label every document, the per-language "
+    "2×2 confusion cells stay BIGINT, and kappa = (po − pe)/(1 − pe) "
+    "is one identical IEEE tree over exact integers quantized at 1e-9 "
+    "(po, pe re-derived inside the kappa expression rather than read "
+    "from the quantized columns — rounding before the ratio would "
+    "shift kappa by more than an ulp). Raw agreement po is reported "
+    "beside kappa because imbalanced labels make po alone flattering "
+    "— that gap IS the statistic's reason to exist. Scale: one "
+    "map-side-combined groupBy to 5 cells per language; the division "
+    "runs on |langs| rows.",
+)
+def q_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    a = F.when(F.col("n_chars") >= _KAP_CHARS, 1).otherwise(0)
+    b = F.when(
+        F.col("n_chars") / F.size(F.split("text", " ")) >= _KAP_RATIO, 1
+    ).otherwise(0)
+    cells = (
+        d.select("lang", a.alias("a"), b.alias("b"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.col("a") * F.col("b")).cast("bigint").alias("n11"),
+            F.sum(F.col("a") * (1 - F.col("b"))).cast("bigint").alias("n10"),
+            F.sum((1 - F.col("a")) * F.col("b")).cast("bigint").alias("n01"),
+            F.sum((1 - F.col("a")) * (1 - F.col("b")))
+            .cast("bigint")
+            .alias("n00"),
+        )
+    )
+    po = (F.col("n11") + F.col("n00")).cast("double") / F.col("n")
+    pe = (
+        (F.col("n11") + F.col("n10")) * (F.col("n11") + F.col("n01"))
+        + (F.col("n01") + F.col("n00")) * (F.col("n10") + F.col("n00"))
+    ).cast("double") / (F.col("n").cast("double") * F.col("n").cast("double"))
+    return cells.select(
+        "lang",
+        "n",
+        "n11",
+        "n10",
+        "n01",
+        "n00",
+        po.cast("decimal(38,9)").cast("double").alias("po"),
+        pe.cast("decimal(38,9)").cast("double").alias("pe"),
+        ((po - pe) / (1 - pe)).cast("decimal(38,9)").cast("double").alias(
+            "kappa"
+        ),
+    )

@@ -1096,3 +1096,239 @@ def q_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", F.col("k").cast("bigint").alias("k"), "neg_term", "neg_rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# #288 corpus BLEU (clipped n-gram precision + brevity penalty)
+# ---------------------------------------------------------------------------
+
+_BLEU_DROP = 7  # the hypothesis drops every 7th token of the reference
+
+
+def _bleu_grams_sql(src: str) -> str:
+    """LEAD-chained 1..4-gram rows over a (doc_id, lang, tok, pos)
+    CTE — `||` null-propagates, so a tail position short of n tokens
+    yields NULL and is filtered, never a truncated gram."""
+    return f"""(
+        WITH g AS (
+            SELECT doc_id, lang, tok,
+                   LEAD(tok, 1) OVER w AS t1,
+                   LEAD(tok, 2) OVER w AS t2,
+                   LEAD(tok, 3) OVER w AS t3
+            FROM {src} WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+        )
+        SELECT doc_id, lang, n, gram FROM (
+            SELECT doc_id, lang, 1 AS n, tok AS gram FROM g
+            UNION ALL
+            SELECT doc_id, lang, 2, tok || ' ' || t1 FROM g
+            UNION ALL
+            SELECT doc_id, lang, 3, tok || ' ' || t1 || ' ' || t2 FROM g
+            UNION ALL
+            SELECT doc_id, lang, 4,
+                   tok || ' ' || t1 || ' ' || t2 || ' ' || t3 FROM g
+        ) WHERE gram IS NOT NULL
+    )"""
+
+
+@query(
+    "q_bleu_eval",
+    oracle=f"""
+        WITH tok AS MATERIALIZED (
+            SELECT doc_id, lang,
+                   UNNEST(STRING_SPLIT(text, ' ')) AS tok,
+                   UNNEST(RANGE(1, LEN(STRING_SPLIT(text, ' ')) + 1)) AS pos
+            FROM documents
+        ),
+        htok AS MATERIALIZED (
+            SELECT doc_id, lang, tok, pos FROM tok
+            WHERE pos % {_BLEU_DROP} != 0
+        ),
+        rc AS MATERIALIZED (
+            SELECT doc_id, lang, n, gram, COUNT(*) AS c
+            FROM {{REF_GRAMS}} GROUP BY doc_id, lang, n, gram
+        ),
+        hc AS MATERIALIZED (
+            SELECT doc_id, lang, n, gram, COUNT(*) AS c
+            FROM {{HYP_GRAMS}} GROUP BY doc_id, lang, n, gram
+        ),
+        clip AS (
+            SELECT hc.lang, hc.n, hc.c AS h,
+                   LEAST(hc.c, COALESCE(rc.c, 0)) AS cl
+            FROM hc LEFT JOIN rc
+              ON rc.doc_id = hc.doc_id AND rc.n = hc.n AND rc.gram = hc.gram
+        ),
+        pern AS (
+            SELECT lang, n, CAST(SUM(cl) AS BIGINT) AS num,
+                   CAST(SUM(h) AS BIGINT) AS den
+            FROM clip GROUP BY lang, n
+        ),
+        lens AS (
+            SELECT lang, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+                   CAST(COUNT(*) AS BIGINT) AS rlen,
+                   CAST(SUM(CASE WHEN pos % {_BLEU_DROP} != 0
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS hlen
+            FROM tok GROUP BY lang
+        ),
+        piv AS (
+            SELECT lang,
+                   MAX(CASE WHEN n = 1 THEN num END) AS num1,
+                   MAX(CASE WHEN n = 1 THEN den END) AS den1,
+                   MAX(CASE WHEN n = 2 THEN num END) AS num2,
+                   MAX(CASE WHEN n = 2 THEN den END) AS den2,
+                   MAX(CASE WHEN n = 3 THEN num END) AS num3,
+                   MAX(CASE WHEN n = 3 THEN den END) AS den3,
+                   MAX(CASE WHEN n = 4 THEN num END) AS num4,
+                   MAX(CASE WHEN n = 4 THEN den END) AS den4
+            FROM pern GROUP BY lang
+        )
+        SELECT l.lang, l.n_docs, l.rlen AS ref_len, l.hlen AS hyp_len,
+               CAST(CAST(CAST(num1 AS DOUBLE) / den1 AS DECIMAL(38,9))
+                    AS DOUBLE) AS p1,
+               CAST(CAST(CAST(num2 AS DOUBLE) / den2 AS DECIMAL(38,9))
+                    AS DOUBLE) AS p2,
+               CAST(CAST(CAST(num3 AS DOUBLE) / den3 AS DECIMAL(38,9))
+                    AS DOUBLE) AS p3,
+               CAST(CAST(CAST(num4 AS DOUBLE) / den4 AS DECIMAL(38,9))
+                    AS DOUBLE) AS p4,
+               CASE WHEN num1 > 0 AND num2 > 0 AND num3 > 0 AND num4 > 0
+                    THEN CAST(CAST(
+                        (CASE WHEN hlen >= rlen THEN CAST(1.0 AS DOUBLE)
+                              ELSE EXP(1 - CAST(rlen AS DOUBLE) / hlen) END)
+                        * EXP((LN(CAST(num1 AS DOUBLE) / den1)
+                               + LN(CAST(num2 AS DOUBLE) / den2)
+                               + LN(CAST(num3 AS DOUBLE) / den3)
+                               + LN(CAST(num4 AS DOUBLE) / den4)) / 4)
+                        AS DECIMAL(38,9)) AS DOUBLE)
+                    ELSE CAST(0.0 AS DOUBLE) END AS bleu
+        FROM piv p JOIN lens l ON l.lang = p.lang
+    """.replace("{REF_GRAMS}", _bleu_grams_sql("tok")).replace(
+        "{HYP_GRAMS}", _bleu_grams_sql("htok")
+    ),
+    operators=(23, 31, 41, 44, 288),
+    doc=f"Corpus BLEU (#288), the canonical machine-translation / "
+    "text-generation eval beside the ranking metrics (#265): the "
+    "hypothesis is the reference with every "
+    f"{_BLEU_DROP}th token dropped (a deterministic degradation, so "
+    "the score is meaningful and reproducible), and per language the "
+    "query computes clipped modified n-gram precisions p1..p4 (each "
+    "hyp n-gram's count capped by its count in THAT document's "
+    "reference — dropping an interior token manufactures unseen "
+    "adjacencies, which is exactly what BLEU punishes), the brevity "
+    "penalty exp(1 − r/c), and BLEU = BP·exp(Σ ln pn / 4). "
+    "N-grams chain LEAD over the per-doc token order (null-propagating "
+    "concat, so tail positions never emit truncated grams); every "
+    "count stays BIGINT; the two transcendental steps are identical "
+    "IEEE trees on exact-integer ratios quantized at 1e-9; a zero "
+    "clipped count short-circuits to BLEU 0 via a null-safe AND chain "
+    "(LEAST-over-null diverges between engines). Scale: token "
+    "explode → two map-side-combined gram counts → one shuffle join "
+    "on (doc, n, gram) → |langs|×4 cells; no window wider than a "
+    "document, no driver state.",
+)
+def q_bleu_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    tok = (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            "lang",
+            F.posexplode(F.split("text", " ")).alias("pos0", "tok"),
+        )
+        .select("doc_id", "lang", (F.col("pos0") + 1).alias("pos"), "tok")
+    )
+    wnd = Window.partitionBy("doc_id").orderBy("pos")
+
+    def gram_counts(rows: DataFrame) -> DataFrame:
+        g = rows.select(
+            "doc_id",
+            "lang",
+            "tok",
+            F.lead("tok", 1).over(wnd).alias("t1"),
+            F.lead("tok", 2).over(wnd).alias("t2"),
+            F.lead("tok", 3).over(wnd).alias("t3"),
+        )
+        sp = F.lit(" ")
+        grams = F.array(
+            F.struct(F.lit(1).alias("n"), F.col("tok").alias("gram")),
+            F.struct(
+                F.lit(2).alias("n"),
+                F.concat("tok", sp, "t1").alias("gram"),
+            ),
+            F.struct(
+                F.lit(3).alias("n"),
+                F.concat("tok", sp, "t1", sp, "t2").alias("gram"),
+            ),
+            F.struct(
+                F.lit(4).alias("n"),
+                F.concat("tok", sp, "t1", sp, "t2", sp, "t3").alias("gram"),
+            ),
+        )
+        return (
+            g.select("doc_id", "lang", F.explode(grams).alias("s"))
+            .select("doc_id", "lang", "s.n", "s.gram")
+            .filter(F.col("gram").isNotNull())
+            .groupBy("doc_id", "lang", "n", "gram")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+
+    rc = gram_counts(tok)
+    hc = gram_counts(tok.filter(F.col("pos") % _BLEU_DROP != 0))
+    clip = hc.alias("h").join(
+        rc.alias("r"),
+        (F.col("r.doc_id") == F.col("h.doc_id"))
+        & (F.col("r.n") == F.col("h.n"))
+        & (F.col("r.gram") == F.col("h.gram")),
+        "left",
+    ).select(
+        F.col("h.lang").alias("lang"),
+        F.col("h.n").alias("n"),
+        F.col("h.c").alias("h"),
+        F.least(F.col("h.c"), F.coalesce(F.col("r.c"), F.lit(0))).alias("cl"),
+    )
+    pern = clip.groupBy("lang", "n").agg(
+        F.sum("cl").cast("bigint").alias("num"),
+        F.sum("h").cast("bigint").alias("den"),
+    )
+    lens = tok.groupBy("lang").agg(
+        F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+        F.count(F.lit(1)).cast("bigint").alias("rlen"),
+        F.sum(
+            F.when(F.col("pos") % _BLEU_DROP != 0, 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("hlen"),
+    )
+    piv = pern.groupBy("lang").agg(
+        *[
+            F.max(F.when(F.col("n") == i, F.col(c))).alias(f"{c}{i}")
+            for i in (1, 2, 3, 4)
+            for c in ("num", "den")
+        ]
+    )
+
+    def pn(i: int):
+        return F.col(f"num{i}").cast("double") / F.col(f"den{i}")
+
+    bp = F.when(
+        F.col("hlen") >= F.col("rlen"), F.lit(1.0)
+    ).otherwise(F.exp(F.lit(1) - F.col("rlen").cast("double") / F.col("hlen")))
+    logsum = F.log(pn(1)) + F.log(pn(2)) + F.log(pn(3)) + F.log(pn(4))
+    bleu = F.when(
+        (F.col("num1") > 0)
+        & (F.col("num2") > 0)
+        & (F.col("num3") > 0)
+        & (F.col("num4") > 0),
+        (bp * F.exp(logsum / 4)).cast("decimal(38,9)").cast("double"),
+    ).otherwise(F.lit(0.0))
+    return piv.join(lens, "lang").select(
+        "lang",
+        "n_docs",
+        F.col("rlen").alias("ref_len"),
+        F.col("hlen").alias("hyp_len"),
+        *[
+            pn(i).cast("decimal(38,9)").cast("double").alias(f"p{i}")
+            for i in (1, 2, 3, 4)
+        ],
+        bleu.alias("bleu"),
+    )

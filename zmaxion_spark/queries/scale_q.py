@@ -805,3 +805,118 @@ def q_geohash_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_points"),
         F.countDistinct(F.substring("geohash6", 1, 5)).alias("n_subcells5"),
     )
+
+
+# ---------------------------------------------------------------------------
+# #291 bucketed range join (interval containment as an equi-join)
+# ---------------------------------------------------------------------------
+
+_RB_HALF = 100_000   # interval half-width, cents ($1000)
+_RB_W = 200_000      # bucket width = full interval width -> <=2 buckets/anchor
+_RB_ANCHORS = 64
+
+
+@query(
+    "q_range_bucket_join",
+    oracle=f"""
+        WITH o AS (
+            SELECT o_orderkey,
+                   CAST(ROUND(o_totalprice * 100) AS BIGINT) AS c
+            FROM orders
+        ),
+        a AS (
+            SELECT o_orderkey AS aid,
+                   GREATEST(c - {_RB_HALF}, 0) AS lo,
+                   c + {_RB_HALF} AS hi
+            FROM (
+                SELECT o_orderkey, c,
+                       ROW_NUMBER() OVER (
+                           ORDER BY CAST(('0x' || SUBSTR(
+                               MD5(CAST(o_orderkey AS VARCHAR)), 1, 13))
+                               AS BIGINT), o_orderkey) AS rn
+                FROM o
+            ) WHERE rn <= {_RB_ANCHORS}
+        )
+        SELECT a.aid AS anchor_id, a.lo AS lo_cents, a.hi AS hi_cents,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(o.c) AS BIGINT) AS sum_cents
+        FROM a JOIN o ON o.c BETWEEN a.lo AND a.hi
+        GROUP BY 1, 2, 3
+    """,
+    operators=(17, 23, 30, 291),
+    doc=f"Bucketed range join (#291): {_RB_ANCHORS} md5-sampled anchor "
+    f"orders each define a ±${_RB_HALF // 100} price interval, and the "
+    "query counts/sums every order falling inside each interval. The "
+    "ORACLE is the plain theta join (BETWEEN — a nested-loop whose "
+    "cost is |probe|×|intervals|); the Spark plan decomposes each "
+    f"interval into its <=2 covering width-{_RB_W} integer buckets "
+    "(width == interval span bounds the fanout), equi-joins probe "
+    "bucket = floor(cents/width) against the exploded interval "
+    "buckets, and re-checks BETWEEN as a residual — a hash-exact pass "
+    "proves the decomposition lossless. This is THE pattern that "
+    "makes tolerance/band joins linear at scale: both sides shuffle "
+    "by bucket (co-partitioned equi-join, no broadcast required, no "
+    "n×m pair blowup), each probe row lands in exactly one bucket so "
+    "no dedup pass is needed, and skewed buckets fall back to the "
+    "#84 salting discipline. Everything stays integer cents "
+    "(ROUND(×100) is exact on 2-decimal prices; floor-div on "
+    "non-negative cents agrees between Spark `div` and DuckDB `//` — "
+    "the GREATEST(lo, 0) clamp exists because they disagree on "
+    "negatives).",
+)
+def q_range_bucket_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100)
+        .cast("bigint")
+        .alias("c"),
+    )
+    word = (
+        F.conv(
+            F.substring(
+                F.md5(F.col("o_orderkey").cast("string").cast("binary")), 1, 13
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+    )
+    # TakeOrdered top-64, not a global-window row_number: the sample
+    # must never become a single-partition sort of |orders|.
+    anchors = (
+        o.select(F.col("o_orderkey").alias("aid"), "c", word.alias("w"))
+        .orderBy("w", "aid")
+        .limit(_RB_ANCHORS)
+        .select(
+            "aid",
+            F.greatest(F.col("c") - _RB_HALF, F.lit(0)).alias("lo"),
+            (F.col("c") + _RB_HALF).alias("hi"),
+        )
+    )
+    abuck = anchors.select(
+        "aid",
+        "lo",
+        "hi",
+        F.explode(
+            F.sequence(
+                F.expr(f"lo div {_RB_W}"), F.expr(f"hi div {_RB_W}")
+            )
+        ).alias("bucket"),
+    )
+    probe = o.select("c", F.expr(f"c div {_RB_W}").alias("bucket"))
+    return (
+        probe.join(abuck, "bucket")
+        .filter(F.col("c").between(F.col("lo"), F.col("hi")))
+        .groupBy("aid", "lo", "hi")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum("c").cast("bigint").alias("sum_cents"),
+        )
+        .select(
+            F.col("aid").alias("anchor_id"),
+            F.col("lo").alias("lo_cents"),
+            F.col("hi").alias("hi_cents"),
+            "n_orders",
+            "sum_cents",
+        )
+    )
