@@ -646,6 +646,58 @@ def topk_cosine_blas(
         ]
     )
 
+    def topk_rows(cos, batch, bids, corpus_ids, corpus, k_eff):
+        """Fully vectorized band-exact top-k for one score chunk: an
+        argpartition over-fetch replaces the per-row nonzero scan (the
+        scan was O(rows×|corpus|) in Python-call overhead — it is what
+        made the 100k×100k sf10 profile time out), with a provable
+        safety check: the over-fetch is exact iff everything it
+        EXCLUDED sits below kth−band, i.e. the smallest retained BLAS
+        score is already below the band floor. Rows where the tie band
+        straddles the over-fetch boundary (vanishingly rare — requires
+        ≥pad−k scores within 1e-6 of kth) rescan their full row."""
+        m, n_c = cos.shape
+        pad = min(k_eff + 8, n_c)
+        if pad < n_c:
+            idx = np.argpartition(cos, n_c - pad, axis=1)[:, n_c - pad :]
+        else:
+            idx = np.broadcast_to(np.arange(n_c), (m, n_c)).copy()
+        vals = np.take_along_axis(cos, idx, axis=1)
+        kth = np.partition(vals, pad - k_eff, axis=1)[:, pad - k_eff]
+        floor = kth - _BLAS_BAND
+        unsafe = (pad < n_c) & ~(vals.min(axis=1) < floor)
+        for i in np.nonzero(unsafe)[0]:  # full-row fallback, rare
+            cand = np.nonzero(cos[i] >= floor[i])[0]
+            pad_i = len(cand)
+            if pad_i > vals.shape[1]:
+                grow = pad_i - vals.shape[1]
+                idx = np.pad(idx, ((0, 0), (0, grow)), constant_values=0)
+                vals = np.pad(
+                    vals, ((0, 0), (0, grow)), constant_values=-np.inf
+                )
+            idx[i, :pad_i] = cand
+            vals[i, :pad_i] = cos[i, cand]
+            vals[i, pad_i:] = -np.inf
+        keep = vals >= floor[:, None]
+        rows, cols = np.nonzero(keep)
+        cj = idx[rows, cols]
+        exact = _fold_cosine_rows(batch[rows], corpus[cj])
+        # group by row, order (exact DESC, corpus id ASC) within rows
+        order = np.lexsort((corpus_ids[cj], -exact, rows))
+        srows = rows[order]
+        starts = np.searchsorted(srows, np.arange(m), side="left")
+        take = (starts[:, None] + np.arange(k_eff)).ravel()
+        return pd.DataFrame(
+            {
+                left_id: np.repeat(bids, k_eff),
+                right_id: corpus_ids[cj][order][take],
+                "cos_sim": exact[order][take],
+                "rn": np.tile(
+                    np.arange(1, k_eff + 1, dtype=np.int32), m
+                ),
+            }
+        )
+
     def score(batches):
         corpus_ids, corpus = bc.value
         k_eff = min(k, len(corpus_ids))
@@ -660,31 +712,9 @@ def topk_cosine_blas(
                 b_norm = np.sqrt((batch * batch).sum(axis=1))
                 with np.errstate(divide="ignore", invalid="ignore"):
                     cos = dots / np.outer(b_norm, c_norm)
-                # per-row k-th largest BLAS score -> candidate band
-                kth = np.partition(cos, len(corpus_ids) - k_eff, axis=1)[
-                    :, len(corpus_ids) - k_eff
-                ]
-                out_l, out_r, out_c, out_rn = [], [], [], []
-                for i in range(len(batch)):
-                    cand = np.nonzero(cos[i] >= kth[i] - _BLAS_BAND)[0]
-                    exact = _fold_cosine_rows(
-                        np.broadcast_to(batch[i], (len(cand), batch.shape[1])),
-                        corpus[cand],
-                    )
-                    order = np.lexsort((corpus_ids[cand], -exact))[:k_eff]
-                    out_l.append(np.full(k_eff, bids[i]))
-                    out_r.append(corpus_ids[cand][order])
-                    out_c.append(exact[order])
-                    out_rn.append(np.arange(1, k_eff + 1))
-                if out_l:
-                    yield pd.DataFrame(
-                        {
-                            left_id: np.concatenate(out_l),
-                            right_id: np.concatenate(out_r),
-                            "cos_sim": np.concatenate(out_c),
-                            "rn": np.concatenate(out_rn).astype(np.int32),
-                        }
-                    )
+                yield topk_rows(
+                    cos, batch, bids, corpus_ids, corpus, k_eff
+                )
 
     n_parts = 2 * spark.sparkContext.defaultParallelism
     return (
