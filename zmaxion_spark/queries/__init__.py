@@ -187,6 +187,9 @@ _NEXT_ROUND: list[str] = [
     "q_ipw_att",
     "q_cohens_kappa",
     "q_range_bucket_join",
+    "q_time_weighted_avg",
+    "q_mad_anomaly",
+    "q_rake_keywords",
     # rows-only by nature (driver records the weaker check once)
     "q_hll_sketch",
     "q_approx_bounds",

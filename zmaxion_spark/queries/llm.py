@@ -2466,3 +2466,177 @@ def q_margin_bitext(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("accepted"),
     )
+
+
+# ---------------------------------------------------------------------------
+# #294 RAKE keyword extraction (degree/frequency phrase scoring)
+# ---------------------------------------------------------------------------
+
+# Domain-tuned stoplist (RAKE stoplists always are): the two function
+# words the synthetic vocabulary contains plus its highest-frequency
+# schema nouns, so phrase runs break often enough to be phrase-shaped.
+_RAKE_STOPS = ("a", "the", "key", "value", "table", "row", "data")
+_RAKE_MAXLEN = 6   # standard RAKE practice: drop degenerate long runs
+_RAKE_TOPK = 10
+
+
+@query(
+    "q_rake_keywords",
+    oracle=f"""
+        WITH tok AS (
+            SELECT doc_id, lang,
+                   UNNEST(STRING_SPLIT(text, ' ')) AS tok,
+                   UNNEST(RANGE(1, LEN(STRING_SPLIT(text, ' ')) + 1)) AS pos
+            FROM documents
+        ),
+        f AS (
+            SELECT doc_id, lang, pos, tok,
+                   CASE WHEN tok IN {_RAKE_STOPS!r} THEN 1 ELSE 0 END AS stop
+            FROM tok
+        ),
+        runs AS (
+            SELECT doc_id, lang, pos, tok, stop,
+                   SUM(stop) OVER (PARTITION BY doc_id ORDER BY pos
+                                   ROWS UNBOUNDED PRECEDING) AS pid
+            FROM f
+        ),
+        pw0 AS (SELECT doc_id, lang, pid, pos, tok FROM runs WHERE stop = 0),
+        plen AS MATERIALIZED (
+            SELECT doc_id, pid, COUNT(*) AS plen FROM pw0
+            GROUP BY doc_id, pid
+        ),
+        pw AS MATERIALIZED (
+            SELECT pw0.*, plen.plen FROM pw0
+            JOIN plen ON plen.doc_id = pw0.doc_id AND plen.pid = pw0.pid
+            WHERE plen.plen <= {_RAKE_MAXLEN}
+        ),
+        wstat AS MATERIALIZED (
+            SELECT lang, tok, COUNT(*) AS freq,
+                   CAST(SUM(plen) AS BIGINT) AS deg
+            FROM pw GROUP BY lang, tok
+        ),
+        pwj AS (
+            SELECT pw.doc_id, pw.lang, pw.pid, pw.pos, pw.tok,
+                   CAST(wstat.deg AS DOUBLE) / wstat.freq AS term
+            FROM pw JOIN wstat
+              ON wstat.lang = pw.lang AND wstat.tok = pw.tok
+        ),
+        pagg AS (
+            SELECT doc_id, lang, pid,
+                   STRING_AGG(tok, ' ' ORDER BY pos) AS phrase,
+                   CAST(COUNT(*) AS BIGINT) AS nw,
+                   LIST_REDUCE(
+                       LIST_PREPEND(CAST(0 AS DOUBLE),
+                                    LIST(term ORDER BY pos)),
+                       (acc, x) -> acc + x) AS score_raw
+            FROM pwj GROUP BY doc_id, lang, pid
+        ),
+        uniq AS (
+            SELECT lang, phrase, MAX(nw) AS n_words,
+                   CAST(COUNT(*) AS BIGINT) AS n_occur,
+                   CAST(CAST(MAX(score_raw) AS DECIMAL(38,9)) AS DOUBLE)
+                       AS score
+            FROM pagg GROUP BY lang, phrase
+        )
+        SELECT lang, CAST(rnk AS BIGINT) AS rnk, phrase, n_words,
+               n_occur, score
+        FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY lang
+                          ORDER BY score DESC, phrase) AS rnk
+            FROM uniq
+        ) WHERE rnk <= {_RAKE_TOPK}
+    """,
+    operators=(30, 41, 44, 294),
+    doc="RAKE keyword extraction (#294), the unsupervised keyphrase "
+    "baseline (Rose et al. 2010) beside TF-IDF (#67): candidate "
+    "phrases are maximal stopword-free token runs (running stop-count "
+    "window assigns run ids — no regex re-scan of the text), each "
+    "word scores degree/frequency (degree = Σ length of the phrases "
+    "it appears in — words that travel in long company score higher), "
+    "and a phrase scores the sum of its words' scores. Per-phrase "
+    "sums are LEFT FOLDS over the position-ordered term list "
+    "(bit-exact on both engines — the int-ratio word scores are "
+    "exactly the values the per-term-decimal discipline warns about), "
+    "quantized once at 1e-9 for a deterministic (score, phrase) rank; "
+    f"top-{_RAKE_TOPK} per language. Scale: token explode → two "
+    "map-side-combined counts + one (lang, tok) stat join; the only "
+    "window is per-document; the rank prunes per language.",
+)
+def q_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tok = (
+        _t(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            "lang",
+            F.posexplode(F.split("text", " ")).alias("pos0", "tok"),
+        )
+        .select("doc_id", "lang", (F.col("pos0") + 1).alias("pos"), "tok")
+    )
+    w_run = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    runs = tok.select(
+        "doc_id",
+        "lang",
+        "pos",
+        "tok",
+        F.col("tok").isin(*_RAKE_STOPS).cast("int").alias("stop"),
+    ).select(
+        "doc_id",
+        "lang",
+        "pos",
+        "tok",
+        "stop",
+        F.sum("stop").over(w_run).alias("pid"),
+    )
+    pw0 = runs.filter(F.col("stop") == 0).select(
+        "doc_id", "lang", "pid", "pos", "tok"
+    )
+    plen = pw0.groupBy("doc_id", "pid").agg(F.count(F.lit(1)).alias("plen"))
+    pw = pw0.join(plen, ["doc_id", "pid"]).filter(
+        F.col("plen") <= _RAKE_MAXLEN
+    )
+    wstat = pw.groupBy("lang", "tok").agg(
+        F.count(F.lit(1)).alias("freq"),
+        F.sum("plen").cast("bigint").alias("deg"),
+    )
+    pwj = pw.join(wstat, ["lang", "tok"]).select(
+        "doc_id",
+        "lang",
+        "pid",
+        "pos",
+        "tok",
+        (F.col("deg").cast("double") / F.col("freq")).alias("term"),
+    )
+    structs = F.array_sort(
+        F.collect_list(F.struct("pos", "tok", "term"))
+    )
+    pagg = pwj.groupBy("doc_id", "lang", "pid").agg(
+        structs.alias("s")
+    ).select(
+        "doc_id",
+        "lang",
+        "pid",
+        F.array_join(
+            F.transform(F.col("s"), lambda s: s.tok), " "
+        ).alias("phrase"),
+        F.size("s").cast("bigint").alias("nw"),
+        F.aggregate(
+            F.transform(F.col("s"), lambda s: s.term),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("score_raw"),
+    )
+    uniq = pagg.groupBy("lang", "phrase").agg(
+        F.max("nw").alias("n_words"),
+        F.count(F.lit(1)).cast("bigint").alias("n_occur"),
+        F.max("score_raw").cast("decimal(38,9)").cast("double").alias("score"),
+    )
+    w_rank = Window.partitionBy("lang").orderBy(F.desc("score"), "phrase")
+    return (
+        uniq.withColumn("rnk", F.row_number().over(w_rank).cast("bigint"))
+        .filter(F.col("rnk") <= _RAKE_TOPK)
+        .select("lang", "rnk", "phrase", "n_words", "n_occur", "score")
+    )

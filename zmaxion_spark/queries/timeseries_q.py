@@ -700,3 +700,221 @@ def q_pattern_negation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_clean",
         "n_tainted",
     )
+
+
+# ---------------------------------------------------------------------------
+# #292 time-weighted average (TWAP over irregular samples)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_time_weighted_avg",
+    oracle="""
+        WITH e AS (
+            SELECT event_type,
+                   EPOCH_US(CAST(ts AS TIMESTAMP)) AS us,
+                   CAST(ROUND(value * 100) AS BIGINT) AS cents,
+                   event_id
+            FROM events
+        ),
+        seg AS (
+            SELECT event_type, cents,
+                   LEAD(us) OVER (PARTITION BY event_type
+                                  ORDER BY us, event_id) - us AS dur
+            FROM e
+        ),
+        agg AS (
+            SELECT event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n_samples,
+                   CAST(SUM(CASE WHEN dur IS NOT NULL THEN dur END)
+                        AS BIGINT) AS span_us,
+                   SUM(CASE WHEN dur IS NOT NULL
+                            THEN CAST(cents * dur AS DECIMAL(38,0)) END)
+                       AS wsum
+            FROM seg GROUP BY event_type
+        )
+        SELECT event_type, n_samples, span_us,
+               CAST(CAST(CAST(wsum AS DOUBLE) / span_us / 100
+                         AS DECIMAL(38,9)) AS DOUBLE) AS twap
+        FROM agg
+    """,
+    operators=(31, 42, 292),
+    doc="Time-weighted average (#292), the irregular-sampling "
+    "correction every monitoring/finance rollup needs: a plain AVG "
+    "over-weights bursts (10 samples in a busy second count 10×), so "
+    "each observation is held as a step function until the next "
+    "sample of its series and weighted by that duration — TWAP = "
+    "Σ vᵢ·(tᵢ₊₁−tᵢ) / Σ (tᵢ₊₁−tᵢ), the last sample contributing no "
+    "interval. Everything is exact integers until the final division: "
+    "cents × µs products fit BIGINT (1e4 cents × 1e9 µs), sums ride "
+    "DECIMAL(38,0) (order-independent), the one double division "
+    "quantizes at 1e-9. Scale: one per-series LEAD window (partition "
+    "by series — parallel across types) + a map-side-combined "
+    "aggregate; no global sort, no driver state.",
+)
+def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+        "event_id",
+    )
+    w = Window.partitionBy("event_type").orderBy("us", "event_id")
+    seg = e.select(
+        "event_type", "cents", (F.lead("us").over(w) - F.col("us")).alias("dur")
+    )
+    agg = seg.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_samples"),
+        F.sum(F.when(F.col("dur").isNotNull(), F.col("dur")))
+        .cast("bigint")
+        .alias("span_us"),
+        F.sum(
+            F.when(
+                F.col("dur").isNotNull(),
+                (F.col("cents") * F.col("dur")).cast("decimal(38,0)"),
+            )
+        ).alias("wsum"),
+    )
+    return agg.select(
+        "event_type",
+        "n_samples",
+        "span_us",
+        (F.col("wsum").cast("double") / F.col("span_us") / 100)
+        .cast("decimal(38,9)")
+        .cast("double")
+        .alias("twap"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# #293 MAD-based robust anomaly screen (the breakdown-proof z-score)
+# ---------------------------------------------------------------------------
+
+# Iglewicz-Hoben modified z-score: |0.6745 (x - med) / MAD| > 3.5.
+# Scaled to integers: 6745 |x - med| > 35000 MAD — the entire decision
+# is exact BIGINT arithmetic, no float ever enters.
+_MAD_NUM = 6745
+_MAD_CUT = 35000
+
+
+def _mad_rank_sql(src: str, val: str, part: str) -> str:
+    """Lower-median by discrete rank over integer values: the smallest
+    value whose running count reaches ceil(n/2) — the repo's exact
+    groupBy-then-cumulate quantile shape, no interpolation."""
+    return f"""(
+        WITH c AS (
+            SELECT {part}, {val} AS v, COUNT(*) AS k FROM {src}
+            GROUP BY {part}, {val}
+        ),
+        r AS (
+            SELECT {part}, v, SUM(k) OVER (PARTITION BY {part}
+                       ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum,
+                   SUM(k) OVER (PARTITION BY {part}) AS n
+            FROM c
+        )
+        SELECT {part}, MIN(v) AS med FROM r
+        WHERE cum >= (n + 1) // 2 GROUP BY {part}
+    )"""
+
+
+@query(
+    "q_mad_anomaly",
+    oracle=f"""
+        WITH e AS (
+            SELECT event_type,
+                   CAST(ROUND(value * 100) AS BIGINT) AS cents
+            FROM events
+        ),
+        med AS MATERIALIZED (
+            SELECT * FROM {_mad_rank_sql('e', 'cents', 'event_type')}
+        ),
+        dev AS (
+            SELECT e.event_type, ABS(e.cents - med.med) AS adev,
+                   e.cents, med.med
+            FROM e JOIN med ON med.event_type = e.event_type
+        ),
+        mad AS MATERIALIZED (
+            SELECT event_type, med AS mad FROM
+            {_mad_rank_sql('dev', 'adev', 'event_type')}
+            AS m(event_type, med)
+        )
+        SELECT d.event_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(MAX(d.med) AS BIGINT) AS med_cents,
+               CAST(MAX(mad.mad) AS BIGINT) AS mad_cents,
+               CAST(SUM(CASE WHEN {_MAD_NUM} * d.adev
+                                  > {_MAD_CUT} * mad.mad
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        FROM dev d JOIN mad ON mad.event_type = d.event_type
+        GROUP BY d.event_type
+    """,
+    operators=(23, 31, 92, 293),
+    doc="MAD robust anomaly screen (#293), the breakdown-proof twin of "
+    "the z-score monitor (#92): mean/stddev have breakdown point 0 — "
+    "one fat outlier inflates σ and HIDES its peers (masking) — while "
+    "median/MAD survive 50% contamination. Flags the Iglewicz-Hoben "
+    f"modified z |0.6745(x−med)/MAD| > 3.5, rescaled to {_MAD_NUM}"
+    f"·|x−med| > {_MAD_CUT}·MAD so the ENTIRE decision is exact "
+    "BIGINT arithmetic — no float enters at any point. Both medians "
+    "are discrete lower-medians by the repo's exact spillable "
+    "quantile shape (groupBy value + running count, rank = smallest "
+    "v with cum ≥ ⌈n/2⌉) — value-domain cells shuffle, never rows. "
+    "Scale: two such rank passes + one counting join, all partitioned "
+    "by series; the deviation join re-shuffles only (series, cents).",
+)
+def q_mad_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+
+    def lower_median(df: DataFrame, val: str) -> DataFrame:
+        c = df.groupBy("event_type", val).agg(F.count(F.lit(1)).alias("k"))
+        wc = (
+            Window.partitionBy("event_type")
+            .orderBy(val)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        wn = Window.partitionBy("event_type")
+        r = c.select(
+            "event_type",
+            F.col(val).alias("v"),
+            F.sum("k").over(wc).alias("cum"),
+            F.sum("k").over(wn).alias("n"),
+        )
+        # (n+1) div 2, NOT (n+1)/2: Spark `/` on bigints is double
+        # division, which shifts the even-n rank by one vs `//`.
+        return (
+            r.filter(F.col("cum") >= F.expr("(n + 1) div 2"))
+            .groupBy("event_type")
+            .agg(F.min("v").alias("med"))
+        )
+
+    med = lower_median(e, "cents")
+    dev = e.join(med, "event_type").select(
+        "event_type",
+        "cents",
+        "med",
+        F.abs(F.col("cents") - F.col("med")).alias("adev"),
+    )
+    mad = lower_median(dev, "adev").select(
+        "event_type", F.col("med").alias("mad")
+    )
+    return (
+        dev.join(mad, "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.max("med").cast("bigint").alias("med_cents"),
+            F.max("mad").cast("bigint").alias("mad_cents"),
+            F.sum(
+                F.when(
+                    F.lit(_MAD_NUM) * F.col("adev")
+                    > F.lit(_MAD_CUT) * F.col("mad"),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_outliers"),
+        )
+    )
