@@ -1316,3 +1316,53 @@ def test_rake_topk_shape_and_no_stopwords(spark):
         assert [r.rnk for r in rows] == list(range(1, len(rows) + 1))
         scores = [r.score for r in rows]
         assert scores == sorted(scores, reverse=True)
+
+
+def test_link_prediction_candidates_are_nonedges(spark):
+    """#295: no predicted pair may be an existing edge; Jaccard and AA
+    are positive; ranks are dense from 1."""
+    rows = _rows(spark, "q_link_prediction")
+    assert rows and len(rows) <= 20
+    li = load_table(spark, SF_SMOKE, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    ).distinct()
+    a, b = li.alias("a"), li.alias("b")
+    e = {
+        (r.u, r.v)
+        for r in a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= 2)
+        .collect()
+    }
+    ranks = sorted(r.rnk for r in rows)
+    assert ranks == list(range(1, len(rows) + 1))
+    for r in rows:
+        assert r.u < r.v
+        assert (r.u, r.v) not in e
+        assert r.cn >= 1
+        assert r.aa > 0 and 0 < r.jacc <= 1
+
+
+def test_user_streaks_partition_active_days(spark):
+    """#296: streak lengths sum to distinct active days; the longest
+    streak can never exceed the total span of days."""
+    e = load_table(spark, SF_SMOKE, "events")
+    expected = (
+        e.select("user_id", F.col("ts").cast("timestamp").cast("date").alias("d"))
+        .distinct()
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("nd"))
+    )
+    nd = {r.user_id: r.nd for r in expected.collect()}
+    rows = _rows(spark, "q_user_streaks")
+    assert {r.user_id for r in rows} == set(nd)
+    for r in rows:
+        assert r.n_active_days == nd[r.user_id]
+        assert 1 <= r.longest_streak <= r.n_active_days
+        assert r.n_streaks >= 1
+        assert r.n_active_days >= r.n_streaks

@@ -190,6 +190,8 @@ _NEXT_ROUND: list[str] = [
     "q_time_weighted_avg",
     "q_mad_anomaly",
     "q_rake_keywords",
+    "q_link_prediction",
+    "q_user_streaks",
     # rows-only by nature (driver records the weaker check once)
     "q_hll_sketch",
     "q_approx_bounds",

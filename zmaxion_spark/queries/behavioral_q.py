@@ -1126,3 +1126,77 @@ def q_sequential_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bound_k",
         (F.abs(F.col("z_k")) > F.col("bound_k")).cast("bigint").alias("crossed"),
     )
+
+
+# ---------------------------------------------------------------------------
+# #296 activity streaks (gaps-and-islands over calendar days)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_user_streaks",
+    oracle="""
+        WITH days AS (
+            SELECT DISTINCT user_id,
+                   DATEDIFF('day', DATE '1970-01-01',
+                            CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS d
+            FROM events
+        ),
+        isl AS (
+            SELECT user_id, d,
+                   d - DENSE_RANK() OVER (PARTITION BY user_id ORDER BY d)
+                       AS island
+            FROM days
+        ),
+        streaks AS (
+            SELECT user_id, island,
+                   CAST(COUNT(*) AS BIGINT) AS len,
+                   CAST(MIN(d) AS BIGINT) AS start_day
+            FROM isl GROUP BY user_id, island
+        )
+        SELECT user_id,
+               CAST(SUM(len) AS BIGINT) AS n_active_days,
+               CAST(COUNT(*) AS BIGINT) AS n_streaks,
+               CAST(MAX(len) AS BIGINT) AS longest_streak,
+               CAST(MIN(start_day) AS BIGINT) AS first_day
+        FROM streaks GROUP BY user_id
+    """,
+    operators=(30, 42, 296),
+    doc="Consecutive-day activity streaks (#296), the gaps-and-islands "
+    "pattern behind every engagement/retention surface (Duolingo-style "
+    "streaks, SLA uptime runs): distinct active days per user, island "
+    "id = epoch_day − dense_rank(day) (consecutive days share it — "
+    "dense_rank, not row_number, because the distinct pass already "
+    "collapsed same-day repeats), streak length = island size. "
+    "Calendar days differ from the µs-gap sessions of #86: a streak "
+    "survives a 47-hour silence iff it crosses no midnight boundary. "
+    "Integers end-to-end (epoch days), trivially hash-exact. Scale: "
+    "the distinct pass collapses events to user-days map-side; the "
+    "window partitions per user; nothing global.",
+)
+def q_user_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    days = (
+        _t(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            F.datediff(
+                F.col("ts").cast("timestamp").cast("date"),
+                F.lit("1970-01-01").cast("date"),
+            ).alias("d"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("user_id").orderBy("d")
+    isl = days.select(
+        "user_id", "d", (F.col("d") - F.dense_rank().over(w)).alias("island")
+    )
+    streaks = isl.groupBy("user_id", "island").agg(
+        F.count(F.lit(1)).cast("bigint").alias("len"),
+        F.min("d").cast("bigint").alias("start_day"),
+    )
+    return streaks.groupBy("user_id").agg(
+        F.sum("len").cast("bigint").alias("n_active_days"),
+        F.count(F.lit(1)).cast("bigint").alias("n_streaks"),
+        F.max("len").cast("bigint").alias("longest_streak"),
+        F.min("start_day").cast("bigint").alias("first_day"),
+    )
