@@ -1366,3 +1366,51 @@ def test_user_streaks_partition_active_days(spark):
         assert 1 <= r.longest_streak <= r.n_active_days
         assert r.n_streaks >= 1
         assert r.n_active_days >= r.n_streaks
+
+
+def _cdc_fps(text: str) -> list:
+    """Pure-Python replica of q_cdc_chunk_dedup's chunking: md5-word
+    gear hash over 3-token windows, cut when % 16 == 0."""
+    import hashlib
+
+    toks = text.split(" ")
+    chunks, cur = [], []
+    for i, t in enumerate(toks):
+        cur.append(t)
+        # the cut closes the chunk AT the window-ending token (the SQL
+        # running sum over "1 PRECEDING" means a cut at pos j only
+        # moves positions AFTER j into the next chunk)
+        if i >= 2:
+            w = " ".join(toks[i - 2 : i + 1]).encode()
+            if int(hashlib.md5(w).hexdigest()[:15], 16) % 16 == 0:
+                chunks.append(cur)
+                cur = []
+    if cur:
+        chunks.append(cur)
+    return [
+        int(hashlib.md5(" ".join(c).encode()).hexdigest()[:15], 16)
+        for c in chunks
+    ]
+
+
+def test_cdc_boundaries_survive_prefix_shift(spark):
+    """#297: prepending a token must change O(1) chunk fingerprints —
+    every boundary decision ≥3 tokens past the edit sees an identical
+    window, so only the head chunk(s) re-fingerprint. (A fixed-window
+    fragmenter re-fingerprints the whole document under the same
+    edit — that asymmetry is CDC's reason to exist.) Also pins the
+    Python replica against the Spark/SQL implementation."""
+    d = load_table(spark, SF_SMOKE, "documents").limit(100).collect()
+    total_changed = 0
+    for r in d:
+        base = _cdc_fps(r.text)
+        shifted = _cdc_fps("prefixshift " + r.text)
+        sym = set(base) ^ set(shifted)
+        assert len(sym) <= 4, f"doc {r.doc_id}: {len(sym)} chunks changed"
+        total_changed += len(sym)
+    assert total_changed <= 2.5 * len(d)  # ~O(1) per doc on average
+
+    # replica parity: per-doc chunk counts match the graded query
+    got = {r.doc_id: r.n_chunks for r in _rows(spark, "q_cdc_chunk_dedup")}
+    for r in d:
+        assert got[r.doc_id] == len(_cdc_fps(r.text))

@@ -192,6 +192,7 @@ _NEXT_ROUND: list[str] = [
     "q_rake_keywords",
     "q_link_prediction",
     "q_user_streaks",
+    "q_cdc_chunk_dedup",
     # rows-only by nature (driver records the weaker check once)
     "q_hll_sketch",
     "q_approx_bounds",

@@ -643,3 +643,148 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(frac, 6).alias("contamination_frac"),
         (frac >= 0.05).alias("quarantine"),
     )
+
+
+# ---------------------------------------------------------------------------
+# #297 content-defined chunking dedup (the shift-robust fragment pass)
+# ---------------------------------------------------------------------------
+
+_CDC_WIN = 3      # tokens hashed per boundary decision
+_CDC_DIV = 16     # boundary when window-hash % DIV == 0 -> ~16-token chunks
+
+
+@query(
+    "q_cdc_chunk_dedup",
+    oracle=f"""
+        WITH tok AS (
+            SELECT doc_id,
+                   UNNEST(STRING_SPLIT(text, ' ')) AS tok,
+                   UNNEST(RANGE(1, LEN(STRING_SPLIT(text, ' ')) + 1)) AS pos
+            FROM documents
+        ),
+        b AS (
+            SELECT doc_id, pos, tok,
+                   CASE WHEN pos >= {_CDC_WIN} AND
+                        CAST(('0x' || SUBSTR(MD5(
+                            LAG(tok, 2) OVER w || ' ' ||
+                            LAG(tok, 1) OVER w || ' ' || tok), 1, 15))
+                            AS BIGINT) % {_CDC_DIV} = 0
+                        THEN 1 ELSE 0 END AS cut
+            FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+        ),
+        cid AS (
+            SELECT doc_id, pos, tok,
+                   COALESCE(SUM(cut) OVER (PARTITION BY doc_id ORDER BY pos
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0) AS chunk
+            FROM b
+        ),
+        ch AS MATERIALIZED (
+            SELECT doc_id, chunk,
+                   CAST(COUNT(*) AS BIGINT) AS clen,
+                   CAST(('0x' || SUBSTR(MD5(
+                       STRING_AGG(tok, ' ' ORDER BY pos)), 1, 15))
+                       AS BIGINT) AS fp
+            FROM cid GROUP BY doc_id, chunk
+        ),
+        df AS MATERIALIZED (
+            SELECT fp, COUNT(DISTINCT doc_id) AS n_docs FROM ch GROUP BY fp
+        )
+        SELECT ch.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_chunks,
+               CAST(SUM(ch.clen) AS BIGINT) AS n_tokens,
+               CAST(SUM(CASE WHEN df.n_docs > 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_dup_chunks,
+               CAST(CAST(CAST(SUM(CASE WHEN df.n_docs > 1 THEN 1 ELSE 0 END)
+                              AS DOUBLE) / COUNT(*)
+                         AS DECIMAL(38,9)) AS DOUBLE) AS dup_frac
+        FROM ch JOIN df ON df.fp = ch.fp
+        GROUP BY ch.doc_id
+    """,
+    operators=(66, 70, 82, 297),
+    doc=f"Content-defined chunking dedup (#297), the shift-robust "
+    "upgrade to fixed-window fragment dedup (#82): chunk boundaries "
+    f"cut where the md5 word of the last {_CDC_WIN} tokens ≡ 0 mod "
+    f"{_CDC_DIV} (≈{_CDC_DIV}-token expected chunks), so the SAME "
+    "boundaries re-emerge after content shifts — prepend a paragraph "
+    "and a fixed-window fragmenter re-fingerprints the ENTIRE "
+    "document while CDC changes O(1) chunks near the edit "
+    "(test_cdc_boundaries_survive_prefix_shift proves it on this "
+    "corpus). Per doc: chunk census, cross-document duplicate-chunk "
+    "count (distinct-doc fingerprint census), duplicate fraction. "
+    "The rolling decision reuses the engine-portable md5-word hash — "
+    "deliberately a LOOKUP-style gear hash, not a multiplicative "
+    "rolling hash, so both engines compute it from the same 3-token "
+    "substring with zero state. Scale: boundary flags are a per-doc "
+    "window pass, corpus-wide state is (15-hex fingerprint, doc "
+    "count) — text never shuffles beyond its own document.",
+)
+def q_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tok = (
+        _t(spark, sf_dir, "documents")
+        .select(
+            "doc_id", F.posexplode(F.split("text", " ")).alias("pos0", "tok")
+        )
+        .select("doc_id", (F.col("pos0") + 1).alias("pos"), "tok")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    win_txt = F.concat(
+        F.lag("tok", 2).over(w), F.lit(" "),
+        F.lag("tok", 1).over(w), F.lit(" "), F.col("tok"),
+    )
+    word = F.conv(F.substring(F.md5(win_txt), 1, 15), 16, 10).cast("long")
+    b = tok.select(
+        "doc_id",
+        "pos",
+        "tok",
+        F.when(
+            (F.col("pos") >= _CDC_WIN) & (word % _CDC_DIV == 0), 1
+        )
+        .otherwise(0)
+        .alias("cut"),
+    )
+    w_run = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cid = b.select(
+        "doc_id",
+        "pos",
+        "tok",
+        F.coalesce(F.sum("cut").over(w_run), F.lit(0)).alias("chunk"),
+    )
+    structs = F.array_sort(F.collect_list(F.struct("pos", "tok")))
+    ch = cid.groupBy("doc_id", "chunk").agg(
+        F.count(F.lit(1)).cast("bigint").alias("clen"),
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.array_join(
+                        F.transform(structs, lambda s: s.tok), " "
+                    ).cast("binary")
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("fp"),
+    )
+    df_ = ch.groupBy("fp").agg(F.countDistinct("doc_id").alias("n_docs"))
+    dup = F.when(F.col("n_docs") > 1, 1).otherwise(0)
+    return (
+        ch.join(df_, "fp")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_chunks"),
+            F.sum("clen").cast("bigint").alias("n_tokens"),
+            F.sum(dup).cast("bigint").alias("n_dup_chunks"),
+            (F.sum(dup).cast("double") / F.count(F.lit(1)))
+            .cast("decimal(38,9)")
+            .cast("double")
+            .alias("dup_frac"),
+        )
+    )
