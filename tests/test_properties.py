@@ -1414,3 +1414,28 @@ def test_cdc_boundaries_survive_prefix_shift(spark):
     got = {r.doc_id: r.n_chunks for r in _rows(spark, "q_cdc_chunk_dedup")}
     for r in d:
         assert got[r.doc_id] == len(_cdc_fps(r.text))
+
+
+def test_cvar_dominates_var(spark):
+    """#298: CVaR is a tail mean, so it must sit at or above VaR; the
+    tail must hold between 5% and 5%+1-value-mass of the class."""
+    for r in _rows(spark, "q_cvar_tail_risk"):
+        assert r.cvar_cents >= r.var95_cents
+        assert r.tail_n >= 1
+        # ceil(0.05n) <= tail <= ... tail starts AT the rank value
+        assert r.tail_n <= r.n  # sanity
+        assert r.tail_n >= (r.n - (19 * r.n + 19) // 20) + 1
+
+
+def test_matryoshka_overlap_monotone_to_one(spark):
+    """#299: more prefix dims can only help on average at the
+    endpoints — overlap at 64 dims is exactly 1 by construction, and
+    every width keeps at least one true neighbor (the query itself)."""
+    rows = sorted(_rows(spark, "q_matryoshka_sweep"), key=lambda r: r.dims)
+    assert [r.dims for r in rows] == [16, 32, 48, 64]
+    assert rows[-1].mean_overlap == 1.0
+    for r in rows:
+        assert r.denom == 15
+        # each query is its own nearest neighbor at every width
+        assert r.hits >= 3
+        assert 0.0 < r.mean_overlap <= 1.0

@@ -193,6 +193,8 @@ _NEXT_ROUND: list[str] = [
     "q_link_prediction",
     "q_user_streaks",
     "q_cdc_chunk_dedup",
+    "q_cvar_tail_risk",
+    "q_matryoshka_sweep",
     # rows-only by nature (driver records the weaker check once)
     "q_hll_sketch",
     "q_approx_bounds",

@@ -1002,3 +1002,99 @@ def q_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("drawdown_cents").cast("double") / F.max("peak"), 9
         ).alias("max_drawdown_frac"),
     )
+
+
+# ---------------------------------------------------------------------------
+# #298 VaR / CVaR tail risk (rank-exact, integer cents)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_cvar_tail_risk",
+    oracle="""
+        WITH o AS (
+            SELECT o_orderpriority AS priority,
+                   CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+            FROM orders
+        ),
+        c AS (
+            SELECT priority, cents, COUNT(*) AS k FROM o GROUP BY 1, 2
+        ),
+        r AS (
+            SELECT priority, cents,
+                   SUM(k) OVER (PARTITION BY priority ORDER BY cents
+                                ROWS UNBOUNDED PRECEDING) AS cum,
+                   SUM(k) OVER (PARTITION BY priority) AS n
+            FROM c
+        ),
+        var AS MATERIALIZED (
+            SELECT priority, MAX(n) AS n, MIN(cents) AS var95
+            FROM r WHERE cum >= (19 * n + 19) // 20
+            GROUP BY priority
+        )
+        SELECT o.priority, CAST(var.n AS BIGINT) AS n,
+               CAST(var.var95 AS BIGINT) AS var95_cents,
+               CAST(COUNT(*) AS BIGINT) AS tail_n,
+               CAST(CAST(CAST(SUM(o.cents) AS DOUBLE) / COUNT(*)
+                         AS DECIMAL(38,6)) AS DOUBLE) AS cvar_cents
+        FROM o JOIN var ON var.priority = o.priority
+        WHERE o.cents >= var.var95
+        GROUP BY o.priority, var.n, var.var95
+    """,
+    operators=(23, 31, 298),
+    doc="Value-at-risk and conditional VaR (#298), the tail-risk pair "
+    "beside max-drawdown (#254): per priority class, VaR₉₅ is the "
+    "exact 95th-percentile order value by discrete rank (smallest "
+    "cents with running count ≥ ⌈19n/20⌉ — pure integer rank algebra, "
+    "the repo's spillable quantile shape) and CVaR is the mean of the "
+    "tail AT or beyond it — the statistic that answers 'how bad is "
+    "bad', which VaR alone hides (two books with equal VaR can carry "
+    "wildly different tail mass). Everything stays BIGINT cents until "
+    "the single CVaR division, quantized at 1e-6. Scale: value-domain "
+    "cells + running-count windows per group; the tail join "
+    "re-shuffles only (priority, cents).",
+)
+def q_cvar_tail_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("priority"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    c = o.groupBy("priority", "cents").agg(F.count(F.lit(1)).alias("k"))
+    wc = (
+        Window.partitionBy("priority")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wn = Window.partitionBy("priority")
+    r = c.select(
+        "priority",
+        "cents",
+        F.sum("k").over(wc).alias("cum"),
+        F.sum("k").over(wn).alias("n"),
+    )
+    var = (
+        r.filter(F.col("cum") >= F.expr("(19 * n + 19) div 20"))
+        .groupBy("priority")
+        .agg(F.max("n").alias("n"), F.min("cents").alias("var95"))
+    )
+    return (
+        o.join(var, "priority")
+        .filter(F.col("cents") >= F.col("var95"))
+        .groupBy("priority", "n", "var95")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("tail_n"),
+            (F.sum("cents").cast("double") / F.count(F.lit(1)))
+            .cast("decimal(38,6)")
+            .cast("double")
+            .alias("cvar_cents"),
+        )
+        .select(
+            "priority",
+            F.col("n").cast("bigint").alias("n"),
+            F.col("var95").cast("bigint").alias("var95_cents"),
+            "tail_n",
+            "cvar_cents",
+        )
+    )
