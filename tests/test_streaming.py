@@ -338,3 +338,34 @@ def test_rocksdb_state_store_actually_engaged(spark):
         if k.startswith("rocksdb")
     }
     assert rocks_keys, "no rocksdb custom metrics in progress events"
+
+
+def test_timeout_sessions_fire_on_silence_only_past_watermark(spark):
+    """#300: every key's non-final session is emitted; final sessions
+    appear iff the final watermark passed end + gap (the timer), and
+    sessions inside the horizon are held open (not emitted)."""
+    from pyspark.sql import functions as F
+
+    from tests.conftest import SF_SMOKE
+    from zmaxion_spark.catalog import load_table
+    from zmaxion_spark.queries.registry import REGISTRY
+    from zmaxion_spark.queries.streaming_q import _TOS_DELAY_US, _TOS_GAP_US
+
+    rows = REGISTRY["q_stream_timeout_sessions"].fn(spark, SF_SMOKE).collect()
+    assert rows
+    e = load_table(spark, SF_SMOKE, "events").select(
+        "user_id", F.unix_micros(F.col("ts").cast("timestamp")).alias("us")
+    )
+    mx = e.agg(F.max("us")).collect()[0][0]
+    horizon = mx - _TOS_DELAY_US - _TOS_GAP_US
+    last_by_user = {
+        r.user_id: r.m
+        for r in e.groupBy("user_id").agg(F.max("us").alias("m")).collect()
+    }
+    emitted_last = 0
+    for r in rows:
+        if r.session_end_us == last_by_user[r.user_id]:
+            emitted_last += 1
+            # a timer-emitted final session must be past the horizon
+            assert r.session_end_us <= horizon
+    assert emitted_last >= 1  # the timer path genuinely fired

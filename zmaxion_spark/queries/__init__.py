@@ -195,6 +195,7 @@ _NEXT_ROUND: list[str] = [
     "q_cdc_chunk_dedup",
     "q_cvar_tail_risk",
     "q_matryoshka_sweep",
+    "q_stream_timeout_sessions",
     # rows-only by nature (driver records the weaker check once)
     "q_hll_sketch",
     "q_approx_bounds",

@@ -1092,3 +1092,78 @@ def q_stream_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("psi").cast("decimal(38,9)").cast("double").alias("psi"),
         (F.col("psi") > F.lit(_DRIFT_ALERT)).cast("bigint").alias("drift"),
     )
+
+
+# ---------------------------------------------------------------------------
+# #300 event-time timers: emission on SILENCE (timeout-closed sessions)
+# ---------------------------------------------------------------------------
+
+_TOS_GAP_US = 7_200_000_000      # 2 h session gap
+_TOS_DELAY_US = 3_600_000_000    # 1 h watermark delay
+
+
+@query(
+    "q_stream_timeout_sessions",
+    oracle=f"""
+        WITH e AS (
+            SELECT user_id, event_id,
+                   EPOCH_US(CAST(ts AS TIMESTAMP)) AS us
+            FROM events
+        ),
+        mx AS (SELECT MAX(us) AS mx FROM e),
+        m AS (
+            SELECT user_id, us,
+                   CASE WHEN LAG(us) OVER w IS NULL
+                             OR us - LAG(us) OVER w > {_TOS_GAP_US}
+                        THEN 1 ELSE 0 END AS new_s
+            FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+        ),
+        s AS (
+            SELECT user_id, us,
+                   SUM(new_s) OVER (PARTITION BY user_id ORDER BY us
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+            FROM m
+        ),
+        g AS (
+            SELECT user_id, sid,
+                   CAST(MIN(us) AS BIGINT) AS session_start_us,
+                   CAST(MAX(us) AS BIGINT) AS session_end_us,
+                   CAST(COUNT(*) AS BIGINT) AS n_events,
+                   MAX(MAX(us)) OVER (PARTITION BY user_id) AS last_end
+            FROM s GROUP BY user_id, sid
+        )
+        SELECT user_id, session_start_us, session_end_us, n_events
+        FROM g CROSS JOIN mx
+        WHERE session_end_us < last_end
+           OR session_end_us + {_TOS_GAP_US} <= mx - {_TOS_DELAY_US}
+    """,
+    operators=(48, 53, 54, 300),
+    doc="Event-time TIMERS (#300): sessions close on SILENCE — "
+    "GroupStateTimeout.EventTimeTimeout fires the state function with "
+    "no arriving row once the watermark passes end + gap, the "
+    "capability behind outage alerts, order-timeout sweeps, and cart "
+    "abandonment that the NoTimeout stateful family (#53/#215/#142) "
+    "structurally lacks. Deterministic by construction: any session "
+    "followed by later data closes inline in whichever batch that "
+    "data arrives (batch boundaries cannot change the output), so "
+    "only each key's LAST session rides a timer, firing iff end + "
+    "gap ≤ final watermark (max event time − delay after the "
+    "availableNow flush batch) — the oracle states exactly that "
+    "cutoff, the q_stream_chained_agg discipline. State is 3 integers "
+    "per key and is REMOVED on every close (timer or inline), so an "
+    "idle key costs nothing forever — the no-leak property watermark "
+    "cleanup gives windows and timers give arbitrary state.",
+)
+def q_stream_timeout_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from zmaxion_spark.streaming.stateful import timeout_sessions
+
+    ev = (
+        stream_events(spark, sf_dir)
+        .select("user_id", "event_id", "ts")
+        .withWatermark("ts", "1 hour")
+    )
+    return run_available_now(
+        timeout_sessions(ev, gap_seconds=_TOS_GAP_US // 1_000_000),
+        "timeout_sessions",
+        mode="append",
+    )

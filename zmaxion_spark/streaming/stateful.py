@@ -252,3 +252,76 @@ def prequential_zscore(
     return events.groupBy("user_id").applyInPandasWithState(
         update, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
     )
+
+
+def timeout_sessions(events: DataFrame, gap_seconds: int = 7200) -> DataFrame:
+    """Session closer driven by EVENT-TIME TIMERS (#300): sessions
+    interrupted by a later event close inline (the sessionize path),
+    but each key's OPEN tail session closes when the WATERMARK passes
+    its end + gap — ``GroupStateTimeout.EventTimeTimeout`` — i.e. the
+    operator emits on silence, with no arriving row to trigger it.
+    That no-data emission is the capability the NoTimeout family
+    structurally lacks (outage alerts, order-timeout sweeps, cart
+    abandonment all need it).
+
+    Determinism contract (what the batch oracle grades): a session
+    followed by later data for its key always closes inline — in
+    whichever micro-batch that data arrives — so batch boundaries
+    cannot change the output; the only timer-dependent rows are each
+    key's LAST session, which fires iff end + gap ≤ final watermark
+    (max event time − delay after the availableNow no-data flush
+    batch). If the watermark has ALREADY passed end + gap when data is
+    processed, the session closes immediately instead of setting a
+    timer Spark would reject (timeout must sit beyond the watermark).
+    """
+
+    out_schema = (
+        "user_id bigint, session_start_us bigint, "
+        "session_end_us bigint, n_events bigint"
+    )
+    state_schema = "start long, last long, n bigint"
+    gap_us = gap_seconds * 1_000_000
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd  # worker-side
+
+        if state.hasTimedOut:
+            start, last, n = state.get
+            state.remove()
+            yield pd.DataFrame(
+                [(key[0], start, last, n)],
+                columns=[
+                    "user_id", "session_start_us", "session_end_us", "n_events"
+                ],
+            )
+            return
+        rows = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
+        start, last, n = state.get if state.exists else (None, None, 0)
+        closed = []
+        for ts in rows["ts"]:
+            t = int(ts.value // 1000)  # ns -> µs
+            if start is None:
+                start, last, n = t, t, 1
+            elif t - last > gap_us:
+                closed.append((key[0], start, last, n))
+                start, last, n = t, t, 1
+            else:
+                last, n = t, n + 1
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        if last + gap_us <= wm_us:
+            closed.append((key[0], start, last, n))  # already expired
+            state.remove()
+        else:
+            state.update((start, last, n))
+            state.setTimeoutTimestamp((last + gap_us) // 1000)
+        yield pd.DataFrame(
+            closed,
+            columns=[
+                "user_id", "session_start_us", "session_end_us", "n_events"
+            ],
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update, out_schema, state_schema, "append",
+        GroupStateTimeout.EventTimeTimeout,
+    )
