@@ -1439,3 +1439,38 @@ def test_matryoshka_overlap_monotone_to_one(spark):
         # each query is its own nearest neighbor at every width
         assert r.hits >= 3
         assert 0.0 < r.mean_overlap <= 1.0
+
+
+def test_weighted_reservoir_favors_heavy_items(spark):
+    """#301: exactly k per language with dense ranks and decreasing
+    keys; A-ES must over-represent heavy items — the sample's mean
+    weight exceeds the corpus mean."""
+    rows = _rows(spark, "q_weighted_reservoir")
+    by_lang: dict = {}
+    for r in rows:
+        by_lang.setdefault(r.lang, []).append(r)
+        assert r.weight > 0
+    corpus = load_table(spark, SF_SMOKE, "documents")
+    mean_w = corpus.agg(F.avg("n_chars")).collect()[0][0]
+    sample_mean = sum(r.weight for r in rows) / len(rows)
+    assert sample_mean > mean_w
+    for lang, rs in by_lang.items():
+        rs.sort(key=lambda r: r.rnk)
+        assert [r.rnk for r in rs] == list(range(1, len(rs) + 1))
+        keys = [r.es_key for r in rs]
+        assert keys == sorted(keys, reverse=True)
+
+
+def test_modularity_terms_consistent(spark):
+    """#302: Σ d_c == 2m and Σ e_in ≤ m (every within edge counted
+    once); each term obeys the modularity bounds."""
+    rows = _rows(spark, "q_modularity_score")
+    assert rows
+    total_d = sum(r.d_c for r in rows)
+    total_in = sum(r.e_in for r in rows)
+    m = total_d // 2
+    assert total_d == 2 * m
+    assert total_in <= m
+    for r in rows:
+        assert -0.25 <= r.q_term <= 1.0
+        assert 0 <= r.e_in * 2 <= r.d_c  # within-edges need 2 stubs each

@@ -196,6 +196,8 @@ _NEXT_ROUND: list[str] = [
     "q_cvar_tail_risk",
     "q_matryoshka_sweep",
     "q_stream_timeout_sessions",
+    "q_weighted_reservoir",
+    "q_modularity_score",
     # rows-only by nature (driver records the weaker check once)
     "q_hll_sketch",
     "q_approx_bounds",

@@ -782,3 +782,113 @@ def q_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.withColumn(
         "rnk", F.row_number().over(w).cast("bigint")
     ).select("u", "v", "cn", "aa", "jacc", "rnk")
+
+
+# ---------------------------------------------------------------------------
+# #302 modularity of an attribute partition (how assortative are brands)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_modularity_score",
+    oracle=f"""
+        WITH {_SQL_COPURCHASE_EDGES},
+        lbl AS MATERIALIZED (
+            SELECT p_partkey AS node, p_brand AS com FROM part
+        ),
+        le AS MATERIALIZED (
+            SELECT lu.com AS cu, lv.com AS cv
+            FROM e JOIN lbl lu ON lu.node = e.u
+                   JOIN lbl lv ON lv.node = e.v
+        ),
+        m AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM le),
+        inside AS (
+            SELECT cu AS com, CAST(COUNT(*) AS BIGINT) AS e_in
+            FROM le WHERE cu = cv GROUP BY cu
+        ),
+        degc AS (
+            SELECT com, CAST(SUM(c) AS BIGINT) AS d_c FROM (
+                SELECT cu AS com, COUNT(*) AS c FROM le GROUP BY cu
+                UNION ALL
+                SELECT cv AS com, COUNT(*) AS c FROM le GROUP BY cv
+            ) GROUP BY com
+        )
+        SELECT degc.com, COALESCE(inside.e_in, 0) AS e_in, degc.d_c,
+               CAST(CAST(
+                   CAST(COALESCE(inside.e_in, 0) AS DOUBLE) / m.m
+                   - (CAST(degc.d_c AS DOUBLE) / (2 * m.m))
+                     * (CAST(degc.d_c AS DOUBLE) / (2 * m.m))
+                   AS DECIMAL(38,9)) AS DOUBLE) AS q_term
+        FROM degc LEFT JOIN inside ON inside.com = degc.com
+        CROSS JOIN m
+    """,
+    operators=(14, 23, 302),
+    doc="Modularity terms (#302) of the brand partition over the "
+    "co-purchase graph: per community c, Q_c = e_c/m − (d_c/2m)² — "
+    "the fraction of edges inside c minus what a degree-preserving "
+    "random graph would put there; Σ Q_c is Newman modularity, THE "
+    "objective community detection (Louvain/Leiden) maximizes and "
+    "the natural grader for label-propagation output (#211). Here it "
+    "scores an ATTRIBUTE partition — 'are same-brand parts "
+    "co-purchased more than chance?' — the assortativity question. "
+    "All counts are exact BIGINTs; each term is one identical IEEE "
+    "tree quantized at 1e-9. Scale: two label joins shuffle edge ids, "
+    "then everything is |communities|-sized cells.",
+    bench=False,
+)
+def q_modularity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    items = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, b = items.alias("a"), items.alias("b")
+    e = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= 2)
+        .select("u", "v")
+    )
+    lbl = _t(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("node"), F.col("p_brand").alias("com")
+    )
+    le = (
+        e.join(lbl.withColumnRenamed("node", "u").withColumnRenamed("com", "cu"), "u")
+        .join(lbl.withColumnRenamed("node", "v").withColumnRenamed("com", "cv"), "v")
+        .select("cu", "cv")
+        .localCheckpoint(eager=True)  # three consumers: m, e_in, degrees
+    )
+    m = le.agg(F.count(F.lit(1)).cast("bigint").alias("m"))
+    e_in = (
+        le.filter(F.col("cu") == F.col("cv"))
+        .groupBy(F.col("cu").alias("com"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("e_in"))
+    )
+    degc = (
+        le.select(F.col("cu").alias("com"))
+        .unionAll(le.select(F.col("cv").alias("com")))
+        .groupBy("com")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("d_c"))
+    )
+    half = F.col("d_c").cast("double") / (2 * F.col("m"))
+    return (
+        degc.join(e_in, "com", "left")
+        .crossJoin(F.broadcast(m))
+        .select(
+            "com",
+            F.coalesce(F.col("e_in"), F.lit(0)).cast("bigint").alias("e_in"),
+            "d_c",
+            (
+                F.coalesce(F.col("e_in"), F.lit(0)).cast("double") / F.col("m")
+                - half * half
+            )
+            .cast("decimal(38,9)")
+            .cast("double")
+            .alias("q_term"),
+        )
+    )

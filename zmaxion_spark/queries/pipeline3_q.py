@@ -547,3 +547,92 @@ def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("sampled_n"), F.lit(0)).alias("sampled_n"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# #301 weighted reservoir sampling (Efraimidis-Spirakis A-ES)
+# ---------------------------------------------------------------------------
+
+_AES_K = 5
+
+
+@query(
+    "q_weighted_reservoir",
+    oracle=f"""
+        WITH u AS (
+            SELECT doc_id, lang, n_chars,
+                   CAST(CAST(('0x' || SUBSTR(MD5('aes:' ||
+                       CAST(doc_id AS VARCHAR)), 1, 13)) AS BIGINT)
+                       AS DOUBLE) / 4503599627370496 AS uni
+            FROM documents WHERE n_chars > 0
+        ),
+        keyed AS (
+            SELECT doc_id, lang, n_chars,
+                   ROUND(LN(uni) / n_chars, 9) AS es_key
+            FROM u
+        )
+        SELECT lang, CAST(rnk AS BIGINT) AS rnk, doc_id,
+               CAST(n_chars AS BIGINT) AS weight, es_key
+        FROM (
+            SELECT lang, doc_id, n_chars, es_key,
+                   ROW_NUMBER() OVER (PARTITION BY lang
+                       ORDER BY es_key DESC, doc_id) AS rnk
+            FROM keyed
+        ) WHERE rnk <= {_AES_K}
+    """,
+    operators=(30, 43, 126, 301),
+    doc=f"Weighted reservoir sampling WITHOUT replacement (#301), the "
+    "Efraimidis-Spirakis A-ES scheme: each item draws key u^(1/w) "
+    "(equivalently ln(u)/w, monotone) and the top-{_AES_K} keys per "
+    "language ARE a weight-proportional sample without replacement — "
+    "the distributed-sampling classic, because top-k by key is a "
+    "MERGEABLE operation (each partition keeps its k best, merges "
+    "keep the k best of those) where sequential reservoir algorithms "
+    "are not. Contrast: #126 importance-weights rows, #80/#243 "
+    "balance groups — neither draws an exact-size weighted sample. "
+    "u is the md5-uniform (reproducible from doc_id alone); ln(u)/w "
+    "is an identical IEEE tree both engines, and the rank orders by "
+    "the ROUND(9) key (the libm-drift discipline — a last-ulp ln "
+    "difference cannot flip selection) with doc_id ties. Scale: "
+    "row-local keys + per-group top-k, map-side combinable; no "
+    "global sort, no state.",
+)
+def q_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    d = _docs(spark, sf_dir).filter(F.col("n_chars") > 0)
+    uni = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(F.lit("aes:"), F.col("doc_id").cast("string"))
+                    .cast("binary")
+                ),
+                1,
+                13,
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        .cast("double")
+        / F.lit(4503599627370496.0)
+    )
+    keyed = d.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.round(F.log(uni) / F.col("n_chars"), 9).alias("es_key"),
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("es_key"), "doc_id")
+    return (
+        keyed.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _AES_K)
+        .select(
+            "lang",
+            F.col("rnk").cast("bigint").alias("rnk"),
+            "doc_id",
+            F.col("n_chars").cast("bigint").alias("weight"),
+            "es_key",
+        )
+    )
