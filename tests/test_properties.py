@@ -1474,3 +1474,33 @@ def test_modularity_terms_consistent(spark):
     for r in rows:
         assert -0.25 <= r.q_term <= 1.0
         assert 0 <= r.e_in * 2 <= r.d_c  # within-edges need 2 stubs each
+
+
+def test_perplexity_bounds(spark):
+    """#303: add-one smoothing bounds ppl in (1, c(w1)+V]; a uniform
+    upper bound is the smoothed vocabulary mass."""
+    rows = _rows(spark, "q_lm_perplexity")
+    assert rows
+    toks = load_table(spark, SF_SMOKE, "documents").select(
+        F.explode(F.split("text", " ")).alias("t")
+    )
+    v = toks.distinct().count()
+    n_bg_total = sum(r.n_bigrams for r in rows)
+    for r in rows:
+        assert 1.0 < r.ppl <= n_bg_total + v
+
+
+def test_js_divergence_symmetric_bounds(spark):
+    """#304: JS ∈ [0, ln 2]; the pair grid covers every source pair
+    exactly once with src_a < src_b."""
+    import math
+
+    rows = _rows(spark, "q_js_divergence")
+    srcs = set()
+    for r in rows:
+        assert r.src_a < r.src_b
+        assert 0.0 <= r.js <= math.log(2) + 1e-12
+        srcs.add(r.src_a)
+        srcs.add(r.src_b)
+    n = len(srcs)
+    assert len(rows) == n * (n - 1) // 2

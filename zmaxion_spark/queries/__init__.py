@@ -198,6 +198,8 @@ _NEXT_ROUND: list[str] = [
     "q_stream_timeout_sessions",
     "q_weighted_reservoir",
     "q_modularity_score",
+    "q_lm_perplexity",
+    "q_js_divergence",
     # rows-only by nature (driver records the weaker check once)
     "q_hll_sketch",
     "q_approx_bounds",

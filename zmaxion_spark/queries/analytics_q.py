@@ -460,3 +460,95 @@ def q_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     c2 = s2.agg(F.count(F.lit(1)).cast("bigint").alias("step2_view"))
     c3 = s3.agg(F.count(F.lit(1)).cast("bigint").alias("step3_purchase"))
     return c1.crossJoin(c2).crossJoin(c3)
+
+
+# ---------------------------------------------------------------------------
+# #303 bigram LM perplexity (add-one smoothing, exact corpus counts)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_lm_perplexity",
+    oracle="""
+        WITH t AS (
+            SELECT doc_id, STRING_SPLIT(text, ' ') AS toks FROM documents
+        ),
+        bg AS (
+            SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+            FROM t, UNNEST(GENERATE_SERIES(1, LEN(toks) - 1)) AS g(i)
+        ),
+        cb AS MATERIALIZED (
+            SELECT w1, w2, COUNT(*) AS c2 FROM bg GROUP BY w1, w2
+        ),
+        cu AS MATERIALIZED (
+            SELECT w1, COUNT(*) AS c1 FROM bg GROUP BY w1
+        ),
+        v AS (
+            SELECT COUNT(DISTINCT tok) AS v
+            FROM (SELECT UNNEST(toks) AS tok FROM t)
+        ),
+        term AS (
+            SELECT bg.doc_id,
+                   CAST(LN(CAST(cb.c2 + 1 AS DOUBLE) / (cu.c1 + v.v))
+                        AS DECIMAL(38,9)) AS lp
+            FROM bg
+            JOIN cb ON cb.w1 = bg.w1 AND cb.w2 = bg.w2
+            JOIN cu ON cu.w1 = bg.w1
+            CROSS JOIN v
+        )
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+               CAST(CAST(EXP(-CAST(SUM(lp) AS DOUBLE) / COUNT(*))
+                         AS DECIMAL(38,9)) AS DOUBLE) AS ppl
+        FROM term GROUP BY doc_id
+    """,
+    operators=(23, 31, 44, 100, 303),
+    doc="Bigram LM perplexity per document (#303), the real statistic "
+    "behind the #100 coverage proxy: an add-one-smoothed bigram model "
+    "p(w₂|w₁) = (c(w₁w₂)+1)/(c(w₁·)+V) trained on the WHOLE corpus, "
+    "ppl = exp(−Σ ln p / n) — the classic quality gate (high "
+    "perplexity ⇒ out-of-distribution or garbled text) that every "
+    "pretraining pipeline runs with a cheap n-gram model before "
+    "paying for neural scoring (CCNet's KenLM stage). Counts and V "
+    "are exact integers; each ln term is an identical IEEE tree "
+    "quantized at 1e-9 before the exact (order-independent) decimal "
+    "sum; the final exp quantizes once. Scale: two count aggregates + "
+    "two count joins on bigram keys — the model is never collected or "
+    "broadcast, so vocabulary is unbounded; self-scoring costs one "
+    "more shuffle of (doc, bigram).",
+)
+def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("toks")
+    )
+    n = F.size("toks")
+    pairs = F.zip_with(
+        F.slice(F.col("toks"), 1, n - 1),
+        F.slice(F.col("toks"), 2, n - 1),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    bg = t.select("doc_id", F.explode(pairs).alias("p")).select(
+        "doc_id", "p.w1", "p.w2"
+    )
+    cb = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    cu = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    v = (
+        t.select(F.explode("toks").alias("tok"))
+        .agg(F.countDistinct("tok").alias("v"))
+    )
+    lp = F.log(
+        (F.col("c2") + 1).cast("double") / (F.col("c1") + F.col("v"))
+    ).cast("decimal(38,9)")
+    term = (
+        bg.join(cb, ["w1", "w2"])
+        .join(cu, "w1")
+        .crossJoin(F.broadcast(v))
+        .select("doc_id", lp.alias("lp"))
+    )
+    return term.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+        F.exp(-F.sum("lp").cast("double") / F.count(F.lit(1)))
+        .cast("decimal(38,9)")
+        .cast("double")
+        .alias("ppl"),
+    )
