@@ -1504,3 +1504,33 @@ def test_js_divergence_symmetric_bounds(spark):
         srcs.add(r.src_b)
     n = len(srcs)
     assert len(rows) == n * (n - 1) // 2
+
+
+def test_cross_correlation_lag0_symmetric_bounds(spark):
+    """#305: r ∈ [-1, 1]; every pair carries all 7 lags; n shrinks by
+    exactly |lag| days off the aligned grid."""
+    rows = _rows(spark, "q_cross_correlation")
+    by_pair: dict = {}
+    for r in rows:
+        assert -1.0 - 1e-9 <= r.r <= 1.0 + 1e-9
+        by_pair.setdefault((r.pri_a, r.pri_b), {})[r.lag] = r
+    for lags in by_pair.values():
+        assert sorted(lags) == list(range(-3, 4))
+        n0 = lags[0].n
+        for lag, r in lags.items():
+            assert r.n == n0 - abs(lag)
+
+
+def test_greedy_coverage_diminishing_returns(spark):
+    """#306: gains never increase round over round (submodularity of
+    coverage), cumulative coverage increases by exactly the gain, and
+    no source is picked twice."""
+    rows = sorted(_rows(spark, "q_greedy_coverage"), key=lambda r: r.round)
+    assert [r.round for r in rows] == list(range(1, 6))
+    assert len({r.source for r in rows}) == 5
+    gains = [r.gain for r in rows]
+    assert gains == sorted(gains, reverse=True)
+    cum = 0
+    for r in rows:
+        cum += r.gain
+        assert r.covered == cum

@@ -200,6 +200,8 @@ _NEXT_ROUND: list[str] = [
     "q_modularity_score",
     "q_lm_perplexity",
     "q_js_divergence",
+    "q_cross_correlation",
+    "q_greedy_coverage",
     # rows-only by nature (driver records the weaker check once)
     "q_hll_sketch",
     "q_approx_bounds",

@@ -636,3 +636,110 @@ def q_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
             "es_key",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# #306 greedy coverage maximization (source selection for curation)
+# ---------------------------------------------------------------------------
+
+_GC_K = 5
+
+
+def _gc_oracle() -> str:
+    """Unrolled greedy set cover: per round, the source with the most
+    still-uncovered bigrams (ties to the lexicographically first
+    source) joins the pick list and its bigrams join the covered set."""
+    parts = ["""
+        WITH t AS (
+            SELECT source, STRING_SPLIT(text, ' ') AS toks FROM documents
+        ),
+        st AS MATERIALIZED (
+            SELECT DISTINCT source, toks[i] || ' ' || toks[i + 1] AS bg
+            FROM t, UNNEST(GENERATE_SERIES(1, LEN(toks) - 1)) AS g(i)
+        ),
+        p0 AS MATERIALIZED (SELECT CAST(NULL AS VARCHAR) AS source WHERE 1 = 0),
+        c0 AS MATERIALIZED (SELECT CAST(NULL AS VARCHAR) AS bg WHERE 1 = 0)"""]
+    for r in range(1, _GC_K + 1):
+        parts.append(f""",
+        g{r} AS MATERIALIZED (
+            SELECT st.source, COUNT(*) AS gain FROM st
+            WHERE st.source NOT IN (SELECT source FROM p{r - 1}
+                                    WHERE source IS NOT NULL)
+              AND st.bg NOT IN (SELECT bg FROM c{r - 1} WHERE bg IS NOT NULL)
+            GROUP BY st.source
+        ),
+        pick{r} AS MATERIALIZED (
+            SELECT {r} AS round, source, gain
+            FROM g{r} ORDER BY gain DESC, source LIMIT 1
+        ),
+        p{r} AS MATERIALIZED (
+            SELECT source FROM p{r - 1} WHERE source IS NOT NULL
+            UNION ALL SELECT source FROM pick{r}
+        ),
+        c{r} AS MATERIALIZED (
+            SELECT bg FROM c{r - 1} WHERE bg IS NOT NULL
+            UNION SELECT st.bg FROM st JOIN pick{r} USING (source)
+        )""")
+    sel = " UNION ALL ".join(
+        f"SELECT round, source, CAST(gain AS BIGINT) AS gain,"
+        f" (SELECT CAST(COUNT(*) AS BIGINT) FROM c{r}) AS covered"
+        f" FROM pick{r}"
+        for r in range(1, _GC_K + 1)
+    )
+    return "".join(parts) + f" SELECT * FROM ({sel}) ORDER BY round"
+
+
+@query(
+    "q_greedy_coverage",
+    oracle=_gc_oracle(),
+    operators=(15, 23, 306),
+    doc=f"Greedy coverage maximization (#306), the submodular source-"
+    f"selection pass of data curation: {_GC_K} unrolled rounds each "
+    "pick the source adding the most still-uncovered bigram contexts "
+    "(ties to the first source name) — the classic (1−1/e)-approximate "
+    "set cover, and the principled answer to 'which K crawls/dumps do "
+    "I ingest FIRST for diversity' that per-source quality scores "
+    "can't give (two high-quality near-identical sources add half the "
+    "value). Emits per-round pick, marginal gain, and cumulative "
+    "coverage — the diminishing-returns curve IS the deliverable. "
+    "Integers end-to-end. Scale: the (source, bigram) incidence "
+    "distinct-collapses first (the only data-sized pass); each round "
+    "is an anti-join + count per source, picked via TakeOrdered; "
+    "driver state is one row per round, the IVF-centroid discipline.",
+    bench=False,
+)
+def q_greedy_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _docs(spark, sf_dir).select(
+        "source", F.split("text", " ").alias("toks")
+    )
+    n = F.size("toks")
+    pairs = F.zip_with(
+        F.slice(F.col("toks"), 1, n - 1),
+        F.slice(F.col("toks"), 2, n - 1),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    st = (
+        t.select("source", F.explode(pairs).alias("bg"))
+        .distinct()
+        .localCheckpoint(eager=True)  # consumed once per greedy round
+    )
+    picked: list = []
+    covered = None  # DataFrame of covered bigrams
+    out_rows = []
+    for rnd in range(1, _GC_K + 1):
+        remaining = st.filter(~F.col("source").isin(picked)) if picked else st
+        if covered is not None:
+            remaining = remaining.join(covered, "bg", "left_anti")
+        gains = remaining.groupBy("source").agg(
+            F.count(F.lit(1)).alias("gain")
+        )
+        pick = gains.orderBy(F.desc("gain"), "source").limit(1).collect()[0]
+        picked.append(pick.source)
+        new_cov = st.filter(F.col("source") == pick.source).select("bg")
+        covered = (
+            new_cov if covered is None else covered.unionAll(new_cov)
+        ).distinct().localCheckpoint(eager=True)
+        out_rows.append((rnd, pick.source, int(pick.gain), covered.count()))
+    return spark.createDataFrame(
+        out_rows, "round int, source string, gain bigint, covered bigint"
+    )

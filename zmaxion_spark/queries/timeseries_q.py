@@ -918,3 +918,135 @@ def q_mad_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_outliers"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# #305 lead-lag cross-correlation between series
+# ---------------------------------------------------------------------------
+
+_CCF_MAXLAG = 3
+
+
+@query(
+    "q_cross_correlation",
+    oracle=f"""
+        WITH o AS (
+            SELECT o_orderpriority AS pri,
+                   DATEDIFF('day', DATE '1970-01-01',
+                            CAST(o_orderdate AS DATE)) AS d
+            FROM orders
+        ),
+        days AS (
+            SELECT UNNEST(GENERATE_SERIES(mn, mx)) AS d
+            FROM (SELECT MIN(d) AS mn, MAX(d) AS mx FROM o)
+        ),
+        pris AS (SELECT DISTINCT pri FROM o),
+        cnt AS (SELECT pri, d, COUNT(*) AS n FROM o GROUP BY 1, 2),
+        grid AS MATERIALIZED (
+            SELECT p.pri, days.d, COALESCE(cnt.n, 0) AS x
+            FROM pris p CROSS JOIN days
+            LEFT JOIN cnt ON cnt.pri = p.pri AND cnt.d = days.d
+        ),
+        lags AS (SELECT UNNEST(RANGE(-{_CCF_MAXLAG}, {_CCF_MAXLAG + 1}))
+                     AS lag),
+        al AS (
+            SELECT a.pri AS pri_a, b.pri AS pri_b, l.lag,
+                   a.x AS x, b.x AS y
+            FROM grid a
+            CROSS JOIN lags l
+            JOIN grid b ON b.pri > a.pri AND b.d = a.d + l.lag
+        ),
+        s AS (
+            SELECT pri_a, pri_b, lag,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(x) AS BIGINT) AS sx,
+                   CAST(SUM(y) AS BIGINT) AS sy,
+                   CAST(SUM(x * y) AS BIGINT) AS sxy,
+                   CAST(SUM(x * x) AS BIGINT) AS sx2,
+                   CAST(SUM(y * y) AS BIGINT) AS sy2
+            FROM al GROUP BY 1, 2, 3
+        )
+        SELECT pri_a, pri_b, lag, n,
+               CAST(CAST(
+                   (n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy)
+                   / SQRT((n * CAST(sx2 AS DOUBLE) - CAST(sx AS DOUBLE) * sx)
+                          * (n * CAST(sy2 AS DOUBLE) - CAST(sy AS DOUBLE) * sy))
+                   AS DECIMAL(38,9)) AS DOUBLE) AS r
+        FROM s
+    """,
+    operators=(31, 42, 158, 305),
+    doc=f"Lead-lag cross-correlation (#305): Pearson r between every "
+    "priority pair's daily order-count series at lags "
+    f"-{_CCF_MAXLAG}..{_CCF_MAXLAG} — the which-series-LEADS question "
+    "(demand spillover, upstream sensors, marketing echo) that "
+    "same-day correlation (#158) cannot see; the argmax lag is the "
+    "lead time. Day grids are ZERO-COMPLETED before aligning (a "
+    "sparse join would correlate only jointly-active days and bias r "
+    "upward — the #280/#304 lesson) over the DENSE min..max day "
+    "spine, so aligned overlaps shrink by exactly |lag|; counts keep "
+    "every moment sum an "
+    "exact BIGINT at any SF (revenue cents would push n·Σxy past the "
+    "17-digit decimal→double cast-exactness cliff), and r is one "
+    "identical IEEE tree quantized at 1e-9. Scale: one rollup to "
+    "(series, day) cells; the lag join shifts cell keys, never rows.",
+)
+def q_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("pri"),
+        F.datediff(
+            F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date")
+        ).alias("d"),
+    )
+    bounds = o.agg(F.min("d").alias("mn"), F.max("d").alias("mx"))
+    days = bounds.select(
+        F.explode(F.sequence(F.col("mn"), F.col("mx"))).alias("d")
+    )
+    pris = o.select("pri").distinct()
+    cnt = o.groupBy("pri", "d").agg(F.count(F.lit(1)).alias("n"))
+    grid = (
+        pris.crossJoin(days)
+        .join(cnt, ["pri", "d"], "left")
+        .select("pri", "d", F.coalesce(F.col("n"), F.lit(0)).alias("x"))
+        .localCheckpoint(eager=True)  # both sides of the lag join
+    )
+    lags = spark.range(-_CCF_MAXLAG, _CCF_MAXLAG + 1).select(
+        F.col("id").cast("int").alias("lag")
+    )
+    a = grid.select(
+        F.col("pri").alias("pri_a"), F.col("d").alias("da"), F.col("x").alias("x")
+    )
+    b = grid.select(
+        F.col("pri").alias("pri_b"), F.col("d").alias("db"), F.col("x").alias("y")
+    )
+    al = (
+        a.crossJoin(F.broadcast(lags))
+        .join(
+            b,
+            (F.col("pri_b") > F.col("pri_a"))
+            & (F.col("db") == F.col("da") + F.col("lag")),
+        )
+    )
+    s = al.groupBy("pri_a", "pri_b", "lag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sx2"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("sy2"),
+    )
+    num = F.col("n") * F.col("sxy").cast("double") - F.col("sx").cast(
+        "double"
+    ) * F.col("sy")
+    den = F.sqrt(
+        (F.col("n") * F.col("sx2").cast("double")
+         - F.col("sx").cast("double") * F.col("sx"))
+        * (F.col("n") * F.col("sy2").cast("double")
+           - F.col("sy").cast("double") * F.col("sy"))
+    )
+    return s.select(
+        "pri_a",
+        "pri_b",
+        "lag",
+        "n",
+        (num / den).cast("decimal(38,9)").cast("double").alias("r"),
+    )
