@@ -733,7 +733,12 @@ def q_greedy_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         gains = remaining.groupBy("source").agg(
             F.count(F.lit(1)).alias("gain")
         )
-        pick = gains.orderBy(F.desc("gain"), "source").limit(1).collect()[0]
+        top = gains.orderBy(F.desc("gain"), "source").limit(1).collect()
+        if not top:
+            # universe saturated: every remaining source adds nothing,
+            # so the oracle's gain>0 pick CTE is empty too — stop.
+            break
+        pick = top[0]
         picked.append(pick.source)
         new_cov = st.filter(F.col("source") == pick.source).select("bg")
         covered = (
