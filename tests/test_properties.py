@@ -1536,3 +1536,25 @@ def test_greedy_coverage_diminishing_returns(spark):
     for r in rows:
         cum += r.gain
         assert r.covered == cum
+
+
+def test_anova_decomposition(spark):
+    """#307: SSB + SSW == SST > 0, F > 0, and η² = SSB/SST ∈ (0, 1)."""
+    (r,) = _rows(spark, "q_anova_oneway")
+    assert r.ssb > 0 and r.ssw > 0
+    assert 0.0 < r.eta_sq < 1.0
+    assert abs(r.eta_sq - r.ssb / (r.ssb + r.ssw)) < 1e-6
+    assert r.f_stat > 0
+    assert r.k >= 2 and r.n > r.k
+
+
+def test_watermark_audit_monotone_quantiles(spark):
+    """#308: lateness quantiles are monotone, bounded by the 600 s
+    synthetic delay cap, and the loss fraction shrinks as the
+    candidate delay grows."""
+    rows = _rows(spark, "q_watermark_audit")
+    assert rows
+    for r in rows:
+        assert 0 <= r.p50_us <= r.p95_us <= r.p99_us <= r.max_us
+        assert r.max_us <= 600_000_000
+        assert 0.0 <= r.frac_lost_10m <= r.frac_lost_60s <= 1.0

@@ -202,6 +202,8 @@ _NEXT_ROUND: list[str] = [
     "q_js_divergence",
     "q_cross_correlation",
     "q_greedy_coverage",
+    "q_anova_oneway",
+    "q_watermark_audit",
     # rows-only by nature (driver records the weaker check once)
     "q_hll_sketch",
     "q_approx_bounds",

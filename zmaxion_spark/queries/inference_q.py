@@ -1776,3 +1776,122 @@ def q_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("js")
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# #307 one-way ANOVA (k-group mean comparison)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_anova_oneway",
+    oracle="""
+        WITH o AS (
+            SELECT o_orderpriority AS g,
+                   CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                       / CAST(100000 AS DOUBLE) AS v
+            FROM orders
+        ),
+        per AS (
+            SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+                   SUM(CAST(v AS DECIMAL(38,9))) AS sv,
+                   SUM(CAST(v * v AS DECIMAL(38,9))) AS sv2
+            FROM o GROUP BY g
+        ),
+        tot AS (
+            SELECT CAST(SUM(n) AS BIGINT) AS tn,
+                   SUM(sv) AS ts,
+                   CAST(COUNT(*) AS BIGINT) AS k
+            FROM per
+        ),
+        comp AS (
+            SELECT tot.tn AS n, tot.k,
+                   SUM(CAST(CAST(per.sv AS DOUBLE) * CAST(per.sv AS DOUBLE)
+                            / per.n AS DECIMAL(38,9)))
+                       AS sq_grp,
+                   SUM(per.sv2) AS sq_all
+            FROM per CROSS JOIN tot
+            GROUP BY tot.tn, tot.k, tot.ts
+        ),
+        fin AS (
+            SELECT comp.n, comp.k,
+                   CAST(sq_grp AS DOUBLE)
+                       - CAST(tot.ts AS DOUBLE) * CAST(tot.ts AS DOUBLE)
+                         / comp.n AS ssb,
+                   CAST(sq_all AS DOUBLE) - CAST(sq_grp AS DOUBLE) AS ssw
+            FROM comp CROSS JOIN tot
+        )
+        SELECT n, k,
+               CAST(CAST(ssb AS DECIMAL(38,9)) AS DOUBLE) AS ssb,
+               CAST(CAST(ssw AS DECIMAL(38,9)) AS DOUBLE) AS ssw,
+               CAST(CAST((ssb / (k - 1)) / (ssw / (n - k))
+                         AS DECIMAL(38,9)) AS DOUBLE) AS f_stat,
+               CAST(CAST(ssb / (ssb + ssw) AS DECIMAL(38,9)) AS DOUBLE)
+                   AS eta_sq
+        FROM fin
+    """,
+    operators=(24, 43, 147, 307),
+    doc="One-way ANOVA (#307) across priority classes on order value — "
+    "the k-group generalization of the two-sample test (#147): "
+    "F = (SSB/(k−1))/(SSW/(n−k)) plus η² = SSB/SST, the "
+    "variance-explained effect size p-values hide. Values enter as "
+    "KILO-dollars, not cents: sums of squares in cents² sit ~1e18, "
+    "past the ~17-significant-digit decimal→double cast-exactness "
+    "cliff (DuckDB converts int128 by one float multiply), while the "
+    "rescaled moments stay ≤1e5 where every per-term 1e-9 "
+    "quantization and exact decimal sum round-trips to double "
+    "losslessly. SSB uses the Σ(sv²/n) − (Σsv)²/N identity over "
+    "group cells; every double expression is one identical IEEE "
+    "tree over exact-decimal casts. Scale: one map-side-combined "
+    "groupBy to k cells; everything after is k-row algebra.",
+)
+def q_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("g"),
+        (
+            F.round(F.col("o_totalprice") * 100).cast("bigint")
+            / F.lit(100000.0)
+        ).alias("v"),
+    )
+    per = o.groupBy("g").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("v").cast("decimal(38,9)")).alias("sv"),
+        F.sum((F.col("v") * F.col("v")).cast("decimal(38,9)")).alias("sv2"),
+    )
+    tot = per.agg(
+        F.sum("n").cast("bigint").alias("tn"),
+        F.sum("sv").alias("ts"),
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+    )
+    comp = (
+        per.crossJoin(F.broadcast(tot))
+        .groupBy("tn", "k", "ts")
+        .agg(
+            F.sum(
+                (
+                    F.col("sv").cast("double")
+                    * F.col("sv").cast("double")
+                    / F.col("n")
+                ).cast("decimal(38,9)")
+            ).alias("sq_grp"),
+            F.sum("sv2").alias("sq_all"),
+        )
+    )
+    ssb = (
+        F.col("sq_grp").cast("double")
+        - F.col("ts").cast("double") * F.col("ts").cast("double") / F.col("tn")
+    )
+    ssw = F.col("sq_all").cast("double") - F.col("sq_grp").cast("double")
+    return comp.select(
+        F.col("tn").alias("n"),
+        "k",
+        ssb.cast("decimal(38,9)").cast("double").alias("ssb"),
+        ssw.cast("decimal(38,9)").cast("double").alias("ssw"),
+        ((ssb / (F.col("k") - 1)) / (ssw / (F.col("tn") - F.col("k"))))
+        .cast("decimal(38,9)")
+        .cast("double")
+        .alias("f_stat"),
+        (ssb / (ssb + ssw)).cast("decimal(38,9)").cast("double").alias(
+            "eta_sq"
+        ),
+    )

@@ -1050,3 +1050,176 @@ def q_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         (num / den).cast("decimal(38,9)").cast("double").alias("r"),
     )
+
+
+# ---------------------------------------------------------------------------
+# #308 watermark-delay audit (out-of-orderness census)
+# ---------------------------------------------------------------------------
+
+_WMA_D1_US = 60_000_000    # candidate delay 1: 60 s
+_WMA_D2_US = 600_000_000   # candidate delay 2: 10 min
+
+
+@query(
+    "q_watermark_audit",
+    oracle=f"""
+        WITH e AS (
+            SELECT event_id, event_type,
+                   EPOCH_US(CAST(ts AS TIMESTAMP)) AS us,
+                   EPOCH_US(CAST(ts AS TIMESTAMP))
+                   + (CAST(('0x' || SUBSTR(MD5('net:' ||
+                          CAST(event_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                      % 600) * 1000000 AS arrival_us
+            FROM events
+        ),
+        l AS (
+            SELECT event_type,
+                   MAX(us) OVER (PARTITION BY event_type
+                                 ORDER BY arrival_us, event_id
+                                 ROWS UNBOUNDED PRECEDING) - us AS late
+            FROM e
+        ),
+        c AS (
+            SELECT event_type, late, COUNT(*) AS k FROM l GROUP BY 1, 2
+        ),
+        r AS (
+            SELECT event_type, late,
+                   SUM(k) OVER (PARTITION BY event_type ORDER BY late
+                                ROWS UNBOUNDED PRECEDING) AS cum,
+                   SUM(k) OVER (PARTITION BY event_type) AS n
+            FROM c
+        ),
+        q AS (
+            SELECT event_type, MAX(n) AS n,
+                   MIN(CASE WHEN cum >= (50 * n + 99) // 100
+                            THEN late END) AS p50_us,
+                   MIN(CASE WHEN cum >= (95 * n + 99) // 100
+                            THEN late END) AS p95_us,
+                   MIN(CASE WHEN cum >= (99 * n + 99) // 100
+                            THEN late END) AS p99_us,
+                   MAX(late) AS max_us
+            FROM r GROUP BY event_type
+        ),
+        loss AS (
+            SELECT event_type,
+                   CAST(SUM(CASE WHEN late > {_WMA_D1_US}
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_gt_d1,
+                   CAST(SUM(CASE WHEN late > {_WMA_D2_US}
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_gt_d2
+            FROM l GROUP BY event_type
+        )
+        SELECT q.event_type, CAST(q.n AS BIGINT) AS n,
+               CAST(p50_us AS BIGINT) AS p50_us,
+               CAST(p95_us AS BIGINT) AS p95_us,
+               CAST(p99_us AS BIGINT) AS p99_us,
+               CAST(max_us AS BIGINT) AS max_us,
+               CAST(CAST(CAST(n_gt_d1 AS DOUBLE) / q.n AS DECIMAL(38,9))
+                    AS DOUBLE) AS frac_lost_60s,
+               CAST(CAST(CAST(n_gt_d2 AS DOUBLE) / q.n AS DECIMAL(38,9))
+                    AS DOUBLE) AS frac_lost_10m
+        FROM q JOIN loss ON loss.event_type = q.event_type
+    """,
+    operators=(31, 48, 54, 308),
+    doc="Watermark-delay audit (#308): the out-of-orderness census "
+    "that answers 'what withWatermark delay do I actually need' — "
+    "the question every streaming team answers by folklore. Arrival "
+    "order is event time plus a deterministic md5 network delay "
+    "(0–600 s, reproducible from event_id); per topic partition "
+    "(event_type), an event's LATENESS is the running max event time "
+    "at its arrival minus its own event time — exactly the quantity "
+    "a watermark of delay D drops when lateness > D. Emits discrete-"
+    "rank p50/p95/p99/max lateness (the exact spillable quantile "
+    "shape — value cells + running counts) and the measured loss "
+    "fraction at two candidate delays. Everything integer µs until "
+    "the two loss ratios. Scale: per-partition windows (watermarks "
+    "ARE per-partition mins in Spark), value-cell ranks — no global "
+    "sort, no collect.",
+)
+def q_watermark_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    delay = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("net:"), F.col("event_id").cast("string")
+                    ).cast("binary")
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 600
+    ) * 1_000_000
+    e = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+    ).select(
+        "event_type", "us", (F.col("us") + delay).alias("arrival_us"),
+        "event_id",
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("arrival_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    lt = e.select(
+        "event_type", (F.max("us").over(w) - F.col("us")).alias("late")
+    ).localCheckpoint(eager=True)  # quantiles + loss census reuse it
+    c = lt.groupBy("event_type", "late").agg(F.count(F.lit(1)).alias("k"))
+    wc = (
+        Window.partitionBy("event_type")
+        .orderBy("late")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wn = Window.partitionBy("event_type")
+    r = c.select(
+        "event_type",
+        "late",
+        F.sum("k").over(wc).alias("cum"),
+        F.sum("k").over(wn).alias("n"),
+    )
+
+    def rank_val(p: int):
+        return F.min(
+            F.when(
+                F.col("cum") >= F.expr(f"({p} * n + 99) div 100"),
+                F.col("late"),
+            )
+        )
+
+    q = r.groupBy("event_type").agg(
+        F.max("n").cast("bigint").alias("n"),
+        rank_val(50).cast("bigint").alias("p50_us"),
+        rank_val(95).cast("bigint").alias("p95_us"),
+        rank_val(99).cast("bigint").alias("p99_us"),
+        F.max("late").cast("bigint").alias("max_us"),
+    )
+    loss = lt.groupBy("event_type").agg(
+        F.sum(F.when(F.col("late") > _WMA_D1_US, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_gt_d1"),
+        F.sum(F.when(F.col("late") > _WMA_D2_US, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_gt_d2"),
+    )
+    return q.join(loss, "event_type").select(
+        "event_type",
+        "n",
+        "p50_us",
+        "p95_us",
+        "p99_us",
+        "max_us",
+        (F.col("n_gt_d1").cast("double") / F.col("n"))
+        .cast("decimal(38,9)")
+        .cast("double")
+        .alias("frac_lost_60s"),
+        (F.col("n_gt_d2").cast("double") / F.col("n"))
+        .cast("decimal(38,9)")
+        .cast("double")
+        .alias("frac_lost_10m"),
+    )
