@@ -1558,3 +1558,31 @@ def test_watermark_audit_monotone_quantiles(spark):
         assert 0 <= r.p50_us <= r.p95_us <= r.p99_us <= r.max_us
         assert r.max_us <= 600_000_000
         assert 0.0 <= r.frac_lost_10m <= r.frac_lost_60s <= 1.0
+
+
+def test_critical_path_monotone_cumulative(spark):
+    """#309: the critical cumulative duration strictly increases with
+    depth (every edge adds ≥1), and frontier sizes follow the binary
+    tree until the key domain truncates it."""
+    rows = sorted(_rows(spark, "q_critical_path"), key=lambda r: r.depth)
+    assert rows[0].depth == 0 and rows[0].n_nodes == 1
+    for a, b in zip(rows, rows[1:]):
+        assert b.max_cum > a.max_cum
+        assert b.n_nodes <= 2 * a.n_nodes
+        assert a.max_cum <= 100 * (a.depth + 1)
+
+
+def test_top_paths_census_shape(spark):
+    """#310: dense ranks, counts weakly decreasing, paths non-empty
+    with ≤8 steps, and the top-path session count never exceeds the
+    total session count."""
+    rows = sorted(_rows(spark, "q_top_paths"), key=lambda r: r.rnk)
+    assert rows
+    assert [r.rnk for r in rows] == list(range(1, len(rows) + 1))
+    counts = [r.n_sessions for r in rows]
+    assert counts == sorted(counts, reverse=True)
+    for r in rows:
+        steps = r.path.split(">")
+        assert 1 <= len(steps) <= 8
+        assert len(steps) == r.path_len
+        assert all(x for x in steps)

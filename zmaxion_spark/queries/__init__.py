@@ -204,6 +204,8 @@ _NEXT_ROUND: list[str] = [
     "q_greedy_coverage",
     "q_anova_oneway",
     "q_watermark_audit",
+    "q_critical_path",
+    "q_top_paths",
     # rows-only by nature (driver records the weaker check once)
     "q_hll_sketch",
     "q_approx_bounds",

@@ -1200,3 +1200,123 @@ def q_user_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("len").cast("bigint").alias("longest_streak"),
         F.min("start_day").cast("bigint").alias("first_day"),
     )
+
+
+# ---------------------------------------------------------------------------
+# #310 top user journeys (session path census)
+# ---------------------------------------------------------------------------
+
+_TP_GAP_US = 1_800_000_000  # 30-minute session gap
+_TP_MAXLEN = 8              # path truncation (standard journey census)
+_TP_K = 20
+
+
+@query(
+    "q_top_paths",
+    oracle=f"""
+        WITH e AS (
+            SELECT user_id, event_id, event_type,
+                   EPOCH_US(CAST(ts AS TIMESTAMP)) AS us
+            FROM events
+        ),
+        m AS (
+            SELECT *, CASE WHEN LAG(us) OVER w IS NULL
+                                OR us - LAG(us) OVER w > {_TP_GAP_US}
+                           THEN 1 ELSE 0 END AS new_s
+            FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+        ),
+        s AS (
+            SELECT *, SUM(new_s) OVER (PARTITION BY user_id
+                          ORDER BY us, event_id
+                          ROWS UNBOUNDED PRECEDING) AS sid
+            FROM m
+        ),
+        r AS (
+            SELECT user_id, sid, event_type,
+                   ROW_NUMBER() OVER (PARTITION BY user_id, sid
+                                      ORDER BY us, event_id) AS step
+            FROM s
+        ),
+        paths AS (
+            SELECT user_id, sid,
+                   STRING_AGG(event_type, '>' ORDER BY step) AS path,
+                   CAST(COUNT(*) AS BIGINT) AS path_len
+            FROM r WHERE step <= {_TP_MAXLEN}
+            GROUP BY user_id, sid
+        ),
+        census AS (
+            SELECT path, MAX(path_len) AS path_len,
+                   CAST(COUNT(*) AS BIGINT) AS n_sessions
+            FROM paths GROUP BY path
+        )
+        SELECT CAST(rnk AS BIGINT) AS rnk, path, path_len, n_sessions
+        FROM (
+            SELECT *, ROW_NUMBER() OVER (ORDER BY n_sessions DESC, path)
+                          AS rnk
+            FROM census
+        ) WHERE rnk <= {_TP_K}
+    """,
+    operators=(30, 86, 229, 310),
+    doc=f"Top user journeys (#310): 30-minute sessions (the #86 gap "
+    "shape), each session's first {_TP_MAXLEN} event types "
+    "concatenated into an ordered path string, censused corpus-wide "
+    f"and ranked to the top {_TP_K} — the WHOLE-path complement to "
+    "Markov transitions (#229), which only see one step at a time "
+    "(a chain can score 'view>click' high while the actual dominant "
+    "journey is 'view>click>error>view'); this is the product-"
+    "analytics Sankey/flow census. Paths truncate at "
+    f"{_TP_MAXLEN} steps (standard practice — unbounded paths are "
+    "all unique and the census degenerates). Integers + string agg "
+    "only, trivially hash-exact. Scale: one user-partitioned window "
+    "pass sessionizes, paths aggregate map-side per (user, session), "
+    "the census shuffles path strings once; top-k via rank-prune.",
+)
+def q_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    wr = (
+        Window.partitionBy("user_id")
+        .orderBy("us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    m = e.select(
+        "*",
+        F.when(
+            F.lag("us").over(w).isNull()
+            | (F.col("us") - F.lag("us").over(w) > _TP_GAP_US),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_s"),
+    )
+    s = m.select("*", F.sum("new_s").over(wr).alias("sid"))
+    ws = Window.partitionBy("user_id", "sid").orderBy("us", "event_id")
+    r = s.select(
+        "user_id",
+        "sid",
+        "event_type",
+        "us",
+        "event_id",
+        F.row_number().over(ws).alias("step"),
+    ).filter(F.col("step") <= _TP_MAXLEN)
+    structs = F.array_sort(F.collect_list(F.struct("step", "event_type")))
+    paths = r.groupBy("user_id", "sid").agg(
+        F.array_join(
+            F.transform(structs, lambda x: x.event_type), ">"
+        ).alias("path"),
+        F.count(F.lit(1)).cast("bigint").alias("path_len"),
+    )
+    census = paths.groupBy("path").agg(
+        F.max("path_len").alias("path_len"),
+        F.count(F.lit(1)).cast("bigint").alias("n_sessions"),
+    )
+    top = census.orderBy(F.desc("n_sessions"), "path").limit(_TP_K)
+    wrank = Window.orderBy(F.desc("n_sessions"), "path")
+    return top.withColumn(
+        "rnk", F.row_number().over(wrank).cast("bigint")
+    ).select("rnk", "path", "path_len", "n_sessions")

@@ -569,3 +569,106 @@ def q_hll_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("est_within_2pct"),
     )
+
+
+# ---------------------------------------------------------------------------
+# #309 PERT critical path (weighted longest path over the assembly DAG)
+# ---------------------------------------------------------------------------
+
+_CP_DUR = (
+    "CAST(('0x' || SUBSTR(MD5('dur:' || CAST({k} AS VARCHAR)), 1, 8)) "
+    "AS BIGINT) % 100 + 1"
+)
+
+
+@query(
+    "q_critical_path",
+    oracle=f"""
+        WITH RECURSIVE walk(p_partkey, depth, cum) AS (
+            SELECT CAST(1 AS BIGINT), CAST(0 AS BIGINT),
+                   {_CP_DUR.format(k="CAST(1 AS BIGINT)")}
+            UNION ALL
+            SELECT c.child, w.depth + 1,
+                   w.cum + {_CP_DUR.format(k="c.child")}
+            FROM walk w
+            JOIN (
+                SELECT p_partkey AS parent, p_partkey * 2 AS child FROM part
+                UNION ALL
+                SELECT p_partkey, p_partkey * 2 + 1 FROM part
+            ) c ON c.parent = w.p_partkey
+            JOIN (SELECT MAX(p_partkey) AS mk FROM part) m
+              ON c.child <= m.mk
+        )
+        SELECT depth,
+               CAST(COUNT(*) AS BIGINT) AS n_nodes,
+               CAST(MAX(cum) AS BIGINT) AS max_cum,
+               CAST(MIN(CASE WHEN cum = mc THEN p_partkey END) AS BIGINT)
+                   AS critical_key
+        FROM (SELECT *, MAX(cum) OVER (PARTITION BY depth) AS mc FROM walk)
+        GROUP BY depth
+    """,
+    operators=(30, 104, 309),
+    doc="PERT critical path (#309) over the binary assembly DAG of "
+    "#104: every part carries a deterministic md5 task duration "
+    "(1–100), the recursive walk accumulates root-to-node duration "
+    "(a tree has one path per node, so the longest-path DP is the "
+    "walk itself), and per depth the query emits the frontier size, "
+    "the critical (max) cumulative duration, and the min node id "
+    "achieving it — the schedule-length/critical-chain question "
+    "behind build systems, ETL DAG planning, and project scheduling, "
+    "which plain reachability (#104) cannot answer. Durations and "
+    "sums stay BIGINT; argmax ties break on node id via the "
+    "window-max filter. Scale: the frontier is the iterated state "
+    "(O(log n) rounds); the recursion row valve is sized from the "
+    "part-domain count and restored after (the #104 conf-leak "
+    "discipline).",
+    bench=False,
+)
+def q_critical_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from zmaxion_spark.catalog import register_views
+
+    register_views(spark, sf_dir, ["part"])
+    n = spark.table("part").count()
+    prev = spark.conf.get("spark.sql.cteRecursionRowLimit", None)
+    spark.conf.set(
+        "spark.sql.cteRecursionRowLimit", str(max(1_000_000, 2 * n))
+    )
+    try:
+        dur_root = (
+            "CAST(CONV(SUBSTRING(MD5(CAST(CONCAT('dur:', "
+            "CAST(CAST(1 AS BIGINT) AS STRING)) AS BINARY)), 1, 8), 16, 10) "
+            "AS BIGINT) % 100 + 1"
+        )
+        dur_child = (
+            "CAST(CONV(SUBSTRING(MD5(CAST(CONCAT('dur:', "
+            "CAST(c.child AS STRING)) AS BINARY)), 1, 8), 16, 10) "
+            "AS BIGINT) % 100 + 1"
+        )
+        return spark.sql(
+            f"""
+        WITH RECURSIVE walk(p_partkey, depth, cum) AS (
+            SELECT CAST(1 AS BIGINT), CAST(0 AS BIGINT), {dur_root}
+            UNION ALL
+            SELECT c.child, w.depth + 1, w.cum + {dur_child}
+            FROM walk w
+            JOIN (
+                SELECT p_partkey AS parent, p_partkey * 2 AS child FROM part
+                UNION ALL
+                SELECT p_partkey, p_partkey * 2 + 1 FROM part
+            ) c ON c.parent = w.p_partkey
+            WHERE c.child <= (SELECT MAX(p_partkey) FROM part)
+        )
+        SELECT depth,
+               CAST(COUNT(*) AS BIGINT) AS n_nodes,
+               CAST(MAX(cum) AS BIGINT) AS max_cum,
+               CAST(MIN(CASE WHEN cum = mc THEN p_partkey END) AS BIGINT)
+                   AS critical_key
+        FROM (SELECT *, MAX(cum) OVER (PARTITION BY depth) AS mc FROM walk)
+        GROUP BY depth
+        """
+        ).localCheckpoint(eager=True)
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.cteRecursionRowLimit")
+        else:
+            spark.conf.set("spark.sql.cteRecursionRowLimit", prev)
