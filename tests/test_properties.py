@@ -1601,3 +1601,31 @@ def test_bitemporal_restatement_visible(spark):
     # by the 5% week-late cohort; the tiny smoke fixture may have no
     # straggler whose absence flips a state, so only the direction of
     # knowledge growth is asserted here
+
+
+def test_conformance_fitness_bounds(spark):
+    """#312: counts are consistent and fitness ∈ [0, 1]; conformant
+    users cannot exceed total users."""
+    (r,) = _rows(spark, "q_conformance_fitness")
+    assert 0 < r.n_ok <= r.n_moves
+    assert 0.0 < r.corpus_fitness <= 1.0
+    assert 0 <= r.n_conformant <= r.n_users
+
+
+def test_degree_assortativity_bounds(spark):
+    """#313: a correlation in [-1, 1] over a real edge census."""
+    (r,) = _rows(spark, "q_degree_assortativity")
+    assert r.n_edges > 0
+    assert -1.0 - 1e-9 <= r.assortativity <= 1.0 + 1e-9
+
+
+def test_peak_concurrency_bounds(spark):
+    """#314: peak is at least 1, at most the user count (one open
+    session per user at a time by construction of gap sessions)."""
+    (r,) = _rows(spark, "q_peak_concurrency")
+    n_users = load_table(spark, SF_SMOKE, "events").select(
+        "user_id"
+    ).distinct().count()
+    assert 1 <= r.peak_concurrent <= n_users
+    assert r.n_sessions >= r.peak_concurrent
+    assert r.peak_at_us > 0

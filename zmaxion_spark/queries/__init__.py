@@ -207,6 +207,9 @@ _NEXT_ROUND: list[str] = [
     "q_critical_path",
     "q_top_paths",
     "q_bitemporal_asof",
+    "q_conformance_fitness",
+    "q_degree_assortativity",
+    "q_peak_concurrency",
     # rows-only by nature (driver records the weaker check once)
     "q_hll_sketch",
     "q_approx_bounds",

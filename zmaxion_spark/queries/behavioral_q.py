@@ -1320,3 +1320,230 @@ def q_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.withColumn(
         "rnk", F.row_number().over(wrank).cast("bigint")
     ).select("rnk", "path", "path_len", "n_sessions")
+
+
+# ---------------------------------------------------------------------------
+# #312 process-mining conformance (transition-model fitness)
+# ---------------------------------------------------------------------------
+
+# The expected process model: which event may follow which. Plan-time
+# literal edges (the #222 fixed-model discipline).
+_PM_EDGES = (
+    ("signup", "view"),
+    ("view", "view"),
+    ("view", "click"),
+    ("click", "view"),
+    ("click", "purchase"),
+    ("purchase", "view"),
+    ("error", "view"),
+    ("view", "error"),
+)
+
+
+@query(
+    "q_conformance_fitness",
+    oracle=f"""
+        WITH e AS (
+            SELECT user_id, event_type, event_id,
+                   EPOCH_US(CAST(ts AS TIMESTAMP)) AS us
+            FROM events
+        ),
+        tr AS (
+            SELECT user_id, event_type AS a,
+                   LEAD(event_type) OVER (PARTITION BY user_id
+                                          ORDER BY us, event_id) AS b
+            FROM e
+        ),
+        model(a, b) AS (VALUES {", ".join(f"('{a}', '{b}')" for a, b in _PM_EDGES)}),
+        scored AS (
+            SELECT tr.user_id,
+                   CASE WHEN m.a IS NOT NULL THEN 1 ELSE 0 END AS ok
+            FROM tr LEFT JOIN model m ON m.a = tr.a AND m.b = tr.b
+            WHERE tr.b IS NOT NULL
+        ),
+        per_user AS (
+            SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_moves,
+                   CAST(SUM(ok) AS BIGINT) AS n_ok,
+                   CAST(CAST(CAST(SUM(ok) AS DOUBLE) / COUNT(*)
+                             AS DECIMAL(38,9)) AS DOUBLE) AS fitness
+            FROM scored GROUP BY user_id
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+               CAST(SUM(n_moves) AS BIGINT) AS n_moves,
+               CAST(SUM(n_ok) AS BIGINT) AS n_ok,
+               CAST(CAST(CAST(SUM(n_ok) AS DOUBLE) / SUM(n_moves)
+                         AS DECIMAL(38,9)) AS DOUBLE) AS corpus_fitness,
+               CAST(SUM(CASE WHEN fitness >= 0.8 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_conformant
+        FROM per_user
+    """,
+    operators=(31, 141, 312),
+    doc="Process-mining conformance checking (#312): every observed "
+    "user transition is scored against a declared process model "
+    "(plan-time literal edge list), fitness = allowed transitions / "
+    "all transitions — the process-mining question ('does reality "
+    "follow the designed flow, and WHERE does it leak') that funnels "
+    "(#141) answer only for one hand-picked path; per-user fitness "
+    "rolls up to a corpus census plus a ≥0.8-conformant user count. "
+    "Integer counts; two quantized divisions. Scale: one per-user "
+    "LEAD window pass, a broadcast model join on (a, b), and a "
+    "two-level rollup — transition rows never leave their user "
+    "partition until they are counts.",
+)
+def q_conformance_fitness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    tr = e.select(
+        "user_id",
+        F.col("event_type").alias("a"),
+        F.lead("event_type").over(w).alias("b"),
+    ).filter(F.col("b").isNotNull())
+    model = spark.createDataFrame(list(_PM_EDGES), "a string, b string")
+    scored = tr.join(
+        F.broadcast(model.withColumn("ok_flag", F.lit(1))), ["a", "b"], "left"
+    ).select(
+        "user_id", F.coalesce(F.col("ok_flag"), F.lit(0)).alias("ok")
+    )
+    per_user = scored.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_moves"),
+        F.sum("ok").cast("bigint").alias("n_ok"),
+        (F.sum("ok").cast("double") / F.count(F.lit(1)))
+        .cast("decimal(38,9)")
+        .cast("double")
+        .alias("fitness"),
+    )
+    return per_user.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.sum("n_moves").cast("bigint").alias("n_moves"),
+        F.sum("n_ok").cast("bigint").alias("n_ok"),
+        (F.sum("n_ok").cast("double") / F.sum("n_moves"))
+        .cast("decimal(38,9)")
+        .cast("double")
+        .alias("corpus_fitness"),
+        F.sum(F.when(F.col("fitness") >= 0.8, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_conformant"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# #314 peak concurrency (max overlapping sessions, the +1/−1 sweep)
+# ---------------------------------------------------------------------------
+
+_PC_GAP_US = 1_800_000_000  # 30-minute session gap
+
+
+@query(
+    "q_peak_concurrency",
+    oracle=f"""
+        WITH e AS (
+            SELECT user_id, event_id,
+                   EPOCH_US(CAST(ts AS TIMESTAMP)) AS us
+            FROM events
+        ),
+        m AS (
+            SELECT *, CASE WHEN LAG(us) OVER w IS NULL
+                                OR us - LAG(us) OVER w > {_PC_GAP_US}
+                           THEN 1 ELSE 0 END AS new_s
+            FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+        ),
+        s AS (
+            SELECT *, SUM(new_s) OVER (PARTITION BY user_id
+                          ORDER BY us, event_id
+                          ROWS UNBOUNDED PRECEDING) AS sid
+            FROM m
+        ),
+        iv AS (
+            SELECT user_id, sid, MIN(us) AS s_us, MAX(us) AS e_us
+            FROM s GROUP BY user_id, sid
+        ),
+        pts AS (
+            SELECT s_us AS us, 1 AS delta FROM iv
+            UNION ALL
+            SELECT e_us + 1, -1 FROM iv
+        ),
+        sweep AS (
+            SELECT us, SUM(SUM(delta)) OVER (ORDER BY us
+                           ROWS UNBOUNDED PRECEDING) AS conc
+            FROM pts GROUP BY us
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_sessions,
+               CAST((SELECT MAX(conc) FROM sweep) AS BIGINT)
+                   AS peak_concurrent,
+               CAST((SELECT MIN(us) FROM sweep
+                     WHERE conc = (SELECT MAX(conc) FROM sweep))
+                    AS BIGINT) AS peak_at_us
+        FROM iv
+    """,
+    operators=(23, 31, 86, 314),
+    doc="Peak concurrency (#314): the maximum number of sessions open "
+    "at once, via the classic +1/−1 boundary sweep — session starts "
+    "add one, ends (exclusive, +1 µs) subtract one, the running sum "
+    "over boundary time is the concurrency curve and its max the "
+    "capacity-planning answer (licenses, connection pools, autoscale "
+    "floors) that per-hour session COUNTS overstate (sessions "
+    "spanning a boundary are double-counted there). Boundaries "
+    "pre-aggregate per timestamp before the global running sum, so "
+    "the sweep runs on |distinct boundary times|; first peak instant "
+    "tie-breaks by time. All integers. Scale: sessionize is "
+    "user-partitioned; the sweep's global ordered sum is the "
+    "calibration shape — range-partition the time axis and carry "
+    "per-range offsets (the #279 cum-cell discipline) to "
+    "parallelize.",
+)
+def q_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    wr = (
+        Window.partitionBy("user_id")
+        .orderBy("us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    m = e.select(
+        "*",
+        F.when(
+            F.lag("us").over(w).isNull()
+            | (F.col("us") - F.lag("us").over(w) > _PC_GAP_US),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_s"),
+    )
+    s = m.select("*", F.sum("new_s").over(wr).alias("sid"))
+    iv = s.groupBy("user_id", "sid").agg(
+        F.min("us").alias("s_us"), F.max("us").alias("e_us")
+    )
+    pts = iv.select(F.col("s_us").alias("us"), F.lit(1).alias("delta")).unionAll(
+        iv.select((F.col("e_us") + 1).alias("us"), F.lit(-1).alias("delta"))
+    )
+    agg_pts = pts.groupBy("us").agg(F.sum("delta").alias("d"))
+    w_sweep = Window.orderBy("us").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    sweep = agg_pts.select(
+        "us", F.sum("d").over(w_sweep).alias("conc")
+    ).localCheckpoint(eager=True)  # max + argmin reuse the curve
+    mx = sweep.agg(F.max("conc").alias("mxc"))
+    peak_at = (
+        sweep.join(F.broadcast(mx), sweep.conc == mx.mxc)
+        .agg(F.min("us").alias("peak_at_us"))
+    )
+    n = iv.agg(F.count(F.lit(1)).cast("bigint").alias("n_sessions"))
+    return (
+        n.crossJoin(mx)
+        .crossJoin(peak_at)
+        .select(
+            "n_sessions",
+            F.col("mxc").cast("bigint").alias("peak_concurrent"),
+            F.col("peak_at_us").cast("bigint").alias("peak_at_us"),
+        )
+    )

@@ -892,3 +892,110 @@ def q_modularity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("q_term"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# #313 degree assortativity (do hubs co-purchase with hubs?)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_degree_assortativity",
+    oracle=f"""
+        WITH {_SQL_COPURCHASE_EDGES},
+        deg AS MATERIALIZED (
+            SELECT node, CAST(COUNT(*) AS BIGINT) AS d
+            FROM (SELECT u AS node FROM e UNION ALL SELECT v FROM e)
+            GROUP BY node
+        ),
+        de AS (
+            SELECT du.d AS x, dv.d AS y
+            FROM e JOIN deg du ON du.node = e.u
+                   JOIN deg dv ON dv.node = e.v
+        ),
+        sym AS (
+            SELECT x, y FROM de UNION ALL SELECT y, x FROM de
+        ),
+        s AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(x) AS BIGINT) AS sx,
+                   CAST(SUM(y) AS BIGINT) AS sy,
+                   CAST(SUM(x * y) AS BIGINT) AS sxy,
+                   CAST(SUM(x * x) AS BIGINT) AS sx2,
+                   CAST(SUM(y * y) AS BIGINT) AS sy2
+            FROM sym
+        )
+        SELECT n // 2 AS n_edges,
+               CAST(CAST(
+                   (n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy)
+                   / SQRT((n * CAST(sx2 AS DOUBLE) - CAST(sx AS DOUBLE) * sx)
+                          * (n * CAST(sy2 AS DOUBLE) - CAST(sy AS DOUBLE) * sy))
+                   AS DECIMAL(38,9)) AS DOUBLE) AS assortativity
+        FROM s
+    """,
+    operators=(13, 23, 158, 313),
+    doc="Degree assortativity (#313) of the co-purchase graph: the "
+    "Pearson correlation of endpoint degrees over the SYMMETRIZED "
+    "edge list (each undirected edge contributes both orientations — "
+    "the Newman definition; skipping the mirror biases r whenever "
+    "the u<v orientation correlates with degree) — positive means "
+    "hubs attach to hubs (social networks), negative means "
+    "hub-and-spoke (the web, most retail graphs); the one-number "
+    "structure summary beside modularity (#302) and clustering "
+    "(#152). Degrees and all five moments stay exact BIGINTs (degree "
+    "products are tiny); r is one identical IEEE tree quantized at "
+    "1e-9. Scale: two degree joins shuffle edge ids; the moment "
+    "aggregate is map-side combined.",
+    bench=False,
+)
+def q_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    items = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, b = items.alias("a"), items.alias("b")
+    e = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= 2)
+        .select("u", "v")
+    )
+    deg = (
+        e.select(F.col("u").alias("node"))
+        .unionAll(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    )
+    de = (
+        e.join(deg.withColumnRenamed("node", "u").withColumnRenamed("d", "x"), "u")
+        .join(deg.withColumnRenamed("node", "v").withColumnRenamed("d", "y"), "v")
+        .select("x", "y")
+    )
+    sym = de.unionAll(de.select(F.col("y").alias("x"), F.col("x").alias("y")))
+    s = sym.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sx2"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("sy2"),
+    )
+    num = F.col("n") * F.col("sxy").cast("double") - F.col("sx").cast(
+        "double"
+    ) * F.col("sy")
+    den = F.sqrt(
+        (F.col("n") * F.col("sx2").cast("double")
+         - F.col("sx").cast("double") * F.col("sx"))
+        * (F.col("n") * F.col("sy2").cast("double")
+           - F.col("sy").cast("double") * F.col("sy"))
+    )
+    return s.select(
+        F.expr("n div 2").alias("n_edges"),
+        (num / den).cast("decimal(38,9)").cast("double").alias("assortativity"),
+    )
