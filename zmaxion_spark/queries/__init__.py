@@ -210,6 +210,8 @@ _NEXT_ROUND: list[str] = [
     "q_conformance_fitness",
     "q_degree_assortativity",
     "q_peak_concurrency",
+    "q_stream_twap",
+    "q_golden_record",
     # rows-only by nature (driver records the weaker check once)
     "q_hll_sketch",
     "q_approx_bounds",

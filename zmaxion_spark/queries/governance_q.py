@@ -626,3 +626,177 @@ def _wire_fairness_oracle() -> None:
 
 
 _wire_fairness_oracle()
+
+
+# ---------------------------------------------------------------------------
+# #316 golden-record survivorship (the merge AFTER entity resolution)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_golden_record",
+    oracle=f"""
+        WITH recs AS (
+            SELECT c_custkey * 10 AS rid, c_name AS name,
+                   c_nationkey AS nat, c_custkey AS digits,
+                   c_acctbal AS bal, 'retail' AS segment
+            FROM customer
+            UNION ALL
+            SELECT c_custkey * 10 + 1, 'Customer #' || CAST(c_custkey AS VARCHAR),
+                   c_nationkey, c_custkey, NULL, 'retail'
+            FROM customer WHERE c_custkey % 5 = 0
+            UNION ALL
+            SELECT c_custkey * 10 + 2, 'CUSTOMER #' || CAST(c_custkey AS VARCHAR),
+                   c_nationkey, c_custkey, c_acctbal, 'RETAIL'
+            FROM customer WHERE c_custkey % 10 = 0
+        ),
+        edges AS (
+            SELECT a.rid AS ra, b.rid AS rb
+            FROM recs a JOIN recs b
+              ON a.nat = b.nat AND a.digits = b.digits AND a.rid < b.rid
+            WHERE LEVENSHTEIN(a.name, b.name) <= {_ER_LEV}
+        ),
+        adj AS (
+            SELECT ra AS rid, rb AS nb FROM edges
+            UNION ALL SELECT rb, ra FROM edges
+            UNION ALL SELECT rid, rid FROM recs
+        ),
+        canon AS (SELECT rid, MIN(nb) AS entity_id FROM adj GROUP BY rid),
+        full_recs AS (
+            SELECT canon.entity_id, recs.* FROM recs
+            JOIN canon ON canon.rid = recs.rid
+        ),
+        gname AS (
+            SELECT entity_id, name FROM (
+                SELECT entity_id, name,
+                       ROW_NUMBER() OVER (PARTITION BY entity_id
+                           ORDER BY LEN(name) DESC, name, rid) AS rn
+                FROM full_recs
+            ) WHERE rn = 1
+        ),
+        gbal AS (
+            SELECT entity_id, bal FROM (
+                SELECT entity_id, bal,
+                       ROW_NUMBER() OVER (PARTITION BY entity_id
+                           ORDER BY rid) AS rn
+                FROM full_recs WHERE bal IS NOT NULL
+            ) WHERE rn = 1
+        ),
+        gseg AS (
+            SELECT entity_id, segment FROM (
+                SELECT entity_id, segment,
+                       ROW_NUMBER() OVER (PARTITION BY entity_id
+                           ORDER BY COUNT(*) DESC, segment) AS rn
+                FROM full_recs GROUP BY entity_id, segment
+            ) WHERE rn = 1
+        ),
+        census AS (
+            SELECT entity_id, CAST(COUNT(*) AS BIGINT) AS n_records
+            FROM full_recs GROUP BY entity_id
+        )
+        SELECT c.entity_id, c.n_records, gname.name, gbal.bal, gseg.segment
+        FROM census c
+        JOIN gname ON gname.entity_id = c.entity_id
+        JOIN gbal ON gbal.entity_id = c.entity_id
+        JOIN gseg ON gseg.entity_id = c.entity_id
+    """,
+    operators=(90, 228, 316),
+    doc="Golden-record survivorship (#316), the merge step AFTER "
+    "entity resolution (#228): each matched entity's attributes are "
+    "reconciled by per-attribute RULES — longest-name-wins (ties "
+    "lexicographic then by id), first-non-null balance by source "
+    "priority (record id order — variants deliberately carry a NULL "
+    "to exercise the fallback), majority-vote segment (mode, ties "
+    "alphabetical) — the MDM step that turns a match decision into "
+    "ONE publishable row, which canonical-id mapping alone does not "
+    "(#228 says WHICH records merge; this says what the merged row "
+    "SAYS). Every rule is a deterministic rank window per entity; no "
+    "arithmetic touches the attribute values, so parity is "
+    "structural. Scale: blocking bounds the matcher; each rule is "
+    "one entity-partitioned window over |records|.",
+    bench=False,
+)
+def q_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    c = load_table(spark, sf_dir, "customer")
+    base = c.select(
+        (F.col("c_custkey") * 10).alias("rid"),
+        F.col("c_name").alias("name"),
+        F.col("c_nationkey").alias("nat"),
+        F.col("c_custkey").alias("digits"),
+        F.col("c_acctbal").alias("bal"),
+        F.lit("retail").alias("segment"),
+    )
+    v1 = c.filter(F.col("c_custkey") % 5 == 0).select(
+        (F.col("c_custkey") * 10 + 1).alias("rid"),
+        F.concat(F.lit("Customer #"), F.col("c_custkey").cast("string")).alias(
+            "name"
+        ),
+        F.col("c_nationkey").alias("nat"),
+        F.col("c_custkey").alias("digits"),
+        F.lit(None).cast("double").alias("bal"),
+        F.lit("retail").alias("segment"),
+    )
+    v2 = c.filter(F.col("c_custkey") % 10 == 0).select(
+        (F.col("c_custkey") * 10 + 2).alias("rid"),
+        F.concat(F.lit("CUSTOMER #"), F.col("c_custkey").cast("string")).alias(
+            "name"
+        ),
+        F.col("c_nationkey").alias("nat"),
+        F.col("c_custkey").alias("digits"),
+        F.col("c_acctbal").alias("bal"),
+        F.lit("RETAIL").alias("segment"),
+    )
+    recs = base.unionAll(v1).unionAll(v2).localCheckpoint(eager=True)
+    a, b = recs.alias("a"), recs.alias("b")
+    edges = a.join(
+        b,
+        (F.col("a.nat") == F.col("b.nat"))
+        & (F.col("a.digits") == F.col("b.digits"))
+        & (F.col("a.rid") < F.col("b.rid")),
+    ).filter(
+        F.levenshtein(F.col("a.name"), F.col("b.name")) <= _ER_LEV
+    ).select(F.col("a.rid").alias("ra"), F.col("b.rid").alias("rb"))
+    adj = (
+        edges.select(F.col("ra").alias("rid"), F.col("rb").alias("nb"))
+        .unionAll(edges.select(F.col("rb").alias("rid"), F.col("ra").alias("nb")))
+        .unionAll(recs.select("rid", F.col("rid").alias("nb")))
+    )
+    canon = adj.groupBy("rid").agg(F.min("nb").alias("entity_id"))
+    fr = recs.join(canon, "rid").localCheckpoint(eager=True)  # 4 consumers
+    w_name = Window.partitionBy("entity_id").orderBy(
+        F.length("name").desc(), "name", "rid"
+    )
+    gname = (
+        fr.withColumn("rn", F.row_number().over(w_name))
+        .filter(F.col("rn") == 1)
+        .select("entity_id", "name")
+    )
+    w_bal = Window.partitionBy("entity_id").orderBy("rid")
+    gbal = (
+        fr.filter(F.col("bal").isNotNull())
+        .withColumn("rn", F.row_number().over(w_bal))
+        .filter(F.col("rn") == 1)
+        .select("entity_id", "bal")
+    )
+    segc = fr.groupBy("entity_id", "segment").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w_seg = Window.partitionBy("entity_id").orderBy(
+        F.desc("cnt"), "segment"
+    )
+    gseg = (
+        segc.withColumn("rn", F.row_number().over(w_seg))
+        .filter(F.col("rn") == 1)
+        .select("entity_id", "segment")
+    )
+    census = fr.groupBy("entity_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_records")
+    )
+    return (
+        census.join(gname, "entity_id")
+        .join(gbal, "entity_id")
+        .join(gseg, "entity_id")
+        .select("entity_id", "n_records", "name", "bal", "segment")
+    )

@@ -1167,3 +1167,69 @@ def q_stream_timeout_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "timeout_sessions",
         mode="append",
     )
+
+
+# ---------------------------------------------------------------------------
+# #315 streaming TWAP (the stateful twin of #292)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_stream_twap",
+    oracle=None,  # wired below: shares #292's oracle verbatim
+    operators=(53, 292, 315),
+    doc="Streaming TWAP (#315): the #292 time-weighted average "
+    "maintained as per-key STREAMING STATE (applyInPandasWithState) — "
+    "each arriving sample closes the previous sample's holding "
+    "interval and folds cents×µs into BIGINT accumulators, so the "
+    "moments are exact integers and the final micro-batch's row per "
+    "key must hash-match the batch LEAD-window formulation exactly "
+    "(shared oracle). This is the monitor that runs CONTINUOUSLY on "
+    "an unbounded topic where the batch twin re-scans history: state "
+    "is 5 integers per key forever, updates are append-free update "
+    "mode, and restart safety comes from the state store. The one "
+    "divergence risk — a sample pair straddling a micro-batch "
+    "boundary — is exactly what the state carries across batches.",
+)
+def q_stream_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from zmaxion_spark.streaming.stateful import streaming_twap
+
+    ev = stream_events(spark, sf_dir).select(
+        "event_type", "event_id", "ts", "value"
+    )
+    t = run_available_now(streaming_twap(ev), "stream_twap", mode="update")
+    final = t.groupBy("event_type").agg(
+        F.max("n_samples").alias("n_samples"),
+        F.max("span_us").alias("span_us"),
+        F.max("wsum").alias("wsum"),
+    )
+    return final.select(
+        "event_type",
+        F.col("n_samples").cast("bigint").alias("n_samples"),
+        F.col("span_us").cast("bigint").alias("span_us"),
+        (F.col("wsum").cast("double") / F.col("span_us") / 100)
+        .cast("decimal(38,9)")
+        .cast("double")
+        .alias("twap"),
+    )
+
+
+def _wire_stream_twap_oracle() -> None:
+    """The streaming TWAP must reproduce the batch TWAP bit-for-bit,
+    so it shares #292's oracle SQL verbatim."""
+    from zmaxion_spark.queries.registry import REGISTRY, Query
+
+    import zmaxion_spark.queries.timeseries_q  # noqa: F401 (registers #292)
+
+    q = REGISTRY["q_stream_twap"]
+    REGISTRY["q_stream_twap"] = Query(
+        q.name,
+        q.fn,
+        REGISTRY["q_time_weighted_avg"].oracle,
+        q.operators,
+        q.doc,
+        q.bench,
+    )
+
+
+_wire_stream_twap_oracle()

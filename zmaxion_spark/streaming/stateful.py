@@ -325,3 +325,52 @@ def timeout_sessions(events: DataFrame, gap_seconds: int = 7200) -> DataFrame:
         update, out_schema, state_schema, "append",
         GroupStateTimeout.EventTimeTimeout,
     )
+
+
+def streaming_twap(events: DataFrame) -> DataFrame:
+    """Streaming time-weighted average state (#315): per event_type the
+    state is (last_us, last_cents, wsum, span, n) — each arriving
+    sample closes the previous sample's holding interval and folds
+    cents×µs into the weighted sum, all BIGINT (cents ≤1e4 × the
+    fixture's bounded span keep every product and accumulator far
+    inside int64 at any SF). Emits the running census per batch in
+    update mode; the final batch's row per key IS the batch TWAP over
+    the replayed history (same in-order-replay contract as
+    funnel_state — out-of-order arrivals would hold candidates behind
+    a watermark, documented not implemented)."""
+
+    out_schema = (
+        "event_type string, n_samples bigint, span_us bigint, wsum bigint"
+    )
+    state_schema = "last_us long, last_cents long, wsum long, span long, n long"
+
+    def update(key, pdfs, state: GroupState):
+        import math
+
+        import pandas as pd  # worker-side
+
+        last_us, last_c, wsum, span, n = (
+            state.get if state.exists else (None, None, 0, 0, 0)
+        )
+        rows = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
+        for ts, val in zip(rows["ts"], rows["value"]):
+            t = int(ts.value // 1000)  # ns -> µs
+            c = int(math.floor(val * 100 + 0.5))  # exact cents (val > 0)
+            if last_us is not None:
+                dur = t - last_us
+                wsum += last_c * dur
+                span += dur
+            last_us, last_c, n = t, c, n + 1
+        state.update((last_us, last_c, wsum, span, n))
+        yield pd.DataFrame(
+            {
+                "event_type": [key[0]],
+                "n_samples": [n],
+                "span_us": [span],
+                "wsum": [wsum],
+            }
+        )
+
+    return events.groupBy("event_type").applyInPandasWithState(
+        update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
