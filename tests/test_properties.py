@@ -1660,3 +1660,36 @@ def test_golden_record_survivorship_rules(spark):
         # base "Customer#000000123" only when padding shrinks — just
         # assert non-empty and that a name was chosen deterministically
         assert r.name
+
+
+def test_embargoed_split_zero_leaks_and_partition(spark):
+    """#317: splits partition the rows, the embargo band is non-empty,
+    and the leak audit is zero by construction."""
+    rows = _rows(spark, "q_embargoed_split")
+    by = {r.split: r for r in rows}
+    assert set(by) == {"train", "embargo", "test"}
+    total = load_table(spark, SF_SMOKE, "events").count()
+    assert sum(r.n_rows for r in rows) == total
+    assert all(r.n_leaks == 0 for r in rows)
+    assert by["embargo"].n_rows > 0
+
+
+def test_dispersion_index_positive(spark):
+    """#318: dispersion is positive and the flag matches the ratio."""
+    for r in _rows(spark, "q_dispersion_index"):
+        assert r.mean_per_day > 0
+        assert r.dispersion > 0
+        assert r.overdispersed == int(r.dispersion > 1.5)
+
+
+def test_lsh_plan_scurve_properties(spark):
+    """#319: capture probability increases with s for every config;
+    more bands (fewer rows) shift the threshold s* DOWN."""
+    rows = sorted(_rows(spark, "q_lsh_plan"), key=lambda r: r.b)
+    assert len(rows) == 8
+    for r in rows:
+        # 0.3^24 quantizes to exactly 0 at 1e-9 — equality is real
+        assert 0.0 <= r.p_at_030 <= r.p_at_050 <= r.p_at_070 <= 1.0
+        assert 0.0 < r.s_star <= 1.0
+    stars = [r.s_star for r in rows]  # b ascending => r descending
+    assert stars == sorted(stars, reverse=True)

@@ -212,6 +212,9 @@ _NEXT_ROUND: list[str] = [
     "q_peak_concurrency",
     "q_stream_twap",
     "q_golden_record",
+    "q_embargoed_split",
+    "q_dispersion_index",
+    "q_lsh_plan",
     # rows-only by nature (driver records the weaker check once)
     "q_hll_sketch",
     "q_approx_bounds",

@@ -2640,3 +2640,83 @@ def q_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= _RAKE_TOPK)
         .select("lang", "rnk", "phrase", "n_words", "n_occur", "score")
     )
+
+
+# ---------------------------------------------------------------------------
+# #319 LSH parameter planner (the banding S-curve, evaluated not folklore'd)
+# ---------------------------------------------------------------------------
+
+_LSHP_TOTAL = 24  # signature budget: b bands x r rows, b*r = 24
+
+
+@query(
+    "q_lsh_plan",
+    oracle=f"""
+        WITH cfg AS (
+            SELECT b, {_LSHP_TOTAL} // b AS r
+            FROM (SELECT UNNEST([1, 2, 3, 4, 6, 8, 12, 24]) AS b)
+        ),
+        grid AS (SELECT UNNEST(RANGE(1, 20)) AS i),
+        pts AS (
+            SELECT cfg.b, cfg.r, CAST(i AS DOUBLE) / 20 AS s,
+                   1 - EXP(cfg.b * LN(1 - EXP(cfg.r * LN(CAST(i AS DOUBLE) / 20))))
+                       AS p
+            FROM cfg CROSS JOIN grid
+        )
+        SELECT b, CAST(r AS BIGINT) AS r,
+               CAST(CAST(EXP(LN(CAST(1 AS DOUBLE) / b) / r)
+                         AS DECIMAL(38,9)) AS DOUBLE) AS s_star,
+               CAST(CAST(MAX(CASE WHEN i = 6 THEN p END)
+                         AS DECIMAL(38,9)) AS DOUBLE) AS p_at_030,
+               CAST(CAST(MAX(CASE WHEN i = 10 THEN p END)
+                         AS DECIMAL(38,9)) AS DOUBLE) AS p_at_050,
+               CAST(CAST(MAX(CASE WHEN i = 14 THEN p END)
+                         AS DECIMAL(38,9)) AS DOUBLE) AS p_at_070
+        FROM pts JOIN grid ON CAST(grid.i AS DOUBLE) / 20 = pts.s
+        GROUP BY b, r
+    """,
+    operators=(70, 319),
+    doc=f"LSH parameter planner (#319): for every (bands × rows) "
+    f"factorization of a {_LSHP_TOTAL}-hash signature budget, the "
+    "banding S-curve P(candidate | similarity s) = 1 − (1 − s^r)^b "
+    "evaluated on a similarity grid, plus the curve's threshold "
+    "s* = (1/b)^(1/r) and the capture probabilities at s = 0.3/0.5/"
+    "0.7 — the design table behind every MinHash deployment (#70 "
+    "ships b=4, r=3: s* ≈ 0.63), making the precision/recall knob an "
+    "EVALUATED table instead of folklore. Powers are written as "
+    "EXP(k·LN(x)) so both engines execute the identical IEEE tree "
+    "(bare POW is libm-divergent), grid points are exact vigesimal "
+    "ratios, outputs quantize at 1e-9. Scale: 8 configurations × 19 "
+    "grid points — plan-time math; the query exists so the planning "
+    "table is versioned and graded beside the operator it tunes.",
+    bench=False,
+)
+def q_lsh_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cfgs = [(b, _LSHP_TOTAL // b) for b in (1, 2, 3, 4, 6, 8, 12, 24)]
+    cfg = spark.createDataFrame(cfgs, "b int, r int")
+    grid = spark.range(1, 20).select(F.col("id").cast("int").alias("i"))
+    s = F.col("i").cast("double") / 20
+    p = 1 - F.exp(F.col("b") * F.log(1 - F.exp(F.col("r") * F.log(s))))
+    pts = cfg.crossJoin(grid).select("b", "r", "i", p.alias("p"))
+    s_star = F.exp(F.log(F.lit(1.0) / F.col("b")) / F.col("r"))
+    return pts.groupBy("b", "r").agg(
+        F.max(F.when(F.col("i") == 6, F.col("p")))
+        .cast("decimal(38,9)")
+        .cast("double")
+        .alias("p_at_030"),
+        F.max(F.when(F.col("i") == 10, F.col("p")))
+        .cast("decimal(38,9)")
+        .cast("double")
+        .alias("p_at_050"),
+        F.max(F.when(F.col("i") == 14, F.col("p")))
+        .cast("decimal(38,9)")
+        .cast("double")
+        .alias("p_at_070"),
+    ).select(
+        "b",
+        F.col("r").cast("bigint").alias("r"),
+        s_star.cast("decimal(38,9)").cast("double").alias("s_star"),
+        "p_at_030",
+        "p_at_050",
+        "p_at_070",
+    )

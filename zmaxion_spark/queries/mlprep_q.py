@@ -1332,3 +1332,99 @@ def q_bleu_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         bleu.alias("bleu"),
     )
+
+
+# ---------------------------------------------------------------------------
+# #317 embargoed temporal split (purged time-series CV)
+# ---------------------------------------------------------------------------
+
+_EMB_US = 86_400_000_000  # 1-day embargo around the split point
+
+
+@query(
+    "q_embargoed_split",
+    oracle=f"""
+        WITH e AS (
+            SELECT user_id, event_id,
+                   EPOCH_US(CAST(ts AS TIMESTAMP)) AS us
+            FROM events
+        ),
+        t AS (SELECT (MIN(us) + MAX(us)) // 2 AS t FROM e),
+        lab AS (
+            SELECT e.user_id, e.event_id,
+                   CASE WHEN e.us >= t.t THEN 'test'
+                        WHEN e.us >= t.t - {_EMB_US} THEN 'embargo'
+                        ELSE 'train' END AS split
+            FROM e CROSS JOIN t
+        ),
+        census AS (
+            SELECT split, CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+            FROM lab GROUP BY split
+        ),
+        leak AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_leaks FROM (
+                SELECT a.user_id
+                FROM lab a JOIN lab b
+                  ON b.user_id = a.user_id
+                 AND a.split = 'train' AND b.split = 'test'
+                JOIN e ea ON ea.event_id = a.event_id
+                JOIN e eb ON eb.event_id = b.event_id
+                CROSS JOIN t
+                WHERE eb.us - ea.us < {_EMB_US}
+            )
+        )
+        SELECT census.split, n_rows, n_users, leak.n_leaks
+        FROM census CROSS JOIN leak
+    """,
+    operators=(77, 236, 317),
+    doc="Embargoed temporal split (#317), the purged time-series CV "
+    "from quantitative finance (de Prado) beside the hash split (#77) "
+    "and PIT features (#236): train is everything a full embargo "
+    "before the split instant, test everything after, and the embargo "
+    "band between them is DISCARDED — features computed over trailing "
+    "windows of train rows would otherwise overlap test labels and "
+    "leak. The graded leak audit counts (train, test) same-user "
+    "event pairs closer than the embargo — ZERO by construction here, "
+    "and the column exists so a wrong embargo shows up as a nonzero "
+    "integer, not a silent model-quality mystery. All integer µs. "
+    "Scale: one labeling pass; the audit join is per-user and only "
+    "exists to be zero.",
+)
+def q_embargoed_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as FF
+
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        FF.unix_micros(FF.col("ts").cast("timestamp")).alias("us"),
+    )
+    b = e.agg(FF.min("us").alias("mn"), FF.max("us").alias("mx")).collect()[0]
+    t = (b.mn + b.mx) // 2
+    lab = e.select(
+        "user_id",
+        "event_id",
+        "us",
+        FF.when(FF.col("us") >= t, "test")
+        .when(FF.col("us") >= t - _EMB_US, "embargo")
+        .otherwise("train")
+        .alias("split"),
+    ).localCheckpoint(eager=True)  # census + audit
+    census = lab.groupBy("split").agg(
+        FF.count(FF.lit(1)).cast("bigint").alias("n_rows"),
+        FF.countDistinct("user_id").cast("bigint").alias("n_users"),
+    )
+    a = lab.filter(FF.col("split") == "train").select(
+        FF.col("user_id").alias("u"), FF.col("us").alias("ua")
+    )
+    bb = lab.filter(FF.col("split") == "test").select(
+        FF.col("user_id").alias("u"), FF.col("us").alias("ub")
+    )
+    leak = (
+        a.join(bb, "u")
+        .filter(FF.col("ub") - FF.col("ua") < _EMB_US)
+        .agg(FF.count(FF.lit(1)).cast("bigint").alias("n_leaks"))
+    )
+    return census.crossJoin(FF.broadcast(leak)).select(
+        "split", "n_rows", "n_users", "n_leaks"
+    )

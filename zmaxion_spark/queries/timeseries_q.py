@@ -1223,3 +1223,100 @@ def q_watermark_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("frac_lost_10m"),
     )
+
+
+# ---------------------------------------------------------------------------
+# #318 dispersion index (Poisson vs negative-binomial diagnostic)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_dispersion_index",
+    oracle="""
+        WITH o AS (
+            SELECT event_type,
+                   DATEDIFF('day', DATE '1970-01-01',
+                            CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS d
+            FROM events
+        ),
+        days AS (
+            SELECT UNNEST(GENERATE_SERIES(mn, mx)) AS d
+            FROM (SELECT MIN(d) AS mn, MAX(d) AS mx FROM o)
+        ),
+        types AS (SELECT DISTINCT event_type FROM o),
+        cnt AS (SELECT event_type, d, COUNT(*) AS n FROM o GROUP BY 1, 2),
+        grid AS (
+            SELECT t.event_type, days.d, COALESCE(cnt.n, 0) AS x
+            FROM types t CROSS JOIN days
+            LEFT JOIN cnt ON cnt.event_type = t.event_type AND cnt.d = days.d
+        ),
+        s AS (
+            SELECT event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n_days,
+                   CAST(SUM(x) AS BIGINT) AS sx,
+                   CAST(SUM(x * x) AS BIGINT) AS sx2
+            FROM grid GROUP BY event_type
+        )
+        SELECT event_type, n_days,
+               CAST(CAST(CAST(sx AS DOUBLE) / n_days
+                         AS DECIMAL(38,9)) AS DOUBLE) AS mean_per_day,
+               CAST(CAST(
+                   (CAST(sx2 AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n_days)
+                   / (n_days - 1) / (CAST(sx AS DOUBLE) / n_days)
+                   AS DECIMAL(38,9)) AS DOUBLE) AS dispersion,
+               CAST((CAST(sx2 AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n_days)
+                   / (n_days - 1) / (CAST(sx AS DOUBLE) / n_days) > 1.5
+                   AS INT) AS overdispersed
+        FROM s
+    """,
+    operators=(24, 31, 318),
+    doc="Dispersion index (#318): per-series variance-to-mean ratio "
+    "of daily event counts over the DENSE zero-completed day grid — "
+    "the count-data diagnostic that decides Poisson vs negative-"
+    "binomial modeling (Poisson forces var = mean; real arrival data "
+    "is almost always overdispersed, and rate-limit/anomaly "
+    "thresholds sized under a Poisson assumption fire constantly "
+    "when it is). Flagged at ratio > 1.5. Moments are exact BIGINTs "
+    "on integer counts; the ratio is one identical IEEE tree at "
+    "1e-9. Scale: one rollup to (series, day) cells, then "
+    "|series|-row algebra — the #305 grid discipline.",
+)
+def q_dispersion_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.datediff(
+            F.col("ts").cast("timestamp").cast("date"),
+            F.lit("1970-01-01").cast("date"),
+        ).alias("d"),
+    )
+    bounds = o.agg(F.min("d").alias("mn"), F.max("d").alias("mx"))
+    days = bounds.select(
+        F.explode(F.sequence(F.col("mn"), F.col("mx"))).alias("d")
+    )
+    types = o.select("event_type").distinct()
+    cnt = o.groupBy("event_type", "d").agg(F.count(F.lit(1)).alias("n"))
+    grid = (
+        types.crossJoin(days)
+        .join(cnt, ["event_type", "d"], "left")
+        .select(
+            "event_type", "d", F.coalesce(F.col("n"), F.lit(0)).alias("x")
+        )
+    )
+    s = grid.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sx2"),
+    )
+    mean = F.col("sx").cast("double") / F.col("n_days")
+    disp = (
+        (F.col("sx2").cast("double") - F.col("sx").cast("double") * F.col("sx") / F.col("n_days"))
+        / (F.col("n_days") - 1)
+        / mean
+    )
+    return s.select(
+        "event_type",
+        "n_days",
+        mean.cast("decimal(38,9)").cast("double").alias("mean_per_day"),
+        disp.cast("decimal(38,9)").cast("double").alias("dispersion"),
+        (disp > 1.5).cast("int").alias("overdispersed"),
+    )
