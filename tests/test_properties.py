@@ -1693,3 +1693,26 @@ def test_lsh_plan_scurve_properties(spark):
         assert 0.0 < r.s_star <= 1.0
     stars = [r.s_star for r in rows]  # b ascending => r descending
     assert stars == sorted(stars, reverse=True)
+
+
+def test_anyorder_completion_census(spark):
+    """#320: users partition by types-touched; within-window
+    completions only exist where all three types were touched."""
+    rows = {r.n_types: r for r in _rows(spark, "q_anyorder_completion")}
+    assert set(rows) <= {1, 2, 3}
+    for n, r in rows.items():
+        if n < 3:
+            assert r.n_within_window == 0
+            assert r.min_spread_us is None
+        else:
+            assert 0 <= r.n_within_window <= r.n_users
+            assert r.min_spread_us >= 0
+
+
+def test_zipf_fit_negative_slope(spark):
+    """#321: rank-frequency slope over count data is non-positive by
+    construction (frequency cannot rise with rank)."""
+    (r,) = _rows(spark, "q_zipf_fit")
+    assert r.n_keys > 1
+    assert r.zipf_slope <= 0.0
+    assert r.skew_cacheable == int(r.zipf_slope <= -0.5)

@@ -215,6 +215,8 @@ _NEXT_ROUND: list[str] = [
     "q_embargoed_split",
     "q_dispersion_index",
     "q_lsh_plan",
+    "q_anyorder_completion",
+    "q_zipf_fit",
     # rows-only by nature (driver records the weaker check once)
     "q_hll_sketch",
     "q_approx_bounds",

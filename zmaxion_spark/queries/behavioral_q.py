@@ -1547,3 +1547,103 @@ def q_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("peak_at_us").cast("bigint").alias("peak_at_us"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# #320 any-order completion (the unordered funnel)
+# ---------------------------------------------------------------------------
+
+_AOC_TYPES = ("view", "click", "purchase")
+_AOC_WIN_US = 86_400_000_000  # 24 h completion window
+
+
+@query(
+    "q_anyorder_completion",
+    oracle=f"""
+        WITH e AS (
+            SELECT user_id, event_type,
+                   EPOCH_US(CAST(ts AS TIMESTAMP)) AS us
+            FROM events
+            WHERE event_type IN {_AOC_TYPES!r}
+        ),
+        firsts AS (
+            SELECT user_id,
+                   MIN(CASE WHEN event_type = 'view' THEN us END) AS t1,
+                   MIN(CASE WHEN event_type = 'click' THEN us END) AS t2,
+                   MIN(CASE WHEN event_type = 'purchase' THEN us END) AS t3
+            FROM e GROUP BY user_id
+        ),
+        lab AS (
+            SELECT user_id,
+                   CAST(t1 IS NOT NULL AS INT) + CAST(t2 IS NOT NULL AS INT)
+                       + CAST(t3 IS NOT NULL AS INT) AS n_types,
+                   CASE WHEN t1 IS NOT NULL AND t2 IS NOT NULL
+                             AND t3 IS NOT NULL
+                        THEN GREATEST(t1, t2, t3) - LEAST(t1, t2, t3)
+                   END AS spread_us
+            FROM firsts
+        )
+        SELECT CAST(n_types AS BIGINT) AS n_types,
+               CAST(COUNT(*) AS BIGINT) AS n_users,
+               CAST(SUM(CASE WHEN spread_us <= {_AOC_WIN_US}
+                             THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_within_window,
+               CAST(MIN(spread_us) AS BIGINT) AS min_spread_us
+        FROM lab GROUP BY n_types
+    """,
+    operators=(23, 141, 320),
+    doc="Any-order completion census (#320), the UNORDERED funnel: "
+    f"users who performed all of {_AOC_TYPES} in any sequence, plus "
+    "how many completed the set inside a 24 h window (spread = max "
+    "first-occurrence − min first-occurrence) — task-completion / "
+    "feature-adoption analytics where strict funnels (#141) undercount "
+    "because real users wander (purchase-then-browse is still "
+    "adoption). One conditional-min aggregate per user collapses "
+    "each type to its first occurrence; the census groups by "
+    "types-touched count. All integer µs. Scale: one filtered "
+    "groupBy(user) with map-side combine, then |4|-row algebra — no "
+    "window, no join, no sequence state.",
+)
+def q_anyorder_completion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin(*_AOC_TYPES)
+    ).select(
+        "user_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+    )
+    firsts = e.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("us"))).alias("t1"),
+        F.min(F.when(F.col("event_type") == "click", F.col("us"))).alias("t2"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("us"))
+        ).alias("t3"),
+    )
+    n_types = (
+        F.col("t1").isNotNull().cast("int")
+        + F.col("t2").isNotNull().cast("int")
+        + F.col("t3").isNotNull().cast("int")
+    )
+    spread = F.when(
+        F.col("t1").isNotNull()
+        & F.col("t2").isNotNull()
+        & F.col("t3").isNotNull(),
+        F.greatest("t1", "t2", "t3") - F.least("t1", "t2", "t3"),
+    )
+    lab = firsts.select(
+        n_types.alias("n_types"), spread.alias("spread_us")
+    )
+    return lab.groupBy("n_types").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.sum(
+            F.when(F.col("spread_us") <= _AOC_WIN_US, 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_within_window"),
+        F.min("spread_us").cast("bigint").alias("min_spread_us"),
+    ).select(
+        F.col("n_types").cast("bigint").alias("n_types"),
+        "n_users",
+        "n_within_window",
+        "min_spread_us",
+    )

@@ -1098,3 +1098,102 @@ def q_cvar_tail_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cvar_cents",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# #321 Zipf rank-frequency fit (is the traffic cacheable?)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_zipf_fit",
+    oracle="""
+        WITH f AS (
+            SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n
+            FROM events GROUP BY user_id
+        ),
+        r AS (
+            SELECT n, ROW_NUMBER() OVER (ORDER BY n DESC, user_id) AS rnk
+            FROM f
+        ),
+        pts AS (
+            SELECT CAST(LN(CAST(rnk AS DOUBLE)) AS DECIMAL(38,9)) AS x,
+                   CAST(LN(CAST(n AS DOUBLE)) AS DECIMAL(38,9)) AS y,
+                   CAST(LN(CAST(rnk AS DOUBLE))
+                        * LN(CAST(rnk AS DOUBLE)) AS DECIMAL(38,9)) AS xx,
+                   CAST(LN(CAST(rnk AS DOUBLE))
+                        * LN(CAST(n AS DOUBLE)) AS DECIMAL(38,9)) AS xy
+            FROM r
+        ),
+        s AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS k,
+                   SUM(x) AS sx, SUM(y) AS sy, SUM(xx) AS sxx, SUM(xy) AS sxy
+            FROM pts
+        )
+        SELECT k AS n_keys,
+               CAST(CAST(
+                   (k * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)
+                        * CAST(sy AS DOUBLE))
+                   / (k * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)
+                        * CAST(sx AS DOUBLE))
+                   AS DECIMAL(38,9)) AS DOUBLE) AS zipf_slope,
+               CAST((k * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)
+                        * CAST(sy AS DOUBLE))
+                   / (k * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)
+                        * CAST(sx AS DOUBLE)) <= -0.5 AS INT)
+                   AS skew_cacheable
+        FROM s
+    """,
+    operators=(30, 43, 158, 321),
+    doc="Zipf rank-frequency fit (#321): OLS slope of ln(frequency) "
+    "on ln(rank) over per-user event counts — the one-number skew "
+    "diagnostic behind caching, hot-key salting, and top-k sizing "
+    "decisions (slope ≈ −1 is classic Zipf where a tiny cache "
+    "absorbs most traffic; slope ≈ 0 is uniform where caching buys "
+    "nothing; flagged cacheable at ≤ −0.5). Ranks are exact "
+    "(count DESC, id ties); each ln/product term is an identical "
+    "IEEE tree quantized at 1e-9 and summed exactly; the slope is "
+    "one closed-form division. Scale: one groupBy to |keys| cells "
+    "and a rank over cells — the global rank window over CELLS (not "
+    "rows) is the #73 cell discipline; range-partition the rank for "
+    "billion-key domains.",
+)
+def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    f = _t(spark, sf_dir, "events").groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    r = f.select(
+        "n",
+        F.row_number()
+        .over(Window.orderBy(F.desc("n"), "user_id"))
+        .alias("rnk"),
+    )
+    lx = F.log(F.col("rnk").cast("double"))
+    ly = F.log(F.col("n").cast("double"))
+    pts = r.select(
+        lx.cast("decimal(38,9)").alias("x"),
+        ly.cast("decimal(38,9)").alias("y"),
+        (lx * lx).cast("decimal(38,9)").alias("xx"),
+        (lx * ly).cast("decimal(38,9)").alias("xy"),
+    )
+    s = pts.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum("xx").alias("sxx"),
+        F.sum("xy").alias("sxy"),
+    )
+    slope = (
+        F.col("k") * F.col("sxy").cast("double")
+        - F.col("sx").cast("double") * F.col("sy").cast("double")
+    ) / (
+        F.col("k") * F.col("sxx").cast("double")
+        - F.col("sx").cast("double") * F.col("sx").cast("double")
+    )
+    return s.select(
+        F.col("k").alias("n_keys"),
+        slope.cast("decimal(38,9)").cast("double").alias("zipf_slope"),
+        (slope <= -0.5).cast("int").alias("skew_cacheable"),
+    )
