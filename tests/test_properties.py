@@ -1716,3 +1716,14 @@ def test_zipf_fit_negative_slope(spark):
     assert r.n_keys > 1
     assert r.zipf_slope <= 0.0
     assert r.skew_cacheable == int(r.zipf_slope <= -0.5)
+
+
+def test_mann_kendall_s_bounds(spark):
+    """#322: |S| is bounded by the number of day pairs and the flag
+    matches the z threshold."""
+    rows = _rows(spark, "q_mann_kendall")
+    assert rows
+    for r in rows:
+        n_pairs = r.n * (r.n - 1) // 2
+        assert abs(r.s) <= n_pairs
+        assert r.trending == int(abs(r.z) > 1.96)

@@ -1320,3 +1320,162 @@ def q_dispersion_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         disp.cast("decimal(38,9)").cast("double").alias("dispersion"),
         (disp > 1.5).cast("int").alias("overdispersed"),
     )
+
+
+# ---------------------------------------------------------------------------
+# #322 Mann-Kendall trend test (rank-based, the robust trend detector)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_mann_kendall",
+    oracle="""
+        WITH o AS (
+            SELECT event_type,
+                   DATEDIFF('day', DATE '1970-01-01',
+                            CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS d
+            FROM events
+        ),
+        days AS (
+            SELECT UNNEST(GENERATE_SERIES(mn, mx)) AS d
+            FROM (SELECT MIN(d) AS mn, MAX(d) AS mx FROM o)
+        ),
+        types AS (SELECT DISTINCT event_type FROM o),
+        cnt AS (SELECT event_type, d, COUNT(*) AS n FROM o GROUP BY 1, 2),
+        grid AS MATERIALIZED (
+            SELECT t.event_type, days.d, COALESCE(cnt.n, 0) AS x
+            FROM types t CROSS JOIN days
+            LEFT JOIN cnt ON cnt.event_type = t.event_type AND cnt.d = days.d
+        ),
+        sstat AS (
+            SELECT a.event_type,
+                   CAST(SUM(CASE WHEN b.x > a.x THEN 1
+                                 WHEN b.x < a.x THEN -1 ELSE 0 END)
+                        AS BIGINT) AS s,
+                   CAST(COUNT(*) AS BIGINT) AS n_pairs
+            FROM grid a JOIN grid b
+              ON b.event_type = a.event_type AND b.d > a.d
+            GROUP BY a.event_type
+        ),
+        nn AS (
+            SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n FROM grid
+            GROUP BY event_type
+        ),
+        ties AS (
+            SELECT event_type,
+                   CAST(SUM(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_corr
+            FROM (SELECT event_type, x, COUNT(*) AS t FROM grid
+                  GROUP BY event_type, x)
+            GROUP BY event_type
+        )
+        SELECT s.event_type, nn.n, s.s,
+               CAST(CAST(
+                   (CAST(s.s AS DOUBLE)
+                    - CASE WHEN s.s > 0 THEN 1 WHEN s.s < 0 THEN -1
+                           ELSE 0 END)
+                   / SQRT((CAST(nn.n AS DOUBLE) * (nn.n - 1) * (2 * nn.n + 5)
+                           - ties.tie_corr) / 18)
+                   AS DECIMAL(38,9)) AS DOUBLE) AS z,
+               CAST(ABS((CAST(s.s AS DOUBLE)
+                    - CASE WHEN s.s > 0 THEN 1 WHEN s.s < 0 THEN -1
+                           ELSE 0 END)
+                   / SQRT((CAST(nn.n AS DOUBLE) * (nn.n - 1) * (2 * nn.n + 5)
+                           - ties.tie_corr) / 18)) > 1.96 AS INT)
+                   AS trending
+        FROM sstat s
+        JOIN nn ON nn.event_type = s.event_type
+        JOIN ties ON ties.event_type = s.event_type
+    """,
+    operators=(23, 31, 92, 322),
+    doc="Mann-Kendall trend test (#322) per daily-count series: "
+    "S = Σ sign(x_j − x_i) over all day pairs — the rank-based trend "
+    "detector that needs NO linearity or distribution assumption "
+    "(the standard in environmental/ops monitoring; an OLS slope "
+    "(#158) is dragged by one outlier day, a sign count is not), "
+    "with the tie-corrected normal approximation z = (S ∓ 1)/σ and "
+    "a |z| > 1.96 trend flag. S, the tie correction Σt(t−1)(2t+5), "
+    "and all counts are exact BIGINTs over the dense zero-completed "
+    "grid; z is one identical IEEE tree at 1e-9. Scale: the pair "
+    "join runs on (series, day) CELLS (≈ thousands), never rows — "
+    "the #305 grid discipline; for decade-long grids use the "
+    "O(n log n) rank formulation instead.",
+)
+def q_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.datediff(
+            F.col("ts").cast("timestamp").cast("date"),
+            F.lit("1970-01-01").cast("date"),
+        ).alias("d"),
+    )
+    bounds = o.agg(F.min("d").alias("mn"), F.max("d").alias("mx"))
+    days = bounds.select(
+        F.explode(F.sequence(F.col("mn"), F.col("mx"))).alias("d")
+    )
+    types = o.select("event_type").distinct()
+    cnt = o.groupBy("event_type", "d").agg(F.count(F.lit(1)).alias("n"))
+    grid = (
+        types.crossJoin(days)
+        .join(cnt, ["event_type", "d"], "left")
+        .select("event_type", "d", F.coalesce(F.col("n"), F.lit(0)).alias("x"))
+        .localCheckpoint(eager=True)  # pair join + ties + n reuse it
+    )
+    a = grid.select(
+        F.col("event_type").alias("et"), F.col("d").alias("da"),
+        F.col("x").alias("xa"),
+    )
+    b = grid.select(
+        F.col("event_type").alias("et"), F.col("d").alias("db"),
+        F.col("x").alias("xb"),
+    )
+    sstat = (
+        a.join(b, ["et"])
+        .filter(F.col("db") > F.col("da"))
+        .groupBy("et")
+        .agg(
+            F.sum(
+                F.when(F.col("xb") > F.col("xa"), 1)
+                .when(F.col("xb") < F.col("xa"), -1)
+                .otherwise(0)
+            )
+            .cast("bigint")
+            .alias("s")
+        )
+    )
+    nn = grid.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    ties = (
+        grid.groupBy("event_type", "x")
+        .agg(F.count(F.lit(1)).alias("t"))
+        .groupBy("event_type")
+        .agg(
+            F.sum(
+                F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)
+            )
+            .cast("bigint")
+            .alias("tie_corr")
+        )
+    )
+    sgn = (
+        F.when(F.col("s") > 0, 1).when(F.col("s") < 0, -1).otherwise(0)
+    )
+    var = (
+        F.col("n").cast("double")
+        * (F.col("n") - 1)
+        * (2 * F.col("n") + 5)
+        - F.col("tie_corr")
+    ) / 18
+    z = (F.col("s").cast("double") - sgn) / F.sqrt(var)
+    return (
+        sstat.withColumnRenamed("et", "event_type")
+        .join(nn, "event_type")
+        .join(ties, "event_type")
+        .select(
+            "event_type",
+            "n",
+            "s",
+            z.cast("decimal(38,9)").cast("double").alias("z"),
+            (F.abs(z) > 1.96).cast("int").alias("trending"),
+        )
+    )
