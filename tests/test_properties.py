@@ -1727,3 +1727,21 @@ def test_mann_kendall_s_bounds(spark):
         n_pairs = r.n * (r.n - 1) // 2
         assert abs(r.s) <= n_pairs
         assert r.trending == int(abs(r.z) > 1.96)
+
+
+def test_bloom_plan_meets_target(spark):
+    """#323: the sized filter's actual fp rate lands at or below ~1.1×
+    the target (integerizing m up and k to nearest keeps it close),
+    and more keys at the same target always cost more bits."""
+    rows = _rows(spark, "q_bloom_plan")
+    assert len(rows) == 9
+    for r in rows:
+        assert r.actual_fp <= r.p * 1.1
+        assert r.k >= 1 and r.m_bits > r.n
+    by_p: dict = {}
+    for r in rows:
+        by_p.setdefault(r.p, []).append(r)
+    for rs in by_p.values():
+        rs.sort(key=lambda r: r.n)
+        bits = [r.m_bits for r in rs]
+        assert bits == sorted(bits)

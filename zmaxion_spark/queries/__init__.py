@@ -218,6 +218,7 @@ _NEXT_ROUND: list[str] = [
     "q_anyorder_completion",
     "q_zipf_fit",
     "q_mann_kendall",
+    "q_bloom_plan",
     # rows-only by nature (driver records the weaker check once)
     "q_hll_sketch",
     "q_approx_bounds",

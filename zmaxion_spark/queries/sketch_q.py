@@ -618,3 +618,93 @@ def q_approx_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("rank") <= _ATK_K)
     )
+
+
+# ---------------------------------------------------------------------------
+# #323 Bloom-filter sizing planner (the m/k design table)
+# ---------------------------------------------------------------------------
+
+_BP_N = (1_000, 100_000, 10_000_000)        # expected key counts
+_BP_P = ("0.01", "0.001", "0.0001")          # target false-positive rates
+
+
+@query(
+    "q_bloom_plan",
+    oracle=f"""
+        WITH n_grid AS (SELECT UNNEST({list(_BP_N)}) AS n),
+        p_grid AS (SELECT UNNEST({list(_BP_P)}) AS p_txt),
+        cfg AS (
+            SELECT n, CAST(p_txt AS DOUBLE) AS p FROM n_grid CROSS JOIN p_grid
+        ),
+        sized AS (
+            SELECT n, p,
+                   CAST(CEIL(-CAST(n AS DOUBLE) * LN(p)
+                             / (LN(CAST(2 AS DOUBLE))
+                                * LN(CAST(2 AS DOUBLE)))) AS BIGINT) AS m_bits
+            FROM cfg
+        ),
+        keyed AS (
+            SELECT n, p, m_bits,
+                   CAST(GREATEST(1, ROUND(CAST(m_bits AS DOUBLE) / n
+                                          * LN(CAST(2 AS DOUBLE))))
+                        AS BIGINT) AS k
+            FROM sized
+        )
+        SELECT n, p, m_bits, k,
+               CAST(m_bits // 8 AS BIGINT) AS bytes,
+               CAST(CAST(
+                   EXP(k * LN(1 - EXP(-CAST(k AS DOUBLE) * n / m_bits)))
+                   AS DECIMAL(38,9)) AS DOUBLE) AS actual_fp
+        FROM keyed
+    """,
+    operators=(188, 218, 323),
+    doc="Bloom-filter sizing planner (#323): for a grid of expected "
+    "key counts × target false-positive rates, the optimal bit count "
+    "m = ⌈−n·ln p / ln²2⌉, hash count k = round(m/n·ln 2), byte "
+    "budget, and the ACTUAL fp rate (1 − e^(−kn/m))^k the integerized "
+    "(m, k) delivers — the design table behind the txlog bloom index "
+    "(#188) and the measured-FP prefilter (#218), versioned and "
+    "graded beside the operators it sizes (the #319 planner "
+    "discipline: evaluated, not folklore'd). Every power rides "
+    "EXP(k·LN(x)) so both engines execute one IEEE tree; p enters as "
+    "a decimal STRING cast to double (a bare 0.001 literal is "
+    "DECIMAL in DuckDB and poisons the division). Plan-time math — "
+    "9 rows.",
+    bench=False,
+)
+def q_bloom_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import itertools
+
+    cfg = spark.createDataFrame(
+        [(n, float(p)) for n, p in itertools.product(_BP_N, _BP_P)],
+        "n bigint, p double",
+    )
+    ln2 = F.log(F.lit(2.0))
+    m_bits = F.ceil(
+        -F.col("n").cast("double") * F.log("p") / (ln2 * ln2)
+    ).cast("bigint")
+    sized = cfg.select("n", "p", m_bits.alias("m_bits"))
+    k = F.greatest(
+        F.lit(1).cast("bigint"),
+        F.round(F.col("m_bits").cast("double") / F.col("n") * ln2).cast(
+            "bigint"
+        ),
+    )
+    keyed = sized.select("n", "p", "m_bits", k.alias("k"))
+    fp = F.exp(
+        F.col("k")
+        * F.log(
+            1
+            - F.exp(
+                -F.col("k").cast("double") * F.col("n") / F.col("m_bits")
+            )
+        )
+    )
+    return keyed.select(
+        "n",
+        "p",
+        "m_bits",
+        "k",
+        F.expr("m_bits div 8").alias("bytes"),
+        fp.cast("decimal(38,9)").cast("double").alias("actual_fp"),
+    )
