@@ -1745,3 +1745,29 @@ def test_bloom_plan_meets_target(spark):
         rs.sort(key=lambda r: r.n)
         bits = [r.m_bits for r in rs]
         assert bits == sorted(bits)
+
+
+def test_er_quality_tradeoff(spark):
+    """#324: predictions grow with the threshold, recall is
+    non-decreasing, and tp never exceeds either side."""
+    rows = sorted(_rows(spark, "q_er_quality"), key=lambda r: r.threshold)
+    assert len(rows) == 4
+    preds = [r.n_pred for r in rows]
+    recalls = [r.recall_ for r in rows]
+    assert preds == sorted(preds)
+    assert recalls == sorted(recalls)
+    for r in rows:
+        assert r.tp <= min(r.n_pred, r.n_truth)
+        assert 0.0 <= r.precision_ <= 1.0 and 0.0 <= r.recall_ <= 1.0
+
+
+def test_f1_eval_consistent(spark):
+    """#325: per-class F1 is the harmonic mean of its own p/r, and
+    Σtp + Σfn equals the corpus size (every doc has one true class)."""
+    rows = _rows(spark, "q_f1_eval")
+    total = load_table(spark, SF_SMOKE, "documents").count()
+    assert sum(r.tp + r.fn for r in rows) == total
+    for r in rows:
+        if r.precision_ + r.recall_ > 0:
+            hm = 2 * r.precision_ * r.recall_ / (r.precision_ + r.recall_)
+            assert abs(r.f1 - hm) < 1e-6

@@ -219,6 +219,8 @@ _NEXT_ROUND: list[str] = [
     "q_zipf_fit",
     "q_mann_kendall",
     "q_bloom_plan",
+    "q_er_quality",
+    "q_f1_eval",
     # rows-only by nature (driver records the weaker check once)
     "q_hll_sketch",
     "q_approx_bounds",

@@ -800,3 +800,136 @@ def q_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(gseg, "entity_id")
         .select("entity_id", "n_records", "name", "bal", "segment")
     )
+
+
+# ---------------------------------------------------------------------------
+# #324 ER matcher quality sweep (precision/recall vs planted truth)
+# ---------------------------------------------------------------------------
+
+_ERQ_THRESHOLDS = (1, 2, 4, 8)
+
+
+@query(
+    "q_er_quality",
+    oracle=f"""
+        WITH recs AS (
+            SELECT c_custkey * 10 AS rid, c_name AS name,
+                   c_nationkey AS nat, c_custkey AS digits
+            FROM customer
+            UNION ALL
+            SELECT c_custkey * 10 + 1, 'Customer #' || CAST(c_custkey AS VARCHAR),
+                   c_nationkey, c_custkey
+            FROM customer WHERE c_custkey % 5 = 0
+        ),
+        blocked AS (
+            SELECT a.rid AS ra, b.rid AS rb,
+                   LEVENSHTEIN(a.name, b.name) AS lev,
+                   CAST(a.digits = b.digits AS INT) AS is_true
+            FROM recs a JOIN recs b
+              ON a.nat = b.nat AND a.digits // 100 = b.digits // 100
+             AND a.rid < b.rid
+        ),
+        truth AS (
+            SELECT CAST(SUM(is_true) AS BIGINT) AS n_truth FROM blocked
+        ),
+        sweep AS (
+            SELECT t.thr,
+                   CAST(COUNT(*) FILTER (WHERE b.lev <= t.thr) AS BIGINT)
+                       AS n_pred,
+                   CAST(SUM(CASE WHEN b.lev <= t.thr THEN b.is_true
+                                 ELSE 0 END) AS BIGINT) AS tp
+            FROM blocked b
+            CROSS JOIN (SELECT UNNEST({list(_ERQ_THRESHOLDS)}) AS thr) t
+            GROUP BY t.thr
+        )
+        SELECT CAST(s.thr AS BIGINT) AS threshold, s.n_pred, s.tp,
+               truth.n_truth,
+               CAST(CAST(CAST(s.tp AS DOUBLE) / s.n_pred
+                         AS DECIMAL(38,9)) AS DOUBLE) AS precision_,
+               CAST(CAST(CAST(s.tp AS DOUBLE) / truth.n_truth
+                         AS DECIMAL(38,9)) AS DOUBLE) AS recall_
+        FROM sweep s CROSS JOIN truth
+    """,
+    operators=(93, 228, 256, 324),
+    doc="ER matcher quality sweep (#324): precision/recall of the "
+    "Levenshtein matcher at four thresholds against PLANTED ground "
+    "truth (the dirty variants derive from their base record, so "
+    "same-digits within a block IS truth) — the #256 dedup-threshold "
+    "calibration for entity resolution. The block here is coarser "
+    "than #228's (nation × custkey-century, so ~dozens of DIFFERENT "
+    "entities share a block): zero-padded names of neighboring keys "
+    "sit at Levenshtein 1 of each other, so loose thresholds buy "
+    "recall with real false positives — the sweep MEASURES that "
+    "trade instead of assuming lev≤N is safe. Counts exact; two "
+    "quantized ratios per threshold. Scale: the quadratic matcher "
+    "runs only inside bounded blocks (century blocks hold ≤100 base "
+    "keys at any SF); the sweep reuses one scored pair set.",
+    bench=False,
+)
+def q_er_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    base = c.select(
+        (F.col("c_custkey") * 10).alias("rid"),
+        F.col("c_name").alias("name"),
+        F.col("c_nationkey").alias("nat"),
+        F.col("c_custkey").alias("digits"),
+    )
+    v1 = c.filter(F.col("c_custkey") % 5 == 0).select(
+        (F.col("c_custkey") * 10 + 1).alias("rid"),
+        F.concat(F.lit("Customer #"), F.col("c_custkey").cast("string")).alias(
+            "name"
+        ),
+        F.col("c_nationkey").alias("nat"),
+        F.col("c_custkey").alias("digits"),
+    )
+    recs = base.unionAll(v1)
+    a, b = recs.alias("a"), recs.alias("b")
+    blocked = (
+        a.join(
+            b,
+            (F.col("a.nat") == F.col("b.nat"))
+            & (F.expr("a.digits div 100") == F.expr("b.digits div 100"))
+            & (F.col("a.rid") < F.col("b.rid")),
+        )
+        .select(
+            F.levenshtein(F.col("a.name"), F.col("b.name")).alias("lev"),
+            (F.col("a.digits") == F.col("b.digits")).cast("int").alias(
+                "is_true"
+            ),
+        )
+        .localCheckpoint(eager=True)  # truth census + sweep reuse it
+    )
+    truth = blocked.agg(F.sum("is_true").cast("bigint").alias("n_truth"))
+    thr = spark.createDataFrame(
+        [(t,) for t in _ERQ_THRESHOLDS], "thr int"
+    )
+    sweep = (
+        blocked.crossJoin(F.broadcast(thr))
+        .groupBy("thr")
+        .agg(
+            F.sum(F.when(F.col("lev") <= F.col("thr"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_pred"),
+            F.sum(
+                F.when(F.col("lev") <= F.col("thr"), F.col("is_true")).otherwise(
+                    0
+                )
+            )
+            .cast("bigint")
+            .alias("tp"),
+        )
+    )
+    return sweep.crossJoin(F.broadcast(truth)).select(
+        F.col("thr").cast("bigint").alias("threshold"),
+        "n_pred",
+        "tp",
+        "n_truth",
+        (F.col("tp").cast("double") / F.col("n_pred"))
+        .cast("decimal(38,9)")
+        .cast("double")
+        .alias("precision_"),
+        (F.col("tp").cast("double") / F.col("n_truth"))
+        .cast("decimal(38,9)")
+        .cast("double")
+        .alias("recall_"),
+    )

@@ -1428,3 +1428,142 @@ def q_embargoed_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return census.crossJoin(FF.broadcast(leak)).select(
         "split", "n_rows", "n_users", "n_leaks"
     )
+
+
+# ---------------------------------------------------------------------------
+# #325 multi-class F1 evaluation (micro + macro over the lang-ID rule)
+# ---------------------------------------------------------------------------
+
+_F1_LANGID_CTE = """
+        t AS (SELECT doc_id, lang, STRING_SPLIT(text, ' ') AS toks
+              FROM documents),
+        s AS (SELECT doc_id, lang,
+               LEN(LIST_INTERSECT(toks, ['der','die','und','ist','nicht','das','ein','mit'])) AS s_de,
+               LEN(LIST_INTERSECT(toks, ['the','and','is','of','to','a','in','that'])) AS s_en,
+               LEN(LIST_INTERSECT(toks, ['el','la','los','que','de','y','un','en'])) AS s_es,
+               LEN(LIST_INTERSECT(toks, ['le','la','les','et','est','un','une','dans'])) AS s_fr,
+               LEN(LIST_INTERSECT(toks, ['的','是','了','在','我','有','和','不'])) AS s_zh
+              FROM t),
+        pred AS (
+            SELECT doc_id, lang,
+                   CASE WHEN GREATEST(s_de, s_en, s_es, s_fr, s_zh) = 0
+                             THEN 'und'
+                        WHEN s_de = GREATEST(s_de, s_en, s_es, s_fr, s_zh)
+                             THEN 'de'
+                        WHEN s_en = GREATEST(s_de, s_en, s_es, s_fr, s_zh)
+                             THEN 'en'
+                        WHEN s_es = GREATEST(s_de, s_en, s_es, s_fr, s_zh)
+                             THEN 'es'
+                        WHEN s_fr = GREATEST(s_de, s_en, s_es, s_fr, s_zh)
+                             THEN 'fr'
+                        ELSE 'zh' END AS pred_lang
+            FROM s
+        )
+"""
+
+
+@query(
+    "q_f1_eval",
+    oracle=f"""
+        WITH {_F1_LANGID_CTE},
+        classes AS (SELECT DISTINCT lang AS cls FROM pred),
+        per AS (
+            SELECT c.cls,
+                   CAST(SUM(CASE WHEN p.lang = c.cls AND p.pred_lang = c.cls
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+                   CAST(SUM(CASE WHEN p.lang <> c.cls AND p.pred_lang = c.cls
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+                   CAST(SUM(CASE WHEN p.lang = c.cls AND p.pred_lang <> c.cls
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS fn
+            FROM pred p CROSS JOIN classes c
+            GROUP BY c.cls
+        )
+        SELECT cls, tp, fp, fn,
+               CAST(CAST(CASE WHEN tp + fp > 0
+                              THEN CAST(tp AS DOUBLE) / (tp + fp)
+                              ELSE CAST(0 AS DOUBLE) END
+                         AS DECIMAL(38,9)) AS DOUBLE) AS precision_,
+               CAST(CAST(CASE WHEN tp + fn > 0
+                              THEN CAST(tp AS DOUBLE) / (tp + fn)
+                              ELSE CAST(0 AS DOUBLE) END
+                         AS DECIMAL(38,9)) AS DOUBLE) AS recall_,
+               CAST(CAST(CASE WHEN 2 * tp + fp + fn > 0
+                              THEN 2 * CAST(tp AS DOUBLE)
+                                   / (2 * tp + fp + fn)
+                              ELSE CAST(0 AS DOUBLE) END
+                         AS DECIMAL(38,9)) AS DOUBLE) AS f1
+        FROM per
+    """,
+    operators=(64, 226, 325),
+    doc="Multi-class F1 evaluation (#325) of the lang-ID rule (#64's "
+    "classifier) against the true labels: per-class tp/fp/fn and "
+    "precision/recall/F1 — the classification-eval sibling of AUC "
+    "(#226) and ECE (#227), and the report every labeling pipeline "
+    "publishes (micro-F1 = accuracy for single-label problems falls "
+    "out as Σtp/(Σtp+Σfp); macro-F1 is the per-class mean — both "
+    "derivable from these rows, which is why the ROWS are what is "
+    "graded). F1 = 2tp/(2tp+fp+fn) avoids the p,r intermediate — "
+    "one quantized division per cell, zero-denominator guarded on "
+    "both engines. Scale: one classify pass + a |classes|-wide "
+    "conditional aggregate; no joins beyond the class grid.",
+)
+def q_f1_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from zmaxion_spark.queries.llm import q_lang_id
+
+    pred = q_lang_id(spark, sf_dir)
+    classes = pred.select(F.col("lang").alias("cls")).distinct()
+    per = (
+        pred.crossJoin(F.broadcast(classes))
+        .groupBy("cls")
+        .agg(
+            F.sum(
+                F.when(
+                    (F.col("lang") == F.col("cls"))
+                    & (F.col("pred_lang") == F.col("cls")),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("tp"),
+            F.sum(
+                F.when(
+                    (F.col("lang") != F.col("cls"))
+                    & (F.col("pred_lang") == F.col("cls")),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("fp"),
+            F.sum(
+                F.when(
+                    (F.col("lang") == F.col("cls"))
+                    & (F.col("pred_lang") != F.col("cls")),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("fn"),
+        )
+    )
+    prec = F.when(
+        F.col("tp") + F.col("fp") > 0,
+        F.col("tp").cast("double") / (F.col("tp") + F.col("fp")),
+    ).otherwise(F.lit(0.0))
+    rec = F.when(
+        F.col("tp") + F.col("fn") > 0,
+        F.col("tp").cast("double") / (F.col("tp") + F.col("fn")),
+    ).otherwise(F.lit(0.0))
+    f1 = F.when(
+        2 * F.col("tp") + F.col("fp") + F.col("fn") > 0,
+        2 * F.col("tp").cast("double")
+        / (2 * F.col("tp") + F.col("fp") + F.col("fn")),
+    ).otherwise(F.lit(0.0))
+    return per.select(
+        "cls",
+        "tp",
+        "fp",
+        "fn",
+        prec.cast("decimal(38,9)").cast("double").alias("precision_"),
+        rec.cast("decimal(38,9)").cast("double").alias("recall_"),
+        f1.cast("decimal(38,9)").cast("double").alias("f1"),
+    )
