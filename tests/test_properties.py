@@ -1771,3 +1771,17 @@ def test_f1_eval_consistent(spark):
         if r.precision_ + r.recall_ > 0:
             hm = 2 * r.precision_ * r.recall_ / (r.precision_ + r.recall_)
             assert abs(r.f1 - hm) < 1e-6
+
+
+def test_archetype_census_partitions_entities(spark):
+    """#326: per tick, archetype counts sum to the entity count;
+    migrations are bounded by |entities| and the tick-1 census
+    actually differs (the systems DO something)."""
+    rows = _rows(spark, "q_ecs_archetype_census")
+    n_ent = load_table(spark, SF_SMOKE, "customer").count()
+    t0 = {r.arch: r.n_entities for r in rows if r.tick == 0}
+    t1 = {r.arch: r.n_entities for r in rows if r.tick == 1}
+    assert sum(t0.values()) == sum(t1.values()) == n_ent
+    m = rows[0].n_migrated
+    assert 0 < m <= n_ent
+    assert t0 != t1

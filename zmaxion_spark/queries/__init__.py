@@ -221,6 +221,7 @@ _NEXT_ROUND: list[str] = [
     "q_bloom_plan",
     "q_er_quality",
     "q_f1_eval",
+    "q_ecs_archetype_census",
     # rows-only by nature (driver records the weaker check once)
     "q_hll_sketch",
     "q_approx_bounds",

@@ -533,3 +533,136 @@ def q_ecs_tick_history(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).select(F.lit(tick).alias("tick"), "bucket", "n_events", "total_value")
         )
     return out[0].unionByName(out[1])
+
+
+# ---------------------------------------------------------------------------
+# #326 archetype migration census (the ECS storage concept, graded)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_ecs_archetype_census",
+    oracle="""
+        WITH spender AS (SELECT DISTINCT o_custkey AS e FROM orders
+                         WHERE o_totalprice > 300000),
+        active AS (SELECT DISTINCT o_custkey AS e FROM orders
+                   WHERE o_orderpriority = '1-URGENT'),
+        t0 AS (
+            SELECT c_custkey AS e,
+                   'balance'
+                   || CASE WHEN a.e IS NOT NULL THEN '+active' ELSE '' END
+                   || CASE WHEN s.e IS NOT NULL THEN '+spender' ELSE '' END
+                       AS arch
+            FROM customer c
+            LEFT JOIN active a ON a.e = c.c_custkey
+            LEFT JOIN spender s ON s.e = c.c_custkey
+        ),
+        t1 AS (
+            SELECT c_custkey AS e,
+                   'balance'
+                   || CASE WHEN a.e IS NOT NULL THEN '+active' ELSE '' END
+                   || CASE WHEN c.c_acctbal < 0 THEN '+flagged' ELSE '' END
+                   || CASE WHEN s.e IS NOT NULL AND a.e IS NOT NULL
+                           THEN '+spender' ELSE '' END AS arch
+            FROM customer c
+            LEFT JOIN active a ON a.e = c.c_custkey
+            LEFT JOIN spender s ON s.e = c.c_custkey
+        ),
+        census AS (
+            SELECT 0 AS tick, arch, COUNT(*) AS n FROM t0 GROUP BY arch
+            UNION ALL
+            SELECT 1, arch, COUNT(*) FROM t1 GROUP BY arch
+        ),
+        moved AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_migrated
+            FROM t0 JOIN t1 ON t1.e = t0.e AND t1.arch <> t0.arch
+        )
+        SELECT CAST(tick AS BIGINT) AS tick, arch,
+               CAST(n AS BIGINT) AS n_entities, moved.n_migrated
+        FROM census CROSS JOIN moved
+    """,
+    operators=(14, 83, 326),
+    doc="Archetype migration census (#326): an entity's ARCHETYPE is "
+    "the set of components it carries — THE storage concept of "
+    "archetype-ECS engines (zmaxion's 'stream processing framework "
+    "with ECS'), where adding/removing a component moves the entity "
+    "between tables. Tick 1 runs two structural systems — FLAG "
+    "negative balances (component add) and revoke spender status "
+    "from inactive entities (conditional component remove) — and the "
+    "census counts entities per (tick, archetype) plus how many "
+    "entities MIGRATED, the number that sizes an archetype engine's "
+    "move traffic (and, here, how many rows change partitions). "
+    "Archetype strings concatenate fixed-order membership flags; "
+    "everything else is integer counts. Scale: memberships are "
+    "semi-join flags on the entity key; the census is one groupBy "
+    "per tick; the migration join is entity-co-located.",
+)
+def q_ecs_archetype_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    w = (
+        World()
+        .register(
+            "balance", cust, key="c_custkey", cols={"c_acctbal": "balance"}
+        )
+        .register(
+            "spender",
+            orders.filter(F.col("o_totalprice") > 300000)
+            .select("o_custkey")
+            .distinct(),
+            key="o_custkey",
+        )
+        .register(
+            "active",
+            orders.filter(F.col("o_orderpriority") == "1-URGENT")
+            .select("o_custkey")
+            .distinct(),
+            key="o_custkey",
+        )
+    )
+    ent = w.component("balance").withColumnRenamed("entity_id", "e")
+    has_a = w.component("active").withColumnRenamed("entity_id", "e").withColumn(
+        "in_a", F.lit(1)
+    )
+    has_s = w.component("spender").withColumnRenamed(
+        "entity_id", "e"
+    ).withColumn("in_s", F.lit(1))
+    base = (
+        ent.join(has_a, "e", "left")
+        .join(has_s, "e", "left")
+        .select(
+            "e",
+            "balance",
+            F.coalesce(F.col("in_a"), F.lit(0)).alias("a"),
+            F.coalesce(F.col("in_s"), F.lit(0)).alias("s"),
+        )
+        .localCheckpoint(eager=True)  # both ticks + migration reuse it
+    )
+    arch0 = F.concat(
+        F.lit("balance"),
+        F.when(F.col("a") == 1, "+active").otherwise(""),
+        F.when(F.col("s") == 1, "+spender").otherwise(""),
+    )
+    arch1 = F.concat(
+        F.lit("balance"),
+        F.when(F.col("a") == 1, "+active").otherwise(""),
+        F.when(F.col("balance") < 0, "+flagged").otherwise(""),
+        F.when((F.col("s") == 1) & (F.col("a") == 1), "+spender").otherwise(""),
+    )
+    both = base.select("e", arch0.alias("a0"), arch1.alias("a1"))
+    census = (
+        both.groupBy(F.col("a0").alias("arch"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_entities"))
+        .select(F.lit(0).cast("bigint").alias("tick"), "arch", "n_entities")
+        .unionAll(
+            both.groupBy(F.col("a1").alias("arch"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_entities"))
+            .select(
+                F.lit(1).cast("bigint").alias("tick"), "arch", "n_entities"
+            )
+        )
+    )
+    moved = both.filter(F.col("a0") != F.col("a1")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_migrated")
+    )
+    return census.crossJoin(F.broadcast(moved))
