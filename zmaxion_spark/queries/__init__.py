@@ -48,80 +48,11 @@ from zmaxion_spark.queries import (  # noqa: F401,E402
 # ---------------------------------------------------------------------------
 
 _GRADE_FIRST = [
-    # ==================== ROUND-5 WINDOW ====================
-    # (the 50 never-driver-graded queries staged in round 4's
-    # _NEXT_ROUND, promoted verbatim; CORRECTNESS_r04.json recorded the
-    # round-4 block 50/50 green, so its names drop to the back of the
-    # registry with their evidence on record.)
-    # sources / SQL-surface family
-    "q_scan_orc",
-    "q_compact_scan",
-    "q_variant_json",
-    "q_python_datasource",
-    "q_stream_python_source",
-    "q_stream_temporal_join",
-    "q_bucketed_join",
-    "q_dead_letter",
-    "q_sql_udf",
-    "q_pipe_syntax",
-    "q_collation",
-    "q_try_functions",
-    "q_param_sql",
-    "q_sql_scripting",
-    # streaming remainder
-    "q_stream_dedup_watermark",
-    "q_lateral_topk",
-    "q_funnel_steps",
-    # round-4 additions: stdlib media decode (#75), python sink (#257),
-    # approx_top_k contract (#26/#85)
-    "q_media_decode",
-    "q_python_datasink",
-    "q_stream_python_sink",
-    "q_approx_topk",
-    # round-4 second wave: exact set-sim join (#258), JL projection
-    # (#259), PCA power iteration (#260), chained stateful aggs (#261),
-    # containment dedup (#262)
-    "q_set_sim_join_prefix",
-    "q_jl_projection",
-    "q_pca_power",
-    "q_stream_chained_agg",
-    "q_containment_dedup",
-    # behavioral analytics
-    "q_market_basket",
-    "q_retention_cohorts",
-    "q_ab_test_stats",
-    "q_skyline_pareto",
-    "q_attribution_touch",
-    "q_markov_transitions",
-    "q_bandit_ucb",
-    "q_sequence_mining",
-    "q_rfm_segmentation",
-    "q_ltv_cohorts",
-    "q_diff_in_diff",
-    "q_time_to_convert",
-    # graph + spatial + scale
-    "q_shortest_path",
-    "q_label_propagation",
-    "q_spatial_grid_join",
-    "q_incremental_mv",
-    "q_zorder_scan",
-    "q_runtime_bloom_join",
-    "q_bloom_prefilter",
-    "q_skew_diagnose",
-    "q_bitmap_index",
-    "q_geohash_rollup",
-    # sketches
-    "q_countmin_sketch",
-    "q_kmv_distinct",
-]
-
-
-# Positions 51+: the remaining never-driver-graded queries, in round-6
-# order (every oracle-paired query has a driver row after round 6).
-# Queries with green driver rows already recorded (CORRECTNESS_r01-r04)
-# keep their registration order behind these.
-_NEXT_ROUND: list[str] = [
-    # ==================== round-6 window candidates ====================
+    # ==================== ROUND-6 WINDOW ====================
+    # (the first 50 entries of round 5's _NEXT_ROUND, promoted verbatim
+    # per VERDICT r5 ask #1; CORRECTNESS_r05.json recorded the round-5
+    # block 50/50 green, so those names drop to the back of the
+    # registry with their evidence on record. Do not reorder mid-round.)
     "q_join_cardinality",
     "q_quantile_sample",
     "q_regression_stats",
@@ -131,8 +62,6 @@ _NEXT_ROUND: list[str] = [
     "q_embedding_covariance",
     "q_cusum_changepoint",
     "q_forecast_backtest",
-    # new in round 5: hash-proof of the LSH bucket-cap diversion path +
-    # recall contracts for the approximate ANN paths
     "q_dedup_minhash_capped",
     "q_sim_topk_ivf_recall",
     "q_sim_join_lsh_recall",
@@ -144,7 +73,6 @@ _NEXT_ROUND: list[str] = [
     "q_group_split",
     "q_negative_sampling",
     "q_graph_2hop",
-    # round-5 third wave: statistical inference + clustering (#272-#276)
     "q_ks_test",
     "q_kmeans_fixed",
     "q_bootstrap_ci",
@@ -175,6 +103,14 @@ _NEXT_ROUND: list[str] = [
     "q_kfold_cv",
     "q_hard_negatives",
     "q_temperature_mix",
+]
+
+
+# Positions 51+: the remaining never-driver-graded queries, in round-7
+# order (every oracle-paired query has a driver row after round 7).
+# Queries with green driver rows already recorded (CORRECTNESS_r01-r05)
+# keep their registration order behind these.
+_NEXT_ROUND: list[str] = [
     "q_udf_grouped_arrow",
     "q_slo_burn_rate",
     "q_benford_screen",
@@ -182,7 +118,6 @@ _NEXT_ROUND: list[str] = [
     "q_concentration",
     "q_robust_stats",
     "q_max_drawdown",
-    # round-5 fourth wave: eval + causal + scale-join depth (#288-#291)
     "q_bleu_eval",
     "q_ipw_att",
     "q_cohens_kappa",
@@ -222,7 +157,6 @@ _NEXT_ROUND: list[str] = [
     "q_er_quality",
     "q_f1_eval",
     "q_ecs_archetype_census",
-    # rows-only by nature (driver records the weaker check once)
     "q_hll_sketch",
     "q_approx_bounds",
     "q_hll_bounds",
