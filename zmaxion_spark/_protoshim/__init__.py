@@ -4,4 +4,5 @@ directory — the same file doubles as the worker-side site hook)."""
 from zmaxion_spark._protoshim.sitecustomize import (  # noqa: F401
     enable_worker_protobuf,
     ensure_protobuf,
+    scoped_worker_protobuf,
 )

@@ -50,10 +50,22 @@ def _real_runtime_loaded() -> bool:
         return False
 
 
+def _runtime_is_fallback() -> bool:
+    """True iff the loaded ``google.protobuf`` came from _FALLBACK_RUNTIMES."""
+    mod = sys.modules.get("google.protobuf")
+    origin = getattr(mod, "__file__", None) or ""
+    return any(origin.startswith(root + os.sep) for root in _FALLBACK_RUNTIMES)
+
+
 def ensure_protobuf() -> bool:
-    """Make a REAL ``google.protobuf`` importable; True on success."""
+    """Make a REAL ``google.protobuf`` importable; True on success.
+
+    The version-gate relaxation is applied ONLY when the runtime in use
+    is one of the known stale sandbox fallbacks — a genuinely installed
+    protobuf keeps its own compatibility check untouched."""
     if _real_runtime_loaded():
-        _relax_version_gate()
+        if _runtime_is_fallback():
+            _relax_version_gate()
         return True
     for root in _FALLBACK_RUNTIMES:
         if not os.path.isdir(os.path.join(root, "google", "protobuf")):
@@ -70,7 +82,8 @@ def ensure_protobuf() -> bool:
                 del sys.modules[name]
         importlib.invalidate_caches()
         if _real_runtime_loaded():
-            _relax_version_gate()
+            if _runtime_is_fallback():
+                _relax_version_gate()
             return True
     return False
 
@@ -127,4 +140,36 @@ def enable_worker_protobuf(spark) -> bool:
     return True
 
 
-ensure_protobuf()
+class scoped_worker_protobuf:
+    """Context manager: enable_worker_protobuf on enter, restore the
+    session's prior worker PYTHONPATH on exit (so the shim's reach ends
+    with the query that needed it). ``bool(ctx.enabled)`` tells the
+    caller whether a runtime was found."""
+
+    def __init__(self, spark) -> None:  # noqa: ANN001
+        self._spark = spark
+        self.enabled = False
+        self._prev: str | None = None
+
+    def __enter__(self) -> "scoped_worker_protobuf":
+        env = self._spark.sparkContext.environment
+        self._prev = env.get("PYTHONPATH")
+        self.enabled = enable_worker_protobuf(self._spark)
+        return self
+
+    def __exit__(self, *exc) -> None:  # noqa: ANN002
+        env = self._spark.sparkContext.environment
+        if self._prev is None:
+            env.pop("PYTHONPATH", None)
+        else:
+            env["PYTHONPATH"] = self._prev
+
+
+# Auto-activation is OPT-IN: it fires when this file is imported as the
+# interpreter-startup ``sitecustomize`` hook (i.e. its directory was
+# deliberately placed on PYTHONPATH — the worker/pre-init path) or when
+# ZMX_PROTOSHIM=1 is set. A plain package import of
+# ``zmaxion_spark._protoshim`` has no side effect; callers invoke
+# ensure_protobuf()/scoped_worker_protobuf explicitly.
+if __name__ == "sitecustomize" or os.environ.get("ZMX_PROTOSHIM") == "1":
+    ensure_protobuf()

@@ -303,21 +303,24 @@ def q_stream_stateful_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench=False,  # same replay as #53; API-surface parity demo
 )
 def q_stream_stateful_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from zmaxion_spark._protoshim import enable_worker_protobuf
+    from zmaxion_spark._protoshim import scoped_worker_protobuf
     from zmaxion_spark.streaming.stateful import running_counters_v2
 
-    if not enable_worker_protobuf(spark):
-        raise RuntimeError(
-            "transformWithState needs a google.protobuf runtime "
-            "(pip install protobuf>=6.33, or the sandbox fallback in "
-            "zmaxion_spark/_protoshim)"
-        )
     ev = stream_events(spark, sf_dir).select("user_id", "value")
     key = "spark.sql.streaming.stateStore.providerClass"
     saved = spark.conf.get(key, None)
     spark.conf.set(key, _ROCKSDB_PROVIDER)
     try:
-        t = run_available_now(running_counters_v2(ev), "counters_v2", mode="update")
+        with scoped_worker_protobuf(spark) as shim:
+            if not shim.enabled:
+                raise RuntimeError(
+                    "transformWithState needs a google.protobuf runtime "
+                    "(pip install protobuf>=6.33, or the sandbox fallback "
+                    "in zmaxion_spark/_protoshim)"
+                )
+            t = run_available_now(
+                running_counters_v2(ev), "counters_v2", mode="update"
+            )
     finally:
         if saved is None:
             spark.conf.unset(key)
