@@ -624,15 +624,20 @@ def topk_cosine_blas(
     DESC, id ASC) — returns exactly the window's top-k, tied values and
     all. Past the ceiling: the distributed cross-score fallback."""
     spark = left_df.sparkSession
-    probe = (
-        right_df.select(F.col(right_id), _d(F.col(right_vec)).alias("_v"))
-        .limit(broadcast_max_rows + 1)
-        .toPandas()
+    # Size probe first: a column-pruned LIMIT+COUNT moves no vectors to
+    # the driver, so the over-ceiling path never materializes (and then
+    # discards) up to broadcast_max_rows of embeddings. Only once the
+    # broadcast path is chosen does the corpus come over as pandas.
+    n_right = (
+        right_df.select(right_id).limit(broadcast_max_rows + 1).count()
     )
-    if len(probe) > broadcast_max_rows:
+    if n_right > broadcast_max_rows:
         return _topk_blas_fallback(
             left_df, right_df, k, left_id, left_vec, right_id, right_vec
         )
+    probe = right_df.select(
+        F.col(right_id), _d(F.col(right_vec)).alias("_v")
+    ).toPandas()
     corpus_ids_np = probe[right_id].to_numpy()
     corpus_mat = np.vstack(probe["_v"].to_numpy()).astype(np.float64)
     bc = spark.sparkContext.broadcast((corpus_ids_np, corpus_mat))
