@@ -372,9 +372,27 @@ def minhash_lsh_pairs(
        diversion is lossless; worst-case work falls from O(bucket²)
        to O(pairs that can actually pass the threshold)."""
     n_bands = n_hashes // band_size
+    # Group fingerprint: md5 (128-bit) over a LENGTH-PREFIXED encoding
+    # of the sorted set. Length prefixes make the encoding injective
+    # even when a shingle contains the separator byte, and 128 bits
+    # push accidental fingerprint collisions (which would silently
+    # merge distinct sets and emit false jacc=1.0 pairs) below 2^-64
+    # even at 10^12 distinct sets — vs the realistic birthday collision
+    # a 64-bit xxhash64 digest admits at ~4B sets.
     canon = df.select(
         F.col(id_col).alias("_id"), F.array_sort(set_col).alias("_ss")
-    ).withColumn("_gid", F.xxhash64(F.concat_ws("\x00", "_ss")))
+    ).withColumn(
+        "_gid",
+        F.md5(
+            F.concat_ws(
+                "\x00",
+                F.transform(
+                    "_ss",
+                    lambda s: F.concat(F.length(s).cast("string"), F.lit(":"), s),
+                ),
+            )
+        ),
+    )
     # Three small frames are each consumed by 2-4 downstream joins —
     # checkpoint so the shingle/signature pipelines run once, not once
     # per consumer (the REGRESSIONS.md loop-invariant rule).
@@ -421,6 +439,107 @@ def minhash_lsh_pairs(
         .filter(share_band)
         .select("_ga", "_gb")
     )
+
+    cand = cand_small.unionByName(cand_heavy).distinct()
+    gpairs = (
+        cand.join(groups.select(F.col("_gid").alias("_ga"), F.col("_ss").alias("_sa")), "_ga")
+        .join(groups.select(F.col("_gid").alias("_gb"), F.col("_ss").alias("_sb")), "_gb")
+        .select("_ga", "_gb", jaccard(F.col("_sa"), F.col("_sb")).alias("jacc"))
+        .filter(F.col("jacc") >= threshold)
+    )
+    cross = (
+        gpairs.join(members.select(F.col("_gid").alias("_ga"), F.col("_id").alias("_ida")), "_ga")
+        .join(members.select(F.col("_gid").alias("_gb"), F.col("_id").alias("_idb")), "_gb")
+        .select(
+            F.least("_ida", "_idb").alias("doc_a"),
+            F.greatest("_ida", "_idb").alias("doc_b"),
+            "jacc",
+        )
+    )
+    within = (
+        members.select("_gid", F.col("_id").alias("_ida"))
+        .join(members.select("_gid", F.col("_id").alias("_idb")), "_gid")
+        .filter(F.col("_ida") < F.col("_idb"))
+        .select(
+            F.col("_ida").alias("doc_a"),
+            F.col("_idb").alias("doc_b"),
+            F.lit(1.0).alias("jacc"),
+        )
+    )
+    return cross.unionByName(within)
+
+
+def blocked_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    set_col,
+    block_cols: list[str],
+    *,
+    threshold: float,
+    block_cap: int = 64,
+) -> DataFrame:
+    """Equality-blocked exact-Jaccard pairs with the #263 bucket cap.
+
+    Returns ``(doc_a, doc_b, jacc)``: every unordered id pair sharing
+    the SAME values of ``block_cols`` with exact Jaccard >= threshold —
+    byte-identical to the naive blocked self-join, with its quadratic
+    failure mode (block population grows linearly with the corpus, so
+    within-block pair volume grows quadratically) bounded exactly like
+    ``minhash_lsh_pairs``:
+
+    1. **Duplication collapse**: ids with identical (block, sorted set)
+       are grouped under a 128-bit fingerprint; all candidate and
+       verify work happens once per DISTINCT group, and within-group
+       pairs emit directly at jacc = 1.0 (n/n is exactly 1.0 in IEEE
+       on both engines).
+    2. **Block cap**: blocks with <= block_cap distinct groups run the
+       classic equi-self-join. Oversized blocks divert to the PPJoin
+       prefix filter over BLOCK-COMPOSITE tokens (each token prefixed
+       with its block key, so candidates can only arise within a
+       block; Jaccard over the composite sets equals Jaccard over the
+       originals inside one block). The prefix filter is lossless for
+       the final >= threshold verify, so the diversion changes work,
+       not output: worst-case falls from O(block²) to O(pairs that can
+       actually pass the threshold)."""
+    bcols = [F.col(c) for c in block_cols]
+    enc = F.concat_ws(
+        "\x00",
+        *[c.cast("string") for c in bcols],
+        F.concat_ws(
+            "\x00",
+            F.transform(
+                "_ss", lambda s: F.concat(F.length(s).cast("string"), F.lit(":"), s)
+            ),
+        ),
+    )
+    canon = (
+        df.select(F.col(id_col).alias("_id"), *block_cols, F.array_sort(set_col).alias("_ss"))
+        .withColumn("_gid", F.md5(enc))
+    )
+    members = canon.select("_id", "_gid").localCheckpoint(eager=True)
+    groups = (
+        canon.select("_gid", *block_cols, "_ss")
+        .dropDuplicates(["_gid"])
+        .localCheckpoint(eager=True)
+    )
+    sizes = groups.groupBy(*block_cols).agg(F.count(F.lit(1)).alias("_bn"))
+    tagged = groups.join(sizes, block_cols)
+
+    small = tagged.filter(F.col("_bn") <= block_cap)
+    cand_small = (
+        small.select(F.col("_gid").alias("_ga"), *block_cols)
+        .join(small.select(F.col("_gid").alias("_gb"), *block_cols), block_cols)
+        .filter(F.col("_ga") < F.col("_gb"))
+        .select("_ga", "_gb")
+    )
+
+    heavy = tagged.filter(F.col("_bn") > block_cap)
+    bkey = F.concat_ws("\x01", *[c.cast("string") for c in bcols])
+    heavy_ct = heavy.select(
+        "_gid",
+        F.transform("_ss", lambda s: F.concat(bkey, F.lit("\x01"), s)).alias("_ct"),
+    )
+    cand_heavy = _prefix_candidate_pairs(heavy_ct, "_gid", "_ct", threshold)
 
     cand = cand_small.unionByName(cand_heavy).distinct()
     gpairs = (
