@@ -35,23 +35,47 @@ from pyspark.sql import functions as F
 Q40 = 1 << 40  # dyadic quantization unit (exact power-of-2 scale)
 _QF = float(Q40)
 
+# Embedding dimensionality shared by the Spark kernel's contract check
+# and the generated DuckDB twin — ONE constant, so the two sides can
+# never silently disagree (the old hand-written RANGE(1,65) hardcode).
+EMB_D = 64
+
 
 def _q(col) -> "F.Column":
     """Exact dyadic quantize: FLOOR(x·2^40 + 0.5) as a long."""
     return F.floor(col * F.lit(_QF) + F.lit(0.5))
 
 
-def cov_cells(e: DataFrame, d: int = 64, round_scale: int | None = None) -> DataFrame:
+def cov_cells(e: DataFrame, d: int = EMB_D) -> DataFrame:
     """Upper-triangle covariance cells ``(i, j, n, c)`` (1-based dims)
     of the float32 ``embedding`` array column, hash-exact vs the DuckDB
-    twin produced by :func:`cov_cells_sql`."""
-    lvl1 = e.select(
+    twin produced by :func:`cov_cells_sql`.
+
+    ``d`` is a CONTRACT, not a truncation: any row whose array length
+    differs raises at scan time (raise_error inside the filter, which
+    Catalyst cannot prune) instead of silently producing a wrong-shape
+    covariance. The slice length itself is derived from the array, so
+    the kernel is dimension-agnostic up to the check."""
+    checked = e.filter(
+        F.when(F.size("embedding") == d, F.lit(True)).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(f"cov_cells: embedding length != d={d} (got "),
+                    F.size("embedding").cast("string"),
+                    F.lit(")"),
+                )
+            )
+        )
+    )
+    lvl1 = checked.select(
         "embedding", F.posexplode("embedding").alias("pos0", "xv")
     ).select(
         (F.col("pos0") + 1).alias("i"),
         F.col("xv").cast("double").alias("xi"),
         F.slice(
-            F.col("embedding"), F.col("pos0") + 1, F.lit(d) - F.col("pos0")
+            F.col("embedding"),
+            F.col("pos0") + 1,
+            F.size("embedding") - F.col("pos0"),
         ).alias("rest"),
     )
     prods = lvl1.select("i", "xi", F.posexplode("rest").alias("pos1", "yv")).select(
@@ -64,7 +88,7 @@ def cov_cells(e: DataFrame, d: int = 64, round_scale: int | None = None) -> Data
         F.sum(_q(F.col("p")).cast("decimal(38,0)")).alias("sxyq"),
     )
     oned = (
-        e.select(F.posexplode("embedding").alias("pos0", "xv"))
+        checked.select(F.posexplode("embedding").alias("pos0", "xv"))
         .select((F.col("pos0") + 1).alias("i"), F.col("xv").cast("double").alias("x"))
         .groupBy("i")
         .agg(F.sum(_q(F.col("x")).cast("decimal(38,0)")).alias("sxq"))
@@ -93,13 +117,19 @@ def cov_cells(e: DataFrame, d: int = 64, round_scale: int | None = None) -> Data
     )
 
 
-# DuckDB twin of cov_cells: CTE text producing cov(i, j, n, cov_raw).
-# SUM(BIGINT) is HUGEINT (exact int128); the double derivation mirrors
-# the Spark expression tree operation-for-operation.
-COV_CELLS_SQL = """ij AS (
+def cov_cells_sql(d: int = EMB_D) -> str:
+    """DuckDB twin of :func:`cov_cells` for dimension ``d``: CTE text
+    producing cov(i, j, n, cov_raw). SUM(BIGINT) is HUGEINT (exact
+    int128); the double derivation mirrors the Spark expression tree
+    operation-for-operation. Generated from the same EMB_D default as
+    the Spark kernel so the two sides share one dimension constant."""
+    return _COV_CELLS_SQL_TEMPLATE.replace("{D1}", str(d + 1))
+
+
+_COV_CELLS_SQL_TEMPLATE = """ij AS (
             SELECT a.i AS i, b.i AS j
-            FROM (SELECT UNNEST(RANGE(1, 65)) AS i) a,
-                 (SELECT UNNEST(RANGE(1, 65)) AS i) b
+            FROM (SELECT UNNEST(RANGE(1, {D1})) AS i) a,
+                 (SELECT UNNEST(RANGE(1, {D1})) AS i) b
             WHERE b.i >= a.i
         ),
         qsums AS (
@@ -127,3 +157,6 @@ COV_CELLS_SQL = """ij AS (
                    / n AS cov_raw
             FROM qsums
         )"""
+
+# Back-compat alias at the shared default dimension.
+COV_CELLS_SQL = cov_cells_sql()

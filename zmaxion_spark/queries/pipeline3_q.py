@@ -583,7 +583,7 @@ _AES_K = 5
     operators=(30, 43, 126, 301),
     doc=f"Weighted reservoir sampling WITHOUT replacement (#301), the "
     "Efraimidis-Spirakis A-ES scheme: each item draws key u^(1/w) "
-    "(equivalently ln(u)/w, monotone) and the top-{_AES_K} keys per "
+    f"(equivalently ln(u)/w, monotone) and the top-{_AES_K} keys per "
     "language ARE a weight-proportional sample without replacement — "
     "the distributed-sampling classic, because top-k by key is a "
     "MERGEABLE operation (each partition keeps its k best, merges "

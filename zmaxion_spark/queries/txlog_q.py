@@ -163,7 +163,7 @@ _N_CHUNKS = 4
 
 
 def _events_chunks(spark: SparkSession, sf_dir: str) -> str:
-    """A cached {_N_CHUNKS}-file copy of (event_id, event_type, value)
+    """A cached ``_N_CHUNKS``-file copy of (event_id, event_type, value)
     so the file stream delivers multiple micro-batches
     (maxFilesPerTrigger=1). Keyed by the source fixture's identity;
     built atomically (tmp dir + rename) so a concurrent builder can

@@ -561,7 +561,7 @@ def _mat_block_sql(d: int) -> str:
     operators=(33, 44, 72, 299),
     doc=f"Matryoshka truncation sweep (#299), the embedding-"
     "compression calibration beside the PQ recall contract (#277) and "
-    "JL distortion audit (#259): exact top-{_MAT_K} L2 neighbors "
+    f"JL distortion audit (#259): exact top-{_MAT_K} L2 neighbors "
     f"under each prefix width {_MAT_DIMS} vs the full 64-dim truth, "
     "reported as overlap@k per width. On THIS corpus the curve is "
     "0.20 → 0.33 → 0.53 → 1.00 — untrained prefixes lose most of the "
