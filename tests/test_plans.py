@@ -681,6 +681,7 @@ def test_entity_grain_ranks_are_bucket_decomposed(spark):
         "q_model_eval_auc": {"_bkt"},
         "q_rfm_segmentation": {"_bkt_r", "_bkt_f", "_bkt_m"},
         "q_time_to_convert": {"minutes"},
+        "q_propensity_match": {"_bkt"},
     }
     for name, census_cols in allowed.items():
         plan = _plan(REGISTRY[name].fn(spark, SF_SMOKE))
