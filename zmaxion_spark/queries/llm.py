@@ -647,14 +647,27 @@ def q_sim_topk_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_sim_topk_ivf",
-    oracle=None,
-    operators=(33, 72),
+    oracle="""
+        WITH n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_corpus FROM embeddings)
+        SELECT CAST(e.vec_id AS BIGINT) AS qid,
+               n.n_corpus,
+               CAST(1 AS INT) AS pruned_lt_half,
+               CAST(1 AS INT) AS topk_is_subset_of_probed
+        FROM embeddings e CROSS JOIN n WHERE e.vec_id < 3
+    """,
+    operators=(33, 72, 264),
     doc="IVF approximate top-5: deterministic spherical-kmeans centroids "
     "trained on an id-ordered sample, corpus vectors assigned to their "
     "nearest of 16 cells, each query probes its 4 nearest cells and "
     "exact-rescoring runs only inside them (candidates ~ corpus/4). "
-    "Rows-only check; recall vs the exact variant asserted in "
-    "tests/test_properties.py.",
+    "Round 6 (closing VERDICT r5 ask #5): formerly rows-only; now a "
+    "GRADED-CONTRACT query complementing the recall twin "
+    "(q_sim_topk_ivf_recall grades accuracy; THIS grades that the "
+    "index actually prunes): per query, the probed candidate volume "
+    "must stay under half the corpus (anchored on the oracle's exact "
+    "corpus count), and the returned top-5 must be drawn entirely "
+    "from the probed cells — the structural invariants that make IVF "
+    "the 100-TB path instead of a brute-force scan in disguise.",
 )
 def q_sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "embeddings")
@@ -662,12 +675,39 @@ def q_sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("qid_"), "embedding"
     )
     corpus = e.select(F.col("vec_id").alias("cid"), "embedding")
-    out = S.ivf_topk(corpus, queries, 5, "cid", "qid_", n_cells=16, n_probe=4)
-    return out.select(
-        F.col("qid_").alias("qid"),
+    out = S.ivf_topk(
+        corpus, queries, 5, "cid", "qid_", n_cells=16, n_probe=4
+    ).select(F.col("qid_").alias("qid"), F.col("cid").alias("vec_id"))
+    # Re-derive the probe topology to census candidate volume per query.
+    cents = S.ivf_train_centroids(corpus, "cid", "embedding", 16)
+    one = S._cell_assign_udf(cents, 1)
+    probe = S._cell_assign_udf(cents, 4)
+    corpus_cells = corpus.select(
         F.col("cid").alias("vec_id"),
-        "cos_sim",
-        "rank",
+        F.element_at(one(S._d(F.col("embedding"))), 1).alias("cell"),
+    ).localCheckpoint(eager=True)
+    query_cells = queries.select(
+        F.col("qid_").alias("qid"),
+        F.explode(probe(S._d(F.col("embedding")))).alias("cell"),
+    )
+    cand = query_cells.join(corpus_cells, "cell").select("qid", "vec_id")
+    n_corpus = e.agg(F.count(F.lit(1)).alias("n_corpus"))
+    cand_counts = cand.groupBy("qid").agg(F.count(F.lit(1)).alias("n_cand"))
+    subset_miss = out.join(cand, ["qid", "vec_id"], "left_anti")
+    subset_ok = subset_miss.groupBy().agg(
+        (F.count(F.lit(1)) == 0).cast("int").alias("topk_is_subset_of_probed")
+    )
+    return (
+        cand_counts.crossJoin(F.broadcast(n_corpus))
+        .crossJoin(F.broadcast(subset_ok))
+        .select(
+            "qid",
+            "n_corpus",
+            (F.col("n_cand") < 0.5 * F.col("n_corpus"))
+            .cast("int")
+            .alias("pruned_lt_half"),
+            "topk_is_subset_of_probed",
+        )
     )
 
 
@@ -762,17 +802,75 @@ def q_sim_join_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_sim_join_lsh",
-    oracle=None,
-    operators=(72, 73),
+    oracle=f"""
+        WITH ex AS (
+            SELECT CASE WHEN {_sql_cosine('a.embedding', 'b.embedding')} >= 0.7
+                        THEN '0.70+'
+                        WHEN {_sql_cosine('a.embedding', 'b.embedding')} >= 0.5
+                        THEN '0.50-0.70'
+                        ELSE '0.35-0.50' END AS band
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE {_sql_cosine('a.embedding', 'b.embedding')} >= 0.35
+        )
+        SELECT band,
+               CAST(COUNT(*) AS BIGINT) AS n_exact,
+               CAST(1 AS INT) AS found_within_exact,
+               CAST(1 AS INT) AS recall_ge_025
+        FROM ex GROUP BY band
+    """,
+    operators=(72, 73, 264),
     doc="LSH-pruned similarity join: 8 tables × 6-bit sign-random-"
     "projection buckets (OR-amplified), candidates exact-rescored at "
-    "cos ≥ 0.35. Precision 1.0 vs exact by construction; recall "
-    "1-(1-p^6)^8 (asserted in tests). At 100 TB the bucket equi-joins "
-    "replace the n² cross join.",
+    "cos ≥ 0.35. Precision 1.0 vs exact by construction; at 100 TB "
+    "the bucket equi-joins replace the n² cross join. Round 6 "
+    "(closing VERDICT r5 ask #5): formerly rows-only; now a GRADED-"
+    "CONTRACT query complementing the single-row recall twin "
+    "(q_sim_join_lsh_recall) with a per-similarity-BAND breakdown: "
+    "exact pair counts per cosine band anchor the oracle's n² "
+    "recount, every band's LSH survivors must be contained in the "
+    "exact set (precision 1 band-wise), and corpus-wide recall must "
+    "hold >= 0.25 (theory 1-(1-p^6)^8; measured 0.38-0.42). NOTE: "
+    "the oracle recount is n² in DuckDB — fine at the graded sf0.01, "
+    "excluded from large-SF local gates like q_sim_join_exact's.",
+    bench=False,  # the in-query exact denominator is the calibration
+    # shape, not the production path (q_sim_join_lsh_recall's note)
 )
 def q_sim_join_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "embeddings")
-    return S.sim_join_lsh(e, "vec_id", "embedding", 0.35, n_tables=8, bits_per_table=6)
+    band = (
+        F.when(F.col("cos_sim") >= 0.7, "0.70+")
+        .when(F.col("cos_sim") >= 0.5, "0.50-0.70")
+        .otherwise("0.35-0.50")
+    )
+    exact = (
+        S.sim_join_exact(e, "vec_id", "embedding", 0.35)
+        .withColumn("band", band)
+        .localCheckpoint(eager=True)
+    )
+    found = S.sim_join_lsh(
+        e, "vec_id", "embedding", 0.35, n_tables=8, bits_per_table=6
+    ).withColumn("band", band).localCheckpoint(eager=True)
+    ex_bands = exact.groupBy("band").agg(F.count(F.lit(1)).alias("n_exact"))
+    outside = found.join(
+        exact.select("id_a", "id_b"), ["id_a", "id_b"], "left_anti"
+    )
+    contained = outside.groupBy().agg(
+        (F.count(F.lit(1)) == 0).cast("int").alias("found_within_exact")
+    )
+    n_found = found.join(exact.select("id_a", "id_b"), ["id_a", "id_b"]).agg(
+        F.count(F.lit(1)).alias("_nhit")
+    )
+    n_exact_tot = exact.agg(F.count(F.lit(1)).alias("_nex"))
+    recall = n_found.crossJoin(n_exact_tot).select(
+        (F.col("_nhit").cast("double") / F.col("_nex") >= 0.25)
+        .cast("int")
+        .alias("recall_ge_025")
+    )
+    return (
+        ex_bands.crossJoin(F.broadcast(contained))
+        .crossJoin(F.broadcast(recall))
+        .select("band", "n_exact", "found_within_exact", "recall_ge_025")
+    )
 
 
 @query(
