@@ -111,6 +111,9 @@ _GRADE_FIRST = [
 # Queries with green driver rows already recorded (CORRECTNESS_r01-r05)
 # keep their registration order behind these.
 _NEXT_ROUND: list[str] = [
+    # round-6 additions: loopback Kafka wire broker (#5/#327/#328)
+    "q_kafka_roundtrip",
+    "q_kafka_stream_resume",
     "q_udf_grouped_arrow",
     "q_slo_burn_rate",
     "q_benford_screen",
