@@ -25,6 +25,7 @@ from zmaxion_spark.queries import (  # noqa: F401,E402
     stats_q,
     streaming_q,
     sketch_q,
+    tpch2_q,
     subquery_q,
     timeseries_q,
     txlog_q,
@@ -111,9 +112,24 @@ _GRADE_FIRST = [
 # Queries with green driver rows already recorded (CORRECTNESS_r01-r05)
 # keep their registration order behind these.
 _NEXT_ROUND: list[str] = [
-    # round-6 additions: loopback Kafka wire broker (#5/#327/#328)
+    # round-6 additions: loopback Kafka wire broker (#5/#327/#328),
+    # CUPED (#329), TPC-H completion wave
     "q_kafka_roundtrip",
     "q_kafka_stream_resume",
+    "q_cuped_adjustment",
+    "q_ddsketch_quantiles",
+    "q_holt_linear",
+    "q_rm3_expansion",
+    "q04_order_priority",
+    "q07_volume_shipping",
+    "q08_market_share",
+    "q09_product_profit",
+    "q10_returned_items",
+    "q12_ship_lag_priority",
+    "q13_customer_distribution",
+    "q15_top_supplier",
+    "q16_part_supplier_counts",
+    "q20_dominant_suppliers",
     "q_udf_grouped_arrow",
     "q_slo_burn_rate",
     "q_benford_screen",

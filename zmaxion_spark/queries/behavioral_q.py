@@ -1670,3 +1670,152 @@ def q_anyorder_completion(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_within_window",
         "min_spread_us",
     )
+
+
+# ---------------------------------------------------------------------------
+# #329 CUPED variance-reduced experiment readout
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_cuped_adjustment",
+    oracle="""
+        WITH units AS (
+            SELECT o_custkey,
+                   CAST(SUM(CASE WHEN o_orderdate < TIMESTAMP '1998-01-01'
+                                 THEN CAST(o_totalprice AS DECIMAL(38,6))
+                                 ELSE CAST(0 AS DECIMAL(38,6)) END)
+                        AS DOUBLE) / 1000 AS x,
+                   CAST(SUM(CASE WHEN o_orderdate >= TIMESTAMP '1998-01-01'
+                                 THEN CAST(o_totalprice AS DECIMAL(38,6))
+                                 ELSE CAST(0 AS DECIMAL(38,6)) END)
+                        AS DOUBLE) / 1000 AS y,
+                   CAST(CAST(('0x' || SUBSTR(MD5('cuped:'
+                        || CAST(o_custkey AS VARCHAR)), 1, 13)) AS BIGINT)
+                        < 2251799813685248 AS INT) AS treated
+            FROM orders GROUP BY o_custkey
+        ),
+        s AS (
+            SELECT CAST(SUM(treated) AS BIGINT) AS n_t,
+                   CAST(COUNT(*) - SUM(treated) AS BIGINT) AS n_c,
+                   CAST(CAST(AVG(CASE WHEN treated = 1 THEN x END)
+                             AS DECIMAL(38,9)) AS DOUBLE) AS ax_t,
+                   CAST(CAST(AVG(CASE WHEN treated = 0 THEN x END)
+                             AS DECIMAL(38,9)) AS DOUBLE) AS ax_c,
+                   CAST(CAST(AVG(CASE WHEN treated = 1 THEN y END)
+                             AS DECIMAL(38,9)) AS DOUBLE) AS ay_t,
+                   CAST(CAST(AVG(CASE WHEN treated = 0 THEN y END)
+                             AS DECIMAL(38,9)) AS DOUBLE) AS ay_c,
+                   CAST(CAST(COVAR_POP(x, y) AS DECIMAL(38,9)) AS DOUBLE) AS cxy,
+                   CAST(CAST(VAR_POP(x) AS DECIMAL(38,9)) AS DOUBLE) AS vx,
+                   CAST(CAST(VAR_POP(y) AS DECIMAL(38,9)) AS DOUBLE) AS vy
+            FROM units
+        )
+        SELECT n_t AS n_treated, n_c AS n_control,
+               CAST(CAST(cxy / vx AS DECIMAL(38,9)) AS DOUBLE) AS theta,
+               CAST(CAST(ay_t - ay_c AS DECIMAL(38,9)) AS DOUBLE)
+                   AS diff_naive_k,
+               CAST(CAST((ay_t - ay_c)
+                    - CAST(CAST(cxy / vx AS DECIMAL(38,9)) AS DOUBLE)
+                      * (ax_t - ax_c) AS DECIMAL(38,9)) AS DOUBLE)
+                   AS diff_cuped_k,
+               CAST(CAST(1 - (vy - 2 * CAST(CAST(cxy / vx AS DECIMAL(38,9))
+                                            AS DOUBLE) * cxy
+                              + CAST(CAST(cxy / vx AS DECIMAL(38,9))
+                                     AS DOUBLE)
+                                * CAST(CAST(cxy / vx AS DECIMAL(38,9))
+                                       AS DOUBLE) * vx) / vy
+                         AS DECIMAL(38,9)) AS DOUBLE) AS var_reduction
+        FROM s
+    """,
+    operators=(24, 43, 147, 329),
+    doc="CUPED variance reduction (#329), the experimentation-platform "
+    "workhorse beside Welch (#147) and sequential looks (#286): each "
+    "customer's PRE-period spend (orders before 1998-01-01, "
+    "kilo-dollars) is the covariate x, post-period spend the metric "
+    "y, treatment a deterministic md5 coin; theta = cov(x,y)/var(x) "
+    "over all units, the adjusted effect is "
+    "(avg_y_t - avg_y_c) - theta * (avg_x_t - avg_x_c), and "
+    "var_reduction = 1 - var(y - theta x)/var(y) quantifies how much "
+    "experiment runtime the covariate buys back. Parity: per-unit "
+    "x/y derive from exact DECIMAL sums (bit-identical inputs on "
+    "both engines); the co-moment accumulators are each engine's "
+    "native doubles with merge-order ulp drift absorbed by the "
+    "DECIMAL(38,9) quantize chain (the q_regression_stats "
+    "discipline), and every downstream algebra input is quantized "
+    "FIRST so both engines compose identical doubles. Scale: one "
+    "custkey rollup + one single-row co-moment aggregate — "
+    "constant-size state, map-side combined, no window anywhere.",
+)
+def q_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    dec = F.col("o_totalprice").cast("decimal(38,6)")
+    zero = F.lit(0).cast("decimal(38,6)")
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(F.lit("cuped:"), F.col("o_custkey").cast("string"))
+                    .cast("binary")
+                ),
+                1,
+                13,
+            ),
+            16,
+            10,
+        ).cast("long")
+        < F.lit(2251799813685248)
+    ).cast("int")
+    units = o.groupBy("o_custkey").agg(
+        (
+            F.sum(
+                F.when(F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"), dec)
+                .otherwise(zero)
+            ).cast("double")
+            / 1000
+        ).alias("x"),
+        (
+            F.sum(
+                F.when(
+                    F.col("o_orderdate") >= F.lit("1998-01-01").cast("timestamp"), dec
+                ).otherwise(zero)
+            ).cast("double")
+            / 1000
+        ).alias("y"),
+        F.max(u).alias("treated"),
+    )
+
+    def q9(c):
+        return c.cast("decimal(38,9)").cast("double")
+
+    s = units.agg(
+        F.sum("treated").cast("bigint").alias("n_t"),
+        (F.count(F.lit(1)) - F.sum("treated")).cast("bigint").alias("n_c"),
+        q9(F.avg(F.when(F.col("treated") == 1, F.col("x")))).alias("ax_t"),
+        q9(F.avg(F.when(F.col("treated") == 0, F.col("x")))).alias("ax_c"),
+        q9(F.avg(F.when(F.col("treated") == 1, F.col("y")))).alias("ay_t"),
+        q9(F.avg(F.when(F.col("treated") == 0, F.col("y")))).alias("ay_c"),
+        q9(F.covar_pop("x", "y")).alias("cxy"),
+        q9(F.var_pop("x")).alias("vx"),
+        q9(F.var_pop("y")).alias("vy"),
+    )
+    theta = q9(F.col("cxy") / F.col("vx"))
+    return s.select(
+        F.col("n_t").alias("n_treated"),
+        F.col("n_c").alias("n_control"),
+        theta.alias("theta"),
+        q9(F.col("ay_t") - F.col("ay_c")).alias("diff_naive_k"),
+        q9(
+            (F.col("ay_t") - F.col("ay_c"))
+            - theta * (F.col("ax_t") - F.col("ax_c"))
+        ).alias("diff_cuped_k"),
+        q9(
+            1
+            - (
+                F.col("vy")
+                - 2 * theta * F.col("cxy")
+                + theta * theta * F.col("vx")
+            )
+            / F.col("vy")
+        ).alias("var_reduction"),
+    )

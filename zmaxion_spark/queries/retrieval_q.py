@@ -796,3 +796,191 @@ def q_rank_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.lit(1.0) / F.col("first_rel"), F.lit(0.0)), 9
         ).alias("mrr"),
     )
+
+
+# ---------------------------------------------------------------------------
+# #332 RM3 pseudo-relevance-feedback query expansion
+# ---------------------------------------------------------------------------
+
+_RM3_K_DOCS = 10
+_RM3_K_TERMS = 10
+_RM3_LAMBDA = "0.5"  # original-query mix weight (string-decimal literal)
+
+
+@query(
+    "q_rm3_expansion",
+    oracle=f"""
+        WITH tok AS (SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS term
+                     FROM documents),
+        dl AS (SELECT doc_id, LEN(STRING_SPLIT(text, ' ')) AS dl FROM documents),
+        gl AS (SELECT COUNT(*) AS n_docs,
+                      CAST(SUM(CAST(LEN(STRING_SPLIT(text, ' ')) AS DECIMAL(38,6)))
+                           AS DOUBLE) / COUNT(*) AS avgdl
+               FROM documents),
+        tfq AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok
+                WHERE term IN {tuple(_BM25_TERMS)!r} GROUP BY 1, 2),
+        dfq AS (SELECT term, COUNT(*) AS df FROM tfq GROUP BY term),
+        scored AS (
+            SELECT tfq.doc_id,
+                   ROUND(CAST(SUM(CAST(
+                       LN(1 + (n_docs - df + 0.5) / (df + 0.5))
+                       * (tf * ({_BM25_K1} + 1))
+                       / (tf + {_BM25_K1} * (1 - {_BM25_B}
+                          + {_BM25_B} * dl / avgdl))
+                   AS DECIMAL(38,6))) AS DOUBLE), 9) AS bm25
+            FROM tfq
+            JOIN dfq USING (term)
+            JOIN dl ON dl.doc_id = tfq.doc_id
+            CROSS JOIN gl
+            GROUP BY tfq.doc_id
+        ),
+        topd AS (
+            SELECT doc_id, bm25 FROM (
+                SELECT doc_id, bm25,
+                       ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS rn
+                FROM scored
+            ) WHERE rn <= {_RM3_K_DOCS}
+        ),
+        wsum AS (
+            SELECT CAST(SUM(CAST(bm25 AS DECIMAL(38,9))) AS DOUBLE) AS s
+            FROM topd
+        ),
+        rm1 AS (
+            SELECT t.term,
+                   CAST(SUM(CAST(
+                       (CAST(c.n AS DOUBLE) / dl.dl) * (topd.bm25 / wsum.s)
+                   AS DECIMAL(38,18))) AS DOUBLE) AS p_rm1
+            FROM topd
+            JOIN (SELECT doc_id, term, COUNT(*) AS n FROM tok GROUP BY 1, 2) c
+                 ON c.doc_id = topd.doc_id
+            JOIN dl ON dl.doc_id = topd.doc_id
+            JOIN (SELECT DISTINCT term FROM tok) t ON t.term = c.term
+            CROSS JOIN wsum
+            GROUP BY t.term
+        ),
+        mixed AS (
+            SELECT term,
+                   ROUND(CAST(CAST(CAST({_RM3_LAMBDA} AS DOUBLE)
+                         * (CASE WHEN term IN {tuple(_BM25_TERMS)!r}
+                                 THEN CAST(1 AS DOUBLE)
+                                      / {len(_BM25_TERMS)}
+                                 ELSE CAST(0 AS DOUBLE) END)
+                         + (1 - CAST({_RM3_LAMBDA} AS DOUBLE)) * p_rm1
+                         AS DECIMAL(38,18)) AS DOUBLE), 9) AS p_rm3
+            FROM rm1
+        )
+        SELECT term, p_rm3 FROM (
+            SELECT term, p_rm3,
+                   ROW_NUMBER() OVER (ORDER BY p_rm3 DESC, term) AS rn
+            FROM mixed
+        ) WHERE rn <= {_RM3_K_TERMS}
+        ORDER BY rn
+    """,
+    operators=(30, 150, 332),
+    doc="RM3 pseudo-relevance-feedback expansion (#332), the classic "
+    "IR query rewriter over the BM25 machinery (#150): score the "
+    f"corpus for the seed query {_BM25_TERMS!r}, take the top "
+    f"{_RM3_K_DOCS} docs as pseudo-relevant, build the relevance "
+    "model P(t|RM1) = sum_d P(t|d) * w_d with document weights "
+    "w_d = bm25_d / sum(bm25) and P(t|d) = tf/dl, then interpolate "
+    f"with the uniform original-query model at lambda={_RM3_LAMBDA} "
+    f"and emit the top {_RM3_K_TERMS} expansion terms. Parity: "
+    "ROUNDED bm25 scores rank the doc cutoff (both engines rank "
+    "identical 9-decimal values, ties by doc_id); the per-(term,doc) "
+    "contributions are products of exact-integer divisions summed "
+    "through DECIMAL(38,18) (tiny-magnitude discipline); the final "
+    "mix rides ROUND(9) with term tiebreaks. Scale: only top-k docs' "
+    "tokens enter the RM1 rollup (k rows joined against the token "
+    "stream — a broadcast semi-join), the weight sum is a 1-row "
+    "broadcast, and term ranking is a vocabulary-sized top-k.",
+)
+def q_rm3_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    d = _docs(spark, sf_dir)
+    toks = F.split("text", " ")
+    tok = d.select("doc_id", F.explode(toks).alias("term"))
+    dl = d.select("doc_id", F.size(toks).alias("dl"))
+    gl = d.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (
+            F.sum(F.size(toks).cast("decimal(38,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avgdl"),
+    )
+    tfq = (
+        tok.filter(F.col("term").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfq = tfq.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(
+        1
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    denom = F.col("tf") + _BM25_K1 * (
+        1 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl")
+    )
+    per_term = idf * (F.col("tf") * (_BM25_K1 + 1)) / denom
+    scored = (
+        tfq.join(F.broadcast(dfq), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(gl))
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.sum(per_term.cast("decimal(38,6)")).cast("double"), 9
+            ).alias("bm25")
+        )
+    )
+    topd = (
+        scored.withColumn(
+            "rn", F.row_number().over(Window.orderBy(F.desc("bm25"), "doc_id"))
+        )
+        .filter(F.col("rn") <= _RM3_K_DOCS)
+        .select("doc_id", "bm25")
+        .localCheckpoint(eager=True)
+    )
+    wsum = topd.agg(
+        F.sum(F.col("bm25").cast("decimal(38,9)")).cast("double").alias("s")
+    )
+    counts = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("n"))
+    rm1 = (
+        F.broadcast(topd)
+        .join(counts, "doc_id")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(wsum))
+        .groupBy("term")
+        .agg(
+            F.sum(
+                (
+                    (F.col("n").cast("double") / F.col("dl"))
+                    * (F.col("bm25") / F.col("s"))
+                ).cast("decimal(38,18)")
+            )
+            .cast("double")
+            .alias("p_rm1")
+        )
+    )
+    lam = F.lit(float(_RM3_LAMBDA))
+    p_q = F.when(
+        F.col("term").isin(*_BM25_TERMS),
+        F.lit(1.0) / F.lit(len(_BM25_TERMS)),
+    ).otherwise(F.lit(0.0))
+    mixed = rm1.select(
+        "term",
+        F.round(
+            (lam * p_q + (1 - lam) * F.col("p_rm1"))
+            .cast("decimal(38,18)")
+            .cast("double"),
+            9,
+        ).alias("p_rm3"),
+    )
+    return (
+        mixed.withColumn(
+            "rn", F.row_number().over(Window.orderBy(F.desc("p_rm3"), "term"))
+        )
+        .filter(F.col("rn") <= _RM3_K_TERMS)
+        .select("term", "p_rm3")
+        .orderBy(F.desc("p_rm3"), "term")
+    )

@@ -708,3 +708,171 @@ def q_bloom_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("m_bits div 8").alias("bytes"),
         fp.cast("decimal(38,9)").cast("double").alias("actual_fp"),
     )
+
+
+# ---------------------------------------------------------------------------
+# #330 DDSketch: mergeable relative-error quantiles
+# ---------------------------------------------------------------------------
+
+_DD_ALPHA = "0.01"   # string-decimal literal (the #323 discipline)
+_DD_QS = (50, 95, 99)
+_DD_SLACK = "0.0102"  # alpha + integerization headroom
+
+
+@query(
+    "q_ddsketch_quantiles",
+    oracle=f"""
+        WITH g AS (
+            SELECT CAST((1 + {_DD_ALPHA}) / (1 - {_DD_ALPHA}) AS DOUBLE) AS g
+        ),
+        buckets AS (
+            SELECT l_returnflag,
+                   CAST(CEIL(CAST(CAST(LN(l_extendedprice) / LN(g.g)
+                                       AS DECIMAL(38,9)) AS DOUBLE))
+                        AS BIGINT) AS bi,
+                   COUNT(*) AS cnt
+            FROM lineitem CROSS JOIN g
+            WHERE l_extendedprice > 0
+            GROUP BY 1, 2
+        ),
+        cum AS (
+            SELECT l_returnflag, bi,
+                   SUM(cnt) OVER (PARTITION BY l_returnflag ORDER BY bi) AS c
+            FROM buckets
+        ),
+        ntot AS (
+            SELECT l_returnflag, CAST(SUM(cnt) AS BIGINT) AS n
+            FROM buckets GROUP BY 1
+        ),
+        qs AS (SELECT UNNEST([{", ".join(str(q) for q in _DD_QS)}]) AS q),
+        ranks AS (
+            SELECT t.l_returnflag, qs.q, t.n,
+                   CAST(CEIL(qs.q * t.n / CAST(100 AS DOUBLE)) AS BIGINT) AS r
+            FROM ntot t CROSS JOIN qs
+        ),
+        bq AS (
+            SELECT r.l_returnflag, r.q, r.n, r.r,
+                   MIN(CASE WHEN c.c >= r.r THEN c.bi END) AS bi
+            FROM ranks r JOIN cum c ON c.l_returnflag = r.l_returnflag
+            GROUP BY 1, 2, 3, 4
+        ),
+        vcum AS (
+            SELECT l_returnflag, l_extendedprice AS v,
+                   SUM(COUNT(*)) OVER (PARTITION BY l_returnflag
+                                       ORDER BY l_extendedprice) AS c
+            FROM lineitem WHERE l_extendedprice > 0
+            GROUP BY l_returnflag, l_extendedprice
+        ),
+        exactv AS (
+            SELECT r.l_returnflag, r.q,
+                   MIN(CASE WHEN v.c >= r.r THEN v.v END) AS exact_v
+            FROM ranks r JOIN vcum v ON v.l_returnflag = r.l_returnflag
+            GROUP BY 1, 2
+        ),
+        est AS (
+            SELECT b.l_returnflag, b.q, b.n, e.exact_v,
+                   CAST(CAST(2 * EXP(b.bi * LN(g.g)) / (g.g + 1)
+                             AS DECIMAL(38,6)) AS DOUBLE) AS est_v
+            FROM bq b
+            JOIN exactv e ON e.l_returnflag = b.l_returnflag AND e.q = b.q
+            CROSS JOIN g
+        )
+        SELECT l_returnflag, CAST(q AS INT) AS q, n, exact_v,
+               CAST(ABS(est_v - exact_v) / exact_v <= {_DD_SLACK} AS INT)
+                   AS est_within_alpha
+        FROM est
+        ORDER BY l_returnflag, q
+    """,
+    operators=(26, 330),
+    doc="DDSketch relative-error quantiles (#330), the Datadog-paper "
+    "mergeable sketch completing the sketch family (HLL #140, KMV "
+    "#204, CMS #185, approx-rank #26): values land in logarithmic "
+    "buckets i = ceil(ln(x)/ln(gamma)) with gamma = (1+a)/(1-a), "
+    "a=1%, so EVERY quantile estimate 2*gamma^i/(gamma+1) is within "
+    "a relative error of the true rank value — a guarantee uniform "
+    "across the distribution, where percentile_approx's rank-error "
+    "bound is not. Bucket counts add, so the sketch merges across "
+    "executors/days with zero loss (the groupBy IS the merge). "
+    "Graded per (returnflag, p50/p95/p99): exact rank-value "
+    "anchors plus the in-contract flag at alpha+integerization slack "
+    f"{_DD_SLACK}. Parity: the ln-ratio bucket index quantizes "
+    "through DECIMAL(38,9) BEFORE ceil on both engines (absorbing "
+    "libm last-ulp drift); the estimate through DECIMAL(38,6) before "
+    "the comparison. Scale: |buckets| is ~log-gamma of the value "
+    "range (hundreds), so state is tiny and map-side combined; the "
+    "exact anchor's value-histogram is the calibration cost, not the "
+    "production path.",
+)
+def q_ddsketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_extendedprice") > 0
+    )
+    g = float((1 + 0.01) / (1 - 0.01))  # matches the SQL double exactly
+    g_lit = (F.lit(1.0) + F.lit(0.01)) / (F.lit(1.0) - F.lit(0.01))
+    bi = F.ceil(
+        (F.ln("l_extendedprice") / F.ln(g_lit))
+        .cast("decimal(38,9)")
+        .cast("double")
+    ).cast("long")
+    buckets = li.groupBy("l_returnflag", bi.alias("bi")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    wc = Window.partitionBy("l_returnflag").orderBy("bi").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = buckets.select(
+        "l_returnflag", "bi", F.sum("cnt").over(wc).alias("c")
+    )
+    ntot = buckets.groupBy("l_returnflag").agg(
+        F.sum("cnt").cast("bigint").alias("n")
+    )
+    qs = spark.range(1).select(
+        F.explode(F.array(*[F.lit(q) for q in _DD_QS])).alias("q")
+    )
+    ranks = ntot.crossJoin(F.broadcast(qs)).select(
+        "l_returnflag",
+        "q",
+        "n",
+        F.ceil(F.col("q") * F.col("n") / F.lit(100.0)).cast("long").alias("r"),
+    )
+    bq = (
+        ranks.join(cum, "l_returnflag")
+        .groupBy("l_returnflag", "q", "n", "r")
+        .agg(F.min(F.when(F.col("c") >= F.col("r"), F.col("bi"))).alias("bi"))
+    )
+    vcum = (
+        li.groupBy("l_returnflag", F.col("l_extendedprice").alias("v"))
+        .agg(F.count(F.lit(1)).alias("vc"))
+        .select("l_returnflag", "v", F.sum("vc").over(
+            Window.partitionBy("l_returnflag").orderBy("v").rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+        ).alias("c"))
+    )
+    exactv = (
+        ranks.join(vcum, "l_returnflag")
+        .groupBy("l_returnflag", "q")
+        .agg(F.min(F.when(F.col("c") >= F.col("r"), F.col("v"))).alias("exact_v"))
+    )
+    est_v = (
+        (F.lit(2.0) * F.exp(F.col("bi") * F.ln(g_lit)) / (g_lit + F.lit(1.0)))
+        .cast("decimal(38,6)")
+        .cast("double")
+    )
+    est = bq.join(exactv, ["l_returnflag", "q"]).select(
+        "l_returnflag", "q", "n", "exact_v", est_v.alias("est_v")
+    )
+    return est.select(
+        "l_returnflag",
+        F.col("q").cast("int").alias("q"),
+        "n",
+        "exact_v",
+        (
+            F.abs(F.col("est_v") - F.col("exact_v")) / F.col("exact_v")
+            <= F.lit(float(_DD_SLACK))
+        )
+        .cast("int")
+        .alias("est_within_alpha"),
+    ).orderBy("l_returnflag", "q")

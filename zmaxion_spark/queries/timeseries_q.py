@@ -1479,3 +1479,150 @@ def q_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.abs(z) > 1.96).cast("int").alias("trending"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# #331 Holt linear (level+trend) exponential smoothing
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_holt_linear",
+    oracle="""
+        WITH RECURSIVE d AS (
+            SELECT event_type,
+                   DATE_TRUNC('day', CAST(ts AS TIMESTAMP)) AS day
+            FROM events
+        ),
+        a AS (
+            SELECT event_type, day, CAST(COUNT(*) AS DOUBLE) AS y
+            FROM d GROUP BY 1, 2
+        ),
+        b AS (
+            SELECT event_type, MIN(day) AS d0, MAX(day) AS d1
+            FROM d GROUP BY 1
+        ),
+        g AS (
+            SELECT event_type,
+                   UNNEST(GENERATE_SERIES(d0, d1, INTERVAL 1 DAY)) AS day
+            FROM b
+        ),
+        grid AS (
+            SELECT g.event_type,
+                   CAST(DATE_DIFF('day', b.d0, g.day) AS BIGINT) AS t,
+                   COALESCE(a.y, CAST(0 AS DOUBLE)) AS y
+            FROM g JOIN b USING (event_type)
+            LEFT JOIN a USING (event_type, day)
+        ),
+        mt AS (SELECT event_type, MAX(t) AS mt FROM grid GROUP BY 1),
+        hw AS (
+            SELECT event_type, t, y AS l, CAST(0 AS DOUBLE) AS b,
+                   CAST(0 AS DOUBLE) AS sse
+            FROM grid WHERE t = 0
+            UNION ALL
+            SELECT h.event_type, h.t + 1,
+                   CAST(0.3 AS DOUBLE) * g.y
+                       + CAST(0.7 AS DOUBLE) * (h.l + h.b),
+                   CAST(0.1 AS DOUBLE)
+                       * (CAST(0.3 AS DOUBLE) * g.y
+                          + CAST(0.7 AS DOUBLE) * (h.l + h.b) - h.l)
+                       + CAST(0.9 AS DOUBLE) * h.b,
+                   h.sse + (g.y - (h.l + h.b)) * (g.y - (h.l + h.b))
+            FROM hw h
+            JOIN grid g ON g.event_type = h.event_type AND g.t = h.t + 1
+        )
+        SELECT h.event_type,
+               CAST(m.mt + 1 AS BIGINT) AS n_days,
+               CAST(CAST(h.l AS DECIMAL(38,9)) AS DOUBLE) AS level,
+               CAST(CAST(h.b AS DECIMAL(38,9)) AS DOUBLE) AS trend,
+               CAST(CAST(h.l + CAST(7 AS DOUBLE) * h.b AS DECIMAL(38,9))
+                    AS DOUBLE) AS forecast_7d,
+               CAST(CAST(h.sse AS DECIMAL(38,6)) AS DOUBLE) AS sse
+        FROM hw h JOIN mt m ON m.event_type = h.event_type AND h.t = m.mt
+        ORDER BY h.event_type
+    """,
+    operators=(44, 87, 331),
+    doc="Holt linear exponential smoothing (#331): per event_type, the "
+    "level+trend recursion l_t = a*y_t + (1-a)(l+b), "
+    "b_t = beta*(l_t - l) + (1-beta)*b over the zero-filled daily "
+    "grid (a=0.3, beta=0.1, l_0=y_0, b_0=0), emitting final state, "
+    "the 7-day-ahead forecast l + 7b, and the one-step-ahead SSE — "
+    "the adaptive-forecast companion to the seasonal-naive backtest "
+    "(#238) and MA decomposition (#275). The recursion is inherently "
+    "sequential IN TIME but the series are independent: Spark folds "
+    "each key's ordered value array in ONE aggregate() pass (state "
+    "struct (l, b, sse), pure-double left fold — bit-identical to "
+    "DuckDB's recursive-CTE unroll because both walk t ascending "
+    "with the same IEEE expression tree; the #273 kmeans fold "
+    "discipline). Scale: series count parallelizes across executors; "
+    "per-series state is 3 doubles; the array length is the TIME "
+    "span (fixture: 30 days), not the row count — the daily rollup "
+    "shrinks data before any collect_list.",
+)
+def q_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events").select(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    )
+    agg = e.groupBy("event_type", "day").agg(
+        F.count(F.lit(1)).cast("double").alias("y")
+    )
+    bounds = e.groupBy("event_type").agg(
+        F.min("day").alias("h0"), F.max("day").alias("h1")
+    )
+    filled = TS.gapfill(
+        agg, bounds, "event_type", "day", "1 day", fills={"y": F.lit(0.0)}
+    )
+    grid = filled.join(bounds, "event_type").select(
+        "event_type",
+        F.datediff("day", "h0").cast("long").alias("t"),
+        "y",
+    )
+    series = grid.groupBy("event_type").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("t", "y"))), lambda s: s["y"]
+        ).alias("ys")
+    )
+    a, one_a, bt, one_bt = (
+        F.lit(0.3),
+        F.lit(0.7),
+        F.lit(0.1),
+        F.lit(0.9),
+    )
+
+    def step(acc, y):
+        newl = a * y + one_a * (acc["l"] + acc["b"])
+        return F.struct(
+            newl.alias("l"),
+            (bt * (newl - acc["l"]) + one_bt * acc["b"]).alias("b"),
+            (
+                acc["sse"]
+                + (y - (acc["l"] + acc["b"])) * (y - (acc["l"] + acc["b"]))
+            ).alias("sse"),
+        )
+
+    init = F.struct(
+        F.element_at("ys", 1).alias("l"),
+        F.lit(0.0).alias("b"),
+        F.lit(0.0).alias("sse"),
+    )
+    folded = series.select(
+        "event_type",
+        F.size("ys").cast("bigint").alias("n_days"),
+        F.aggregate(
+            F.slice("ys", 2, F.greatest(F.size("ys") - 1, F.lit(0))),
+            init,
+            step,
+        ).alias("st"),
+    )
+
+    def q9(c):
+        return c.cast("decimal(38,9)").cast("double")
+
+    return folded.select(
+        "event_type",
+        "n_days",
+        q9(F.col("st.l")).alias("level"),
+        q9(F.col("st.b")).alias("trend"),
+        q9(F.col("st.l") + F.lit(7.0) * F.col("st.b")).alias("forecast_7d"),
+        F.col("st.sse").cast("decimal(38,6)").cast("double").alias("sse"),
+    ).orderBy("event_type")
