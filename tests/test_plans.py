@@ -691,3 +691,38 @@ def test_entity_grain_ranks_are_bucket_decomposed(spark):
             if c not in census_cols
         ]
         assert not bad, f"{name}: unpartitioned window over {bad}"
+
+
+def test_tpch_wave_broadcasts_dimensions(spark):
+    """Round-6 TPC-H wave: every star join must broadcast its dimension
+    side(s) — nation/region/supplier/part are dim-scale at 100 TB and
+    a shuffle join against them is a plan bug."""
+    for name in (
+        "q07_volume_shipping",
+        "q08_market_share",
+        "q09_product_profit",
+        "q10_returned_items",
+    ):
+        plan = _plan(REGISTRY[name].fn(spark, SF_SMOKE))
+        assert "BroadcastHashJoin" in plan, name
+        assert "CartesianProduct" not in plan, name
+
+
+def test_q10_topk_avoids_global_sort(spark):
+    """Q10's top-20 must plan TakeOrderedAndProject (per-partition
+    heaps), not a full Sort of every customer."""
+    plan = _plan(REGISTRY["q10_returned_items"].fn(spark, SF_SMOKE))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q15_max_gate_is_broadcast(spark):
+    """Q15's scalar-MAX gate must ride a broadcast 1-row join, not a
+    driver collect or a shuffled join."""
+    plan = _plan(REGISTRY["q15_top_supplier"].fn(spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_q16_exclusion_is_anti_join(spark):
+    """Q16's NOT IN must plan as a broadcast LeftAnti join."""
+    plan = _plan(REGISTRY["q16_part_supplier_counts"].fn(spark, SF_SMOKE))
+    assert "LeftAnti" in plan
