@@ -120,6 +120,10 @@ _NEXT_ROUND: list[str] = [
     "q_ddsketch_quantiles",
     "q_holt_linear",
     "q_rm3_expansion",
+    "q_decile_lift",
+    "q_brier_decomposition",
+    "q_wasserstein_drift",
+    "q_fellegi_sunter",
     "q04_order_priority",
     "q07_volume_shipping",
     "q08_market_share",

@@ -933,3 +933,187 @@ def q_er_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("recall_"),
     )
+
+
+# ---------------------------------------------------------------------------
+# #336 Fellegi–Sunter probabilistic record-linkage weights
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_fellegi_sunter",
+    oracle="""
+        WITH recs AS (
+            SELECT c_custkey * 10 AS rid, c_name AS name,
+                   c_nationkey AS nat, c_custkey AS digits
+            FROM customer
+            UNION ALL
+            SELECT c_custkey * 10 + 1, 'Customer #' || CAST(c_custkey AS VARCHAR),
+                   c_nationkey, c_custkey
+            FROM customer WHERE c_custkey % 5 = 0
+            UNION ALL
+            SELECT c_custkey * 10 + 2, 'CUSTOMER #' || CAST(c_custkey AS VARCHAR),
+                   c_nationkey, c_custkey
+            FROM customer WHERE c_custkey % 10 = 0
+        ),
+        pairs AS (
+            SELECT CAST(LEVENSHTEIN(a.name, b.name) <= 2 AS INT) AS f_name,
+                   CAST(ABS(LENGTH(a.name) - LENGTH(b.name)) <= 1 AS INT)
+                       AS f_len,
+                   CAST(SUBSTR(a.name, 1, 1) = SUBSTR(b.name, 1, 1) AS INT)
+                       AS f_first,
+                   CAST(a.digits = b.digits AS INT) AS is_match
+            FROM recs a JOIN recs b
+              ON a.nat = b.nat AND a.digits % 97 = b.digits % 97
+                 AND a.rid < b.rid
+        ),
+        mu AS (
+            SELECT
+                CAST(SUM(is_match) AS BIGINT) AS nm,
+                CAST(SUM(1 - is_match) AS BIGINT) AS nu,
+                CAST(SUM(CASE WHEN is_match = 1 THEN f_name END) AS BIGINT) AS m1,
+                CAST(SUM(CASE WHEN is_match = 0 THEN f_name END) AS BIGINT) AS u1,
+                CAST(SUM(CASE WHEN is_match = 1 THEN f_len END) AS BIGINT) AS m2,
+                CAST(SUM(CASE WHEN is_match = 0 THEN f_len END) AS BIGINT) AS u2,
+                CAST(SUM(CASE WHEN is_match = 1 THEN f_first END) AS BIGINT) AS m3,
+                CAST(SUM(CASE WHEN is_match = 0 THEN f_first END) AS BIGINT) AS u3
+            FROM pairs
+        ),
+        w AS (
+            SELECT *,
+                   (m1 + 0.5) / (nm + 1.0) AS pm1, (u1 + 0.5) / (nu + 1.0) AS pu1,
+                   (m2 + 0.5) / (nm + 1.0) AS pm2, (u2 + 0.5) / (nu + 1.0) AS pu2,
+                   (m3 + 0.5) / (nm + 1.0) AS pm3, (u3 + 0.5) / (nu + 1.0) AS pu3
+            FROM mu
+        )
+        SELECT p.f_name, p.f_len, p.f_first,
+               CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               CAST(SUM(p.is_match) AS BIGINT) AS n_true_matches,
+               ROUND((CASE WHEN p.f_name = 1 THEN LN(pm1 / pu1)
+                           ELSE LN((1 - pm1) / (1 - pu1)) END)
+                   + (CASE WHEN p.f_len = 1 THEN LN(pm2 / pu2)
+                           ELSE LN((1 - pm2) / (1 - pu2)) END)
+                   + (CASE WHEN p.f_first = 1 THEN LN(pm3 / pu3)
+                           ELSE LN((1 - pm3) / (1 - pu3)) END), 9)
+                   AS fs_weight
+        FROM pairs p CROSS JOIN w
+        GROUP BY p.f_name, p.f_len, p.f_first, pm1, pu1, pm2, pu2, pm3, pu3
+        ORDER BY p.f_name, p.f_len, p.f_first
+    """,
+    operators=(93, 228, 336),
+    doc="Fellegi-Sunter probabilistic record linkage (#336), the "
+    "statistical foundation under the rule-based ER matcher (#228) "
+    "and its threshold sweep (#324): candidate pairs from a "
+    "deliberately coarse block (nation, digits mod 97) compare three "
+    "fields (name Levenshtein <= 2, length gap <= 1, first-char "
+    "equality); m_k = P(agree|match) and u_k = P(agree|non-match) "
+    "estimate from the PLANTED truth (variants share their base's "
+    "digits) with add-half smoothing, and every agreement PATTERN "
+    "gets its log-likelihood match weight sum(ln(m/u) or "
+    "ln((1-m)/(1-u))) — the number a production linker thresholds "
+    "on. Graded per pattern with pair and true-match counts "
+    "anchored. Parity: m/u are exact-integer ratios (smoothed by "
+    "half), the LN sum rides ROUND(9). Scale: the quadratic compare "
+    "runs only inside blocks; the m/u table is ONE 1-row aggregate "
+    "broadcast back; patterns aggregate to at most 2^3 rows.",
+)
+def q_fellegi_sunter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    base = c.select(
+        (F.col("c_custkey") * 10).alias("rid"),
+        F.col("c_name").alias("name"),
+        F.col("c_nationkey").alias("nat"),
+        F.col("c_custkey").alias("digits"),
+    )
+    v1 = c.filter(F.col("c_custkey") % 5 == 0).select(
+        (F.col("c_custkey") * 10 + 1).alias("rid"),
+        F.concat(F.lit("Customer #"), F.col("c_custkey").cast("string")).alias(
+            "name"
+        ),
+        F.col("c_nationkey").alias("nat"),
+        F.col("c_custkey").alias("digits"),
+    )
+    v2 = c.filter(F.col("c_custkey") % 10 == 0).select(
+        (F.col("c_custkey") * 10 + 2).alias("rid"),
+        F.concat(F.lit("CUSTOMER #"), F.col("c_custkey").cast("string")).alias(
+            "name"
+        ),
+        F.col("c_nationkey").alias("nat"),
+        F.col("c_custkey").alias("digits"),
+    )
+    recs = base.unionByName(v1).unionByName(v2).withColumn(
+        "blk", F.col("digits") % 97
+    )
+    a = recs.select(
+        F.col("rid").alias("ra"), F.col("name").alias("na"),
+        F.col("digits").alias("da"), "nat", "blk",
+    )
+    b = recs.select(
+        F.col("rid").alias("rb"), F.col("name").alias("nb"),
+        F.col("digits").alias("db"), "nat", "blk",
+    )
+    pairs = (
+        a.join(b, ["nat", "blk"])
+        .filter(F.col("ra") < F.col("rb"))
+        .select(
+            (F.levenshtein("na", "nb") <= 2).cast("int").alias("f_name"),
+            (
+                F.abs(F.length("na") - F.length("nb")) <= 1
+            ).cast("int").alias("f_len"),
+            (
+                F.substring("na", 1, 1) == F.substring("nb", 1, 1)
+            ).cast("int").alias("f_first"),
+            (F.col("da") == F.col("db")).cast("int").alias("is_match"),
+        )
+        .localCheckpoint(eager=True)  # two consumers: mu census + patterns
+    )
+    mu = pairs.agg(
+        F.sum("is_match").cast("bigint").alias("nm"),
+        F.sum(1 - F.col("is_match")).cast("bigint").alias("nu"),
+        *[
+            F.sum(F.when(F.col("is_match") == m, F.col(f)))
+            .cast("bigint")
+            .alias(n)
+            for f, m, n in [
+                ("f_name", 1, "m1"), ("f_name", 0, "u1"),
+                ("f_len", 1, "m2"), ("f_len", 0, "u2"),
+                ("f_first", 1, "m3"), ("f_first", 0, "u3"),
+            ]
+        ],
+    )
+
+    def p(cnt, tot):
+        return (F.col(cnt) + F.lit(0.5)) / (F.col(tot) + F.lit(1.0))
+
+    w = mu.select(
+        p("m1", "nm").alias("pm1"), p("u1", "nu").alias("pu1"),
+        p("m2", "nm").alias("pm2"), p("u2", "nu").alias("pu2"),
+        p("m3", "nm").alias("pm3"), p("u3", "nu").alias("pu3"),
+    )
+
+    def wt(flag, pm, pu):
+        return F.when(
+            F.col(flag) == 1, F.log(F.col(pm) / F.col(pu))
+        ).otherwise(F.log((1 - F.col(pm)) / (1 - F.col(pu))))
+
+    return (
+        pairs.crossJoin(F.broadcast(w))
+        .groupBy(
+            "f_name", "f_len", "f_first",
+            "pm1", "pu1", "pm2", "pu2", "pm3", "pu3",
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.sum("is_match").cast("bigint").alias("n_true_matches"),
+        )
+        .select(
+            "f_name", "f_len", "f_first", "n_pairs", "n_true_matches",
+            F.round(
+                wt("f_name", "pm1", "pu1")
+                + wt("f_len", "pm2", "pu2")
+                + wt("f_first", "pm3", "pu3"),
+                9,
+            ).alias("fs_weight"),
+        )
+        .orderBy("f_name", "f_len", "f_first")
+    )

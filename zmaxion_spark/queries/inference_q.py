@@ -1929,3 +1929,138 @@ def q_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
             "eta_sq"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# #335 Wasserstein-1 (earth mover's) drift distance
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_wasserstein_drift",
+    oracle="""
+        WITH span AS (
+            SELECT (MIN(EPOCH_US(CAST(ts AS TIMESTAMP)))
+                    + MAX(EPOCH_US(CAST(ts AS TIMESTAMP)))) // 2 AS mid
+            FROM events
+        ),
+        pts AS (
+            SELECT event_type,
+                   CAST(ROUND(value * 100) AS BIGINT) AS cents,
+                   CASE WHEN EPOCH_US(CAST(ts AS TIMESTAMP)) <= span.mid
+                        THEN 1 ELSE 0 END AS in_a
+            FROM events, span
+        ),
+        cells AS (
+            SELECT event_type, cents,
+                   CAST(SUM(in_a) AS BIGINT) AS ca,
+                   CAST(SUM(1 - in_a) AS BIGINT) AS cb
+            FROM pts GROUP BY 1, 2
+        ),
+        cdf AS (
+            SELECT event_type, cents,
+                   SUM(ca) OVER (PARTITION BY event_type ORDER BY cents)
+                       AS cum_a,
+                   SUM(cb) OVER (PARTITION BY event_type ORDER BY cents)
+                       AS cum_b,
+                   LEAD(cents) OVER (PARTITION BY event_type ORDER BY cents)
+                       AS next_cents,
+                   SUM(ca) OVER (PARTITION BY event_type) AS n_a,
+                   SUM(cb) OVER (PARTITION BY event_type) AS n_b
+            FROM cells
+        ),
+        terms AS (
+            SELECT event_type, CAST(n_a AS BIGINT) AS n_a,
+                   CAST(n_b AS BIGINT) AS n_b,
+                   CAST(ABS(CAST(cum_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+                            - CAST(cum_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+                        * (CAST(next_cents - cents AS DOUBLE)
+                           / CAST(100 AS DOUBLE))
+                        AS DECIMAL(38,18)) AS t
+            FROM cdf WHERE next_cents IS NOT NULL
+        )
+        SELECT event_type, n_a, n_b,
+               CAST(CAST(CAST(SUM(t) AS DOUBLE) AS DECIMAL(38,9)) AS DOUBLE)
+                   AS w1
+        FROM terms
+        GROUP BY event_type, n_a, n_b
+        ORDER BY event_type
+    """,
+    operators=(31, 43, 272, 335),
+    doc="Wasserstein-1 (earth mover's) drift distance (#335): per "
+    "event type, W1 = integral of |ECDF_a - ECDF_b| over the value "
+    "axis between the first and second half of the time span — the "
+    "MAGNITUDE companion to KS (#272): KS says whether distributions "
+    "differ, W1 says by how much in the metric's own units (here "
+    "dollars), which is what alerting thresholds want. Computed "
+    "exactly on the tie-collapsed cell grid: each consecutive "
+    "distinct-value gap contributes |gap in ECDF| * (value step), "
+    "both factors from exact integers, terms summed through "
+    "DECIMAL(38,18) and the result quantized at 1e-9. Scale: "
+    "identical shape to the KS query — map-side tie collapse, "
+    "windows partitioned by series, shuffle carries cells not rows.",
+)
+def q_wasserstein_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = _t(spark, sf_dir, "events")
+    span = ev.agg(
+        (
+            (F.min(F.unix_micros("ts")) + F.max(F.unix_micros("ts")))
+            / F.lit(2)
+        )
+        .cast("long")
+        .alias("mid")
+    )
+    pts = ev.crossJoin(F.broadcast(span)).select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+        F.when(F.unix_micros("ts") <= F.col("mid"), 1).otherwise(0).alias("in_a"),
+    )
+    cells = pts.groupBy("event_type", "cents").agg(
+        F.sum("in_a").cast("bigint").alias("ca"),
+        F.sum(1 - F.col("in_a")).cast("bigint").alias("cb"),
+    )
+    wc = Window.partitionBy("event_type").orderBy("cents")
+    wall = Window.partitionBy("event_type")
+    cdf = cells.select(
+        "event_type",
+        "cents",
+        F.sum("ca").over(wc.rowsBetween(Window.unboundedPreceding, 0)).alias(
+            "cum_a"
+        ),
+        F.sum("cb").over(wc.rowsBetween(Window.unboundedPreceding, 0)).alias(
+            "cum_b"
+        ),
+        F.lead("cents").over(wc).alias("next_cents"),
+        F.sum("ca").over(wall).alias("n_a"),
+        F.sum("cb").over(wall).alias("n_b"),
+    )
+    term = (
+        F.abs(
+            F.col("cum_a").cast("double") / F.col("n_a").cast("double")
+            - F.col("cum_b").cast("double") / F.col("n_b").cast("double")
+        )
+        * (
+            (F.col("next_cents") - F.col("cents")).cast("double")
+            / F.lit(100.0)
+        )
+    ).cast("decimal(38,18)")
+    return (
+        cdf.filter(F.col("next_cents").isNotNull())
+        .select(
+            "event_type",
+            F.col("n_a").cast("bigint").alias("n_a"),
+            F.col("n_b").cast("bigint").alias("n_b"),
+            term.alias("t"),
+        )
+        .groupBy("event_type", "n_a", "n_b")
+        .agg(
+            F.sum("t")
+            .cast("double")
+            .cast("decimal(38,9)")
+            .cast("double")
+            .alias("w1")
+        )
+        .orderBy("event_type")
+    )

@@ -1577,3 +1577,238 @@ def q_f1_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         rec.cast("decimal(38,9)").cast("double").alias("recall_"),
         f1.cast("decimal(38,9)").cast("double").alias("f1"),
     )
+
+
+# ---------------------------------------------------------------------------
+# #333 decile lift / gains table  +  #334 Brier decomposition
+# ---------------------------------------------------------------------------
+
+_SCORED_SQL = """
+            SELECT d.doc_id,
+                   CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y,
+                   q.quality_score AS s
+            FROM documents d
+            JOIN (
+                SELECT doc_id,
+                       ROUND(1 / (1 + EXP(-(z))), 9) AS quality_score
+                FROM (
+                    SELECT doc_id, 0.160745 + 0.904206 * (LN(1 + LENGTH(text)) - 5.5)
+                           + 0.461865 * (CAST(LENGTH(text) AS DOUBLE)
+                                     / LEN(STRING_SPLIT(text, ' ')) - 6.0)
+                           + 0.160662 * (CAST(LENGTH(text)
+                                          - LENGTH(REPLACE(text, ' ', ''))
+                                          AS DOUBLE) / LENGTH(text) - 0.16) AS z
+                    FROM documents WHERE LENGTH(text) > 0
+                )
+            ) q ON q.doc_id = d.doc_id
+"""
+
+
+def _scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return q_quality_classifier(spark, sf_dir).join(
+        d.select(
+            "doc_id", F.when(F.col("lang") == "en", 1).otherwise(0).alias("y")
+        ),
+        "doc_id",
+    ).select("doc_id", "y", F.col("quality_score").alias("s"))
+
+
+@query(
+    "q_decile_lift",
+    oracle=f"""
+        WITH scored AS ({_SCORED_SQL}),
+        ranked AS (
+            SELECT y, NTILE(10) OVER (ORDER BY s DESC, doc_id) AS decile
+            FROM scored
+        ),
+        tot AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_tot,
+                   CAST(SUM(y) AS BIGINT) AS pos_tot
+            FROM scored
+        ),
+        per AS (
+            SELECT decile, CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(y) AS BIGINT) AS n_pos
+            FROM ranked GROUP BY decile
+        ),
+        cum AS (
+            SELECT decile, n, n_pos,
+                   SUM(n_pos) OVER (ORDER BY decile) AS cum_pos
+            FROM per
+        )
+        SELECT CAST(decile AS INT) AS decile, n, n_pos,
+               ROUND(CAST(n_pos AS DOUBLE) / pos_tot, 9) AS capture,
+               ROUND((CAST(n_pos AS DOUBLE) / n)
+                     / (CAST(pos_tot AS DOUBLE) / n_tot), 9) AS lift,
+               ROUND(CAST(cum_pos AS DOUBLE) / pos_tot, 9) AS cum_capture
+        FROM cum CROSS JOIN tot
+        ORDER BY decile
+    """,
+    operators=(30, 226, 333),
+    doc="Decile lift / gains table (#333), the campaign-targeting eval "
+    "beside AUC (#226) and ROC (#235): documents ranked by classifier "
+    "score split into 10 equal deciles (decile 1 = highest scores), "
+    "each reporting capture rate, lift over base rate, and cumulative "
+    "gains — the table that decides how deep to mail. The decile "
+    "assignment reuses the round-6 bucket-decomposed rank machinery "
+    "(functions/ranks.py): scores bucket by floor((1-s)*4096) — "
+    "monotone in the DESCENDING sort order — so NTILE comes from an "
+    "exact distributed row number + closed-form tile algebra, no "
+    "single-partition window. All rates are exact-integer ratios "
+    "under ROUND(9).",
+)
+def q_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from zmaxion_spark.functions.ranks import bucketed_row_number, ntile_from_rn
+
+    scored = _scored(spark, sf_dir).withColumn(
+        "_bkt", F.floor((F.lit(1.0) - F.col("s")) * 4096).cast("long")
+    )
+    tot = scored.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tot"),
+        F.sum("y").cast("bigint").alias("pos_tot"),
+    )
+    ranked = bucketed_row_number(
+        scored, "_bkt", [F.desc("s"), "doc_id"], out="rn"
+    ).crossJoin(F.broadcast(tot))
+    per = (
+        ranked.select(
+            ntile_from_rn("rn", "n_tot", 10).alias("decile"), "y", "n_tot", "pos_tot"
+        )
+        .groupBy("decile", "n_tot", "pos_tot")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("y").cast("bigint").alias("n_pos"),
+        )
+    )
+    wc = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        per.withColumn("cum_pos", F.sum("n_pos").over(wc))
+        .select(
+            F.col("decile").cast("int").alias("decile"),
+            "n",
+            "n_pos",
+            F.round(F.col("n_pos").cast("double") / F.col("pos_tot"), 9).alias(
+                "capture"
+            ),
+            F.round(
+                (F.col("n_pos").cast("double") / F.col("n"))
+                / (F.col("pos_tot").cast("double") / F.col("n_tot")),
+                9,
+            ).alias("lift"),
+            F.round(F.col("cum_pos").cast("double") / F.col("pos_tot"), 9).alias(
+                "cum_capture"
+            ),
+        )
+        .orderBy("decile")
+    )
+
+
+@query(
+    "q_brier_decomposition",
+    oracle=f"""
+        WITH scored AS ({_SCORED_SQL}),
+        terms AS (
+            SELECT y, s, LEAST(CAST(FLOOR(s * 10) AS BIGINT), 9) AS bin,
+                   CAST((s - y) * (s - y) AS DECIMAL(38,18)) AS sq
+            FROM scored
+        ),
+        g AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(sq) AS DOUBLE) AS sq_sum,
+                   CAST(SUM(y) AS BIGINT) AS pos
+            FROM terms
+        ),
+        bins AS (
+            SELECT bin, COUNT(*) AS nk, SUM(y) AS posk,
+                   CAST(SUM(CAST(s AS DECIMAL(38,9))) AS DOUBLE) AS s_sum
+            FROM terms GROUP BY bin
+        ),
+        parts AS (
+            SELECT b.bin, b.nk,
+                   CAST(b.nk * (CAST(b.posk AS DOUBLE) / b.nk
+                                - b.s_sum / b.nk)
+                        * (CAST(b.posk AS DOUBLE) / b.nk - b.s_sum / b.nk)
+                        AS DECIMAL(38,18)) AS rel_t,
+                   CAST(b.nk * (CAST(b.posk AS DOUBLE) / b.nk
+                                - CAST(g.pos AS DOUBLE) / g.n)
+                        * (CAST(b.posk AS DOUBLE) / b.nk
+                           - CAST(g.pos AS DOUBLE) / g.n)
+                        AS DECIMAL(38,18)) AS res_t
+            FROM bins b CROSS JOIN g
+        )
+        SELECT g.n,
+               ROUND(g.sq_sum / g.n, 9) AS brier,
+               ROUND(CAST(SUM(p.rel_t) AS DOUBLE) / g.n, 9) AS reliability,
+               ROUND(CAST(SUM(p.res_t) AS DOUBLE) / g.n, 9) AS resolution,
+               ROUND((CAST(g.pos AS DOUBLE) / g.n)
+                     * (1 - CAST(g.pos AS DOUBLE) / g.n), 9) AS uncertainty
+        FROM parts p CROSS JOIN g
+        GROUP BY g.n, g.sq_sum, g.pos
+    """,
+    operators=(24, 227, 334),
+    doc="Brier score + Murphy decomposition (#334), completing the "
+    "calibration family (ECE #227, reliability bins): mean squared "
+    "forecast error split into RELIABILITY (bin-mean forecast vs "
+    "bin outcome rate — miscalibration), RESOLUTION (bin outcome "
+    "spread vs base rate — discrimination), and UNCERTAINTY "
+    "(base-rate variance), over 10 fixed score bins. Parity: squared "
+    "terms are doubles of identical operands summed through "
+    "DECIMAL(38,18) (order-independent); per-bin means derive from "
+    "exact integer counts and DECIMAL(38,9) score sums; the <=10 "
+    "bin partials also sum as decimals. Scale: one scan to bin "
+    "cells, constant-size state everywhere — the whole decomposition "
+    "shuffles 10 rows.",
+)
+def q_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    scored = _scored(spark, sf_dir)
+    terms = scored.select(
+        "y",
+        "s",
+        F.least(F.floor(F.col("s") * 10).cast("long"), F.lit(9)).alias("bin"),
+        ((F.col("s") - F.col("y")) * (F.col("s") - F.col("y")))
+        .cast("decimal(38,18)")
+        .alias("sq"),
+    )
+    g = terms.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("sq").cast("double").alias("sq_sum"),
+        F.sum("y").cast("bigint").alias("pos"),
+    )
+    bins = terms.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("nk"),
+        F.sum("y").alias("posk"),
+        F.sum(F.col("s").cast("decimal(38,9)")).cast("double").alias("s_sum"),
+    )
+    yk = F.col("posk").cast("double") / F.col("nk")
+    sk = F.col("s_sum") / F.col("nk")
+    ybar = F.col("pos").cast("double") / F.col("n")
+    parts = bins.crossJoin(F.broadcast(g)).select(
+        "n",
+        "sq_sum",
+        "pos",
+        (F.col("nk") * (yk - sk) * (yk - sk)).cast("decimal(38,18)").alias(
+            "rel_t"
+        ),
+        (F.col("nk") * (yk - ybar) * (yk - ybar))
+        .cast("decimal(38,18)")
+        .alias("res_t"),
+    )
+    return parts.groupBy("n", "sq_sum", "pos").agg(
+        F.sum("rel_t").cast("double").alias("_rel"),
+        F.sum("res_t").cast("double").alias("_res"),
+    ).select(
+        "n",
+        F.round(F.col("sq_sum") / F.col("n"), 9).alias("brier"),
+        F.round(F.col("_rel") / F.col("n"), 9).alias("reliability"),
+        F.round(F.col("_res") / F.col("n"), 9).alias("resolution"),
+        F.round(
+            (F.col("pos").cast("double") / F.col("n"))
+            * (1 - F.col("pos").cast("double") / F.col("n")),
+            9,
+        ).alias("uncertainty"),
+    )
