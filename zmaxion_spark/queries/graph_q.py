@@ -40,6 +40,39 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
 
+def _copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered co-purchase part pairs (u < v) with support counts.
+
+    One groupBy(l_orderkey) + sorted-basket pair expansion replaces
+    the previous DISTINCT + per-order self-join: collect_set subsumes
+    the distinct (one shuffle instead of three), and pair generation
+    is whole-stage-codegen fan-out bounded by basket size — the
+    self-join's build-side hash table over the full (order, part)
+    incidence was the sf100 memory-pressure site (SCALE.md round-5
+    smoke: GC-locker retries at 600M lineitem). Output is identical:
+    each order contributes each unordered part pair once, oriented
+    u < v by the sorted basket array.
+    """
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("ps"))
+        .select(F.posexplode("ps").alias("i", "u"), F.col("ps"))
+        .select("u", F.explode(F.expr("slice(ps, i + 2, size(ps))")).alias("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-purchase edges: part pairs co-ordered >= 2 times."""
+    return (
+        _copurchase_pairs(spark, sf_dir)
+        .filter(F.col("c") >= 2)
+        .select("u", "v")
+    )
+
+
 # ---------------------------------------------------------------------------
 # #152 triangle_count — co-purchase graph cohesion
 # ---------------------------------------------------------------------------
@@ -84,21 +117,7 @@ _SQL_COPURCHASE_EDGES = """
     "low-fan-out side of the wedge join.",
 )
 def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    items = (
-        _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
-    )
-    a, b = items.alias("a"), items.alias("b")
-    e = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
-        .agg(F.count(F.lit(1)).alias("c"))
-        .filter(F.col("c") >= 2)
-        .select("u", "v")
-    )
+    e = _copurchase_edges(spark, sf_dir)
     deg = (
         e.select(F.col("u").alias("node"))
         .unionAll(e.select(F.col("v").alias("node")))
@@ -595,22 +614,7 @@ def _kcore_sql() -> str:
     bench=False,
 )
 def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = _t(spark, sf_dir, "lineitem")
-    items = li.select("l_orderkey", "l_partkey").distinct()
-    a = items.alias("a")
-    b = items.alias("b")
-    pr = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
-        )
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
-    edges = pr.filter(F.col("c") >= 2).select("u", "v").localCheckpoint(eager=True)
+    edges = _copurchase_edges(spark, sf_dir).localCheckpoint(eager=True)
 
     censuses = []
     prev_edge_count = edges.count()
@@ -714,24 +718,9 @@ _LP_TOPK = 20
 def q_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
-    items = (
-        _t(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
-    a, b = items.alias("a"), items.alias("b")
-    e = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
-        .agg(F.count(F.lit(1)).alias("c"))
-        .filter(F.col("c") >= 2)
-        .select("u", "v")
-        .localCheckpoint(eager=True)  # adjacency, wedges, and anti-join reuse it
-    )
+    e = _copurchase_edges(spark, sf_dir).localCheckpoint(
+        eager=True
+    )  # adjacency, wedges, and anti-join reuse it
     adj = e.select(F.col("u").alias("node"), F.col("v").alias("nb")).unionAll(
         e.select(F.col("v").alias("node"), F.col("u").alias("nb"))
     )
@@ -837,23 +826,7 @@ def q_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench=False,
 )
 def q_modularity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    items = (
-        _t(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
-    a, b = items.alias("a"), items.alias("b")
-    e = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
-        .agg(F.count(F.lit(1)).alias("c"))
-        .filter(F.col("c") >= 2)
-        .select("u", "v")
-    )
+    e = _copurchase_edges(spark, sf_dir)
     lbl = _t(spark, sf_dir, "part").select(
         F.col("p_partkey").alias("node"), F.col("p_brand").alias("com")
     )
@@ -949,23 +922,9 @@ def q_modularity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench=False,
 )
 def q_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    items = (
-        _t(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
-    a, b = items.alias("a"), items.alias("b")
-    e = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
-        .agg(F.count(F.lit(1)).alias("c"))
-        .filter(F.col("c") >= 2)
-        .select("u", "v")
-    )
+    e = _copurchase_edges(spark, sf_dir).localCheckpoint(
+        eager=True
+    )  # three consumers: degree census + both endpoint joins
     deg = (
         e.select(F.col("u").alias("node"))
         .unionAll(e.select(F.col("v").alias("node")))
