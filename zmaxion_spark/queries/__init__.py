@@ -7,6 +7,7 @@ from zmaxion_spark.queries import (  # noqa: F401,E402
     advanced,
     analytics_q,
     behavioral_q,
+    corpus_q,
     ecs_q,
     engine4_q,
     governance_q,
@@ -124,6 +125,18 @@ _NEXT_ROUND: list[str] = [
     "q_brier_decomposition",
     "q_wasserstein_drift",
     "q_fellegi_sunter",
+    # round-6 corpus-analytics wave (#337-#341)
+    "q_substring_dedup",
+    "q_rouge_n",
+    "q_good_turing",
+    "q_textrank_keywords",
+    "q_g2_keyness",
+    "q_theil_sen",
+    "q_acf_ljung_box",
+    "q_ewma_chart",
+    "q_ams_f2",
+    "q_luhn_screen",
+    "q_stream_full_outer_join",
     "q04_order_priority",
     "q07_volume_shipping",
     "q08_market_share",

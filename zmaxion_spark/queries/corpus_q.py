@@ -1,0 +1,727 @@
+"""Corpus-analytics operators — SURVEY.md §2.25 (#337–#341).
+
+Round-6 second wave: the remaining classic corpus/LM analytics a
+training-data pipeline runs between dedup and shard publish —
+
+- exact duplicated-SUBSTRING detection (#337): the character-level
+  dedup signal (fixed-width gram sites shared across the corpus,
+  merged into per-doc covered extents) that catches boilerplate and
+  templated spans exact-content dedup (#69) and MinHash (#70) both
+  miss;
+- ROUGE-N overlap evaluation (#338): clipped n-gram precision/recall/
+  F1 between candidate/reference text pairs — the summarization-eval
+  sibling of BLEU (#288);
+- Dunning G² keyness (#341): log-likelihood-ratio over/under-use of
+  terms in a focus subcorpus vs the rest — the statistically sound
+  replacement for raw-frequency "top words of source X";
+- Good–Turing frequency smoothing (#339): count-of-counts r* and the
+  unseen-mass estimate N1/N that underlie every classical LM smoother;
+- TextRank keyword extraction (#340): PageRank over the word
+  co-occurrence graph, exact-iterated with the #153 decimal-sum /
+  ROUND(12) discipline so all iterations stay bit-identical.
+
+Parity disciplines: token streams come from the house ``split(text,
+' ')`` tokenizer; every count is BIGINT; every double reduction sums
+through DECIMAL (order-independent) and quantizes at 1e-9; gram
+equality is on the raw gram string on BOTH engines (no cross-engine
+hash needed — at 100 TB the Spark side would shuffle a 128-bit
+fingerprint instead, the injective-encoding discipline of
+functions/dedup.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from zmaxion_spark.catalog import load_table
+from zmaxion_spark.queries.registry import query
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+# ---------------------------------------------------------------------------
+# #337 substring_dedup — exact duplicated-substring extents
+# ---------------------------------------------------------------------------
+
+_SSD_K = 32  # gram width in characters
+
+
+@query(
+    "q_substring_dedup",
+    oracle=f"""
+        WITH d AS (SELECT doc_id, lang, text, LENGTH(text) AS n
+                   FROM documents),
+        g AS (SELECT doc_id, lang, UNNEST(range(1, n - {_SSD_K - 2})) AS p,
+                     text
+              FROM d WHERE n >= {_SSD_K}),
+        sites AS (SELECT doc_id, lang, p,
+                         substr(text, CAST(p AS INT), {_SSD_K}) AS gram
+                  FROM g),
+        dup AS (SELECT doc_id, lang, p
+                FROM (SELECT doc_id, lang, p,
+                             COUNT(*) OVER (PARTITION BY gram) AS c
+                      FROM sites)
+                WHERE c >= 2),
+        cov AS (SELECT doc_id, lang,
+                       LEAST({_SSD_K},
+                             COALESCE(LEAD(p) OVER (PARTITION BY doc_id
+                                                    ORDER BY p) - p,
+                                      {_SSD_K})) AS covered
+                FROM dup),
+        perdoc AS (SELECT doc_id, lang,
+                          CAST(SUM(covered) AS BIGINT) AS dup_chars
+                   FROM cov GROUP BY doc_id, lang),
+        tot AS (SELECT lang, COUNT(*) AS n_docs,
+                       CAST(SUM(LENGTH(text)) AS BIGINT) AS total_chars
+                FROM documents GROUP BY lang)
+        SELECT t.lang,
+               t.n_docs,
+               CAST(COUNT(p.doc_id) AS BIGINT) AS docs_affected,
+               CAST(COALESCE(SUM(p.dup_chars), 0) AS BIGINT) AS dup_chars,
+               t.total_chars,
+               ROUND(CAST(COALESCE(SUM(p.dup_chars), 0) AS DOUBLE)
+                     / t.total_chars, 9) AS dup_ratio
+        FROM tot t LEFT JOIN perdoc p ON p.lang = t.lang
+        GROUP BY t.lang, t.n_docs, t.total_chars
+        ORDER BY t.lang
+    """,
+    operators=(14, 23, 31, 337),
+    doc=f"Exact duplicated-substring detection (#337), the "
+    "character-level dedup signal of Lee et al.'s 'Deduplicating "
+    "Training Data Makes Language Models Better' (ICML 2022, public): "
+    f"every {_SSD_K}-char gram site that occurs >= 2 times anywhere in "
+    "the corpus marks its span duplicated; per-doc spans merge into "
+    "covered extents (all grams are equal width, so positions sort "
+    "ascending with their ends — covered chars are sum(min(K, "
+    "next_p - p)) + K, one LEAD window, no interval algebra), rolled "
+    "up to a per-lang census with the duplicated-char ratio. This "
+    "catches templated boilerplate that document-hash dedup (#69) and "
+    "MinHash (#70) miss because the surrounding text differs. Parity: "
+    "gram equality is on the raw substring on both engines; counts "
+    "BIGINT; one ROUND(9) ratio. Scale: the gram stream is ~K bytes/"
+    "char of text — at 100 TB shuffle a 128-bit fingerprint of the "
+    "gram instead (injective-encoding discipline, functions/dedup.py) "
+    "and salt the within-gram count with a two-level aggregation; the "
+    "extent merge partitions by doc_id and never sees a global sort.",
+    bench=False,
+)
+def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    k = _SSD_K
+    d = _docs(spark, sf_dir).select(
+        "doc_id", "lang", "text", F.length("text").alias("n")
+    )
+    sites = (
+        d.filter(F.col("n") >= k)
+        .select(
+            "doc_id",
+            "lang",
+            F.explode(F.sequence(F.lit(1), F.col("n") - (k - 1))).alias("p"),
+            "text",
+        )
+        .select(
+            "doc_id", "lang", "p", F.expr(f"substring(text, p, {k})").alias("gram")
+        )
+    )
+    dup = (
+        sites.withColumn(
+            "c", F.count(F.lit(1)).over(Window.partitionBy("gram"))
+        )
+        .filter(F.col("c") >= 2)
+        .select("doc_id", "lang", "p")
+    )
+    w_doc = Window.partitionBy("doc_id").orderBy("p")
+    perdoc = (
+        dup.withColumn(
+            "covered",
+            F.least(
+                F.lit(k), F.coalesce(F.lead("p").over(w_doc) - F.col("p"), F.lit(k))
+            ),
+        )
+        .groupBy("doc_id", "lang")
+        .agg(F.sum("covered").cast("bigint").alias("dup_chars"))
+    )
+    tot = _docs(spark, sf_dir).groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.length("text")).cast("bigint").alias("total_chars"),
+    )
+    return (
+        tot.join(perdoc, "lang", "left")
+        .groupBy("lang", "n_docs", "total_chars")
+        .agg(
+            F.count("doc_id").cast("bigint").alias("docs_affected"),
+            F.coalesce(F.sum("dup_chars"), F.lit(0))
+            .cast("bigint")
+            .alias("dup_chars"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "docs_affected",
+            "dup_chars",
+            "total_chars",
+            F.round(
+                F.col("dup_chars").cast("double") / F.col("total_chars"), 9
+            ).alias("dup_ratio"),
+        )
+        .orderBy("lang")
+    )
+
+
+# ---------------------------------------------------------------------------
+# #338 rouge_n — clipped n-gram overlap P/R/F between doc pairs
+# ---------------------------------------------------------------------------
+
+_ROUGE_PAIR_SQL = """
+        pairs AS (
+            SELECT lang, doc_id AS cand_id, text AS cand,
+                   LEAD(doc_id) OVER (PARTITION BY lang ORDER BY doc_id)
+                       AS ref_id,
+                   LEAD(text) OVER (PARTITION BY lang ORDER BY doc_id)
+                       AS ref
+            FROM documents
+        ),
+        p2 AS (SELECT * FROM pairs WHERE ref_id IS NOT NULL)
+"""
+
+
+def _rouge_gram_sql(side: str, n: int) -> str:
+    """Gram counts for one side (cand/ref) at level n, as SQL."""
+    if n == 1:
+        gram = f"UNNEST(STRING_SPLIT({side}, ' '))"
+        return f"""(
+            SELECT cand_id, {gram} AS gram FROM p2
+        )"""
+    return f"""(
+        SELECT cand_id,
+               UNNEST(list_transform(
+                   range(1, LEN(STRING_SPLIT({side}, ' '))),
+                   i -> STRING_SPLIT({side}, ' ')[i] || ' '
+                        || STRING_SPLIT({side}, ' ')[i + 1])) AS gram
+        FROM p2
+    )"""
+
+
+def _rouge_level_sql(n: int) -> str:
+    return f"""
+        SELECT cg.cand_id, {n} AS n,
+               CAST(SUM(LEAST(cg.c, rg.c)) AS BIGINT) AS overlap,
+               ANY_VALUE(ct.tot) AS cand_tot,
+               ANY_VALUE(rt.tot) AS ref_tot
+        FROM (SELECT cand_id, gram, COUNT(*) AS c
+              FROM {_rouge_gram_sql("cand", n)} GROUP BY 1, 2) cg
+        JOIN (SELECT cand_id, gram, COUNT(*) AS c
+              FROM {_rouge_gram_sql("ref", n)} GROUP BY 1, 2) rg
+          ON rg.cand_id = cg.cand_id AND rg.gram = cg.gram
+        JOIN (SELECT cand_id, COUNT(*) AS tot
+              FROM {_rouge_gram_sql("cand", n)} GROUP BY 1) ct
+          ON ct.cand_id = cg.cand_id
+        JOIN (SELECT cand_id, COUNT(*) AS tot
+              FROM {_rouge_gram_sql("ref", n)} GROUP BY 1) rt
+          ON rt.cand_id = cg.cand_id
+        GROUP BY cg.cand_id
+    """
+
+
+@query(
+    "q_rouge_n",
+    oracle=f"""
+        WITH {_ROUGE_PAIR_SQL},
+        tots AS (
+            SELECT cand_id, 1 AS n,
+                   LEN(STRING_SPLIT(cand, ' ')) AS cand_tot,
+                   LEN(STRING_SPLIT(ref, ' ')) AS ref_tot
+            FROM p2
+            UNION ALL
+            SELECT cand_id, 2,
+                   LEN(STRING_SPLIT(cand, ' ')) - 1,
+                   LEN(STRING_SPLIT(ref, ' ')) - 1
+            FROM p2
+        ),
+        ov AS (
+            SELECT cand_id, n, overlap FROM ({_rouge_level_sql(1)})
+            UNION ALL
+            SELECT cand_id, n, overlap FROM ({_rouge_level_sql(2)})
+        ),
+        scored AS (
+            SELECT t.cand_id, t.n,
+                   COALESCE(o.overlap, 0) AS overlap,
+                   t.cand_tot, t.ref_tot,
+                   CAST(COALESCE(o.overlap, 0) AS DOUBLE) / t.cand_tot AS p,
+                   CAST(COALESCE(o.overlap, 0) AS DOUBLE) / t.ref_tot AS r
+            FROM tots t LEFT JOIN ov o ON o.cand_id = t.cand_id AND o.n = t.n
+            WHERE t.cand_tot >= 1 AND t.ref_tot >= 1
+        ),
+        f AS (
+            SELECT cand_id, n, p, r,
+                   CASE WHEN p + r = 0 THEN CAST(0 AS DOUBLE)
+                        ELSE 2 * p * r / (p + r) END AS f1
+            FROM scored
+        ),
+        pj AS (SELECT s.cand_id, s.n, s.p, s.r, s.f1, pr.lang
+               FROM f s JOIN p2 pr ON pr.cand_id = s.cand_id)
+        SELECT lang, n, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               ROUND(CAST(SUM(CAST(p AS DECIMAL(38,18))) AS DOUBLE)
+                     / COUNT(*), 9) AS avg_p,
+               ROUND(CAST(SUM(CAST(r AS DECIMAL(38,18))) AS DOUBLE)
+                     / COUNT(*), 9) AS avg_r,
+               ROUND(CAST(SUM(CAST(f1 AS DECIMAL(38,18))) AS DOUBLE)
+                     / COUNT(*), 9) AS avg_f1
+        FROM pj
+        GROUP BY lang, n
+        ORDER BY lang, n
+    """,
+    operators=(23, 31, 44, 338),
+    doc="ROUGE-1/ROUGE-2 (#338): clipped n-gram overlap precision / "
+    "recall / F1 between candidate/reference text pairs (each doc "
+    "paired with the next doc_id in its lang — the deterministic "
+    "pairing fixture; production passes real summary/reference "
+    "pairs), averaged per (lang, n). Overlap is the textbook clipped "
+    "count sum(min(count_cand(g), count_ref(g))); per-level totals "
+    "derive from token counts, so a pair with an empty side at level "
+    "n drops out identically on both engines. Parity: counts BIGINT, "
+    "P/R/F identical IEEE trees, averages sum through DECIMAL(38,18) "
+    "with one ROUND(9). Scale: gram counts partial-aggregate before "
+    "the per-pair join; nothing holds more than one pair's vocabulary "
+    "at a time and pairs parallelize perfectly.",
+    bench=False,
+)
+def q_rouge_n(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    w = Window.partitionBy("lang").orderBy("doc_id")
+    pairs = (
+        d.select(
+            "lang",
+            F.col("doc_id").alias("cand_id"),
+            F.col("text").alias("cand"),
+            F.lead("doc_id").over(w).alias("ref_id"),
+            F.lead("text").over(w).alias("ref"),
+        )
+        .filter(F.col("ref_id").isNotNull())
+        .localCheckpoint(eager=True)  # both gram levels and totals reuse it
+    )
+
+    def grams(side: str, n: int):
+        toks = F.split(side, " ")
+        if n == 1:
+            g = toks
+        else:
+            g = F.transform(
+                F.sequence(F.lit(1), F.size(toks) - 1),
+                lambda i: F.concat(
+                    F.element_at(toks, i), F.lit(" "), F.element_at(toks, i + 1)
+                ),
+            )
+        return pairs.select("cand_id", F.explode(g).alias("gram"))
+
+    def level(n: int):
+        cg = grams("cand", n).groupBy("cand_id", "gram").agg(
+            F.count(F.lit(1)).alias("c1")
+        )
+        rg = grams("ref", n).groupBy("cand_id", "gram").agg(
+            F.count(F.lit(1)).alias("c2")
+        )
+        ov = (
+            cg.join(rg, ["cand_id", "gram"])
+            .groupBy("cand_id")
+            .agg(
+                F.sum(F.least("c1", "c2")).cast("bigint").alias("overlap")
+            )
+        )
+        toks_c = F.size(F.split("cand", " "))
+        toks_r = F.size(F.split("ref", " "))
+        cand_tot = toks_c if n == 1 else toks_c - 1
+        ref_tot = toks_r if n == 1 else toks_r - 1
+        return (
+            pairs.select(
+                "lang",
+                "cand_id",
+                F.lit(n).alias("n"),
+                cand_tot.cast("bigint").alias("cand_tot"),
+                ref_tot.cast("bigint").alias("ref_tot"),
+            )
+            .filter((F.col("cand_tot") >= 1) & (F.col("ref_tot") >= 1))
+            .join(ov, "cand_id", "left")
+            .withColumn("overlap", F.coalesce("overlap", F.lit(0)))
+        )
+
+    scored = level(1).unionByName(level(2)).select(
+        "lang",
+        "n",
+        (F.col("overlap").cast("double") / F.col("cand_tot")).alias("p"),
+        (F.col("overlap").cast("double") / F.col("ref_tot")).alias("r"),
+    )
+    f1 = F.when(F.col("p") + F.col("r") == 0, F.lit(0.0)).otherwise(
+        2 * F.col("p") * F.col("r") / (F.col("p") + F.col("r"))
+    )
+    dec = "decimal(38,18)"
+    return (
+        scored.withColumn("f1", f1)
+        .groupBy("lang", "n")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.round(
+                F.sum(F.col("p").cast(dec)).cast("double") / F.count(F.lit(1)), 9
+            ).alias("avg_p"),
+            F.round(
+                F.sum(F.col("r").cast(dec)).cast("double") / F.count(F.lit(1)), 9
+            ).alias("avg_r"),
+            F.round(
+                F.sum(F.col("f1").cast(dec)).cast("double") / F.count(F.lit(1)), 9
+            ).alias("avg_f1"),
+        )
+        .orderBy("lang", "n")
+    )
+
+
+# ---------------------------------------------------------------------------
+# #339 good_turing — count-of-counts smoothing table
+# ---------------------------------------------------------------------------
+
+_GT_MAX_R = 10
+
+
+@query(
+    "q_good_turing",
+    oracle=f"""
+        WITH freq AS (
+            SELECT term, CAST(COUNT(*) AS BIGINT) AS r
+            FROM (SELECT UNNEST(STRING_SPLIT(text, ' ')) AS term
+                  FROM documents)
+            GROUP BY term
+        ),
+        coc AS (SELECT r, CAST(COUNT(*) AS BIGINT) AS n_r
+                FROM freq GROUP BY r),
+        tot AS (SELECT CAST(SUM(r * n_r) AS BIGINT) AS n_tokens FROM coc)
+        SELECT c.r,
+               c.n_r,
+               CAST(COALESCE(c1.n_r, 0) AS BIGINT) AS n_r1,
+               ROUND((c.r + 1) * CAST(COALESCE(c1.n_r, 0) AS DOUBLE)
+                     / c.n_r, 9) AS r_star,
+               ROUND((c.r + 1) * CAST(COALESCE(c1.n_r, 0) AS DOUBLE)
+                     / c.n_r / t.n_tokens, 9) AS p_gt
+        FROM coc c
+        LEFT JOIN coc c1 ON c1.r = c.r + 1
+        CROSS JOIN tot t
+        ORDER BY c.r
+        LIMIT {_GT_MAX_R}
+    """,
+    operators=(23, 24, 339),
+    doc=f"Good–Turing frequency smoothing (#339): the count-of-counts "
+    "table N_r over unigram frequencies, the adjusted count "
+    "r* = (r+1)·N_(r+1)/N_r, and the smoothed probability r*/N for "
+    f"the {_GT_MAX_R} smallest observed frequencies (an absolute "
+    "r-cutoff can return an empty table once a bounded-vocab corpus "
+    "saturates — the smallest-r window is where GT is meaningful at "
+    "every scale) — the estimator beneath Katz backoff and "
+    "classical LM smoothing, and (as N_1/N, the r=1 row's mass) the "
+    "standard estimate of how much probability a corpus owes to "
+    "UNSEEN events — the coverage dual of vocab_coverage (#266). "
+    "Two groupBys (term → r, r → N_r), one self-join on r+1 (LEAD "
+    "would be wrong across gaps in the r domain), one broadcast "
+    "1-row total; everything integer until two ROUND(9) doubles. "
+    "Scale: the second groupBy sees |vocab| rows, the join sees "
+    "|distinct r| — both tiny at any corpus size.",
+    bench=False,
+)
+def q_good_turing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    freq = (
+        _docs(spark, sf_dir)
+        .select(F.explode(F.split("text", " ")).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("r"))
+    )
+    coc = freq.groupBy("r").agg(F.count(F.lit(1)).cast("bigint").alias("n_r"))
+    tot = coc.agg(
+        F.sum(F.col("r") * F.col("n_r")).cast("bigint").alias("n_tokens")
+    )
+    c1 = coc.select((F.col("r") - 1).alias("r"), F.col("n_r").alias("n_r1"))
+    return (
+        coc.join(c1, "r", "left")
+        .withColumn("n_r1", F.coalesce("n_r1", F.lit(0)).cast("bigint"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "r",
+            "n_r",
+            "n_r1",
+            F.round(
+                (F.col("r") + 1) * F.col("n_r1").cast("double") / F.col("n_r"), 9
+            ).alias("r_star"),
+            F.round(
+                (F.col("r") + 1)
+                * F.col("n_r1").cast("double")
+                / F.col("n_r")
+                / F.col("n_tokens"),
+                9,
+            ).alias("p_gt"),
+        )
+        .orderBy("r")
+        .limit(_GT_MAX_R)
+    )
+
+
+# ---------------------------------------------------------------------------
+# #341 g2_keyness — Dunning log-likelihood keyness, focus vs rest
+# ---------------------------------------------------------------------------
+
+_G2_FOCUS_SOURCE = "src0"
+_G2_TOPK = 20
+
+
+@query(
+    "q_g2_keyness",
+    oracle=f"""
+        WITH tok AS (
+            SELECT UNNEST(STRING_SPLIT(text, ' ')) AS term,
+                   CASE WHEN source = '{_G2_FOCUS_SOURCE}' THEN 1 ELSE 0 END
+                       AS in_focus
+            FROM documents
+        ),
+        per AS (
+            SELECT term,
+                   CAST(SUM(in_focus) AS BIGINT) AS a,
+                   CAST(SUM(1 - in_focus) AS BIGINT) AS b
+            FROM tok GROUP BY term
+        ),
+        tot AS (
+            SELECT CAST(SUM(a) AS BIGINT) AS big_a,
+                   CAST(SUM(b) AS BIGINT) AS big_b
+            FROM per
+        ),
+        g2 AS (
+            SELECT p.term, p.a, p.b,
+                   2 * ((CASE WHEN p.a > 0 THEN
+                             p.a * LN(CAST(p.a AS DOUBLE)
+                                      / (CAST(t.big_a AS DOUBLE) * (p.a + p.b)
+                                         / (t.big_a + t.big_b)))
+                         ELSE CAST(0 AS DOUBLE) END)
+                        + (CASE WHEN p.b > 0 THEN
+                               p.b * LN(CAST(p.b AS DOUBLE)
+                                        / (CAST(t.big_b AS DOUBLE) * (p.a + p.b)
+                                           / (t.big_a + t.big_b)))
+                           ELSE CAST(0 AS DOUBLE) END)) AS g2_raw,
+                   CASE WHEN CAST(p.a AS DOUBLE) * t.big_b
+                             > CAST(p.b AS DOUBLE) * t.big_a
+                        THEN 'over' ELSE 'under' END AS direction
+            FROM per p CROSS JOIN tot t
+        )
+        SELECT term, a AS n_focus, b AS n_rest,
+               ROUND(g2_raw, 9) AS g2, direction
+        FROM g2
+        ORDER BY ROUND(g2_raw, 9) DESC, term
+        LIMIT {_G2_TOPK}
+    """,
+    operators=(23, 33, 341),
+    doc=f"Dunning log-likelihood keyness (#341, 'Accurate Methods for "
+    "the Statistics of Surprise and Coincidence', CL 1993 — public): "
+    f"G² = 2·Σ O·ln(O/E) over the 2×2 term table (focus subcorpus "
+    f"source='{_G2_FOCUS_SOURCE}' vs the rest), the statistically "
+    "sound 'what words characterize this source' ranking that raw "
+    "frequency and PMI (#151) both get wrong on small counts; "
+    f"top-{_G2_TOPK} by (ROUND(g2,9) DESC, term) with an over/under-"
+    "use direction flag from the cross-multiplied rate comparison "
+    "(exact integers — no division). Parity: one conditional-sum "
+    "groupBy per term, one broadcast 1-row total, identical IEEE "
+    "ln-trees, ROUND(9) before the ORDER so the rank tie-break is on "
+    "the quantized value on both engines. Scale: map-side-combined "
+    "token counts; the ranked set is |vocab|.",
+    bench=False,
+)
+def q_g2_keyness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tok = _docs(spark, sf_dir).select(
+        F.explode(F.split("text", " ")).alias("term"),
+        F.when(F.col("source") == _G2_FOCUS_SOURCE, 1).otherwise(0).alias(
+            "in_focus"
+        ),
+    )
+    per = tok.groupBy("term").agg(
+        F.sum("in_focus").cast("bigint").alias("a"),
+        F.sum(F.lit(1) - F.col("in_focus")).cast("bigint").alias("b"),
+    )
+    tot = per.agg(
+        F.sum("a").cast("bigint").alias("big_a"),
+        F.sum("b").cast("bigint").alias("big_b"),
+    )
+    ab = F.col("a") + F.col("b")
+    n = F.col("big_a") + F.col("big_b")
+    e1 = F.col("big_a").cast("double") * ab / n
+    e2 = F.col("big_b").cast("double") * ab / n
+    term_a = F.when(
+        F.col("a") > 0, F.col("a") * F.log(F.col("a").cast("double") / e1)
+    ).otherwise(F.lit(0.0))
+    term_b = F.when(
+        F.col("b") > 0, F.col("b") * F.log(F.col("b").cast("double") / e2)
+    ).otherwise(F.lit(0.0))
+    g2 = per.crossJoin(F.broadcast(tot)).select(
+        "term",
+        F.col("a").alias("n_focus"),
+        F.col("b").alias("n_rest"),
+        F.round(2 * (term_a + term_b), 9).alias("g2"),
+        F.when(
+            F.col("a").cast("double") * F.col("big_b")
+            > F.col("b").cast("double") * F.col("big_a"),
+            F.lit("over"),
+        )
+        .otherwise(F.lit("under"))
+        .alias("direction"),
+    )
+    return g2.orderBy(F.desc("g2"), "term").limit(_G2_TOPK)
+
+
+# ---------------------------------------------------------------------------
+# #340 textrank_keywords — PageRank over the word co-occurrence graph
+# ---------------------------------------------------------------------------
+
+_TR_ITERS = 5
+_TR_TOPK = 10
+_TR_DEC = "decimal(38,18)"
+
+_SQL_TR_STEP = """
+        {next} AS (
+            SELECT nd.node,
+                   ROUND(CAST(0.15 AS DOUBLE) / n.n
+                         + CAST(0.85 AS DOUBLE)
+                           * COALESCE(c.s, CAST(0 AS DOUBLE)),
+                         12) AS rank
+            FROM nodes nd
+            CROSS JOIN n
+            LEFT JOIN (
+                SELECT es.dst,
+                       CAST(SUM(CAST(r.rank * (CAST(es.w AS DOUBLE) / o.w_out)
+                                     AS DECIMAL(38,18))) AS DOUBLE) AS s
+                FROM es
+                JOIN {prev} r ON r.node = es.src
+                JOIN outw o ON o.src = es.src
+                GROUP BY es.dst
+            ) c ON c.dst = nd.node
+        )
+"""
+
+
+def _tr_oracle() -> str:
+    steps = ",".join(
+        _SQL_TR_STEP.format(prev=f"r{i}", next=f"r{i + 1}")
+        for i in range(_TR_ITERS)
+    )
+    return f"""
+        WITH t AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS toks,
+                          LEN(STRING_SPLIT(text, ' ')) AS nt
+                   FROM documents WHERE LEN(STRING_SPLIT(text, ' ')) >= 2),
+        adj AS (SELECT LEAST(toks[i], toks[i + 1]) AS u,
+                       GREATEST(toks[i], toks[i + 1]) AS v
+                FROM t, UNNEST(generate_series(1, nt - 1)) AS g(i)
+                WHERE toks[i] <> toks[i + 1]),
+        e AS (SELECT u, v, CAST(COUNT(*) AS BIGINT) AS w
+              FROM adj GROUP BY u, v),
+        es AS (SELECT u AS src, v AS dst, w FROM e
+               UNION ALL SELECT v, u, w FROM e),
+        nodes AS (SELECT DISTINCT src AS node FROM es),
+        n AS (SELECT COUNT(*) AS n FROM nodes),
+        outw AS (SELECT src, CAST(SUM(w) AS BIGINT) AS w_out
+                 FROM es GROUP BY src),
+        r0 AS (SELECT node, CAST(1.0 AS DOUBLE) / n.n AS rank
+               FROM nodes CROSS JOIN n),
+        {steps}
+        SELECT node AS term, ROUND(rank, 9) AS rank
+        FROM r{_TR_ITERS}
+        ORDER BY ROUND(rank, 9) DESC, node
+        LIMIT {_TR_TOPK}
+    """
+
+
+@query(
+    "q_textrank_keywords",
+    oracle=_tr_oracle(),
+    operators=(23, 31, 44, 153, 340),
+    doc=f"TextRank keyword extraction (#340, Mihalcea & Tarau, EMNLP "
+    "2004 — public): PageRank over the word co-occurrence graph "
+    "(adjacent-token pairs, canonically ordered, self-loops dropped, "
+    f"co-occurrence counts as weights), {_TR_ITERS} exact iterations "
+    f"at d=0.85, top-{_TR_TOPK} terms — unsupervised keywords that "
+    "beat raw frequency because a word's importance flows from its "
+    "neighbors'. Reuses the #153 exact-iteration discipline wholesale: "
+    "per-edge contributions rank·(w/w_out) are identical IEEE trees, "
+    "per-node sums go through DECIMAL(38,18), every iteration "
+    "quantizes to ROUND(12) so the rank vector stays bit-identical "
+    "through all iterations; the oracle unrolls them as chained CTEs. "
+    "Scale: adjacency pairs build ROW-LOCALLY from the token array "
+    "(no position self-join); the graph aggregates to O(vocab²) "
+    "edges before any iteration; each step is one join + one "
+    "groupBy(dst), and the edge list is localCheckpointed once.",
+    bench=False,
+)
+def q_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    toks = F.split("text", " ")
+    base = d.select(toks.alias("toks"), F.size(toks).alias("nt")).filter(
+        F.col("nt") >= 2
+    )
+    pair_structs = F.filter(
+        F.transform(
+            F.sequence(F.lit(1), F.col("nt") - 1),
+            lambda i: F.struct(
+                F.least(
+                    F.element_at(F.col("toks"), i),
+                    F.element_at(F.col("toks"), i + 1),
+                ).alias("u"),
+                F.greatest(
+                    F.element_at(F.col("toks"), i),
+                    F.element_at(F.col("toks"), i + 1),
+                ).alias("v"),
+            ),
+        ),
+        lambda s: s["u"] != s["v"],
+    )
+    e = (
+        base.select(F.explode(pair_structs).alias("pr"))
+        .select(F.col("pr.u").alias("u"), F.col("pr.v").alias("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("w"))
+    )
+    es = (
+        e.select(F.col("u").alias("src"), F.col("v").alias("dst"), "w")
+        .unionAll(e.select(F.col("v").alias("src"), F.col("u").alias("dst"), "w"))
+        .localCheckpoint()  # loop invariant: every iteration joins it
+    )
+    nodes = es.select(F.col("src").alias("node")).distinct().localCheckpoint()
+    n = nodes.agg(F.count(F.lit(1)).alias("n"))
+    outw = (
+        es.groupBy("src").agg(F.sum("w").cast("bigint").alias("w_out"))
+        .localCheckpoint()
+    )
+    r = nodes.crossJoin(F.broadcast(n)).select(
+        "node", (F.lit(1.0) / F.col("n")).alias("rank")
+    )
+    for _ in range(_TR_ITERS):
+        contrib = (
+            es.join(r.withColumnRenamed("node", "src"), "src")
+            .join(outw, "src")
+            .select(
+                "dst",
+                (
+                    F.col("rank") * (F.col("w").cast("double") / F.col("w_out"))
+                ).alias("contrib"),
+            )
+            .groupBy("dst")
+            .agg(F.sum(F.col("contrib").cast(_TR_DEC)).cast("double").alias("s"))
+        )
+        r = (
+            nodes.crossJoin(F.broadcast(n))
+            .join(contrib.withColumnRenamed("dst", "node"), "node", "left")
+            .select(
+                "node",
+                F.round(
+                    F.lit(0.15).cast("double") / F.col("n")
+                    + F.lit(0.85).cast("double")
+                    * F.coalesce(F.col("s"), F.lit(0.0).cast("double")),
+                    12,
+                ).alias("rank"),
+            )
+        )
+    return (
+        r.select(F.col("node").alias("term"), F.round("rank", 9).alias("rank"))
+        .orderBy(F.desc("rank"), "term")
+        .limit(_TR_TOPK)
+    )

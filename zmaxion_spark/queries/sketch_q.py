@@ -876,3 +876,130 @@ def q_ddsketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("est_within_alpha"),
     ).orderBy("l_returnflag", "q")
+
+
+# ---------------------------------------------------------------------------
+# #345 ams_f2 — AMS second-moment (self-join size) sketch
+# ---------------------------------------------------------------------------
+
+_AMS_S = 32  # estimators (md5 nibble high bits)
+_AMS_G = 8   # median-of-means groups (4 estimators each)
+
+
+@query(
+    "q_ams_f2",
+    oracle=f"""
+        WITH freq AS (
+            SELECT l_partkey AS k, CAST(COUNT(*) AS BIGINT) AS f
+            FROM lineitem GROUP BY l_partkey
+        ),
+        exact AS (SELECT CAST(SUM(f * f) AS BIGINT) AS f2 FROM freq),
+        sgn AS (
+            SELECT s.s, fr.f,
+                   CASE WHEN SUBSTR(MD5('ams:' || CAST(fr.k AS VARCHAR)),
+                                    CAST(s.s AS INT), 1)
+                             IN ('8', '9', 'a', 'b', 'c', 'd', 'e', 'f')
+                        THEN 1 ELSE -1 END AS sg
+            FROM freq fr
+            CROSS JOIN (SELECT UNNEST(GENERATE_SERIES(1, {_AMS_S})) AS s) s
+        ),
+        est AS (
+            SELECT s, CAST(SUM(sg * f) AS BIGINT) AS z
+            FROM sgn GROUP BY s
+        ),
+        grp AS (
+            SELECT (s - 1) // {_AMS_S // _AMS_G} AS g,
+                   CAST(SUM(z * z) AS DOUBLE) / {_AMS_S // _AMS_G} AS mean_est
+            FROM est GROUP BY g
+        ),
+        rk AS (
+            SELECT mean_est,
+                   ROW_NUMBER() OVER (ORDER BY mean_est) AS rn
+            FROM grp
+        ),
+        med AS (
+            SELECT CAST(SUM(CAST(mean_est AS DECIMAL(38,9))) AS DOUBLE)
+                       / COUNT(*) AS est_f2
+            FROM rk WHERE rn IN ({_AMS_G // 2}, {_AMS_G // 2 + 1})
+        )
+        SELECT e.f2 AS exact_f2,
+               ROUND(m.est_f2, 9) AS est_f2,
+               ROUND(ABS(m.est_f2 - e.f2) / e.f2, 9) AS rel_err,
+               CAST(ABS(m.est_f2 - e.f2) / e.f2 <= 1.0 AS INT) AS in_contract
+        FROM exact e CROSS JOIN med m
+    """,
+    operators=(24, 26, 47, 345),
+    doc=f"AMS second-moment sketch (#345, Alon–Matias–Szegedy, STOC "
+    "1996 — public): F2 = Σ freq(k)² — the SELF-JOIN SIZE of lineitem "
+    "on partkey, the quantity a cost-based optimizer needs to price "
+    "every equi-join and the repo's join-cardinality sketch (#210) "
+    f"approximates from samples. {_AMS_S} ±1-sign estimators (sign = "
+    "high bit of md5 nibble s, engine-reproducible like every sketch "
+    f"in this module), z_s = Σ sign_s(k)·freq(k), mean of {_AMS_S // _AMS_G} "
+    f"squared estimators per group, median of the {_AMS_G} group means "
+    "(ranks 4+5 averaged through one decimal sum). The classic "
+    "factor-bound contract |est−F2|/F2 <= 1 is a GRADED column. "
+    "Everything to the group means is exact BIGINT algebra — "
+    "estimator sums commute, so executors sketch partitions "
+    "independently and the merge is 32 integers; the exact F2 twin "
+    "costs one groupBy that the sketch exists to avoid at 100 TB.",
+    bench=False,
+)
+def q_ams_f2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    freq = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("f"))
+    )
+    exact = freq.agg(
+        F.sum(F.col("f") * F.col("f")).cast("bigint").alias("exact_f2")
+    )
+    s_ids = spark.range(1, _AMS_S + 1).select(F.col("id").cast("int").alias("s"))
+    sgn = (
+        freq.withColumn(
+            "h", F.md5(F.concat(F.lit("ams:"), F.col("l_partkey").cast("string")))
+        )
+        .crossJoin(F.broadcast(s_ids))
+        .select(
+            "s",
+            "f",
+            F.when(
+                F.expr("substring(h, s, 1)").isin(
+                    "8", "9", "a", "b", "c", "d", "e", "f"
+                ),
+                1,
+            )
+            .otherwise(-1)
+            .alias("sg"),
+        )
+    )
+    est = sgn.groupBy("s").agg(
+        F.sum(F.col("sg") * F.col("f")).cast("bigint").alias("z")
+    )
+    per_g = _AMS_S // _AMS_G
+    grp = (
+        est.groupBy(F.expr(f"(s - 1) div {per_g}").alias("g"))
+        .agg(
+            (F.sum(F.col("z") * F.col("z")).cast("double") / per_g).alias(
+                "mean_est"
+            )
+        )
+    )
+    from pyspark.sql import Window as W
+
+    rk = grp.select(
+        "mean_est", F.row_number().over(W.orderBy("mean_est")).alias("rn")
+    )
+    med = rk.filter(F.col("rn").isin(_AMS_G // 2, _AMS_G // 2 + 1)).agg(
+        (
+            F.sum(F.col("mean_est").cast("decimal(38,9)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("est_f2")
+    )
+    rel = F.abs(F.col("est_f2") - F.col("exact_f2")) / F.col("exact_f2")
+    return exact.crossJoin(med).select(
+        "exact_f2",
+        F.round("est_f2", 9).alias("est_f2"),
+        F.round(rel, 9).alias("rel_err"),
+        (rel <= 1.0).cast("int").alias("in_contract"),
+    )

@@ -1236,3 +1236,105 @@ def _wire_stream_twap_oracle() -> None:
 
 
 _wire_stream_twap_oracle()
+
+
+# ---------------------------------------------------------------------------
+# #347 stream-stream FULL OUTER join
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_stream_full_outer_join",
+    oracle="""
+        WITH cutoff AS (
+            SELECT LEAST(MAX(CASE WHEN event_type = 'click' THEN CAST(ts AS TIMESTAMP) END),
+                         MAX(CASE WHEN event_type = 'purchase' THEN CAST(ts AS TIMESTAMP) END))
+                   - INTERVAL 61 MINUTE AS wm
+            FROM events
+        ),
+        p AS (SELECT user_id AS p_user, CAST(ts AS TIMESTAMP) AS p_ts FROM events
+              WHERE event_type = 'purchase'),
+        c AS (SELECT user_id AS c_user, CAST(ts AS TIMESTAMP) AS c_ts FROM events
+              WHERE event_type = 'click')
+        SELECT COALESCE(p_user, c_user) AS user_id,
+               COUNT(*) AS n_rows,
+               CAST(SUM(CASE WHEN c_user IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_unmatched_purchases,
+               CAST(SUM(CASE WHEN p_user IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_unmatched_clicks
+        FROM p
+        FULL OUTER JOIN c ON p_user = c_user
+                         AND c_ts >= p_ts - INTERVAL 30 MINUTE
+                         AND c_ts <= p_ts
+        CROSS JOIN cutoff
+        WHERE (p_ts IS NOT NULL AND p_ts < wm)
+           OR (p_ts IS NULL AND c_ts < wm - INTERVAL 31 MINUTE)
+        GROUP BY COALESCE(p_user, c_user)
+    """,
+    operators=(22, 54, 107, 347),
+    doc="Watermarked stream-stream FULL OUTER join (#347): the "
+    "two-sided completion of the left-outer topology (#107) — "
+    "purchases with no prior click AND clicks that never converted "
+    "both null-pad, so one query feeds both the attribution and the "
+    "abandonment dashboards without a second state store. Graded "
+    "region: matched and left-outer rows clip to p_ts < watermark; "
+    "right-outer rows clip to c_ts < watermark - 31 min because a "
+    "click's join validity extends 30 minutes FORWARD (a purchase in "
+    "(c_ts, c_ts+30m] could still match), so its outer row only "
+    "becomes final once the watermark clears that window — the "
+    "batch twin applies the identical clip, making Structured "
+    "Streaming's asymmetric outer-emission contract explicit. Scale: "
+    "state on both sides is watermark-evicted; the cutoff scalar is "
+    "a broadcast 1-row aggregate.",
+)
+def q_stream_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    purchases = (
+        stream_events(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts"))
+        .withWatermark("p_ts", "1 hour")
+    )
+    clicks = (
+        stream_events(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts"))
+        .withWatermark("c_ts", "1 hour")
+    )
+    joined = purchases.join(
+        clicks,
+        F.expr(
+            "p_user = c_user AND c_ts >= p_ts - INTERVAL 30 MINUTES AND c_ts <= p_ts"
+        ),
+        "fullOuter",
+    )
+    t = run_available_now(joined, "ss_full_outer", mode="append")
+    ev = load_table(spark, sf_dir, "events")
+    wm = ev.agg(
+        (
+            F.least(
+                F.max(F.when(F.col("event_type") == "click", F.col("ts"))),
+                F.max(F.when(F.col("event_type") == "purchase", F.col("ts"))),
+            )
+            - F.expr("INTERVAL 61 MINUTES")
+        ).alias("wm")
+    )
+    return (
+        t.join(F.broadcast(wm))
+        .filter(
+            (F.col("p_ts").isNotNull() & (F.col("p_ts") < F.col("wm")))
+            | (
+                F.col("p_ts").isNull()
+                & (F.col("c_ts") < F.col("wm") - F.expr("INTERVAL 31 MINUTES"))
+            )
+        )
+        .groupBy(F.coalesce("p_user", "c_user").alias("user_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.when(F.col("c_user").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_unmatched_purchases"),
+            F.sum(F.when(F.col("p_user").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_unmatched_clicks"),
+        )
+    )

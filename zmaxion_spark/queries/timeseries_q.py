@@ -1626,3 +1626,534 @@ def q_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         q9(F.col("st.l") + F.lit(7.0) * F.col("st.b")).alias("forecast_7d"),
         F.col("st.sse").cast("decimal(38,6)").cast("double").alias("sse"),
     ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# #342 theil_sen — median-of-pairwise-slopes robust trend
+# ---------------------------------------------------------------------------
+
+_TS_GRID_SQL = """
+        o AS (
+            SELECT event_type,
+                   DATEDIFF('day', DATE '1970-01-01',
+                            CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS d
+            FROM events
+        ),
+        days AS (
+            SELECT UNNEST(GENERATE_SERIES(mn, mx)) AS d
+            FROM (SELECT MIN(d) AS mn, MAX(d) AS mx FROM o)
+        ),
+        types AS (SELECT DISTINCT event_type FROM o),
+        cnt AS (SELECT event_type, d, COUNT(*) AS n FROM o GROUP BY 1, 2),
+        grid AS MATERIALIZED (
+            SELECT t.event_type, days.d, COALESCE(cnt.n, 0) AS x
+            FROM types t CROSS JOIN days
+            LEFT JOIN cnt ON cnt.event_type = t.event_type AND cnt.d = days.d
+        )
+"""
+
+
+@query(
+    "q_theil_sen",
+    oracle=f"""
+        WITH {_TS_GRID_SQL},
+        sl AS (
+            SELECT a.event_type,
+                   CAST(b.x - a.x AS DOUBLE) / (b.d - a.d) AS slope
+            FROM grid a JOIN grid b
+              ON b.event_type = a.event_type AND b.d > a.d
+        ),
+        rk AS (
+            SELECT event_type, slope,
+                   ROW_NUMBER() OVER (PARTITION BY event_type
+                                      ORDER BY slope) AS rn,
+                   COUNT(*) OVER (PARTITION BY event_type) AS m
+            FROM sl
+        ),
+        med AS (
+            SELECT event_type,
+                   CAST(SUM(CAST(slope AS DECIMAL(38,18))) AS DOUBLE)
+                       / COUNT(*) AS theil_sen,
+                   ANY_VALUE(m) AS n_pairs
+            FROM rk
+            WHERE rn IN ((m + 1) // 2, (m + 2) // 2)
+            GROUP BY event_type
+        ),
+        ols AS (
+            SELECT event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(d) AS BIGINT) AS sd,
+                   CAST(SUM(x) AS BIGINT) AS sx,
+                   CAST(SUM(d * x) AS BIGINT) AS sdx,
+                   CAST(SUM(d * d) AS BIGINT) AS sd2
+            FROM grid GROUP BY event_type
+        )
+        SELECT m.event_type, o.n AS n_days, m.n_pairs,
+               ROUND(m.theil_sen, 9) AS theil_sen,
+               ROUND((o.n * CAST(o.sdx AS DOUBLE) - CAST(o.sd AS DOUBLE) * o.sx)
+                     / (o.n * CAST(o.sd2 AS DOUBLE)
+                        - CAST(o.sd AS DOUBLE) * o.sd), 9) AS ols_slope
+        FROM med m JOIN ols o ON o.event_type = m.event_type
+        ORDER BY m.event_type
+    """,
+    operators=(23, 31, 158, 342),
+    doc="Theil–Sen robust trend (#342) per daily-count series: the "
+    "MEDIAN of all pairwise slopes (x_j - x_i)/(j - i) over the "
+    "zero-completed day grid — the estimator with a 29% breakdown "
+    "point that one outlier day cannot drag (the magnitude companion "
+    "to Mann-Kendall's #322 sign test; the OLS slope ships alongside "
+    "for the contrast). Exact median: slopes are identical IEEE "
+    "divisions of BIGINT cells on both engines, the rank window "
+    "selects positions (m+1)//2 and (m+2)//2 of the sorted multiset "
+    "(equal for odd m; ties across DIFFERENT pairs carry equal "
+    "values, so engine sort order cannot change the selected "
+    "values), and their mean goes through one DECIMAL(38,18) sum. "
+    "OLS derives from exact integer moments. Scale: the pair join "
+    "runs on (series, day) CELLS like #322 — thousands of rows; for "
+    "decade grids switch to the randomized O(n log n) "
+    "median-of-slopes selection.",
+    bench=False,
+)
+def q_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.datediff(
+            F.col("ts").cast("timestamp").cast("date"),
+            F.lit("1970-01-01").cast("date"),
+        ).alias("d"),
+    )
+    bounds = o.agg(F.min("d").alias("mn"), F.max("d").alias("mx"))
+    days = bounds.select(
+        F.explode(F.sequence(F.col("mn"), F.col("mx"))).alias("d")
+    )
+    types = o.select("event_type").distinct()
+    cnt = o.groupBy("event_type", "d").agg(F.count(F.lit(1)).alias("n"))
+    grid = (
+        types.crossJoin(days)
+        .join(cnt, ["event_type", "d"], "left")
+        .select("event_type", "d", F.coalesce(F.col("n"), F.lit(0)).alias("x"))
+        .localCheckpoint(eager=True)  # pair join + OLS moments reuse it
+    )
+    a = grid.select(
+        F.col("event_type").alias("et"), F.col("d").alias("da"),
+        F.col("x").alias("xa"),
+    )
+    b = grid.select(
+        F.col("event_type").alias("et"), F.col("d").alias("db"),
+        F.col("x").alias("xb"),
+    )
+    sl = (
+        a.join(b, (a.et == b.et) & (F.col("db") > F.col("da")))
+        .select(
+            a.et.alias("event_type"),
+            (
+                (F.col("xb") - F.col("xa")).cast("double")
+                / (F.col("db") - F.col("da"))
+            ).alias("slope"),
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy("slope")
+    rk = sl.select(
+        "event_type",
+        "slope",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("event_type"))
+        .alias("m"),
+    )
+    med = (
+        rk.filter(
+            (F.col("rn") == F.expr("(m + 1) div 2"))
+            | (F.col("rn") == F.expr("(m + 2) div 2"))
+        )
+        .groupBy("event_type")
+        .agg(
+            (
+                F.sum(F.col("slope").cast("decimal(38,18)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("theil_sen"),
+            F.first("m").cast("bigint").alias("n_pairs"),
+        )
+    )
+    ols = grid.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("d").cast("bigint").alias("sd"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum(F.col("d") * F.col("x")).cast("bigint").alias("sdx"),
+        F.sum(F.col("d") * F.col("d")).cast("bigint").alias("sd2"),
+    )
+    ols_slope = (
+        F.col("n") * F.col("sdx").cast("double")
+        - F.col("sd").cast("double") * F.col("sx")
+    ) / (
+        F.col("n") * F.col("sd2").cast("double")
+        - F.col("sd").cast("double") * F.col("sd")
+    )
+    return (
+        med.join(ols, "event_type")
+        .select(
+            "event_type",
+            F.col("n").alias("n_days"),
+            "n_pairs",
+            F.round("theil_sen", 9).alias("theil_sen"),
+            F.round(ols_slope, 9).alias("ols_slope"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# #343 acf_ljung_box — autocorrelation function + portmanteau test
+# ---------------------------------------------------------------------------
+
+_ACF_MAX_LAG = 7
+# chi-square 0.95 quantiles for df = 1..7 (public constants)
+_ACF_CHI2_95 = (
+    "3.841458820694124, 5.991464547107979, 7.814727903251179, "
+    "9.487729036781154, 11.070497693516351, 12.591587243743977, "
+    "14.067140449340169"
+)
+
+
+@query(
+    "q_acf_ljung_box",
+    oracle=f"""
+        WITH {_TS_GRID_SQL},
+        mu AS (
+            SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(x) AS BIGINT) AS sx,
+                   CAST(SUM(x * x) AS BIGINT) AS sx2
+            FROM grid GROUP BY event_type
+        ),
+        dm AS (
+            SELECT g.event_type, g.d,
+                   g.x - CAST(m.sx AS DOUBLE) / m.n AS e
+            FROM grid g JOIN mu m ON m.event_type = g.event_type
+        ),
+        den AS (
+            SELECT event_type,
+                   CAST(SUM(CAST(e * e AS DECIMAL(38,18))) AS DOUBLE) AS s0
+            FROM dm GROUP BY event_type
+        ),
+        lags AS (SELECT UNNEST(GENERATE_SERIES(1, {_ACF_MAX_LAG})) AS k),
+        num AS (
+            SELECT a.event_type, l.k,
+                   CAST(SUM(CAST(a.e * b.e AS DECIMAL(38,18))) AS DOUBLE) AS sk
+            FROM lags l
+            JOIN dm a ON TRUE
+            JOIN dm b ON b.event_type = a.event_type AND b.d = a.d + l.k
+            GROUP BY a.event_type, l.k
+        ),
+        r AS (
+            SELECT n.event_type, n.k, n.sk / d.s0 AS rk, m.n
+            FROM num n
+            JOIN den d ON d.event_type = n.event_type
+            JOIN mu m ON m.event_type = n.event_type
+        ),
+        q AS (
+            SELECT event_type, k, rk, n,
+                   n * (n + 2)
+                   * CAST(SUM(CAST(rk * rk / (n - k) AS DECIMAL(38,18)))
+                          OVER (PARTITION BY event_type ORDER BY k)
+                          AS DOUBLE) AS q_stat
+            FROM r
+        ),
+        crit AS (
+            SELECT k, c
+            FROM (SELECT UNNEST(GENERATE_SERIES(1, {_ACF_MAX_LAG})) AS k),
+                 LATERAL (SELECT ([{_ACF_CHI2_95}])[k] AS c)
+        )
+        SELECT q.event_type, q.k,
+               ROUND(q.rk, 9) AS acf,
+               ROUND(q.q_stat, 9) AS ljung_box_q,
+               CAST(q.q_stat > c.c AS INT) AS autocorrelated
+        FROM q JOIN crit c ON c.k = q.k
+        ORDER BY q.event_type, q.k
+    """,
+    operators=(23, 31, 32, 343),
+    doc=f"Autocorrelation function + Ljung-Box portmanteau test "
+    f"(#343) per daily-count series: r_k for lags 1..{_ACF_MAX_LAG} "
+    "over the zero-completed, mean-centered day grid, the cumulative "
+    "Q = n(n+2)·Σ r_j²/(n−j), and a 5% chi-square flag per lag — "
+    "the is-this-series-white-noise gate that decides whether "
+    "forecasting (#238/#331) is even worth running, and the "
+    "residual-diagnostics standard after any fit. Parity: the mean "
+    "is one exact-integer-sum division; per-cell products are "
+    "identical IEEE trees summed through DECIMAL(38,18); the "
+    "cumulative Q reuses the same decimal window sum; chi-square "
+    "critical values are shared literals. Scale: the lag join runs "
+    "on (series, day) cells × 7 lags — thousands of rows; at decade "
+    "scale the lag join stays linear because k is bounded.",
+    bench=False,
+)
+def q_acf_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.datediff(
+            F.col("ts").cast("timestamp").cast("date"),
+            F.lit("1970-01-01").cast("date"),
+        ).alias("d"),
+    )
+    bounds = o.agg(F.min("d").alias("mn"), F.max("d").alias("mx"))
+    days = bounds.select(
+        F.explode(F.sequence(F.col("mn"), F.col("mx"))).alias("d")
+    )
+    types = o.select("event_type").distinct()
+    cnt = o.groupBy("event_type", "d").agg(F.count(F.lit(1)).alias("n"))
+    grid = (
+        types.crossJoin(days)
+        .join(cnt, ["event_type", "d"], "left")
+        .select("event_type", "d", F.coalesce(F.col("n"), F.lit(0)).alias("x"))
+        .localCheckpoint(eager=True)  # moments + lag join reuse it
+    )
+    mu = grid.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+    )
+    dm = grid.join(mu, "event_type").select(
+        "event_type",
+        "d",
+        "n",
+        (F.col("x") - F.col("sx").cast("double") / F.col("n")).alias("e"),
+    )
+    dec = "decimal(38,18)"
+    den = dm.groupBy("event_type").agg(
+        F.sum((F.col("e") * F.col("e")).cast(dec)).cast("double").alias("s0")
+    )
+    lags = spark.range(1, _ACF_MAX_LAG + 1).select(
+        F.col("id").cast("int").alias("k")
+    )
+    a = dm.select(
+        F.col("event_type").alias("et"), F.col("d").alias("da"),
+        F.col("e").alias("ea"),
+    )
+    b = dm.select(
+        F.col("event_type").alias("et"), F.col("d").alias("db"),
+        F.col("e").alias("eb"),
+    )
+    num = (
+        a.crossJoin(F.broadcast(lags))
+        .join(
+            b,
+            (a.et == b.et) & (F.col("db") == F.col("da") + F.col("k")),
+        )
+        .groupBy(a.et.alias("event_type"), "k")
+        .agg(
+            F.sum((F.col("ea") * F.col("eb")).cast(dec))
+            .cast("double")
+            .alias("sk")
+        )
+    )
+    r = num.join(den, "event_type").join(mu, "event_type").select(
+        "event_type", "k", (F.col("sk") / F.col("s0")).alias("rk"), "n"
+    )
+    wq = (
+        Window.partitionBy("event_type")
+        .orderBy("k")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    q = r.withColumn(
+        "q_stat",
+        F.col("n")
+        * (F.col("n") + 2)
+        * F.sum(
+            (F.col("rk") * F.col("rk") / (F.col("n") - F.col("k"))).cast(dec)
+        )
+        .over(wq)
+        .cast("double"),
+    )
+    crit_vals = [float(v) for v in _ACF_CHI2_95.split(",")]
+    crit = spark.createDataFrame(
+        [(i + 1, c) for i, c in enumerate(crit_vals)], "k INT, c DOUBLE"
+    )
+    return (
+        q.join(F.broadcast(crit), "k")
+        .select(
+            "event_type",
+            "k",
+            F.round("rk", 9).alias("acf"),
+            F.round("q_stat", 9).alias("ljung_box_q"),
+            (F.col("q_stat") > F.col("c")).cast("int").alias("autocorrelated"),
+        )
+        .orderBy("event_type", "k")
+    )
+
+
+# ---------------------------------------------------------------------------
+# #344 ewma_chart — EWMA control chart with exact-variance limits
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_ewma_chart",
+    oracle="""
+        WITH RECURSIVE o AS (
+            SELECT event_type,
+                   DATEDIFF('day', DATE '1970-01-01',
+                            CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS d
+            FROM events
+        ),
+        days AS (
+            SELECT UNNEST(GENERATE_SERIES(mn, mx)) AS d
+            FROM (SELECT MIN(d) AS mn, MAX(d) AS mx FROM o)
+        ),
+        types AS (SELECT DISTINCT event_type FROM o),
+        cnt AS (SELECT event_type, d, COUNT(*) AS n FROM o GROUP BY 1, 2),
+        grid AS MATERIALIZED (
+            SELECT t.event_type,
+                   days.d - (SELECT MIN(d) FROM days) AS t,
+                   CAST(COALESCE(cnt.n, 0) AS DOUBLE) AS x
+            FROM types t CROSS JOIN days
+            LEFT JOIN cnt ON cnt.event_type = t.event_type AND cnt.d = days.d
+        ),
+        mom AS (
+            SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(CAST(x AS BIGINT)) AS BIGINT) AS sx,
+                   CAST(SUM(CAST(x AS BIGINT) * CAST(x AS BIGINT)) AS BIGINT)
+                       AS sx2
+            FROM grid GROUP BY event_type
+        ),
+        par AS (
+            SELECT event_type, n,
+                   CAST(sx AS DOUBLE) / n AS mu,
+                   SQRT((CAST(sx2 AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * sx / n) / n) AS sigma
+            FROM mom
+        ),
+        ch AS (
+            SELECT p.event_type, CAST(-1 AS BIGINT) AS t, p.mu AS z,
+                   CAST(1 AS DOUBLE) AS c, CAST(0 AS BIGINT) AS n_ooc,
+                   CAST(-1 AS BIGINT) AS first_t
+            FROM par p
+            UNION ALL
+            SELECT h.event_type, h.t + 1,
+                   CAST(0.2 AS DOUBLE) * g.x + CAST(0.8 AS DOUBLE) * h.z,
+                   h.c * CAST(0.64 AS DOUBLE),
+                   h.n_ooc + CAST(
+                       ABS(CAST(0.2 AS DOUBLE) * g.x
+                           + CAST(0.8 AS DOUBLE) * h.z - p.mu)
+                       > 3 * p.sigma
+                         * SQRT(CAST(0.2 AS DOUBLE) / CAST(1.8 AS DOUBLE)
+                                * (1 - h.c * CAST(0.64 AS DOUBLE)))
+                       AS BIGINT),
+                   CASE WHEN h.first_t >= 0 THEN h.first_t
+                        WHEN ABS(CAST(0.2 AS DOUBLE) * g.x
+                                 + CAST(0.8 AS DOUBLE) * h.z - p.mu)
+                             > 3 * p.sigma
+                               * SQRT(CAST(0.2 AS DOUBLE)
+                                      / CAST(1.8 AS DOUBLE)
+                                      * (1 - h.c * CAST(0.64 AS DOUBLE)))
+                        THEN h.t + 1 ELSE CAST(-1 AS BIGINT) END
+            FROM ch h
+            JOIN grid g ON g.event_type = h.event_type AND g.t = h.t + 1
+            JOIN par p ON p.event_type = h.event_type
+        )
+        SELECT c.event_type, p.n AS n_days, c.n_ooc, c.first_t AS first_ooc_t,
+               CAST(CAST(c.z AS DECIMAL(38,9)) AS DOUBLE) AS final_ewma,
+               CAST(CAST(p.sigma AS DECIMAL(38,9)) AS DOUBLE) AS sigma
+        FROM ch c
+        JOIN par p ON p.event_type = c.event_type AND c.t = p.n - 1
+        ORDER BY c.event_type
+    """,
+    operators=(44, 87, 92, 344),
+    doc="EWMA control chart (#344) per daily-count series: "
+    "z_t = 0.2·x_t + 0.8·z_(t-1) seeded at the series mean, flagged "
+    "against the EXACT time-varying limits mu ± 3·sigma·sqrt(lam/"
+    "(2-lam)·(1-(1-lam)^(2t))) — the small-shift detector that beats "
+    "Shewhart/z-score charts (#92) on sub-sigma drifts and "
+    "complements CUSUM (#237); emits violations, first alarm time, "
+    "and final state. Parity: the variance-inflation term "
+    "(1-lam)^(2t) is carried RECURSIVELY in the fold state "
+    "(c' = c·0.64) so no engine-specific pow() enters the tree — "
+    "every step is mul/add/sqrt of identical operands (the #331 "
+    "fold discipline); mean and sigma derive from exact integer "
+    "moments. Scale: series parallelize; per-series state is two "
+    "doubles + counters; the fold length is the time span after the "
+    "daily rollup, not the row count.",
+    bench=False,
+)
+def q_ewma_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.datediff(
+            F.col("ts").cast("timestamp").cast("date"),
+            F.lit("1970-01-01").cast("date"),
+        ).alias("d"),
+    )
+    bounds = o.agg(F.min("d").alias("mn"), F.max("d").alias("mx"))
+    days = bounds.select(
+        F.explode(F.sequence(F.col("mn"), F.col("mx"))).alias("d")
+    )
+    types = o.select("event_type").distinct()
+    cnt = o.groupBy("event_type", "d").agg(F.count(F.lit(1)).alias("n"))
+    grid = (
+        types.crossJoin(days)
+        .join(cnt, ["event_type", "d"], "left")
+        .select(
+            "event_type",
+            "d",
+            F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("xi"),
+        )
+    )
+    series = grid.groupBy("event_type").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("d", "xi"))),
+            lambda s: s["xi"].cast("double"),
+        ).alias("ys"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("xi").cast("bigint").alias("sx"),
+        F.sum(F.col("xi") * F.col("xi")).cast("bigint").alias("sx2"),
+    )
+    mu = F.col("sx").cast("double") / F.col("n")
+    sigma = F.sqrt(
+        (
+            F.col("sx2").cast("double")
+            - F.col("sx").cast("double") * F.col("sx") / F.col("n")
+        )
+        / F.col("n")
+    )
+    par = series.select("event_type", "ys", "n", mu.alias("mu"),
+                        sigma.alias("sigma"))
+
+    def step(acc, x):
+        z_new = F.lit(0.2) * x + F.lit(0.8) * acc["z"]
+        c_new = acc["c"] * F.lit(0.64)
+        half = (
+            F.lit(3.0)
+            * F.col("sigma")
+            * F.sqrt(F.lit(0.2) / F.lit(1.8) * (F.lit(1.0) - c_new))
+        )
+        ooc = F.abs(z_new - F.col("mu")) > half
+        t_new = acc["t"] + F.lit(1).cast("bigint")
+        return F.struct(
+            z_new.alias("z"),
+            c_new.alias("c"),
+            (acc["n_ooc"] + ooc.cast("bigint")).alias("n_ooc"),
+            F.when(acc["first_t"] >= 0, acc["first_t"])
+            .when(ooc, t_new)
+            .otherwise(F.lit(-1).cast("bigint"))
+            .alias("first_t"),
+            t_new.alias("t"),
+        )
+
+    init = F.struct(
+        F.col("mu").alias("z"),
+        F.lit(1.0).alias("c"),
+        F.lit(0).cast("bigint").alias("n_ooc"),
+        F.lit(-1).cast("bigint").alias("first_t"),
+        F.lit(-1).cast("bigint").alias("t"),
+    )
+    folded = par.select(
+        "event_type",
+        F.col("n").alias("n_days"),
+        F.aggregate("ys", init, step).alias("st"),
+        "sigma",
+    )
+    return folded.select(
+        "event_type",
+        "n_days",
+        F.col("st.n_ooc").alias("n_ooc"),
+        F.col("st.first_t").alias("first_ooc_t"),
+        F.col("st.z").cast("decimal(38,9)").cast("double").alias("final_ewma"),
+        F.col("sigma").cast("decimal(38,9)").cast("double").alias("sigma"),
+    ).orderBy("event_type")
