@@ -137,6 +137,14 @@ _NEXT_ROUND: list[str] = [
     "q_ams_f2",
     "q_luhn_screen",
     "q_stream_full_outer_join",
+    # round-6 classical-ML/linkage wave (#348-#354)
+    "q_kendall_tau",
+    "q_spearman_rho",
+    "q_naive_bayes",
+    "q_decision_stump",
+    "q_page_hinkley",
+    "q_jaro_winkler_linkage",
+    "q_soundex_blocking",
     "q04_order_priority",
     "q07_volume_shipping",
     "q08_market_share",

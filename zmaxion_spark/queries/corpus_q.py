@@ -725,3 +725,157 @@ def q_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("rank"), "term")
         .limit(_TR_TOPK)
     )
+
+
+# ---------------------------------------------------------------------------
+# #350 naive_bayes — multinomial NB lang classifier, train/eval
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_naive_bayes",
+    oracle="""
+        WITH train AS (SELECT * FROM documents WHERE doc_id % 5 <> 0),
+        test AS (SELECT * FROM documents WHERE doc_id % 5 = 0),
+        langs AS (
+            SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+            FROM train GROUP BY lang
+        ),
+        nd AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS n FROM langs),
+        ttok AS (
+            SELECT lang, UNNEST(STRING_SPLIT(text, ' ')) AS tok FROM train
+        ),
+        tc AS (
+            SELECT lang, tok, CAST(COUNT(*) AS BIGINT) AS c
+            FROM ttok GROUP BY lang, tok
+        ),
+        tl AS (SELECT lang, CAST(SUM(c) AS BIGINT) AS t_l FROM tc
+               GROUP BY lang),
+        vocab AS (SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS v FROM ttok),
+        stok AS (
+            SELECT doc_id, lang AS true_lang,
+                   UNNEST(STRING_SPLIT(text, ' ')) AS tok
+            FROM test
+        ),
+        terms AS (
+            SELECT s.doc_id, s.true_lang, l.lang,
+                   LN((COALESCE(tc.c, 0) + 1)
+                      / CAST(tl.t_l + vocab.v AS DOUBLE)) AS term
+            FROM stok s
+            CROSS JOIN langs l
+            LEFT JOIN tc ON tc.lang = l.lang AND tc.tok = s.tok
+            JOIN tl ON tl.lang = l.lang
+            CROSS JOIN vocab
+        ),
+        scores AS (
+            SELECT t.doc_id, t.true_lang, t.lang,
+                   ROUND(LN(CAST(l.n_docs AS DOUBLE) / nd.n)
+                         + CAST(SUM(CAST(t.term AS DECIMAL(38,18)))
+                                AS DOUBLE), 9) AS score
+            FROM terms t
+            JOIN langs l ON l.lang = t.lang
+            CROSS JOIN nd
+            GROUP BY t.doc_id, t.true_lang, t.lang, l.n_docs, nd.n
+        ),
+        pred AS (
+            SELECT doc_id, true_lang, lang AS pred_lang,
+                   ROW_NUMBER() OVER (PARTITION BY doc_id
+                                      ORDER BY score DESC, lang) AS rn
+            FROM scores
+        )
+        SELECT true_lang, pred_lang, CAST(COUNT(*) AS BIGINT) AS n
+        FROM pred WHERE rn = 1
+        GROUP BY true_lang, pred_lang
+        ORDER BY true_lang, pred_lang
+    """,
+    operators=(13, 23, 33, 66, 350),
+    doc="Multinomial naive Bayes (#350), trained and evaluated "
+    "entirely in the engine: Laplace-smoothed token likelihoods "
+    "P(tok|lang) = (c+1)/(T_lang+V) and doc-count priors fit on the "
+    "deterministic 80% train split (doc_id % 5 != 0), argmax "
+    "log-posterior scoring on the held-out 20%, graded as the "
+    "confusion matrix — the classical-ML upgrade over the heuristic "
+    "lang-ID rule (#66) and the generative sibling of the logistic "
+    "quality classifier (#222). Parity: every ln() term is an "
+    "identical IEEE tree over exact integers; per-(doc,lang) sums go "
+    "through DECIMAL(38,18); scores quantize at ROUND(9) before the "
+    "argmax window with a lang tie-break. Scale: the (tok, lang) "
+    "probability table is vocab-sized — broadcast it; scoring is one "
+    "map-side join over the token stream + one groupBy(doc, lang); "
+    "the 5x lang fan-out is the |classes| factor every NB scorer "
+    "pays.",
+    bench=False,
+)
+def q_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    train = d.filter(F.col("doc_id") % 5 != 0)
+    test = d.filter(F.col("doc_id") % 5 == 0)
+    langs = train.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    )
+    nd = langs.agg(F.sum("n_docs").cast("bigint").alias("n"))
+    ttok = train.select("lang", F.explode(F.split("text", " ")).alias("tok"))
+    tc = ttok.groupBy("lang", "tok").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    tl = tc.groupBy("lang").agg(F.sum("c").cast("bigint").alias("t_l"))
+    vocab = ttok.agg(F.countDistinct("tok").cast("bigint").alias("v"))
+    stok = test.select(
+        "doc_id",
+        F.col("lang").alias("true_lang"),
+        F.explode(F.split("text", " ")).alias("tok"),
+    )
+    probs = (
+        tc.join(tl, "lang")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "lang",
+            "tok",
+            F.log(
+                (F.col("c") + 1)
+                / (F.col("t_l") + F.col("v")).cast("double")
+            ).alias("term"),
+        )
+    )
+    # unseen-token fallback per lang: ln(1 / (T_l + V))
+    fallback = (
+        tl.crossJoin(F.broadcast(vocab))
+        .select(
+            "lang",
+            F.log(
+                F.lit(1) / (F.col("t_l") + F.col("v")).cast("double")
+            ).alias("fb"),
+        )
+    )
+    terms = (
+        stok.crossJoin(F.broadcast(langs.select("lang", "n_docs")))
+        .join(F.broadcast(probs), ["lang", "tok"], "left")
+        .join(F.broadcast(fallback), "lang")
+        .select(
+            "doc_id",
+            "true_lang",
+            "lang",
+            "n_docs",
+            F.coalesce("term", "fb").alias("term"),
+        )
+    )
+    scores = (
+        terms.crossJoin(F.broadcast(nd))
+        .groupBy("doc_id", "true_lang", "lang", "n_docs", "n")
+        .agg(
+            F.round(
+                F.log(F.col("n_docs").cast("double") / F.col("n"))
+                + F.sum(F.col("term").cast("decimal(38,18)")).cast("double"),
+                9,
+            ).alias("score")
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), "lang")
+    pred = scores.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") == 1
+    )
+    return (
+        pred.groupBy("true_lang", F.col("lang").alias("pred_lang"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .orderBy("true_lang", "pred_lang")
+    )

@@ -1232,3 +1232,303 @@ def q_luhn_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+# ---------------------------------------------------------------------------
+# #353 jaro_winkler_linkage — edit-free string similarity for ER
+# ---------------------------------------------------------------------------
+
+_JW_THRESHOLDS = ("0.75", "0.85", "0.95")
+
+
+import pandas as _pd
+
+
+def _jw_pandas():
+    """Vectorized textbook Jaro-Winkler (boost threshold 0.7, p=0.1,
+    max prefix 4) — verified equal to DuckDB's built-in on 8000
+    random non-empty pairs, so the oracle can use
+    jaro_winkler_similarity() directly."""
+    from pyspark.sql.functions import pandas_udf
+
+    def _jaro(s1: str, s2: str) -> float:
+        l1, l2 = len(s1), len(s2)
+        if l1 == 0 or l2 == 0:
+            return 0.0
+        if s1 == s2:
+            return 1.0
+        md = max(l1, l2) // 2 - 1
+        m1 = [False] * l1
+        m2 = [False] * l2
+        m = 0
+        for i, c in enumerate(s1):
+            for j in range(max(0, i - md), min(l2, i + md + 1)):
+                if not m2[j] and s2[j] == c:
+                    m1[i] = m2[j] = True
+                    m += 1
+                    break
+        if m == 0:
+            return 0.0
+        t = 0
+        k = 0
+        for i in range(l1):
+            if m1[i]:
+                while not m2[k]:
+                    k += 1
+                if s1[i] != s2[k]:
+                    t += 1
+                k += 1
+        t //= 2
+        return (m / l1 + m / l2 + (m - t) / m) / 3
+
+    def _jw(s1: str, s2: str) -> float:
+        j = _jaro(s1, s2)
+        if j <= 0.7:
+            return j
+        p = 0
+        for a, b in zip(s1[:4], s2[:4]):
+            if a != b:
+                break
+            p += 1
+        return j + p * 0.1 * (1 - j)
+
+    @pandas_udf("double")
+    def jw(a: _pd.Series, b: _pd.Series) -> _pd.Series:
+        return _pd.Series([_jw(x, y) for x, y in zip(a, b)])
+
+    return jw
+
+
+@query(
+    "q_jaro_winkler_linkage",
+    oracle=f"""
+        WITH recs AS (
+            SELECT c_custkey * 10 AS rid, c_name AS name,
+                   c_custkey AS digits, c_custkey // 50 AS blk
+            FROM customer
+            UNION ALL
+            SELECT c_custkey * 10 + 1,
+                   'Customer #' || CAST(c_custkey AS VARCHAR),
+                   c_custkey, c_custkey // 50
+            FROM customer WHERE c_custkey % 5 = 0
+            UNION ALL
+            SELECT c_custkey * 10 + 2,
+                   'CUSTOMER #' || CAST(c_custkey AS VARCHAR),
+                   c_custkey, c_custkey // 50
+            FROM customer WHERE c_custkey % 10 = 0
+        ),
+        pairs AS (
+            SELECT a.rid AS ra, b.rid AS rb,
+                   ROUND(jaro_winkler_similarity(a.name, b.name), 9) AS jw,
+                   CAST(a.digits = b.digits AS INT) AS is_true
+            FROM recs a JOIN recs b
+              ON a.blk = b.blk AND a.rid < b.rid
+        ),
+        truth AS (SELECT CAST(SUM(is_true) AS BIGINT) AS n_true FROM pairs),
+        sweep AS (
+            SELECT CAST(t.thr AS DOUBLE) AS threshold,
+                   CAST(COUNT(*) FILTER (WHERE p.jw >= CAST(t.thr AS DOUBLE))
+                        AS BIGINT) AS n_pred,
+                   CAST(SUM(CASE WHEN p.jw >= CAST(t.thr AS DOUBLE)
+                                 THEN p.is_true ELSE 0 END) AS BIGINT) AS tp
+            FROM pairs p
+            CROSS JOIN (SELECT UNNEST([{", ".join(_JW_THRESHOLDS)}]) AS thr) t
+            GROUP BY t.thr
+        )
+        SELECT s.threshold, s.n_pred, s.tp,
+               ROUND(CASE WHEN s.n_pred = 0 THEN 0
+                          ELSE CAST(s.tp AS DOUBLE) / s.n_pred END, 9)
+                   AS precision_,
+               ROUND(CAST(s.tp AS DOUBLE) / t.n_true, 9) AS recall
+        FROM sweep s CROSS JOIN truth t
+        ORDER BY s.threshold
+    """,
+    operators=(58, 93, 228, 353),
+    doc="Jaro-Winkler record linkage (#353): the edit-free string "
+    "similarity built for short names (common-character windows + "
+    "transposition halves + common-prefix boost, the census-linkage "
+    "standard since Winkler 1990) swept at three thresholds over the "
+    "blocked ER fixture (#228), graded as precision/recall against "
+    "planted truth — the string-metric alternative to Levenshtein "
+    "blocking (#93), catching transposed and case-mangled variants "
+    "at distance Levenshtein scores far apart. The Spark side is a "
+    "vectorized Arrow-batched pandas UDF implementing the textbook "
+    "algorithm (boost threshold 0.7); DuckDB's built-in "
+    "jaro_winkler_similarity was verified EQUAL on 8k random pairs, "
+    "so the oracle grades the exact similarity, quantized at 1e-9. "
+    "Scale: pairs form inside bounded blocks only (mod-100 digit "
+    "blocks — the #228 blocking discipline); the UDF sees (pair) "
+    "rows, never a cross join, and at 100 TB the same sweep rides "
+    "the capped-block machinery of #263.",
+    bench=False,
+)
+def q_jaro_winkler_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    base = c.select(
+        (F.col("c_custkey") * 10).alias("rid"),
+        F.col("c_name").alias("name"),
+        F.col("c_custkey").alias("digits"),
+        F.floor(F.col("c_custkey") / 50).alias("blk"),
+    )
+    v1 = c.filter(F.col("c_custkey") % 5 == 0).select(
+        (F.col("c_custkey") * 10 + 1).alias("rid"),
+        F.concat(F.lit("Customer #"), F.col("c_custkey").cast("string")).alias(
+            "name"
+        ),
+        F.col("c_custkey").alias("digits"),
+        F.floor(F.col("c_custkey") / 50).alias("blk"),
+    )
+    v2 = c.filter(F.col("c_custkey") % 10 == 0).select(
+        (F.col("c_custkey") * 10 + 2).alias("rid"),
+        F.concat(F.lit("CUSTOMER #"), F.col("c_custkey").cast("string")).alias(
+            "name"
+        ),
+        F.col("c_custkey").alias("digits"),
+        F.floor(F.col("c_custkey") / 50).alias("blk"),
+    )
+    recs = base.unionByName(v1).unionByName(v2).localCheckpoint(eager=True)
+    a = recs.select(
+        F.col("rid").alias("ra"), F.col("name").alias("na"),
+        F.col("digits").alias("da"), F.col("blk").alias("blk"),
+    )
+    b = recs.select(
+        F.col("rid").alias("rb"), F.col("name").alias("nb"),
+        F.col("digits").alias("db"), F.col("blk").alias("blkb"),
+    )
+    jw = _jw_pandas()
+    pairs = (
+        a.join(b, (F.col("blk") == F.col("blkb")) & (F.col("ra") < F.col("rb")))
+        .select(
+            F.round(jw(F.col("na"), F.col("nb")), 9).alias("jw"),
+            (F.col("da") == F.col("db")).cast("int").alias("is_true"),
+        )
+        .localCheckpoint(eager=True)  # truth total + sweep reuse it
+    )
+    truth = pairs.agg(F.sum("is_true").cast("bigint").alias("n_true"))
+    thr = spark.createDataFrame(
+        [(float(t),) for t in _JW_THRESHOLDS], "threshold DOUBLE"
+    )
+    sweep = (
+        pairs.crossJoin(F.broadcast(thr))
+        .groupBy("threshold")
+        .agg(
+            F.sum((F.col("jw") >= F.col("threshold")).cast("int"))
+            .cast("bigint")
+            .alias("n_pred"),
+            F.sum(
+                F.when(F.col("jw") >= F.col("threshold"), F.col("is_true"))
+                .otherwise(0)
+            )
+            .cast("bigint")
+            .alias("tp"),
+        )
+    )
+    return (
+        sweep.crossJoin(F.broadcast(truth))
+        .select(
+            "threshold",
+            "n_pred",
+            "tp",
+            F.round(
+                F.when(F.col("n_pred") == 0, F.lit(0.0)).otherwise(
+                    F.col("tp").cast("double") / F.col("n_pred")
+                ),
+                9,
+            ).alias("precision_"),
+            F.round(F.col("tp").cast("double") / F.col("n_true"), 9).alias(
+                "recall"
+            ),
+        )
+        .orderBy("threshold")
+    )
+
+
+# ---------------------------------------------------------------------------
+# #354 soundex_blocking — phonetic blocking keys for ER candidates
+# ---------------------------------------------------------------------------
+
+_SDX_ALPHA = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+_SDX_CODES = "01230120022455012623010202"
+
+
+@query(
+    "q_soundex_blocking",
+    oracle=f"""
+        WITH words AS (
+            SELECT p_partkey,
+                   UPPER(STRING_SPLIT(p_name, ' ')[1]) AS w
+            FROM part
+        ),
+        coded AS (
+            SELECT p_partkey, w,
+                   TRANSLATE(w, '{_SDX_ALPHA}', '{_SDX_CODES}') AS codes
+            FROM words
+        ),
+        sdx AS (
+            SELECT p_partkey, w,
+                   SUBSTR(w, 1, 1)
+                   || RPAD(SUBSTR(COALESCE(array_to_string(list_filter(
+                          list_transform(range(2, LEN(w) + 1),
+                              i -> CASE WHEN codes[i] <> codes[i - 1]
+                                         AND codes[i] <> '0'
+                                        THEN codes[i] END),
+                          x -> x IS NOT NULL), ''), ''), 1, 3), 3, '0')
+                      AS soundex
+            FROM coded
+        )
+        SELECT soundex,
+               CAST(COUNT(*) AS BIGINT) AS n_parts,
+               CAST(COUNT(DISTINCT w) AS BIGINT) AS n_distinct_words,
+               MIN(w) AS sample_word
+        FROM sdx
+        GROUP BY soundex
+        ORDER BY n_parts DESC, soundex
+        LIMIT 20
+    """,
+    operators=(23, 41, 354),
+    doc="Soundex phonetic blocking (#354): the classical "
+    "letter+3-digit phonetic key (American Soundex coding table; "
+    "simplified variant documented — H/W treated as vowels rather "
+    "than skipped) over part-name head words, censused as blocking "
+    "quality: parts per key and DISTINCT WORDS per key, the "
+    "collision rate that tells an ER pipeline (#228, #353) how much "
+    "candidate fan-in phonetic blocking adds over exact-prefix "
+    "blocking for misspelling-tolerant matching. Adjacent same-code "
+    "letters collapse by comparing each code to its predecessor IN "
+    "THE UNCOMPRESSED code string (vowels separate, per the real "
+    "algorithm), zeros then drop, pad to 3 — all ROW-LOCAL "
+    "higher-order array lambdas on both engines, identical by "
+    "construction, no float anywhere. Scale: one projection + one "
+    "groupBy(soundex); the key is computed beside the scan exactly "
+    "like a hash — zero extra shuffles over any blocking key.",
+    bench=False,
+)
+def q_soundex_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    words = load_table(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.upper(F.element_at(F.split("p_name", " "), 1)).alias("w"),
+    )
+    coded = words.withColumn(
+        "codes", F.translate(F.col("w"), _SDX_ALPHA, _SDX_CODES)
+    )
+    tail = F.expr(
+        "substring(concat_ws('', filter(transform(sequence(2, length(w)), "
+        "i -> CASE WHEN substring(codes, i, 1) <> substring(codes, i - 1, 1) "
+        "AND substring(codes, i, 1) <> '0' THEN substring(codes, i, 1) END), "
+        "x -> x IS NOT NULL)), 1, 3)"
+    )
+    sdx = coded.select(
+        "p_partkey",
+        "w",
+        F.concat(F.substring("w", 1, 1), F.rpad(tail, 3, "0")).alias("soundex"),
+    )
+    return (
+        sdx.groupBy("soundex")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+            F.countDistinct("w").cast("bigint").alias("n_distinct_words"),
+            F.min("w").alias("sample_word"),
+        )
+        .orderBy(F.desc("n_parts"), "soundex")
+        .limit(20)
+    )

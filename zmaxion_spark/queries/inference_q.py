@@ -2064,3 +2064,270 @@ def q_wasserstein_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# #348 kendall_tau — tie-corrected rank correlation (tau-b)
+# ---------------------------------------------------------------------------
+
+_KT_GRID_SQL = """
+        o AS (
+            SELECT event_type,
+                   DATEDIFF('day', DATE '1970-01-01',
+                            CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS d,
+                   user_id
+            FROM events
+        ),
+        days AS (
+            SELECT UNNEST(GENERATE_SERIES(mn, mx)) AS d
+            FROM (SELECT MIN(d) AS mn, MAX(d) AS mx FROM o)
+        ),
+        types AS (SELECT DISTINCT event_type FROM o),
+        cnt AS (SELECT event_type, d, CAST(COUNT(*) AS BIGINT) AS x,
+                       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS y
+                FROM o GROUP BY 1, 2),
+        grid AS MATERIALIZED (
+            SELECT t.event_type, days.d,
+                   COALESCE(cnt.x, 0) AS x, COALESCE(cnt.y, 0) AS y
+            FROM types t CROSS JOIN days
+            LEFT JOIN cnt ON cnt.event_type = t.event_type AND cnt.d = days.d
+        )
+"""
+
+
+@query(
+    "q_kendall_tau",
+    oracle=f"""
+        WITH {_KT_GRID_SQL},
+        pr AS (
+            SELECT a.event_type,
+                   CAST(SUM(CASE WHEN (b.x - a.x) * (b.y - a.y) > 0
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS c,
+                   CAST(SUM(CASE WHEN (b.x - a.x) * (b.y - a.y) < 0
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS dd,
+                   CAST(SUM(CASE WHEN a.x = b.x THEN 1 ELSE 0 END)
+                        AS BIGINT) AS tx,
+                   CAST(SUM(CASE WHEN a.y = b.y THEN 1 ELSE 0 END)
+                        AS BIGINT) AS ty,
+                   CAST(COUNT(*) AS BIGINT) AS n0
+            FROM grid a JOIN grid b
+              ON b.event_type = a.event_type AND b.d > a.d
+            GROUP BY a.event_type
+        )
+        SELECT event_type, n0, c AS concordant, dd AS discordant,
+               CAST(CAST(
+                   (CAST(c AS DOUBLE) - dd)
+                   / SQRT(CAST(n0 - tx AS DOUBLE) * (n0 - ty))
+                   AS DECIMAL(38,9)) AS DOUBLE) AS tau_b
+        FROM pr
+        ORDER BY event_type
+    """,
+    operators=(23, 31, 158, 348),
+    doc="Kendall tau-b (#348) between two daily metrics per series "
+    "(event count vs distinct users over the zero-completed day "
+    "grid): concordant minus discordant pairs over the tie-corrected "
+    "geometric-mean denominator sqrt((n0-t_x)(n0-t_y)) — the rank "
+    "correlation that, unlike Pearson (#158), is exact under any "
+    "monotone transform and robust to outliers, and the pairwise "
+    "sibling of Spearman (#349). Everything through the denominator "
+    "is exact BIGINT pair counting (tie pairs counted directly in "
+    "the same pair join); tau is one identical IEEE tree quantized "
+    "at 1e-9. Scale: the pair join runs on (series, day) CELLS like "
+    "Mann-Kendall (#322) — thousands of rows; at decade scale use "
+    "the O(n log n) merge-sort inversion count.",
+    bench=False,
+)
+def q_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.datediff(
+            F.col("ts").cast("timestamp").cast("date"),
+            F.lit("1970-01-01").cast("date"),
+        ).alias("d"),
+        "user_id",
+    )
+    bounds = o.agg(F.min("d").alias("mn"), F.max("d").alias("mx"))
+    days = bounds.select(
+        F.explode(F.sequence(F.col("mn"), F.col("mx"))).alias("d")
+    )
+    types = o.select("event_type").distinct()
+    cnt = o.groupBy("event_type", "d").agg(
+        F.count(F.lit(1)).cast("bigint").alias("x"),
+        F.countDistinct("user_id").cast("bigint").alias("y"),
+    )
+    grid = (
+        types.crossJoin(days)
+        .join(cnt, ["event_type", "d"], "left")
+        .select(
+            "event_type",
+            "d",
+            F.coalesce(F.col("x"), F.lit(0)).alias("x"),
+            F.coalesce(F.col("y"), F.lit(0)).alias("y"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    a = grid.select(
+        F.col("event_type").alias("et"), F.col("d").alias("da"),
+        F.col("x").alias("xa"), F.col("y").alias("ya"),
+    )
+    b = grid.select(
+        F.col("event_type").alias("et"), F.col("d").alias("db"),
+        F.col("x").alias("xb"), F.col("y").alias("yb"),
+    )
+    prod = (F.col("xb") - F.col("xa")) * (F.col("yb") - F.col("ya"))
+    pr = (
+        a.join(b, (a.et == b.et) & (F.col("db") > F.col("da")))
+        .groupBy(a.et.alias("event_type"))
+        .agg(
+            F.sum(F.when(prod > 0, 1).otherwise(0)).cast("bigint").alias("c"),
+            F.sum(F.when(prod < 0, 1).otherwise(0)).cast("bigint").alias("dd"),
+            F.sum(F.when(F.col("xa") == F.col("xb"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("tx"),
+            F.sum(F.when(F.col("ya") == F.col("yb"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("ty"),
+            F.count(F.lit(1)).cast("bigint").alias("n0"),
+        )
+    )
+    tau = (F.col("c").cast("double") - F.col("dd")) / F.sqrt(
+        (F.col("n0") - F.col("tx")).cast("double") * (F.col("n0") - F.col("ty"))
+    )
+    return pr.select(
+        "event_type",
+        "n0",
+        F.col("c").alias("concordant"),
+        F.col("dd").alias("discordant"),
+        tau.cast("decimal(38,9)").cast("double").alias("tau_b"),
+    ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# #349 spearman_rho — average-rank correlation via integer 2·rank cells
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_spearman_rho",
+    oracle=f"""
+        WITH {_KT_GRID_SQL},
+        rx AS (
+            SELECT g.event_type, g.d,
+                   2 * (SELECT COUNT(*) FROM grid h
+                        WHERE h.event_type = g.event_type AND h.x < g.x)
+                   + (SELECT COUNT(*) FROM grid h
+                      WHERE h.event_type = g.event_type AND h.x = g.x)
+                   + 1 AS rx2,
+                   2 * (SELECT COUNT(*) FROM grid h
+                        WHERE h.event_type = g.event_type AND h.y < g.y)
+                   + (SELECT COUNT(*) FROM grid h
+                      WHERE h.event_type = g.event_type AND h.y = g.y)
+                   + 1 AS ry2
+            FROM grid g
+        ),
+        mom AS (
+            SELECT event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(rx2) AS BIGINT) AS sx,
+                   CAST(SUM(ry2) AS BIGINT) AS sy,
+                   CAST(SUM(rx2 * ry2) AS BIGINT) AS sxy,
+                   CAST(SUM(rx2 * rx2) AS BIGINT) AS sx2,
+                   CAST(SUM(ry2 * ry2) AS BIGINT) AS sy2
+            FROM rx GROUP BY event_type
+        )
+        SELECT event_type, n,
+               CAST(CAST(
+                   (n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy)
+                   / SQRT((n * CAST(sx2 AS DOUBLE) - CAST(sx AS DOUBLE) * sx)
+                          * (n * CAST(sy2 AS DOUBLE) - CAST(sy AS DOUBLE) * sy))
+                   AS DECIMAL(38,9)) AS DOUBLE) AS spearman_rho
+        FROM mom
+        ORDER BY event_type
+    """,
+    operators=(23, 31, 158, 349),
+    doc="Spearman rank correlation (#349) between the same two daily "
+    "metrics as #348: Pearson over AVERAGE ranks, with the tie-safe "
+    "trick that 2·avg_rank = 2·count(v < x) + count(v = x) + 1 is always "
+    "an INTEGER — so every rank and every co-moment stays exact "
+    "BIGINT (correlation is scale-invariant, so rho over 2·rank "
+    "equals rho over rank) and no midrank double ever enters a sum. "
+    "rho is one identical IEEE tree at 1e-9. The less/equal counts "
+    "come from a value-census join, not a sort — ranks over CELLS, "
+    "the quantile_normalize (#279) discipline. Scale: per-series "
+    "cells are bounded by the day span; nothing global sorts.",
+    bench=False,
+)
+def q_spearman_rho(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.datediff(
+            F.col("ts").cast("timestamp").cast("date"),
+            F.lit("1970-01-01").cast("date"),
+        ).alias("d"),
+        "user_id",
+    )
+    bounds = o.agg(F.min("d").alias("mn"), F.max("d").alias("mx"))
+    days = bounds.select(
+        F.explode(F.sequence(F.col("mn"), F.col("mx"))).alias("d")
+    )
+    types = o.select("event_type").distinct()
+    cnt = o.groupBy("event_type", "d").agg(
+        F.count(F.lit(1)).cast("bigint").alias("x"),
+        F.countDistinct("user_id").cast("bigint").alias("y"),
+    )
+    grid = (
+        types.crossJoin(days)
+        .join(cnt, ["event_type", "d"], "left")
+        .select(
+            "event_type",
+            "d",
+            F.coalesce(F.col("x"), F.lit(0)).alias("x"),
+            F.coalesce(F.col("y"), F.lit(0)).alias("y"),
+        )
+        .localCheckpoint(eager=True)  # both rank censuses reuse it
+    )
+
+    def rank2(col: str, out: str):
+        cells = grid.groupBy("event_type", col).agg(
+            F.count(F.lit(1)).cast("bigint").alias("t")
+        )
+        w = (
+            Window.partitionBy("event_type")
+            .orderBy(col)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow - 0)
+        )
+        # cnt_less via running sum over the value census minus own t
+        cells = cells.withColumn(
+            "cum", F.sum("t").over(w)
+        ).select(
+            "event_type",
+            col,
+            (2 * (F.col("cum") - F.col("t")) + F.col("t") + 1).alias(out),
+        )
+        return cells
+
+    rx = grid.join(rank2("x", "rx2"), ["event_type", "x"]).join(
+        rank2("y", "ry2"), ["event_type", "y"]
+    )
+    mom = rx.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("rx2").cast("bigint").alias("sx"),
+        F.sum("ry2").cast("bigint").alias("sy"),
+        F.sum(F.col("rx2") * F.col("ry2")).cast("bigint").alias("sxy"),
+        F.sum(F.col("rx2") * F.col("rx2")).cast("bigint").alias("sx2"),
+        F.sum(F.col("ry2") * F.col("ry2")).cast("bigint").alias("sy2"),
+    )
+    num = F.col("n") * F.col("sxy").cast("double") - F.col("sx").cast(
+        "double"
+    ) * F.col("sy")
+    den = F.sqrt(
+        (F.col("n") * F.col("sx2").cast("double")
+         - F.col("sx").cast("double") * F.col("sx"))
+        * (F.col("n") * F.col("sy2").cast("double")
+           - F.col("sy").cast("double") * F.col("sy"))
+    )
+    return mom.select(
+        "event_type",
+        "n",
+        (num / den).cast("decimal(38,9)").cast("double").alias("spearman_rho"),
+    ).orderBy("event_type")

@@ -1812,3 +1812,147 @@ def q_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
             9,
         ).alias("uncertainty"),
     )
+
+
+# ---------------------------------------------------------------------------
+# #351 decision_stump — best information-gain split over a feature census
+# ---------------------------------------------------------------------------
+
+_STUMP_TOPK = 5
+
+
+@query(
+    "q_decision_stump",
+    oracle=f"""
+        WITH pts AS (
+            SELECT n_chars AS x,
+                   CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+            FROM documents
+        ),
+        cells AS (
+            SELECT x, CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(y) AS BIGINT) AS pos
+            FROM pts GROUP BY x
+        ),
+        tot AS (
+            SELECT CAST(SUM(n) AS BIGINT) AS nt, CAST(SUM(pos) AS BIGINT) AS pt
+            FROM cells
+        ),
+        run AS (
+            SELECT x,
+                   CAST(SUM(n) OVER (ORDER BY x) AS BIGINT) AS nl,
+                   CAST(SUM(pos) OVER (ORDER BY x) AS BIGINT) AS pl
+            FROM cells
+        ),
+        ent AS (
+            SELECT r.x AS threshold,
+                   r.nl AS n_left, t.nt - r.nl AS n_right,
+                   r.pl AS pos_left, t.pt - r.pl AS pos_right,
+                   t.nt, t.pt
+            FROM run r CROSS JOIN tot t
+            WHERE r.nl < t.nt
+        ),
+        ig AS (
+            SELECT threshold, n_left, n_right, pos_left, pos_right,
+                   ROUND(
+                     (CASE WHEN pt = 0 OR pt = nt THEN 0
+                      ELSE -(CAST(pt AS DOUBLE)/nt) * LN(CAST(pt AS DOUBLE)/nt)
+                           - (1 - CAST(pt AS DOUBLE)/nt)
+                             * LN(1 - CAST(pt AS DOUBLE)/nt) END)
+                     - CAST(n_left AS DOUBLE)/nt *
+                       (CASE WHEN pos_left = 0 OR pos_left = n_left THEN 0
+                        ELSE -(CAST(pos_left AS DOUBLE)/n_left)
+                              * LN(CAST(pos_left AS DOUBLE)/n_left)
+                             - (1 - CAST(pos_left AS DOUBLE)/n_left)
+                               * LN(1 - CAST(pos_left AS DOUBLE)/n_left) END)
+                     - CAST(n_right AS DOUBLE)/nt *
+                       (CASE WHEN pos_right = 0 OR pos_right = n_right THEN 0
+                        ELSE -(CAST(pos_right AS DOUBLE)/n_right)
+                              * LN(CAST(pos_right AS DOUBLE)/n_right)
+                             - (1 - CAST(pos_right AS DOUBLE)/n_right)
+                               * LN(1 - CAST(pos_right AS DOUBLE)/n_right) END)
+                   , 9) AS info_gain
+            FROM ent
+        )
+        SELECT threshold, n_left, n_right, pos_left, pos_right, info_gain
+        FROM ig
+        ORDER BY info_gain DESC, threshold
+        LIMIT {_STUMP_TOPK}
+    """,
+    operators=(23, 31, 351),
+    doc=f"Decision stump (#351): the best binary split x <= t of a "
+    "numeric feature (n_chars) against a label (lang='en') by "
+    "information gain — the single-feature learner inside every "
+    "boosted-tree round and THE feature-screening primitive beside "
+    f"chi2 (#280) and WOE/IV (#212); top-{_STUMP_TOPK} candidate "
+    "thresholds graded. All split statistics come from a RUNNING SUM "
+    "over the (value, count, pos) CENSUS — distinct feature values, "
+    "not rows, so the candidate sweep costs one window over cells "
+    "(the quantile_hist #91 discipline); entropies are identical "
+    "IEEE ln-trees over exact integer counts with 0·ln0 guarded by "
+    "CASE on the integer boundary, one ROUND(9) before the ranked "
+    "limit. Scale: cells are bounded by the feature's cardinality; "
+    "for continuous features pre-bin to quantile cells first "
+    "(#219) — the same plan then holds at any corpus size.",
+    bench=False,
+)
+def q_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    pts = load_table(spark, sf_dir, "documents").select(
+        F.col("n_chars").alias("x"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
+    )
+    cells = pts.groupBy("x").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("y").cast("bigint").alias("pos"),
+    )
+    tot = cells.agg(
+        F.sum("n").cast("bigint").alias("nt"),
+        F.sum("pos").cast("bigint").alias("pt"),
+    )
+    w = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, 0)
+    run = cells.select(
+        F.col("x").alias("threshold"),
+        F.sum("n").over(w).alias("nl"),
+        F.sum("pos").over(w).alias("pl"),
+    )
+    ent = (
+        run.crossJoin(F.broadcast(tot))
+        .filter(F.col("nl") < F.col("nt"))
+        .select(
+            "threshold",
+            F.col("nl").alias("n_left"),
+            (F.col("nt") - F.col("nl")).alias("n_right"),
+            F.col("pl").alias("pos_left"),
+            (F.col("pt") - F.col("pl")).alias("pos_right"),
+            "nt",
+            "pt",
+        )
+    )
+
+    def h(pos, n):
+        p = pos.cast("double") / n
+        return F.when((pos == 0) | (pos == n), F.lit(0.0)).otherwise(
+            -p * F.log(p) - (1 - p) * F.log(1 - p)
+        )
+
+    ig = (
+        h(F.col("pt"), F.col("nt"))
+        - F.col("n_left").cast("double") / F.col("nt")
+        * h(F.col("pos_left"), F.col("n_left"))
+        - F.col("n_right").cast("double") / F.col("nt")
+        * h(F.col("pos_right"), F.col("n_right"))
+    )
+    return (
+        ent.select(
+            "threshold",
+            "n_left",
+            "n_right",
+            "pos_left",
+            "pos_right",
+            F.round(ig, 9).alias("info_gain"),
+        )
+        .orderBy(F.desc("info_gain"), "threshold")
+        .limit(_STUMP_TOPK)
+    )

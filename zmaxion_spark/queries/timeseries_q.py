@@ -2157,3 +2157,162 @@ def q_ewma_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("st.z").cast("decimal(38,9)").cast("double").alias("final_ewma"),
         F.col("sigma").cast("decimal(38,9)").cast("double").alias("sigma"),
     ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# #352 page_hinkley — sequential mean-shift drift test
+# ---------------------------------------------------------------------------
+
+_PH_DELTA = "0.1"   # insensitivity margin (shared literal)
+_PH_LAMBDA = "15"   # alarm threshold (shared literal)
+
+
+@query(
+    "q_page_hinkley",
+    oracle=f"""
+        WITH RECURSIVE o AS (
+            SELECT event_type,
+                   DATEDIFF('day', DATE '1970-01-01',
+                            CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS d
+            FROM events
+        ),
+        days AS (
+            SELECT UNNEST(GENERATE_SERIES(mn, mx)) AS d
+            FROM (SELECT MIN(d) AS mn, MAX(d) AS mx FROM o)
+        ),
+        types AS (SELECT DISTINCT event_type FROM o),
+        cnt AS (SELECT event_type, d, COUNT(*) AS n FROM o GROUP BY 1, 2),
+        grid AS MATERIALIZED (
+            SELECT t.event_type,
+                   days.d - (SELECT MIN(d) FROM days) AS t,
+                   CAST(COALESCE(cnt.n, 0) AS DOUBLE) AS x
+            FROM types t CROSS JOIN days
+            LEFT JOIN cnt ON cnt.event_type = t.event_type AND cnt.d = days.d
+        ),
+        nn AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n FROM grid
+               GROUP BY event_type),
+        ph AS (
+            SELECT g.event_type, CAST(0 AS BIGINT) AS t,
+                   g.x AS mean, CAST(0 AS DOUBLE) AS u,
+                   CAST(0 AS DOUBLE) AS minu,
+                   CAST(0 AS BIGINT) AS n_alarms,
+                   CAST(-1 AS BIGINT) AS first_t
+            FROM grid g WHERE g.t = 0
+            UNION ALL
+            SELECT h.event_type, h.t + 1,
+                   h.mean + (g.x - h.mean) / (h.t + 2),
+                   h.u + (g.x - (h.mean + (g.x - h.mean) / (h.t + 2))
+                          - CAST({_PH_DELTA} AS DOUBLE)),
+                   LEAST(h.minu,
+                         h.u + (g.x - (h.mean + (g.x - h.mean) / (h.t + 2))
+                                - CAST({_PH_DELTA} AS DOUBLE))),
+                   h.n_alarms + CAST(
+                       h.u + (g.x - (h.mean + (g.x - h.mean) / (h.t + 2))
+                              - CAST({_PH_DELTA} AS DOUBLE)) - h.minu
+                       > CAST({_PH_LAMBDA} AS DOUBLE) AS BIGINT),
+                   CASE WHEN h.first_t >= 0 THEN h.first_t
+                        WHEN h.u + (g.x - (h.mean + (g.x - h.mean) / (h.t + 2))
+                                    - CAST({_PH_DELTA} AS DOUBLE)) - h.minu
+                             > CAST({_PH_LAMBDA} AS DOUBLE)
+                        THEN h.t + 1 ELSE CAST(-1 AS BIGINT) END
+            FROM ph h
+            JOIN grid g ON g.event_type = h.event_type AND g.t = h.t + 1
+        )
+        SELECT p.event_type, n.n AS n_days, p.n_alarms,
+               p.first_t AS first_alarm_t,
+               CAST(CAST(p.u - p.minu AS DECIMAL(38,9)) AS DOUBLE)
+                   AS final_ph_stat
+        FROM ph p JOIN nn n ON n.event_type = p.event_type AND p.t = n.n - 1
+        ORDER BY p.event_type
+    """,
+    operators=(44, 87, 92, 352),
+    doc=f"Page–Hinkley test (#352) per daily-count series: the "
+    "sequential mean-INCREASE detector — cumulative deviation "
+    "U_t = Σ(x_i − mean_i − δ) against its running minimum, alarm "
+    f"when U_t − min U > λ (δ={_PH_DELTA}, λ={_PH_LAMBDA}) — the "
+    "classical change-point monitor beside CUSUM (#237) and the "
+    "batch twin of the streaming drift gate (#281), standard in "
+    "online-ML drift detection. The running mean is carried "
+    "RECURSIVELY (mean += (x−mean)/(t+2)) like the EWMA chart's "
+    "variance term (#344), so every step is the same IEEE tree on "
+    "both engines; the fold emits violations, first alarm time and "
+    "the final PH statistic at 1e-9. Scale: one fold per series "
+    "over the daily rollup; state is three doubles + counters.",
+    bench=False,
+)
+def q_page_hinkley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.datediff(
+            F.col("ts").cast("timestamp").cast("date"),
+            F.lit("1970-01-01").cast("date"),
+        ).alias("d"),
+    )
+    bounds = o.agg(F.min("d").alias("mn"), F.max("d").alias("mx"))
+    days = bounds.select(
+        F.explode(F.sequence(F.col("mn"), F.col("mx"))).alias("d")
+    )
+    types = o.select("event_type").distinct()
+    cnt = o.groupBy("event_type", "d").agg(F.count(F.lit(1)).alias("n"))
+    grid = (
+        types.crossJoin(days)
+        .join(cnt, ["event_type", "d"], "left")
+        .select(
+            "event_type",
+            "d",
+            F.coalesce(F.col("n"), F.lit(0)).cast("double").alias("x"),
+        )
+    )
+    series = grid.groupBy("event_type").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("d", "x"))), lambda s: s["x"]
+        ).alias("ys")
+    )
+    delta = F.lit(float(_PH_DELTA))
+    lam = F.lit(float(_PH_LAMBDA))
+
+    def step(acc, x):
+        t_new = acc["t"] + F.lit(1).cast("bigint")
+        mean_new = acc["mean"] + (x - acc["mean"]) / (acc["t"] + 2)
+        u_new = acc["u"] + (x - mean_new - delta)
+        minu_new = F.least(acc["minu"], u_new)
+        alarm = (u_new - acc["minu"]) > lam
+        return F.struct(
+            t_new.alias("t"),
+            mean_new.alias("mean"),
+            u_new.alias("u"),
+            minu_new.alias("minu"),
+            (acc["n_alarms"] + alarm.cast("bigint")).alias("n_alarms"),
+            F.when(acc["first_t"] >= 0, acc["first_t"])
+            .when(alarm, t_new)
+            .otherwise(F.lit(-1).cast("bigint"))
+            .alias("first_t"),
+        )
+
+    init = F.struct(
+        F.lit(0).cast("bigint").alias("t"),
+        F.element_at("ys", 1).alias("mean"),
+        F.lit(0.0).alias("u"),
+        F.lit(0.0).alias("minu"),
+        F.lit(0).cast("bigint").alias("n_alarms"),
+        F.lit(-1).cast("bigint").alias("first_t"),
+    )
+    folded = series.select(
+        "event_type",
+        F.size("ys").cast("bigint").alias("n_days"),
+        F.aggregate(
+            F.slice("ys", 2, F.greatest(F.size("ys") - 1, F.lit(0))),
+            init,
+            step,
+        ).alias("st"),
+    )
+    return folded.select(
+        "event_type",
+        "n_days",
+        F.col("st.n_alarms").alias("n_alarms"),
+        F.col("st.first_t").alias("first_alarm_t"),
+        (F.col("st.u") - F.col("st.minu"))
+        .cast("decimal(38,9)")
+        .cast("double")
+        .alias("final_ph_stat"),
+    ).orderBy("event_type")
