@@ -145,6 +145,13 @@ _NEXT_ROUND: list[str] = [
     "q_page_hinkley",
     "q_jaro_winkler_linkage",
     "q_soundex_blocking",
+    # round-6 eval/planner wave (#355-#360)
+    "q_rocchio_classifier",
+    "q_pinball_loss",
+    "q_readability",
+    "q_bh_fdr",
+    "q_logrank_test",
+    "q_power_mde",
     "q04_order_priority",
     "q07_volume_shipping",
     "q08_market_share",

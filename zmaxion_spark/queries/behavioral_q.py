@@ -1819,3 +1819,99 @@ def q_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("vy")
         ).alias("var_reduction"),
     )
+
+
+# ---------------------------------------------------------------------------
+# #360 power_mde — experiment sample-size / MDE planner
+# ---------------------------------------------------------------------------
+
+# z_{alpha/2} at alpha=0.05 and z_beta at 80% power (public constants)
+_MDE_Z_ALPHA = "1.959963984540054"
+_MDE_Z_BETA = "0.8416212335729143"
+_MDE_NS = (1000, 10000, 100000, 1000000)
+
+
+@query(
+    "q_power_mde",
+    oracle=f"""
+        WITH conv AS (
+            SELECT CAST(COUNT(DISTINCT CASE WHEN event_type = 'purchase'
+                                            THEN user_id END) AS BIGINT)
+                       AS converters,
+                   CAST(COUNT(DISTINCT user_id) AS BIGINT) AS users
+            FROM events
+        ),
+        grid AS (
+            SELECT CAST(n.n AS BIGINT) AS n_per_arm,
+                   CAST(c.converters AS DOUBLE) / c.users AS p0
+            FROM (SELECT UNNEST([{", ".join(str(n) for n in _MDE_NS)}]) AS n)
+                 n
+            CROSS JOIN conv c
+            UNION ALL
+            SELECT users // 2, CAST(converters AS DOUBLE) / users
+            FROM conv
+        )
+        SELECT n_per_arm,
+               ROUND(p0, 9) AS baseline_rate,
+               ROUND(({_MDE_Z_ALPHA} + {_MDE_Z_BETA})
+                     * SQRT(2 * p0 * (1 - p0) / n_per_arm), 9) AS mde_abs,
+               ROUND(({_MDE_Z_ALPHA} + {_MDE_Z_BETA})
+                     * SQRT(2 * p0 * (1 - p0) / n_per_arm) / p0, 9)
+                   AS mde_rel
+        FROM grid
+        ORDER BY n_per_arm
+    """,
+    operators=(24, 147, 360),
+    doc="Experiment power / MDE planner (#360): the minimum "
+    "detectable effect (z_alpha/2 + z_beta)·sqrt(2·p0(1-p0)/n) at "
+    "alpha=0.05, power=80% for a two-proportion test, evaluated over "
+    "an n-per-arm grid AND at the fixture's OBSERVED baseline "
+    "conversion rate and available population — the before-you-ship "
+    "companion to the Welch readout (#147), CUPED (#329) and "
+    "sequential looks (#286): it answers 'is this experiment even "
+    "worth running at our traffic' before any assignment happens. "
+    "The #323 planner discipline (evaluated design table, not "
+    "folklore): normal quantiles are shared public literals, the "
+    "baseline comes from one distinct-count aggregate, everything "
+    "else is plan-time algebra. Scale: one scan for the baseline; "
+    "the grid is constant-size.",
+    bench=False,
+)
+def q_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    conv = ev.agg(
+        F.countDistinct(
+            F.when(F.col("event_type") == "purchase", F.col("user_id"))
+        )
+        .cast("bigint")
+        .alias("converters"),
+        F.countDistinct("user_id").cast("bigint").alias("users"),
+    )
+    ns = ev.sparkSession.createDataFrame(
+        [(n,) for n in _MDE_NS], "n BIGINT"
+    )
+    grid = (
+        ns.crossJoin(F.broadcast(conv))
+        .select(
+            F.col("n").alias("n_per_arm"),
+            (F.col("converters").cast("double") / F.col("users")).alias("p0"),
+        )
+        .unionByName(
+            conv.select(
+                F.expr("users div 2").alias("n_per_arm"),
+                (F.col("converters").cast("double") / F.col("users")).alias(
+                    "p0"
+                ),
+            )
+        )
+    )
+    zsum = F.lit(float(_MDE_Z_ALPHA)) + F.lit(float(_MDE_Z_BETA))
+    mde = zsum * F.sqrt(
+        2 * F.col("p0") * (1 - F.col("p0")) / F.col("n_per_arm")
+    )
+    return grid.select(
+        "n_per_arm",
+        F.round("p0", 9).alias("baseline_rate"),
+        F.round(mde, 9).alias("mde_abs"),
+        F.round(mde / F.col("p0"), 9).alias("mde_rel"),
+    ).orderBy("n_per_arm")

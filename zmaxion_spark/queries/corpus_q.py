@@ -879,3 +879,99 @@ def q_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
         .orderBy("true_lang", "pred_lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# #357 readability — Flesch reading ease via vowel-run syllables
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_readability",
+    oracle="""
+        WITH per AS (
+            SELECT doc_id, lang,
+                   CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS words,
+                   CAST(LENGTH(REGEXP_REPLACE(text, '[aeiou]+', '@', 'g'))
+                        - LENGTH(REGEXP_REPLACE(text, '[aeiou]+', '', 'g'))
+                        AS BIGINT) AS syllables
+            FROM documents
+        ),
+        scored AS (
+            SELECT lang, words, syllables,
+                   206.835 - 1.015 * CAST(words AS DOUBLE)
+                   - 84.6 * (CAST(syllables AS DOUBLE) / words) AS fre
+            FROM per WHERE words > 0
+        )
+        SELECT lang,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               ROUND(CAST(SUM(CAST(words AS DECIMAL(38,6))) AS DOUBLE)
+                     / COUNT(*), 9) AS avg_words,
+               ROUND(CAST(SUM(CAST(CAST(syllables AS DOUBLE) / words
+                                   AS DECIMAL(38,18))) AS DOUBLE)
+                     / COUNT(*), 9) AS avg_syll_per_word,
+               ROUND(CAST(SUM(CAST(fre AS DECIMAL(38,9))) AS DOUBLE)
+                     / COUNT(*), 9) AS avg_fre
+        FROM scored
+        GROUP BY lang
+        ORDER BY lang
+    """,
+    operators=(23, 41, 66, 357),
+    doc="Flesch reading ease (#357): the classic readability score "
+    "206.835 - 1.015·(words/sentences) - 84.6·(syllables/words) per "
+    "doc (each fixture doc is one sentence — no terminal punctuation "
+    "in the corpus, documented), averaged per lang — the quality "
+    "signal CommonCrawl pipelines gate on beside Gopher rules (#174) "
+    "and perplexity (#303), cheap enough to run inline at ingest. "
+    "Syllables are approximated as VOWEL RUNS, counted row-locally "
+    "as length(collapse-runs-to-one-char) - length(strip-runs) — two "
+    "regexp_replace calls, no explode (Spark replaces globally by "
+    "default; the oracle passes the 'g' flag for the identical "
+    "semantics). Parity: counts integer; the two ratio averages sum "
+    "through DECIMAL(38,18)/(38,9). Scale: pure row-local projection "
+    "+ one groupBy(lang).",
+    bench=False,
+)
+def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    per = _docs(spark, sf_dir).select(
+        "lang",
+        F.size(F.split("text", " ")).cast("bigint").alias("words"),
+        (
+            F.length(F.regexp_replace("text", "[aeiou]+", "@"))
+            - F.length(F.regexp_replace("text", "[aeiou]+", ""))
+        )
+        .cast("bigint")
+        .alias("syllables"),
+    ).filter(F.col("words") > 0)
+    fre = (
+        F.lit(206.835)
+        - F.lit(1.015) * F.col("words").cast("double")
+        - F.lit(84.6) * (F.col("syllables").cast("double") / F.col("words"))
+    )
+    return (
+        per.withColumn("fre", fre)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.round(
+                F.sum(F.col("words").cast("decimal(38,6)")).cast("double")
+                / F.count(F.lit(1)),
+                9,
+            ).alias("avg_words"),
+            F.round(
+                F.sum(
+                    (F.col("syllables").cast("double") / F.col("words")).cast(
+                        "decimal(38,18)"
+                    )
+                ).cast("double")
+                / F.count(F.lit(1)),
+                9,
+            ).alias("avg_syll_per_word"),
+            F.round(
+                F.sum(F.col("fre").cast("decimal(38,9)")).cast("double")
+                / F.count(F.lit(1)),
+                9,
+            ).alias("avg_fre"),
+        )
+        .orderBy("lang")
+    )

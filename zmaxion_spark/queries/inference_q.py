@@ -2331,3 +2331,121 @@ def q_spearman_rho(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         (num / den).cast("decimal(38,9)").cast("double").alias("spearman_rho"),
     ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# #355 rocchio_classifier — nearest-centroid classification
+# ---------------------------------------------------------------------------
+
+_ROC_DIM = 64
+
+
+@query(
+    "q_rocchio_classifier",
+    oracle=f"""
+        WITH emb AS (
+            SELECT vec_id, label,
+                   LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS v
+            FROM embeddings
+        ),
+        train AS (SELECT * FROM emb WHERE vec_id % 5 <> 0),
+        test AS (SELECT * FROM emb WHERE vec_id % 5 = 0),
+        dims AS (
+            SELECT label, i, CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(CAST(v[i + 1] AS DECIMAL(38,18))) AS DOUBLE) AS s
+            FROM train, range({_ROC_DIM}) t(i)
+            GROUP BY label, i
+        ),
+        cents AS (
+            SELECT label AS c_label, i, s / n AS c
+            FROM dims
+        ),
+        cent_lists AS (
+            SELECT c_label, LIST(c ORDER BY i) AS cv
+            FROM cents GROUP BY c_label
+        ),
+        dist AS (
+            SELECT t.vec_id, t.label AS true_label, cl.c_label,
+                   list_reduce(
+                       list_prepend(CAST(0 AS DOUBLE),
+                           list_transform(range(1, {_ROC_DIM + 1}),
+                               i -> (t.v[i] - cl.cv[i])
+                                    * (t.v[i] - cl.cv[i]))),
+                       (a, b) -> a + b) AS d2
+            FROM test t CROSS JOIN cent_lists cl
+        ),
+        pred AS (
+            SELECT vec_id, true_label, c_label AS pred_label,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                                      ORDER BY ROUND(d2, 9), c_label) AS rn
+            FROM dist
+        )
+        SELECT true_label, pred_label, CAST(COUNT(*) AS BIGINT) AS n
+        FROM pred WHERE rn = 1
+        GROUP BY true_label, pred_label
+        ORDER BY true_label, pred_label
+    """,
+    operators=(23, 44, 112, 355),
+    doc=f"Rocchio / nearest-centroid classification (#355): per-label "
+    f"mean vectors over the {_ROC_DIM}-dim embedding train split "
+    "(vec_id % 5 != 0), holdout vectors assigned to the closest "
+    "centroid by squared euclidean distance, graded as the confusion "
+    "matrix — the embedding-space sibling of naive Bayes (#350) and "
+    "the 1-NN-to-centroids special case every retrieval stack uses "
+    "as its cheap classifier baseline (class = nearest class "
+    "prototype). Parity: centroid dims are DECIMAL(38,18)-summed "
+    "exact means (bit-identical on both engines, so the literals "
+    "Spark broadcasts equal what the oracle derives); distances are "
+    "ORDERED double folds — Spark aggregate() vs DuckDB list_reduce "
+    "over the same zip, the #260 pca_power discipline — and argmin "
+    "is on ROUND(9) with a label tie-break. "
+    "Scale: centroids are |labels|x{_ROC_DIM} — a broadcast literal "
+    "(the #273 k-means discipline); scoring is one map-side pass "
+    "over test vectors, no shuffle beyond the final census.",
+    bench=False,
+)
+def q_rocchio_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    train = emb.filter(F.col("vec_id") % 5 != 0)
+    test = emb.filter(F.col("vec_id") % 5 == 0)
+    dims = (
+        train.select(
+            "label",
+            F.posexplode("v").alias("i", "x"),
+        )
+        .groupBy("label", "i")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.col("x").cast("decimal(38,18)")).cast("double").alias("s"),
+        )
+        .select("label", "i", (F.col("s") / F.col("n")).alias("c"))
+    )
+    # bounded: |labels| x 64 — collect to literals (k-means discipline)
+    cent_rows = dims.collect()
+    cents: dict[int, list[float]] = {}
+    for r in cent_rows:
+        cents.setdefault(int(r["label"]), [0.0] * _ROC_DIM)[int(r["i"])] = float(
+            r["c"]
+        )
+    cands = []
+    for lbl in sorted(cents):
+        lit_vec = F.array(*[F.lit(x) for x in cents[lbl]])
+        terms = F.zip_with(F.col("v"), lit_vec, lambda x, y: (x - y) * (x - y))
+        d2 = F.aggregate(terms, F.lit(0.0), lambda acc, t: acc + t)
+        cands.append(
+            F.struct(
+                F.round(d2, 9).alias("d2"), F.lit(lbl).alias("pred_label")
+            )
+        )
+    best = F.array_min(F.array(*cands))
+    return (
+        test.select(
+            F.col("label").alias("true_label"),
+            best.getField("pred_label").alias("pred_label"),
+        )
+        .groupBy("true_label", "pred_label")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .orderBy("true_label", "pred_label")
+    )

@@ -1197,3 +1197,293 @@ def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         slope.cast("decimal(38,9)").cast("double").alias("zipf_slope"),
         (slope <= -0.5).cast("int").alias("skew_cacheable"),
     )
+
+
+# ---------------------------------------------------------------------------
+# #358 bh_fdr — Benjamini-Hochberg false-discovery-rate control
+# ---------------------------------------------------------------------------
+
+_BH_Q = "0.05"
+_TWO52_BH = float(1 << 52)
+
+
+@query(
+    "q_bh_fdr",
+    oracle=f"""
+        WITH tests AS (
+            SELECT p_partkey AS test_id,
+                   CASE WHEN p_partkey % 50 = 0
+                        THEN CAST(('0x' || SUBSTR(MD5('p:' ||
+                                 CAST(p_partkey AS VARCHAR)), 1, 13))
+                                 AS BIGINT) / {int(_TWO52_BH)} / 1000
+                        ELSE CAST(('0x' || SUBSTR(MD5('p:' ||
+                                 CAST(p_partkey AS VARCHAR)), 1, 13))
+                                 AS BIGINT) / {int(_TWO52_BH)}
+                   END AS p
+            FROM part
+        ),
+        m AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM tests),
+        rk AS (
+            SELECT test_id, p,
+                   ROW_NUMBER() OVER (ORDER BY p, test_id) AS k
+            FROM tests
+        ),
+        adj AS (
+            SELECT r.test_id, r.p, r.k, m.m,
+                   LEAST(CAST(1 AS DOUBLE),
+                         MIN(m.m * r2.p / r2.k)
+                             OVER (ORDER BY r.k DESC
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW)) AS p_adj
+            FROM rk r
+            JOIN rk r2 ON r2.k = r.k
+            CROSS JOIN m
+        ),
+        cut AS (
+            SELECT COALESCE(MAX(k), 0) AS k_star
+            FROM rk CROSS JOIN m
+            WHERE p <= CAST({_BH_Q} AS DOUBLE) * k / m.m
+        )
+        SELECT a.test_id, ROUND(a.p, 9) AS p_value, a.k,
+               ROUND(a.p_adj, 9) AS p_adj,
+               CAST(a.k <= c.k_star AS INT) AS rejected,
+               c.k_star, a.m
+        FROM adj a CROSS JOIN cut c
+        ORDER BY a.k
+        LIMIT 20
+    """,
+    operators=(30, 31, 358),
+    doc=f"Benjamini-Hochberg FDR control (#358) at q={_BH_Q}: rank "
+    "the family's p-values, find the largest k with p_(k) <= qk/m, "
+    "reject everything at or below it, and emit step-up adjusted "
+    "p-values min over the suffix of m·p/k (the monotone envelope, "
+    "one DESC-ordered running MIN window) — the multiple-testing "
+    "correction that keeps a 2000-test screen from drowning in "
+    "false positives where Bonferroni would kill all power; the "
+    "family-wide completion of the per-test stats (#272 KS, #307 "
+    "ANOVA, #322 trend). Fixture p-values are md5-uniform nulls with "
+    "planted signals (every 50th test's p divided by 1000), so BH "
+    "recovers mostly-planted rejections deterministically. Top-20 "
+    "by rank graded. Scale: ranks over a p-value CENSUS; both "
+    "windows are one pass over m cells.",
+    bench=False,
+)
+def q_bh_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p_raw = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("p:"), F.col("p_partkey").cast("string"))), 1, 13
+        ),
+        16,
+        10,
+    ).cast("double") / F.lit(_TWO52_BH)
+    tests = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("test_id"),
+        F.when(F.col("p_partkey") % 50 == 0, p_raw / 1000)
+        .otherwise(p_raw)
+        .alias("p"),
+    )
+    m = tests.agg(F.count(F.lit(1)).cast("bigint").alias("m"))
+    w = Window.orderBy("p", "test_id")
+    rk = tests.withColumn("k", F.row_number().over(w))
+    w_suffix = Window.orderBy(F.desc("k")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    adj = (
+        rk.crossJoin(F.broadcast(m))
+        .withColumn(
+            "p_adj",
+            F.least(
+                F.lit(1.0),
+                F.min(F.col("m") * F.col("p") / F.col("k")).over(w_suffix),
+            ),
+        )
+    )
+    cut = (
+        rk.crossJoin(F.broadcast(m))
+        .filter(F.col("p") <= F.lit(float(_BH_Q)) * F.col("k") / F.col("m"))
+        .agg(F.coalesce(F.max("k"), F.lit(0)).alias("k_star"))
+    )
+    return (
+        adj.crossJoin(F.broadcast(cut))
+        .select(
+            "test_id",
+            F.round("p", 9).alias("p_value"),
+            "k",
+            F.round("p_adj", 9).alias("p_adj"),
+            (F.col("k") <= F.col("k_star")).cast("int").alias("rejected"),
+            "k_star",
+            "m",
+        )
+        .orderBy("k")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# #359 logrank_test — two-group survival-curve comparison
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_logrank_test",
+    oracle="""
+        WITH span AS (
+            SELECT user_id, user_id % 2 AS grp,
+                   EPOCH_US(MAX(CAST(ts AS TIMESTAMP))
+                            - MIN(CAST(ts AS TIMESTAMP))) // 86400000000
+                       AS life_days,
+                   CAST(MAX(CAST(ts AS TIMESTAMP))
+                        < (SELECT MAX(CAST(ts AS TIMESTAMP))
+                           FROM events) - INTERVAL 12 HOUR AS INT) AS churned
+            FROM events GROUP BY user_id
+        ),
+        t AS (
+            SELECT life_days AS t, grp, COUNT(*) AS n_at_t,
+                   CAST(SUM(churned) AS BIGINT) AS d
+            FROM span GROUP BY life_days, grp
+        ),
+        times AS (SELECT DISTINCT t FROM t),
+        grid AS (
+            SELECT ti.t, g.grp,
+                   CAST(COALESCE(tt.n_at_t, 0) AS BIGINT) AS n_at_t,
+                   CAST(COALESCE(tt.d, 0) AS BIGINT) AS d
+            FROM times ti CROSS JOIN (SELECT 0 AS grp UNION ALL SELECT 1) g
+            LEFT JOIN t tt ON tt.t = ti.t AND tt.grp = g.grp
+        ),
+        risk AS (
+            SELECT t, grp, d,
+                   CAST(SUM(n_at_t) OVER (PARTITION BY grp ORDER BY t DESC
+                                          ROWS BETWEEN UNBOUNDED PRECEDING
+                                          AND CURRENT ROW) AS BIGINT) AS n_g
+            FROM grid
+        ),
+        ev AS (
+            SELECT r.t,
+                   CAST(SUM(CASE WHEN grp = 1 THEN d ELSE 0 END) AS BIGINT)
+                       AS d1,
+                   CAST(SUM(d) AS BIGINT) AS d,
+                   CAST(SUM(CASE WHEN grp = 1 THEN n_g ELSE 0 END) AS BIGINT)
+                       AS n1,
+                   CAST(SUM(n_g) AS BIGINT) AS n
+            FROM risk r GROUP BY r.t
+        ),
+        terms AS (
+            SELECT t, d1,
+                   d * (CAST(n1 AS DOUBLE) / n) AS e1,
+                   CASE WHEN n <= 1 THEN CAST(0 AS DOUBLE)
+                        ELSE d * (CAST(n1 AS DOUBLE) / n)
+                             * (1 - CAST(n1 AS DOUBLE) / n)
+                             * (n - d) / (n - 1) END AS v
+            FROM ev WHERE d > 0
+        ),
+        s AS (
+            SELECT CAST(SUM(d1) AS BIGINT) AS o1,
+                   CAST(SUM(CAST(e1 AS DECIMAL(38,18))) AS DOUBLE) AS e1,
+                   CAST(SUM(CAST(v AS DECIMAL(38,18))) AS DOUBLE) AS v
+            FROM terms
+        )
+        SELECT o1 AS observed_g1,
+               ROUND(e1, 9) AS expected_g1,
+               ROUND((o1 - e1) / SQRT(v), 9) AS z,
+               ROUND((o1 - e1) * (o1 - e1) / v, 9) AS chi2,
+               CAST(ABS((o1 - e1) / SQRT(v)) > 1.96 AS INT) AS significant
+        FROM s
+    """,
+    operators=(23, 31, 233, 359),
+    doc="Log-rank test (#359): the standard two-group survival-curve "
+    "comparison over the Kaplan-Meier fixture (#233) with users "
+    "split by id parity — at every churn time, observed group-1 "
+    "deaths vs the hypergeometric expectation d·n1/n and variance "
+    "d·(n1/n)(1-n1/n)(n-d)/(n-1), summed into the O-E z statistic "
+    "and chi-square — the censoring-correct way to compare retention "
+    "between cohorts (a t-test on lifetimes is biased by censoring; "
+    "this is not). Risk sets are reverse cumulative counts per group "
+    "over the ZERO-COMPLETED (time x group) grid; expectations and "
+    "variances are identical IEEE trees over exact BIGINTs summed "
+    "through DECIMAL(38,18); one ROUND(9). Scale: everything runs on "
+    "|distinct lifetimes| x 2 cells.",
+    bench=False,
+)
+def q_logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev0 = load_table(spark, sf_dir, "events")
+    gmax = ev0.agg(F.max("ts").alias("gmax"))
+    span = (
+        ev0.groupBy("user_id")
+        .agg(F.min("ts").alias("t0"), F.max("ts").alias("t1"))
+        .crossJoin(F.broadcast(gmax))
+        .select(
+            (F.col("user_id") % 2).alias("grp"),
+            (
+                (F.col("t1").cast("long") - F.col("t0").cast("long"))
+                / F.lit(86400)
+            )
+            .cast("bigint")
+            .alias("life_days"),
+            (
+                F.col("t1") < F.col("gmax") - F.expr("INTERVAL 12 HOURS")
+            )
+            .cast("int")
+            .alias("churned"),
+        )
+    )
+    t = span.groupBy(F.col("life_days").alias("t"), "grp").agg(
+        F.count(F.lit(1)).alias("n_at_t"),
+        F.sum("churned").cast("bigint").alias("d"),
+    )
+    times = t.select("t").distinct()
+    grps = t.sparkSession.createDataFrame([(0,), (1,)], "grp BIGINT")
+    grid = (
+        times.crossJoin(F.broadcast(grps))
+        .join(t, ["t", "grp"], "left")
+        .select(
+            "t",
+            "grp",
+            F.coalesce("n_at_t", F.lit(0)).cast("bigint").alias("n_at_t"),
+            F.coalesce("d", F.lit(0)).cast("bigint").alias("d"),
+        )
+    )
+    w = (
+        Window.partitionBy("grp")
+        .orderBy(F.desc("t"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    risk = grid.withColumn("n_g", F.sum("n_at_t").over(w).cast("bigint"))
+    evt = risk.groupBy("t").agg(
+        F.sum(F.when(F.col("grp") == 1, F.col("d")).otherwise(0))
+        .cast("bigint")
+        .alias("d1"),
+        F.sum("d").cast("bigint").alias("d"),
+        F.sum(F.when(F.col("grp") == 1, F.col("n_g")).otherwise(0))
+        .cast("bigint")
+        .alias("n1"),
+        F.sum("n_g").cast("bigint").alias("n"),
+    )
+    ratio = F.col("n1").cast("double") / F.col("n")
+    terms = evt.filter(F.col("d") > 0).select(
+        "d1",
+        (F.col("d") * ratio).alias("e1"),
+        F.when(F.col("n") <= 1, F.lit(0.0))
+        .otherwise(
+            F.col("d") * ratio * (1 - ratio) * (F.col("n") - F.col("d"))
+            / (F.col("n") - 1)
+        )
+        .alias("v"),
+    )
+    dec = "decimal(38,18)"
+    s = terms.agg(
+        F.sum("d1").cast("bigint").alias("o1"),
+        F.sum(F.col("e1").cast(dec)).cast("double").alias("e1"),
+        F.sum(F.col("v").cast(dec)).cast("double").alias("v"),
+    )
+    z = (F.col("o1") - F.col("e1")) / F.sqrt(F.col("v"))
+    return s.select(
+        F.col("o1").alias("observed_g1"),
+        F.round("e1", 9).alias("expected_g1"),
+        F.round(z, 9).alias("z"),
+        F.round(
+            (F.col("o1") - F.col("e1")) * (F.col("o1") - F.col("e1"))
+            / F.col("v"),
+            9,
+        ).alias("chi2"),
+        (F.abs(z) > 1.96).cast("int").alias("significant"),
+    )

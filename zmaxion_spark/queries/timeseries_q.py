@@ -2316,3 +2316,92 @@ def q_page_hinkley(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("final_ph_stat"),
     ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# #356 pinball_loss — quantile-forecast evaluation
+# ---------------------------------------------------------------------------
+
+_PIN_QS = ("0.1", "0.5", "0.9")
+
+
+@query(
+    "q_pinball_loss",
+    oracle=f"""
+        WITH d AS (
+            SELECT event_type,
+                   DATE_TRUNC('day', CAST(ts AS TIMESTAMP)) AS dd,
+                   CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+                       AS cents
+            FROM events GROUP BY 1, 2
+        ),
+        fc AS (
+            SELECT event_type, dd, cents,
+                   LAG(cents, 7) OVER (PARTITION BY event_type
+                                       ORDER BY dd) AS fcast
+            FROM d
+        ),
+        err AS (
+            SELECT f.event_type, CAST(q.q AS DOUBLE) AS q,
+                   CASE WHEN f.cents >= f.fcast
+                        THEN CAST(q.q AS DOUBLE) * (f.cents - f.fcast)
+                        ELSE (CAST(q.q AS DOUBLE) - 1) * (f.cents - f.fcast)
+                   END AS loss
+            FROM fc f
+            CROSS JOIN (SELECT UNNEST([{", ".join(_PIN_QS)}]) AS q) q
+            WHERE f.fcast IS NOT NULL
+        )
+        SELECT event_type, q,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               ROUND(CAST(SUM(CAST(loss AS DECIMAL(38,9))) AS DOUBLE)
+                     / COUNT(*), 9) AS mean_pinball
+        FROM err
+        GROUP BY event_type, q
+        ORDER BY event_type, q
+    """,
+    operators=(31, 238, 356),
+    doc="Pinball (quantile) loss (#356): the seasonal-naive backtest "
+    "(#238) re-evaluated as a QUANTILE forecast at q = 0.1/0.5/0.9 — "
+    "L_q(y, f) = q(y-f) if y >= f else (q-1)(y-f) — the scoring rule "
+    "that makes quantile forecasts comparable (M5-competition "
+    "standard) and the eval half of every P90-capacity or "
+    "safety-stock forecast; at q=0.5 it is half the MAE, so the "
+    "column doubles as the robust-error twin of #238's MAPE. Losses "
+    "are single IEEE products of exact integer cent differences, "
+    "summed through DECIMAL(38,9) with one ROUND(9). Scale: one "
+    "window over the daily rollup, 3x quantile fan-out, one "
+    "aggregate — identical plan shape to #238.",
+    bench=False,
+)
+def q_pinball_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    d = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("dd")
+    ).agg(
+        F.sum(F.round(F.col("value") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("cents")
+    )
+    w = Window.partitionBy("event_type").orderBy("dd")
+    fc = d.withColumn("fcast", F.lag("cents", 7).over(w)).filter(
+        F.col("fcast").isNotNull()
+    )
+    qs = spark.createDataFrame([(float(q),) for q in _PIN_QS], "q DOUBLE")
+    diff = F.col("cents") - F.col("fcast")
+    loss = F.when(
+        F.col("cents") >= F.col("fcast"), F.col("q") * diff
+    ).otherwise((F.col("q") - 1) * diff)
+    return (
+        fc.crossJoin(F.broadcast(qs))
+        .select("event_type", "q", loss.alias("loss"))
+        .groupBy("event_type", "q")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.round(
+                F.sum(F.col("loss").cast("decimal(38,9)")).cast("double")
+                / F.count(F.lit(1)),
+                9,
+            ).alias("mean_pinball"),
+        )
+        .orderBy("event_type", "q")
+    )
