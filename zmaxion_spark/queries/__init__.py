@@ -152,6 +152,10 @@ _NEXT_ROUND: list[str] = [
     "q_bh_fdr",
     "q_logrank_test",
     "q_power_mde",
+    # round-6 final wave (#361-#363)
+    "q_stream_session_dynamic",
+    "q_apriori_triples",
+    "q_conditional_entropy",
     "q04_order_priority",
     "q07_volume_shipping",
     "q08_market_share",

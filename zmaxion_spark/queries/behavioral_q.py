@@ -1915,3 +1915,133 @@ def q_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(mde, 9).alias("mde_abs"),
         F.round(mde / F.col("p0"), 9).alias("mde_rel"),
     ).orderBy("n_per_arm")
+
+
+# ---------------------------------------------------------------------------
+# #362 apriori_triples — frequent 3-itemsets with association stats
+# ---------------------------------------------------------------------------
+
+_AP3_TOPK = 15
+
+
+@query(
+    "q_apriori_triples",
+    oracle=f"""
+        WITH b AS (
+            SELECT l_orderkey,
+                   LIST_SORT(LIST(DISTINCT l_partkey)) AS ps
+            FROM lineitem GROUP BY l_orderkey
+        ),
+        tr AS (
+            SELECT ps[i] AS u, ps[j] AS v, ps[k] AS w
+            FROM b,
+                 UNNEST(GENERATE_SERIES(1, LEN(ps) - 2)) AS a(i),
+                 UNNEST(GENERATE_SERIES(i + 1, LEN(ps) - 1)) AS c(j),
+                 UNNEST(GENERATE_SERIES(j + 1, LEN(ps))) AS d(k)
+        ),
+        t3 AS (
+            SELECT u, v, w, CAST(COUNT(*) AS BIGINT) AS n_uvw
+            FROM tr GROUP BY u, v, w
+            HAVING COUNT(*) >= 2
+        ),
+        pr AS (
+            SELECT ps[i] AS x, ps[j] AS y, CAST(COUNT(*) AS BIGINT) AS c
+            FROM b,
+                 UNNEST(GENERATE_SERIES(1, LEN(ps) - 1)) AS a(i),
+                 UNNEST(GENERATE_SERIES(i + 1, LEN(ps))) AS c2(j)
+            GROUP BY 1, 2
+        ),
+        it AS (
+            SELECT ps[i] AS x, CAST(COUNT(*) AS BIGINT) AS n_item
+            FROM b, UNNEST(GENERATE_SERIES(1, LEN(ps))) AS a(i)
+            GROUP BY 1
+        ),
+        tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_orders FROM b)
+        SELECT t.u, t.v, t.w, t.n_uvw,
+               p1.c AS n_uv, p2.c AS n_uw, p3.c AS n_vw,
+               ROUND(CAST(t.n_uvw AS DOUBLE) * tot.n_orders
+                     / (CAST(p1.c AS DOUBLE) * iw.n_item), 9) AS lift_uv_w
+        FROM t3 t
+        JOIN pr p1 ON p1.x = t.u AND p1.y = t.v
+        JOIN pr p2 ON p2.x = t.u AND p2.y = t.w
+        JOIN pr p3 ON p3.x = t.v AND p3.y = t.w
+        JOIN it iw ON iw.x = t.w
+        CROSS JOIN tot
+        ORDER BY t.n_uvw DESC, t.u, t.v, t.w
+        LIMIT {_AP3_TOPK}
+    """,
+    operators=(23, 44, 145, 362),
+    doc=f"Apriori frequent 3-itemsets (#362): order baskets expanded "
+    "row-locally to ordered triples (u<v<w from the sorted basket "
+    "array — C(k,3) per basket, bounded by basket size), supported "
+    ">= 2, joined with all three sub-pair supports — the level-3 "
+    "extension of market basket (#145) that powers 'customers who "
+    "bought A and B also bought C' rules; downward closure "
+    "guarantees every surviving triple's sub-pairs are frequent, "
+    "which IS the Apriori prune: at 100 TB you generate candidate "
+    "triples from the L2 pair list first (two broadcast semi-joins "
+    "against frequent pairs) so the big count never materializes "
+    f"infrequent triples. Top-{_AP3_TOPK} by support graded with "
+    "integer supports and one ROUND(9) lift. Scale: triple fan-out "
+    "is row-local generator code like the co-purchase pair rewrite; "
+    "both censuses are map-side-combined groupBys.",
+    bench=False,
+)
+def q_apriori_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    b = (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("ps"))
+    )
+    tr = (
+        b.select(F.posexplode("ps").alias("i", "u"), "ps")
+        .select(
+            "u",
+            F.posexplode(F.expr("slice(ps, i + 2, size(ps))")).alias("j", "v"),
+            F.expr("slice(ps, i + 2, size(ps))").alias("rest"),
+        )
+        .select("u", "v", F.explode(F.expr("slice(rest, j + 2, size(rest))")).alias("w"))
+    )
+    t3 = (
+        tr.groupBy("u", "v", "w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_uvw"))
+        .filter(F.col("n_uvw") >= 2)
+    )
+    pr = (
+        b.select(F.posexplode("ps").alias("i", "x"), "ps")
+        .select("x", F.explode(F.expr("slice(ps, i + 2, size(ps))")).alias("y"))
+        .groupBy("x", "y")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    it = (
+        b.select(F.explode("ps").alias("x"))
+        .groupBy("x")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_item"))
+    )
+    tot = b.agg(F.count(F.lit(1)).cast("bigint").alias("n_orders"))
+    p1 = pr.select(F.col("x").alias("u"), F.col("y").alias("v"), F.col("c").alias("n_uv"))
+    p2 = pr.select(F.col("x").alias("u"), F.col("y").alias("w"), F.col("c").alias("n_uw"))
+    p3 = pr.select(F.col("x").alias("v"), F.col("y").alias("w"), F.col("c").alias("n_vw"))
+    iw = it.select(F.col("x").alias("w"), F.col("n_item").alias("n_w"))
+    out = (
+        t3.join(p1, ["u", "v"])
+        .join(p2, ["u", "w"])
+        .join(p3, ["v", "w"])
+        .join(iw, "w")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "u",
+            "v",
+            "w",
+            "n_uvw",
+            "n_uv",
+            "n_uw",
+            "n_vw",
+            F.round(
+                F.col("n_uvw").cast("double") * F.col("n_orders")
+                / (F.col("n_uv").cast("double") * F.col("n_w")),
+                9,
+            ).alias("lift_uv_w"),
+        )
+    )
+    return out.orderBy(F.desc("n_uvw"), "u", "v", "w").limit(_AP3_TOPK)

@@ -975,3 +975,138 @@ def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# #363 conditional_entropy — bigram entropy rate per lang
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_conditional_entropy",
+    oracle="""
+        WITH t AS (
+            SELECT lang, STRING_SPLIT(text, ' ') AS toks,
+                   LEN(STRING_SPLIT(text, ' ')) AS n
+            FROM documents WHERE LEN(STRING_SPLIT(text, ' ')) >= 2
+        ),
+        bg AS (
+            SELECT lang, toks[i] AS x, toks[i + 1] AS y
+            FROM t, UNNEST(GENERATE_SERIES(1, n - 1)) AS g(i)
+        ),
+        cxy AS (SELECT lang, x, y, CAST(COUNT(*) AS BIGINT) AS c
+                FROM bg GROUP BY lang, x, y),
+        cx AS (SELECT lang, x, CAST(SUM(c) AS BIGINT) AS cx
+               FROM cxy GROUP BY lang, x),
+        nn AS (SELECT lang, CAST(SUM(c) AS BIGINT) AS n FROM cxy
+               GROUP BY lang),
+        hc AS (
+            SELECT c.lang,
+                   CAST(SUM(CAST(-(CAST(c.c AS DOUBLE) / nn.n)
+                                 * LN(CAST(c.c AS DOUBLE) / x.cx)
+                                 AS DECIMAL(38,18))) AS DOUBLE) AS h_cond
+            FROM cxy c
+            JOIN cx x ON x.lang = c.lang AND x.x = c.x
+            JOIN nn ON nn.lang = c.lang
+            GROUP BY c.lang
+        ),
+        hu AS (
+            SELECT x.lang,
+                   CAST(SUM(CAST(-(CAST(x.cx AS DOUBLE) / nn.n)
+                                 * LN(CAST(x.cx AS DOUBLE) / nn.n)
+                                 AS DECIMAL(38,18))) AS DOUBLE) AS h_uni
+            FROM cx x JOIN nn ON nn.lang = x.lang
+            GROUP BY x.lang
+        )
+        SELECT h.lang, nn.n AS n_bigrams,
+               ROUND(u.h_uni, 9) AS h_unigram,
+               ROUND(h.h_cond, 9) AS h_conditional,
+               ROUND(u.h_uni - h.h_cond, 9) AS info_gain_bits_nat
+        FROM hc h
+        JOIN hu u ON u.lang = h.lang
+        JOIN nn ON nn.lang = h.lang
+        ORDER BY h.lang
+    """,
+    operators=(23, 44, 276, 363),
+    doc="Bigram conditional entropy (#363) per lang: H(next|prev) = "
+    "-sum p(x,y)·ln p(y|x) over adjacent-token pairs, beside the "
+    "unigram entropy H(X) and their difference (the mutual "
+    "information of adjacent tokens) — the ENTROPY RATE estimate "
+    "that separates repetitive/templated text (low H(next|prev), "
+    "high predictability) from diverse prose, the "
+    "information-theoretic twin of the perplexity gate (#303) and "
+    "the sequential completion of column-pair MI (#276). Bigrams "
+    "build row-locally from the token array; all counts BIGINT; "
+    "every ln term is an identical IEEE tree summed through "
+    "DECIMAL(38,18) with ROUND(9). Scale: the census is "
+    "|lang x bigram vocab| cells, map-side combined; nothing touches "
+    "row-level data after the first groupBy.",
+    bench=False,
+)
+def q_conditional_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    toks = F.split("text", " ")
+    base = d.select("lang", toks.alias("toks"), F.size(toks).alias("n")).filter(
+        F.col("n") >= 2
+    )
+    bg = base.select(
+        "lang",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.col("n") - 1),
+                lambda i: F.struct(
+                    F.element_at(F.col("toks"), i).alias("x"),
+                    F.element_at(F.col("toks"), i + 1).alias("y"),
+                ),
+            )
+        ).alias("p"),
+    ).select("lang", F.col("p.x").alias("x"), F.col("p.y").alias("y"))
+    cxy = bg.groupBy("lang", "x", "y").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    cx = cxy.groupBy("lang", "x").agg(F.sum("c").cast("bigint").alias("cx"))
+    nn = cxy.groupBy("lang").agg(F.sum("c").cast("bigint").alias("n"))
+    dec = "decimal(38,18)"
+    hc = (
+        cxy.join(cx, ["lang", "x"])
+        .join(nn, "lang")
+        .groupBy("lang")
+        .agg(
+            F.sum(
+                (
+                    -(F.col("c").cast("double") / F.col("n"))
+                    * F.log(F.col("c").cast("double") / F.col("cx"))
+                ).cast(dec)
+            )
+            .cast("double")
+            .alias("h_cond")
+        )
+    )
+    hu = (
+        cx.join(nn, "lang")
+        .groupBy("lang")
+        .agg(
+            F.sum(
+                (
+                    -(F.col("cx").cast("double") / F.col("n"))
+                    * F.log(F.col("cx").cast("double") / F.col("n"))
+                ).cast(dec)
+            )
+            .cast("double")
+            .alias("h_uni")
+        )
+    )
+    return (
+        hc.join(hu, "lang")
+        .join(nn, "lang")
+        .select(
+            "lang",
+            F.col("n").alias("n_bigrams"),
+            F.round("h_uni", 9).alias("h_unigram"),
+            F.round("h_cond", 9).alias("h_conditional"),
+            F.round(F.col("h_uni") - F.col("h_cond"), 9).alias(
+                "info_gain_bits_nat"
+            ),
+        )
+        .orderBy("lang")
+    )

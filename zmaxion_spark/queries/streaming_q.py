@@ -1338,3 +1338,76 @@ def q_stream_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_unmatched_clicks"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# #361 dynamic-gap session windows
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_stream_session_dynamic",
+    oracle="""
+        WITH e AS (
+            SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+                   CASE WHEN event_type = 'purchase'
+                        THEN INTERVAL 60 MINUTE
+                        ELSE INTERVAL 20 MINUTE END AS gap
+            FROM events
+        ),
+        m AS (
+            SELECT user_id, ts,
+                   CASE WHEN MAX(ts + gap) OVER (PARTITION BY user_id
+                                                 ORDER BY ts
+                                                 ROWS BETWEEN UNBOUNDED
+                                                 PRECEDING AND 1 PRECEDING)
+                             IS NULL
+                             OR ts >= MAX(ts + gap)
+                                      OVER (PARTITION BY user_id ORDER BY ts
+                                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                            AND 1 PRECEDING)
+                        THEN 1 ELSE 0 END AS new_s
+            FROM e
+        ),
+        s AS (
+            SELECT user_id, ts,
+                   CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                         ROWS UNBOUNDED PRECEDING)
+                        AS BIGINT) AS sid
+            FROM m
+        )
+        SELECT user_id, MIN(ts) AS session_start,
+               COUNT(*) AS n_events
+        FROM s GROUP BY user_id, sid
+    """,
+    operators=(51, 361),
+    doc="DYNAMIC-gap session windows (#361): the gap is a per-event "
+    "EXPRESSION — purchases hold the session open 60 minutes, other "
+    "events 20 — so high-intent moments get longer grace periods, "
+    "the shape real engagement sessionization uses (Spark's "
+    "session_window accepts a gap Column, not just a literal; this "
+    "grades that capability, which static-gap #51 does not touch). "
+    "Merge semantics: each event spans [ts, ts+gap); overlapping "
+    "spans merge, so a new session starts exactly when ts >= the "
+    "running MAX of all previous span ends — the oracle encodes that "
+    "rule with one running-max window + cumsum, making the streaming "
+    "engine's merge behavior explicit and batch-checkable. Scale: "
+    "state per key is one open session; the watermark closes and "
+    "evicts sessions exactly as in #51.",
+)
+def q_stream_session_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    gap = F.when(
+        F.col("event_type") == "purchase", F.lit("60 minutes")
+    ).otherwise(F.lit("20 minutes"))
+    s = (
+        stream_events(spark, sf_dir)
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", gap), F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    t = run_available_now(s, "session_dynamic", mode="complete")
+    return t.select(
+        "user_id",
+        F.col("session_window.start").alias("session_start"),
+        "n_events",
+    )
