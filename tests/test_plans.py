@@ -726,3 +726,26 @@ def test_q16_exclusion_is_anti_join(spark):
     """Q16's NOT IN must plan as a broadcast LeftAnti join."""
     plan = _plan(REGISTRY["q16_part_supplier_counts"].fn(spark, SF_SMOKE))
     assert "LeftAnti" in plan
+
+
+def test_copurchase_edges_derive_without_self_join(spark):
+    """Round-6 rewrite: the co-purchase edge derivation must expand
+    pairs from sorted basket arrays (Generate), not a per-order
+    self-join — the self-join's build-side hash table was the sf100
+    memory-pressure site (SCALE.md round 6). No join may appear
+    before the pair census."""
+    from zmaxion_spark.queries.graph_q import _copurchase_edges
+
+    plan = _plan(_copurchase_edges(spark, SF_SMOKE))
+    assert "Generate" in plan  # explode-based pair fan-out
+    for join in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin"):
+        assert join not in plan, f"edge derivation regressed to {join}"
+
+
+def test_jaro_winkler_blocks_are_fixed_width(spark):
+    """#353: the linkage pair join must key on the fixed-width block
+    column (constant block population at any scale) and never fall
+    back to a cartesian product."""
+    df = REGISTRY["q_jaro_winkler_linkage"].fn(spark, SF_SMOKE)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
