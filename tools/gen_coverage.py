@@ -262,7 +262,26 @@ def _driver_record() -> dict[str, str]:
     return out
 
 
+def _survey_names() -> dict[int, str]:
+    """Operator ids/names parsed from SURVEY.md §2 tables — the source
+    of truth for ids above the hardcoded dict (rounds 5+ add operators
+    faster than this file's literal table should grow)."""
+    import re
+
+    out: dict[int, str] = {}
+    try:
+        text = open("SURVEY.md").read()
+    except OSError:
+        return out
+    for m in re.finditer(r"^\| (\d+) \| `([^`]+)`", text, re.M):
+        out[int(m.group(1))] = m.group(2)
+    return out
+
+
 def main() -> None:
+    OPERATORS.update(
+        {k: v for k, v in _survey_names().items() if k not in OPERATORS}
+    )
     by_op: dict[int, list[str]] = {}
     for q in REGISTRY.values():
         for op in q.operators:
