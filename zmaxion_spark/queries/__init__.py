@@ -156,6 +156,9 @@ _NEXT_ROUND: list[str] = [
     "q_stream_session_dynamic",
     "q_apriori_triples",
     "q_conditional_entropy",
+    "q_cramers_v",
+    "q_runs_test",
+    "q_learning_curve",
     "q04_order_priority",
     "q07_volume_shipping",
     "q08_market_share",

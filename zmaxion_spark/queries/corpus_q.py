@@ -1110,3 +1110,191 @@ def q_conditional_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# #366 learning_curve — classifier accuracy vs train-set size
+# ---------------------------------------------------------------------------
+
+_LC_FRACTIONS = (2, 4, 8)  # doc_id % 10 in [1..k] => 20/40/80% train
+
+
+def _lc_sql_one(k: int) -> str:
+    return f"""
+        SELECT {k} AS train_tenths, n_train, n_test, n_correct,
+               ROUND(CAST(n_correct AS DOUBLE) / n_test, 9) AS accuracy
+        FROM (
+            WITH train AS (SELECT * FROM documents
+                           WHERE doc_id % 10 BETWEEN 1 AND {k}),
+            test AS (SELECT * FROM documents WHERE doc_id % 10 = 0),
+            langs AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+                      FROM train GROUP BY lang),
+            nd AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS n FROM langs),
+            ttok AS (SELECT lang, UNNEST(STRING_SPLIT(text, ' ')) AS tok
+                     FROM train),
+            tc AS (SELECT lang, tok, CAST(COUNT(*) AS BIGINT) AS c
+                   FROM ttok GROUP BY lang, tok),
+            tl AS (SELECT lang, CAST(SUM(c) AS BIGINT) AS t_l FROM tc
+                   GROUP BY lang),
+            vocab AS (SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS v
+                      FROM ttok),
+            stok AS (SELECT doc_id, lang AS true_lang,
+                            UNNEST(STRING_SPLIT(text, ' ')) AS tok
+                     FROM test),
+            terms AS (
+                SELECT s.doc_id, s.true_lang, l.lang,
+                       LN((COALESCE(tc.c, 0) + 1)
+                          / CAST(tl.t_l + vocab.v AS DOUBLE)) AS term
+                FROM stok s
+                CROSS JOIN langs l
+                LEFT JOIN tc ON tc.lang = l.lang AND tc.tok = s.tok
+                JOIN tl ON tl.lang = l.lang
+                CROSS JOIN vocab
+            ),
+            scores AS (
+                SELECT t.doc_id, t.true_lang, t.lang,
+                       ROUND(LN(CAST(l.n_docs AS DOUBLE) / nd.n)
+                             + CAST(SUM(CAST(t.term AS DECIMAL(38,18)))
+                                    AS DOUBLE), 9) AS score
+                FROM terms t
+                JOIN langs l ON l.lang = t.lang
+                CROSS JOIN nd
+                GROUP BY t.doc_id, t.true_lang, t.lang, l.n_docs, nd.n
+            ),
+            pred AS (
+                SELECT doc_id, true_lang, lang AS pred_lang,
+                       ROW_NUMBER() OVER (PARTITION BY doc_id
+                                          ORDER BY score DESC, lang) AS rn
+                FROM scores
+            )
+            SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM train) AS n_train,
+                   CAST(COUNT(*) AS BIGINT) AS n_test,
+                   CAST(SUM(CASE WHEN true_lang = pred_lang THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_correct
+            FROM pred WHERE rn = 1
+        )
+    """
+
+
+@query(
+    "q_learning_curve",
+    oracle=" UNION ALL ".join(_lc_sql_one(k) for k in _LC_FRACTIONS)
+    + " ORDER BY train_tenths",
+    operators=(13, 23, 350, 366),
+    doc="Learning curve (#366): the naive-Bayes lang classifier "
+    "(#350) retrained at 20/40/80% train fractions (deterministic "
+    "doc_id decile splits, FIXED holdout decile so the points are "
+    "comparable), graded as accuracy per fraction — the "
+    "data-scaling diagnostic that tells a pipeline whether MORE DATA "
+    "or a better model is the next dollar (the flat-curve/steep-"
+    "curve read every scaling-law study starts from, evaluated here "
+    "entirely in-engine). Parity: three independent NB fits under "
+    "the #350 discipline (exact counts, decimal ln-sums, ROUND(9) "
+    "argmax); the curve unions three 1-row summaries. Scale: each "
+    "fraction is one pass over its token stream with a broadcast "
+    "prob table — the fractions could even share the test-token "
+    "scan; fitting at f<1 costs LESS than the full fit by "
+    "construction.",
+    bench=False,
+)
+def q_learning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    test = d.filter(F.col("doc_id") % 10 == 0)
+    out = None
+    for k in _LC_FRACTIONS:
+        train = d.filter(
+            (F.col("doc_id") % 10 >= 1) & (F.col("doc_id") % 10 <= k)
+        )
+        langs = train.groupBy("lang").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs")
+        )
+        nd = langs.agg(F.sum("n_docs").cast("bigint").alias("n"))
+        ttok = train.select(
+            "lang", F.explode(F.split("text", " ")).alias("tok")
+        )
+        tc = ttok.groupBy("lang", "tok").agg(
+            F.count(F.lit(1)).cast("bigint").alias("c")
+        )
+        tl = tc.groupBy("lang").agg(F.sum("c").cast("bigint").alias("t_l"))
+        vocab = ttok.agg(F.countDistinct("tok").cast("bigint").alias("v"))
+        stok = test.select(
+            "doc_id",
+            F.col("lang").alias("true_lang"),
+            F.explode(F.split("text", " ")).alias("tok"),
+        )
+        probs = (
+            tc.join(tl, "lang")
+            .crossJoin(F.broadcast(vocab))
+            .select(
+                "lang",
+                "tok",
+                F.log(
+                    (F.col("c") + 1)
+                    / (F.col("t_l") + F.col("v")).cast("double")
+                ).alias("term"),
+            )
+        )
+        fallback = (
+            tl.crossJoin(F.broadcast(vocab))
+            .select(
+                "lang",
+                F.log(
+                    F.lit(1) / (F.col("t_l") + F.col("v")).cast("double")
+                ).alias("fb"),
+            )
+        )
+        terms = (
+            stok.crossJoin(F.broadcast(langs.select("lang", "n_docs")))
+            .join(F.broadcast(probs), ["lang", "tok"], "left")
+            .join(F.broadcast(fallback), "lang")
+            .select(
+                "doc_id",
+                "true_lang",
+                "lang",
+                "n_docs",
+                F.coalesce("term", "fb").alias("term"),
+            )
+        )
+        scores = (
+            terms.crossJoin(F.broadcast(nd))
+            .groupBy("doc_id", "true_lang", "lang", "n_docs", "n")
+            .agg(
+                F.round(
+                    F.log(F.col("n_docs").cast("double") / F.col("n"))
+                    + F.sum(F.col("term").cast("decimal(38,18)")).cast(
+                        "double"
+                    ),
+                    9,
+                ).alias("score")
+            )
+        )
+        w = Window.partitionBy("doc_id").orderBy(F.desc("score"), "lang")
+        pred = scores.withColumn("rn", F.row_number().over(w)).filter(
+            F.col("rn") == 1
+        )
+        n_train = train.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_train")
+        )
+        row = (
+            pred.agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_test"),
+                F.sum(
+                    F.when(F.col("true_lang") == F.col("lang"), 1)
+                    .otherwise(0)
+                )
+                .cast("bigint")
+                .alias("n_correct"),
+            )
+            .crossJoin(F.broadcast(n_train))
+            .select(
+                F.lit(k).alias("train_tenths"),
+                "n_train",
+                "n_test",
+                "n_correct",
+                F.round(
+                    F.col("n_correct").cast("double") / F.col("n_test"), 9
+                ).alias("accuracy"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("train_tenths")

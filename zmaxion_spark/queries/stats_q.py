@@ -1487,3 +1487,253 @@ def q_logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("chi2"),
         (F.abs(z) > 1.96).cast("int").alias("significant"),
     )
+
+
+# ---------------------------------------------------------------------------
+# #364 cramers_v — categorical association (chi-square based)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_cramers_v",
+    oracle="""
+        WITH cells AS (
+            SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n
+            FROM documents GROUP BY lang, source
+        ),
+        marg AS (
+            SELECT (SELECT CAST(SUM(n) AS BIGINT) FROM cells) AS nt,
+                   (SELECT CAST(COUNT(DISTINCT lang) AS BIGINT) FROM cells)
+                       AS r,
+                   (SELECT CAST(COUNT(DISTINCT source) AS BIGINT) FROM cells)
+                       AS c
+        ),
+        rowm AS (SELECT lang, CAST(SUM(n) AS BIGINT) AS nr FROM cells
+                 GROUP BY lang),
+        colm AS (SELECT source, CAST(SUM(n) AS BIGINT) AS nc FROM cells
+                 GROUP BY source),
+        grid AS (
+            SELECT rm.lang, cm.source, rm.nr, cm.nc,
+                   COALESCE(ce.n, 0) AS n
+            FROM rowm rm CROSS JOIN colm cm
+            LEFT JOIN cells ce ON ce.lang = rm.lang AND ce.source = cm.source
+        ),
+        chi AS (
+            SELECT CAST(SUM(CAST(
+                       (n - CAST(g.nr AS DOUBLE) * g.nc / m.nt)
+                       * (n - CAST(g.nr AS DOUBLE) * g.nc / m.nt)
+                       / (CAST(g.nr AS DOUBLE) * g.nc / m.nt)
+                       AS DECIMAL(38,18))) AS DOUBLE) AS chi2,
+                   ANY_VALUE(m.nt) AS nt, ANY_VALUE(m.r) AS r,
+                   ANY_VALUE(m.c) AS c
+            FROM grid g CROSS JOIN marg m
+        )
+        SELECT nt AS n_total, r AS n_rows_cat, c AS n_cols_cat,
+               ROUND(chi2, 9) AS chi2,
+               ROUND(SQRT(chi2 / (nt * (LEAST(r, c) - 1))), 9) AS cramers_v
+        FROM chi
+    """,
+    operators=(23, 24, 280, 364),
+    doc="Cramér's V (#364): chi-square association between two "
+    "categorical columns (lang x source) normalized to [0,1] by "
+    "n·(min(r,c)-1) — the effect-size companion to the chi-square "
+    "feature screen (#280: significance says IF dependent, V says "
+    "HOW MUCH, invariant to table size) and the categorical sibling "
+    "of the numeric correlations (#158/#348/#349). Expectations "
+    "nr·nc/N are identical IEEE trees over exact marginal BIGINTs on "
+    "the ZERO-COMPLETED contingency grid (absent cells contribute "
+    "their full expectation); the chi-square sum goes through "
+    "DECIMAL(38,18). Scale: cells are |lang|x|source| — a census, "
+    "never rows.",
+    bench=False,
+)
+def q_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    cells = d.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    rowm = cells.groupBy("lang").agg(F.sum("n").cast("bigint").alias("nr"))
+    colm = cells.groupBy("source").agg(F.sum("n").cast("bigint").alias("nc"))
+    marg = cells.agg(
+        F.sum("n").cast("bigint").alias("nt"),
+        F.countDistinct("lang").cast("bigint").alias("r"),
+        F.countDistinct("source").cast("bigint").alias("c"),
+    )
+    grid = (
+        rowm.crossJoin(colm)
+        .join(cells, ["lang", "source"], "left")
+        .select(
+            "nr", "nc", F.coalesce("n", F.lit(0)).cast("bigint").alias("n")
+        )
+    )
+    e = F.col("nr").cast("double") * F.col("nc") / F.col("nt")
+    chi = (
+        grid.crossJoin(F.broadcast(marg))
+        .agg(
+            F.sum(((F.col("n") - e) * (F.col("n") - e) / e).cast("decimal(38,18)"))
+            .cast("double")
+            .alias("chi2"),
+            F.first("nt").alias("nt"),
+            F.first("r").alias("r"),
+            F.first("c").alias("c"),
+        )
+    )
+    return chi.select(
+        F.col("nt").alias("n_total"),
+        F.col("r").alias("n_rows_cat"),
+        F.col("c").alias("n_cols_cat"),
+        F.round("chi2", 9).alias("chi2"),
+        F.round(
+            F.sqrt(F.col("chi2") / (F.col("nt") * (F.least("r", "c") - 1))), 9
+        ).alias("cramers_v"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# #365 runs_test — Wald-Wolfowitz randomness test
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_runs_test",
+    oracle="""
+        WITH o AS (
+            SELECT event_type,
+                   DATEDIFF('day', DATE '1970-01-01',
+                            CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS d
+            FROM events
+        ),
+        cnt AS (SELECT event_type, d, CAST(COUNT(*) AS BIGINT) AS x
+                FROM o GROUP BY 1, 2),
+        med AS (
+            SELECT event_type,
+                   CAST(SUM(CASE WHEN rn IN ((m + 1) // 2, (m + 2) // 2)
+                                 THEN x ELSE 0 END) AS DOUBLE)
+                   / SUM(CASE WHEN rn IN ((m + 1) // 2, (m + 2) // 2)
+                              THEN 1 ELSE 0 END) AS median
+            FROM (SELECT event_type, x,
+                         ROW_NUMBER() OVER (PARTITION BY event_type
+                                            ORDER BY x, d) AS rn,
+                         COUNT(*) OVER (PARTITION BY event_type) AS m
+                  FROM cnt)
+            GROUP BY event_type
+        ),
+        sgn AS (
+            SELECT c.event_type, c.d,
+                   CASE WHEN c.x > m.median THEN 1 ELSE 0 END AS s
+            FROM cnt c JOIN med m ON m.event_type = c.event_type
+            WHERE c.x <> m.median
+        ),
+        runs AS (
+            SELECT event_type,
+                   CAST(SUM(CASE WHEN prev IS NULL OR s <> prev
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_runs,
+                   CAST(SUM(s) AS BIGINT) AS n_plus,
+                   CAST(SUM(1 - s) AS BIGINT) AS n_minus
+            FROM (SELECT event_type, s,
+                         LAG(s) OVER (PARTITION BY event_type ORDER BY d)
+                             AS prev
+                  FROM sgn)
+            GROUP BY event_type
+        )
+        SELECT event_type, n_runs, n_plus, n_minus,
+               ROUND((n_runs - (2.0 * n_plus * n_minus
+                                / (n_plus + n_minus) + 1))
+                     / SQRT(2.0 * n_plus * n_minus
+                            * (2.0 * n_plus * n_minus - n_plus - n_minus)
+                            / ((CAST(n_plus + n_minus AS DOUBLE))
+                               * (n_plus + n_minus)
+                               * (n_plus + n_minus - 1))), 9) AS z,
+               CAST(ABS((n_runs - (2.0 * n_plus * n_minus
+                                   / (n_plus + n_minus) + 1))
+                        / SQRT(2.0 * n_plus * n_minus
+                               * (2.0 * n_plus * n_minus - n_plus - n_minus)
+                               / ((CAST(n_plus + n_minus AS DOUBLE))
+                                  * (n_plus + n_minus)
+                                  * (n_plus + n_minus - 1)))) > 1.96 AS INT)
+                   AS non_random
+        FROM runs
+        ORDER BY event_type
+    """,
+    operators=(23, 31, 92, 365),
+    doc="Wald-Wolfowitz runs test (#365) per daily-count series: "
+    "dichotomize days against the series MEDIAN (exact rank "
+    "selection, ties-at-median dropped per the standard recipe), "
+    "count sign runs with one LAG window, and grade the normal "
+    "approximation z = (R - (2ab/(a+b) + 1))/sigma_R — the "
+    "randomness check that catches clustering/oscillation patterns "
+    "mean-level tests (#92), trend tests (#322/#342) and "
+    "autocorrelation (#343) each miss in their own way. Counts are "
+    "exact BIGINTs; the median reuses the #342 rank-position "
+    "selection; z is one identical IEEE tree at 1e-9. Scale: "
+    "everything after the daily rollup runs on (series, day) cells.",
+    bench=False,
+)
+def q_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.datediff(
+            F.col("ts").cast("timestamp").cast("date"),
+            F.lit("1970-01-01").cast("date"),
+        ).alias("d"),
+    )
+    cnt = o.groupBy("event_type", "d").agg(
+        F.count(F.lit(1)).cast("bigint").alias("x")
+    )
+    w_rank = Window.partitionBy("event_type").orderBy("x", "d")
+    ranked = cnt.select(
+        "event_type",
+        "x",
+        F.row_number().over(w_rank).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("event_type")).alias("m"),
+    )
+    med = (
+        ranked.filter(
+            (F.col("rn") == F.expr("(m + 1) div 2"))
+            | (F.col("rn") == F.expr("(m + 2) div 2"))
+        )
+        .groupBy("event_type")
+        .agg(
+            (F.sum("x").cast("double") / F.count(F.lit(1))).alias("median")
+        )
+    )
+    sgn = (
+        cnt.join(med, "event_type")
+        .filter(F.col("x") != F.col("median"))
+        .select(
+            "event_type",
+            "d",
+            F.when(F.col("x") > F.col("median"), 1).otherwise(0).alias("s"),
+        )
+    )
+    w_seq = Window.partitionBy("event_type").orderBy("d")
+    runs = (
+        sgn.withColumn("prev", F.lag("s").over(w_seq))
+        .groupBy("event_type")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("prev").isNull() | (F.col("s") != F.col("prev")), 1
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_runs"),
+            F.sum("s").cast("bigint").alias("n_plus"),
+            F.sum(F.lit(1) - F.col("s")).cast("bigint").alias("n_minus"),
+        )
+    )
+    a, b = F.col("n_plus"), F.col("n_minus")
+    mu = 2.0 * a * b / (a + b) + 1
+    sig = F.sqrt(
+        2.0 * a * b * (2.0 * a * b - a - b)
+        / ((a + b).cast("double") * (a + b) * (a + b - 1))
+    )
+    z = (F.col("n_runs") - mu) / sig
+    return runs.select(
+        "event_type",
+        "n_runs",
+        "n_plus",
+        "n_minus",
+        F.round(z, 9).alias("z"),
+        (F.abs(z) > 1.96).cast("int").alias("non_random"),
+    ).orderBy("event_type")
