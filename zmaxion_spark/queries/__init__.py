@@ -159,6 +159,9 @@ _NEXT_ROUND: list[str] = [
     "q_cramers_v",
     "q_runs_test",
     "q_learning_curve",
+    "q_mcnemar_test",
+    "q_cliffs_delta",
+    "q_tost_equivalence",
     "q04_order_priority",
     "q07_volume_shipping",
     "q08_market_share",

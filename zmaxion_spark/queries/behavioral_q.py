@@ -2045,3 +2045,216 @@ def q_apriori_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return out.orderBy(F.desc("n_uvw"), "u", "v", "w").limit(_AP3_TOPK)
+
+
+# ---------------------------------------------------------------------------
+# #368 cliffs_delta — nonparametric effect size between two arms
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_cliffs_delta",
+    oracle="""
+        WITH v AS (
+            SELECT user_id % 2 AS arm,
+                   CAST(COUNT(*) AS BIGINT) AS x
+            FROM events GROUP BY user_id
+        ),
+        ca AS (SELECT x, CAST(COUNT(*) AS BIGINT) AS f FROM v
+               WHERE arm = 0 GROUP BY x),
+        cb AS (SELECT x, CAST(COUNT(*) AS BIGINT) AS f FROM v
+               WHERE arm = 1 GROUP BY x),
+        cross_cells AS (
+            SELECT CAST(SUM(CASE WHEN a.x > b.x THEN a.f * b.f
+                                 ELSE 0 END) AS BIGINT) AS gt,
+                   CAST(SUM(CASE WHEN a.x < b.x THEN a.f * b.f
+                                 ELSE 0 END) AS BIGINT) AS lt,
+                   CAST(SUM(a.f * b.f) AS BIGINT) AS n_pairs
+            FROM ca a CROSS JOIN cb b
+        )
+        SELECT gt AS n_greater, lt AS n_less, n_pairs,
+               ROUND((CAST(gt AS DOUBLE) - lt) / n_pairs, 9) AS cliffs_delta,
+               CASE WHEN ABS((CAST(gt AS DOUBLE) - lt) / n_pairs) < 0.147
+                        THEN 'negligible'
+                    WHEN ABS((CAST(gt AS DOUBLE) - lt) / n_pairs) < 0.33
+                        THEN 'small'
+                    WHEN ABS((CAST(gt AS DOUBLE) - lt) / n_pairs) < 0.474
+                        THEN 'medium'
+                    ELSE 'large' END AS magnitude
+        FROM cross_cells
+    """,
+    operators=(23, 24, 147, 368),
+    doc="Cliff's delta (#368): the nonparametric effect size between "
+    "two experiment arms (per-user event counts, arms by id parity) — "
+    "P(X>Y) - P(X<Y), the quantity a Mann-Whitney test (#226's "
+    "machinery) ranks but never reports, robust where Cohen's d is "
+    "wrecked by skew; banded into the standard "
+    "negligible/small/medium/large magnitudes (Romano et al. "
+    "thresholds). Computed on VALUE CELLS: per-arm frequency "
+    "censuses cross-joined (|distinct counts|^2 cells, never "
+    "user-pair rows), all counts exact BIGINTs, one ROUND(9). "
+    "Scale: the per-user rollup is the only row-scale pass.",
+    bench=False,
+)
+def q_cliffs_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    v = (
+        _t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+        .select((F.col("user_id") % 2).alias("arm"), "x")
+    )
+    ca = v.filter(F.col("arm") == 0).groupBy("x").agg(
+        F.count(F.lit(1)).cast("bigint").alias("f")
+    )
+    cb = v.filter(F.col("arm") == 1).groupBy("x").agg(
+        F.count(F.lit(1)).cast("bigint").alias("f")
+    )
+    a = ca.select(F.col("x").alias("xa"), F.col("f").alias("fa"))
+    b = cb.select(F.col("x").alias("xb"), F.col("f").alias("fb"))
+    cells = a.crossJoin(b).agg(
+        F.sum(
+            F.when(F.col("xa") > F.col("xb"), F.col("fa") * F.col("fb"))
+            .otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_greater"),
+        F.sum(
+            F.when(F.col("xa") < F.col("xb"), F.col("fa") * F.col("fb"))
+            .otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_less"),
+        F.sum(F.col("fa") * F.col("fb")).cast("bigint").alias("n_pairs"),
+    )
+    delta = (
+        F.col("n_greater").cast("double") - F.col("n_less")
+    ) / F.col("n_pairs")
+    mag = (
+        F.when(F.abs(delta) < 0.147, F.lit("negligible"))
+        .when(F.abs(delta) < 0.33, F.lit("small"))
+        .when(F.abs(delta) < 0.474, F.lit("medium"))
+        .otherwise(F.lit("large"))
+    )
+    return cells.select(
+        "n_greater",
+        "n_less",
+        "n_pairs",
+        F.round(delta, 9).alias("cliffs_delta"),
+        mag.alias("magnitude"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# #369 tost_equivalence — two one-sided tests (is B no worse than A?)
+# ---------------------------------------------------------------------------
+
+_TOST_MARGIN_FRAC = "0.05"  # equivalence margin: 5% of the pooled mean
+_TOST_Z_90 = "1.6448536269514722"  # one-sided 5% normal quantile
+
+
+@query(
+    "q_tost_equivalence",
+    oracle=f"""
+        WITH v AS (
+            SELECT user_id % 2 AS arm,
+                   CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+                       AS cents
+            FROM events GROUP BY user_id
+        ),
+        m AS (
+            SELECT arm, CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(cents) AS BIGINT) AS s,
+                   CAST(SUM(cents * cents) AS BIGINT) AS s2
+            FROM v GROUP BY arm
+        ),
+        w AS (
+            SELECT a.n AS na, b.n AS nb,
+                   CAST(a.s AS DOUBLE) / a.n AS ma,
+                   CAST(b.s AS DOUBLE) / b.n AS mb,
+                   (CAST(a.s2 AS DOUBLE) - CAST(a.s AS DOUBLE) * a.s / a.n)
+                       / (a.n - 1) / a.n
+                   + (CAST(b.s2 AS DOUBLE) - CAST(b.s AS DOUBLE) * b.s / b.n)
+                       / (b.n - 1) / b.n AS var_diff,
+                   CAST({_TOST_MARGIN_FRAC} AS DOUBLE)
+                       * (CAST(a.s AS DOUBLE) + b.s) / (a.n + b.n) AS margin
+            FROM (SELECT * FROM m WHERE arm = 0) a
+            CROSS JOIN (SELECT * FROM m WHERE arm = 1) b
+        )
+        SELECT na, nb,
+               ROUND(mb - ma, 9) AS diff,
+               ROUND(margin, 9) AS margin,
+               ROUND((mb - ma + margin) / SQRT(var_diff), 9) AS z_lower,
+               ROUND((margin - (mb - ma)) / SQRT(var_diff), 9) AS z_upper,
+               CAST((mb - ma + margin) / SQRT(var_diff)
+                        > CAST({_TOST_Z_90} AS DOUBLE)
+                    AND (margin - (mb - ma)) / SQRT(var_diff)
+                        > CAST({_TOST_Z_90} AS DOUBLE) AS INT) AS equivalent
+        FROM w
+    """,
+    operators=(24, 147, 369),
+    doc=f"TOST equivalence test (#369): two one-sided Welch z tests "
+f"against a ±{_TOST_MARGIN_FRAC}-of-pooled-mean margin on per-user "
+    "spend between id-parity arms — the test that answers 'is the "
+    "new variant NO WORSE (within margin)?', which a non-significant "
+    "difference test (#147) can NEVER answer (absence of evidence); "
+    "the ship/no-ship gate for refactors, infra swaps and holdback "
+    "confirmations. Equivalent iff BOTH one-sided z's clear the "
+    "one-sided 5% quantile. Moments are exact integer cents; means, "
+    "Welch variance and both z's are identical IEEE trees at 1e-9. "
+    "Scale: one per-user rollup + a 2-row census.",
+    bench=False,
+)
+def q_tost_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    v = (
+        _t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.round(F.col("value") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("cents")
+        )
+        .select((F.col("user_id") % 2).alias("arm"), "cents")
+    )
+    m = v.groupBy("arm").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("cents").cast("bigint").alias("s"),
+        F.sum(F.col("cents") * F.col("cents")).cast("bigint").alias("s2"),
+    )
+    a = m.filter(F.col("arm") == 0).select(
+        F.col("n").alias("na"), F.col("s").alias("sa"), F.col("s2").alias("sa2")
+    )
+    b = m.filter(F.col("arm") == 1).select(
+        F.col("n").alias("nb"), F.col("s").alias("sb"), F.col("s2").alias("sb2")
+    )
+    w = a.crossJoin(b).select(
+        "na",
+        "nb",
+        (F.col("sa").cast("double") / F.col("na")).alias("ma"),
+        (F.col("sb").cast("double") / F.col("nb")).alias("mb"),
+        (
+            (F.col("sa2").cast("double")
+             - F.col("sa").cast("double") * F.col("sa") / F.col("na"))
+            / (F.col("na") - 1) / F.col("na")
+            + (F.col("sb2").cast("double")
+               - F.col("sb").cast("double") * F.col("sb") / F.col("nb"))
+            / (F.col("nb") - 1) / F.col("nb")
+        ).alias("var_diff"),
+        (
+            F.lit(float(_TOST_MARGIN_FRAC))
+            * (F.col("sa").cast("double") + F.col("sb"))
+            / (F.col("na") + F.col("nb"))
+        ).alias("margin"),
+    )
+    zc = F.lit(float(_TOST_Z_90))
+    diff = F.col("mb") - F.col("ma")
+    z_lo = (diff + F.col("margin")) / F.sqrt(F.col("var_diff"))
+    z_hi = (F.col("margin") - diff) / F.sqrt(F.col("var_diff"))
+    return w.select(
+        "na",
+        "nb",
+        F.round(diff, 9).alias("diff"),
+        F.round("margin", 9).alias("margin"),
+        F.round(z_lo, 9).alias("z_lower"),
+        F.round(z_hi, 9).alias("z_upper"),
+        ((z_lo > zc) & (z_hi > zc)).cast("int").alias("equivalent"),
+    )

@@ -1298,3 +1298,232 @@ def q_learning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out.orderBy("train_tenths")
+
+
+# ---------------------------------------------------------------------------
+# #367 mcnemar_test — paired comparison of two in-engine classifiers
+# ---------------------------------------------------------------------------
+
+_MN_LANGID_SQL = """
+            SELECT doc_id, lang,
+                   CASE WHEN GREATEST(s_de, s_en, s_es, s_fr, s_zh) = 0
+                        THEN 'und'
+                        WHEN s_de = GREATEST(s_de, s_en, s_es, s_fr, s_zh)
+                        THEN 'de'
+                        WHEN s_en = GREATEST(s_de, s_en, s_es, s_fr, s_zh)
+                        THEN 'en'
+                        WHEN s_es = GREATEST(s_de, s_en, s_es, s_fr, s_zh)
+                        THEN 'es'
+                        WHEN s_fr = GREATEST(s_de, s_en, s_es, s_fr, s_zh)
+                        THEN 'fr'
+                        ELSE 'zh' END AS pred_lang
+            FROM (
+                SELECT doc_id, lang,
+                       LEN(LIST_INTERSECT(toks, ['der','die','und','ist','nicht','das','ein','mit'])) AS s_de,
+                       LEN(LIST_INTERSECT(toks, ['the','and','is','of','to','a','in','that'])) AS s_en,
+                       LEN(LIST_INTERSECT(toks, ['el','la','los','que','de','y','un','en'])) AS s_es,
+                       LEN(LIST_INTERSECT(toks, ['le','la','les','et','est','un','une','dans'])) AS s_fr,
+                       LEN(LIST_INTERSECT(toks, ['的','是','了','在','我','有','和','不'])) AS s_zh
+                FROM (SELECT doc_id, lang, STRING_SPLIT(text, ' ') AS toks
+                      FROM documents WHERE doc_id % 5 = 0)
+            )
+"""
+
+_MN_NB_SQL = """
+            WITH train AS (SELECT * FROM documents WHERE doc_id % 5 <> 0),
+            test AS (SELECT * FROM documents WHERE doc_id % 5 = 0),
+            langs AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+                      FROM train GROUP BY lang),
+            nd AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS n FROM langs),
+            ttok AS (SELECT lang, UNNEST(STRING_SPLIT(text, ' ')) AS tok
+                     FROM train),
+            tc AS (SELECT lang, tok, CAST(COUNT(*) AS BIGINT) AS c
+                   FROM ttok GROUP BY lang, tok),
+            tl AS (SELECT lang, CAST(SUM(c) AS BIGINT) AS t_l FROM tc
+                   GROUP BY lang),
+            vocab AS (SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS v
+                      FROM ttok),
+            stok AS (SELECT doc_id, lang AS true_lang,
+                            UNNEST(STRING_SPLIT(text, ' ')) AS tok
+                     FROM test),
+            terms AS (
+                SELECT s.doc_id, s.true_lang, l.lang,
+                       LN((COALESCE(tc.c, 0) + 1)
+                          / CAST(tl.t_l + vocab.v AS DOUBLE)) AS term
+                FROM stok s
+                CROSS JOIN langs l
+                LEFT JOIN tc ON tc.lang = l.lang AND tc.tok = s.tok
+                JOIN tl ON tl.lang = l.lang
+                CROSS JOIN vocab
+            ),
+            scores AS (
+                SELECT t.doc_id, t.true_lang, t.lang,
+                       ROUND(LN(CAST(l.n_docs AS DOUBLE) / nd.n)
+                             + CAST(SUM(CAST(t.term AS DECIMAL(38,18)))
+                                    AS DOUBLE), 9) AS score
+                FROM terms t
+                JOIN langs l ON l.lang = t.lang
+                CROSS JOIN nd
+                GROUP BY t.doc_id, t.true_lang, t.lang, l.n_docs, nd.n
+            )
+            SELECT doc_id, true_lang, lang AS nb_pred
+            FROM (SELECT doc_id, true_lang, lang,
+                         ROW_NUMBER() OVER (PARTITION BY doc_id
+                                            ORDER BY score DESC, lang) AS rn
+                  FROM scores)
+            WHERE rn = 1
+"""
+
+
+@query(
+    "q_mcnemar_test",
+    oracle=f"""
+        WITH heur AS ({_MN_LANGID_SQL}),
+        nb AS ({_MN_NB_SQL}),
+        paired AS (
+            SELECT CAST(h.pred_lang = h.lang AS INT) AS heur_right,
+                   CAST(n.nb_pred = n.true_lang AS INT) AS nb_right
+            FROM heur h JOIN nb n ON n.doc_id = h.doc_id
+        ),
+        cellc AS (
+            SELECT CAST(SUM(heur_right * nb_right) AS BIGINT) AS both_right,
+                   CAST(SUM((1 - heur_right) * (1 - nb_right)) AS BIGINT)
+                       AS both_wrong,
+                   CAST(SUM(heur_right * (1 - nb_right)) AS BIGINT) AS b,
+                   CAST(SUM((1 - heur_right) * nb_right) AS BIGINT) AS c
+            FROM paired
+        )
+        SELECT both_right, both_wrong, b AS heur_only, c AS nb_only,
+               ROUND(CASE WHEN b + c = 0 THEN 0
+                          ELSE (ABS(CAST(b AS DOUBLE) - c) - 1)
+                               * (ABS(CAST(b AS DOUBLE) - c) - 1)
+                               / (b + c) END, 9) AS chi2_cc,
+               CAST(CASE WHEN b + c = 0 THEN 0
+                         ELSE (ABS(CAST(b AS DOUBLE) - c) - 1)
+                              * (ABS(CAST(b AS DOUBLE) - c) - 1)
+                              / (b + c) END > 3.841458820694124 AS INT)
+                   AS significant
+        FROM cellc
+    """,
+    operators=(13, 24, 350, 367),
+    doc="McNemar's test (#367): the PAIRED model comparison between "
+    "two classifiers this engine itself trains — the heuristic "
+    "function-word lang-ID (#66) vs multinomial naive Bayes (#350) — "
+    "on the same holdout docs: only the DISCORDANT pairs matter "
+    "(docs exactly one model gets right), chi-square with continuity "
+    "correction (|b-c|-1)^2/(b+c) against the df=1 5% critical "
+    "value. This is how model swaps should be gated: two accuracies "
+    "compared marginally ignore pairing and overstate significance. "
+    "Both prediction pipelines are the graded ones from #66/#350 "
+    "verbatim; all cells exact BIGINTs; one ROUND(9). Scale: two "
+    "scoring passes + one doc-keyed join; the test itself is a "
+    "1-row census.",
+    bench=False,
+)
+def q_mcnemar_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from zmaxion_spark.functions import text as T
+
+    d = _docs(spark, sf_dir)
+    test = d.filter(F.col("doc_id") % 5 == 0)
+    heur = test.select(
+        "doc_id",
+        (T.lang_id(F.split("text", " ")) == F.col("lang"))
+        .cast("int")
+        .alias("heur_right"),
+    )
+    # Rebuild the NB per-doc predictions (the confusion-matrix query
+    # aggregates them away); identical pipeline to #350.
+    train = d.filter(F.col("doc_id") % 5 != 0)
+    langs = train.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    )
+    nd = langs.agg(F.sum("n_docs").cast("bigint").alias("n"))
+    ttok = train.select("lang", F.explode(F.split("text", " ")).alias("tok"))
+    tc = ttok.groupBy("lang", "tok").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    tl = tc.groupBy("lang").agg(F.sum("c").cast("bigint").alias("t_l"))
+    vocab = ttok.agg(F.countDistinct("tok").cast("bigint").alias("v"))
+    stok = test.select(
+        "doc_id",
+        F.col("lang").alias("true_lang"),
+        F.explode(F.split("text", " ")).alias("tok"),
+    )
+    probs = (
+        tc.join(tl, "lang")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "lang",
+            "tok",
+            F.log(
+                (F.col("c") + 1) / (F.col("t_l") + F.col("v")).cast("double")
+            ).alias("term"),
+        )
+    )
+    fallback = tl.crossJoin(F.broadcast(vocab)).select(
+        "lang",
+        F.log(F.lit(1) / (F.col("t_l") + F.col("v")).cast("double")).alias(
+            "fb"
+        ),
+    )
+    terms = (
+        stok.crossJoin(F.broadcast(langs.select("lang", "n_docs")))
+        .join(F.broadcast(probs), ["lang", "tok"], "left")
+        .join(F.broadcast(fallback), "lang")
+        .select(
+            "doc_id",
+            "true_lang",
+            "lang",
+            "n_docs",
+            F.coalesce("term", "fb").alias("term"),
+        )
+    )
+    scores = (
+        terms.crossJoin(F.broadcast(nd))
+        .groupBy("doc_id", "true_lang", "lang", "n_docs", "n")
+        .agg(
+            F.round(
+                F.log(F.col("n_docs").cast("double") / F.col("n"))
+                + F.sum(F.col("term").cast("decimal(38,18)")).cast("double"),
+                9,
+            ).alias("score")
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), "lang")
+    nb_pred = (
+        scores.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            (F.col("lang") == F.col("true_lang")).cast("int").alias("nb_right"),
+        )
+    )
+    paired = heur.join(nb_pred, "doc_id")
+    cells = paired.agg(
+        F.sum(F.col("heur_right") * F.col("nb_right"))
+        .cast("bigint")
+        .alias("both_right"),
+        F.sum((1 - F.col("heur_right")) * (1 - F.col("nb_right")))
+        .cast("bigint")
+        .alias("both_wrong"),
+        F.sum(F.col("heur_right") * (1 - F.col("nb_right")))
+        .cast("bigint")
+        .alias("heur_only"),
+        F.sum((1 - F.col("heur_right")) * F.col("nb_right"))
+        .cast("bigint")
+        .alias("nb_only"),
+    )
+    b, c = F.col("heur_only"), F.col("nb_only")
+    chi = F.when(b + c == 0, F.lit(0.0)).otherwise(
+        (F.abs(b.cast("double") - c) - 1)
+        * (F.abs(b.cast("double") - c) - 1)
+        / (b + c)
+    )
+    return cells.select(
+        "both_right",
+        "both_wrong",
+        "heur_only",
+        "nb_only",
+        F.round(chi, 9).alias("chi2_cc"),
+        (chi > 3.841458820694124).cast("int").alias("significant"),
+    )

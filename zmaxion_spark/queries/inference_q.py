@@ -2399,7 +2399,7 @@ _ROC_DIM = 64
     "ORDERED double folds — Spark aggregate() vs DuckDB list_reduce "
     "over the same zip, the #260 pca_power discipline — and argmin "
     "is on ROUND(9) with a label tie-break. "
-    "Scale: centroids are |labels|x{_ROC_DIM} — a broadcast literal "
+    f"Scale: centroids are |labels|x{_ROC_DIM} — a broadcast literal "
     "(the #273 k-means discipline); scoring is one map-side pass "
     "over test vectors, no shuffle beyond the final census.",
     bench=False,
