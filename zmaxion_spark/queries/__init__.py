@@ -162,6 +162,9 @@ _NEXT_ROUND: list[str] = [
     "q_mcnemar_test",
     "q_cliffs_delta",
     "q_tost_equivalence",
+    "q_kruskal_wallis",
+    "q_friedman_test",
+    "q_levene_test",
     "q04_order_priority",
     "q07_volume_shipping",
     "q08_market_share",

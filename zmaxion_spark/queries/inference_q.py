@@ -2449,3 +2449,433 @@ def q_rocchio_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
         .orderBy("true_label", "pred_label")
     )
+
+
+# ---------------------------------------------------------------------------
+# #370 kruskal_wallis — nonparametric one-way test across k groups
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_kruskal_wallis",
+    oracle="""
+        WITH o AS (
+            SELECT event_type,
+                   DATEDIFF('day', DATE '1970-01-01',
+                            CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS d
+            FROM events
+        ),
+        cnt AS (SELECT event_type, d, CAST(COUNT(*) AS BIGINT) AS x
+                FROM o GROUP BY 1, 2),
+        r2 AS (
+            SELECT c.event_type, c.x,
+                   2 * (SELECT COUNT(*) FROM cnt h WHERE h.x < c.x)
+                   + (SELECT COUNT(*) FROM cnt h WHERE h.x = c.x)
+                   + 1 AS rr
+            FROM cnt c
+        ),
+        g AS (
+            SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_i,
+                   CAST(SUM(rr) AS BIGINT) AS s2r
+            FROM r2 GROUP BY event_type
+        ),
+        nn AS (SELECT CAST(SUM(n_i) AS BIGINT) AS n FROM g),
+        ties AS (
+            SELECT CAST(SUM(t * t * t - t) AS BIGINT) AS tie3
+            FROM (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM cnt GROUP BY x)
+        ),
+        h AS (
+            SELECT CAST(12 AS DOUBLE)
+                   / (ANY_VALUE(nn.n) * (ANY_VALUE(nn.n) + 1))
+                   * CAST(SUM(CAST(
+                         (CAST(g.s2r AS DOUBLE) / 2)
+                         * (CAST(g.s2r AS DOUBLE) / 2) / g.n_i
+                         AS DECIMAL(38,18))) AS DOUBLE)
+                   - 3 * (ANY_VALUE(nn.n) + 1) AS h_raw,
+                   ANY_VALUE(nn.n) AS n,
+                   CAST(COUNT(*) AS BIGINT) AS k,
+                   ANY_VALUE(ties.tie3) AS tie3
+            FROM g CROSS JOIN nn CROSS JOIN ties
+        )
+        SELECT n, k,
+               ROUND(h_raw / (1 - CAST(tie3 AS DOUBLE) / (CAST(n AS DOUBLE)
+                                                          * n * n - n)),
+                     9) AS h_stat,
+               CAST(h_raw / (1 - CAST(tie3 AS DOUBLE)
+                             / (CAST(n AS DOUBLE) * n * n - n))
+                    > 9.487729036781154 AS INT) AS significant
+        FROM h
+    """,
+    operators=(23, 24, 307, 370),
+    doc="Kruskal-Wallis H (#370): the nonparametric one-way test "
+    "across the five event-type daily-count samples — rank-based, so "
+    "valid where ANOVA's (#307) normality assumption fails, with the "
+    "standard tie correction 1 - sum(t^3-t)/(N^3-N) and the df=4 5% "
+    "chi-square gate. Ranks use the #349 integer trick (2·avg_rank "
+    "is always an integer from less/equal census counts — no midrank "
+    "double ever enters a sum); rank sums and tie counts are exact "
+    "BIGINTs; H is one identical IEEE tree at 1e-9. Scale: ranks "
+    "come from a value-census join over (series, day) cells.",
+    bench=False,
+)
+def q_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.datediff(
+            F.col("ts").cast("timestamp").cast("date"),
+            F.lit("1970-01-01").cast("date"),
+        ).alias("d"),
+    )
+    cnt = o.groupBy("event_type", "d").agg(
+        F.count(F.lit(1)).cast("bigint").alias("x")
+    )
+    cells = cnt.groupBy("x").agg(F.count(F.lit(1)).cast("bigint").alias("t"))
+    w = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, 0)
+    rmap = cells.withColumn("cum", F.sum("t").over(w)).select(
+        "x",
+        (2 * (F.col("cum") - F.col("t")) + F.col("t") + 1).alias("rr"),
+        "t",
+    )
+    r2 = cnt.join(rmap.select("x", "rr"), "x")
+    g = r2.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_i"),
+        F.sum("rr").cast("bigint").alias("s2r"),
+    )
+    nn = g.agg(F.sum("n_i").cast("bigint").alias("n"))
+    ties = cells.agg(
+        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t"))
+        .cast("bigint")
+        .alias("tie3")
+    )
+    dec = "decimal(38,18)"
+    term = (
+        (F.col("s2r").cast("double") / 2)
+        * (F.col("s2r").cast("double") / 2)
+        / F.col("n_i")
+    )
+    h = (
+        g.crossJoin(F.broadcast(nn))
+        .crossJoin(F.broadcast(ties))
+        .agg(
+            (
+                F.lit(12.0) / (F.first("n") * (F.first("n") + 1))
+                * F.sum(term.cast(dec)).cast("double")
+                - 3 * (F.first("n") + 1)
+            ).alias("h_raw"),
+            F.first("n").alias("n"),
+            F.count(F.lit(1)).cast("bigint").alias("k"),
+            F.first("tie3").alias("tie3"),
+        )
+    )
+    corr = 1 - F.col("tie3").cast("double") / (
+        F.col("n").cast("double") * F.col("n") * F.col("n") - F.col("n")
+    )
+    return h.select(
+        "n",
+        "k",
+        F.round(F.col("h_raw") / corr, 9).alias("h_stat"),
+        (F.col("h_raw") / corr > 9.487729036781154).cast("int").alias(
+            "significant"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# #371 friedman_test — blocked nonparametric comparison (days as blocks)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_friedman_test",
+    oracle="""
+        WITH o AS (
+            SELECT event_type,
+                   DATEDIFF('day', DATE '1970-01-01',
+                            CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS d
+            FROM events
+        ),
+        days AS (
+            SELECT UNNEST(GENERATE_SERIES(mn, mx)) AS d
+            FROM (SELECT MIN(d) AS mn, MAX(d) AS mx FROM o)
+        ),
+        types AS (SELECT DISTINCT event_type FROM o),
+        cnt AS (SELECT event_type, d, COUNT(*) AS n FROM o GROUP BY 1, 2),
+        grid AS MATERIALIZED (
+            SELECT t.event_type, days.d, COALESCE(cnt.n, 0) AS x
+            FROM types t CROSS JOIN days
+            LEFT JOIN cnt ON cnt.event_type = t.event_type AND cnt.d = days.d
+        ),
+        rr AS (
+            SELECT a.event_type, a.d,
+                   2 * CAST(SUM(CASE WHEN b.x < a.x THEN 1 ELSE 0 END)
+                            AS BIGINT)
+                   + CAST(SUM(CASE WHEN b.x = a.x THEN 1 ELSE 0 END)
+                          AS BIGINT) + 1 AS r2
+            FROM grid a JOIN grid b ON b.d = a.d
+                                   AND b.event_type <> a.event_type
+            GROUP BY a.event_type, a.d
+        ),
+        dims AS (
+            SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM days) AS n,
+                   (SELECT CAST(COUNT(*) AS BIGINT) FROM types) AS k
+        ),
+        pergrp AS (
+            SELECT event_type, CAST(SUM(r2) AS BIGINT) AS s2r FROM rr
+            GROUP BY event_type
+        ),
+        amat AS (
+            SELECT CAST(SUM(r2 * r2) AS BIGINT) AS a4 FROM rr
+        )
+        SELECT d.n AS n_blocks, d.k,
+               ROUND((d.k - 1)
+                     * (SELECT CAST(SUM(CAST(
+                            (CAST(s2r AS DOUBLE) / 2
+                             - CAST(d.n AS DOUBLE) * (d.k + 1) / 2)
+                            * (CAST(s2r AS DOUBLE) / 2
+                               - CAST(d.n AS DOUBLE) * (d.k + 1) / 2)
+                            AS DECIMAL(38,18))) AS DOUBLE) FROM pergrp)
+                     / (CAST(a.a4 AS DOUBLE) / 4
+                        - CAST(d.n AS DOUBLE) * d.k * (d.k + 1) * (d.k + 1)
+                          / 4), 9) AS friedman_chi2,
+               CAST((d.k - 1)
+                    * (SELECT CAST(SUM(CAST(
+                           (CAST(s2r AS DOUBLE) / 2
+                            - CAST(d.n AS DOUBLE) * (d.k + 1) / 2)
+                           * (CAST(s2r AS DOUBLE) / 2
+                              - CAST(d.n AS DOUBLE) * (d.k + 1) / 2)
+                           AS DECIMAL(38,18))) AS DOUBLE) FROM pergrp)
+                    / (CAST(a.a4 AS DOUBLE) / 4
+                       - CAST(d.n AS DOUBLE) * d.k * (d.k + 1) * (d.k + 1)
+                         / 4)
+                    > 9.487729036781154 AS INT) AS significant
+        FROM dims d CROSS JOIN amat a
+    """,
+    operators=(23, 31, 307, 371),
+    doc="Friedman test (#371): the BLOCKED nonparametric comparison — "
+    "each day is a block, the five event types are ranked WITHIN the "
+    "day, and the tie-corrected statistic (k-1)·Σ(R_j - n(k+1)/2)² / "
+    "(A - nk(k+1)²/4) asks whether any type systematically out-ranks "
+    "the others once day-level effects are blocked out — the "
+    "repeated-measures sibling of Kruskal-Wallis (#370), which "
+    "ignores blocking and loses power to day-to-day drift. "
+    "Within-block average ranks use the #349 integer 2·rank trick "
+    "(block-local less/equal counts from a k² cell self-join); rank "
+    "sums and A are exact BIGINTs over quarters; one ROUND(9). "
+    "Scale: everything runs on the (day x type) grid — k² per-block "
+    "cells, never event rows.",
+    bench=False,
+)
+def q_friedman_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.datediff(
+            F.col("ts").cast("timestamp").cast("date"),
+            F.lit("1970-01-01").cast("date"),
+        ).alias("d"),
+    )
+    bounds = o.agg(F.min("d").alias("mn"), F.max("d").alias("mx"))
+    days = bounds.select(
+        F.explode(F.sequence(F.col("mn"), F.col("mx"))).alias("d")
+    )
+    types = o.select("event_type").distinct()
+    cnt = o.groupBy("event_type", "d").agg(F.count(F.lit(1)).alias("n"))
+    grid = (
+        types.crossJoin(days)
+        .join(cnt, ["event_type", "d"], "left")
+        .select("event_type", "d", F.coalesce(F.col("n"), F.lit(0)).alias("x"))
+        .localCheckpoint(eager=True)
+    )
+    a = grid.select(
+        F.col("event_type").alias("et"), F.col("d").alias("dd"),
+        F.col("x").alias("xa"),
+    )
+    b = grid.select(
+        F.col("event_type").alias("etb"), F.col("d").alias("dd"),
+        F.col("x").alias("xb"),
+    )
+    rr = (
+        a.join(b, (a.dd == b.dd) & (F.col("et") != F.col("etb")))
+        .groupBy(F.col("et").alias("event_type"), a.dd.alias("d"))
+        .agg(
+            (
+                2 * F.sum(F.when(F.col("xb") < F.col("xa"), 1).otherwise(0))
+                + F.sum(F.when(F.col("xb") == F.col("xa"), 1).otherwise(0))
+                + 1
+            )
+            .cast("bigint")
+            .alias("r2")
+        )
+    )
+    n = days.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    k = types.agg(F.count(F.lit(1)).cast("bigint").alias("k"))
+    pergrp = rr.groupBy("event_type").agg(
+        F.sum("r2").cast("bigint").alias("s2r")
+    )
+    amat = rr.agg(F.sum(F.col("r2") * F.col("r2")).cast("bigint").alias("a4"))
+    dec = "decimal(38,18)"
+    joined = pergrp.crossJoin(F.broadcast(n)).crossJoin(F.broadcast(k))
+    dev = (
+        F.col("s2r").cast("double") / 2
+        - F.col("n").cast("double") * (F.col("k") + 1) / 2
+    )
+    num = joined.agg(
+        F.sum((dev * dev).cast(dec)).cast("double").alias("ssd"),
+        F.first("n").alias("n"),
+        F.first("k").alias("k"),
+    )
+    out = num.crossJoin(F.broadcast(amat))
+    denom = (
+        F.col("a4").cast("double") / 4
+        - F.col("n").cast("double") * F.col("k") * (F.col("k") + 1)
+          * (F.col("k") + 1) / 4
+    )
+    chi = (F.col("k") - 1) * F.col("ssd") / denom
+    return out.select(
+        F.col("n").alias("n_blocks"),
+        "k",
+        F.round(chi, 9).alias("friedman_chi2"),
+        (chi > 9.487729036781154).cast("int").alias("significant"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# #372 levene_test — Brown-Forsythe variance-homogeneity check
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_levene_test",
+    oracle="""
+        WITH o AS (
+            SELECT event_type,
+                   DATEDIFF('day', DATE '1970-01-01',
+                            CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS d
+            FROM events
+        ),
+        cnt AS (SELECT event_type, d, CAST(COUNT(*) AS BIGINT) AS x
+                FROM o GROUP BY 1, 2),
+        med AS (
+            SELECT event_type,
+                   CAST(SUM(CASE WHEN rn IN ((m + 1) // 2, (m + 2) // 2)
+                                 THEN x ELSE 0 END) AS DOUBLE)
+                   / SUM(CASE WHEN rn IN ((m + 1) // 2, (m + 2) // 2)
+                              THEN 1 ELSE 0 END) AS median
+            FROM (SELECT event_type, x,
+                         ROW_NUMBER() OVER (PARTITION BY event_type
+                                            ORDER BY x, d) AS rn,
+                         COUNT(*) OVER (PARTITION BY event_type) AS m
+                  FROM cnt)
+            GROUP BY event_type
+        ),
+        z AS (
+            SELECT c.event_type, ABS(c.x - m.median) AS z
+            FROM cnt c JOIN med m ON m.event_type = c.event_type
+        ),
+        g AS (
+            SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_j,
+                   CAST(SUM(CAST(z AS DECIMAL(38,9))) AS DOUBLE) AS sz,
+                   CAST(SUM(CAST(z * z AS DECIMAL(38,18))) AS DOUBLE) AS sz2
+            FROM z GROUP BY event_type
+        ),
+        tot AS (
+            SELECT CAST(SUM(n_j) AS BIGINT) AS n,
+                   CAST(COUNT(*) AS BIGINT) AS k,
+                   CAST(SUM(CAST(sz AS DECIMAL(38,9))) AS DOUBLE) AS sz_all
+            FROM g
+        ),
+        parts AS (
+            SELECT CAST(SUM(CAST(
+                       g.n_j * (g.sz / g.n_j - t.sz_all / t.n)
+                             * (g.sz / g.n_j - t.sz_all / t.n)
+                       AS DECIMAL(38,18))) AS DOUBLE) AS ss_between,
+                   CAST(SUM(CAST(g.sz2 - g.sz * g.sz / g.n_j
+                                 AS DECIMAL(38,18))) AS DOUBLE) AS ss_within,
+                   ANY_VALUE(t.n) AS n, ANY_VALUE(t.k) AS k
+            FROM g CROSS JOIN tot t
+        )
+        SELECT n, k,
+               ROUND((CAST(n - k AS DOUBLE) / (k - 1))
+                     * ss_between / ss_within, 9) AS bf_stat,
+               CAST((CAST(n - k AS DOUBLE) / (k - 1))
+                    * ss_between / ss_within
+                    > 2.3718794301168693 AS INT) AS significant
+        FROM parts
+    """,
+    operators=(23, 24, 307, 372),
+    doc="Brown-Forsythe / Levene test (#372): variance homogeneity "
+    "across the event-type daily-count groups — one-way ANOVA (#307) "
+    "run on |x - group MEDIAN| (the Brown-Forsythe centering, robust "
+    "where mean-centered Levene is dragged by skew); the check that "
+    "should PRECEDE #307, whose F statistic assumes equal variances. "
+    "Medians come from the #342 exact rank-position selection; |z| "
+    "terms are identical IEEE values summed through DECIMAL(38,9)/"
+    "(38,18); the flag uses the asymptotic F(k-1, inf) 5% critical "
+    "value (documented — exact df2 criticals would need an F-table). "
+    "Scale: one rank pass + two moment censuses over (series, day) "
+    "cells.",
+    bench=False,
+)
+def q_levene_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.datediff(
+            F.col("ts").cast("timestamp").cast("date"),
+            F.lit("1970-01-01").cast("date"),
+        ).alias("d"),
+    )
+    cnt = o.groupBy("event_type", "d").agg(
+        F.count(F.lit(1)).cast("bigint").alias("x")
+    )
+    w_rank = Window.partitionBy("event_type").orderBy("x", "d")
+    ranked = cnt.select(
+        "event_type",
+        "x",
+        F.row_number().over(w_rank).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("event_type")).alias("m"),
+    )
+    med = (
+        ranked.filter(
+            (F.col("rn") == F.expr("(m + 1) div 2"))
+            | (F.col("rn") == F.expr("(m + 2) div 2"))
+        )
+        .groupBy("event_type")
+        .agg((F.sum("x").cast("double") / F.count(F.lit(1))).alias("median"))
+    )
+    z = cnt.join(med, "event_type").select(
+        "event_type", F.abs(F.col("x") - F.col("median")).alias("z")
+    )
+    g = z.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_j"),
+        F.sum(F.col("z").cast("decimal(38,9)")).cast("double").alias("sz"),
+        F.sum((F.col("z") * F.col("z")).cast("decimal(38,18)"))
+        .cast("double")
+        .alias("sz2"),
+    )
+    tot = g.agg(
+        F.sum("n_j").cast("bigint").alias("n"),
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum(F.col("sz").cast("decimal(38,9)")).cast("double").alias("sz_all"),
+    )
+    dec = "decimal(38,18)"
+    dev = F.col("sz") / F.col("n_j") - F.col("sz_all") / F.col("n")
+    parts = g.crossJoin(F.broadcast(tot)).agg(
+        F.sum((F.col("n_j") * dev * dev).cast(dec))
+        .cast("double")
+        .alias("ss_between"),
+        F.sum(
+            (F.col("sz2") - F.col("sz") * F.col("sz") / F.col("n_j")).cast(dec)
+        )
+        .cast("double")
+        .alias("ss_within"),
+        F.first("n").alias("n"),
+        F.first("k").alias("k"),
+    )
+    stat = (
+        (F.col("n") - F.col("k")).cast("double") / (F.col("k") - 1)
+    ) * F.col("ss_between") / F.col("ss_within")
+    return parts.select(
+        "n",
+        "k",
+        F.round(stat, 9).alias("bf_stat"),
+        (stat > 2.3718794301168693).cast("int").alias("significant"),
+    )
