@@ -1355,8 +1355,12 @@ def q_stream_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                         ELSE INTERVAL 20 MINUTE END AS gap
             FROM events
         ),
+        wm AS (
+            SELECT MAX(CAST(ts AS TIMESTAMP)) - INTERVAL 1 HOUR AS wm
+            FROM events
+        ),
         m AS (
-            SELECT user_id, ts,
+            SELECT user_id, ts, gap,
                    CASE WHEN MAX(ts + gap) OVER (PARTITION BY user_id
                                                  ORDER BY ts
                                                  ROWS BETWEEN UNBOUNDED
@@ -1370,7 +1374,7 @@ def q_stream_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM e
         ),
         s AS (
-            SELECT user_id, ts,
+            SELECT user_id, ts, gap,
                    CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
                                          ROWS UNBOUNDED PRECEDING)
                         AS BIGINT) AS sid
@@ -1378,7 +1382,9 @@ def q_stream_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         SELECT user_id, MIN(ts) AS session_start,
                COUNT(*) AS n_events
-        FROM s GROUP BY user_id, sid
+        FROM s CROSS JOIN wm
+        GROUP BY user_id, sid, wm.wm
+        HAVING MAX(ts + gap) < wm.wm
     """,
     operators=(51, 361),
     doc="DYNAMIC-gap session windows (#361): the gap is a per-event "
@@ -1391,9 +1397,14 @@ def q_stream_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "spans merge, so a new session starts exactly when ts >= the "
     "running MAX of all previous span ends — the oracle encodes that "
     "rule with one running-max window + cumsum, making the streaming "
-    "engine's merge behavior explicit and batch-checkable. Scale: "
-    "state per key is one open session; the watermark closes and "
-    "evicts sessions exactly as in #51.",
+    "engine's merge behavior explicit and batch-checkable. APPEND "
+    "output mode: only sessions the final watermark has CLOSED emit "
+    "(batch twin: HAVING max(ts+gap) < max_ts - 1h) — the "
+    "production shape, because complete-mode session output "
+    "materializes every session in one place and hit the sf100 "
+    "output-cardinality ceiling recorded in SCALE.md. Scale: state "
+    "per key is one open session, watermark-evicted; closed sessions "
+    "stream straight to the sink.",
 )
 def q_stream_session_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
     gap = F.when(
@@ -1405,7 +1416,7 @@ def q_stream_session_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.session_window("ts", gap), F.col("user_id"))
         .agg(F.count(F.lit(1)).alias("n_events"))
     )
-    t = run_available_now(s, "session_dynamic", mode="complete")
+    t = run_available_now(s, "session_dynamic", mode="append")
     return t.select(
         "user_id",
         F.col("session_window.start").alias("session_start"),
