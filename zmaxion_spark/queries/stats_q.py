@@ -1264,8 +1264,12 @@ _TWO52_BH = float(1 << 52)
     "ANOVA, #322 trend). Fixture p-values are md5-uniform nulls with "
     "planted signals (every 50th test's p divided by 1000), so BH "
     "recovers mostly-planted rejections deterministically. Top-20 "
-    "by rank graded. Scale: ranks over a p-value CENSUS; both "
-    "windows are one pass over m cells.",
+    "by rank graded. Scale: the test family grows with the corpus, "
+    "so BOTH global passes are bucket-decomposed (functions/ranks "
+    "discipline): ranks = bucket offsets + bucket-partitioned "
+    "windows; the step-up suffix-min = within-bucket suffix mins "
+    "combined with a broadcast <=4097-row bucket-census running min "
+    "— no single-partition WindowExec anywhere.",
     bench=False,
 )
 def q_bh_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1282,21 +1286,43 @@ def q_bh_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(p_raw)
         .alias("p"),
     )
+    from zmaxion_spark.functions.ranks import bucketed_row_number
+
     m = tests.agg(F.count(F.lit(1)).cast("bigint").alias("m"))
-    w = Window.orderBy("p", "test_id")
-    rk = tests.withColumn("k", F.row_number().over(w))
-    w_suffix = Window.orderBy(F.desc("k")).rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
+    # Exact global rank + suffix-min WITHOUT single-partition windows
+    # (tests scale with the corpus — the entity-grain discipline):
+    # rank via bucket offsets; the step-up envelope min_{j>=k} m*p_j/j
+    # via per-bucket suffix mins + a <=4097-row bucket census.
+    tests_b = tests.withColumn("_bkt", F.floor(F.col("p") * 4096).cast("long"))
+    rk = bucketed_row_number(tests_b, "_bkt", ["p", "test_id"], out="k")
+    v = rk.crossJoin(F.broadcast(m)).withColumn(
+        "_v", F.col("m") * F.col("p") / F.col("k")
+    )
+    bmin = v.groupBy("_bkt").agg(F.min("_v").alias("_bmin"))
+    w_gt = Window.orderBy(F.desc("_bkt")).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    sfx_gt = bmin.select(
+        "_bkt", F.min("_bmin").over(w_gt).alias("_sfx_gt")
+    )
+    w_in = (
+        Window.partitionBy("_bkt")
+        .orderBy(F.desc("k"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     adj = (
-        rk.crossJoin(F.broadcast(m))
+        v.join(F.broadcast(sfx_gt), "_bkt")
         .withColumn(
             "p_adj",
             F.least(
                 F.lit(1.0),
-                F.min(F.col("m") * F.col("p") / F.col("k")).over(w_suffix),
+                F.least(
+                    F.min("_v").over(w_in),
+                    F.coalesce(F.col("_sfx_gt"), F.lit(1.0)),
+                ),
             ),
         )
+        .drop("_bkt", "_v", "_sfx_gt")
     )
     cut = (
         rk.crossJoin(F.broadcast(m))
