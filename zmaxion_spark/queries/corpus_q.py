@@ -1,6 +1,7 @@
-"""Corpus-analytics operators — SURVEY.md §2.25 (#337–#341).
+"""Corpus-analytics operators — SURVEY.md §2.25 (#337–#341, #350,
+#357, #363, #366–#367).
 
-Round-6 second wave: the remaining classic corpus/LM analytics a
+Round-6 waves: the remaining classic corpus/LM analytics a
 training-data pipeline runs between dedup and shard publish —
 
 - exact duplicated-SUBSTRING detection (#337): the character-level
