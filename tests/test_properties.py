@@ -1967,3 +1967,154 @@ def test_ewma_fold_matches_python_reference(spark):
     row = par.select(F.aggregate("ys", init, step).alias("st")).collect()[0]
     assert abs(row["st"]["z"] - z) < 1e-12
     assert row["st"]["n"] == n_ooc
+
+
+# ---------------------------------------------------------------------------
+# Round-7 statistical-reference tests (ADVICE r6): each statistic is
+# recomputed by an independent pure-Python implementation with explicit
+# midranks / micro-second arithmetic and compared to the query output.
+# ---------------------------------------------------------------------------
+
+
+def _midranks(values):
+    """scipy.stats.rankdata(method='average') on a small list."""
+    order = sorted(range(len(values)), key=lambda i: values[i])
+    ranks = [0.0] * len(values)
+    i = 0
+    while i < len(values):
+        j = i
+        while j + 1 < len(values) and (
+            values[order[j + 1]] == values[order[i]]
+        ):
+            j += 1
+        avg = (i + j) / 2.0 + 1.0
+        for t in range(i, j + 1):
+            ranks[order[t]] = avg
+        i = j + 1
+    return ranks
+
+
+def test_friedman_matches_python_midrank_reference(spark):
+    """#371: the integer 2·rank Friedman must equal the classical
+    tie-corrected statistic computed with explicit float midranks
+    (the scipy.stats.friedmanchisquare formula) on the real fixture."""
+    ev = (
+        load_table(spark, SF_SMOKE, "events")
+        .select(
+            "event_type",
+            F.datediff(
+                F.col("ts").cast("timestamp").cast("date"),
+                F.lit("1970-01-01").cast("date"),
+            ).alias("d"),
+        )
+        .groupBy("event_type", "d")
+        .agg(F.count(F.lit(1)).alias("x"))
+        .collect()
+    )
+    cnt = {(r.event_type, r.d): r.x for r in ev}
+    types = sorted({r.event_type for r in ev})
+    dmin = min(r.d for r in ev)
+    dmax = max(r.d for r in ev)
+    days = list(range(dmin, dmax + 1))
+    n, k = len(days), len(types)
+    rank_sums = {t: 0.0 for t in types}
+    a_sq = 0.0
+    for d in days:
+        row = [cnt.get((t, d), 0) for t in types]
+        rks = _midranks(row)
+        for t, r in zip(types, rks):
+            rank_sums[t] += r
+            a_sq += r * r
+    ssd = sum((rank_sums[t] - n * (k + 1) / 2.0) ** 2 for t in types)
+    denom = a_sq - n * k * (k + 1) ** 2 / 4.0
+    chi_ref = (k - 1) * ssd / denom
+    got = _rows(spark, "q_friedman_test")[0]
+    assert got.n_blocks == n and got.k == k
+    assert abs(got.friedman_chi2 - chi_ref) < 1e-6, (
+        got.friedman_chi2,
+        chi_ref,
+    )
+    assert got.significant == int(chi_ref > 9.487729036781154)
+
+
+def test_friedman_no_ties_toy_example():
+    """The pure-python reference itself, pinned on a no-ties 6x4 grid
+    against the closed-form 12/(n·k·(k+1))·ΣR²-3n(k+1) formula."""
+    rows = [
+        [1, 2, 3, 4],
+        [2, 1, 4, 3],
+        [1, 3, 2, 4],
+        [1, 2, 4, 3],
+        [2, 1, 3, 4],
+        [1, 2, 3, 4],
+    ]
+    n, k = len(rows), 4
+    rank_sums = [0.0] * k
+    a_sq = 0.0
+    for row in rows:
+        rks = _midranks(row)
+        for j, r in enumerate(rks):
+            rank_sums[j] += r
+            a_sq += r * r
+    ssd = sum((s - n * (k + 1) / 2.0) ** 2 for s in rank_sums)
+    chi_tie = (k - 1) * ssd / (a_sq - n * k * (k + 1) ** 2 / 4.0)
+    chi_closed = 12.0 / (n * k * (k + 1)) * sum(
+        s * s for s in rank_sums
+    ) - 3.0 * n * (k + 1)
+    assert abs(chi_tie - chi_closed) < 1e-12
+
+
+def test_mcnemar_edwards_clamp_consistent(spark):
+    """#367: chi2_cc must equal max(|b-c|-1, 0)^2/(b+c) recomputed from
+    the query's own discordant cells (Edwards' clamp: b == c -> 0)."""
+    got = _rows(spark, "q_mcnemar_test")[0]
+    b, c = got.heur_only, got.nb_only
+    if b + c == 0:
+        ref = 0.0
+    else:
+        ref = max(abs(b - c) - 1.0, 0.0) ** 2 / (b + c)
+    assert abs(got.chi2_cc - ref) < 1e-9
+    assert got.significant == int(ref > 3.841458820694124)
+    # the clamp itself: equal discordants must give exactly zero
+    assert max(abs(3 - 3) - 1.0, 0.0) ** 2 / 6 == 0.0
+
+
+def test_logrank_matches_python_reference(spark):
+    """#359: full pure-Python logrank on the fixture — life_days from
+    MICROSECOND differences (floor-div), matching the oracle's
+    EPOCH_US discipline rather than per-endpoint second truncation."""
+    ev = (
+        load_table(spark, SF_SMOKE, "events")
+        .select("user_id", F.unix_micros(F.col("ts").cast("timestamp")).alias("us"))
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t0"), F.max("us").alias("t1"))
+        .collect()
+    )
+    gmax = max(r.t1 for r in ev)
+    cutoff = gmax - 12 * 3600 * 1_000_000
+    spans = [
+        (r.user_id % 2, (r.t1 - r.t0) // 86_400_000_000, int(r.t1 < cutoff))
+        for r in ev
+    ]
+    times = sorted({t for _, t, _ in spans})
+    o1 = 0
+    e1 = 0.0
+    v = 0.0
+    for t in times:
+        d1 = sum(ch for g, lt, ch in spans if g == 1 and lt == t)
+        d = sum(ch for _, lt, ch in spans if lt == t)
+        if d == 0:
+            continue
+        n1 = sum(1 for g, lt, _ in spans if g == 1 and lt >= t)
+        n = sum(1 for _, lt, _ in spans if lt >= t)
+        ratio = n1 / n
+        o1 += d1
+        e1 += d * ratio
+        if n > 1:
+            v += d * ratio * (1 - ratio) * (n - d) / (n - 1)
+    got = _rows(spark, "q_logrank_test")[0]
+    assert got.observed_g1 == o1
+    assert abs(got.expected_g1 - e1) < 1e-6
+    chi_ref = (o1 - e1) ** 2 / v
+    assert abs(got.chi2 - chi_ref) < 1e-6
+    assert got.significant == int(abs((o1 - e1) / v**0.5) > 1.96)

@@ -1396,12 +1396,12 @@ _MN_NB_SQL = """
         )
         SELECT both_right, both_wrong, b AS heur_only, c AS nb_only,
                ROUND(CASE WHEN b + c = 0 THEN 0
-                          ELSE (ABS(CAST(b AS DOUBLE) - c) - 1)
-                               * (ABS(CAST(b AS DOUBLE) - c) - 1)
+                          ELSE GREATEST(ABS(CAST(b AS DOUBLE) - c) - 1, 0)
+                               * GREATEST(ABS(CAST(b AS DOUBLE) - c) - 1, 0)
                                / (b + c) END, 9) AS chi2_cc,
                CAST(CASE WHEN b + c = 0 THEN 0
-                         ELSE (ABS(CAST(b AS DOUBLE) - c) - 1)
-                              * (ABS(CAST(b AS DOUBLE) - c) - 1)
+                         ELSE GREATEST(ABS(CAST(b AS DOUBLE) - c) - 1, 0)
+                              * GREATEST(ABS(CAST(b AS DOUBLE) - c) - 1, 0)
                               / (b + c) END > 3.841458820694124 AS INT)
                    AS significant
         FROM cellc
@@ -1515,11 +1515,10 @@ def q_mcnemar_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("nb_only"),
     )
     b, c = F.col("heur_only"), F.col("nb_only")
-    chi = F.when(b + c == 0, F.lit(0.0)).otherwise(
-        (F.abs(b.cast("double") - c) - 1)
-        * (F.abs(b.cast("double") - c) - 1)
-        / (b + c)
-    )
+    # Edwards' correction clamps |b-c|-1 at zero: when b == c > 0 the
+    # statistic is exactly 0, not 1/(b+c).
+    corr = F.greatest(F.abs(b.cast("double") - c) - 1, F.lit(0.0))
+    chi = F.when(b + c == 0, F.lit(0.0)).otherwise(corr * corr / (b + c))
     return cells.select(
         "both_right",
         "both_wrong",

@@ -2610,7 +2610,7 @@ def q_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
                    2 * CAST(SUM(CASE WHEN b.x < a.x THEN 1 ELSE 0 END)
                             AS BIGINT)
                    + CAST(SUM(CASE WHEN b.x = a.x THEN 1 ELSE 0 END)
-                          AS BIGINT) + 1 AS r2
+                          AS BIGINT) + 2 AS r2
             FROM grid a JOIN grid b ON b.d = a.d
                                    AND b.event_type <> a.event_type
             GROUP BY a.event_type, a.d
@@ -2700,7 +2700,7 @@ def q_friedman_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             (
                 2 * F.sum(F.when(F.col("xb") < F.col("xa"), 1).otherwise(0))
                 + F.sum(F.when(F.col("xb") == F.col("xa"), 1).otherwise(0))
-                + 1
+                + 2
             )
             .cast("bigint")
             .alias("r2")

@@ -1439,12 +1439,9 @@ def q_logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(gmax))
         .select(
             (F.col("user_id") % 2).alias("grp"),
-            (
-                (F.col("t1").cast("long") - F.col("t0").cast("long"))
-                / F.lit(86400)
-            )
-            .cast("bigint")
-            .alias("life_days"),
+            F.expr("(unix_micros(t1) - unix_micros(t0)) div 86400000000").alias(
+                "life_days"
+            ),
             (
                 F.col("t1") < F.col("gmax") - F.expr("INTERVAL 12 HOURS")
             )
