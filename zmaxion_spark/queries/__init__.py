@@ -50,71 +50,11 @@ from zmaxion_spark.queries import (  # noqa: F401,E402
 # ---------------------------------------------------------------------------
 
 _GRADE_FIRST = [
-    # ==================== ROUND-6 WINDOW ====================
-    # (the first 50 entries of round 5's _NEXT_ROUND, promoted verbatim
-    # per VERDICT r5 ask #1; CORRECTNESS_r05.json recorded the round-5
+    # ==================== ROUND-7 WINDOW ====================
+    # (the next 50 never-driver-graded queries, promoted verbatim from
+    # round 6's _NEXT_ROUND; CORRECTNESS_r06.json recorded the round-6
     # block 50/50 green, so those names drop to the back of the
     # registry with their evidence on record. Do not reorder mid-round.)
-    "q_join_cardinality",
-    "q_quantile_sample",
-    "q_regression_stats",
-    "q_gap_fill_locf",
-    "q_xml_roundtrip",
-    "q_feature_hashing",
-    "q_embedding_covariance",
-    "q_cusum_changepoint",
-    "q_forecast_backtest",
-    "q_dedup_minhash_capped",
-    "q_sim_topk_ivf_recall",
-    "q_sim_join_lsh_recall",
-    "q_stream_stateful_v2",
-    "q_rank_metrics",
-    "q_audio_features",
-    "q_vocab_coverage",
-    "q_char_entropy",
-    "q_group_split",
-    "q_negative_sampling",
-    "q_graph_2hop",
-    "q_ks_test",
-    "q_kmeans_fixed",
-    "q_bootstrap_ci",
-    "q_seasonal_decompose",
-    "q_mutual_information",
-    "q_pq_ann_recall",
-    "q_conformal_intervals",
-    "q_quantile_normalize",
-    "q_chi2_screen",
-    "q_stream_drift",
-    "q_kcore",
-    "q_margin_bitext",
-    "q_propensity_match",
-    "q_pattern_negation",
-    "q_sequential_ab",
-    "q_neyman_allocation",
-    "q_cooccurrence_pmi",
-    "q_phash_dedup",
-    "q_dedup_threshold_sweep",
-    "q_url_canonical_dedup",
-    "q_quality_classifier",
-    "q_subject_access",
-    "q_dp_noisy_count",
-    "q_fairness_audit",
-    "q_constraint_suite",
-    "q_woe_binning",
-    "q_target_encoding",
-    "q_kfold_cv",
-    "q_hard_negatives",
-    "q_temperature_mix",
-]
-
-
-# Positions 51+: the remaining never-driver-graded queries, in round-7
-# order (every oracle-paired query has a driver row after round 7).
-# Queries with green driver rows already recorded (CORRECTNESS_r01-r05)
-# keep their registration order behind these.
-_NEXT_ROUND: list[str] = [
-    # round-6 additions: loopback Kafka wire broker (#5/#327/#328),
-    # CUPED (#329), TPC-H completion wave
     "q_kafka_roundtrip",
     "q_kafka_stream_resume",
     "q_cuped_adjustment",
@@ -125,7 +65,6 @@ _NEXT_ROUND: list[str] = [
     "q_brier_decomposition",
     "q_wasserstein_drift",
     "q_fellegi_sunter",
-    # round-6 corpus-analytics wave (#337-#341)
     "q_substring_dedup",
     "q_rouge_n",
     "q_good_turing",
@@ -137,7 +76,6 @@ _NEXT_ROUND: list[str] = [
     "q_ams_f2",
     "q_luhn_screen",
     "q_stream_full_outer_join",
-    # round-6 classical-ML/linkage wave (#348-#354)
     "q_kendall_tau",
     "q_spearman_rho",
     "q_naive_bayes",
@@ -145,14 +83,12 @@ _NEXT_ROUND: list[str] = [
     "q_page_hinkley",
     "q_jaro_winkler_linkage",
     "q_soundex_blocking",
-    # round-6 eval/planner wave (#355-#360)
     "q_rocchio_classifier",
     "q_pinball_loss",
     "q_readability",
     "q_bh_fdr",
     "q_logrank_test",
     "q_power_mde",
-    # round-6 final wave (#361-#363)
     "q_stream_session_dynamic",
     "q_apriori_triples",
     "q_conditional_entropy",
@@ -169,6 +105,18 @@ _NEXT_ROUND: list[str] = [
     "q07_volume_shipping",
     "q08_market_share",
     "q09_product_profit",
+]
+
+
+# Positions 51+: the remaining never-driver-graded queries, in round-7
+# order (every oracle-paired query has a driver row after round 7).
+# Queries with green driver rows already recorded (CORRECTNESS_r01-r05)
+# keep their registration order behind these.
+_NEXT_ROUND: list[str] = [
+    # Positions 51+: the 55 remaining never-driver-graded oracle-paired
+    # queries (round-8 window candidates), followed by nothing — the
+    # three rows-only approximates (q_agg_approx, q_sim_topk_ivf,
+    # q_sim_join_lsh) are graded through their bounds/recall twins.
     "q10_returned_items",
     "q12_ship_lag_priority",
     "q13_customer_distribution",
