@@ -5,6 +5,7 @@ from zmaxion_spark.queries.registry import REGISTRY, Query, covered_operators, q
 # Import all query modules for their registration side effects.
 from zmaxion_spark.queries import (  # noqa: F401,E402
     advanced,
+    analysis7_q,
     analytics_q,
     behavioral_q,
     corpus_q,
