@@ -16,6 +16,7 @@ from zmaxion_spark.queries import (  # noqa: F401,E402
     inference_q,
     llm,
     mlprep_q,
+    pattern7_q,
     pipeline_q,
     pipeline3_q,
     relational,
