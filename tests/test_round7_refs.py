@@ -1,0 +1,455 @@
+"""Round-7 independent-reference tests (SURVEY.md §5.4).
+
+Every statistic added in round 7 is recomputed here by a pure-Python
+(or numpy / math.lgamma) implementation that shares NO code or
+formula derivation with either engine side — the round-6 lesson is
+that a Spark query and its mirrored DuckDB oracle can agree on the
+same wrong formula, so each new test must also clear an independent
+implementation on the real fixture.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+from zmaxion_spark.catalog import load_table
+from zmaxion_spark.queries.registry import REGISTRY
+
+
+def _rows(spark, name):
+    return REGISTRY[name].fn(spark, SF_SMOKE).collect()
+
+
+def _arm_values(spark):
+    ev = (
+        load_table(spark, SF_SMOKE, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("x"))
+        .collect()
+    )
+    a = sorted(r.x for r in ev if r.user_id % 2 == 0)
+    b = sorted(r.x for r in ev if r.user_id % 2 == 1)
+    return a, b
+
+
+def _midranks(values):
+    order = sorted(range(len(values)), key=lambda i: values[i])
+    ranks = [0.0] * len(values)
+    i = 0
+    while i < len(values):
+        j = i
+        while j + 1 < len(values) and values[order[j + 1]] == values[order[i]]:
+            j += 1
+        avg = (i + j) / 2.0 + 1.0
+        for t in range(i, j + 1):
+            ranks[order[t]] = avg
+        i = j + 1
+    return ranks
+
+
+def test_mann_whitney_matches_rank_sum_reference(spark):
+    """#373 via the rank-sum route: U = R1 - n1(n1+1)/2 with float
+    midranks over the pooled sample (not the pair-count route the
+    engines use), tie-corrected z per the classical formula."""
+    a, b = _arm_values(spark)
+    n1, n2 = len(a), len(b)
+    pooled = a + b
+    ranks = _midranks(pooled)
+    r1 = sum(ranks[:n1])
+    u = r1 - n1 * (n1 + 1) / 2.0
+    from collections import Counter
+
+    tie = sum(t**3 - t for t in Counter(pooled).values())
+    nn = n1 + n2
+    sigma = math.sqrt(
+        n1 * n2 / 12.0 * ((nn + 1) - tie / (nn * (nn - 1.0)))
+    )
+    z_ref = (u - n1 * n2 / 2.0) / sigma
+    got = _rows(spark, "q_mann_whitney")[0]
+    assert got.n1 == n1 and got.n2 == n2
+    assert abs(got.u_stat - u) < 1e-9
+    assert abs(got.z - z_ref) < 1e-6
+    assert got.significant == int(abs(z_ref) > 1.959963984540054)
+
+
+def test_wilcoxon_matches_signed_rank_reference(spark):
+    """#374 with float midranks of |diff| and the textbook W+/sigma."""
+    ev = (
+        load_table(spark, SF_SMOKE, "events")
+        .select(
+            "user_id",
+            F.datediff(
+                F.col("ts").cast("timestamp").cast("date"),
+                F.lit("1970-01-01").cast("date"),
+            ).alias("d"),
+        )
+        .collect()
+    )
+    mn = min(r.d for r in ev)
+    mx = max(r.d for r in ev)
+    per = {}
+    for r in ev:
+        early = r.d * 2 < mn + mx
+        e, l = per.get(r.user_id, (0, 0))
+        per[r.user_id] = (e + (1 if early else 0), l + (0 if early else 1))
+    diffs = [e - l for e, l in per.values() if e != l]
+    n = len(diffs)
+    absd = [abs(d) for d in diffs]
+    ranks = _midranks(absd)
+    w_plus = sum(r for r, d in zip(ranks, diffs) if d > 0)
+    from collections import Counter
+
+    tie = sum(t**3 - t for t in Counter(absd).values())
+    sigma = math.sqrt(n * (n + 1) * (2 * n + 1) / 24.0 - tie / 48.0)
+    z_ref = (w_plus - n * (n + 1) / 4.0) / sigma
+    got = _rows(spark, "q_wilcoxon_signed_rank")[0]
+    assert got.n == n
+    assert abs(got.w_plus - w_plus) < 1e-9
+    assert abs(got.z - z_ref) < 1e-6
+
+
+def test_fisher_exact_matches_lgamma_reference(spark):
+    """#375 against math.lgamma — fully independent of the portable
+    Stirling machinery both engines share."""
+    docs = load_table(spark, SF_SMOKE, "documents").select(
+        "lang", "source"
+    ).collect()
+    a = sum(1 for r in docs if r.source == "src1" and r.lang == "en")
+    r1 = sum(1 for r in docs if r.source == "src1")
+    c1 = sum(1 for r in docs if r.lang == "en")
+    nn = len(docs)
+    r2, _c2 = nn - r1, nn - c1
+
+    def lf(n):
+        return math.lgamma(n + 1)
+
+    def logp(k):
+        return (
+            lf(r1)
+            + lf(r2)
+            + lf(c1)
+            + lf(nn - c1)
+            - lf(nn)
+            - lf(k)
+            - lf(r1 - k)
+            - lf(c1 - k)
+            - lf(r2 - c1 + k)
+        )
+
+    lo, hi = max(0, c1 - r2), min(r1, c1)
+    lp_obs = logp(a)
+    p_two = sum(
+        math.exp(logp(k))
+        for k in range(lo, hi + 1)
+        if logp(k) <= lp_obs + 1e-7
+    )
+    got = _rows(spark, "q_fisher_exact")[0]
+    assert got.a == a and got.r1 == r1 and got.c1 == c1 and got.nn == nn
+    assert abs(got.p_observed - math.exp(lp_obs)) < 1e-9
+    assert abs(got.p_two_sided - p_two) < 1e-7
+    assert got.significant == int(p_two < 0.05)
+
+
+def test_cramer_von_mises_matches_ecdf_reference(spark):
+    """#377 as a direct ECDF integral with float fractions."""
+    a, b = _arm_values(spark)
+    n1, n2 = len(a), len(b)
+    nn = n1 + n2
+    vals = sorted(set(a + b))
+    t_ref = 0.0
+    for v in vals:
+        fa = sum(1 for x in a if x <= v) / n1
+        gb = sum(1 for x in b if x <= v) / n2
+        tv = sum(1 for x in a + b if x == v)
+        t_ref += tv * (fa - gb) ** 2
+    t_ref *= n1 * n2 / (nn * nn)
+    got = _rows(spark, "q_cramer_von_mises")[0]
+    assert got.n1 == n1 and got.n2 == n2
+    assert abs(got.t_stat - t_ref) < 1e-9
+
+
+def test_holt_winters_matches_python_fold(spark):
+    """#380: the full additive HW recursion replayed in pure Python."""
+    ev = (
+        load_table(spark, SF_SMOKE, "events")
+        .select(
+            "event_type",
+            F.datediff(
+                F.col("ts").cast("timestamp").cast("date"),
+                F.lit("1970-01-01").cast("date"),
+            ).alias("d"),
+        )
+        .groupBy("event_type", "d")
+        .agg(F.count(F.lit(1)).alias("x"))
+        .collect()
+    )
+    mn = min(r.d for r in ev)
+    mx = max(r.d for r in ev)
+    types = sorted({r.event_type for r in ev})
+    cnt = {(r.event_type, r.d): r.x for r in ev}
+    got = {r.event_type: r for r in _rows(spark, "q_holt_winters")}
+    for et in types:
+        ys = [float(cnt.get((et, d), 0)) for d in range(mn, mx + 1)]
+        n = len(ys)
+        l = sum(ys[:7]) / 7
+        bb = (sum(ys[7:14]) - sum(ys[:7])) / 49
+        s = [ys[i] - l for i in range(7)]
+        sse = 0.0
+        for t in range(7, n):
+            x = ys[t]
+            so = s[t % 7]
+            err = x - ((l + bb) + so)
+            sse += err * err
+            l_new = 0.2 * (x - so) + 0.8 * (l + bb)
+            bb = 0.1 * (l_new - l) + 0.9 * bb
+            s[t % 7] = 0.3 * (x - l_new) + 0.7 * so
+            l = l_new
+        g = got[et]
+        assert g.n_days == n
+        assert abs(g.level - l) < 1e-6
+        assert abs(g.trend - bb) < 1e-6
+        assert abs(g.sse - sse) < 1e-4
+        assert abs(g.forecast_1 - ((l + bb) + s[n % 7])) < 1e-6
+        assert abs(g.forecast_7 - ((l + 7 * bb) + s[(n + 6) % 7])) < 1e-6
+
+
+def test_ar2_and_granger_match_numpy_reference(spark):
+    """#378/#379 against numpy lstsq — independent of the closed
+    determinant forms both engines share."""
+    import numpy as np
+
+    ev = (
+        load_table(spark, SF_SMOKE, "events")
+        .select(
+            "event_type",
+            F.datediff(
+                F.col("ts").cast("timestamp").cast("date"),
+                F.lit("1970-01-01").cast("date"),
+            ).alias("d"),
+        )
+        .groupBy("event_type", "d")
+        .agg(F.count(F.lit(1)).alias("x"))
+        .collect()
+    )
+    mn = min(r.d for r in ev)
+    mx = max(r.d for r in ev)
+    cnt = {(r.event_type, r.d): r.x for r in ev}
+
+    def series(et):
+        return np.array(
+            [float(cnt.get((et, d), 0)) for d in range(mn, mx + 1)]
+        )
+
+    # AR(2): Yule-Walker from biased autocovariances
+    got = {r.event_type: r for r in _rows(spark, "q_ar2_forecast")}
+    for et in sorted({r.event_type for r in ev}):
+        x = series(et)
+        mu = x.mean()
+        xc = x - mu
+        c0 = float(xc @ xc)
+        c1 = float(xc[1:] @ xc[:-1])
+        c2 = float(xc[2:] @ xc[:-2])
+        r1, r2 = c1 / c0, c2 / c0
+        phi1 = r1 * (1 - r2) / (1 - r1 * r1)
+        phi2 = (r2 - r1 * r1) / (1 - r1 * r1)
+        g = got[et]
+        assert abs(g.phi1 - phi1) < 1e-6
+        assert abs(g.phi2 - phi2) < 1e-6
+        f1 = mu + phi1 * (x[-1] - mu) + phi2 * (x[-2] - mu)
+        assert abs(g.forecast_1 - f1) < 1e-6
+
+    # Granger: restricted vs unrestricted OLS via lstsq
+    granger = {(r.cause, r.effect): r for r in _rows(spark, "q_granger_lag")}
+    for cause, effect in [("click", "view"), ("view", "click")]:
+        y_full = series(effect)
+        x_full = series(cause)
+        y, yl, xl = y_full[1:], y_full[:-1], x_full[:-1]
+        m = len(y)
+        ones = np.ones(m)
+
+        def rss(design):
+            beta, *_ = np.linalg.lstsq(design, y, rcond=None)
+            resid = y - design @ beta
+            return float(resid @ resid)
+
+        rss_r = rss(np.column_stack([ones, yl]))
+        rss_u = rss(np.column_stack([ones, yl, xl]))
+        f_ref = (rss_r - rss_u) * (m - 3) / rss_u
+        g = granger[(cause, effect)]
+        assert g.m == m
+        assert abs(g.f_stat - f_ref) < 1e-4, (g.f_stat, f_ref)
+
+
+def test_permutation_entropy_matches_python_reference(spark):
+    """#381: ordinal codes + entropy recomputed with argsort-style
+    stable ranking in pure Python."""
+    ev = (
+        load_table(spark, SF_SMOKE, "events")
+        .select(
+            "event_type",
+            F.datediff(
+                F.col("ts").cast("timestamp").cast("date"),
+                F.lit("1970-01-01").cast("date"),
+            ).alias("d"),
+        )
+        .groupBy("event_type", "d")
+        .agg(F.count(F.lit(1)).alias("x"))
+        .collect()
+    )
+    mn = min(r.d for r in ev)
+    mx = max(r.d for r in ev)
+    cnt = {(r.event_type, r.d): r.x for r in ev}
+    got = {r.event_type: r for r in _rows(spark, "q_permutation_entropy")}
+    for et in sorted({r.event_type for r in ev}):
+        xs = [cnt.get((et, d), 0) for d in range(mn, mx + 1)]
+        from collections import Counter
+
+        codes = Counter()
+        for i in range(len(xs) - 3):
+            w = xs[i : i + 4]
+            # stable rank == position in a stable argsort
+            order = sorted(range(4), key=lambda j: (w[j], j))
+            rank = [0] * 4
+            for pos, j in enumerate(order):
+                rank[j] = pos
+            code = ((rank[0] * 4 + rank[1]) * 4 + rank[2]) * 4 + rank[3]
+            codes[code] += 1
+        n = sum(codes.values())
+        h = -sum(c / n * math.log(c / n) for c in codes.values())
+        g = got[et]
+        assert g.n_windows == n
+        assert g.n_patterns == len(codes)
+        assert abs(g.h - h) < 1e-6
+        top = min(codes, key=lambda c: (-codes[c], c))
+        assert g.top_code == top
+
+
+def test_dtw_band_reference_and_toy(spark):
+    """#386: pinned toy DTW values + band-vs-unbanded dominance on
+    the real fixture."""
+
+    def dtw(a, b, w=None):
+        n, m = len(a), len(b)
+        big = float("inf")
+        dp = [[big] * m for _ in range(n)]
+        for i in range(n):
+            js = range(m) if w is None else range(
+                max(0, i - w), min(m, i + w + 1)
+            )
+            for j in js:
+                cost = abs(a[i] - b[j])
+                if i == 0 and j == 0:
+                    dp[i][j] = cost
+                    continue
+                prev = min(
+                    dp[i - 1][j] if i > 0 else big,
+                    dp[i][j - 1] if j > 0 else big,
+                    dp[i - 1][j - 1] if i > 0 and j > 0 else big,
+                )
+                dp[i][j] = cost + prev if prev < big else big
+        return dp[n - 1][m - 1]
+
+    # identical series -> 0; unit shift of a spike -> cost bounded
+    assert dtw([1, 2, 3, 2, 1], [1, 2, 3, 2, 1], 5) == 0
+    assert dtw([0, 5, 0, 0], [0, 0, 5, 0], 5) == 0  # phase shift absorbed
+    assert dtw([0, 5, 0, 0], [0, 0, 5, 0], 0) == 10  # lock-step cannot
+
+    ev = (
+        load_table(spark, SF_SMOKE, "events")
+        .select(
+            "event_type",
+            F.datediff(
+                F.col("ts").cast("timestamp").cast("date"),
+                F.lit("1970-01-01").cast("date"),
+            ).alias("d"),
+        )
+        .groupBy("event_type", "d")
+        .agg(F.count(F.lit(1)).alias("x"))
+        .collect()
+    )
+    mn = min(r.d for r in ev)
+    mx = max(r.d for r in ev)
+    cnt = {(r.event_type, r.d): r.x for r in ev}
+    ser = {
+        et: [cnt.get((et, d), 0) for d in range(mn, mx + 1)]
+        for et in sorted({r.event_type for r in ev})
+    }
+    got = _rows(spark, "q_dtw_distance")
+    for r in got:
+        ref = dtw(ser[r.type_a], ser[r.type_b], 5)
+        assert r.dtw == ref, (r.type_a, r.type_b, r.dtw, ref)
+        # banded >= unbanded always
+        assert r.dtw >= dtw(ser[r.type_a], ser[r.type_b], None)
+
+
+def test_t_closeness_matches_python_reference(spark):
+    """#384: ordered EMD recomputed with float cumulative fractions
+    for a sample of QI classes."""
+    rows = (
+        load_table(spark, SF_SMOKE, "customer")
+        .join(
+            load_table(spark, SF_SMOKE, "orders"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .select("c_nationkey", "c_mktsegment", "o_orderpriority")
+        .collect()
+    )
+    cats = sorted({r.o_orderpriority for r in rows})
+    m = len(cats)
+    from collections import Counter
+
+    glob = Counter(r.o_orderpriority for r in rows)
+    nt = len(rows)
+    got = {
+        (r.c_nationkey, r.c_mktsegment): r
+        for r in _rows(spark, "q_t_closeness")
+    }
+    checked = 0
+    for key in list(got)[:10]:
+        grp = [
+            r.o_orderpriority
+            for r in rows
+            if (r.c_nationkey, r.c_mktsegment) == key
+        ]
+        gc = Counter(grp)
+        cum_g, cum_t, emd = 0.0, 0.0, 0.0
+        for cat in cats:
+            cum_g += gc.get(cat, 0) / len(grp)
+            cum_t += glob[cat] / nt
+            emd += abs(cum_g - cum_t)
+        t_ref = emd / (m - 1)
+        assert abs(got[key].t_value - t_ref) < 1e-6
+        checked += 1
+    assert checked == 10
+
+
+def test_smote_nn_and_interpolation_reference(spark):
+    """#385: 1-NN and lam recomputed with numpy + hashlib."""
+    import numpy as np
+
+    emb = load_table(spark, SF_SMOKE, "embeddings").collect()
+    from collections import Counter
+
+    counts = Counter(r.label for r in emb)
+    mlab = min(counts, key=lambda l: (counts[l], l))
+    mino = [(r.vec_id, np.array(r.embedding, dtype=np.float64)) for r in emb
+            if r.label == mlab]
+    got = {r.vec_id: r for r in _rows(spark, "q_smote_interpolate")}
+    assert set(got) == {vid for vid, _ in mino}
+    for vid, v in mino:
+        dists = sorted(
+            (round(float(((v - u) ** 2).sum()), 9), uid)
+            for uid, u in mino
+            if uid != vid
+        )
+        d2, nn_id = dists[0]
+        g = got[vid]
+        assert g.nn_id == nn_id
+        assert abs(g.nn_d2 - d2) < 1e-6
+        h = hashlib.md5(f"smote:{vid}".encode()).hexdigest()[:13]
+        lam_ref = int(h, 16) / 2**52
+        assert abs(g.lam - lam_ref) < 1e-9
