@@ -112,6 +112,7 @@ def q_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg(F.count(F.lit(1)).cast("bigint").alias("x"))
         .select((F.col("user_id") % 2).alias("arm"), "x")
+        .cache()  # three derivations below — one rollup pass, not three
     )
     ca = (
         v.filter(F.col("arm") == 0)

@@ -271,7 +271,7 @@ _GAZ_K = 15
     "(broadcast), the corpus-side pass is embarrassingly parallel, "
     "and no shuffle touches the full token stream except the final "
     "narrow-key census.",
-    bench=False,
+    bench=True,
 )
 def q_gazetteer_tag(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = _t(spark, sf_dir, "documents").select(
@@ -282,11 +282,13 @@ def q_gazetteer_tag(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("tok")
         .agg(F.countDistinct("doc_id").cast("bigint").alias("df"))
     )
+    # Distributed top-K first (TakeOrderedAndProject — no global sort
+    # or full-vocab window), THEN a row_number over the K survivors.
+    topk = df.orderBy(F.desc("df"), "tok").limit(_GAZ_K)
     w = Window.orderBy(F.desc("df"), "tok")
-    gaz = (
-        df.withColumn("df_rank", F.row_number().over(w))
-        .filter(F.col("df_rank") <= _GAZ_K)
-        .select(F.col("tok").alias("term"), F.col("df_rank").cast("bigint").alias("df_rank"))
+    gaz = topk.select(
+        F.col("tok").alias("term"),
+        F.row_number().over(w).cast("bigint").alias("df_rank"),
     )
     return (
         toks.join(F.broadcast(gaz), toks["tok"] == gaz["term"])
@@ -462,8 +464,12 @@ _TCLOSE_T = "0.2"
 def q_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders")
-    j = c.join(o, o["o_custkey"] == c["c_custkey"]).select(
-        "c_nationkey", "c_mktsegment", F.col("o_orderpriority").alias("sv")
+    j = (
+        c.join(o, o["o_custkey"] == c["c_custkey"])
+        .select(
+            "c_nationkey", "c_mktsegment", F.col("o_orderpriority").alias("sv")
+        )
+        .cache()  # five derivations below — one join pass, not five
     )
     cats = j.select("sv").distinct()
     grps = j.select("c_nationkey", "c_mktsegment").distinct()
@@ -595,7 +601,7 @@ _EMB_DIM = 64
     "the quadratic candidate join is bounded by the class size, and "
     "for a large minority the #263 LSH-bucket cap diverts the "
     "pair generation exactly as in the near-dup family.",
-    bench=False,
+    bench=True,
 )
 def q_smote_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings").select(
@@ -814,7 +820,7 @@ _DTW_SENT = 1125899906842624  # 2^50 — unreachable-cell sentinel
     "embarrassingly; state per pair is O(band), the fold length is "
     "the day span; for long series the band caps work at n·w cells "
     "— the standard production guard against quadratic DTW.",
-    bench=False,
+    bench=True,
 )
 def q_dtw_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
