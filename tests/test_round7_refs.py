@@ -453,3 +453,251 @@ def test_smote_nn_and_interpolation_reference(spark):
         h = hashlib.md5(f"smote:{vid}".encode()).hexdigest()[:13]
         lam_ref = int(h, 16) / 2**52
         assert abs(g.lam - lam_ref) < 1e-9
+
+
+# ---------------------------------------------------------------------------
+# Wave-3 references (#387-#393)
+# ---------------------------------------------------------------------------
+
+
+def test_jonckheere_matches_pairwise_reference(spark):
+    """#390: J and the tie-corrected variance recomputed by direct
+    pairwise counting over raw day samples."""
+    ev = (
+        load_table(spark, SF_SMOKE, "events")
+        .select(
+            F.datediff(
+                F.col("ts").cast("timestamp").cast("date"),
+                F.lit("1970-01-01").cast("date"),
+            ).alias("d")
+        )
+        .groupBy("d")
+        .agg(F.count(F.lit(1)).alias("x"))
+        .collect()
+    )
+    mn = min(r.d for r in ev)
+    groups = {}
+    for r in ev:
+        groups.setdefault((r.d - mn) // 7, []).append(r.x)
+    keys = sorted(groups)
+    j = 0.0
+    for gi in range(len(keys)):
+        for gh in range(gi + 1, len(keys)):
+            for xa in groups[keys[gi]]:
+                for xb in groups[keys[gh]]:
+                    if xb > xa:
+                        j += 1.0
+                    elif xb == xa:
+                        j += 0.5
+    ns = [len(groups[k]) for k in keys]
+    nn = sum(ns)
+    from collections import Counter
+
+    allv = [x for k in keys for x in groups[k]]
+    tc = Counter(allv).values()
+    a25 = sum(n * (n - 1) * (2 * n + 5) for n in ns)
+    b25 = sum(t * (t - 1) * (2 * t + 5) for t in tc)
+    a3 = sum(n * (n - 1) * (n - 2) for n in ns)
+    b3 = sum(t * (t - 1) * (t - 2) for t in tc)
+    a2 = sum(n * (n - 1) for n in ns)
+    b2 = sum(t * (t - 1) for t in tc)
+    mean = (nn * nn - sum(n * n for n in ns)) / 4.0
+    var = (
+        (nn * (nn - 1) * (2 * nn + 5) - a25 - b25) / 72.0
+        + a3 * b3 / (36.0 * nn * (nn - 1) * (nn - 2))
+        + a2 * b2 / (8.0 * nn * (nn - 1))
+    )
+    z_ref = (j - mean) / math.sqrt(var)
+    got = _rows(spark, "q_jonckheere_terpstra")[0]
+    assert got.n_days == nn
+    assert abs(got.j_stat - j) < 1e-9
+    assert abs(got.z - z_ref) < 1e-6
+
+
+def test_kendall_w_matches_midrank_reference(spark):
+    """#391: W recomputed with float midranks per judge."""
+    ev = (
+        load_table(spark, SF_SMOKE, "events")
+        .select(
+            "event_type",
+            F.datediff(
+                F.col("ts").cast("timestamp").cast("date"),
+                F.lit("1970-01-01").cast("date"),
+            ).alias("d"),
+        )
+        .groupBy("event_type", "d")
+        .agg(F.count(F.lit(1)).alias("x"))
+        .collect()
+    )
+    mn = min(r.d for r in ev)
+    mx = max(r.d for r in ev)
+    types = sorted({r.event_type for r in ev})
+    cnt = {(r.event_type, r.d): r.x for r in ev}
+    n = mx - mn + 1
+    k = len(types)
+    rsum = [0.0] * n
+    tsum = 0.0
+    for et in types:
+        vals = [cnt.get((et, d), 0) for d in range(mn, mx + 1)]
+        rks = _midranks(vals)
+        for i, r in enumerate(rks):
+            rsum[i] += r
+        from collections import Counter
+
+        tsum += sum(t**3 - t for t in Counter(vals).values())
+    s = sum((r - k * (n + 1) / 2.0) ** 2 for r in rsum)
+    w_ref = 12 * s / (k * k * (n**3 - n) - k * tsum)
+    got = _rows(spark, "q_kendall_w")[0]
+    assert got.n_days == n and got.n_judges == k
+    assert abs(got.w - w_ref) < 1e-6
+    assert abs(got.chi2 - k * (n - 1) * w_ref) < 1e-6
+
+
+def test_hodges_lehmann_matches_brute_force(spark):
+    """#392: the median of pairwise differences by brute force."""
+    a, b = _arm_values(spark)
+    diffs = sorted(x - y for x in a for y in b)
+    t = len(diffs)
+    lo = diffs[(t + 1) // 2 - 1]
+    hi = diffs[t // 2 + 1 - 1]
+    got = _rows(spark, "q_hodges_lehmann")[0]
+    assert got.n_pairs == t
+    assert got.hl_lo == lo and got.hl_hi == hi
+    assert abs(got.hl_estimate - (lo + hi) / 2.0) < 1e-9
+
+
+def test_cochran_armitage_matches_reference(spark):
+    """#389: CA z recomputed from raw per-band counts."""
+    rows = (
+        load_table(spark, SF_SMOKE, "customer")
+        .filter(F.col("c_acctbal") >= 0)
+        .join(
+            load_table(spark, SF_SMOKE, "orders"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .select("c_acctbal", "o_orderpriority")
+        .collect()
+    )
+    from collections import Counter
+
+    n_s, r_s = Counter(), Counter()
+    for r in rows:
+        s = min(int(r.c_acctbal // 3000), 3)
+        n_s[s] += 1
+        if r.o_orderpriority == "1-URGENT":
+            r_s[s] += 1
+    nn = sum(n_s.values())
+    rr = sum(r_s.values())
+    p = rr / nn
+    num = sum(s * r_s[s] for s in n_s) - sum(s * n_s[s] for s in n_s) * p
+    var = p * (1 - p) * (
+        sum(s * s * n_s[s] for s in n_s)
+        - sum(s * n_s[s] for s in n_s) ** 2 / nn
+    )
+    z_ref = num / math.sqrt(var)
+    got = _rows(spark, "q_cochran_armitage")[0]
+    assert got.n_total == nn and got.n_events == rr
+    assert abs(got.z - z_ref) < 1e-6
+
+
+def test_mood_median_matches_reference(spark):
+    """#393: grand-median 2xk chi2 recomputed directly."""
+    ev = (
+        load_table(spark, SF_SMOKE, "events")
+        .select(
+            "event_type",
+            F.datediff(
+                F.col("ts").cast("timestamp").cast("date"),
+                F.lit("1970-01-01").cast("date"),
+            ).alias("d"),
+        )
+        .groupBy("event_type", "d")
+        .agg(F.count(F.lit(1)).alias("x"))
+        .collect()
+    )
+    vals = sorted(r.x for r in ev)
+    m = len(vals)
+    gm = (vals[(m + 1) // 2 - 1] + vals[(m + 2) // 2 - 1]) / 2.0
+    from collections import Counter
+
+    above, below = Counter(), Counter()
+    for r in ev:
+        if r.x > gm:
+            above[r.event_type] += 1
+        elif r.x < gm:
+            below[r.event_type] += 1
+    types = sorted(set(above) | set(below))
+    ta = sum(above.values())
+    tb = sum(below.values())
+    chi2 = 0.0
+    for et in types:
+        a, b = above[et], below[et]
+        ea = (a + b) * ta / (ta + tb)
+        eb = (a + b) * tb / (ta + tb)
+        chi2 += (a - ea) ** 2 / ea + (b - eb) ** 2 / eb
+    got = _rows(spark, "q_mood_median")[0]
+    assert got.k == len(types)
+    assert got.n_used == ta + tb
+    assert abs(got.chi2 - chi2) < 1e-6
+
+
+def test_item_cf_cosine_reference(spark):
+    """#387: cosine and ranking recomputed from raw baskets for a
+    sample of items."""
+    li = (
+        load_table(spark, SF_SMOKE, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+        .collect()
+    )
+    from collections import Counter, defaultdict
+
+    orders = defaultdict(set)
+    for r in li:
+        orders[r.l_orderkey].add(r.l_partkey)
+    n_item = Counter()
+    co = Counter()
+    for items in orders.values():
+        for i in items:
+            n_item[i] += 1
+        s = sorted(items)
+        for ai in range(len(s)):
+            for bi in range(ai + 1, len(s)):
+                co[(s[ai], s[bi])] += 1
+                co[(s[bi], s[ai])] += 1
+    got = _rows(spark, "q_item_cf_topk")
+    assert got, "support floor should leave some pairs at sf0.001+"
+    for r in got[:20]:
+        assert co[(r.item, r.rec)] == r.co
+        ref_cos = r.co / math.sqrt(n_item[r.item] * n_item[r.rec])
+        assert abs(r.cosine - ref_cos) < 1e-6
+
+
+def test_mase_matches_reference(spark):
+    """#388: MASE recomputed from the zero-completed grid."""
+    ev = (
+        load_table(spark, SF_SMOKE, "events")
+        .select(
+            "event_type",
+            F.datediff(
+                F.col("ts").cast("timestamp").cast("date"),
+                F.lit("1970-01-01").cast("date"),
+            ).alias("d"),
+        )
+        .groupBy("event_type", "d")
+        .agg(F.count(F.lit(1)).alias("x"))
+        .collect()
+    )
+    mn = min(r.d for r in ev)
+    mx = max(r.d for r in ev)
+    cnt = {(r.event_type, r.d): r.x for r in ev}
+    got = {r.event_type: r for r in _rows(spark, "q_forecast_mase")}
+    for et in sorted({r.event_type for r in ev}):
+        xs = [cnt.get((et, d), 0) for d in range(mn, mx + 1)]
+        ae1 = sum(abs(xs[t] - xs[t - 1]) for t in range(7, len(xs)))
+        ae7 = sum(abs(xs[t] - xs[t - 7]) for t in range(7, len(xs)))
+        m = len(xs) - 7
+        g = got[et]
+        assert g.n_scored == m
+        assert abs(g.mase_lag1 - ae1 / ae7) < 1e-6
+        assert g.lag1_beats_seasonal == int(ae1 < ae7)

@@ -19,6 +19,7 @@ from zmaxion_spark.queries import (  # noqa: F401,E402
     pattern7_q,
     pipeline_q,
     pipeline3_q,
+    ranktests_q,
     relational,
     retrieval_q,
     scalar,

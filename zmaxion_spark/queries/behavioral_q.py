@@ -2258,3 +2258,103 @@ def q_tost_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(z_hi, 9).alias("z_upper"),
         ((z_lo > zc) & (z_hi > zc)).cast("int").alias("equivalent"),
     )
+
+
+# ---------------------------------------------------------------------------
+# #387 item_cf_topk — item-item collaborative filtering neighbors
+# ---------------------------------------------------------------------------
+
+_CF_TOPK = 3
+_CF_MIN_CO = 3
+
+
+@query(
+    "q_item_cf_topk",
+    oracle=f"""
+        WITH b AS (
+            SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        ),
+        it AS (
+            SELECT l_partkey AS item, CAST(COUNT(*) AS BIGINT) AS n_item
+            FROM b GROUP BY 1
+        ),
+        pr AS (
+            SELECT u.l_partkey AS i, v.l_partkey AS j,
+                   CAST(COUNT(*) AS BIGINT) AS co
+            FROM b u JOIN b v ON v.l_orderkey = u.l_orderkey
+                             AND v.l_partkey <> u.l_partkey
+            GROUP BY u.l_partkey, v.l_partkey
+            HAVING COUNT(*) >= {_CF_MIN_CO}
+        ),
+        scored AS (
+            SELECT pr.i AS item, pr.j AS rec, pr.co,
+                   ROUND(CAST(pr.co AS DOUBLE)
+                         / SQRT(CAST(ni.n_item AS DOUBLE) * nj.n_item), 9)
+                       AS cosine
+            FROM pr
+            JOIN it ni ON ni.item = pr.i
+            JOIN it nj ON nj.item = pr.j
+        ),
+        ranked AS (
+            SELECT item, rec, co, cosine,
+                   ROW_NUMBER() OVER (PARTITION BY item
+                                      ORDER BY cosine DESC, rec) AS rnk
+            FROM scored
+        )
+        SELECT item, rec, co, cosine, CAST(rnk AS BIGINT) AS rnk
+        FROM ranked WHERE rnk <= {_CF_TOPK}
+        ORDER BY item, rnk
+    """,
+    operators=(23, 30, 145, 387),
+    doc=f"Item-item collaborative filtering (#387): the 'customers "
+    "who bought X also bought Y' recommender primitive — co-purchase "
+    "counts from the basket stream (distinct items per order, the "
+    "#145 market-basket derivation), item-item cosine co/sqrt(n_i "
+    f"n_j), top-{_CF_TOPK} neighbors per item above a co >= "
+    f"{_CF_MIN_CO} support floor. Integer co-counts and supports; "
+    "one IEEE division at ROUND(9); rank ties break on the neighbor "
+    "id. Scale: pair expansion is bounded per basket (baskets are "
+    "small by domain); the support floor prunes the tail BEFORE the "
+    "per-item top-k window, which partitions by item — the exact "
+    "shape a production item-CF job ships (and the precursor every "
+    "embedding-based recommender is benchmarked against).",
+    bench=True,
+)
+def q_item_cf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    pairs_base = li.select("l_orderkey", "l_partkey").distinct().cache()
+    it = pairs_base.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_item")
+    )
+    u = pairs_base.select("l_orderkey", F.col("l_partkey").alias("i"))
+    v = pairs_base.select("l_orderkey", F.col("l_partkey").alias("j"))
+    pr = (
+        u.join(v, "l_orderkey")
+        .filter(F.col("j") != F.col("i"))
+        .groupBy("i", "j")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("co"))
+        .filter(F.col("co") >= _CF_MIN_CO)
+    )
+    ni = it.select(F.col("l_partkey").alias("i"), F.col("n_item").alias("ni"))
+    nj = it.select(F.col("l_partkey").alias("j"), F.col("n_item").alias("nj"))
+    scored = (
+        pr.join(ni, "i")
+        .join(nj, "j")
+        .select(
+            F.col("i").alias("item"),
+            F.col("j").alias("rec"),
+            "co",
+            F.round(
+                F.col("co").cast("double")
+                / F.sqrt(F.col("ni").cast("double") * F.col("nj")),
+                9,
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("item").orderBy(F.desc("cosine"), "rec")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= _CF_TOPK)
+        .select("item", "rec", "co", "cosine", "rnk")
+        .orderBy("item", "rnk")
+    )

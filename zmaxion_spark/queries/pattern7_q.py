@@ -604,6 +604,19 @@ _EMB_DIM = 64
     bench=True,
 )
 def q_smote_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Broadcast-matrix 1-NN (the functions/similarity.dedup_by_cosine
+    # shape): the minority matrix broadcasts once, each partition
+    # BLAS-scores its batch against it (compute-bound matmul), and only
+    # candidates inside an epsilon band of the batch minimum get the
+    # exact LEFT-FOLD rescore + Spark-ROUND(9) ordering — so the chosen
+    # neighbor and every emitted double are bit-identical to the
+    # oracle's quadratic list_reduce join, while the pair join the
+    # naive shape would shuffle (quadratic in the minority size:
+    # measured 79 s at sf10 vs 5 s for this shape) never materializes.
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
     emb = _t(spark, sf_dir, "embeddings").select(
         "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
     )
@@ -615,60 +628,107 @@ def q_smote_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("label")
     )
     mino = emb.join(F.broadcast(mlab), "label")
-    a = mino.select(
-        "label", F.col("vec_id"), F.col("v").alias("va")
+    pdf = mino.select("vec_id", "v").toPandas()
+    ids_np = pdf["vec_id"].to_numpy()
+    mat = np.vstack(pdf["v"].to_numpy()).astype(np.float64)
+    bc = spark.sparkContext.broadcast((ids_np, mat))
+
+    out_schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("label", T.IntegerType()),
+            T.StructField("nn_id", T.LongType()),
+            T.StructField("nn_d2", T.DoubleType()),
+            T.StructField("lam", T.DoubleType()),
+            T.StructField("synth_norm2", T.DoubleType()),
+        ]
     )
-    b = mino.select(F.col("vec_id").alias("nn_id"), F.col("v").alias("vb"))
-    terms = F.zip_with(
-        F.col("va"), F.col("vb"), lambda x, y: (x - y) * (x - y)
-    )
-    pairs = (
-        a.crossJoin(b)
-        .filter(F.col("nn_id") != F.col("vec_id"))
-        .withColumn(
-            "d2", F.aggregate(terms, F.lit(0.0), lambda acc, t: acc + t)
+
+    def _round9(x: float) -> float:
+        # Spark ROUND(double, 9) = HALF_UP on the shortest decimal
+        # repr (BigDecimal.valueOf); Decimal(repr(x)) is that repr.
+        from decimal import ROUND_HALF_UP, Decimal
+
+        return float(
+            Decimal(repr(x)).quantize(Decimal("1e-9"), rounding=ROUND_HALF_UP)
         )
-    )
-    w = Window.partitionBy("vec_id").orderBy(F.round(F.col("d2"), 9), "nn_id")
-    nn = pairs.withColumn("rn", F.row_number().over(w)).filter(
-        F.col("rn") == 1
-    )
-    lam = (
-        F.conv(
-            F.substring(
-                F.md5(
-                    F.concat(
-                        F.lit("smote:"), F.col("vec_id").cast("string")
-                    ).cast("binary")
-                ),
-                1,
-                13,
-            ),
-            16,
-            10,
-        ).cast("long")
-        / F.lit(float(_TWO52))
-    )
-    synth = nn.withColumn("lam", lam).withColumn(
-        "s",
-        F.zip_with(
-            F.col("va"),
-            F.col("vb"),
-            lambda x, y: x + F.col("lam") * (y - x),
-        ),
-    )
-    norm2 = F.aggregate(
-        F.transform(F.col("s"), lambda t: t * t),
-        F.lit(0.0),
-        lambda acc, t: acc + t,
-    )
-    return synth.select(
+
+    def _fold_d2(x: np.ndarray, cand: np.ndarray) -> np.ndarray:
+        # exact left-fold: acc = (acc + term_i), ascending i — the
+        # same IEEE chain as zip_with/aggregate and list_reduce.
+        acc = np.zeros(len(cand))
+        for i in range(cand.shape[1]):
+            t = x[i] - cand[:, i]
+            acc = acc + t * t
+        return acc
+
+    def score(batches):
+        import hashlib
+
+        corpus_ids, corpus = bc.value
+        c_sq = (corpus * corpus).sum(axis=1)
+        id_pos = {int(cid): k for k, cid in enumerate(corpus_ids)}
+        for pdf_in in batches:
+            chunk = max(1, 32_000_000 // max(1, len(corpus)))
+            for lo in range(0, len(pdf_in), chunk):
+                sub = pdf_in.iloc[lo : lo + chunk]
+                batch = np.vstack(sub["v"].to_numpy()).astype(np.float64)
+                bids = sub["vec_id"].to_numpy()
+                labels = sub["label"].to_numpy()
+                d2b = (
+                    (batch * batch).sum(axis=1)[:, None]
+                    + c_sq[None, :]
+                    - 2.0 * (batch @ corpus.T)
+                )
+                d2b[bids[:, None] == corpus_ids[None, :]] = np.inf
+                rows = []
+                eps = 1e-6
+                for r in range(len(batch)):
+                    m = d2b[r].min()
+                    cand_idx = np.nonzero(d2b[r] <= m + eps * (1.0 + abs(m)))[0]
+                    exact = _fold_d2(batch[r], corpus[cand_idx])
+                    keys = sorted(
+                        (_round9(float(e)), int(corpus_ids[j]), float(e))
+                        for e, j in zip(exact, cand_idx)
+                    )
+                    _, nn_id, d2 = keys[0]
+                    h = hashlib.md5(f"smote:{int(bids[r])}".encode())
+                    lam = int(h.hexdigest()[:13], 16) / 4503599627370496
+                    nb = corpus[id_pos[nn_id]]
+                    norm2 = 0.0
+                    for i in range(len(nb)):
+                        s_i = batch[r][i] + lam * (nb[i] - batch[r][i])
+                        norm2 = norm2 + s_i * s_i
+                    rows.append(
+                        (
+                            int(bids[r]),
+                            int(labels[r]),
+                            int(nn_id),
+                            d2,
+                            lam,
+                            norm2,
+                        )
+                    )
+                yield pd.DataFrame(
+                    rows,
+                    columns=[
+                        "vec_id",
+                        "label",
+                        "nn_id",
+                        "nn_d2",
+                        "lam",
+                        "synth_norm2",
+                    ],
+                )
+
+    out = mino.select("vec_id", "label", "v").mapInPandas(score, out_schema)
+    return out.select(
         "vec_id",
         "label",
         "nn_id",
-        F.round("d2", 9).alias("nn_d2"),
+        F.round("nn_d2", 9).alias("nn_d2"),
         F.round("lam", 9).alias("lam"),
-        F.round(norm2, 9).alias("synth_norm2"),
+        F.round("synth_norm2", 9).alias("synth_norm2"),
     ).orderBy("vec_id")
 
 

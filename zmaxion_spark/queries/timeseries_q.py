@@ -2405,3 +2405,131 @@ def q_pinball_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "q")
     )
+
+
+# ---------------------------------------------------------------------------
+# #388 forecast_mase — scale-free forecast accuracy (M4 standard)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_forecast_mase",
+    oracle="""
+        WITH o AS (
+            SELECT event_type,
+                   DATEDIFF('day', DATE '1970-01-01',
+                            CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS d
+            FROM events
+        ),
+        days AS (
+            SELECT UNNEST(GENERATE_SERIES(mn, mx)) AS d
+            FROM (SELECT MIN(d) AS mn, MAX(d) AS mx FROM o)
+        ),
+        types AS (SELECT DISTINCT event_type FROM o),
+        cnt AS (SELECT event_type, d, COUNT(*) AS n FROM o GROUP BY 1, 2),
+        grid AS MATERIALIZED (
+            SELECT t.event_type,
+                   days.d - (SELECT MIN(d) FROM days) AS t,
+                   CAST(COALESCE(cnt.n, 0) AS BIGINT) AS x
+            FROM types t CROSS JOIN days
+            LEFT JOIN cnt ON cnt.event_type = t.event_type AND cnt.d = days.d
+        ),
+        er AS (
+            SELECT a.event_type,
+                   CAST(SUM(CASE WHEN a.t >= 7
+                                 THEN ABS(a.x - l1.x) ELSE 0 END) AS BIGINT)
+                       AS ae_lag1,
+                   CAST(SUM(CASE WHEN a.t >= 7
+                                 THEN ABS(a.x - l7.x) ELSE 0 END) AS BIGINT)
+                       AS ae_snaive,
+                   CAST(SUM(CASE WHEN a.t >= 7 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS m
+            FROM grid a
+            JOIN grid l1 ON l1.event_type = a.event_type
+                        AND l1.t = a.t - 1
+            JOIN grid l7 ON l7.event_type = a.event_type
+                        AND l7.t = a.t - 7
+            GROUP BY a.event_type
+        )
+        SELECT event_type, m AS n_scored,
+               ROUND(CAST(ae_lag1 AS DOUBLE) / m, 9) AS mae_lag1,
+               ROUND(CAST(ae_snaive AS DOUBLE) / m, 9) AS mae_snaive,
+               ROUND(CAST(ae_lag1 AS DOUBLE) / ae_snaive, 9) AS mase_lag1,
+               CAST(ae_lag1 < ae_snaive AS INT) AS lag1_beats_seasonal
+        FROM er
+        ORDER BY event_type
+    """,
+    operators=(13, 23, 238, 388),
+    doc="MASE (#388, Hyndman-Koehler / M4 standard): the scale-free "
+    "forecast error that makes accuracy COMPARABLE across series of "
+    "different volumes — here the lag-1 naive scored against the "
+    "weekly seasonal-naive denominator on the same holdout steps "
+    "(t >= 7, both forecasters defined): MASE < 1 means the "
+    "candidate beats the seasonal benchmark, the go/no-go gate "
+    "pinball loss (#356) and backtests (#238) report in absolute "
+    "units that can't cross series. Parity: absolute errors of "
+    "integer counts are exact BIGINTs; two divisions at ROUND(9). "
+    "Scale: two bounded lag joins on the zero-completed grid.",
+    bench=False,
+)
+def q_forecast_mase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.datediff(
+            F.col("ts").cast("timestamp").cast("date"),
+            F.lit("1970-01-01").cast("date"),
+        ).alias("d"),
+    )
+    bounds = o.agg(F.min("d").alias("mn"), F.max("d").alias("mx"))
+    days = bounds.select(
+        F.col("mn"), F.explode(F.sequence(F.col("mn"), F.col("mx"))).alias("d")
+    )
+    types = o.select("event_type").distinct()
+    cnt = o.groupBy("event_type", "d").agg(F.count(F.lit(1)).alias("n"))
+    grid = (
+        types.crossJoin(days)
+        .join(cnt, ["event_type", "d"], "left")
+        .select(
+            "event_type",
+            (F.col("d") - F.col("mn")).alias("t"),
+            F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("x"),
+        )
+        .cache()
+    )
+    a = grid.select("event_type", "t", F.col("x").alias("xa"))
+    l1 = grid.select(
+        "event_type", (F.col("t") + 1).alias("t"), F.col("x").alias("x1")
+    )
+    l7 = grid.select(
+        "event_type", (F.col("t") + 7).alias("t"), F.col("x").alias("x7")
+    )
+    er = (
+        a.join(l1, ["event_type", "t"])
+        .join(l7, ["event_type", "t"])
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.abs(F.col("xa") - F.col("x1")))
+            .cast("bigint")
+            .alias("ae_lag1"),
+            F.sum(F.abs(F.col("xa") - F.col("x7")))
+            .cast("bigint")
+            .alias("ae_snaive"),
+            F.count(F.lit(1)).cast("bigint").alias("m"),
+        )
+    )
+    return er.select(
+        "event_type",
+        F.col("m").alias("n_scored"),
+        F.round(F.col("ae_lag1").cast("double") / F.col("m"), 9).alias(
+            "mae_lag1"
+        ),
+        F.round(F.col("ae_snaive").cast("double") / F.col("m"), 9).alias(
+            "mae_snaive"
+        ),
+        F.round(
+            F.col("ae_lag1").cast("double") / F.col("ae_snaive"), 9
+        ).alias("mase_lag1"),
+        (F.col("ae_lag1") < F.col("ae_snaive"))
+        .cast("int")
+        .alias("lag1_beats_seasonal"),
+    ).orderBy("event_type")
