@@ -701,3 +701,108 @@ def test_mase_matches_reference(spark):
         assert g.n_scored == m
         assert abs(g.mase_lag1 - ae1 / ae7) < 1e-6
         assert g.lag1_beats_seasonal == int(ae1 < ae7)
+
+
+# ---------------------------------------------------------------------------
+# Wave-4 references (#394-#395)
+# ---------------------------------------------------------------------------
+
+
+def test_bayesian_ab_matches_lgamma_reference(spark):
+    """#394: P(B>A) recomputed with math.lgamma Beta functions."""
+    ev = (
+        load_table(spark, SF_SMOKE, "events")
+        .groupBy("user_id")
+        .agg(
+            F.max(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).alias("c")
+        )
+        .collect()
+    )
+    ca = sum(r.c for r in ev if r.user_id % 2 == 0)
+    na = sum(1 for r in ev if r.user_id % 2 == 0)
+    cb = sum(r.c for r in ev if r.user_id % 2 == 1)
+    nb_ = sum(1 for r in ev if r.user_id % 2 == 1)
+    aa, ba = ca + 1, na - ca + 1
+    ab, bb = cb + 1, nb_ - cb + 1
+
+    def lbeta(x, y):
+        return math.lgamma(x) + math.lgamma(y) - math.lgamma(x + y)
+
+    p_ref = sum(
+        math.exp(
+            lbeta(aa + i, ba + bb)
+            - math.log(bb + i)
+            - lbeta(1 + i, bb)
+            - lbeta(aa, ba)
+        )
+        for i in range(ab)
+    )
+    got = _rows(spark, "q_bayesian_ab")[0]
+    assert got.conv_a == ca and got.n_a == na
+    assert got.conv_b == cb and got.n_b == nb_
+    assert abs(got.p_b_beats_a - p_ref) < 1e-7
+    assert got.ship_b == int(p_ref >= 0.95)
+    # sanity: a Beta-posterior P(B>A) is a probability
+    assert 0.0 <= got.p_b_beats_a <= 1.0
+
+
+def test_doubly_robust_matches_reference(spark):
+    """#395: AIPW recomputed per-user in pure Python (the engines
+    compute it on collapsed cells — this checks the collapse)."""
+    ev = (
+        load_table(spark, SF_SMOKE, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("y"),
+        )
+        .collect()
+    )
+    users = [
+        (r.user_id % 2, min(r.cnt // 20, 4), r.y) for r in ev
+    ]
+    from collections import defaultdict
+
+    cn = defaultdict(int)
+    cs = defaultdict(int)
+    for tr, xb, y in users:
+        cn[(xb, tr)] += 1
+        cs[(xb, tr)] += y
+
+    def ols(tr):
+        pts = [(xb, cs[(xb, t)], cn[(xb, t)]) for (xb, t) in cn if t == tr]
+        sn = sum(n for _, _, n in pts)
+        sxn = sum(xb * n for xb, _, n in pts)
+        sxxn = sum(xb * xb * n for xb, _, n in pts)
+        sy = sum(s for _, s, _ in pts)
+        sxy = sum(xb * s for xb, s, _ in pts)
+        b = (sxy - sxn * sy / sn) / (sxxn - sxn * sxn / sn)
+        a = sy / sn - b * (sxn / sn)
+        return a, b
+
+    a1, b1 = ols(1)
+    a0, b0 = ols(0)
+    e = {}
+    for xb in {x for (x, _) in cn}:
+        n1 = cn.get((xb, 1), 0)
+        n0 = cn.get((xb, 0), 0)
+        e[xb] = n1 / (n1 + n0)
+    s = 0.0
+    for tr, xb, y in users:
+        mu1 = a1 + b1 * xb
+        mu0 = a0 + b0 * xb
+        s += mu1 - mu0
+        if tr == 1:
+            s += (y - mu1) / e[xb]
+        else:
+            s -= (y - mu0) / (1 - e[xb])
+    ate_ref = s / len(users) / 100
+    got = _rows(spark, "q_doubly_robust_ate")[0]
+    assert got.n_users == len(users)
+    assert abs(got.ate_dr - ate_ref) < 1e-6
+    y1 = [y for tr, _, y in users if tr == 1]
+    y0 = [y for tr, _, y in users if tr == 0]
+    naive_ref = (sum(y1) / len(y1) - sum(y0) / len(y0)) / 100
+    assert abs(got.ate_naive - naive_ref) < 1e-6

@@ -11,6 +11,7 @@ from zmaxion_spark.queries import (  # noqa: F401,E402
     corpus_q,
     ecs_q,
     engine4_q,
+    experiment7_q,
     governance_q,
     graph_q,
     inference_q,
@@ -172,6 +173,31 @@ _NEXT_ROUND: list[str] = [
     "q_er_quality",
     "q_f1_eval",
     "q_ecs_archetype_census",
+    # round-7 additions (#373-#393): inference/forecast wave,
+    # pattern/governance wave, ordered-alternative wave
+    "q_mann_whitney",
+    "q_wilcoxon_signed_rank",
+    "q_fisher_exact",
+    "q_cochran_q",
+    "q_cramer_von_mises",
+    "q_ar2_forecast",
+    "q_granger_lag",
+    "q_holt_winters",
+    "q_permutation_entropy",
+    "q_gazetteer_tag",
+    "q_l_diversity",
+    "q_t_closeness",
+    "q_smote_interpolate",
+    "q_dtw_distance",
+    "q_cochran_armitage",
+    "q_jonckheere_terpstra",
+    "q_kendall_w",
+    "q_hodges_lehmann",
+    "q_mood_median",
+    "q_item_cf_topk",
+    "q_forecast_mase",
+    "q_bayesian_ab",
+    "q_doubly_robust_ate",
     "q_hll_sketch",
     "q_approx_bounds",
     "q_hll_bounds",

@@ -2321,20 +2321,35 @@ _CF_MIN_CO = 3
     bench=True,
 )
 def q_item_cf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Pair generation via the round-6 sorted-basket fan-out (the
+    # _copurchase_pairs shape, graph_q.py): collect_set subsumes the
+    # DISTINCT, pairs expand u < v inside whole-stage codegen bounded
+    # by basket size, and the symmetric directed census materializes
+    # only AFTER aggregation — the naive per-order self-join shuffled
+    # the full pair stream and hit disk-full at sf100 (6B lineitem).
     li = _t(spark, sf_dir, "lineitem")
-    pairs_base = li.select("l_orderkey", "l_partkey").distinct().cache()
-    it = pairs_base.groupBy("l_partkey").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_item")
+    baskets = (
+        li.groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("ps"))
+        .cache()
     )
-    u = pairs_base.select("l_orderkey", F.col("l_partkey").alias("i"))
-    v = pairs_base.select("l_orderkey", F.col("l_partkey").alias("j"))
-    pr = (
-        u.join(v, "l_orderkey")
-        .filter(F.col("j") != F.col("i"))
-        .groupBy("i", "j")
+    it = (
+        baskets.select(F.explode("ps").alias("l_partkey"))
+        .groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_item"))
+    )
+    half = (
+        baskets.select(F.posexplode("ps").alias("i_", "u"), F.col("ps"))
+        .select(
+            "u", F.explode(F.expr("slice(ps, i_ + 2, size(ps))")).alias("v")
+        )
+        .groupBy("u", "v")
         .agg(F.count(F.lit(1)).cast("bigint").alias("co"))
         .filter(F.col("co") >= _CF_MIN_CO)
     )
+    pr = half.select(
+        F.col("u").alias("i"), F.col("v").alias("j"), "co"
+    ).unionAll(half.select(F.col("v").alias("i"), F.col("u").alias("j"), "co"))
     ni = it.select(F.col("l_partkey").alias("i"), F.col("n_item").alias("ni"))
     nj = it.select(F.col("l_partkey").alias("j"), F.col("n_item").alias("nj"))
     scored = (
