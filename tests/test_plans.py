@@ -749,3 +749,58 @@ def test_jaro_winkler_blocks_are_fixed_width(spark):
     df = REGISTRY["q_jaro_winkler_linkage"].fn(spark, SF_SMOKE)
     plan = _plan(df)
     assert "CartesianProduct" not in plan
+
+
+# ---------------------------------------------------------------------------
+# Round-7 plan pins
+# ---------------------------------------------------------------------------
+
+
+def test_gazetteer_tag_is_broadcast_and_take_ordered(spark):
+    """#382: the dictionary side must broadcast (never shuffle the
+    token stream on the join key) and the top-K selection must plan
+    TakeOrderedAndProject, not a global sort + window over the
+    vocabulary census."""
+    plan = _plan(REGISTRY["q_gazetteer_tag"].fn(spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_item_cf_pairs_expand_in_codegen(spark):
+    """#387: pair generation must be the basket-array fan-out (Generate
+    inside codegen after ONE grouping), not a self-join of the
+    (order, part) incidence — the shape that filled the disk at
+    sf100."""
+    plan = _plan(REGISTRY["q_item_cf_topk"].fn(spark, SF_SMOKE))
+    assert "Generate" in plan
+    # the incidence self-join shape would show a SortMergeJoin (or any
+    # join keyed on l_orderkey); the basket shape has NO join at all
+    # before the final small census joins
+    assert "SortMergeJoin" not in plan
+
+
+def test_smote_scores_via_python_map_not_pair_join(spark):
+    """#385: the 1-NN must run through the broadcast-matrix Python
+    scorer (one Arrow crossing per row), not a quadratic cross join
+    carrying vector pairs."""
+    plan = _plan(REGISTRY["q_smote_interpolate"].fn(spark, SF_SMOKE))
+    assert "MapInPandas" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_holt_winters_folds_without_python(spark):
+    """#380: the seasonal recursion must be a JVM-side aggregate fold
+    (no Python rows in the plan) over ONE grouped pass."""
+    plan = _plan(REGISTRY["q_holt_winters"].fn(spark, SF_SMOKE))
+    assert "MapInPandas" not in plan and "BatchEvalPython" not in plan
+    assert "aggregate(" in plan or "Aggregate" in plan
+
+
+def test_fisher_fanout_is_single_census(spark):
+    """#375: the k-range must fan out of a 1-row census (one scan of
+    documents, then Generate) — not rescan per k."""
+    plan = _plan(REGISTRY["q_fisher_exact"].fn(spark, SF_SMOKE))
+    # one logical census; Spark materializes the 1-row aggregate into
+    # at most two physical subtrees (explode bounds + columns)
+    assert plan.count("Scan parquet") <= 2
+    assert "Generate" in plan
