@@ -806,3 +806,79 @@ def test_doubly_robust_matches_reference(spark):
     y0 = [y for tr, _, y in users if tr == 0]
     naive_ref = (sum(y1) / len(y1) - sum(y0) / len(y0)) / 100
     assert abs(got.ate_naive - naive_ref) < 1e-6
+
+
+# ---------------------------------------------------------------------------
+# Wave-5 references (#396-#397)
+# ---------------------------------------------------------------------------
+
+
+def _series_by_type(spark):
+    ev = (
+        load_table(spark, SF_SMOKE, "events")
+        .select(
+            "event_type",
+            F.datediff(
+                F.col("ts").cast("timestamp").cast("date"),
+                F.lit("1970-01-01").cast("date"),
+            ).alias("d"),
+        )
+        .groupBy("event_type", "d")
+        .agg(F.count(F.lit(1)).alias("x"))
+        .collect()
+    )
+    mn = min(r.d for r in ev)
+    mx = max(r.d for r in ev)
+    cnt = {(r.event_type, r.d): r.x for r in ev}
+    return {
+        et: [cnt.get((et, d), 0) for d in range(mn, mx + 1)]
+        for et in sorted({r.event_type for r in ev})
+    }
+
+
+def test_binseg_matches_sse_scan_reference(spark):
+    """#396: the argmax split recomputed by an explicit per-split SSE
+    evaluation (not the prefix-sum identity the engines share)."""
+    got = {r.event_type: r for r in _rows(spark, "q_binseg_changepoint")}
+    for et, xs in _series_by_type(spark).items():
+        n = len(xs)
+
+        def sse(seg):
+            m = sum(seg) / len(seg)
+            return sum((v - m) ** 2 for v in seg)
+
+        total = sse(xs)
+        best_t, best_gain = None, -1.0
+        for t in range(n - 1):
+            gain = total - sse(xs[: t + 1]) - sse(xs[t + 1 :])
+            if gain > best_gain + 1e-9:
+                best_t, best_gain = t, gain
+        g = got[et]
+        assert g.split_t == best_t, (et, g.split_t, best_t)
+        assert abs(g.sse_gain - best_gain) < 1e-6
+        assert abs(g.mean_left - sum(xs[: best_t + 1]) / (best_t + 1)) < 1e-6
+
+
+def test_ransac_matches_hash_sampling_reference(spark):
+    """#397: candidate sampling, scoring, and selection recomputed
+    with hashlib."""
+    got = {r.event_type: r for r in _rows(spark, "q_ransac_line")}
+    for et, xs in _series_by_type(spark).items():
+        n = len(xs)
+        best = None
+        for c in range(16):
+            h = hashlib.md5(f"ransac:{et}:{c}".encode()).hexdigest()
+            i1 = int(h[:13], 16) % n
+            i2r = int(h[13:26], 16) % (n - 1)
+            t2 = i2r + (1 if i2r >= i1 else 0)
+            b = (xs[t2] - xs[i1]) / (t2 - i1)
+            a = xs[i1] - b * i1
+            n_in = sum(1 for t, y in enumerate(xs) if abs(y - (a + b * t)) <= 3.0)
+            key = (-n_in, c)
+            if best is None or key < best[0]:
+                best = (key, c, a, b, n_in)
+        _, c, a, b, n_in = best
+        g = got[et]
+        assert g.best_candidate == c, (et, g.best_candidate, c)
+        assert g.n_inliers == n_in
+        assert abs(g.slope - b) < 1e-6 and abs(g.intercept - a) < 1e-6

@@ -198,6 +198,8 @@ _NEXT_ROUND: list[str] = [
     "q_forecast_mase",
     "q_bayesian_ab",
     "q_doubly_robust_ate",
+    "q_binseg_changepoint",
+    "q_ransac_line",
     "q_hll_sketch",
     "q_approx_bounds",
     "q_hll_bounds",

@@ -716,3 +716,361 @@ def q_mood_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("chi2", 9).alias("chi2"),
         (F.col("chi2") > float(_CHI2_3_95)).cast("int").alias("significant"),
     )
+
+
+# ---------------------------------------------------------------------------
+# #396 binseg_changepoint — exact offline single-split segmentation
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_binseg_changepoint",
+    oracle="""
+        WITH o AS (
+            SELECT event_type,
+                   DATEDIFF('day', DATE '1970-01-01',
+                            CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS d
+            FROM events
+        ),
+        days AS (
+            SELECT UNNEST(GENERATE_SERIES(mn, mx)) AS d
+            FROM (SELECT MIN(d) AS mn, MAX(d) AS mx FROM o)
+        ),
+        types AS (SELECT DISTINCT event_type FROM o),
+        cnt AS (SELECT event_type, d, COUNT(*) AS n FROM o GROUP BY 1, 2),
+        grid AS MATERIALIZED (
+            SELECT t.event_type,
+                   days.d - (SELECT MIN(d) FROM days) AS t,
+                   CAST(COALESCE(cnt.n, 0) AS BIGINT) AS x
+            FROM types t CROSS JOIN days
+            LEFT JOIN cnt ON cnt.event_type = t.event_type AND cnt.d = days.d
+        ),
+        pre AS (
+            SELECT event_type, t,
+                   CAST(SUM(x) OVER w AS BIGINT) AS sl,
+                   CAST(SUM(x) OVER (PARTITION BY event_type) AS BIGINT)
+                       AS st,
+                   CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT)
+                       AS n
+            FROM grid
+            WINDOW w AS (PARTITION BY event_type ORDER BY t)
+        ),
+        gains AS (
+            SELECT event_type, t, n, sl, st,
+                   CAST(sl AS DOUBLE) * sl / (t + 1)
+                   + (CAST(st AS DOUBLE) - sl) * (st - sl) / (n - t - 1)
+                   - CAST(st AS DOUBLE) * st / n AS gain
+            FROM pre WHERE t < n - 1
+        ),
+        best AS (
+            SELECT event_type, t, n, sl, st, gain,
+                   ROW_NUMBER() OVER (PARTITION BY event_type
+                                      ORDER BY ROUND(gain, 9) DESC, t)
+                       AS rn
+            FROM gains
+        )
+        SELECT event_type, t AS split_t, n AS n_days,
+               ROUND(CAST(sl AS DOUBLE) / (t + 1), 9) AS mean_left,
+               ROUND((CAST(st AS DOUBLE) - sl) / (n - t - 1), 9)
+                   AS mean_right,
+               ROUND(gain, 9) AS sse_gain
+        FROM best WHERE rn = 1
+        ORDER BY event_type
+    """,
+    operators=(23, 31, 237, 396),
+    doc="Binary-segmentation changepoint (#396): the EXACT offline "
+    "single-split mean-shift locator — argmax over t of the SSE "
+    "reduction S_L^2/n_L + S_R^2/n_R - S^2/n, computed for EVERY "
+    "candidate split from integer prefix sums in ONE cumulative "
+    "window pass (no per-split rescan). The offline exact complement "
+    "to the online detectors (CUSUM #237, Page-Hinkley #352, EWMA "
+    "#344): they flag WHEN drift started in a stream, this names the "
+    "best split in a batch, and recursing on the halves yields full "
+    "binary segmentation. Argmax on ROUND(9) with the earliest-t "
+    "tie-break. Scale: per-series windows over day cells.",
+    bench=False,
+)
+def q_binseg_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.datediff(
+            F.col("ts").cast("timestamp").cast("date"),
+            F.lit("1970-01-01").cast("date"),
+        ).alias("d"),
+    )
+    bounds = o.agg(F.min("d").alias("mn"), F.max("d").alias("mx"))
+    days = bounds.select(
+        F.col("mn"), F.explode(F.sequence(F.col("mn"), F.col("mx"))).alias("d")
+    )
+    types = o.select("event_type").distinct()
+    cnt = o.groupBy("event_type", "d").agg(F.count(F.lit(1)).alias("n"))
+    grid = (
+        types.crossJoin(days)
+        .join(cnt, ["event_type", "d"], "left")
+        .select(
+            "event_type",
+            (F.col("d") - F.col("mn")).alias("t"),
+            F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("x"),
+        )
+    )
+    wp = Window.partitionBy("event_type")
+    w = wp.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    pre = grid.select(
+        "event_type",
+        "t",
+        F.sum("x").over(w).cast("bigint").alias("sl"),
+        F.sum("x").over(wp).cast("bigint").alias("st"),
+        F.count(F.lit(1)).over(wp).cast("bigint").alias("n"),
+    )
+    sl, st, t, n = F.col("sl"), F.col("st"), F.col("t"), F.col("n")
+    gain = (
+        sl.cast("double") * sl / (t + 1)
+        + (st.cast("double") - sl) * (st - sl) / (n - t - 1)
+        - st.cast("double") * st / n
+    )
+    gains = pre.filter(t < n - 1).withColumn("gain", gain)
+    w_best = Window.partitionBy("event_type").orderBy(
+        F.round(F.col("gain"), 9).desc(), "t"
+    )
+    return (
+        gains.withColumn("rn", F.row_number().over(w_best))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_type",
+            t.alias("split_t"),
+            n.alias("n_days"),
+            F.round(sl.cast("double") / (t + 1), 9).alias("mean_left"),
+            F.round(
+                (st.cast("double") - sl) / (n - t - 1), 9
+            ).alias("mean_right"),
+            F.round("gain", 9).alias("sse_gain"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# #397 ransac_line — robust consensus line fit with md5 sampling
+# ---------------------------------------------------------------------------
+
+_RANSAC_K = 16  # candidate models per series
+_RANSAC_EPS = "3.0"  # inlier residual threshold (events/day)
+_TWO52_R = 4503599627370496
+
+
+@query(
+    "q_ransac_line",
+    oracle=f"""
+        WITH o AS (
+            SELECT event_type,
+                   DATEDIFF('day', DATE '1970-01-01',
+                            CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS d
+            FROM events
+        ),
+        days AS (
+            SELECT UNNEST(GENERATE_SERIES(mn, mx)) AS d
+            FROM (SELECT MIN(d) AS mn, MAX(d) AS mx FROM o)
+        ),
+        types AS (SELECT DISTINCT event_type FROM o),
+        cnt AS (SELECT event_type, d, COUNT(*) AS n FROM o GROUP BY 1, 2),
+        grid AS MATERIALIZED (
+            SELECT t.event_type,
+                   days.d - (SELECT MIN(d) FROM days) AS t,
+                   CAST(COALESCE(cnt.n, 0) AS BIGINT) AS x
+            FROM types t CROSS JOIN days
+            LEFT JOIN cnt ON cnt.event_type = t.event_type AND cnt.d = days.d
+        ),
+        nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM days),
+        cand AS (
+            SELECT ty.event_type, c.c, n.n,
+                   CAST(('0x' || SUBSTR(MD5('ransac:' || ty.event_type
+                                             || ':' || c.c), 1, 13))
+                        AS BIGINT) % n.n AS i1,
+                   CAST(('0x' || SUBSTR(MD5('ransac:' || ty.event_type
+                                             || ':' || c.c), 14, 13))
+                        AS BIGINT) % (n.n - 1) AS i2r
+            FROM types ty
+            CROSS JOIN (SELECT UNNEST(GENERATE_SERIES(0,
+                                      {_RANSAC_K - 1})) AS c) c
+            CROSS JOIN nn n
+        ),
+        lines AS (
+            SELECT cd.event_type, cd.c,
+                   cd.i1 AS t1,
+                   cd.i2r + CASE WHEN cd.i2r >= cd.i1 THEN 1 ELSE 0 END
+                       AS t2,
+                   g1.x AS y1, g2.x AS y2,
+                   (CAST(g2.x AS DOUBLE) - g1.x)
+                   / ((cd.i2r + CASE WHEN cd.i2r >= cd.i1 THEN 1 ELSE 0 END)
+                      - cd.i1) AS b
+            FROM cand cd
+            JOIN grid g1 ON g1.event_type = cd.event_type AND g1.t = cd.i1
+            JOIN grid g2 ON g2.event_type = cd.event_type
+                        AND g2.t = cd.i2r
+                            + CASE WHEN cd.i2r >= cd.i1 THEN 1 ELSE 0 END
+        ),
+        scored AS (
+            SELECT l.event_type, l.c, l.b,
+                   CAST(l.y1 AS DOUBLE) - l.b * l.t1 AS a,
+                   CAST(SUM(CASE WHEN ABS(g.x - ((CAST(l.y1 AS DOUBLE)
+                                                  - l.b * l.t1)
+                                                 + l.b * g.t))
+                                      <= {_RANSAC_EPS}
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_in,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM lines l
+            JOIN grid g ON g.event_type = l.event_type
+            GROUP BY l.event_type, l.c, l.b, l.y1, l.t1
+        ),
+        best AS (
+            SELECT event_type, c, a, b, n_in, n,
+                   ROW_NUMBER() OVER (PARTITION BY event_type
+                                      ORDER BY n_in DESC, c) AS rn
+            FROM scored
+        )
+        SELECT event_type, CAST(c AS BIGINT) AS best_candidate,
+               ROUND(b, 9) AS slope, ROUND(a, 9) AS intercept,
+               n_in AS n_inliers,
+               ROUND(CAST(n_in AS DOUBLE) / n, 9) AS inlier_frac
+        FROM best WHERE rn = 1
+        ORDER BY event_type
+    """,
+    operators=(13, 23, 342, 397),
+    doc=f"Deterministic RANSAC line fit (#397): {_RANSAC_K} candidate "
+    "models per series, each through two md5-chosen days (the #203 "
+    "derandomization: sample indices are hash functions of (series, "
+    "candidate), so every engine draws the SAME sample), scored by "
+    f"inlier count at |residual| <= {_RANSAC_EPS}, best by "
+    "(inliers, candidate id) — the consensus-fit alternative to OLS "
+    "(#163) and Theil-Sen (#342) that a 30% outlier contamination "
+    "cannot drag: the breakdown point is the inlier threshold, not "
+    "the estimator. Integer inlier counts; slope/intercept one IEEE "
+    "tree; candidates x days is a bounded fan-out. Scale: the score "
+    "join is |series| x K x days — K is a constant, days are cells; "
+    "per-series parallel, no quadratic anything.",
+    bench=False,
+)
+def q_ransac_line(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.datediff(
+            F.col("ts").cast("timestamp").cast("date"),
+            F.lit("1970-01-01").cast("date"),
+        ).alias("d"),
+    )
+    bounds = o.agg(F.min("d").alias("mn"), F.max("d").alias("mx"))
+    days = bounds.select(
+        F.col("mn"), F.explode(F.sequence(F.col("mn"), F.col("mx"))).alias("d")
+    )
+    types = o.select("event_type").distinct()
+    cnt = o.groupBy("event_type", "d").agg(F.count(F.lit(1)).alias("n"))
+    grid = (
+        types.crossJoin(days)
+        .join(cnt, ["event_type", "d"], "left")
+        .select(
+            "event_type",
+            (F.col("d") - F.col("mn")).alias("t"),
+            F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("x"),
+        )
+        .cache()
+    )
+    nn = days.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+
+    def h(start: int):
+        return F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("ransac:"),
+                        F.col("event_type"),
+                        F.lit(":"),
+                        F.col("c").cast("string"),
+                    ).cast("binary")
+                ),
+                start,
+                13,
+            ),
+            16,
+            10,
+        ).cast("long")
+
+    cand = (
+        types.crossJoin(
+            F.broadcast(
+                days.sparkSession.range(_RANSAC_K).select(
+                    F.col("id").alias("c")
+                )
+            )
+        )
+        .crossJoin(F.broadcast(nn))
+        .select(
+            "event_type",
+            "c",
+            "n",
+            (h(1) % F.col("n")).alias("i1"),
+            (h(14) % (F.col("n") - 1)).alias("i2r"),
+        )
+    )
+    t2 = F.col("i2r") + F.when(F.col("i2r") >= F.col("i1"), 1).otherwise(0)
+    g1 = grid.select(
+        "event_type", F.col("t").alias("i1"), F.col("x").alias("y1")
+    )
+    g2 = grid.select(
+        "event_type", F.col("t").alias("t2"), F.col("x").alias("y2")
+    )
+    lines = (
+        cand.withColumn("t2", t2)
+        .join(g1, ["event_type", "i1"])
+        .join(g2, ["event_type", "t2"])
+        .select(
+            "event_type",
+            "c",
+            F.col("i1").alias("t1"),
+            "t2",
+            "y1",
+            (
+                (F.col("y2").cast("double") - F.col("y1"))
+                / (F.col("t2") - F.col("i1"))
+            ).alias("b"),
+        )
+    )
+    a_expr = F.col("y1").cast("double") - F.col("b") * F.col("t1")
+    scored = (
+        lines.join(grid, "event_type")
+        .groupBy("event_type", "c", "b", "y1", "t1")
+        .agg(
+            F.sum(
+                F.when(
+                    F.abs(
+                        F.col("x")
+                        - (
+                            (F.col("y1").cast("double") - F.col("b") * F.col("t1"))
+                            + F.col("b") * F.col("t")
+                        )
+                    )
+                    <= float(_RANSAC_EPS),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_in"),
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+        )
+        .withColumn("a", a_expr)
+    )
+    w_best = Window.partitionBy("event_type").orderBy(F.desc("n_in"), "c")
+    return (
+        scored.withColumn("rn", F.row_number().over(w_best))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.col("c").cast("bigint").alias("best_candidate"),
+            F.round("b", 9).alias("slope"),
+            F.round("a", 9).alias("intercept"),
+            F.col("n_in").alias("n_inliers"),
+            F.round(F.col("n_in").cast("double") / F.col("n"), 9).alias(
+                "inlier_frac"
+            ),
+        )
+        .orderBy("event_type")
+    )
