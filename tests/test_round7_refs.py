@@ -212,7 +212,7 @@ def test_holt_winters_matches_python_fold(spark):
         assert g.n_days == n
         assert abs(g.level - l) < 1e-6
         assert abs(g.trend - bb) < 1e-6
-        assert abs(g.sse - sse) < 1e-4
+        assert abs(g.rmse - (sse / (n - 7)) ** 0.5) < 1e-6
         assert abs(g.forecast_1 - ((l + bb) + s[n % 7])) < 1e-6
         assert abs(g.forecast_7 - ((l + 7 * bb) + s[(n + 6) % 7])) < 1e-6
 

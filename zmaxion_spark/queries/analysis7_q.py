@@ -1131,7 +1131,7 @@ _HW_GAMMA = "0.3"
         )
         SELECT event_type, n AS n_days,
                ROUND(l, 9) AS level, ROUND(b, 9) AS trend,
-               ROUND(sse, 9) AS sse,
+               ROUND(SQRT(sse / (n - 7)), 9) AS rmse,
                ROUND((l + b) + s[(CAST(n % 7 AS INT)) + 1], 9) AS forecast_1,
                ROUND((l + CAST(7 AS DOUBLE) * b)
                      + s[(CAST((n + 6) % 7 AS INT)) + 1], 9) AS forecast_7
@@ -1144,7 +1144,12 @@ _HW_GAMMA = "0.3"
     "recursions l' = a(x - s_old) + (1-a)(l+b), b' = B(l'-l) + "
     "(1-B)b, s' = G(x-l') + (1-G)s_old, seeded by the classical "
     "two-week init (l0 = mean of week 1, b0 = (mean2-mean1)/7, "
-    "s_i = x_i - l0), one-step SSE against the prior fit, and 1- and "
+    "s_i = x_i - l0), one-step RMSE against the prior fit (RMSE, not "
+    "raw SSE: at sf1+ the accumulated SSE's magnitude pushes the 9th "
+    "decimal below one double ulp, where the engines' ROUND routes — "
+    "binary expansion vs shortest-repr — can land on different "
+    "quanta; the sqrt keeps the quantum above ulp at every decade), "
+    "and 1- and "
     "7-day-ahead forecasts — the seasonal upgrade of Holt-linear "
     "(#332) that a trend-only smoother aliases on weekly traffic. "
     "Parity: the #344 fold discipline extended to LIST state — "
@@ -1229,7 +1234,7 @@ def q_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").alias("n_days"),
         F.round(st["l"], 9).alias("level"),
         F.round(st["b"], 9).alias("trend"),
-        F.round(st["sse"], 9).alias("sse"),
+        F.round(F.sqrt(st["sse"] / (F.col("n") - 7)), 9).alias("rmse"),
         F.round(f1, 9).alias("forecast_1"),
         F.round(f7, 9).alias("forecast_7"),
     ).orderBy("event_type")
