@@ -882,3 +882,61 @@ def test_ransac_matches_hash_sampling_reference(spark):
         assert g.best_candidate == c, (et, g.best_candidate, c)
         assert g.n_inliers == n_in
         assert abs(g.slope - b) < 1e-6 and abs(g.intercept - a) < 1e-6
+
+
+def test_gmm_em_matches_python_reference(spark):
+    """#398: the full 4-round EM replayed in pure Python from the raw
+    per-user census (independent of both engines' cell algebra)."""
+    ev = (
+        load_table(spark, SF_SMOKE, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("x"))
+        .collect()
+    )
+    from collections import Counter
+
+    cen = sorted(Counter(r.x for r in ev).items())
+    nn = sum(f for _, f in cen)
+    sx = sum(f * x for x, f in cen)
+    sxx = sum(f * x * x for x, f in cen)
+    cum = 0
+    p25 = p75 = None
+    for x, f in cen:
+        cum += f
+        if p25 is None and cum * 4 >= nn:
+            p25 = x
+        if p75 is None and cum * 4 >= 3 * nn:
+            p75 = x
+    s0 = ((sxx / nn) - (sx / nn) ** 2) ** 0.5
+    w, m1, s1, m2, s2 = 0.5, float(p25), s0, float(p75), s0
+    for _ in range(4):
+        sw1 = sx1 = sxx1 = sw2 = sx2 = sxx2 = 0.0
+        for x, f in cen:
+            g1 = (w / s1) * math.exp(-0.5 * ((x - m1) / s1) ** 2)
+            g2 = ((1 - w) / s2) * math.exp(-0.5 * ((x - m2) / s2) ** 2)
+            r1 = g1 / (g1 + g2)
+            sw1 += f * r1
+            sx1 += f * r1 * x
+            sxx1 += f * r1 * x * x
+            sw2 += f * (1 - r1)
+            sx2 += f * (1 - r1) * x
+            sxx2 += f * (1 - r1) * x * x
+        w = sw1 / nn
+        m1, s1 = sx1 / sw1, (sxx1 / sw1 - (sx1 / sw1) ** 2) ** 0.5
+        m2, s2 = sx2 / sw2, (sxx2 / sw2 - (sx2 / sw2) ** 2) ** 0.5
+    sc = sum(
+        f
+        * math.log(
+            (w / s1) * math.exp(-0.5 * ((x - m1) / s1) ** 2)
+            + ((1 - w) / s2) * math.exp(-0.5 * ((x - m2) / s2) ** 2)
+        )
+        for x, f in cen
+    )
+    got = _rows(spark, "q_gmm_em")[0]
+    assert got.n_users == nn
+    assert abs(got.w1 - w) < 1e-6
+    assert abs(got.mu1 - m1) < 1e-6 and abs(got.sigma1 - s1) < 1e-6
+    assert abs(got.mu2 - m2) < 1e-6 and abs(got.sigma2 - s2) < 1e-6
+    assert abs(got.avg_logdensity - sc / nn) < 1e-6
+    # the two regimes must be ordered and distinct on this fixture
+    assert got.mu1 < got.mu2

@@ -200,6 +200,7 @@ _NEXT_ROUND: list[str] = [
     "q_doubly_robust_ate",
     "q_binseg_changepoint",
     "q_ransac_line",
+    "q_gmm_em",
     "q_hll_sketch",
     "q_approx_bounds",
     "q_hll_bounds",

@@ -332,3 +332,220 @@ def q_doubly_robust_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("ate_naive"),
         F.round(F.col("s_dr") / F.col("n_users") / 100, 9).alias("ate_dr"),
     )
+
+
+# ---------------------------------------------------------------------------
+# #398 gmm_em — 2-component 1-D Gaussian mixture, fixed EM rounds
+# ---------------------------------------------------------------------------
+
+_GMM_ROUNDS = 4
+
+
+def _gmm_estep_sql(w: str, m1: str, s1: str, m2: str, s2: str) -> dict:
+    """E-step cell expressions given param SQL expressions."""
+    d1 = f"((CAST(x AS DOUBLE) - {m1}) / {s1})"
+    d2 = f"((CAST(x AS DOUBLE) - {m2}) / {s2})"
+    g1 = f"(({w} / {s1}) * EXP(-0.5 * {d1} * {d1}))"
+    g2 = f"(((1 - {w}) / {s2}) * EXP(-0.5 * {d2} * {d2}))"
+    r1 = f"({g1} / ({g1} + {g2}))"
+    return {"g1": g1, "g2": g2, "r1": r1}
+
+
+def _gmm_msql(i: int, prev: str) -> str:
+    """One EM round as two chained CTEs (e{i}: cells+resp, p{i}: params)."""
+    e = _gmm_estep_sql(
+        f"(SELECT w FROM {prev})",
+        f"(SELECT m1 FROM {prev})",
+        f"(SELECT s1 FROM {prev})",
+        f"(SELECT m2 FROM {prev})",
+        f"(SELECT s2 FROM {prev})",
+    )
+    t1 = f"(CAST(f AS DOUBLE) * {e['r1']})"
+    t2 = f"(CAST(f AS DOUBLE) * (1 - {e['r1']}))"
+    return f"""
+        m{i} AS MATERIALIZED (
+            SELECT
+              CAST(SUM(CAST({t1} AS DECIMAL(38,18))) AS DOUBLE) AS sw1,
+              CAST(SUM(CAST({t1} * CAST(x AS DOUBLE) AS DECIMAL(38,18)))
+                   AS DOUBLE) AS sx1,
+              CAST(SUM(CAST(({t1} * CAST(x AS DOUBLE)) * CAST(x AS DOUBLE)
+                            AS DECIMAL(38,18))) AS DOUBLE) AS sxx1,
+              CAST(SUM(CAST({t2} AS DECIMAL(38,18))) AS DOUBLE) AS sw2,
+              CAST(SUM(CAST({t2} * CAST(x AS DOUBLE) AS DECIMAL(38,18)))
+                   AS DOUBLE) AS sx2,
+              CAST(SUM(CAST(({t2} * CAST(x AS DOUBLE)) * CAST(x AS DOUBLE)
+                            AS DECIMAL(38,18))) AS DOUBLE) AS sxx2
+            FROM cen
+        ),
+        p{i} AS MATERIALIZED (
+            SELECT sw1 / (SELECT CAST(nn AS DOUBLE) FROM stats) AS w,
+                   sx1 / sw1 AS m1,
+                   SQRT(sxx1 / sw1 - (sx1 / sw1) * (sx1 / sw1)) AS s1,
+                   sx2 / sw2 AS m2,
+                   SQRT(sxx2 / sw2 - (sx2 / sw2) * (sx2 / sw2)) AS s2
+            FROM m{i}
+        )"""
+
+
+def _gmm_oracle() -> str:
+    rounds = ",".join(
+        _gmm_msql(i, "p0" if i == 1 else f"p{i - 1}")
+        for i in range(1, _GMM_ROUNDS + 1)
+    )
+    last = f"p{_GMM_ROUNDS}"
+    ef = _gmm_estep_sql(
+        f"(SELECT w FROM {last})",
+        f"(SELECT m1 FROM {last})",
+        f"(SELECT s1 FROM {last})",
+        f"(SELECT m2 FROM {last})",
+        f"(SELECT s2 FROM {last})",
+    )
+    return f"""
+        WITH v AS (
+            SELECT user_id, CAST(COUNT(*) AS BIGINT) AS x
+            FROM events GROUP BY user_id
+        ),
+        cen AS MATERIALIZED (
+            SELECT x, CAST(COUNT(*) AS BIGINT) AS f FROM v GROUP BY x
+        ),
+        stats AS MATERIALIZED (
+            SELECT CAST(SUM(f) AS BIGINT) AS nn,
+                   CAST(SUM(f * x) AS BIGINT) AS sx,
+                   CAST(SUM(f * x * x) AS BIGINT) AS sxx
+            FROM cen
+        ),
+        cum AS (
+            SELECT x, CAST(SUM(f) OVER (ORDER BY x) AS BIGINT) AS cw
+            FROM cen
+        ),
+        q AS MATERIALIZED (
+            SELECT (SELECT MIN(x) FROM cum, stats
+                    WHERE cw * 4 >= nn) AS p25,
+                   (SELECT MIN(x) FROM cum, stats
+                    WHERE cw * 4 >= 3 * nn) AS p75
+        ),
+        p0 AS MATERIALIZED (
+            SELECT CAST(0.5 AS DOUBLE) AS w,
+                   (SELECT CAST(p25 AS DOUBLE) FROM q) AS m1,
+                   (SELECT SQRT(CAST(sxx AS DOUBLE) / nn
+                                - (CAST(sx AS DOUBLE) / nn)
+                                  * (CAST(sx AS DOUBLE) / nn))
+                    FROM stats) AS s1,
+                   (SELECT CAST(p75 AS DOUBLE) FROM q) AS m2,
+                   (SELECT SQRT(CAST(sxx AS DOUBLE) / nn
+                                - (CAST(sx AS DOUBLE) / nn)
+                                  * (CAST(sx AS DOUBLE) / nn))
+                    FROM stats) AS s2
+        ),
+        {rounds},
+        score AS (
+            SELECT CAST(SUM(CAST(CAST(f AS DOUBLE)
+                                 * LN({ef['g1']} + {ef['g2']})
+                                 AS DECIMAL(38,18))) AS DOUBLE) AS sc
+            FROM cen
+        )
+        SELECT (SELECT nn FROM stats) AS n_users,
+               ROUND(p.w, 9) AS w1,
+               ROUND(p.m1, 9) AS mu1, ROUND(p.s1, 9) AS sigma1,
+               ROUND(p.m2, 9) AS mu2, ROUND(p.s2, 9) AS sigma2,
+               ROUND((SELECT sc FROM score)
+                     / (SELECT nn FROM stats), 9) AS avg_logdensity
+        FROM {last} p
+    """
+
+
+@query(
+    "q_gmm_em",
+    oracle=_gmm_oracle(),
+    operators=(23, 31, 273, 398),
+    doc=f"2-component 1-D Gaussian mixture via {_GMM_ROUNDS} fixed EM "
+    "rounds (#398) over the per-user activity census — the soft "
+    "latent-class upgrade of k-means (#273): users get posterior "
+    "membership in a low/high-activity regime instead of a hard "
+    "cluster, the standard model for 'is this metric bimodal'. "
+    "Deterministic init (quartile means, pooled sigma, w=0.5). "
+    "Parity: the #273 discipline extended to EM — every M-step "
+    "aggregate is a DECIMAL(38,18)-quantized sum over value cells, "
+    "so the per-round parameters Spark collects as bounded driver "
+    "state (5 scalars/round) are bit-identical to the oracle's "
+    "unrolled MATERIALIZED-CTE chain; E-step densities are "
+    "identical exp/div trees (the 1/sqrt(2pi) factor cancels in "
+    "the responsibilities and is dropped from the graded "
+    "avg-log-density consistently on both engines). Scale: EM "
+    "touches only the |distinct values| census per round — the "
+    "row-scale pass is the one per-user rollup; rounds are O(cells).",
+    bench=False,
+)
+def q_gmm_em(spark: SparkSession, sf_dir: str) -> DataFrame:
+    v = (
+        _t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+    )
+    cen = v.groupBy("x").agg(
+        F.count(F.lit(1)).cast("bigint").alias("f")
+    ).cache()
+    stats = cen.agg(
+        F.sum("f").cast("bigint").alias("nn"),
+        F.sum(F.col("f") * F.col("x")).cast("bigint").alias("sx"),
+        F.sum(F.col("f") * F.col("x") * F.col("x"))
+        .cast("bigint")
+        .alias("sxx"),
+    ).collect()[0]
+    nn, sx, sxx = int(stats.nn), int(stats.sx), int(stats.sxx)
+    from pyspark.sql import Window as W
+
+    w_cum = W.orderBy("x").rowsBetween(W.unboundedPreceding, 0)
+    cum = cen.select(
+        "x", F.sum("f").over(w_cum).cast("bigint").alias("cw")
+    )
+    p25 = cum.filter(F.col("cw") * 4 >= nn).agg(F.min("x")).collect()[0][0]
+    p75 = (
+        cum.filter(F.col("cw") * 4 >= 3 * nn).agg(F.min("x")).collect()[0][0]
+    )
+    s0 = ((sxx / nn) - (sx / nn) * (sx / nn)) ** 0.5
+    w1, m1, s1, m2, s2 = 0.5, float(p25), s0, float(p75), s0
+
+    def estep(wv, m1v, s1v, m2v, s2v):
+        x = F.col("x").cast("double")
+        d1 = (x - F.lit(m1v)) / F.lit(s1v)
+        d2 = (x - F.lit(m2v)) / F.lit(s2v)
+        g1 = (F.lit(wv) / F.lit(s1v)) * F.exp(-0.5 * d1 * d1)
+        g2 = ((1 - F.lit(wv)) / F.lit(s2v)) * F.exp(-0.5 * d2 * d2)
+        return g1, g2, g1 / (g1 + g2)
+
+    dec = "decimal(38,18)"
+    for _ in range(_GMM_ROUNDS):
+        g1, g2, r1 = estep(w1, m1, s1, m2, s2)
+        x = F.col("x").cast("double")
+        t1 = F.col("f").cast("double") * r1
+        t2 = F.col("f").cast("double") * (1 - r1)
+        m = cen.agg(
+            F.sum(t1.cast(dec)).cast("double").alias("sw1"),
+            F.sum((t1 * x).cast(dec)).cast("double").alias("sx1"),
+            F.sum(((t1 * x) * x).cast(dec)).cast("double").alias("sxx1"),
+            F.sum(t2.cast(dec)).cast("double").alias("sw2"),
+            F.sum((t2 * x).cast(dec)).cast("double").alias("sx2"),
+            F.sum(((t2 * x) * x).cast(dec)).cast("double").alias("sxx2"),
+        ).collect()[0]
+        w1 = m.sw1 / float(nn)
+        m1 = m.sx1 / m.sw1
+        s1 = (m.sxx1 / m.sw1 - (m.sx1 / m.sw1) * (m.sx1 / m.sw1)) ** 0.5
+        m2 = m.sx2 / m.sw2
+        s2 = (m.sxx2 / m.sw2 - (m.sx2 / m.sw2) * (m.sx2 / m.sw2)) ** 0.5
+
+    g1, g2, _ = estep(w1, m1, s1, m2, s2)
+    score = cen.agg(
+        F.sum((F.col("f").cast("double") * F.log(g1 + g2)).cast(dec))
+        .cast("double")
+        .alias("sc")
+    )
+    return score.select(
+        F.lit(nn).cast("bigint").alias("n_users"),
+        F.round(F.lit(w1), 9).alias("w1"),
+        F.round(F.lit(m1), 9).alias("mu1"),
+        F.round(F.lit(s1), 9).alias("sigma1"),
+        F.round(F.lit(m2), 9).alias("mu2"),
+        F.round(F.lit(s2), 9).alias("sigma2"),
+        F.round(F.col("sc") / float(nn), 9).alias("avg_logdensity"),
+    )
