@@ -940,3 +940,38 @@ def test_gmm_em_matches_python_reference(spark):
     assert abs(got.avg_logdensity - sc / nn) < 1e-6
     # the two regimes must be ordered and distinct on this fixture
     assert got.mu1 < got.mu2
+
+
+def test_stream_page_hinkley_matches_unquantized_reference(spark):
+    """#399: alarms recomputed with an UNQUANTIZED pure-Python PH —
+    the nano-unit quantization must not change which events alarm
+    (tolerance margin) and ph values agree to 1e-6."""
+    ev = (
+        load_table(spark, SF_SMOKE, "events")
+        .select("user_id", "event_id", "ts", "value")
+        .collect()
+    )
+    from collections import defaultdict
+
+    seqs = defaultdict(list)
+    for r in ev:
+        seqs[r.user_id].append((r.ts, r.event_id, r.value))
+    ref = {}
+    for uid, rows in seqs.items():
+        rows.sort()
+        n = s = 0
+        m = mmin = 0.0
+        for _, ev_id, val in rows:
+            c = int(math.floor(val * 100 + 0.5))
+            n, s = n + 1, s + c
+            m += (c - s / n) - 10.0
+            mmin = min(mmin, m)
+            if m - mmin >= 40000.0:
+                ref[uid] = (ev_id, n, m - mmin)
+                break
+    got = {r.user_id: r for r in _rows(spark, "q_stream_page_hinkley")}
+    assert set(got) == set(ref)
+    for uid, (ev_id, n, ph) in ref.items():
+        g = got[uid]
+        assert g.event_id == ev_id and g.n_seen == n
+        assert abs(g.ph - ph) < 1e-5

@@ -201,6 +201,7 @@ _NEXT_ROUND: list[str] = [
     "q_binseg_changepoint",
     "q_ransac_line",
     "q_gmm_em",
+    "q_stream_page_hinkley",
     "q_hll_sketch",
     "q_approx_bounds",
     "q_hll_bounds",

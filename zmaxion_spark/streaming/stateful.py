@@ -374,3 +374,60 @@ def streaming_twap(events: DataFrame) -> DataFrame:
     return events.groupBy("event_type").applyInPandasWithState(
         update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
     )
+
+
+def page_hinkley_state(
+    events: DataFrame, delta: float = 10.0, lam: float = 40000.0
+) -> DataFrame:
+    """Page-Hinkley mean-shift detection per user as STREAMING STATE —
+    the online twin of the batch #352 detector: m_t = sum(c_i -
+    mean_i - delta) with the INCLUSIVE running mean, alarm when
+    m_t - min(0, min_i m_i) >= lam, first alarm per key emitted once
+    (append) and the key then muted.
+
+    Engine-parity design: the counting state is two INTEGERS (n, sum
+    of cents), m and its running min are doubles accumulated in the
+    single deterministic (ts, event_id) order the batch oracle's
+    cumulative windows replay — the identical sequential IEEE chain
+    on both engines (the #331/#344 fold discipline applied to
+    per-key stream state). ph is emitted RAW and rounded JVM-side."""
+
+    out_schema = "user_id bigint, event_id bigint, n_seen bigint, ph double"
+    state_schema = "n bigint, s bigint, m_units bigint, mmin_units bigint, alarmed int"
+    lam_units = int(lam) * 10**9
+
+    def update(key, pdfs, state: GroupState):
+        import math
+        from decimal import ROUND_HALF_EVEN, Decimal
+
+        rows = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
+        n, s, m_u, mmin_u, alarmed = (
+            state.get if state.exists else (0, 0, 0, 0, 0)
+        )
+        out = []
+        for ev_id, val in zip(rows["event_id"], rows["value"]):
+            c = int(math.floor(val * 100 + 0.5))
+            n, s = n + 1, s + c
+            t = (c - float(s) / n) - delta
+            # quantize the per-step term to nano-units with DuckDB's
+            # double->DECIMAL(38,9) semantics (shortest decimal repr,
+            # HALF_EVEN — verified against 50k samples), so the
+            # running sum is exact INTEGERS: order-independent,
+            # association-free, bit-identical to the oracle's decimal
+            # cumulative window regardless of engine window internals.
+            m_u += int(
+                Decimal(repr(t)).scaleb(9).to_integral_value(
+                    rounding=ROUND_HALF_EVEN
+                )
+            )
+            if m_u < mmin_u:
+                mmin_u = m_u
+            if not alarmed and m_u - mmin_u >= lam_units:
+                alarmed = 1
+                out.append((key[0], ev_id, n, (m_u - mmin_u) / 1e9))
+        state.update((n, s, m_u, mmin_u, alarmed))
+        yield pd.DataFrame(out, columns=["user_id", "event_id", "n_seen", "ph"])
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
