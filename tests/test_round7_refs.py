@@ -975,3 +975,46 @@ def test_stream_page_hinkley_matches_unquantized_reference(spark):
         g = got[uid]
         assert g.event_id == ev_id and g.n_seen == n
         assert abs(g.ph - ph) < 1e-5
+
+
+def test_mantel_haenszel_matches_reference(spark):
+    """#400: CMH chi2 and OR_MH recomputed from raw per-user strata."""
+    ev = (
+        load_table(spark, SF_SMOKE, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).alias("np"),
+        )
+        .collect()
+    )
+    from collections import defaultdict
+
+    cells = defaultdict(lambda: [0, 0, 0, 0])  # a, b, c, d
+    for r in ev:
+        tr = r.user_id % 2
+        xb = min(r.cnt // 20, 4)
+        y = int(5 * r.np > r.cnt)
+        idx = (0 if y else 1) if tr == 1 else (2 if y else 3)
+        cells[xb][idx] += 1
+    sa = se = sv = sad = sbc = 0.0
+    k = nu = 0
+    for a, b, c, d in cells.values():
+        n = a + b + c + d
+        if n < 2:
+            continue
+        k += 1
+        nu += n
+        sa += a
+        se += (a + b) * (a + c) / n
+        sv += (a + b) * (c + d) * (a + c) * (b + d) / (n * n * (n - 1))
+        sad += a * d / n
+        sbc += b * c / n
+    chi = (abs(sa - se) - 0.5) ** 2 / sv
+    got = _rows(spark, "q_mantel_haenszel")[0]
+    assert got.n_strata == k and got.n_users == nu
+    assert abs(got.cmh_chi2 - chi) < 1e-6
+    assert abs(got.or_mh - sad / sbc) < 1e-6
+    assert got.significant == int(chi > 3.841458820694124)

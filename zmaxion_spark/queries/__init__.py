@@ -202,6 +202,7 @@ _NEXT_ROUND: list[str] = [
     "q_ransac_line",
     "q_gmm_em",
     "q_stream_page_hinkley",
+    "q_mantel_haenszel",
     "q_hll_sketch",
     "q_approx_bounds",
     "q_hll_bounds",

@@ -549,3 +549,150 @@ def q_gmm_em(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.lit(s2), 9).alias("sigma2"),
         F.round(F.col("sc") / float(nn), 9).alias("avg_logdensity"),
     )
+
+
+# ---------------------------------------------------------------------------
+# #400 mantel_haenszel — stratified 2x2 common-effect test
+# ---------------------------------------------------------------------------
+
+_CHI2_1_95_MH = "3.841458820694124"
+
+
+@query(
+    "q_mantel_haenszel",
+    oracle=f"""
+        WITH u AS (
+            SELECT user_id % 2 AS tr,
+                   LEAST(CAST(COUNT(*) AS BIGINT) // 20, 4) AS xb,
+                   CAST(5 * SUM(CASE WHEN event_type = 'purchase'
+                                     THEN 1 ELSE 0 END) > COUNT(*)
+                        AS BIGINT) AS y
+            FROM events GROUP BY user_id
+        ),
+        cells AS (
+            SELECT xb,
+                   CAST(SUM(CASE WHEN tr = 1 AND y = 1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS a,
+                   CAST(SUM(CASE WHEN tr = 1 AND y = 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS b,
+                   CAST(SUM(CASE WHEN tr = 0 AND y = 1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS c,
+                   CAST(SUM(CASE WHEN tr = 0 AND y = 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS d
+            FROM u GROUP BY xb
+            HAVING COUNT(*) >= 2
+        ),
+        mom AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS k,
+                   CAST(SUM(a + b + c + d) AS BIGINT) AS n_users,
+                   CAST(SUM(CAST(a AS DECIMAL(38,18))) AS DOUBLE) AS sa,
+                   CAST(SUM(CAST(
+                       CAST((a + b) AS DOUBLE) * (a + c) / (a + b + c + d)
+                       AS DECIMAL(38,18))) AS DOUBLE) AS se,
+                   CAST(SUM(CAST(
+                       (CAST((a + b) AS DOUBLE) * (c + d) * (a + c)
+                        * (b + d))
+                       / ((CAST((a + b + c + d) AS DOUBLE))
+                          * (a + b + c + d) * (a + b + c + d - 1))
+                       AS DECIMAL(38,18))) AS DOUBLE) AS sv,
+                   CAST(SUM(CAST(CAST(a AS DOUBLE) * d / (a + b + c + d)
+                                 AS DECIMAL(38,18))) AS DOUBLE) AS sad,
+                   CAST(SUM(CAST(CAST(b AS DOUBLE) * c / (a + b + c + d)
+                                 AS DECIMAL(38,18))) AS DOUBLE) AS sbc
+            FROM cells
+        )
+        SELECT k AS n_strata, n_users,
+               ROUND((ABS(sa - se) - 0.5) * (ABS(sa - se) - 0.5) / sv, 9)
+                   AS cmh_chi2,
+               ROUND(sad / sbc, 9) AS or_mh,
+               CAST((ABS(sa - se) - 0.5) * (ABS(sa - se) - 0.5) / sv
+                    > {_CHI2_1_95_MH} AS INT) AS significant
+        FROM mom
+    """,
+    operators=(23, 280, 395, 400),
+    doc="Cochran-Mantel-Haenszel (#400): the stratified 2x2 test — "
+    "does treatment associate with the scale-stable outcome (purchase "
+    "share above 1/5 of the user's events) AFTER conditioning on "
+    "the activity band? CMH chi2 = (|sum a - sum E[a]| - 0.5)^2 / "
+    "sum Var(a) with the exact hypergeometric per-stratum moments, "
+    "plus the Mantel-Haenszel common odds ratio sum(ad/n)/sum(bc/n) "
+    "— the frequentist partner of the doubly-robust ATE (#395): a "
+    "marginal chi-square (#280) on the pooled table is confounded "
+    "by exactly the Simpson's-paradox mixing this design removes. "
+    "Parity: strata cells are exact BIGINTs; the five per-stratum "
+    "summands quantize through DECIMAL(38,18) (singleton strata, whose "
+    "hypergeometric variance is undefined, are excluded on both "
+    "sides); one IEEE tree at "
+    "ROUND(9). Scale: one per-user rollup, then a 5-cell census.",
+    bench=False,
+)
+def q_mantel_haenszel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    u = (
+        _t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("cnt"),
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+            .cast("bigint")
+            .alias("np"),
+        )
+        .select(
+            (F.col("user_id") % 2).alias("tr"),
+            F.least(F.expr("cnt div 20"), F.lit(4).cast("bigint")).alias("xb"),
+            (5 * F.col("np") > F.col("cnt")).cast("bigint").alias("y"),
+        )
+    )
+    cells = u.groupBy("xb").agg(
+        F.sum(F.when((F.col("tr") == 1) & (F.col("y") == 1), 1).otherwise(0))
+        .cast("bigint")
+        .alias("a"),
+        F.sum(F.when((F.col("tr") == 1) & (F.col("y") == 0), 1).otherwise(0))
+        .cast("bigint")
+        .alias("b"),
+        F.sum(F.when((F.col("tr") == 0) & (F.col("y") == 1), 1).otherwise(0))
+        .cast("bigint")
+        .alias("c"),
+        F.sum(F.when((F.col("tr") == 0) & (F.col("y") == 0), 1).otherwise(0))
+        .cast("bigint")
+        .alias("d"),
+        F.count(F.lit(1)).cast("bigint").alias("n_str"),
+    ).filter(F.col("n_str") >= 2)
+    a, b, c, d = F.col("a"), F.col("b"), F.col("c"), F.col("d")
+    n = a + b + c + d
+    dec = "decimal(38,18)"
+    mom = cells.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum(n).cast("bigint").alias("n_users"),
+        F.sum(a.cast(dec)).cast("double").alias("sa"),
+        F.sum(
+            ((a + b).cast("double") * (a + c) / n).cast(dec)
+        )
+        .cast("double")
+        .alias("se"),
+        F.sum(
+            (
+                ((a + b).cast("double") * (c + d) * (a + c) * (b + d))
+                / (n.cast("double") * n * (n - 1))
+            ).cast(dec)
+        )
+        .cast("double")
+        .alias("sv"),
+        F.sum((a.cast("double") * d / n).cast(dec))
+        .cast("double")
+        .alias("sad"),
+        F.sum((b.cast("double") * c / n).cast(dec))
+        .cast("double")
+        .alias("sbc"),
+    )
+    chi = (
+        (F.abs(F.col("sa") - F.col("se")) - 0.5)
+        * (F.abs(F.col("sa") - F.col("se")) - 0.5)
+        / F.col("sv")
+    )
+    return mom.select(
+        F.col("k").alias("n_strata"),
+        "n_users",
+        F.round(chi, 9).alias("cmh_chi2"),
+        F.round(F.col("sad") / F.col("sbc"), 9).alias("or_mh"),
+        (chi > float(_CHI2_1_95_MH)).cast("int").alias("significant"),
+    )

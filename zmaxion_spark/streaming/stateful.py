@@ -397,35 +397,61 @@ def page_hinkley_state(
     lam_units = int(lam) * 10**9
 
     def update(key, pdfs, state: GroupState):
-        import math
         from decimal import ROUND_HALF_EVEN, Decimal
 
+        import numpy as np
+
         rows = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
-        n, s, m_u, mmin_u, alarmed = (
+        n0, s0, m_u, mmin_u, alarmed = (
             state.get if state.exists else (0, 0, 0, 0, 0)
         )
-        out = []
-        for ev_id, val in zip(rows["event_id"], rows["value"]):
-            c = int(math.floor(val * 100 + 0.5))
-            n, s = n + 1, s + c
-            t = (c - float(s) / n) - delta
-            # quantize the per-step term to nano-units with DuckDB's
-            # double->DECIMAL(38,9) semantics (shortest decimal repr,
-            # HALF_EVEN — verified against 50k samples), so the
-            # running sum is exact INTEGERS: order-independent,
-            # association-free, bit-identical to the oracle's decimal
-            # cumulative window regardless of engine window internals.
-            m_u += int(
-                Decimal(repr(t)).scaleb(9).to_integral_value(
+        # Vectorized fold (the sf100 smoke killed the per-event Python
+        # loop): cents/sums/terms as numpy arrays, with the per-step
+        # term quantized to nano-units under DuckDB's double->
+        # DECIMAL(38,9) semantics (shortest decimal repr, HALF_EVEN —
+        # verified against 50k samples). np.rint on the t*1e9 product
+        # agrees with that everywhere except within ~5e-4 of a half
+        # boundary (the product carries up to ~5e-4 absolute error at
+        # |t|~4e3), so only the thin boundary band takes the exact
+        # Decimal path. Integer nano-unit sums are association-free —
+        # bit-identical to the oracle's decimal cumulative window.
+        c = np.floor(rows["value"].to_numpy() * 100 + 0.5).astype(np.int64)
+        k = len(c)
+        n_arr = n0 + 1 + np.arange(k, dtype=np.int64)
+        s_arr = s0 + np.cumsum(c)
+        t = (c - s_arr.astype(np.float64) / n_arr) - delta
+        prod = t * 1e9
+        units = np.rint(prod).astype(np.int64)
+        band = np.abs(prod - np.floor(prod) - 0.5) < 2e-3
+        for i in np.nonzero(band)[0]:
+            units[i] = int(
+                Decimal(repr(float(t[i]))).scaleb(9).to_integral_value(
                     rounding=ROUND_HALF_EVEN
                 )
             )
-            if m_u < mmin_u:
-                mmin_u = m_u
-            if not alarmed and m_u - mmin_u >= lam_units:
+        m_arr = m_u + np.cumsum(units)
+        runmin = np.minimum.accumulate(
+            np.minimum(m_arr, np.int64(mmin_u))
+        )
+        out = []
+        if not alarmed:
+            ph_units = m_arr - np.minimum(runmin, 0)
+            hits = np.nonzero(ph_units >= lam_units)[0]
+            if len(hits):
+                i = int(hits[0])
                 alarmed = 1
-                out.append((key[0], ev_id, n, (m_u - mmin_u) / 1e9))
-        state.update((n, s, m_u, mmin_u, alarmed))
+                out.append(
+                    (
+                        key[0],
+                        int(rows["event_id"].iloc[i]),
+                        int(n_arr[i]),
+                        float(ph_units[i]) / 1e9,
+                    )
+                )
+        if k:
+            n0, s0 = int(n_arr[-1]), int(s_arr[-1])
+            m_u, mmin_u = int(m_arr[-1]), int(runmin[-1])
+        state.update((n0, s0, m_u, mmin_u, alarmed))
         yield pd.DataFrame(out, columns=["user_id", "event_id", "n_seen", "ph"])
 
     return events.groupBy("user_id").applyInPandasWithState(
