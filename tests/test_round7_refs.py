@@ -1018,3 +1018,54 @@ def test_mantel_haenszel_matches_reference(spark):
     assert abs(got.cmh_chi2 - chi) < 1e-6
     assert abs(got.or_mh - sad / sbc) < 1e-6
     assert got.significant == int(chi > 3.841458820694124)
+
+
+def test_hmm_forward_matches_python_reference(spark):
+    """#401: the forward recursion replayed in pure Python with
+    math.lgamma emissions (no Stirling, no per-step quantization) —
+    agreement to 1e-5 proves the quantized engine chain tracks the
+    true forward likelihood."""
+    ev = (
+        load_table(spark, SF_SMOKE, "events")
+        .select(
+            "event_type",
+            F.datediff(
+                F.col("ts").cast("timestamp").cast("date"),
+                F.lit("1970-01-01").cast("date"),
+            ).alias("d"),
+        )
+        .groupBy("event_type", "d")
+        .agg(F.count(F.lit(1)).alias("x"))
+        .collect()
+    )
+    mn = min(r.d for r in ev)
+    mx = max(r.d for r in ev)
+    cnt = {(r.event_type, r.d): r.x for r in ev}
+    got = {r.event_type: r for r in _rows(spark, "q_hmm_forward")}
+    ln_stay, ln_switch = math.log(0.9), math.log(0.1)
+    for et in sorted({r.event_type for r in ev}):
+        xs = [cnt.get((et, d), 0) for d in range(mn, mx + 1)]
+        m = len(xs)
+        srt = sorted(range(m), key=lambda i: (xs[i], i))
+        p25 = xs[srt[math.ceil(m / 4.0) - 1]]
+        p75 = xs[srt[math.ceil(3 * m / 4.0) - 1]]
+        mu1, mu2 = p25 + 0.5, p75 + 0.5
+
+        def logpmf(x, mu):
+            return x * math.log(mu) - mu - math.lgamma(x + 1)
+
+        def lse(a, b):
+            hi = max(a, b)
+            return hi + math.log1p(math.exp(-abs(a - b)))
+
+        la1 = math.log(0.5) + logpmf(xs[0], mu1)
+        la2 = math.log(0.5) + logpmf(xs[0], mu2)
+        for x in xs[1:]:
+            n1 = logpmf(x, mu1) + lse(la1 + ln_stay, la2 + ln_switch)
+            n2 = logpmf(x, mu2) + lse(la1 + ln_switch, la2 + ln_stay)
+            la1, la2 = n1, n2
+        ll = lse(la1, la2)
+        g = got[et]
+        assert g.mu_low == mu1 and g.mu_high == mu2
+        assert abs(g.loglik - ll) < 1e-5, (et, g.loglik, ll)
+        assert abs(g.p_high_final - math.exp(la2 - ll)) < 1e-6

@@ -203,6 +203,7 @@ _NEXT_ROUND: list[str] = [
     "q_gmm_em",
     "q_stream_page_hinkley",
     "q_mantel_haenszel",
+    "q_hmm_forward",
     "q_hll_sketch",
     "q_approx_bounds",
     "q_hll_bounds",

@@ -696,3 +696,233 @@ def q_mantel_haenszel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("sad") / F.col("sbc"), 9).alias("or_mh"),
         (chi > float(_CHI2_1_95_MH)).cast("int").alias("significant"),
     )
+
+
+# ---------------------------------------------------------------------------
+# #401 hmm_forward — 2-state Poisson HMM likelihood per series
+# ---------------------------------------------------------------------------
+
+_LN_STAY = "-0.10536051565782628"  # ln(0.9)
+_LN_SWITCH = "-2.302585092994046"  # ln(0.1)
+_LN_HALF = "-0.6931471805599453"  # ln(0.5)
+
+
+@query(
+    "q_hmm_forward",
+    oracle=f"""
+        WITH RECURSIVE o AS (
+            SELECT event_type,
+                   DATEDIFF('day', DATE '1970-01-01',
+                            CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS d
+            FROM events
+        ),
+        days AS (
+            SELECT UNNEST(GENERATE_SERIES(mn, mx)) AS d
+            FROM (SELECT MIN(d) AS mn, MAX(d) AS mx FROM o)
+        ),
+        types AS (SELECT DISTINCT event_type FROM o),
+        cnt AS (SELECT event_type, d, COUNT(*) AS n FROM o GROUP BY 1, 2),
+        grid AS MATERIALIZED (
+            SELECT t.event_type,
+                   days.d - (SELECT MIN(d) FROM days) AS t,
+                   CAST(COALESCE(cnt.n, 0) AS BIGINT) AS x
+            FROM types t CROSS JOIN days
+            LEFT JOIN cnt ON cnt.event_type = t.event_type AND cnt.d = days.d
+        ),
+        q AS MATERIALIZED (
+            SELECT event_type,
+                   CAST(SUM(CASE WHEN rn = CAST(CEIL(m / 4.0) AS BIGINT)
+                                 THEN x ELSE 0 END) AS BIGINT) AS p25,
+                   CAST(SUM(CASE WHEN rn = CAST(CEIL(3 * m / 4.0) AS BIGINT)
+                                 THEN x ELSE 0 END) AS BIGINT) AS p75
+            FROM (SELECT event_type, x,
+                         ROW_NUMBER() OVER (PARTITION BY event_type
+                                            ORDER BY x, t) AS rn,
+                         COUNT(*) OVER (PARTITION BY event_type) AS m
+                  FROM grid)
+            GROUP BY event_type
+        ),
+        em AS MATERIALIZED (
+            SELECT g.event_type, g.t, g.x,
+                   CAST(CAST(CAST(g.x AS DOUBLE)
+                     * LN(CAST(q.p25 AS DOUBLE) + 0.5)
+                   - (CAST(q.p25 AS DOUBLE) + 0.5)
+                   - {_sql_lf('g.x')} AS DECIMAL(38,9)) AS DOUBLE) AS e1,
+                   CAST(CAST(CAST(g.x AS DOUBLE)
+                     * LN(CAST(q.p75 AS DOUBLE) + 0.5)
+                   - (CAST(q.p75 AS DOUBLE) + 0.5)
+                   - {_sql_lf('g.x')} AS DECIMAL(38,9)) AS DOUBLE) AS e2,
+                   (SELECT CAST(COUNT(*) AS BIGINT) FROM days) AS n
+            FROM grid g JOIN q ON q.event_type = g.event_type
+        ),
+        fw AS (
+            SELECT event_type, n, CAST(0 AS BIGINT) AS t,
+                   {_LN_HALF} + e1 AS la1,
+                   {_LN_HALF} + e2 AS la2
+            FROM em WHERE t = 0
+            UNION ALL
+            SELECT f.event_type, f.n, f.t + 1,
+                   CAST(CAST(
+                   e.e1 + (GREATEST(f.la1 + {_LN_STAY},
+                                    f.la2 + {_LN_SWITCH})
+                           + LN(1.0 + EXP(-ABS((f.la1 + {_LN_STAY})
+                                               - (f.la2 + {_LN_SWITCH})))))
+                   AS DECIMAL(38,9)) AS DOUBLE),
+                   CAST(CAST(
+                   e.e2 + (GREATEST(f.la1 + {_LN_SWITCH},
+                                    f.la2 + {_LN_STAY})
+                           + LN(1.0 + EXP(-ABS((f.la1 + {_LN_SWITCH})
+                                               - (f.la2 + {_LN_STAY})))))
+                   AS DECIMAL(38,9)) AS DOUBLE)
+            FROM fw f
+            JOIN em e ON e.event_type = f.event_type AND e.t = f.t + 1
+        )
+        SELECT f.event_type, f.n AS n_days,
+               CAST(q.p25 AS DOUBLE) + 0.5 AS mu_low,
+               CAST(q.p75 AS DOUBLE) + 0.5 AS mu_high,
+               ROUND(GREATEST(f.la1, f.la2)
+                     + LN(1.0 + EXP(-ABS(f.la1 - f.la2))), 9) AS loglik,
+               ROUND(EXP(f.la2 - (GREATEST(f.la1, f.la2)
+                                  + LN(1.0 + EXP(-ABS(f.la1 - f.la2))))),
+                     9) AS p_high_final
+        FROM fw f JOIN q ON q.event_type = f.event_type
+        WHERE f.t = f.n - 1
+        ORDER BY f.event_type
+    """,
+    operators=(23, 31, 375, 401),
+    doc="2-state Poisson HMM forward pass (#401) per daily series: "
+    "low/high-regime emission rates from the series quartiles "
+    "(+0.5, deterministic and positive), sticky 0.9/0.1 "
+    "transitions, log-space forward recursion with the numerically "
+    "stable pairwise log-sum-exp — emits the sequence log-likelihood "
+    "and the final-day high-regime posterior: the TEMPORAL "
+    "latent-regime model beside the i.i.d. mixture (#398), with "
+    "persistence the GMM cannot express. Poisson log-pmf needs "
+    "ln x! — the #375 portable Stirling lf() text, evaluated "
+    "identically by both engines; ln transition constants are "
+    "literal doubles, the fold is the per-series ordered recursion "
+    "mirrored by the oracle's recursive CTE. Scale: emissions are "
+    "one cell pass; the fold length is the day span; series "
+    "parallelize.",
+    bench=False,
+)
+def q_hmm_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    o = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.datediff(
+            F.col("ts").cast("timestamp").cast("date"),
+            F.lit("1970-01-01").cast("date"),
+        ).alias("d"),
+    )
+    bounds = o.agg(F.min("d").alias("mn"), F.max("d").alias("mx"))
+    days = bounds.select(
+        F.col("mn"), F.explode(F.sequence(F.col("mn"), F.col("mx"))).alias("d")
+    )
+    types = o.select("event_type").distinct()
+    cnt = o.groupBy("event_type", "d").agg(F.count(F.lit(1)).alias("n"))
+    grid = (
+        types.crossJoin(days)
+        .join(cnt, ["event_type", "d"], "left")
+        .select(
+            "event_type",
+            (F.col("d") - F.col("mn")).alias("t"),
+            F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("x"),
+        )
+    )
+    w_rank = W.partitionBy("event_type").orderBy("x", "t")
+    ranked = grid.select(
+        "event_type",
+        "x",
+        F.row_number().over(w_rank).alias("rn"),
+        F.count(F.lit(1)).over(W.partitionBy("event_type")).alias("m"),
+    )
+    q = ranked.groupBy("event_type").agg(
+        F.sum(
+            F.when(
+                F.col("rn") == F.expr("CAST(CEIL(m / 4.0) AS BIGINT)"),
+                F.col("x"),
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("p25"),
+        F.sum(
+            F.when(
+                F.col("rn") == F.expr("CAST(CEIL(3 * m / 4.0) AS BIGINT)"),
+                F.col("x"),
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("p75"),
+    )
+    em = grid.join(q, "event_type").select(
+        "event_type",
+        "t",
+        "p25",
+        "p75",
+        (
+            F.col("x").cast("double")
+            * F.log(F.col("p25").cast("double") + 0.5)
+            - (F.col("p25").cast("double") + 0.5)
+            - F.expr(_sql_lf("x"))
+        ).cast("decimal(38,9)").cast("double").alias("e1"),
+        (
+            F.col("x").cast("double")
+            * F.log(F.col("p75").cast("double") + 0.5)
+            - (F.col("p75").cast("double") + 0.5)
+            - F.expr(_sql_lf("x"))
+        ).cast("decimal(38,9)").cast("double").alias("e2"),
+    )
+    ser = em.groupBy("event_type").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("t", "e1", "e2"))),
+            lambda s: F.struct(s["e1"].alias("e1"), s["e2"].alias("e2")),
+        ).alias("es"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.any_value(F.col("p25")).alias("p25"),
+        F.any_value(F.col("p75")).alias("p75"),
+    )
+    ln_stay = float(_LN_STAY)
+    ln_switch = float(_LN_SWITCH)
+    ln_half = float(_LN_HALF)
+
+    def lse(a, b):
+        return F.greatest(a, b) + F.log(1.0 + F.exp(-F.abs(a - b)))
+
+    def step(acc, e):
+        # per-step DECIMAL(38,9) quantization on BOTH sides: libm
+        # LN/EXP are not cross-engine bit-identical, so log-space
+        # drift must be re-pinned each step instead of accumulating
+        # (found-at-decade #13 — surfaced by the sf1 gate at 4e-12).
+        la1 = (
+            e["e1"] + lse(acc["la1"] + ln_stay, acc["la2"] + ln_switch)
+        ).cast("decimal(38,9)").cast("double")
+        la2 = (
+            e["e2"] + lse(acc["la1"] + ln_switch, acc["la2"] + ln_stay)
+        ).cast("decimal(38,9)").cast("double")
+        return F.struct(la1.alias("la1"), la2.alias("la2"))
+
+    head = F.element_at(F.col("es"), 1)
+    init = F.struct(
+        (F.lit(ln_half) + head["e1"]).alias("la1"),
+        (F.lit(ln_half) + head["e2"]).alias("la2"),
+    )
+    rest = F.slice(F.col("es"), 2, F.size(F.col("es")) - 1)
+    folded = ser.select(
+        "event_type",
+        F.col("n").alias("n_days"),
+        "p25",
+        "p75",
+        F.aggregate(rest, init, step).alias("st"),
+    )
+    la1, la2 = F.col("st.la1"), F.col("st.la2")
+    ll = lse(la1, la2)
+    return folded.select(
+        "event_type",
+        "n_days",
+        (F.col("p25").cast("double") + 0.5).alias("mu_low"),
+        (F.col("p75").cast("double") + 0.5).alias("mu_high"),
+        F.round(ll, 9).alias("loglik"),
+        F.round(F.exp(la2 - ll), 9).alias("p_high_final"),
+    ).orderBy("event_type")
