@@ -503,7 +503,10 @@ def q_gmm_em(spark: SparkSession, sf_dir: str) -> DataFrame:
     p75 = (
         cum.filter(F.col("cw") * 4 >= 3 * nn).agg(F.min("x")).collect()[0][0]
     )
-    s0 = ((sxx / nn) - (sx / nn) * (sx / nn)) ** 0.5
+    # Mirror the oracle's operand order exactly: cast each integer sum
+    # to double BEFORE dividing (past 2^53, sxx/nn under true division
+    # differs from float(sxx)/nn by one ulp — a latent parity hazard).
+    s0 = ((float(sxx) / nn) - (float(sx) / nn) * (float(sx) / nn)) ** 0.5
     w1, m1, s1, m2, s2 = 0.5, float(p25), s0, float(p75), s0
 
     def estep(wv, m1v, s1v, m2v, s2v):

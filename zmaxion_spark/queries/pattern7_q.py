@@ -261,7 +261,7 @@ _GAZ_K = 15
     operators=(16, 23, 65, 382),
     doc=f"Gazetteer tagging (#382): the dictionary-matching slot an "
     "Aho-Corasick automaton fills in a single-node NER stack, done "
-    "Spark-first — the dictionary (here the top-{_GAZ_K} "
+    f"Spark-first — the dictionary (here the top-{_GAZ_K} "
     "document-frequency tokens of the English slice; in production "
     "a curated entity list) broadcasts to every executor and "
     "tagging is ONE broadcast hash join against the token stream, "
@@ -348,9 +348,9 @@ _LN3 = "1.0986122886681098"  # ln(3) — entropy l-diversity gate at l=3
     doc=f"l-diversity audit (#383): the privacy rung ABOVE "
     "k-anonymity (#202) — a QI class with k members but one shared "
     "sensitive value still leaks it; each (nation, segment) class "
-    "is graded on DISTINCT l-diversity (>= {_LDIV_L} distinct order "
+    f"is graded on DISTINCT l-diversity (>= {_LDIV_L} distinct order "
     "priorities among its members' orders) and the stricter ENTROPY "
-    "l-diversity (H(sensitive | class) >= ln {_LDIV_L}, which a "
+    f"l-diversity (H(sensitive | class) >= ln {_LDIV_L}, which a "
     "99:1:1 mix fails even at l_distinct = 3). Parity: counts are "
     "exact; entropy is the standard DECIMAL(38,18) ln-sum over the "
     "per-class census. Scale: one join shuffled on custkey, then a "

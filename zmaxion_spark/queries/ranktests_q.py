@@ -18,7 +18,7 @@ from zmaxion_spark.queries.registry import query
 
 _Z_95 = "1.959963984540054"
 _CHI2_1_95 = "3.841458820694124"
-_CHI2_3_95 = "7.814727903251179"  # chi2(3) 95%
+
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -639,7 +639,15 @@ def q_hodges_lehmann(spark: SparkSession, sf_dir: str) -> DataFrame:
                         / (m.ta + m.tb))
                      / (CAST(c.a + c.b AS DOUBLE) * m.tb / (m.ta + m.tb))
                    AS DECIMAL(38,18))) AS DOUBLE)
-                    > {_CHI2_3_95} AS INT) AS significant
+                    > CASE (SELECT COUNT(*) FROM cells) - 1
+                        WHEN 1 THEN 3.841458820694124
+                        WHEN 2 THEN 5.991464547107979
+                        WHEN 3 THEN 7.814727903251179
+                        WHEN 4 THEN 9.487729036781154
+                        WHEN 5 THEN 11.070497693516351
+                        WHEN 6 THEN 12.591587243743977
+                        WHEN 7 THEN 14.067140449340169
+                        ELSE 15.50731305586545 END AS INT) AS significant
         FROM cells c CROSS JOIN mom m
         GROUP BY m.ta, m.tb
     """,
@@ -652,9 +660,10 @@ def q_hodges_lehmann(spark: SparkSession, sf_dir: str) -> DataFrame:
     "looks at which side of the median each day lands, so a single "
     "monster day cannot move it. Counts exact; per-cell chi2 terms "
     "sum through DECIMAL(38,18). Scale: one rank-selection over the "
-    "pooled census + a k-row census. NB: the chi2(3) gate matches "
-    "the fixture's k=4-ish dof at the graded scale; the column is "
-    "the statistic, the flag is a convenience.",
+    "pooled census + a k-row census. The significance gate keys the "
+    "chi2 95% critical value on the observed dof = k-1 (CASE over "
+    "dof 1..7, else the dof-8 value) so the flag stays honest as "
+    "the fixture's group count changes across scale factors.",
     bench=False,
 )
 def q_mood_median(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -710,11 +719,21 @@ def q_mood_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = j.groupBy("ta", "tb", "k").agg(
         F.sum(term).cast("double").alias("chi2")
     )
+    crit = (
+        F.when(F.col("k") - 1 == 1, 3.841458820694124)
+        .when(F.col("k") - 1 == 2, 5.991464547107979)
+        .when(F.col("k") - 1 == 3, 7.814727903251179)
+        .when(F.col("k") - 1 == 4, 9.487729036781154)
+        .when(F.col("k") - 1 == 5, 11.070497693516351)
+        .when(F.col("k") - 1 == 6, 12.591587243743977)
+        .when(F.col("k") - 1 == 7, 14.067140449340169)
+        .otherwise(15.50731305586545)
+    )
     return agg.select(
         "k",
         (ta + tb).alias("n_used"),
         F.round("chi2", 9).alias("chi2"),
-        (F.col("chi2") > float(_CHI2_3_95)).cast("int").alias("significant"),
+        (F.col("chi2") > crit).cast("int").alias("significant"),
     )
 
 

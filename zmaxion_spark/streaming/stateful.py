@@ -422,7 +422,14 @@ def page_hinkley_state(
         t = (c - s_arr.astype(np.float64) / n_arr) - delta
         prod = t * 1e9
         units = np.rint(prod).astype(np.int64)
-        band = np.abs(prod - np.floor(prod) - 0.5) < 2e-3
+        # Band width must track the product's own ulp: a fixed 2e-3
+        # covers multiply error only while |prod| < ~2^42 (ulp 1e-3);
+        # per-event cent deviations push |t| past 1e4 at larger SFs,
+        # where rint can land differently from the oracle's
+        # DECIMAL(38,9) cast outside the fixed band.
+        band = np.abs(prod - np.floor(prod) - 0.5) < np.maximum(
+            2e-3, 4.0 * np.spacing(np.abs(prod))
+        )
         for i in np.nonzero(band)[0]:
             units[i] = int(
                 Decimal(repr(float(t[i]))).scaleb(9).to_integral_value(
