@@ -162,7 +162,8 @@ _NEXT_ROUND: list[str] = [
     "q_agg_approx",
     "q_sim_topk_ivf",
     "q_sim_join_lsh",
-    # round-8 additions (#402-#414) — appended by the round-8 wave.
+    # round-8 additions — appended by the round-8 wave.
+    "q_smote_capped",
 ]
 
 

@@ -733,6 +733,267 @@ def q_smote_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# #385/#263 smote_capped — LSH-bucket-diverted SMOTE (the capped twin)
+# ---------------------------------------------------------------------------
+
+_SMOTE_BITS = 4  # sign-random-projection bits; production scales bits
+#                  with log2(|minority| / target_bucket) — the graded
+#                  contract pins 4 so the oracle states the same buckets
+
+
+def _smote_hyperplanes() -> list[list[float]]:
+    """Deterministic md5-uniform hyperplanes in [-1, 1)^dim.
+
+    Plan-level constants (the #203 derandomization discipline): both
+    engines receive the SAME literal component lists, so the sign of
+    the ordered dot-product fold is bit-identical cross-engine.
+    """
+    import hashlib
+
+    out = []
+    for j in range(_SMOTE_BITS):
+        h = []
+        for i in range(_EMB_DIM):
+            u = (
+                int(hashlib.md5(f"smoteh:{j}:{i}".encode()).hexdigest()[:13], 16)
+                / _TWO52
+            )
+            h.append(2.0 * u - 1.0)
+        out.append(h)
+    return out
+
+
+_SMOTE_H = _smote_hyperplanes()
+
+
+def _smote_bucket_sql() -> str:
+    terms = []
+    for j in range(_SMOTE_BITS):
+        lit = "[" + ", ".join(repr(x) for x in _SMOTE_H[j]) + "]"
+        terms.append(
+            f"""CASE WHEN list_reduce(
+                list_prepend(CAST(0 AS DOUBLE),
+                    list_transform(range(1, {_EMB_DIM + 1}),
+                        i -> m.v[i] * (CAST({lit} AS DOUBLE[]))[i])),
+                (p, q) -> p + q) > 0 THEN {1 << j} ELSE 0 END"""
+        )
+    return "(" + "\n + ".join(terms) + ")"
+
+
+@query(
+    "q_smote_capped",
+    oracle=f"""
+        WITH emb AS (
+            SELECT vec_id, label,
+                   CAST(embedding AS DOUBLE[]) AS v
+            FROM embeddings
+        ),
+        mlab AS (
+            SELECT label
+            FROM (SELECT label, COUNT(*) AS c FROM emb GROUP BY label)
+            ORDER BY c, label LIMIT 1
+        ),
+        mino AS (
+            SELECT e.vec_id, e.label, e.v
+            FROM emb e JOIN mlab m ON m.label = e.label
+        ),
+        buck AS (
+            SELECT m.vec_id, m.label, m.v,
+                   {_smote_bucket_sql()} AS bucket
+            FROM mino m
+        ),
+        sz AS (
+            SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_bucket
+            FROM buck GROUP BY bucket
+        ),
+        pairs AS (
+            SELECT a.vec_id, a.label, a.bucket, a.v AS va,
+                   b.vec_id AS nn_id, b.v AS vb,
+                   list_reduce(
+                       list_prepend(CAST(0 AS DOUBLE),
+                           list_transform(range(1, {_EMB_DIM + 1}),
+                               i -> (a.v[i] - b.v[i])
+                                    * (a.v[i] - b.v[i]))),
+                       (p, q) -> p + q) AS d2
+            FROM buck a JOIN buck b
+              ON b.bucket = a.bucket AND b.vec_id <> a.vec_id
+        ),
+        nn AS (
+            SELECT vec_id, label, bucket, va, nn_id, vb, d2,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                                      ORDER BY ROUND(d2, 9), nn_id) AS rn
+            FROM pairs
+        ),
+        synth AS (
+            SELECT vec_id, label, bucket, nn_id, d2,
+                   CAST(('0x' || SUBSTR(MD5('smotec:' || vec_id), 1, 13))
+                        AS BIGINT) / {_TWO52} AS lam,
+                   list_transform(range(1, {_EMB_DIM + 1}),
+                       i -> va[i]
+                            + (CAST(('0x' || SUBSTR(MD5('smotec:' || vec_id),
+                                                    1, 13)) AS BIGINT)
+                               / {_TWO52}) * (vb[i] - va[i])) AS s
+            FROM nn WHERE rn = 1
+        )
+        SELECT y.vec_id, y.label,
+               CAST(y.bucket AS INT) AS bucket, z.n_bucket, y.nn_id,
+               ROUND(y.d2, 9) AS nn_d2,
+               ROUND(y.lam, 9) AS lam,
+               ROUND(list_reduce(
+                         list_prepend(CAST(0 AS DOUBLE),
+                             list_transform(y.s, t -> t * t)),
+                         (p, q) -> p + q), 9) AS synth_norm2
+        FROM synth y JOIN sz z ON z.bucket = y.bucket
+        ORDER BY y.vec_id
+    """,
+    operators=(23, 30, 263, 385),
+    doc="Capped SMOTE (#385 + #263): the forced-diversion twin of "
+    "q_smote_interpolate, in the q_dedup_minhash_capped pattern — "
+    "the minority class is split into sign-random-projection LSH "
+    "buckets (4 md5-derived hyperplanes shared as plan literals, "
+    "ordered dot-product folds so bucket bits are cross-engine "
+    "exact) and each vector interpolates toward its exact 1-NN "
+    "WITHIN ITS BUCKET; in-bucket 1-NN is the stated contract, not "
+    "an approximation of global 1-NN. Scale: this is the production "
+    "shape for a large minority — the whole-minority broadcast of "
+    "the uncapped twin never happens; work is bounded per bucket "
+    "(quadratic only in bucket size, bits grow with "
+    "log2(|minority|/target_bucket)), and the per-bucket 1-NN runs "
+    "as grouped Arrow batches with chunked BLAS + epsilon-band "
+    "exact-fold rescore. Singleton buckets have no in-class "
+    "neighbor and emit nothing (they fall back to the uncapped path "
+    "in production).",
+    bench=True,
+)
+def q_smote_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    mlab = (
+        emb.groupBy("label")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy("c", "label")
+        .limit(1)
+        .select("label")
+    )
+    mino = emb.join(F.broadcast(mlab), "label")
+
+    bucket = F.lit(0)
+    for j in range(_SMOTE_BITS):
+        harr = F.array(*[F.lit(x) for x in _SMOTE_H[j]])
+        dot = F.aggregate(
+            F.zip_with(F.col("v"), harr, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bucket = bucket + F.when(dot > 0, F.lit(1 << j)).otherwise(F.lit(0))
+    bucketed = mino.select(
+        "vec_id", "label", "v", bucket.cast("int").alias("bucket")
+    )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("label", T.IntegerType()),
+            T.StructField("bucket", T.IntegerType()),
+            T.StructField("n_bucket", T.LongType()),
+            T.StructField("nn_id", T.LongType()),
+            T.StructField("nn_d2", T.DoubleType()),
+            T.StructField("lam", T.DoubleType()),
+            T.StructField("synth_norm2", T.DoubleType()),
+        ]
+    )
+
+    def _round9(x: float) -> float:
+        from decimal import ROUND_HALF_UP, Decimal
+
+        return float(
+            Decimal(repr(x)).quantize(Decimal("1e-9"), rounding=ROUND_HALF_UP)
+        )
+
+    def _fold_d2(x: np.ndarray, cand: np.ndarray) -> np.ndarray:
+        acc = np.zeros(len(cand))
+        for i in range(cand.shape[1]):
+            t = x[i] - cand[:, i]
+            acc = acc + t * t
+        return acc
+
+    def nn_in_bucket(key, pdf_in: pd.DataFrame) -> pd.DataFrame:
+        import hashlib
+
+        n = len(pdf_in)
+        if n < 2:
+            return pd.DataFrame(
+                columns=[
+                    "vec_id", "label", "bucket", "n_bucket",
+                    "nn_id", "nn_d2", "lam", "synth_norm2",
+                ]
+            )
+        ids = pdf_in["vec_id"].to_numpy()
+        labels = pdf_in["label"].to_numpy()
+        mat = np.vstack(pdf_in["v"].to_numpy()).astype(np.float64)
+        c_sq = (mat * mat).sum(axis=1)
+        rows = []
+        eps = 1e-6
+        chunk = max(1, 32_000_000 // max(1, n))
+        for lo in range(0, n, chunk):
+            hi = min(n, lo + chunk)
+            batch = mat[lo:hi]
+            d2b = (
+                (batch * batch).sum(axis=1)[:, None]
+                + c_sq[None, :]
+                - 2.0 * (batch @ mat.T)
+            )
+            d2b[np.arange(lo, hi)[:, None] == np.arange(n)[None, :]] = np.inf
+            for r in range(hi - lo):
+                g = lo + r
+                m = d2b[r].min()
+                cand_idx = np.nonzero(d2b[r] <= m + eps * (1.0 + abs(m)))[0]
+                exact = _fold_d2(mat[g], mat[cand_idx])
+                keys = sorted(
+                    (_round9(float(e)), int(ids[j]), float(e), int(j))
+                    for e, j in zip(exact, cand_idx)
+                )
+                _, nn_id, d2, nn_j = keys[0]
+                h = hashlib.md5(f"smotec:{int(ids[g])}".encode())
+                lam = int(h.hexdigest()[:13], 16) / _TWO52
+                nb = mat[nn_j]
+                norm2 = 0.0
+                for i in range(len(nb)):
+                    s_i = mat[g][i] + lam * (nb[i] - mat[g][i])
+                    norm2 = norm2 + s_i * s_i
+                rows.append(
+                    (
+                        int(ids[g]), int(labels[g]), int(key[0]), n,
+                        nn_id, d2, lam, norm2,
+                    )
+                )
+        return pd.DataFrame(
+            rows,
+            columns=[
+                "vec_id", "label", "bucket", "n_bucket",
+                "nn_id", "nn_d2", "lam", "synth_norm2",
+            ],
+        )
+
+    out = bucketed.groupBy("bucket").applyInPandas(nn_in_bucket, out_schema)
+    return out.select(
+        "vec_id",
+        "label",
+        "bucket",
+        "n_bucket",
+        "nn_id",
+        F.round("nn_d2", 9).alias("nn_d2"),
+        F.round("lam", 9).alias("lam"),
+        F.round("synth_norm2", 9).alias("synth_norm2"),
+    ).orderBy("vec_id")
+
+
+# ---------------------------------------------------------------------------
 # #386 dtw_distance — Sakoe-Chiba banded DTW between series pairs
 # ---------------------------------------------------------------------------
 
