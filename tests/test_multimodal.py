@@ -61,3 +61,90 @@ def test_resize_marks_fake_decode_without_pil(spark):
     assert metas[1]["resized_to"] == "32x32"
     assert metas[1]["decode"] == "fake"  # no PIL in this container
     assert "resized_to" not in metas[2]  # video untouched
+
+
+# ---------------------------------------------------------------------------
+# Baseline JPEG codec (functions/media_jpeg.py) — round-8, VERDICT r7 #4
+# ---------------------------------------------------------------------------
+
+
+def test_jpeg_dc_roundtrip_closed_form():
+    from zmaxion_spark.functions import media_jpeg as J
+
+    w, h, seed = 32, 24, 113
+    d = J.decode_jpeg(J.synthesize_jpeg_dc(w, h, seed))
+    bw, bh = w // 8, h // 8
+    exp_total = sum(
+        64 * (2 * J.jpeg_dc_value(seed, bx, by) + 128)
+        for by in range(bh)
+        for bx in range(bw)
+    )
+    assert d["width"] == w and d["height"] == h and d["n_components"] == 1
+    assert d["mean_luma"] == exp_total // (w * h)
+    assert d["coef_l1"] == sum(
+        16 * abs(J.jpeg_dc_value(seed, bx, by))
+        for by in range(bh)
+        for bx in range(bw)
+    )
+
+
+def test_jpeg_ac_rle_and_eob():
+    from zmaxion_spark.functions import media_jpeg as J
+
+    w, h, seed = 16, 16, 201
+    d = J.decode_jpeg(J.synthesize_jpeg_ac(w, h, seed))
+    exp = 0
+    for by in range(h // 8):
+        for bx in range(w // 8):
+            a5, a20 = J.jpeg_ac_values(seed, bx, by)
+            exp += 16 * (abs(J.jpeg_dc_value(seed, bx, by)) + abs(a5) + abs(a20))
+    assert d["coef_l1"] == exp
+
+
+def test_jpeg_color_interleave_predictors():
+    from zmaxion_spark.functions import media_jpeg as J
+
+    w, h, seed = 24, 8, 55
+    d = J.decode_jpeg(J.synthesize_jpeg_color(w, h, seed))
+    assert d["n_components"] == 3
+    exp = sum(
+        16 * abs(J.jpeg_dc_value(seed + 97 * c, bx, by))
+        for bx in range(w // 8)
+        for by in range(h // 8)
+        for c in range(3)
+    )
+    assert d["coef_l1"] == exp
+
+
+def test_jpeg_byte_stuffing_survives():
+    # Seeds that force 0xFF bytes in the entropy stream round-trip:
+    # sweep enough seeds that stuffing statistically must occur.
+    from zmaxion_spark.functions import media_jpeg as J
+
+    hits = 0
+    for seed in range(120):
+        p = J.synthesize_jpeg_ac(16, 8, seed)
+        scan = p[p.index(b"\xff\xda") + 2 :]
+        if b"\xff\x00" in scan:
+            hits += 1
+        d = J.decode_jpeg(p)
+        assert d["width"] == 16
+    assert hits > 0  # stuffing path actually exercised
+
+
+def test_jpeg_rejects_progressive_and_subsampled():
+    import pytest
+
+    from zmaxion_spark.functions import media_jpeg as J
+
+    p = bytearray(J.synthesize_jpeg_dc(8, 8, 1))
+    i = bytes(p).index(b"\xff\xc0")
+    p[i + 1] = 0xC2  # SOF2: progressive
+    with pytest.raises(NotImplementedError):
+        J.decode_jpeg(bytes(p))
+
+    p = bytearray(J.synthesize_jpeg_color(8, 8, 1))
+    i = bytes(p).index(b"\xff\xc0")
+    p[i + 11] = 0x22  # 4:2:0 sampling on component 1
+    with pytest.raises(NotImplementedError):
+        J.decode_jpeg(bytes(p))

@@ -164,6 +164,7 @@ _NEXT_ROUND: list[str] = [
     "q_sim_join_lsh",
     # round-8 additions — appended by the round-8 wave.
     "q_smote_capped",
+    "q_media_decode_jpeg",
 ]
 
 
