@@ -22,6 +22,7 @@ from zmaxion_spark.queries import (  # noqa: F401,E402
     pipeline3_q,
     ranktests_q,
     relational,
+    round8_q,
     retrieval_q,
     scalar,
     scale_q,

@@ -1,0 +1,710 @@
+"""Round-8 wave — SURVEY.md §2.26 (#402–#412).
+
+Preference aggregation (Bradley-Terry), uplift evaluation (Qini),
+the survival-estimator completion (Nelson-Aalen + RMST), heavier
+distribution tests (k-sample Anderson-Darling), long-memory and
+vocabulary-growth diagnostics (Hurst R/S, Heaps' law), clustering
+quality (simplified silhouette), density clustering census (sampled
+grid DBSCAN), cooperative attribution (exact 3-filter Shapley), and
+the LLM-pipeline pair: tokenizer fertility and temperature-sampled
+data mixing weights.
+
+Parity disciplines reused from the repo:
+
+- Iterated fixed-point rounds (Bradley-Terry MM) quantize each
+  round through ROUND(12) with per-term DECIMAL(38,18) sums — the
+  #340 textrank / #398 gmm_em discipline; the oracle unrolls the
+  rounds as CTEs.
+- Integer-first statistics: Anderson-Darling numerators, Hurst
+  rescaled ranges (n·cum_i − i·Σx stays BIGINT), and Shapley
+  subset counts are exact integers until one final IEEE tree.
+- ln/exp trees are written identically on both sides (the #233
+  Kaplan-Meier precedent); sums of ln/exp terms pass through
+  DECIMAL casts so addition order cannot drift.
+- "Randomness" (hyperplanes, samples) is md5-derived at plan level.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from zmaxion_spark.catalog import load_table
+from zmaxion_spark.queries.registry import query
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# #402 bradley_terry — pairwise-preference strength via 4 MM rounds
+# ---------------------------------------------------------------------------
+
+_BT_ROUNDS = 4
+_BT_FLOOR = "0.000000000001"  # keeps a winless player's p away from 0/0
+
+
+def _bt_round_sql(prev: str, out: str) -> str:
+    """One Bradley-Terry MM update as a CTE: p_i' = W_i / Σ_j n_ij /
+    (p_i + p_j), per-term DECIMAL(38,18) so the sum is order-free,
+    ROUND(12) re-quantization per round (the #340/#398 discipline)."""
+    return f"""
+        {out} AS (
+            SELECT n.i,
+                   GREATEST(ROUND(CAST(w.w AS DOUBLE)
+                       / CAST(SUM(CAST(CAST(n.n AS DOUBLE)
+                                       / (pi.p + pj.p)
+                                       AS DECIMAL(38,18))) AS DOUBLE), 12),
+                       {_BT_FLOOR}) AS p
+            FROM nall n
+            JOIN {prev} pi ON pi.i = n.i
+            JOIN {prev} pj ON pj.i = n.j
+            JOIN wt w ON w.i = n.i
+            GROUP BY n.i, w.w
+        )"""
+
+
+@query(
+    "q_bradley_terry",
+    oracle=f"""
+        WITH base AS (
+            SELECT o.o_custkey AS ck, o.o_orderpriority AS m,
+                   CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT))
+                        AS BIGINT) AS q
+            FROM orders o GROUP BY 1, 2
+        ),
+        duel AS (
+            SELECT a.m AS wi, b.m AS lo
+            FROM base a JOIN base b
+              ON b.ck = a.ck AND b.m <> a.m AND a.q > b.q
+        ),
+        e AS (
+            SELECT wi AS i, lo AS j, CAST(COUNT(*) AS BIGINT) AS w
+            FROM duel GROUP BY 1, 2
+        ),
+        nall AS (
+            SELECT i, j, CAST(SUM(n) AS BIGINT) AS n FROM (
+                SELECT i, j, w AS n FROM e
+                UNION ALL
+                SELECT j AS i, i AS j, w AS n FROM e
+            ) GROUP BY i, j
+        ),
+        players AS (SELECT DISTINCT i FROM nall),
+        wt AS (
+            SELECT p.i, COALESCE(CAST(SUM(e.w) AS BIGINT), 0) AS w
+            FROM players p LEFT JOIN e ON e.i = p.i GROUP BY p.i
+        ),
+        r0 AS (SELECT i, CAST(1 AS DOUBLE) AS p FROM players),
+        {",".join(_bt_round_sql(f"r{k}", f"r{k + 1}") for k in range(_BT_ROUNDS))},
+        nd AS (
+            SELECT i, CAST(SUM(n) AS BIGINT) AS n_duels FROM nall GROUP BY i
+        )
+        SELECT r.i AS player, d.n_duels, w.w AS wins,
+               ROUND(r.p, 9) AS strength,
+               CAST(ROW_NUMBER() OVER (ORDER BY r.p DESC, r.i) AS BIGINT)
+                   AS rnk
+        FROM r{_BT_ROUNDS} r
+        JOIN wt w ON w.i = r.i
+        JOIN nd d ON d.i = r.i
+        ORDER BY rnk
+    """,
+    operators=(13, 23, 402),
+    doc=f"Bradley-Terry preference aggregation (#402): the model "
+    "behind arena-style LLM leaderboards and any pairwise-judgment "
+    "eval — per customer, each pair of order-priority classes duels "
+    "(larger cent-exact spend wins, ties abstain), the duel census "
+    "collapses to a k x k win matrix, and player strengths come from "
+    f"{_BT_ROUNDS} fixed MM rounds p_i' = W_i / SUM_j n_ij/(p_i+p_j) "
+    "from p=1 — each round's per-term quotients pass through "
+    "DECIMAL(38,18) (order-free sums) and re-quantize at ROUND(12), "
+    "so Spark's plan-loop rounds are bit-identical to the oracle's "
+    "unrolled CTE chain (the #340/#398 discipline); a winless "
+    "player's strength floors at 1e-12 instead of poisoning later "
+    "rounds with 0/0. Scale: duels are bounded per customer "
+    "(<= k(k-1)/2 pairs after an ALREADY-AGGREGATED per-customer "
+    "rollup), the MM rounds run on the k^2-cell matrix — thousands "
+    "of times smaller than the fact table; the corpus is scanned "
+    "once.",
+    bench=True,
+)
+def q_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    base = o.groupBy(
+        F.col("o_custkey").alias("ck"), F.col("o_orderpriority").alias("m")
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("q")
+    )
+    a, b = base.alias("a"), base.alias("b")
+    duel = a.join(
+        b,
+        (F.col("b.ck") == F.col("a.ck"))
+        & (F.col("b.m") != F.col("a.m"))
+        & (F.col("a.q") > F.col("b.q")),
+    ).select(F.col("a.m").alias("i"), F.col("b.m").alias("j"))
+    e = (
+        duel.groupBy("i", "j")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("w"))
+        .localCheckpoint(eager=True)
+    )
+    nall = (
+        e.select("i", "j", F.col("w").alias("n"))
+        .unionByName(
+            e.select(
+                F.col("j").alias("i"), F.col("i").alias("j"), F.col("w").alias("n")
+            )
+        )
+        .groupBy("i", "j")
+        .agg(F.sum("n").cast("bigint").alias("n"))
+        .localCheckpoint(eager=True)
+    )
+    players = nall.select("i").distinct()
+    wt = (
+        players.join(e, "i", "left")
+        .groupBy("i")
+        .agg(F.coalesce(F.sum("w").cast("bigint"), F.lit(0)).alias("w"))
+        .localCheckpoint(eager=True)
+    )
+    p = players.select("i", F.lit(1.0).alias("p"))
+    for _ in range(_BT_ROUNDS):
+        pi = p.select(F.col("i"), F.col("p").alias("p_i"))
+        pj = p.select(F.col("i").alias("j"), F.col("p").alias("p_j"))
+        term = (
+            F.col("n").cast("double") / (F.col("p_i") + F.col("p_j"))
+        ).cast("decimal(38,18)")
+        p = (
+            nall.join(pi, "i")
+            .join(pj, "j")
+            .join(wt, "i")
+            .groupBy("i", "w")
+            .agg(
+                F.greatest(
+                    F.round(
+                        F.col("w").cast("double")
+                        / F.sum(term).cast("double"),
+                        12,
+                    ),
+                    F.lit(float(_BT_FLOOR)),
+                ).alias("p")
+            )
+            .select("i", "p")
+            .localCheckpoint(eager=True)
+        )
+    nd = nall.groupBy("i").agg(F.sum("n").cast("bigint").alias("n_duels"))
+    w_rank = Window.orderBy(F.col("p").desc(), "i")
+    return (
+        p.join(wt, "i")
+        .join(nd, "i")
+        .select(
+            F.col("i").alias("player"),
+            "n_duels",
+            F.col("w").alias("wins"),
+            F.round("p", 9).alias("strength"),
+            F.row_number().over(w_rank).cast("bigint").alias("rnk"),
+        )
+        .orderBy("rnk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# #403 qini_uplift — two-model uplift by band + Qini coefficient
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_qini_uplift",
+    oracle="""
+        WITH u AS (
+            SELECT user_id,
+                   CAST(user_id % 2 AS INT) AS tr,
+                   LEAST(CAST(COUNT(*) AS BIGINT) // 20, 4) AS xb,
+                   MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                       AS conv
+            FROM events GROUP BY user_id
+        ),
+        cells AS (
+            SELECT xb, tr, CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(conv) AS BIGINT) AS c
+            FROM u GROUP BY xb, tr
+        ),
+        score AS (
+            SELECT xb,
+                   CAST(SUM(CASE WHEN tr = 1 THEN c END) AS DOUBLE)
+                   / SUM(CASE WHEN tr = 1 THEN n END)
+                   - CAST(SUM(CASE WHEN tr = 0 THEN c END) AS DOUBLE)
+                     / SUM(CASE WHEN tr = 0 THEN n END) AS up,
+                   CAST(SUM(CASE WHEN tr = 1 THEN n ELSE 0 END) AS BIGINT)
+                       AS nt,
+                   CAST(SUM(CASE WHEN tr = 1 THEN c ELSE 0 END) AS BIGINT)
+                       AS ct,
+                   CAST(SUM(CASE WHEN tr = 0 THEN n ELSE 0 END) AS BIGINT)
+                       AS nc,
+                   CAST(SUM(CASE WHEN tr = 0 THEN c ELSE 0 END) AS BIGINT)
+                       AS cc
+            FROM cells GROUP BY xb
+        ),
+        ranked AS (
+            SELECT *, ROW_NUMBER() OVER (ORDER BY up DESC, xb) AS rk
+            FROM score
+        ),
+        cum AS (
+            SELECT rk, xb, up, nt, ct, nc, cc,
+                   SUM(nt) OVER w AS nt_c, SUM(ct) OVER w AS ct_c,
+                   SUM(nc) OVER w AS nc_c, SUM(cc) OVER w AS cc_c
+            FROM ranked
+            WINDOW w AS (ORDER BY rk ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND CURRENT ROW)
+        ),
+        qc AS (
+            SELECT *,
+                   CAST(ct_c AS DOUBLE)
+                   - CAST(cc_c AS DOUBLE) * nt_c / nc_c AS qv
+            FROM cum
+        ),
+        tot AS (
+            SELECT CAST(SUM(nt + nc) AS BIGINT) AS n_tot,
+                   CAST(COUNT(*) AS BIGINT) AS k
+            FROM qc
+        ),
+        fin AS (
+            SELECT MAX(CASE WHEN rk = (SELECT MAX(rk) FROM qc) THEN qv END)
+                       AS q_final
+            FROM qc
+        ),
+        coef AS (
+            SELECT CAST(SUM(CAST(
+                       q.qv - f.q_final
+                             * CAST(q.nt_c + q.nc_c AS DOUBLE) / t.n_tot
+                       AS DECIMAL(38,12))) AS DOUBLE) / t.k AS qini_coef
+            FROM qc q CROSS JOIN tot t CROSS JOIN fin f
+            GROUP BY t.k
+        )
+        SELECT q.rk, q.xb AS band,
+               ROUND(q.up, 9) AS uplift,
+               q.nt AS n_t, q.ct AS conv_t, q.nc AS n_c, q.cc AS conv_c,
+               ROUND(q.qv, 9) AS qini_cum,
+               ROUND(c.qini_coef, 9) AS qini_coef
+        FROM qc q CROSS JOIN coef c
+        ORDER BY q.rk
+    """,
+    operators=(23, 31, 403),
+    doc="Qini uplift evaluation (#403): the incremental-impact view "
+    "a conversion-rate comparison cannot give — users stratify into "
+    "activity bands (the #281/#395 covariate), the two-model uplift "
+    "score per band is conv_T - conv_C, bands rank by score, and "
+    "the Qini curve Q(k) = convT_cum - convC_cum * nT_cum/nC_cum "
+    "accumulates down the ranking; the Qini coefficient averages "
+    "Q(k)'s lift over the random-targeting diagonal (per-band terms "
+    "decimal-quantized). In-sample scoring at the graded scale — "
+    "the embargoed/split operators (#77/#225 family) carry the "
+    "out-of-sample discipline separately. The targeting ship-gate "
+    "beside the frequentist family (#147/#286/#369) and DR-ATE "
+    "(#395). Scale: one per-user rollup, then 10-cell algebra — "
+    "identical shape to #395.",
+    bench=False,
+)
+def q_qini_uplift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    u = (
+        _t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.least(
+                (F.count(F.lit(1)) / 20).cast("bigint"), F.lit(4)
+            ).alias("xb"),
+            F.max(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).alias("conv"),
+        )
+        .select(
+            (F.col("user_id") % 2).cast("int").alias("tr"), "xb", "conv"
+        )
+    )
+    cells = u.groupBy("xb", "tr").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("conv").cast("bigint").alias("c"),
+    )
+    t1 = F.when(F.col("tr") == 1, F.col("c"))
+    n1 = F.when(F.col("tr") == 1, F.col("n"))
+    t0 = F.when(F.col("tr") == 0, F.col("c"))
+    n0 = F.when(F.col("tr") == 0, F.col("n"))
+    score = cells.groupBy("xb").agg(
+        (
+            F.sum(t1).cast("double") / F.sum(n1)
+            - F.sum(t0).cast("double") / F.sum(n0)
+        ).alias("up"),
+        F.sum(F.when(F.col("tr") == 1, F.col("n")).otherwise(0))
+        .cast("bigint")
+        .alias("nt"),
+        F.sum(F.when(F.col("tr") == 1, F.col("c")).otherwise(0))
+        .cast("bigint")
+        .alias("ct"),
+        F.sum(F.when(F.col("tr") == 0, F.col("n")).otherwise(0))
+        .cast("bigint")
+        .alias("nc"),
+        F.sum(F.when(F.col("tr") == 0, F.col("c")).otherwise(0))
+        .cast("bigint")
+        .alias("cc"),
+    )
+    w_rank = Window.orderBy(F.col("up").desc(), "xb")
+    ranked = score.select(
+        "*", F.row_number().over(w_rank).alias("rk")
+    )
+    w_cum = Window.orderBy("rk").rowsBetween(Window.unboundedPreceding, 0)
+    cum = ranked.select(
+        "rk", "xb", "up", "nt", "ct", "nc", "cc",
+        F.sum("nt").over(w_cum).alias("nt_c"),
+        F.sum("ct").over(w_cum).alias("ct_c"),
+        F.sum("nc").over(w_cum).alias("nc_c"),
+        F.sum("cc").over(w_cum).alias("cc_c"),
+    )
+    qc = cum.withColumn(
+        "qv",
+        F.col("ct_c").cast("double")
+        - F.col("cc_c").cast("double") * F.col("nt_c") / F.col("nc_c"),
+    ).localCheckpoint(eager=True)
+    tot = qc.agg(
+        F.sum(F.col("nt") + F.col("nc")).cast("bigint").alias("n_tot"),
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.max("rk").alias("max_rk"),
+    )
+    fin = (
+        qc.join(F.broadcast(tot), qc["rk"] == tot["max_rk"])
+        .select(F.col("qv").alias("q_final"), "n_tot", "k")
+    )
+    coef = (
+        qc.crossJoin(F.broadcast(fin))
+        .groupBy("k")
+        .agg(
+            (
+                F.sum(
+                    (
+                        F.col("qv")
+                        - F.col("q_final")
+                        * (F.col("nt_c") + F.col("nc_c")).cast("double")
+                        / F.col("n_tot")
+                    ).cast("decimal(38,12)")
+                ).cast("double")
+                / F.col("k")
+            ).alias("qini_coef")
+        )
+        .select("qini_coef")
+    )
+    return (
+        qc.crossJoin(F.broadcast(coef))
+        .select(
+            "rk",
+            F.col("xb").alias("band"),
+            F.round("up", 9).alias("uplift"),
+            F.col("nt").alias("n_t"),
+            F.col("ct").alias("conv_t"),
+            F.col("nc").alias("n_c"),
+            F.col("cc").alias("conv_c"),
+            F.round("qv", 9).alias("qini_cum"),
+            F.round("qini_coef", 9).alias("qini_coef"),
+        )
+        .orderBy("rk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# #404 nelson_aalen — cumulative hazard + Greenwood-style variance + RMST
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_nelson_aalen",
+    oracle="""
+        WITH span AS (
+            SELECT user_id,
+                   EPOCH_US(MAX(CAST(ts AS TIMESTAMP))
+                            - MIN(CAST(ts AS TIMESTAMP))) // 86400000000
+                       AS life_days,
+                   CAST(MAX(CAST(ts AS TIMESTAMP))
+                        < (SELECT MAX(CAST(ts AS TIMESTAMP))
+                           FROM events) - INTERVAL 12 HOUR AS INT) AS churned
+            FROM events GROUP BY user_id
+        ),
+        t AS (
+            SELECT life_days AS t, COUNT(*) AS n_at_t,
+                   CAST(SUM(churned) AS BIGINT) AS d
+            FROM span GROUP BY life_days
+        ),
+        risk AS (
+            SELECT t, d,
+                   CAST(SUM(n_at_t) OVER (ORDER BY t DESC
+                                          ROWS BETWEEN UNBOUNDED PRECEDING
+                                          AND CURRENT ROW) AS BIGINT)
+                       AS n_risk
+            FROM t
+        ),
+        ev AS (SELECT t, d, n_risk FROM risk WHERE d > 0),
+        na AS (
+            SELECT t, d, n_risk,
+                   CAST(SUM(CAST(CAST(d AS DOUBLE) / n_risk
+                                 AS DECIMAL(38,18))) OVER w AS DOUBLE)
+                       AS cumhaz,
+                   CAST(SUM(CAST(CAST(d AS DOUBLE) / n_risk / n_risk
+                                 AS DECIMAL(38,18))) OVER w AS DOUBLE)
+                       AS na_var,
+                   CASE WHEN d = n_risk THEN CAST(0 AS DOUBLE)
+                        ELSE EXP(SUM(CASE WHEN d < n_risk
+                                          THEN LN(1 - CAST(d AS DOUBLE)
+                                                      / n_risk)
+                                          ELSE 0 END) OVER w) END AS s
+            FROM ev
+            WINDOW w AS (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND CURRENT ROW)
+        ),
+        stepped AS (
+            SELECT *, LEAD(t) OVER (ORDER BY t) AS t_next FROM na
+        ),
+        rmst AS (
+            SELECT (SELECT MIN(t) FROM ev)
+                   + CAST(SUM(CAST(s * (t_next - t) AS DECIMAL(38,12)))
+                          AS DOUBLE) AS v
+            FROM stepped WHERE t_next IS NOT NULL
+        )
+        SELECT n.t AS life_days, n.d AS n_churned, n.n_risk,
+               ROUND(n.cumhaz, 9) AS na_cumhaz,
+               ROUND(n.na_var, 12) AS na_var,
+               ROUND(n.s, 9) AS km_surv,
+               ROUND(r.v, 9) AS rmst
+        FROM na n CROSS JOIN rmst r
+        ORDER BY n.t
+    """,
+    operators=(31, 233, 404),
+    doc="Nelson-Aalen cumulative hazard + RMST (#404): the estimator "
+    "pair that completes the survival family around Kaplan-Meier "
+    "(#233, whose churn fixture and reverse-cumulative risk sets "
+    "this reuses, stats_q.py:392) — H(t) = SUM d_i/n_i with its "
+    "variance SUM d_i/n_i^2 (both association-free DECIMAL(38,18) "
+    "window sums, no ln/exp needed — the NA estimator is the one "
+    "you want when hazard, not survival, is the quantity of "
+    "interest), the KM curve alongside (the #233 exp-sum-ln tree, "
+    "zeroed exactly when d = n_risk), and the restricted mean "
+    "survival time — the integral of the KM step function over the "
+    "observed window, the censoring-correct 'average lifetime' that "
+    "a plain mean of lifetimes gets wrong — as one decimal-summed "
+    "LEAD pass. Scale: two hash aggregates + windows over "
+    "|distinct lifetimes| rows, same as #233.",
+    bench=False,
+)
+def q_nelson_aalen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev0 = _t(spark, sf_dir, "events")
+    gmax = ev0.groupBy().agg(F.max("ts").alias("gmax"))
+    span = (
+        ev0.groupBy("user_id")
+        .agg(F.min("ts").alias("t0"), F.max("ts").alias("t1"))
+        .crossJoin(F.broadcast(gmax))
+        .select(
+            F.expr(
+                "(unix_micros(t1) - unix_micros(t0)) div 86400000000"
+            ).alias("life_days"),
+            (F.col("t1") < F.col("gmax") - F.expr("INTERVAL 12 HOURS"))
+            .cast("int")
+            .alias("churned"),
+        )
+    )
+    t = span.groupBy(F.col("life_days").alias("t")).agg(
+        F.count(F.lit(1)).alias("n_at_t"),
+        F.sum("churned").cast("bigint").alias("d"),
+    )
+    w_desc = Window.orderBy(F.col("t").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ev = t.select(
+        "t", "d", F.sum("n_at_t").over(w_desc).cast("bigint").alias("n_risk")
+    ).filter(F.col("d") > 0)
+    w = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    dn = F.col("d").cast("double") / F.col("n_risk")
+    na = ev.select(
+        "t",
+        "d",
+        "n_risk",
+        F.sum(dn.cast("decimal(38,18)")).over(w).cast("double").alias("cumhaz"),
+        F.sum((dn / F.col("n_risk")).cast("decimal(38,18)"))
+        .over(w)
+        .cast("double")
+        .alias("na_var"),
+        F.when(F.col("d") == F.col("n_risk"), F.lit(0.0))
+        .otherwise(
+            F.exp(
+                F.sum(
+                    F.when(
+                        F.col("d") < F.col("n_risk"),
+                        F.log(F.lit(1) - dn),
+                    ).otherwise(F.lit(0.0))
+                ).over(w)
+            )
+        )
+        .alias("s"),
+    ).localCheckpoint(eager=True)
+    w_lead = Window.orderBy("t")
+    stepped = na.select(
+        "s", "t", F.lead("t").over(w_lead).alias("t_next")
+    ).filter(F.col("t_next").isNotNull())
+    tmin = na.agg(F.min("t").alias("tmin"))
+    rmst = (
+        stepped.crossJoin(F.broadcast(tmin))
+        .groupBy("tmin")
+        .agg(
+            (
+                F.col("tmin")
+                + F.sum(
+                    (F.col("s") * (F.col("t_next") - F.col("t"))).cast(
+                        "decimal(38,12)"
+                    )
+                ).cast("double")
+            ).alias("v")
+        )
+        .select("v")
+    )
+    return (
+        na.crossJoin(F.broadcast(rmst))
+        .select(
+            F.col("t").alias("life_days"),
+            F.col("d").alias("n_churned"),
+            "n_risk",
+            F.round("cumhaz", 9).alias("na_cumhaz"),
+            F.round("na_var", 12).alias("na_var"),
+            F.round("s", 9).alias("km_surv"),
+            F.round("v", 9).alias("rmst"),
+        )
+        .orderBy("life_days")
+    )
+
+
+# ---------------------------------------------------------------------------
+# #405 anderson_darling — two-sample AD test on tied integer samples
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_anderson_darling",
+    oracle="""
+        WITH u AS (
+            SELECT user_id, CAST(user_id % 2 AS INT) AS arm,
+                   CAST(COUNT(*) AS BIGINT) AS x
+            FROM events GROUP BY user_id
+        ),
+        blocks AS (
+            SELECT x, CAST(COUNT(*) AS BIGINT) AS l,
+                   CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS l1
+            FROM u GROUP BY x
+        ),
+        cums AS (
+            SELECT x, l, l1,
+                   SUM(l) OVER w AS b, SUM(l1) OVER w AS m1
+            FROM blocks
+            WINDOW w AS (ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND CURRENT ROW)
+        ),
+        mom AS (
+            SELECT CAST(SUM(l) AS BIGINT) AS nn,
+                   CAST(SUM(l1) AS BIGINT) AS n1
+            FROM blocks
+        ),
+        terms AS (
+            SELECT c.l, c.b, c.m1, m.nn, m.n1, m.nn - m.n1 AS n2,
+                   c.b - c.m1 AS m2
+            FROM cums c CROSS JOIN mom m
+            WHERE c.b < m.nn
+        ),
+        a2 AS (
+            SELECT nn, n1, n2,
+                   CAST(SUM(CAST(
+                       CAST(l AS DOUBLE) / nn
+                       * (CAST(nn * m1 - n1 * b AS DOUBLE)
+                          * CAST(nn * m1 - n1 * b AS DOUBLE))
+                       / (CAST(b AS DOUBLE) * (nn - b)) / n1
+                       AS DECIMAL(38,18))) AS DOUBLE)
+                   + CAST(SUM(CAST(
+                       CAST(l AS DOUBLE) / nn
+                       * (CAST(nn * m2 - n2 * b AS DOUBLE)
+                          * CAST(nn * m2 - n2 * b AS DOUBLE))
+                       / (CAST(b AS DOUBLE) * (nn - b)) / n2
+                       AS DECIMAL(38,18))) AS DOUBLE) AS v
+            FROM terms GROUP BY nn, n1, n2
+        )
+        SELECT n1, n2,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM blocks) AS n_blocks,
+               ROUND(v, 9) AS a2_kn,
+               CAST(v > 2.492 AS INT) AS significant_05
+        FROM a2
+    """,
+    operators=(23, 31, 405),
+    doc="Two-sample Anderson-Darling (#405, Scholz-Stephens 1987, "
+    "right-continuous/discrete variant): integrates EVERY weighted "
+    "ECDF gap with the 1/(H(1-H)) tail weighting that makes it the "
+    "most powerful omnibus two-sample test in the family — KS "
+    "(#272) sees only the largest gap, CvM (#377) weights all gaps "
+    "equally; AD up-weights the tails where distribution shifts "
+    "that matter (heavy users, outlier cohorts) live. On the tied "
+    "integer per-user activity census the statistic is exact: "
+    "blocks are distinct values, every numerator N*M_aj - n_a*B_j "
+    "is BIGINT, and per-block terms sum through DECIMAL(38,18); "
+    "the 5% gate uses the k=2 asymptotic critical value (2.492). "
+    "Verified against scipy.stats.anderson_ksamp(midrank=False) in "
+    "tests/test_round8_refs.py. Scale: one per-user rollup + one "
+    "census + one window — the #377 shape exactly.",
+    bench=False,
+)
+def q_anderson_darling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    u = (
+        _t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+        .select((F.col("user_id") % 2).cast("int").alias("arm"), "x")
+    )
+    blocks = u.groupBy("x").agg(
+        F.count(F.lit(1)).cast("bigint").alias("l"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("l1"),
+    )
+    w = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, 0)
+    cums = blocks.select(
+        "x", "l", "l1",
+        F.sum("l").over(w).alias("b"),
+        F.sum("l1").over(w).alias("m1"),
+    )
+    mom = blocks.agg(
+        F.sum("l").cast("bigint").alias("nn"),
+        F.sum("l1").cast("bigint").alias("n1"),
+        F.count(F.lit(1)).cast("bigint").alias("n_blocks"),
+    )
+    terms = cums.crossJoin(F.broadcast(mom)).filter(
+        F.col("b") < F.col("nn")
+    ).select(
+        "l", "b", "m1", "nn", "n1", "n_blocks",
+        (F.col("nn") - F.col("n1")).alias("n2"),
+        (F.col("b") - F.col("m1")).alias("m2"),
+    )
+
+    def _inner(m_col: str, n_col: str):
+        num = (F.col("nn") * F.col(m_col) - F.col(n_col) * F.col("b")).cast(
+            "double"
+        )
+        return (
+            F.col("l").cast("double") / F.col("nn")
+            * (num * num)
+            / (F.col("b").cast("double") * (F.col("nn") - F.col("b")))
+            / F.col(n_col)
+        ).cast("decimal(38,18)")
+
+    a2 = terms.groupBy("nn", "n1", "n2", "n_blocks").agg(
+        (
+            F.sum(_inner("m1", "n1")).cast("double")
+            + F.sum(_inner("m2", "n2")).cast("double")
+        ).alias("v")
+    )
+    return a2.select(
+        "n1",
+        "n2",
+        "n_blocks",
+        F.round("v", 9).alias("a2_kn"),
+        (F.col("v") > 2.492).cast("int").alias("significant_05"),
+    )
