@@ -708,3 +708,411 @@ def q_anderson_darling(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("v", 9).alias("a2_kn"),
         (F.col("v") > 2.492).cast("int").alias("significant_05"),
     )
+
+
+# ---------------------------------------------------------------------------
+# #406 hurst_exponent — rescaled-range long-memory estimate per series
+# ---------------------------------------------------------------------------
+
+_HURST_SIZES = (5, 10, 15)  # the events fixture spans 30 days at every SF
+
+
+@query(
+    "q_hurst_exponent",
+    oracle=f"""
+        WITH o AS (
+            SELECT event_type,
+                   DATEDIFF('day', DATE '1970-01-01',
+                            CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS d
+            FROM events
+        ),
+        days AS (
+            SELECT UNNEST(GENERATE_SERIES(mn, mx)) AS d
+            FROM (SELECT MIN(d) AS mn, MAX(d) AS mx FROM o)
+        ),
+        types AS (SELECT DISTINCT event_type FROM o),
+        cnt AS (SELECT event_type, d, COUNT(*) AS n FROM o GROUP BY 1, 2),
+        grid AS MATERIALIZED (
+            SELECT t.event_type,
+                   days.d - (SELECT MIN(d) FROM days) AS t,
+                   CAST(COALESCE(cnt.n, 0) AS BIGINT) AS x
+            FROM types t CROSS JOIN days
+            LEFT JOIN cnt ON cnt.event_type = t.event_type AND cnt.d = days.d
+        ),
+        sized AS (
+            SELECT g.event_type, s.sz, g.t // s.sz AS blk,
+                   ROW_NUMBER() OVER (PARTITION BY g.event_type, s.sz,
+                                      g.t // s.sz ORDER BY g.t) AS i,
+                   SUM(g.x) OVER (PARTITION BY g.event_type, s.sz,
+                                  g.t // s.sz ORDER BY g.t
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW) AS cum,
+                   SUM(g.x) OVER (PARTITION BY g.event_type, s.sz,
+                                  g.t // s.sz) AS sx_all,
+                   g.x
+            FROM grid g
+            CROSS JOIN (SELECT UNNEST([{", ".join(str(s) for s in _HURST_SIZES)}]) AS sz) s
+        ),
+        dev AS (
+            SELECT event_type, sz, blk, x,
+                   sz * cum - i * sx_all AS v
+            FROM sized
+        ),
+        bagg AS (
+            SELECT event_type, sz, blk,
+                   CAST(COUNT(*) AS BIGINT) AS nb,
+                   CAST(SUM(x) AS BIGINT) AS sx,
+                   CAST(SUM(x * x) AS BIGINT) AS sxx,
+                   CAST(MAX(v) AS BIGINT) AS maxv,
+                   CAST(MIN(v) AS BIGINT) AS minv
+            FROM dev GROUP BY event_type, sz, blk
+        ),
+        rs AS (
+            SELECT event_type, sz,
+                   CAST(SUM(CAST(
+                       CAST(maxv - minv AS DOUBLE)
+                       / SQRT(CAST(nb * sxx - sx * sx AS DOUBLE))
+                       AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*) AS mean_rs,
+                   CAST(COUNT(*) AS BIGINT) AS n_blocks
+            FROM bagg
+            WHERE nb = sz AND nb * sxx > sx * sx
+            GROUP BY event_type, sz
+        ),
+        fit AS (
+            SELECT event_type,
+                   (CAST(SUM(CAST(LN(CAST(sz AS DOUBLE))
+                                  * LN(mean_rs) AS DECIMAL(38,18)))
+                         AS DOUBLE)
+                    - CAST(SUM(CAST(LN(CAST(sz AS DOUBLE))
+                                    AS DECIMAL(38,18))) AS DOUBLE)
+                      * CAST(SUM(CAST(LN(mean_rs) AS DECIMAL(38,18)))
+                             AS DOUBLE) / COUNT(*))
+                   / (CAST(SUM(CAST(LN(CAST(sz AS DOUBLE))
+                                    * LN(CAST(sz AS DOUBLE))
+                                    AS DECIMAL(38,18))) AS DOUBLE)
+                      - CAST(SUM(CAST(LN(CAST(sz AS DOUBLE))
+                                      AS DECIMAL(38,18))) AS DOUBLE)
+                        * CAST(SUM(CAST(LN(CAST(sz AS DOUBLE))
+                                        AS DECIMAL(38,18))) AS DOUBLE)
+                        / COUNT(*)) AS h
+            FROM rs GROUP BY event_type
+            HAVING COUNT(*) = {len(_HURST_SIZES)}
+        ),
+        wide AS (
+            SELECT event_type,
+                   MAX(CASE WHEN sz = 5 THEN mean_rs END) AS rs5,
+                   MAX(CASE WHEN sz = 10 THEN mean_rs END) AS rs10,
+                   MAX(CASE WHEN sz = 15 THEN mean_rs END) AS rs15
+            FROM rs GROUP BY event_type
+        )
+        SELECT w.event_type,
+               ROUND(w.rs5, 9) AS rs5,
+               ROUND(w.rs10, 9) AS rs10,
+               ROUND(w.rs15, 9) AS rs15,
+               ROUND(f.h, 9) AS hurst
+        FROM wide w JOIN fit f ON f.event_type = w.event_type
+        ORDER BY w.event_type
+    """,
+    operators=(23, 31, 406),
+    doc="Hurst exponent by rescaled range (#406, Hurst 1951/Mandelbrot "
+    "R/S): per daily series, full blocks of 5/10/15 days each yield "
+    "R/S = range of cumulative mean deviations over the block std — "
+    "computed entirely from integers (n*cum_i - i*sx stays BIGINT, "
+    "so R/S = (max-min)/sqrt(n*sxx - sx^2) is ONE sqrt and ONE "
+    "division per block), block means decimal-summed, and H is the "
+    "log-log OLS slope of mean R/S on block size. H>0.5 = "
+    "long-memory persistence (bursty traffic that stays bursty), "
+    "H<0.5 = mean reversion — the long-range-dependence diagnostic "
+    "ACF (#343) cannot see past its fixed lags, and the capacity- "
+    "planning input behind self-similar traffic models. Constant "
+    "blocks (S=0) are excluded on both sides. Scale: one grid pass "
+    "per size with block-local windows; blocks shrink the data "
+    "1/sz-fold before any cross-block work.",
+    bench=False,
+)
+def q_hurst_exponent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.datediff(
+            F.col("ts").cast("timestamp").cast("date"),
+            F.lit("1970-01-01").cast("date"),
+        ).alias("d"),
+    )
+    bounds = o.agg(F.min("d").alias("mn"), F.max("d").alias("mx"))
+    days = bounds.select(
+        F.col("mn"), F.explode(F.sequence(F.col("mn"), F.col("mx"))).alias("d")
+    )
+    types = o.select("event_type").distinct()
+    cnt = o.groupBy("event_type", "d").agg(F.count(F.lit(1)).alias("n"))
+    grid = (
+        types.crossJoin(days)
+        .join(cnt, ["event_type", "d"], "left")
+        .select(
+            "event_type",
+            (F.col("d") - F.col("mn")).alias("t"),
+            F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("x"),
+        )
+    )
+    sizes = spark.range(len(_HURST_SIZES)).select(
+        F.element_at(
+            F.array(*[F.lit(s) for s in _HURST_SIZES]), (F.col("id") + 1).cast("int")
+        ).alias("sz")
+    )
+    sized = grid.crossJoin(F.broadcast(sizes)).select(
+        "event_type", "sz", (F.col("t") / F.col("sz")).cast("bigint").alias("blk"),
+        "t", "x",
+    )
+    wb = Window.partitionBy("event_type", "sz", "blk")
+    wo = wb.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    scan = sized.select(
+        "event_type", "sz", "blk", "x",
+        F.row_number().over(wb.orderBy("t")).alias("i"),
+        F.sum("x").over(wo).alias("cum"),
+        F.sum("x").over(wb).alias("sx_all"),
+    )
+    dev = scan.select(
+        "event_type", "sz", "blk", "x",
+        (F.col("sz") * F.col("cum") - F.col("i") * F.col("sx_all")).alias("v"),
+    )
+    bagg = dev.groupBy("event_type", "sz", "blk").agg(
+        F.count(F.lit(1)).cast("bigint").alias("nb"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.max("v").cast("bigint").alias("maxv"),
+        F.min("v").cast("bigint").alias("minv"),
+    )
+    rs = (
+        bagg.filter(
+            (F.col("nb") == F.col("sz"))
+            & (F.col("nb") * F.col("sxx") > F.col("sx") * F.col("sx"))
+        )
+        .groupBy("event_type", "sz")
+        .agg(
+            (
+                F.sum(
+                    (
+                        (F.col("maxv") - F.col("minv")).cast("double")
+                        / F.sqrt(
+                            (
+                                F.col("nb") * F.col("sxx")
+                                - F.col("sx") * F.col("sx")
+                            ).cast("double")
+                        )
+                    ).cast("decimal(38,12)")
+                ).cast("double")
+                / F.count(F.lit(1))
+            ).alias("mean_rs"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    lnsz = F.log(F.col("sz").cast("double"))
+    lnrs = F.log("mean_rs")
+    dec = "decimal(38,18)"
+    fit = (
+        rs.groupBy("event_type")
+        .agg(
+            (
+                (
+                    F.sum((lnsz * lnrs).cast(dec)).cast("double")
+                    - F.sum(lnsz.cast(dec)).cast("double")
+                    * F.sum(lnrs.cast(dec)).cast("double")
+                    / F.count(F.lit(1))
+                )
+                / (
+                    F.sum((lnsz * lnsz).cast(dec)).cast("double")
+                    - F.sum(lnsz.cast(dec)).cast("double")
+                    * F.sum(lnsz.cast(dec)).cast("double")
+                    / F.count(F.lit(1))
+                )
+            ).alias("h"),
+            F.count(F.lit(1)).alias("k"),
+        )
+        .filter(F.col("k") == len(_HURST_SIZES))
+    )
+    wide = rs.groupBy("event_type").pivot(
+        "sz", [str(s) for s in _HURST_SIZES]
+    ).agg(F.max("mean_rs"))
+    return (
+        wide.join(fit, "event_type")
+        .select(
+            "event_type",
+            F.round(F.col("5"), 9).alias("rs5"),
+            F.round(F.col("10"), 9).alias("rs10"),
+            F.round(F.col("15"), 9).alias("rs15"),
+            F.round("h", 9).alias("hurst"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# #407 heaps_law — vocabulary-growth exponent per language
+# ---------------------------------------------------------------------------
+
+_HEAPS_CHK = 20  # ~checkpoints per language
+
+
+@query(
+    "q_heaps_law",
+    oracle=f"""
+        WITH toks AS (
+            SELECT lang, doc_id, UNNEST(LIST_FILTER(
+                STRING_SPLIT(text, ' '), w -> LEN(w) > 0)) AS tok
+            FROM documents
+        ),
+        dtok AS (
+            SELECT lang, doc_id, CAST(COUNT(*) AS BIGINT) AS ntok
+            FROM toks GROUP BY lang, doc_id
+        ),
+        firsts AS (
+            SELECT lang, tok, MIN(doc_id) AS fd FROM toks GROUP BY lang, tok
+        ),
+        newv AS (
+            SELECT lang, fd AS doc_id, CAST(COUNT(*) AS BIGINT) AS nv
+            FROM firsts GROUP BY lang, fd
+        ),
+        docs2 AS (
+            SELECT d.lang, d.doc_id, d.ntok, COALESCE(n.nv, 0) AS nv,
+                   ROW_NUMBER() OVER (PARTITION BY d.lang
+                                      ORDER BY d.doc_id) AS r,
+                   COUNT(*) OVER (PARTITION BY d.lang) AS m
+            FROM dtok d LEFT JOIN newv n
+              ON n.lang = d.lang AND n.doc_id = d.doc_id
+        ),
+        cum AS (
+            SELECT lang, r, m,
+                   SUM(ntok) OVER w AS n_cum, SUM(nv) OVER w AS v_cum
+            FROM docs2
+            WINDOW w AS (PARTITION BY lang ORDER BY r
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        ),
+        chk AS (
+            SELECT lang, n_cum, v_cum FROM cum
+            WHERE (r * {_HEAPS_CHK}) % m < {_HEAPS_CHK}
+        ),
+        fit AS (
+            SELECT lang, CAST(COUNT(*) AS BIGINT) AS k,
+                   (CAST(SUM(CAST(LN(CAST(n_cum AS DOUBLE))
+                                  * LN(CAST(v_cum AS DOUBLE))
+                                  AS DECIMAL(38,18))) AS DOUBLE)
+                    - CAST(SUM(CAST(LN(CAST(n_cum AS DOUBLE))
+                                    AS DECIMAL(38,18))) AS DOUBLE)
+                      * CAST(SUM(CAST(LN(CAST(v_cum AS DOUBLE))
+                                      AS DECIMAL(38,18))) AS DOUBLE)
+                      / COUNT(*))
+                   / (CAST(SUM(CAST(LN(CAST(n_cum AS DOUBLE))
+                                    * LN(CAST(n_cum AS DOUBLE))
+                                    AS DECIMAL(38,18))) AS DOUBLE)
+                      - CAST(SUM(CAST(LN(CAST(n_cum AS DOUBLE))
+                                      AS DECIMAL(38,18))) AS DOUBLE)
+                        * CAST(SUM(CAST(LN(CAST(n_cum AS DOUBLE))
+                                        AS DECIMAL(38,18))) AS DOUBLE)
+                        / COUNT(*)) AS beta,
+                   CAST(SUM(CAST(LN(CAST(v_cum AS DOUBLE))
+                                 AS DECIMAL(38,18))) AS DOUBLE) / COUNT(*)
+                       AS my,
+                   CAST(SUM(CAST(LN(CAST(n_cum AS DOUBLE))
+                                 AS DECIMAL(38,18))) AS DOUBLE) / COUNT(*)
+                       AS mx
+            FROM chk GROUP BY lang
+        ),
+        tot AS (
+            SELECT lang, MAX(n_cum) AS n_tokens, MAX(v_cum) AS vocab
+            FROM cum GROUP BY lang
+        )
+        SELECT f.lang, f.k AS n_checkpoints,
+               CAST(t.n_tokens AS BIGINT) AS n_tokens,
+               CAST(t.vocab AS BIGINT) AS vocab,
+               ROUND(f.beta, 9) AS beta,
+               ROUND(EXP(f.my - f.beta * f.mx), 9) AS k_hat
+        FROM fit f JOIN tot t ON t.lang = f.lang
+        ORDER BY f.lang
+    """,
+    operators=(23, 31, 65, 407),
+    doc=f"Heaps' law fit (#407): vocabulary growth V(n) = K n^beta per "
+    "language — the sublinear vocab-vs-corpus-size law that sizes "
+    "tokenizer vocabularies, embedding tables, and dedup hash "
+    "budgets before a 100 TB crawl is committed. Corpus order is "
+    "doc_id; per-doc new-vocabulary counts come from one "
+    "first-occurrence census (min doc per token), cumulative token "
+    f"and vocab counts from one window, ~{_HEAPS_CHK} decimated "
+    "checkpoints per language ((r*k) % m < k — identical integer "
+    "selection on both engines), and (K, beta) from closed-form "
+    "log-log OLS with per-term DECIMAL(38,18) sums. Scale: the "
+    "token stream is touched once (two hash aggregates); windows "
+    "run over doc-count rows per language, checkpoints bound the "
+    "fit input regardless of SF.",
+    bench=False,
+)
+def q_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = _t(spark, sf_dir, "documents").select(
+        "lang",
+        "doc_id",
+        F.explode(
+            F.filter(F.split("text", " "), lambda w: F.length(w) > 0)
+        ).alias("tok"),
+    )
+    dtok = toks.groupBy("lang", "doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("ntok")
+    )
+    firsts = toks.groupBy("lang", "tok").agg(F.min("doc_id").alias("fd"))
+    newv = firsts.groupBy("lang", F.col("fd").alias("doc_id")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("nv")
+    )
+    wl = Window.partitionBy("lang")
+    docs2 = (
+        dtok.join(newv, ["lang", "doc_id"], "left")
+        .select(
+            "lang", "doc_id", "ntok",
+            F.coalesce("nv", F.lit(0)).alias("nv"),
+            F.row_number().over(wl.orderBy("doc_id")).alias("r"),
+            F.count(F.lit(1)).over(wl).alias("m"),
+        )
+    )
+    w_cum = wl.orderBy("r").rowsBetween(Window.unboundedPreceding, 0)
+    cum = docs2.select(
+        "lang", "r", "m",
+        F.sum("ntok").over(w_cum).alias("n_cum"),
+        F.sum("nv").over(w_cum).alias("v_cum"),
+    ).localCheckpoint(eager=True)
+    chk = cum.filter((F.col("r") * _HEAPS_CHK) % F.col("m") < _HEAPS_CHK)
+    lnx = F.log(F.col("n_cum").cast("double"))
+    lny = F.log(F.col("v_cum").cast("double"))
+    dec = "decimal(38,18)"
+    fit = chk.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        (
+            (
+                F.sum((lnx * lny).cast(dec)).cast("double")
+                - F.sum(lnx.cast(dec)).cast("double")
+                * F.sum(lny.cast(dec)).cast("double")
+                / F.count(F.lit(1))
+            )
+            / (
+                F.sum((lnx * lnx).cast(dec)).cast("double")
+                - F.sum(lnx.cast(dec)).cast("double")
+                * F.sum(lnx.cast(dec)).cast("double")
+                / F.count(F.lit(1))
+            )
+        ).alias("beta"),
+        (F.sum(lny.cast(dec)).cast("double") / F.count(F.lit(1))).alias("my"),
+        (F.sum(lnx.cast(dec)).cast("double") / F.count(F.lit(1))).alias("mx"),
+    )
+    tot = cum.groupBy("lang").agg(
+        F.max("n_cum").cast("bigint").alias("n_tokens"),
+        F.max("v_cum").cast("bigint").alias("vocab"),
+    )
+    return (
+        fit.join(tot, "lang")
+        .select(
+            "lang",
+            F.col("k").alias("n_checkpoints"),
+            "n_tokens",
+            "vocab",
+            F.round("beta", 9).alias("beta"),
+            F.round(F.exp(F.col("my") - F.col("beta") * F.col("mx")), 9).alias(
+                "k_hat"
+            ),
+        )
+        .orderBy("lang")
+    )
