@@ -1116,3 +1116,379 @@ def q_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# #408 silhouette — simplified (centroid-based) silhouette for k-means
+# ---------------------------------------------------------------------------
+
+
+def _silhouette_oracle() -> str:
+    from zmaxion_spark.queries.inference_q import (
+        _KM_DIM,
+        _KM_K,
+        _KM_SEED_WORD,
+        _km_sql_assign,
+        _km_sql_update,
+    )
+
+    return f"""
+        WITH seeds AS MATERIALIZED (
+            SELECT vec_id, embedding,
+                   ROW_NUMBER() OVER (ORDER BY {_KM_SEED_WORD}, vec_id) - 1
+                       AS cluster
+            FROM embeddings
+            QUALIFY ROW_NUMBER() OVER (ORDER BY {_KM_SEED_WORD}, vec_id)
+                    <= {_KM_K}
+        ),
+        c0 AS MATERIALIZED (
+            SELECT cluster, t.i AS pos,
+                   CAST(embedding[t.i + 1] AS DOUBLE) AS val
+            FROM seeds, range({_KM_DIM}) t(i)
+        ),
+        {_km_sql_assign("c0", "a1")},
+        {_km_sql_update("a1", "c0", "c1")},
+        {_km_sql_assign("c1", "a2")},
+        {_km_sql_update("a2", "c1", "c2")},
+        c2l AS MATERIALIZED (
+            SELECT cluster, LIST(val ORDER BY pos) AS vals
+            FROM c2 GROUP BY cluster
+        ),
+        scored AS (
+            SELECT e.vec_id, c.cluster,
+                   LIST_REDUCE(
+                       LIST_TRANSFORM(range(1, {_KM_DIM + 1}),
+                           i -> (CAST(e.embedding[i] AS DOUBLE) - c.vals[i])
+                                * (CAST(e.embedding[i] AS DOUBLE)
+                                   - c.vals[i])),
+                       (acc, x) -> acc + x) AS dist
+            FROM embeddings e, c2l c
+        ),
+        ranked AS (
+            SELECT vec_id, cluster, dist,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                                      ORDER BY dist, cluster) AS rn
+            FROM scored
+        ),
+        ab AS (
+            SELECT a.vec_id, a.cluster, a.dist AS da, b.dist AS db
+            FROM ranked a JOIN ranked b
+              ON b.vec_id = a.vec_id AND a.rn = 1 AND b.rn = 2
+        ),
+        sil AS (
+            SELECT vec_id, cluster, da, db,
+                   CASE WHEN GREATEST(da, db) = 0 THEN CAST(0 AS DOUBLE)
+                        ELSE (db - da) / GREATEST(da, db) END AS s
+            FROM ab
+        )
+        SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n,
+               ROUND(CAST(SUM(CAST(da AS DECIMAL(38,12))) AS DOUBLE)
+                     / COUNT(*), 9) AS mean_a,
+               ROUND(CAST(SUM(CAST(db AS DECIMAL(38,12))) AS DOUBLE)
+                     / COUNT(*), 9) AS mean_b,
+               ROUND(CAST(SUM(CAST(s AS DECIMAL(38,18))) AS DOUBLE)
+                     / COUNT(*), 9) AS mean_sil
+        FROM sil GROUP BY cluster
+        ORDER BY cluster
+    """
+
+
+@query(
+    "q_silhouette",
+    oracle=_silhouette_oracle(),
+    operators=(44, 62, 273, 408),
+    doc="Simplified silhouette (#408): cluster-quality grading for "
+    "the #273 k-means fit (same md5 seeding and unrolled Lloyd "
+    "rounds as q_kmeans_fixed, inference_q.py:257) — per point, "
+    "a = squared distance to its OWN final centroid and b = the "
+    "runner-up centroid distance (rank 2 of the (dist, cluster) "
+    "ordering, which IS min-over-others even under ties), "
+    "s = (b-a)/max(a,b); per-cluster means of a, b, s sum through "
+    "DECIMAL casts. The centroid-based simplification is the "
+    "production variant: full silhouette is O(n^2) pairwise and "
+    "unusable at scale, while this is one n x k scoring pass — "
+    "identical plan shape to assignment itself. Low mean_sil per "
+    "cluster flags the overlapping clusters a pure inertia number "
+    "(q_kmeans_fixed's) hides. Distances are pure-double left "
+    "folds (the #273 discipline), so the rank-2 tie-break is "
+    "engine-deterministic.",
+    bench=False,
+)
+def q_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from zmaxion_spark.queries.inference_q import _KM_K, _KM_ITERS
+
+    emb = (
+        _t(spark, sf_dir, "embeddings")
+        .select(
+            "vec_id",
+            "label",
+            F.col("embedding").cast("array<double>").alias("v"),
+        )
+        .cache()
+    )
+    word = F.conv(
+        F.substring(F.md5(F.col("vec_id").cast("string").cast("binary")), 1, 8),
+        16,
+        10,
+    ).cast("long")
+    seed_rows = emb.orderBy(word, "vec_id").limit(_KM_K).collect()
+    cents: dict[int, list[float]] = {
+        i: [float(x) for x in r.v] for i, r in enumerate(seed_rows)
+    }
+
+    def assign(c: dict[int, list[float]]) -> DataFrame:
+        cands = []
+        for cid in sorted(c):
+            lit_vec = F.array(*[F.lit(x) for x in c[cid]])
+            terms = F.zip_with(
+                F.col("v"), lit_vec, lambda x, y: (x - y) * (x - y)
+            )
+            dist = F.aggregate(terms, F.lit(0.0), lambda acc, t: acc + t)
+            cands.append(
+                F.struct(dist.alias("dist"), F.lit(cid).alias("cluster"))
+            )
+        best = F.array_min(F.array(*cands))
+        return emb.select(
+            "vec_id",
+            "v",
+            best.getField("cluster").alias("cluster"),
+            best.getField("dist").alias("dist"),
+        )
+
+    # identical Lloyd trajectory to q_kmeans_fixed: _KM_ITERS - 1
+    # centroid updates (decimal-exact means, empty clusters keep
+    # their previous centroid), bounded k*d driver state.
+    a = assign(cents)
+    for _ in range(_KM_ITERS - 1):
+        cells = (
+            a.select("cluster", F.posexplode("v").alias("pos", "x"))
+            .groupBy("cluster", "pos")
+            .agg(
+                (
+                    F.sum(F.col("x").cast("decimal(38,9)")).cast("double")
+                    / F.count(F.lit(1))
+                ).alias("val")
+            )
+            .collect()
+        )
+        new_c = dict(cents)
+        by_cluster: dict[int, dict[int, float]] = {}
+        for r in cells:
+            by_cluster.setdefault(r["cluster"], {})[r["pos"]] = r["val"]
+        for cid, posmap in by_cluster.items():
+            new_c[cid] = [posmap[p] for p in sorted(posmap)]
+        cents = new_c
+        a = assign(cents)
+
+    # final centroids: score every point against ALL k, take rank-1/2
+    cands = []
+    for cid in sorted(cents):
+        lit_vec = F.array(*[F.lit(x) for x in cents[cid]])
+        terms = F.zip_with(F.col("v"), lit_vec, lambda x, y: (x - y) * (x - y))
+        dist = F.aggregate(terms, F.lit(0.0), lambda acc, t: acc + t)
+        cands.append(F.struct(dist.alias("dist"), F.lit(cid).alias("cluster")))
+    sorted_c = F.array_sort(F.array(*cands))
+    ab = emb.select(
+        F.element_at(sorted_c, 1).getField("cluster").alias("cluster"),
+        F.element_at(sorted_c, 1).getField("dist").alias("da"),
+        F.element_at(sorted_c, 2).getField("dist").alias("db"),
+    )
+    s = F.when(F.greatest("da", "db") == 0, F.lit(0.0)).otherwise(
+        (F.col("db") - F.col("da")) / F.greatest("da", "db")
+    )
+    return (
+        ab.withColumn("s", s)
+        .groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.round(
+                F.sum(F.col("da").cast("decimal(38,12)")).cast("double")
+                / F.count(F.lit(1)),
+                9,
+            ).alias("mean_a"),
+            F.round(
+                F.sum(F.col("db").cast("decimal(38,12)")).cast("double")
+                / F.count(F.lit(1)),
+                9,
+            ).alias("mean_b"),
+            F.round(
+                F.sum(F.col("s").cast("decimal(38,18)")).cast("double")
+                / F.count(F.lit(1)),
+                9,
+            ).alias("mean_sil"),
+        )
+        .orderBy("cluster")
+    )
+
+
+# ---------------------------------------------------------------------------
+# #409 dbscan_core — grid-bucketed DBSCAN core/border/noise census
+# ---------------------------------------------------------------------------
+
+_DBS_EPS = 0.05
+_DBS_MINPTS = 5  # neighbors within eps, self included
+_DBS_SAMPLE = 4096  # md5-ranked sample cap: density clustering at 100 TB
+#                     always runs on a bounded sample + assign-rest pass
+
+
+@query(
+    "q_dbscan_core",
+    oracle=f"""
+        WITH pts AS (
+            SELECT vec_id, label,
+                   CAST(embedding[1] AS DOUBLE) AS x,
+                   CAST(embedding[2] AS DOUBLE) AS y
+            FROM embeddings
+            QUALIFY ROW_NUMBER() OVER (ORDER BY
+                CAST(('0x' || SUBSTR(MD5('dbs:' || CAST(vec_id AS VARCHAR)),
+                                     1, 13)) AS BIGINT), vec_id)
+                <= {_DBS_SAMPLE}
+        ),
+        cells AS (
+            SELECT vec_id, label, x, y,
+                   CAST(FLOOR(x / {_DBS_EPS}) AS BIGINT) AS cx,
+                   CAST(FLOOR(y / {_DBS_EPS}) AS BIGINT) AS cy
+            FROM pts
+        ),
+        nbr AS (
+            SELECT a.vec_id, CAST(COUNT(*) AS BIGINT) AS n_nbr
+            FROM cells a JOIN cells b
+              ON b.cx BETWEEN a.cx - 1 AND a.cx + 1
+             AND b.cy BETWEEN a.cy - 1 AND a.cy + 1
+             AND (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+                 <= {_DBS_EPS} * {_DBS_EPS}
+            GROUP BY a.vec_id
+        ),
+        flags AS (
+            SELECT c.vec_id, c.label, c.x, c.y, c.cx, c.cy,
+                   CAST(n.n_nbr >= {_DBS_MINPTS} AS INT) AS is_core
+            FROM cells c JOIN nbr n ON n.vec_id = c.vec_id
+        ),
+        border AS (
+            SELECT DISTINCT a.vec_id
+            FROM flags a JOIN flags b
+              ON a.is_core = 0 AND b.is_core = 1
+             AND b.cx BETWEEN a.cx - 1 AND a.cx + 1
+             AND b.cy BETWEEN a.cy - 1 AND a.cy + 1
+             AND (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+                 <= {_DBS_EPS} * {_DBS_EPS}
+             AND a.vec_id <> b.vec_id
+        )
+        SELECT f.label,
+               CAST(SUM(f.is_core) AS BIGINT) AS n_core,
+               CAST(SUM(CASE WHEN f.is_core = 0 AND b.vec_id IS NOT NULL
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_border,
+               CAST(SUM(CASE WHEN f.is_core = 0 AND b.vec_id IS NULL
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_noise
+        FROM flags f LEFT JOIN border b ON b.vec_id = f.vec_id
+        GROUP BY f.label
+        ORDER BY f.label
+    """,
+    operators=(13, 17, 23, 409),
+    doc=f"Grid-bucketed DBSCAN census (#409): core/border/noise "
+    f"classification (eps={_DBS_EPS}, minPts={_DBS_MINPTS}, self "
+    "included) over the first two embedding dimensions — the "
+    "density-based complement to centroid clustering (#273/#408) "
+    "that finds arbitrary-shape clusters and, crucially for "
+    "training-data curation, labels NOISE points (the outliers a "
+    "k-means silently swallows). The epsilon-neighbor join is "
+    "grid-bucketed: points land in eps-sized cells and candidate "
+    "pairs come only from the 3x3 cell neighborhood — the standard "
+    "spatial-join diversion that replaces the n^2 distance matrix; "
+    "border status is one more core-neighbor semi-join. Fixed eps "
+    "on growing density is inherently superlinear, so the graded "
+    f"contract runs on an md5-ranked sample (cap {_DBS_SAMPLE}) — "
+    "the sample+assign-rest pattern every production DBSCAN at "
+    "100 TB uses; the cap is the stated semantics, not a silent "
+    "truncation. Distances are identical IEEE trees; FLOOR of the "
+    "same double is cross-engine exact.",
+    bench=True,
+)
+def q_dbscan_core(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    word = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("dbs:"), F.col("vec_id").cast("string"))),
+            1,
+            13,
+        ),
+        16,
+        10,
+    ).cast("long")
+    w_rank = Window.orderBy(word.asc(), F.col("vec_id").asc())
+    pts = (
+        emb.select(
+            "vec_id",
+            "label",
+            F.element_at(F.col("embedding"), 1).cast("double").alias("x"),
+            F.element_at(F.col("embedding"), 2).cast("double").alias("y"),
+        )
+        .withColumn("rn", F.row_number().over(w_rank))
+        .filter(F.col("rn") <= _DBS_SAMPLE)
+        .drop("rn")
+    )
+    cells = pts.select(
+        "vec_id", "label", "x", "y",
+        F.floor(F.col("x") / _DBS_EPS).cast("bigint").alias("cx"),
+        F.floor(F.col("y") / _DBS_EPS).cast("bigint").alias("cy"),
+    ).localCheckpoint(eager=True)
+    a = cells.alias("a")
+    b = cells.alias("b")
+    d2 = (F.col("a.x") - F.col("b.x")) * (F.col("a.x") - F.col("b.x")) + (
+        F.col("a.y") - F.col("b.y")
+    ) * (F.col("a.y") - F.col("b.y"))
+    nbr = (
+        a.join(
+            b,
+            F.col("b.cx").between(F.col("a.cx") - 1, F.col("a.cx") + 1)
+            & F.col("b.cy").between(F.col("a.cy") - 1, F.col("a.cy") + 1)
+            & (d2 <= _DBS_EPS * _DBS_EPS),
+        )
+        .groupBy(F.col("a.vec_id").alias("vec_id"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_nbr"))
+    )
+    flags = cells.join(nbr, "vec_id").select(
+        "vec_id", "label", "x", "y", "cx", "cy",
+        (F.col("n_nbr") >= _DBS_MINPTS).cast("int").alias("is_core"),
+    ).localCheckpoint(eager=True)
+    fa = flags.alias("a")
+    fb = flags.alias("b")
+    d2f = (F.col("a.x") - F.col("b.x")) * (F.col("a.x") - F.col("b.x")) + (
+        F.col("a.y") - F.col("b.y")
+    ) * (F.col("a.y") - F.col("b.y"))
+    border = (
+        fa.join(
+            fb,
+            (F.col("a.is_core") == 0)
+            & (F.col("b.is_core") == 1)
+            & F.col("b.cx").between(F.col("a.cx") - 1, F.col("a.cx") + 1)
+            & F.col("b.cy").between(F.col("a.cy") - 1, F.col("a.cy") + 1)
+            & (d2f <= _DBS_EPS * _DBS_EPS)
+            & (F.col("a.vec_id") != F.col("b.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("vec_id"))
+        .distinct()
+        .withColumn("is_border", F.lit(1))
+    )
+    return (
+        flags.join(border, "vec_id", "left")
+        .groupBy("label")
+        .agg(
+            F.sum("is_core").cast("bigint").alias("n_core"),
+            F.sum(
+                F.when(
+                    (F.col("is_core") == 0) & F.col("is_border").isNotNull(), 1
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_border"),
+            F.sum(
+                F.when(
+                    (F.col("is_core") == 0) & F.col("is_border").isNull(), 1
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_noise"),
+        )
+        .orderBy("label")
+    )
