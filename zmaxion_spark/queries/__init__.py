@@ -163,9 +163,22 @@ _NEXT_ROUND: list[str] = [
     "q_agg_approx",
     "q_sim_topk_ivf",
     "q_sim_join_lsh",
-    # round-8 additions — appended by the round-8 wave.
+    # round-8 additions (#402-#412 + the capped/JPEG twins): with the
+    # 34 carry-overs and 3 re-graded primaries above, exactly 50 —
+    # the round-9 window completes the driver sweep.
     "q_smote_capped",
     "q_media_decode_jpeg",
+    "q_bradley_terry",
+    "q_qini_uplift",
+    "q_nelson_aalen",
+    "q_anderson_darling",
+    "q_hurst_exponent",
+    "q_heaps_law",
+    "q_silhouette",
+    "q_dbscan_core",
+    "q_shapley_filters",
+    "q_token_fertility",
+    "q_mixing_weights",
 ]
 
 

@@ -1492,3 +1492,374 @@ def q_dbscan_core(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+# ---------------------------------------------------------------------------
+# #410 shapley_filters — exact Shapley attribution of 3 quality filters
+# ---------------------------------------------------------------------------
+
+_SHAP_MIN_CHARS = 200
+_SHAP_MIN_WORDS = 40
+
+
+@query(
+    "q_shapley_filters",
+    oracle=f"""
+        WITH flags AS (
+            SELECT CAST(n_chars >= {_SHAP_MIN_CHARS} AS BIGINT) AS fa,
+                   CAST(LEN(LIST_FILTER(STRING_SPLIT(text, ' '),
+                                        w -> LEN(w) > 0))
+                        >= {_SHAP_MIN_WORDS} AS BIGINT) AS fb,
+                   CAST(CONTAINS(text, ' the ') AS BIGINT) AS fc
+            FROM documents
+        ),
+        v AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(fa) AS BIGINT) AS va,
+                   CAST(SUM(fb) AS BIGINT) AS vb,
+                   CAST(SUM(fc) AS BIGINT) AS vc,
+                   CAST(SUM(fa * fb) AS BIGINT) AS vab,
+                   CAST(SUM(fa * fc) AS BIGINT) AS vac,
+                   CAST(SUM(fb * fc) AS BIGINT) AS vbc,
+                   CAST(SUM(fa * fb * fc) AS BIGINT) AS vabc
+            FROM flags
+        ),
+        phi AS (
+            SELECT 'min_chars' AS filter, n - va AS removed_solo,
+                   2 * (n - va) + ((vb - vab) + (vc - vac))
+                   + 2 * (vbc - vabc) AS num6, n, n - vabc AS r_full
+            FROM v
+            UNION ALL
+            SELECT 'min_words', n - vb,
+                   2 * (n - vb) + ((va - vab) + (vc - vbc))
+                   + 2 * (vac - vabc), n, n - vabc
+            FROM v
+            UNION ALL
+            SELECT 'has_the', n - vc,
+                   2 * (n - vc) + ((va - vac) + (vb - vbc))
+                   + 2 * (vab - vabc), n, n - vabc
+            FROM v
+        )
+        SELECT filter, n AS n_docs, removed_solo, r_full AS removed_all,
+               ROUND(CAST(num6 AS DOUBLE) / 6, 9) AS phi,
+               ROUND(CAST(num6 AS DOUBLE) / 6 / r_full, 9) AS phi_share
+        FROM phi
+        ORDER BY filter
+    """,
+    operators=(24, 41, 410),
+    doc="Exact Shapley filter attribution (#410): which of three "
+    "document quality gates (min chars, min words, an English "
+    "function-word marker) is actually responsible for the docs a "
+    "conjunctive filter stack removes? The removal value "
+    "r(S) = N - |docs passing all filters in S| is evaluated on "
+    "all 8 subsets from ONE census (the subset counts are sums of "
+    "flag products — a single pass, no 8 scans), and each filter's "
+    "exact Shapley value is the closed 3-player form "
+    "phi_i = [2(r(i)-r(0)) + (r(ij)-r(j)) + (r(ik)-r(k)) + "
+    "2(r(N)-r(N\\\\i))]/6 — an integer numerator over one division. "
+    "Additivity (sum phi = r(full)) makes phi_share a defensible "
+    "'% of removals owed to this gate' — the attribution question "
+    "every Gopher-style (#174) filter stack review asks, answered "
+    "exactly instead of by one-at-a-time ablation (which "
+    "double-counts overlaps). Scale: one corpus scan, a 1-row "
+    "census, a 3-row fan-out.",
+    bench=False,
+)
+def q_shapley_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    flags = d.select(
+        (F.col("n_chars") >= _SHAP_MIN_CHARS).cast("bigint").alias("fa"),
+        (
+            F.size(F.filter(F.split("text", " "), lambda w: F.length(w) > 0))
+            >= _SHAP_MIN_WORDS
+        )
+        .cast("bigint")
+        .alias("fb"),
+        F.col("text").contains(" the ").cast("bigint").alias("fc"),
+    )
+    v = flags.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("fa").cast("bigint").alias("va"),
+        F.sum("fb").cast("bigint").alias("vb"),
+        F.sum("fc").cast("bigint").alias("vc"),
+        F.sum(F.col("fa") * F.col("fb")).cast("bigint").alias("vab"),
+        F.sum(F.col("fa") * F.col("fc")).cast("bigint").alias("vac"),
+        F.sum(F.col("fb") * F.col("fc")).cast("bigint").alias("vbc"),
+        F.sum(F.col("fa") * F.col("fb") * F.col("fc"))
+        .cast("bigint")
+        .alias("vabc"),
+    )
+    n, va, vb, vc = F.col("n"), F.col("va"), F.col("vb"), F.col("vc")
+    vab, vac, vbc, vabc = (
+        F.col("vab"), F.col("vac"), F.col("vbc"), F.col("vabc"),
+    )
+    rows = [
+        ("min_chars", n - va,
+         2 * (n - va) + ((vb - vab) + (vc - vac)) + 2 * (vbc - vabc)),
+        ("min_words", n - vb,
+         2 * (n - vb) + ((va - vab) + (vc - vbc)) + 2 * (vac - vabc)),
+        ("has_the", n - vc,
+         2 * (n - vc) + ((va - vac) + (vb - vbc)) + 2 * (vab - vabc)),
+    ]
+    parts = [
+        v.select(
+            F.lit(name).alias("filter"),
+            n.alias("n_docs"),
+            solo.alias("removed_solo"),
+            (n - vabc).alias("removed_all"),
+            F.round(num6.cast("double") / 6, 9).alias("phi"),
+            F.round(num6.cast("double") / 6 / (n - vabc), 9).alias(
+                "phi_share"
+            ),
+        )
+        for name, solo, num6 in rows
+    ]
+    out = parts[0]
+    for pt in parts[1:]:
+        out = out.unionByName(pt)
+    return out.orderBy("filter")
+
+
+# ---------------------------------------------------------------------------
+# #411 token_fertility — engine-trained BPE fertility per language
+# ---------------------------------------------------------------------------
+
+
+def _fertility_oracle() -> str:
+    from zmaxion_spark.queries.llm import _bpe_oracle
+
+    base = _bpe_oracle()
+    body = base[: base.rindex("SELECT mr AS merge_rank")]
+    body = body[body.index("WITH") + 4 :].rstrip().rstrip(",")
+    return f"""
+        WITH {body},
+        dr AS (
+            SELECT doc_id, lang,
+                   CAST(LEN(LIST_FILTER(STRING_SPLIT(text, ' '),
+                                        w -> LEN(w) > 0)) AS BIGINT)
+                       AS n_words,
+                   LENGTH(REPLACE(text, ' ', '')) AS n_chars,
+                   ARRAY_TO_STRING(LIST_TRANSFORM(
+                       LIST_FILTER(STRING_SPLIT(text, ' '), w -> LEN(w) > 0),
+                       w -> '[' || ARRAY_TO_STRING(
+                                LIST_TRANSFORM(RANGE(1, LEN(w) + 1),
+                                               i -> SUBSTR(w, i, 1)), '][')
+                            || ']'), ' ') AS rp
+            FROM documents
+        ),
+        applied AS (
+            SELECT doc_id, lang, n_words, n_chars,
+                   LEN(fin) - LEN(REPLACE(fin, '[', '')) AS n_tokens
+            FROM (
+                SELECT doc_id, lang, n_words, n_chars,
+                       REPLACE(REPLACE(REPLACE(rp,
+                           '[' || m1.ls || '][' || m1.rs || ']',
+                           '[' || m1.ls || m1.rs || ']'),
+                           '[' || m2.ls || '][' || m2.rs || ']',
+                           '[' || m2.ls || m2.rs || ']'),
+                           '[' || m3.ls || '][' || m3.rs || ']',
+                           '[' || m3.ls || m3.rs || ']') AS fin
+                FROM dr CROSS JOIN m1 CROSS JOIN m2 CROSS JOIN m3
+            )
+        )
+        SELECT lang,
+               CAST(SUM(n_words) AS BIGINT) AS n_words,
+               CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+               CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+               ROUND(CAST(SUM(n_tokens) AS DOUBLE) / SUM(n_words), 9)
+                   AS fertility,
+               ROUND(CAST(SUM(n_chars) AS DOUBLE) / SUM(n_tokens), 9)
+                   AS chars_per_token
+        FROM applied
+        GROUP BY lang
+        ORDER BY lang
+    """
+
+
+@query(
+    "q_token_fertility",
+    oracle=_fertility_oracle(),
+    operators=(23, 65, 221, 232, 411),
+    doc="Tokenizer fertility census (#411): tokens-per-word and "
+    "chars-per-token per language under the ENGINE-TRAINED BPE "
+    "(#221's merges, applied with #232's boundary-safe replace "
+    "semantics) — the metric that decides whether a tokenizer "
+    "under-serves a language (high fertility = more tokens per "
+    "word = higher serving cost and shorter effective context for "
+    "that language), the per-language audit every multilingual "
+    "data pipeline runs before committing a vocabulary. English "
+    "fertility drops under the English-trained merges while other "
+    "languages stay near character-level — the cross-lingual "
+    "imbalance the metric exists to expose. Scale: training never "
+    "rescans the corpus (vocab-sized merge rounds); application "
+    "is one corpus scan with three codegen string replaces and a "
+    "5-row census.",
+    bench=False,
+)
+def q_token_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from zmaxion_spark.queries.llm import q_bpe_train
+
+    train = q_bpe_train(spark, sf_dir)
+    m = [
+        F.broadcast(
+            train.filter(F.col("merge_rank") == t).select(
+                F.col("left_sym").alias(f"l{t}"),
+                F.col("right_sym").alias(f"r{t}"),
+            )
+        )
+        for t in (1, 2, 3)
+    ]
+    d = _t(spark, sf_dir, "documents")
+    rp = F.expr(
+        "array_join(transform(filter(split(text, ' '), w -> length(w) > 0), "
+        "w -> concat('[', array_join(transform(sequence(1, length(w)), "
+        "i -> substring(w, i, 1)), ']['), ']')), ' ')"
+    )
+    n_words = F.size(F.filter(F.split("text", " "), lambda w: F.length(w) > 0))
+    df = d.select(
+        "doc_id",
+        "lang",
+        n_words.cast("bigint").alias("n_words"),
+        F.length(F.regexp_replace("text", " ", "")).alias("n_chars"),
+        rp.alias("rp"),
+    )
+    for t in (1, 2, 3):
+        df = df.crossJoin(m[t - 1]).select(
+            "doc_id", "lang", "n_words", "n_chars",
+            F.replace(
+                F.col("rp"),
+                F.concat(
+                    F.lit("["), F.col(f"l{t}"), F.lit("]["),
+                    F.col(f"r{t}"), F.lit("]"),
+                ),
+                F.concat(
+                    F.lit("["), F.col(f"l{t}"), F.col(f"r{t}"), F.lit("]")
+                ),
+            ).alias("rp"),
+        )
+    tok = df.select(
+        "lang", "n_words", "n_chars",
+        (
+            F.length(F.col("rp"))
+            - F.length(F.regexp_replace(F.col("rp"), "\\[", ""))
+        ).alias("n_tokens"),
+    )
+    return (
+        tok.groupBy("lang")
+        .agg(
+            F.sum("n_words").cast("bigint").alias("n_words"),
+            F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+            F.sum("n_chars").cast("bigint").alias("n_chars"),
+            F.round(
+                F.sum("n_tokens").cast("double") / F.sum("n_words"), 9
+            ).alias("fertility"),
+            F.round(
+                F.sum("n_chars").cast("double") / F.sum("n_tokens"), 9
+            ).alias("chars_per_token"),
+        )
+        .orderBy("lang")
+    )
+
+
+# ---------------------------------------------------------------------------
+# #412 mixing_weights — temperature-sampled data mixing plan per source
+# ---------------------------------------------------------------------------
+
+_MIX_ALPHAS = ("1.0", "0.7", "0.5", "0.3")
+
+
+@query(
+    "q_mixing_weights",
+    oracle=f"""
+        WITH src AS (
+            SELECT source,
+                   CAST(SUM(LEN(LIST_FILTER(STRING_SPLIT(text, ' '),
+                                            w -> LEN(w) > 0))) AS BIGINT)
+                       AS tokens
+            FROM documents GROUP BY source
+        ),
+        tot AS (SELECT CAST(SUM(tokens) AS BIGINT) AS t_all FROM src),
+        grid AS (
+            SELECT s.source, s.tokens, a.alpha
+            FROM src s
+            CROSS JOIN (SELECT UNNEST([
+                {", ".join(_MIX_ALPHAS)}]) AS alpha) a
+        ),
+        pw AS (
+            SELECT source, tokens, alpha,
+                   EXP(alpha * LN(CAST(tokens AS DOUBLE))) AS t_pow
+            FROM grid
+        ),
+        z AS (
+            SELECT alpha,
+                   CAST(SUM(CAST(t_pow AS DECIMAL(38,12))) AS DOUBLE) AS zsum
+            FROM pw GROUP BY alpha
+        )
+        SELECT p.source, p.alpha, p.tokens,
+               ROUND(p.t_pow / z.zsum, 9) AS weight,
+               ROUND(p.t_pow / z.zsum * t.t_all / p.tokens, 9)
+                   AS eff_epochs
+        FROM pw p
+        JOIN z ON z.alpha = p.alpha
+        CROSS JOIN tot t
+        ORDER BY p.alpha, p.source
+    """,
+    operators=(23, 31, 412),
+    doc="Temperature-sampled mixing weights (#412): the data-"
+    "scheduling table behind every multilingual / multi-source "
+    "LLM pretraining run (the T5/mT5 alpha-sampling recipe) — "
+    "per-source token counts feed w_s(alpha) = T_s^alpha / "
+    "SUM T^alpha over an alpha grid (1.0 = proportional, 0.3 = "
+    "strongly flattened), and eff_epochs = w_s * T_total / T_s "
+    "exposes the over-sampling factor each low-resource source "
+    "would endure — the repetition-risk number (beside #303's "
+    "perplexity and #89's repetition gate) that decides whether "
+    "flattening is safe or will memorize a small source. T^alpha "
+    "is written as EXP(alpha * LN(T)) — one identical libm tree "
+    "on both engines (never engine POWER) — and the per-alpha "
+    "normalizer sums through DECIMAL(38,12). Scale: one corpus "
+    "scan to a |sources|-row census; the grid is constant-size.",
+    bench=False,
+)
+def q_mixing_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    src = d.groupBy("source").agg(
+        F.sum(
+            F.size(F.filter(F.split("text", " "), lambda w: F.length(w) > 0))
+        )
+        .cast("bigint")
+        .alias("tokens")
+    )
+    tot = src.agg(F.sum("tokens").cast("bigint").alias("t_all"))
+    alphas = spark.range(len(_MIX_ALPHAS)).select(
+        F.element_at(
+            F.array(*[F.lit(float(a)) for a in _MIX_ALPHAS]),
+            (F.col("id") + 1).cast("int"),
+        ).alias("alpha")
+    )
+    pw = src.crossJoin(F.broadcast(alphas)).select(
+        "source", "tokens", "alpha",
+        F.exp(F.col("alpha") * F.log(F.col("tokens").cast("double"))).alias(
+            "t_pow"
+        ),
+    )
+    z = pw.groupBy("alpha").agg(
+        F.sum(F.col("t_pow").cast("decimal(38,12)")).cast("double").alias(
+            "zsum"
+        )
+    )
+    return (
+        pw.join(z, "alpha")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "alpha",
+            "tokens",
+            F.round(F.col("t_pow") / F.col("zsum"), 9).alias("weight"),
+            F.round(
+                F.col("t_pow") / F.col("zsum") * F.col("t_all") / F.col("tokens"),
+                9,
+            ).alias("eff_epochs"),
+        )
+        .orderBy("alpha", "source")
+    )
