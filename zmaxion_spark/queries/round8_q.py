@@ -247,7 +247,7 @@ def q_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         ranked AS (
             SELECT *, ROW_NUMBER() OVER (ORDER BY up DESC, xb) AS rk
-            FROM score
+            FROM score WHERE nt > 0 AND nc > 0
         ),
         cum AS (
             SELECT rk, xb, up, nt, ct, nc, cc,
@@ -293,7 +293,9 @@ def q_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Qini uplift evaluation (#403): the incremental-impact view "
     "a conversion-rate comparison cannot give — users stratify into "
     "activity bands (the #281/#395 covariate), the two-model uplift "
-    "score per band is conv_T - conv_C, bands rank by score, and "
+    "score per band is conv_T - conv_C (bands missing either arm "
+    "are excluded — the contract requires both arms), bands rank "
+    "by score, and "
     "the Qini curve Q(k) = convT_cum - convC_cum * nT_cum/nC_cum "
     "accumulates down the ranking; the Qini coefficient averages "
     "Q(k)'s lift over the random-targeting diagonal (per-band terms "
@@ -348,7 +350,7 @@ def q_qini_uplift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("cc"),
     )
     w_rank = Window.orderBy(F.col("up").desc(), "xb")
-    ranked = score.select(
+    ranked = score.filter((F.col("nt") > 0) & (F.col("nc") > 0)).select(
         "*", F.row_number().over(w_rank).alias("rk")
     )
     w_cum = Window.orderBy("rk").rowsBetween(Window.unboundedPreceding, 0)
