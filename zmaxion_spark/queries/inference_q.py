@@ -1822,42 +1822,47 @@ def q_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         WITH o AS (
             SELECT o_orderpriority AS g,
-                   CAST(ROUND(o_totalprice * 100) AS BIGINT)
-                       / CAST(100000 AS DOUBLE) AS v
+                   CAST(ROUND(o_totalprice * 100) AS BIGINT) AS c
             FROM orders
         ),
         per AS (
             SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
-                   SUM(CAST(v AS DECIMAL(38,9))) AS sv,
-                   SUM(CAST(v * v AS DECIMAL(38,9))) AS sv2
+                   CAST(SUM(c) AS BIGINT) AS sc,
+                   CAST(SUM((c * c) // 1000000000) AS BIGINT) AS s2h,
+                   CAST(SUM((c * c) % 1000000000) AS BIGINT) AS s2l
             FROM o GROUP BY g
         ),
         tot AS (
             SELECT CAST(SUM(n) AS BIGINT) AS tn,
-                   SUM(sv) AS ts,
+                   CAST(SUM(sc) AS BIGINT) AS tsc,
                    CAST(COUNT(*) AS BIGINT) AS k
             FROM per
         ),
-        comp AS (
-            SELECT tot.tn AS n, tot.k,
-                   SUM(CAST(CAST(per.sv AS DOUBLE) * CAST(per.sv AS DOUBLE)
-                            / per.n AS DECIMAL(38,9)))
-                       AS sq_grp,
-                   SUM(per.sv2) AS sq_all
+        celld AS (
+            SELECT per.n,
+                   CAST(per.sc AS DOUBLE) / 100000.0 AS sv,
+                   (CAST(per.s2h AS DOUBLE) * 1000000000.0
+                        + CAST(per.s2l AS DOUBLE)) / 10000000000.0 AS sv2,
+                   tot.tn, tot.k, tot.tsc
             FROM per CROSS JOIN tot
-            GROUP BY tot.tn, tot.k, tot.ts
+        ),
+        comp AS (
+            SELECT tn AS n, k,
+                   CAST(tsc AS DOUBLE) / 100000.0 AS ts,
+                   SUM(CAST(sv * sv / n AS DECIMAL(38,3))) AS sq_grp,
+                   SUM(CAST(sv2 AS DECIMAL(38,3))) AS sq_all
+            FROM celld
+            GROUP BY tn, k, tsc
         ),
         fin AS (
-            SELECT comp.n, comp.k,
-                   CAST(sq_grp AS DOUBLE)
-                       - CAST(tot.ts AS DOUBLE) * CAST(tot.ts AS DOUBLE)
-                         / comp.n AS ssb,
+            SELECT n, k,
+                   CAST(sq_grp AS DOUBLE) - ts * ts / n AS ssb,
                    CAST(sq_all AS DOUBLE) - CAST(sq_grp AS DOUBLE) AS ssw
-            FROM comp CROSS JOIN tot
+            FROM comp
         )
         SELECT n, k,
-               CAST(CAST(ssb AS DECIMAL(38,9)) AS DOUBLE) AS ssb,
-               CAST(CAST(ssw AS DECIMAL(38,9)) AS DOUBLE) AS ssw,
+               CAST(CAST(ssb AS DECIMAL(38,3)) AS DOUBLE) AS ssb,
+               CAST(CAST(ssw AS DECIMAL(38,3)) AS DOUBLE) AS ssw,
                CAST(CAST((ssb / (k - 1)) / (ssw / (n - k))
                          AS DECIMAL(38,9)) AS DOUBLE) AS f_stat,
                CAST(CAST(ssb / (ssb + ssw) AS DECIMAL(38,9)) AS DOUBLE)
@@ -1868,59 +1873,70 @@ def q_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="One-way ANOVA (#307) across priority classes on order value — "
     "the k-group generalization of the two-sample test (#147): "
     "F = (SSB/(k−1))/(SSW/(n−k)) plus η² = SSB/SST, the "
-    "variance-explained effect size p-values hide. Values enter as "
-    "KILO-dollars, not cents: sums of squares in cents² sit ~1e18, "
-    "past the ~17-significant-digit decimal→double cast-exactness "
-    "cliff (DuckDB converts int128 by one float multiply), while the "
-    "rescaled moments stay ≤1e5 where every per-term 1e-9 "
-    "quantization and exact decimal sum round-trips to double "
-    "losslessly. SSB uses the Σ(sv²/n) − (Σsv)²/N identity over "
-    "group cells; every double expression is one identical IEEE "
-    "tree over exact-decimal casts. Scale: one map-side-combined "
-    "groupBy to k cells; everything after is k-row algebra.",
+    "variance-explained effect size p-values hide. INTEGER-EXACT "
+    "MOMENTS: per-row values stay cents (BIGINT); Σc is an exact "
+    "BIGINT, and Σc² is carried as two exact BIGINT halves "
+    "(Σ(c² div 1e9), Σ(c² mod 1e9)) so that EVERY engine-specific "
+    "int→double conversion is of an integer < 2^53 and therefore "
+    "exact on both engines — the round-8 driver hash FAIL traced to "
+    "per-row double products cast to DECIMAL(38,9), where the two "
+    "engines' cast rounding straddled a half-quantum. Here the first "
+    "doubles appear at the k-cell stage from bit-identical exact "
+    "integers, so the whole IEEE tree (sv = Σc/1e5 kilo-dollars, "
+    "sv² = Σc²/1e10) is shared, and only k≈5 half-quantum-safe "
+    "quantizations remain. The sum-of-squares family quantizes at "
+    "scale 3, not 9: ssw ≈ 3e8 at scale 9 has an unscaled int "
+    "> 2^53, where DuckDB's int128→double and Java's BigDecimal "
+    "round differently (the observed one-ulp r8 residual); scale 3 "
+    "keeps unscaled < 2^53 through ~sf100 so decimal→double is one "
+    "shared exact-int division on both engines. Scale: one "
+    "map-side-combined groupBy to k cells; then k-row algebra.",
 )
 def q_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders").select(
         F.col("o_orderpriority").alias("g"),
-        (
-            F.round(F.col("o_totalprice") * 100).cast("bigint")
-            / F.lit(100000.0)
-        ).alias("v"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("c"),
     )
+    cc = F.col("c") * F.col("c")
     per = o.groupBy("g").agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
-        F.sum(F.col("v").cast("decimal(38,9)")).alias("sv"),
-        F.sum((F.col("v") * F.col("v")).cast("decimal(38,9)")).alias("sv2"),
+        F.sum("c").cast("bigint").alias("sc"),
+        F.sum(F.expr("(c * c) div 1000000000")).cast("bigint").alias("s2h"),
+        F.sum(cc % F.lit(1000000000)).cast("bigint").alias("s2l"),
     )
     tot = per.agg(
         F.sum("n").cast("bigint").alias("tn"),
-        F.sum("sv").alias("ts"),
+        F.sum("sc").cast("bigint").alias("tsc"),
         F.count(F.lit(1)).cast("bigint").alias("k"),
     )
-    comp = (
-        per.crossJoin(F.broadcast(tot))
-        .groupBy("tn", "k", "ts")
-        .agg(
-            F.sum(
-                (
-                    F.col("sv").cast("double")
-                    * F.col("sv").cast("double")
-                    / F.col("n")
-                ).cast("decimal(38,9)")
-            ).alias("sq_grp"),
-            F.sum("sv2").alias("sq_all"),
-        )
+    celld = per.crossJoin(F.broadcast(tot)).select(
+        "n",
+        (F.col("sc").cast("double") / F.lit(100000.0)).alias("sv"),
+        (
+            (
+                F.col("s2h").cast("double") * F.lit(1000000000.0)
+                + F.col("s2l").cast("double")
+            )
+            / F.lit(10000000000.0)
+        ).alias("sv2"),
+        "tn",
+        "k",
+        "tsc",
     )
-    ssb = (
-        F.col("sq_grp").cast("double")
-        - F.col("ts").cast("double") * F.col("ts").cast("double") / F.col("tn")
+    comp = celld.groupBy("tn", "k", "tsc").agg(
+        F.sum(
+            (F.col("sv") * F.col("sv") / F.col("n")).cast("decimal(38,3)")
+        ).alias("sq_grp"),
+        F.sum(F.col("sv2").cast("decimal(38,3)")).alias("sq_all"),
     )
+    ts = F.col("tsc").cast("double") / F.lit(100000.0)
+    ssb = F.col("sq_grp").cast("double") - ts * ts / F.col("tn")
     ssw = F.col("sq_all").cast("double") - F.col("sq_grp").cast("double")
     return comp.select(
         F.col("tn").alias("n"),
         "k",
-        ssb.cast("decimal(38,9)").cast("double").alias("ssb"),
-        ssw.cast("decimal(38,9)").cast("double").alias("ssw"),
+        ssb.cast("decimal(38,3)").cast("double").alias("ssb"),
+        ssw.cast("decimal(38,3)").cast("double").alias("ssw"),
         ((ssb / (F.col("k") - 1)) / (ssw / (F.col("tn") - F.col("k"))))
         .cast("decimal(38,9)")
         .cast("double")
