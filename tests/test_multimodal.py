@@ -132,6 +132,39 @@ def test_jpeg_byte_stuffing_survives():
     assert hits > 0  # stuffing path actually exercised
 
 
+def test_jpeg_dri_restart_markers_roundtrip():
+    # DRI + RSTn path (ADVICE r8 #4): restart markers byte-align the
+    # stream and reset the DC predictor; decoded features must equal
+    # the no-restart synthesis of the same (w, h, seed).
+    from zmaxion_spark.functions import media_jpeg as J
+
+    w, h, seed = 40, 24, 77  # 15 MCUs
+    base = J.decode_jpeg(J.synthesize_jpeg_dc(w, h, seed))
+    for ri in (1, 2, 4, 7):  # includes intervals not dividing 15
+        p = J.synthesize_jpeg_dri(w, h, seed, ri)
+        scan = p[p.index(b"\xff\xda") + 2 :]
+        assert any(
+            bytes([0xFF, 0xD0 + k]) in scan for k in range(8)
+        ), f"no RST marker emitted at interval {ri}"
+        d = J.decode_jpeg(p)
+        assert d == base, f"DRI interval {ri} diverged: {d} vs {base}"
+
+
+def test_jpeg_truncated_stream_fails_loudly():
+    # A non-stuffed 0xFF mid-entropy must pad with 1-bits WITHOUT
+    # consuming the marker; exhausting padding raises instead of
+    # reading the marker code byte (e.g. 0xD9) as entropy data.
+    import pytest
+
+    from zmaxion_spark.functions import media_jpeg as J
+
+    p = J.synthesize_jpeg_dc(32, 32, 9)
+    sos = p.index(b"\xff\xda")
+    cut = p[: sos + 20] + b"\xff\xd9"  # truncate entropy, keep EOI
+    with pytest.raises((ValueError, IndexError)):
+        J.decode_jpeg(cut)
+
+
 def test_jpeg_rejects_progressive_and_subsampled():
     import pytest
 

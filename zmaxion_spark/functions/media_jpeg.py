@@ -141,16 +141,23 @@ class _BitReader:
             if b == 0xFF:
                 nxt = self.data[self.pos + 1]
                 if nxt == 0x00:
-                    self.pos += 1  # stuffed byte
-                else:
-                    # marker reached mid-entropy (e.g. RST handled by
-                    # caller, EOI) — feed 1-bits per T.81 padding rule
+                    self.pos += 2  # data 0xFF + its stuffed 0x00
                     self.cur = 0xFF
                     self.bit = 8
-                    b = 0xFF
-            self.cur = b
-            self.pos += 1
-            self.bit = 8
+                else:
+                    # Marker reached mid-entropy (RSTn handled by the
+                    # caller, EOI): feed 1-bits per the T.81 padding
+                    # rule WITHOUT consuming the marker — pos stays on
+                    # the 0xFF so the caller's restart/EOI detection
+                    # still sees it, and repeated refills keep padding
+                    # instead of swallowing the marker code byte
+                    # (e.g. 0xD9) as entropy data.
+                    self.cur = 0xFF
+                    self.bit = 8
+            else:
+                self.cur = b
+                self.pos += 1
+                self.bit = 8
         self.bit -= 1
         return (self.cur >> self.bit) & 1
 
@@ -376,7 +383,9 @@ def _seg(marker: int, body: bytes) -> bytes:
     return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
 
 
-def _headers(width: int, height: int, n_comp: int) -> bytes:
+def _headers(
+    width: int, height: int, n_comp: int, restart_interval: int = 0
+) -> bytes:
     out = b"\xff\xd8"  # SOI
     out += _seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
     out += _seg(0xDB, bytes([0x00]) + bytes(_Q16))
@@ -392,6 +401,8 @@ def _headers(width: int, height: int, n_comp: int) -> bytes:
         0xC4,
         bytes([0x10]) + bytes(_AC_BITS) + bytes(_AC_VALS),
     )
+    if restart_interval:
+        out += _seg(0xDD, struct.pack(">H", restart_interval))
     sos = bytes([n_comp])
     for c in range(n_comp):
         sos += bytes([c + 1, 0x00])
@@ -465,6 +476,38 @@ def synthesize_jpeg_ac(width: int, height: int, seed: int) -> bytes:
             _write_ac(bwr, 14, a20)  # zigzag 6-19 zero, coef at 20
             _eob(bwr)
     return _headers(width, height, 1) + bwr.flush() + b"\xff\xd9"
+
+
+def synthesize_jpeg_dri(
+    width: int, height: int, seed: int, restart_interval: int
+) -> bytes:
+    """Grayscale DC-only baseline JPEG with a DRI segment and RSTn
+    markers every `restart_interval` MCUs: the entropy stream is
+    byte-aligned with 1-padding before each marker and the DC
+    predictor resets after it (T.81 F.2.2.5 / E.2.4) — decoded pixels
+    equal synthesize_jpeg_dc's for the same (width, height, seed)."""
+    bw, bh = width // 8, height // 8
+    bwr = _BitWriter()
+    pred = 0
+    mcu = 0
+    rst = 0
+    for by in range(bh):
+        for bx in range(bw):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                bwr.flush()  # byte-align with 1-padding
+                bwr.out += bytes([0xFF, 0xD0 + rst])
+                rst = (rst + 1) % 8
+                pred = 0
+            dc = jpeg_dc_value(seed, bx, by)
+            _write_dc(bwr, dc - pred)
+            pred = dc
+            _eob(bwr)
+            mcu += 1
+    return (
+        _headers(width, height, 1, restart_interval)
+        + bwr.flush()
+        + b"\xff\xd9"
+    )
 
 
 def synthesize_jpeg_color(width: int, height: int, seed: int) -> bytes:

@@ -869,15 +869,24 @@ def q_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     j = b.select(F.col("bin").alias("j"))
     k = b.select(F.col("bin").alias("k"))
     m = b.select(F.col("bin").alias("mb"), F.col("n").alias("mn"), F.col("n_pos").alias("mp"))
+    # All frames here are bin-grain (10 rows / 55 intervals): broadcast
+    # the right sides so the theta joins plan as the intentional-tiny
+    # BroadcastNestedLoopJoin, never a partitioned CartesianProduct.
     iv = (
-        j.join(k, F.col("j") <= F.col("k"))
-        .join(m, (F.col("mb") >= F.col("j")) & (F.col("mb") <= F.col("k")))
+        j.join(F.broadcast(k), F.col("j") <= F.col("k"))
+        .join(
+            F.broadcast(m),
+            (F.col("mb") >= F.col("j")) & (F.col("mb") <= F.col("k")),
+        )
         .groupBy("j", "k")
         .agg((F.sum("mp").cast("double") / F.sum("mn")).alias("avg_rate"))
     )
     i = b.select(F.col("bin").alias("i"))
     stage1 = (
-        i.join(iv, (F.col("j") <= F.col("i")) & (F.col("k") >= F.col("i")))
+        i.join(
+            F.broadcast(iv),
+            (F.col("j") <= F.col("i")) & (F.col("k") >= F.col("i")),
+        )
         .groupBy("i", "j")
         .agg(F.min("avg_rate").alias("min_k"))
     )

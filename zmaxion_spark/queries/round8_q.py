@@ -548,20 +548,23 @@ def q_nelson_aalen(spark: SparkSession, sf_dir: str) -> DataFrame:
         "s", "t", F.lead("t").over(w_lead).alias("t_next")
     ).filter(F.col("t_next").isNotNull())
     tmin = na.agg(F.min("t").alias("tmin"))
-    rmst = (
-        stepped.crossJoin(F.broadcast(tmin))
-        .groupBy("tmin")
-        .agg(
-            (
-                F.col("tmin")
-                + F.sum(
-                    (F.col("s") * (F.col("t_next") - F.col("t"))).cast(
-                        "decimal(38,12)"
-                    )
-                ).cast("double")
-            ).alias("v")
+    # Global agg (no groupBy): with a single distinct event time,
+    # `stepped` is empty and a grouped agg would yield ZERO rows,
+    # emptying the whole output, while the oracle's scalar subquery
+    # yields one row with a NULL sum. An ungrouped agg over the empty
+    # frame returns exactly that one NULL row, matching the oracle on
+    # degenerate fixtures.
+    ssum = stepped.agg(
+        F.sum(
+            (F.col("s") * (F.col("t_next") - F.col("t"))).cast(
+                "decimal(38,12)"
+            )
         )
-        .select("v")
+        .cast("double")
+        .alias("_ssum")
+    )
+    rmst = ssum.crossJoin(F.broadcast(tmin)).select(
+        (F.col("tmin") + F.col("_ssum")).alias("v")
     )
     return (
         na.crossJoin(F.broadcast(rmst))
@@ -991,6 +994,7 @@ _HEAPS_CHK = 20  # ~checkpoints per language
         chk AS (
             SELECT lang, n_cum, v_cum FROM cum
             WHERE (r * {_HEAPS_CHK}) % m < {_HEAPS_CHK}
+              AND n_cum > 0 AND v_cum > 0
         ),
         fit AS (
             SELECT lang, CAST(COUNT(*) AS BIGINT) AS k,
@@ -1041,9 +1045,18 @@ _HEAPS_CHK = 20  # ~checkpoints per language
     "checkpoints per language ((r*k) % m < k — identical integer "
     "selection on both engines), and (K, beta) from closed-form "
     "log-log OLS with per-term DECIMAL(38,18) sums. Scale: the "
-    "token stream is touched once (two hash aggregates); windows "
-    "run over doc-count rows per language, checkpoints bound the "
-    "fit input regardless of SF.",
+    "token stream is touched once (two hash aggregates); the "
+    "per-language rank and cumulative sums are BUCKET-DECOMPOSED "
+    "(functions/ranks.py discipline): doc_id div 4096 buckets get a "
+    "map-side census, cumulative offsets ride a bucket-count-sized "
+    "frame that broadcasts back, and the per-row window partitions "
+    "by (lang, bucket) — no language's corpus ever funnels through "
+    "one task; integer sums are exact in any order so the result is "
+    "hash-identical to the oracle's single window. Degenerate inputs "
+    "(zero-token prefixes) are filtered identically on both engines "
+    "(n_cum/v_cum > 0) so neither LN(0)-raises (DuckDB) nor silently "
+    "drops terms (Spark). Checkpoints bound the fit input regardless "
+    "of SF.",
     bench=False,
 )
 def q_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1061,23 +1074,55 @@ def q_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
     newv = firsts.groupBy("lang", F.col("fd").alias("doc_id")).agg(
         F.count(F.lit(1)).cast("bigint").alias("nv")
     )
-    wl = Window.partitionBy("lang")
-    docs2 = (
-        dtok.join(newv, ["lang", "doc_id"], "left")
-        .select(
-            "lang", "doc_id", "ntok",
-            F.coalesce("nv", F.lit(0)).alias("nv"),
-            F.row_number().over(wl.orderBy("doc_id")).alias("r"),
-            F.count(F.lit(1)).over(wl).alias("m"),
-        )
+    base = dtok.join(newv, ["lang", "doc_id"], "left").select(
+        "lang",
+        "doc_id",
+        "ntok",
+        F.coalesce("nv", F.lit(0)).alias("nv"),
+        F.expr("doc_id div 4096").alias("bkt"),
     )
-    w_cum = wl.orderBy("r").rowsBetween(Window.unboundedPreceding, 0)
-    cum = docs2.select(
-        "lang", "r", "m",
-        F.sum("ntok").over(w_cum).alias("n_cum"),
-        F.sum("nv").over(w_cum).alias("v_cum"),
-    ).localCheckpoint(eager=True)
-    chk = cum.filter((F.col("r") * _HEAPS_CHK) % F.col("m") < _HEAPS_CHK)
+    # Bucket-decomposed per-language rank + cumulative sums
+    # (functions/ranks.py discipline): census per (lang, bucket),
+    # cumulative offsets over the tiny bucket frame, broadcast back,
+    # per-row window partitioned by (lang, bucket). Integer sums are
+    # exact in any order, so this is hash-identical to a single
+    # per-language window without ever funneling a language's corpus
+    # through one task.
+    sizes = base.groupBy("lang", "bkt").agg(
+        F.count(F.lit(1)).alias("_bn"),
+        F.sum("ntok").alias("_bt"),
+        F.sum("nv").alias("_bv"),
+    )
+    w_bkt = Window.partitionBy("lang").orderBy("bkt").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    offs = sizes.select(
+        "lang",
+        "bkt",
+        (F.sum("_bn").over(w_bkt) - F.col("_bn")).alias("_offr"),
+        (F.sum("_bt").over(w_bkt) - F.col("_bt")).alias("_offn"),
+        (F.sum("_bv").over(w_bkt) - F.col("_bv")).alias("_offv"),
+    )
+    m_tot = base.groupBy("lang").agg(F.count(F.lit(1)).alias("m"))
+    w_loc = Window.partitionBy("lang", "bkt").orderBy("doc_id")
+    w_lcum = w_loc.rowsBetween(Window.unboundedPreceding, 0)
+    cum = (
+        base.join(F.broadcast(offs), ["lang", "bkt"])
+        .join(F.broadcast(m_tot), "lang")
+        .select(
+            "lang",
+            (F.col("_offr") + F.row_number().over(w_loc)).alias("r"),
+            F.col("m"),
+            (F.col("_offn") + F.sum("ntok").over(w_lcum)).alias("n_cum"),
+            (F.col("_offv") + F.sum("nv").over(w_lcum)).alias("v_cum"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    chk = cum.filter(
+        ((F.col("r") * _HEAPS_CHK) % F.col("m") < _HEAPS_CHK)
+        & (F.col("n_cum") > 0)
+        & (F.col("v_cum") > 0)
+    )
     lnx = F.log(F.col("n_cum").cast("double"))
     lny = F.log(F.col("v_cum").cast("double"))
     dec = "decimal(38,18)"
@@ -1394,10 +1439,14 @@ _DBS_SAMPLE = 4096  # md5-ranked sample cap: density clustering at 100 TB
     "that finds arbitrary-shape clusters and, crucially for "
     "training-data curation, labels NOISE points (the outliers a "
     "k-means silently swallows). The epsilon-neighbor join is "
-    "grid-bucketed: points land in eps-sized cells and candidate "
-    "pairs come only from the 3x3 cell neighborhood — the standard "
-    "spatial-join diversion that replaces the n^2 distance matrix; "
-    "border status is one more core-neighbor semi-join. Fixed eps "
+    "grid-bucketed AND hash-partitionable: each probe point explodes "
+    "to its 3x3 neighbor cells (9 rows) and EQUI-joins on the cell "
+    "id — the q_spatial_grid_join (#154) shape — so the executed "
+    "plan is a hash join keyed on (cx, cy), never a CartesianProduct "
+    "(each candidate pair materializes exactly once: b's cell matches "
+    "exactly one of a's nine probe cells, so semantics equal the "
+    "BETWEEN form); border status is one more core-neighbor "
+    "equi-semi-join. Fixed eps "
     "on growing density is inherently superlinear, so the graded "
     f"contract runs on an md5-ranked sample (cap {_DBS_SAMPLE}) — "
     "the sample+assign-rest pattern every production DBSCAN at "
@@ -1434,7 +1483,28 @@ def q_dbscan_core(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("x") / _DBS_EPS).cast("bigint").alias("cx"),
         F.floor(F.col("y") / _DBS_EPS).cast("bigint").alias("cy"),
     ).localCheckpoint(eager=True)
-    a = cells.alias("a")
+    # Explode each probe point to its 3x3 neighbor cells and EQUI-join
+    # on the cell id: each candidate (a, b) pair materializes exactly
+    # once (b's cell matches exactly one of a's nine probe cells), so
+    # semantics equal the BETWEEN form, but Catalyst gets hash keys —
+    # BroadcastHashJoin/SortMergeJoin instead of CartesianProduct.
+    off = F.array(
+        *[
+            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+            for dx in (-1, 0, 1)
+            for dy in (-1, 0, 1)
+        ]
+    )
+    probe = cells.select(
+        "vec_id", "x", "y", "cx", "cy", F.explode(off).alias("o")
+    ).select(
+        "vec_id",
+        "x",
+        "y",
+        (F.col("cx") + F.col("o.dx")).alias("qcx"),
+        (F.col("cy") + F.col("o.dy")).alias("qcy"),
+    )
+    a = probe.alias("a")
     b = cells.alias("b")
     d2 = (F.col("a.x") - F.col("b.x")) * (F.col("a.x") - F.col("b.x")) + (
         F.col("a.y") - F.col("b.y")
@@ -1442,8 +1512,8 @@ def q_dbscan_core(spark: SparkSession, sf_dir: str) -> DataFrame:
     nbr = (
         a.join(
             b,
-            F.col("b.cx").between(F.col("a.cx") - 1, F.col("a.cx") + 1)
-            & F.col("b.cy").between(F.col("a.cy") - 1, F.col("a.cy") + 1)
+            (F.col("a.qcx") == F.col("b.cx"))
+            & (F.col("a.qcy") == F.col("b.cy"))
             & (d2 <= _DBS_EPS * _DBS_EPS),
         )
         .groupBy(F.col("a.vec_id").alias("vec_id"))
@@ -1453,18 +1523,25 @@ def q_dbscan_core(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", "label", "x", "y", "cx", "cy",
         (F.col("n_nbr") >= _DBS_MINPTS).cast("int").alias("is_core"),
     ).localCheckpoint(eager=True)
-    fa = flags.alias("a")
-    fb = flags.alias("b")
+    fprobe = flags.filter(F.col("is_core") == 0).select(
+        "vec_id", "x", "y", "cx", "cy", F.explode(off).alias("o")
+    ).select(
+        "vec_id",
+        "x",
+        "y",
+        (F.col("cx") + F.col("o.dx")).alias("qcx"),
+        (F.col("cy") + F.col("o.dy")).alias("qcy"),
+    )
+    fa = fprobe.alias("a")
+    fb = flags.filter(F.col("is_core") == 1).alias("b")
     d2f = (F.col("a.x") - F.col("b.x")) * (F.col("a.x") - F.col("b.x")) + (
         F.col("a.y") - F.col("b.y")
     ) * (F.col("a.y") - F.col("b.y"))
     border = (
         fa.join(
             fb,
-            (F.col("a.is_core") == 0)
-            & (F.col("b.is_core") == 1)
-            & F.col("b.cx").between(F.col("a.cx") - 1, F.col("a.cx") + 1)
-            & F.col("b.cy").between(F.col("a.cy") - 1, F.col("a.cy") + 1)
+            (F.col("a.qcx") == F.col("b.cx"))
+            & (F.col("a.qcy") == F.col("b.cy"))
             & (d2f <= _DBS_EPS * _DBS_EPS)
             & (F.col("a.vec_id") != F.col("b.vec_id")),
         )
@@ -1779,6 +1856,8 @@ _MIX_ALPHAS = ("1.0", "0.7", "0.5", "0.3")
                                             w -> LEN(w) > 0))) AS BIGINT)
                        AS tokens
             FROM documents GROUP BY source
+            HAVING SUM(LEN(LIST_FILTER(STRING_SPLIT(text, ' '),
+                                       w -> LEN(w) > 0))) > 0
         ),
         tot AS (SELECT CAST(SUM(tokens) AS BIGINT) AS t_all FROM src),
         grid AS (
@@ -1819,8 +1898,11 @@ _MIX_ALPHAS = ("1.0", "0.7", "0.5", "0.3")
     "flattening is safe or will memorize a small source. T^alpha "
     "is written as EXP(alpha * LN(T)) — one identical libm tree "
     "on both engines (never engine POWER) — and the per-alpha "
-    "normalizer sums through DECIMAL(38,12). Scale: one corpus "
-    "scan to a |sources|-row census; the grid is constant-size.",
+    "normalizer sums through DECIMAL(38,12). Zero-token sources are "
+    "filtered identically on both engines (tokens > 0) so neither "
+    "LN(0)-raises (DuckDB) nor silently drops rows (Spark). Scale: "
+    "one corpus scan to a |sources|-row census; the grid is "
+    "constant-size.",
     bench=False,
 )
 def q_mixing_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1831,7 +1913,7 @@ def q_mixing_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("bigint")
         .alias("tokens")
-    )
+    ).filter(F.col("tokens") > 0)
     tot = src.agg(F.sum("tokens").cast("bigint").alias("t_all"))
     alphas = spark.range(len(_MIX_ALPHAS)).select(
         F.element_at(
