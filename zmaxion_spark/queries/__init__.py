@@ -23,6 +23,7 @@ from zmaxion_spark.queries import (  # noqa: F401,E402
     ranktests_q,
     relational,
     round8_q,
+    round9_q,
     retrieval_q,
     scalar,
     scale_q,
@@ -127,6 +128,16 @@ _NEXT_ROUND: list[str] = [
     # Slipped one slot when q_anova_oneway took the window head; its
     # operators are driver-covered by q_agg_approx + q_hll_sketch above.
     "q_hll_bounds",
+    # Round-9 additions (#413-#419 + the dbscan scale contract):
+    # graded in the round-10 window.
+    "q_connected_components",
+    "q_dedup_canonical",
+    "q_dsir_importance",
+    "q_kneser_ney",
+    "q_ccnet_buckets",
+    "q_welch_anova",
+    "q_dunn_posthoc",
+    "q_dbscan_big",
 ]
 
 

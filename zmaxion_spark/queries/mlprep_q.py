@@ -116,24 +116,25 @@ _TE_M = 10
     "q_target_encoding",
     oracle=f"""
         WITH joined AS (
-            SELECT c.c_mktsegment AS seg, o.o_totalprice AS t
+            SELECT c.c_mktsegment AS seg,
+                   CAST(ROUND(o.o_totalprice * 100) AS BIGINT) AS t
             FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
         ),
         g AS (
             SELECT CAST(COUNT(*) AS BIGINT) AS n_all,
-                   CAST(SUM(CAST(t AS DECIMAL(38,6))) AS DOUBLE) AS sum_all
+                   CAST(CAST(SUM(t) AS BIGINT) AS DOUBLE) / 100.0 AS sum_all
             FROM joined
         ),
         per AS (
             SELECT seg, COUNT(*) AS n,
-                   CAST(SUM(CAST(t AS DECIMAL(38,6))) AS DOUBLE) AS sum_t
+                   CAST(CAST(SUM(t) AS BIGINT) AS DOUBLE) / 100.0 AS sum_t
             FROM joined GROUP BY seg
         )
         SELECT seg, n,
-               ROUND(sum_t / n, 9) AS mean_target,
-               ROUND((sum_t + {_TE_M} * (sum_all / n_all)) / (n + {_TE_M}), 9)
-                   AS encoded,
-               ROUND(sum_all / n_all, 9) AS global_mean
+               FLOOR(sum_t / n * 1e9 + 0.5) / 1e9 AS mean_target,
+               FLOOR((sum_t + {_TE_M} * (sum_all / n_all)) / (n + {_TE_M})
+                     * 1e9 + 0.5) / 1e9 AS encoded,
+               FLOOR(sum_all / n_all * 1e9 + 0.5) / 1e9 AS global_mean
         FROM per CROSS JOIN g
     """,
     operators=(213,),
@@ -141,12 +142,20 @@ _TE_M = 10
     "segment) is encoded as (sum_target + m*global_mean)/(n + m) with "
     f"m={_TE_M} — the prior-blended category mean that protects rare "
     "categories from overfitting, the standard high-cardinality "
-    "categorical encoder for gradient-boosted models. Sums ride "
-    "DECIMAL(38,6) so the encoded values are order-independent and "
-    "hash-exact. Scale shape: one fact-dim broadcast join, one hash "
-    "aggregate per category plus one global aggregate broadcast back; "
-    "the encoder table (one row per category) then broadcasts onto "
-    "training data for application.",
+    "categorical encoder for gradient-boosted models. Targets enter "
+    "as exact integer CENTS (Σ BIGINT, one /100 at the cell stage — "
+    "the #307 discipline), and the final 1e-9 quantize is "
+    "FLOOR(x*1e9 + 0.5)/1e9 — a pure shared IEEE tree — because the "
+    "round-9 strict gate caught the engines' ROUND semantics "
+    "diverging on bit-identical doubles: Spark rounds the SHORTEST "
+    "DECIMAL REPR half-up while DuckDB rounds the exact binary "
+    "value, so a repr ending '…5' exactly at digit 10 (here "
+    "269569.4475814815, exact …481479…) goes up on Spark and down "
+    "on DuckDB. Scale "
+    "shape: one fact-dim broadcast join, one hash aggregate per "
+    "category plus one global aggregate broadcast back; the encoder "
+    "table (one row per category) then broadcasts onto training "
+    "data for application.",
 )
 def q_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
@@ -154,24 +163,35 @@ def q_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = o.join(
         F.broadcast(c.select("c_custkey", "c_mktsegment")),
         o.o_custkey == F.col("c_custkey"),
-    ).select(F.col("c_mktsegment").alias("seg"), F.col("o_totalprice").alias("t"))
+    ).select(
+        F.col("c_mktsegment").alias("seg"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("t"),
+    )
     g = joined.groupBy().agg(
         F.count(F.lit(1)).cast("bigint").alias("n_all"),
-        F.sum(F.col("t").cast("decimal(38,6)")).cast("double").alias("sum_all"),
+        (F.sum("t").cast("bigint").cast("double") / F.lit(100.0)).alias(
+            "sum_all"
+        ),
     )
     per = joined.groupBy("seg").agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(F.col("t").cast("decimal(38,6)")).cast("double").alias("sum_t"),
+        (F.sum("t").cast("bigint").cast("double") / F.lit(100.0)).alias(
+            "sum_t"
+        ),
     )
     gmean = F.col("sum_all") / F.col("n_all")
+
+    def _q9(col):
+        return F.floor(col * F.lit(1e9) + F.lit(0.5)) / F.lit(1e9)
+
     return per.crossJoin(F.broadcast(g)).select(
         "seg",
         "n",
-        F.round(F.col("sum_t") / F.col("n"), 9).alias("mean_target"),
-        F.round(
-            (F.col("sum_t") + _TE_M * gmean) / (F.col("n") + _TE_M), 9
-        ).alias("encoded"),
-        F.round(gmean, 9).alias("global_mean"),
+        _q9(F.col("sum_t") / F.col("n")).alias("mean_target"),
+        _q9((F.col("sum_t") + _TE_M * gmean) / (F.col("n") + _TE_M)).alias(
+            "encoded"
+        ),
+        _q9(gmean).alias("global_mean"),
     )
 
 
