@@ -327,3 +327,324 @@ def test_dbscan_big_matches_bruteforce(spark):
     assert {
         r.label: [r.n_core, r.n_border, r.n_noise] for r in got
     } == dict(expected)
+
+
+# ---------------------------------------------------------------------------
+# Wave 2 (#420-#428)
+# ---------------------------------------------------------------------------
+
+
+def test_semdedup_matches_bruteforce_within_clusters(spark):
+    """#420 via numpy cosine over the engine's own cluster map: same
+    per-(cluster, tau) drop census."""
+    import numpy as np
+
+    emb = load_table(spark, SF_SMOKE, "embeddings").collect()
+    vecs = {r.vec_id: np.array(r.embedding, dtype=np.float64) for r in emb}
+    # cluster assignment from the graded silhouette fixture's sibling:
+    # recompute by brute force using the same seeds/rounds is heavy;
+    # instead read the assignment implicitly from q_semdedup's sizes
+    # and verify drops against brute-force cosine inside each cluster
+    # reconstructed from the kmeans query itself.
+    from zmaxion_spark.queries.round9b_q import _SD_TAUS, q_semdedup
+    got = q_semdedup(spark, SF_SMOKE).collect()
+    # Rebuild assignments via the same trajectory the query uses.
+    from zmaxion_spark.queries.inference_q import _KM_ITERS, _KM_K
+    import hashlib as _h
+
+    def word(vid):
+        return int(_h.md5(str(vid).encode()).hexdigest()[:8], 16)
+
+    seeds = sorted(vecs, key=lambda v: (word(v), v))[:_KM_K]
+    cents = {i: vecs[s].copy() for i, s in enumerate(seeds)}
+    assign = {}
+    for it in range(_KM_ITERS):
+        for vid, v in vecs.items():
+            assign[vid] = min(
+                ((float(np.sum((v - c) ** 2)), cid) for cid, c in cents.items())
+            )[1]
+        if it == _KM_ITERS - 1:
+            break
+        for cid in cents:
+            members = [vecs[v] for v, c in assign.items() if c == cid]
+            if members:
+                # decimal-quantized mean ~ float mean within test tolerance
+                cents[cid] = np.mean(members, axis=0)
+    clusters = defaultdict(list)
+    for vid, cid in assign.items():
+        clusters[cid].append(vid)
+    expected = {}
+    for cid, ids in clusters.items():
+        ids.sort()
+        for tau in _SD_TAUS:
+            dropped = set()
+            for i in range(len(ids)):
+                for j in range(i + 1, len(ids)):
+                    a, b = vecs[ids[i]], vecs[ids[j]]
+                    cos = float(
+                        np.dot(a, b)
+                        / (math.sqrt(np.dot(a, a)) * math.sqrt(np.dot(b, b)))
+                    )
+                    if cos >= tau / 100:
+                        dropped.add(ids[j])
+            expected[(cid, tau)] = (len(ids), len(dropped))
+    assert {
+        (r.cluster, r.tau_pct): (r.n_vecs, r.n_dropped) for r in got
+    } == expected
+
+
+def test_ql_dirichlet_matches_dict_reference(spark):
+    """#421 via Python dicts: same mu, same terms, float ln sums."""
+    from zmaxion_spark.queries.retrieval_q import _BM25_TERMS
+    from zmaxion_spark.queries.round9b_q import _QL_MU
+
+    docs = load_table(spark, SF_SMOKE, "documents").collect()
+    c_len = sum(len(r.text.split(" ")) for r in docs)
+    cf = Counter()
+    for r in docs:
+        for t in r.text.split(" "):
+            if t in _BM25_TERMS:
+                cf[t] += 1
+    got = {r.doc_id: r for r in _rows(spark, "q_ql_dirichlet")}
+    for r in docs:
+        toks = r.text.split(" ")
+        tf = Counter(t for t in toks if t in _BM25_TERMS)
+        ql = sum(
+            math.log(
+                (tf.get(t, 0) + _QL_MU * (cf.get(t, 0) / c_len))
+                / (len(toks) + _QL_MU)
+            )
+            for t in _BM25_TERMS
+        )
+        assert got[r.doc_id].n_matched == len(tf)
+        assert abs(got[r.doc_id].ql - ql) < 1e-6
+
+
+def test_effect_sizes_match_float_reference(spark):
+    """#422 via float means/variances over raw per-user counts."""
+    ev = (
+        load_table(spark, SF_SMOKE, "events")
+        .groupBy("user_id")
+        .count()
+        .collect()
+    )
+    arms = {0: [], 1: []}
+    for r in ev:
+        arms[r.user_id % 2].append(r["count"])
+    n0, n1 = len(arms[0]), len(arms[1])
+    m0, m1 = sum(arms[0]) / n0, sum(arms[1]) / n1
+    ss = sum((x - m0) ** 2 for x in arms[0]) + sum(
+        (x - m1) ** 2 for x in arms[1]
+    )
+    sp = math.sqrt(ss / (n0 + n1 - 2))
+    d = (m1 - m0) / sp
+    g = (1 - 3 / (4 * (n0 + n1 - 2) - 1)) * d
+    got = _rows(spark, "q_effect_sizes")[0]
+    assert got.n_a == n0 and got.n_b == n1
+    assert abs(got.cohens_d - d) < 1e-7
+    assert abs(got.hedges_g - g) < 1e-7
+
+
+def test_krippendorff_matches_pairwise_reference(spark):
+    """#423 via explicit rater-pair enumeration: alpha from all three
+    rater pairs per unit rather than the n1*n0 census identity."""
+    from zmaxion_spark.queries.analysis7_q import _CQ_STOPWORDS
+
+    stops = set(
+        s.strip().strip("'")
+        for s in _CQ_STOPWORDS.strip("()").split(",")
+    )
+    docs = load_table(spark, SF_SMOKE, "documents").collect()
+    ratings = []
+    for r in docs:
+        toks = r.text.split(" ")
+        n_tok = len(toks)
+        x1 = int(sum(1 for t in toks if t in stops) / n_tok >= 0.08)
+        x2 = int(sum(len(t) for t in toks) / n_tok <= 4.6)
+        x3 = int(len(set(toks)) / n_tok <= 0.62)
+        ratings.append([x1, x2, x3])
+    # observed disagreement via explicit ordered pair enumeration
+    n_units = len(ratings)
+    big_n = 3 * n_units
+    do_num = 0
+    for rs in ratings:
+        for i in range(3):
+            for j in range(3):
+                if i != j and rs[i] != rs[j]:
+                    do_num += 1
+    do = do_num / (3 - 1) / big_n
+    n1 = sum(sum(rs) for rs in ratings)
+    n0 = big_n - n1
+    de = 2 * n1 * n0 / (big_n * (big_n - 1))
+    alpha = 1 - do / de
+    got = _rows(spark, "q_krippendorff_alpha")[0]
+    assert got.n_docs == n_units
+    assert got.n_positive_ratings == n1
+    assert abs(got.alpha - alpha) < 1e-7
+
+
+def test_youden_matches_linear_scan(spark):
+    """#424 via a float J scan over the same scored rows."""
+    from zmaxion_spark.queries.governance_q import q_quality_classifier
+
+    scored = q_quality_classifier(spark, SF_SMOKE).collect()
+    langs = {
+        r.doc_id: r.lang
+        for r in load_table(spark, SF_SMOKE, "documents").collect()
+    }
+    ys = [(1 if langs[r.doc_id] == "en" else 0, r.quality_score) for r in scored]
+    n_pos = sum(y for y, _ in ys)
+    n_neg = len(ys) - n_pos
+    best = None
+    for k in range(11):
+        th = k / 10
+        tp = sum(1 for y, s in ys if s >= th and y == 1)
+        fp = sum(1 for y, s in ys if s >= th and y == 0)
+        j = tp / n_pos - fp / n_neg
+        if best is None or j > best[0] + 1e-12:
+            best = (j, k, tp, fp)
+    got = _rows(spark, "q_youden_threshold")[0]
+    assert (got.k, got.tp, got.fp) == (best[1], best[2], best[3])
+    assert abs(got.youden_j - best[0]) < 1e-7
+
+
+def test_adf_matches_numpy_ols(spark):
+    """#426 via float OLS with an explicit residual pass."""
+    ev = (
+        load_table(spark, SF_SMOKE, "events")
+        .select(F.expr("unix_micros(ts) div 86400000000").alias("d"))
+        .groupBy("d")
+        .count()
+        .collect()
+    )
+    by_day = {r.d: r["count"] for r in ev}
+    lo, hi = min(by_day), max(by_day)
+    xs = [by_day.get(d, 0) for d in range(lo, hi + 1)]
+    pairs = [(xs[i], xs[i + 1] - xs[i]) for i in range(len(xs) - 1)]
+    n = len(pairs)
+    mx = sum(x for x, _ in pairs) / n
+    md = sum(d for _, d in pairs) / n
+    sxx = sum((x - mx) ** 2 for x, _ in pairs)
+    sxd = sum((x - mx) * (d - md) for x, d in pairs)
+    beta = sxd / sxx
+    alpha = md - beta * mx
+    sse = sum((d - alpha - beta * x) ** 2 for x, d in pairs)
+    tau = beta / math.sqrt((sse / (n - 2)) / sxx)
+    got = _rows(spark, "q_adf_test")[0]
+    assert got.n_pairs == n
+    assert abs(got.beta - beta) < 1e-7 * max(1.0, abs(beta))
+    assert abs(got.tau - tau) < 1e-6 * max(1.0, abs(tau))
+
+
+def test_ridge_closed_matches_numpy_solve(spark):
+    """#427 via numpy linalg.solve on the centered design."""
+    import numpy as np
+
+    ev = (
+        load_table(spark, SF_SMOKE, "events")
+        .select(F.expr("unix_micros(ts) div 86400000000").alias("d"))
+        .groupBy("d")
+        .count()
+        .collect()
+    )
+    by_day = {r.d: r["count"] for r in ev}
+    lo, hi = min(by_day), max(by_day)
+    xs = [by_day.get(d, 0) for d in range(lo, hi + 1)]
+    rows = [
+        (xs[i], xs[i - 1], xs[i - 7]) for i in range(7, len(xs))
+    ]
+    y = np.array([r[0] for r in rows], dtype=float)
+    x1 = np.array([r[1] for r in rows], dtype=float)
+    x2 = np.array([r[2] for r in rows], dtype=float)
+    x1c, x2c, yc = x1 - x1.mean(), x2 - x2.mean(), y - y.mean()
+    a11, a22 = float(x1c @ x1c), float(x2c @ x2c)
+    a12 = float(x1c @ x2c)
+    b1, b2 = float(x1c @ yc), float(x2c @ yc)
+    got = {r.lam_k: r for r in _rows(spark, "q_ridge_closed")}
+    for lam_k in (0, 1, 10):
+        lam = lam_k * (a11 + a22) / 20
+        bh = np.linalg.solve(
+            np.array([[a11 + lam, a12], [a12, a22 + lam]]),
+            np.array([b1, b2]),
+        )
+        assert abs(got[lam_k].beta_lag1 - bh[0]) < 1e-6
+        assert abs(got[lam_k].beta_lag7 - bh[1]) < 1e-6
+    # shrinkage: coefficient magnitude must not grow with lambda
+    assert abs(got[10].beta_lag1) <= abs(got[0].beta_lag1) + 1e-9
+
+
+def test_partial_corr_matches_numpy(spark):
+    """#428 via numpy corrcoef on the daily triples."""
+    import numpy as np
+
+    ev = (
+        load_table(spark, SF_SMOKE, "events")
+        .select(
+            F.expr("unix_micros(ts) div 86400000000").alias("d"),
+            F.round(F.col("value") * 100).cast("bigint").alias("c"),
+            "user_id",
+        )
+        .groupBy("d")
+        .agg(
+            F.count(F.lit(1)).alias("x"),
+            F.expr("CAST(sum(c) AS BIGINT) div 100").alias("y"),
+            F.countDistinct("user_id").alias("z"),
+        )
+        .collect()
+    )
+    m = np.array([[r.x, r.y, r.z] for r in ev], dtype=float)
+    c = np.corrcoef(m.T)
+    rxy, rxz, ryz = c[0, 1], c[0, 2], c[1, 2]
+    part = (rxy - rxz * ryz) / math.sqrt((1 - rxz**2) * (1 - ryz**2))
+    got = _rows(spark, "q_partial_corr")[0]
+    assert got.n_days == len(ev)
+    assert abs(got.r_xy - rxy) < 1e-7
+    assert abs(got.r_xy_given_z - part) < 1e-6
+
+
+def test_seasonal_strength_matches_float_decomposition(spark):
+    """#425 via a float re-decomposition (MA trend, dow means)."""
+    ev = (
+        load_table(spark, SF_SMOKE, "events")
+        .select(
+            "event_type",
+            F.expr("unix_micros(ts) div 86400000000").alias("d"),
+            F.round(F.col("value") * 100).cast("bigint").alias("c"),
+        )
+        .groupBy("event_type", "d")
+        .agg(F.sum("c").alias("cents"))
+        .collect()
+    )
+    series = defaultdict(dict)
+    for r in ev:
+        series[r.event_type][r.d] = r.cents
+    got = {r.event_type: r for r in _rows(spark, "q_seasonal_strength")}
+    for et, days in series.items():
+        ds = sorted(days)
+        rows = []
+        for i, d in enumerate(ds):
+            lo, hi = i - 3, i + 3
+            if lo < 0 or hi >= len(ds):
+                continue
+            window = [days[ds[j]] for j in range(lo, hi + 1)]
+            if len(window) != 7:
+                continue
+            trend = sum(window) / 7
+            rows.append((d, days[d], days[d] - trend))
+        sdow = defaultdict(list)
+        for d, x, dt in rows:
+            sdow[(d + 4) % 7].append(dt)
+        smap = {k: sum(v) / len(v) for k, v in sdow.items()}
+        r_vals = [dt - smap[(d + 4) % 7] for d, _, dt in rows]
+        u_vals = [x - smap[(d + 4) % 7] for d, x, _ in rows]
+        d_vals = [dt for _, _, dt in rows]
+
+        def var(vs):
+            mu = sum(vs) / len(vs)
+            return sum((v - mu) ** 2 for v in vs) / len(vs)
+
+        f_t = max(0.0, 1 - var(r_vals) / var(u_vals))
+        f_s = max(0.0, 1 - var(r_vals) / var(d_vals))
+        assert got[et].n_days == len(rows)
+        assert abs(got[et].trend_strength - f_t) < 1e-6
+        assert abs(got[et].seasonal_strength - f_s) < 1e-6

@@ -24,6 +24,7 @@ from zmaxion_spark.queries import (  # noqa: F401,E402
     relational,
     round8_q,
     round9_q,
+    round9b_q,
     retrieval_q,
     scalar,
     scale_q,
@@ -138,6 +139,16 @@ _NEXT_ROUND: list[str] = [
     "q_welch_anova",
     "q_dunn_posthoc",
     "q_dbscan_big",
+    # Round-9 wave 2 (#420-#428): graded in the round-10 window.
+    "q_semdedup",
+    "q_ql_dirichlet",
+    "q_effect_sizes",
+    "q_krippendorff_alpha",
+    "q_youden_threshold",
+    "q_seasonal_strength",
+    "q_adf_test",
+    "q_ridge_closed",
+    "q_partial_corr",
 ]
 
 
