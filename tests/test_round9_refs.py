@@ -648,3 +648,187 @@ def test_seasonal_strength_matches_float_decomposition(spark):
         assert got[et].n_days == len(rows)
         assert abs(got[et].trend_strength - f_t) < 1e-6
         assert abs(got[et].seasonal_strength - f_s) < 1e-6
+
+
+# ---------------------------------------------------------------------------
+# Wave 3 (#429-#434)
+# ---------------------------------------------------------------------------
+
+
+def test_graph_backbone_matches_float_reference(spark):
+    """#429 via Python floats over the raw pair counts."""
+    li = (
+        load_table(spark, SF_SMOKE, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+        .collect()
+    )
+    by_order = defaultdict(set)
+    for r in li:
+        by_order[r.l_orderkey].add(r.l_partkey)
+    w = Counter()
+    for parts in by_order.values():
+        ps = sorted(parts)
+        for i in range(len(ps)):
+            for j in range(i + 1, len(ps)):
+                w[(ps[i], ps[j])] += 1
+    strength = Counter()
+    degree = Counter()
+    for (u, v), c in w.items():
+        strength[u] += c
+        strength[v] += c
+        degree[u] += 1
+        degree[v] += 1
+
+    def p(node, c):
+        if degree[node] == 1:
+            return 1.0
+        if c == strength[node]:
+            return 0.0
+        return (1 - c / strength[node]) ** (degree[node] - 1)
+
+    kept = [
+        (min(p(u, c), p(v, c)), u, v, c)
+        for (u, v), c in w.items()
+        if min(p(u, c), p(v, c)) < 0.05
+    ]
+    kept.sort()
+    got = _rows(spark, "q_graph_backbone")
+    assert all(r.n_edges == len(w) for r in got)
+    assert all(r.n_kept == len(kept) for r in got)
+    for r, (pm, u, v, c) in zip(got, kept[: len(got)]):
+        assert (r.u, r.v, r.w) == (u, v, c)
+        assert abs(r.p_min - pm) < 1e-7
+
+
+def test_kmv_anotb_matches_python_sketch(spark):
+    """#430 via a Python re-build of both sketches."""
+    orders = load_table(spark, SF_SMOKE, "orders").collect()
+    cust = load_table(spark, SF_SMOKE, "customer").collect()
+    a = sorted({r.o_custkey for r in orders})
+    b = sorted({r.c_custkey for r in cust if r.c_acctbal < 0})
+
+    def h(k):
+        return int(hashlib.md5(f"kmv:{k}".encode()).hexdigest()[:13], 16) / float(
+            1 << 52
+        )
+
+    ah = sorted(h(k) for k in a)
+    bh = sorted(h(k) for k in b)
+    k = 256
+    sa, sb = ah[:k], set(bh[:k])
+    ta = ah[k - 1] if len(ah) > k else 1.0
+    tb = bh[k - 1] if len(bh) > k else 1.0
+    th = min(ta, tb)
+    retained = [x for x in sa if x < th and x not in sb]
+    est = len(retained) / th
+    exact = len(set(a) - set(b))
+    got = _rows(spark, "q_kmv_anotb")[0]
+    assert got.exact_n == exact
+    assert got.retained == len(retained)
+    assert abs(got.est_n - round(est, 3)) < 1e-9
+    assert got.within_bound == int(abs(est - exact) <= max(0.2 * exact, 32))
+
+
+def test_cronbach_matches_item_variance_reference(spark):
+    """#431 via explicit per-doc item lists."""
+    from zmaxion_spark.queries.analysis7_q import _CQ_STOPWORDS
+
+    stops = set(
+        s.strip().strip("'") for s in _CQ_STOPWORDS.strip("()").split(",")
+    )
+    docs = load_table(spark, SF_SMOKE, "documents").collect()
+    items = []
+    for r in docs:
+        toks = r.text.split(" ")
+        n_tok = len(toks)
+        items.append(
+            [
+                int(sum(1 for t in toks if t in stops) / n_tok >= 0.08),
+                int(sum(len(t) for t in toks) / n_tok <= 4.6),
+                int(len(set(toks)) / n_tok <= 0.62),
+            ]
+        )
+    n = len(items)
+
+    def pvar(vs):
+        mu = sum(vs) / len(vs)
+        return sum((v - mu) ** 2 for v in vs) / len(vs)
+
+    item_vars = sum(pvar([row[i] for row in items]) for i in range(3))
+    tot_var = pvar([sum(row) for row in items])
+    alpha = (3 / 2) * (1 - item_vars / tot_var)
+    got = _rows(spark, "q_cronbach_alpha")[0]
+    assert got.n_docs == n
+    assert abs(got.cronbach_alpha - alpha) < 1e-7
+
+
+def test_eigencentrality_matches_float_power_iteration(spark):
+    """#432 via float power iteration over the same adjacency."""
+    edges = _copurchase_edge_list(spark)
+    adj = defaultdict(list)
+    for u, v in edges:
+        adj[u].append(v)
+        adj[v].append(u)
+    x = {node: 1.0 for node in adj}
+    for _ in range(4):
+        nx = {node: sum(x[nb] for nb in nbs) for node, nbs in adj.items()}
+        mx = max(nx.values())
+        x = {node: round(v / mx, 12) for node, v in nx.items()}
+    top = sorted(x.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    got = _rows(spark, "q_eigencentrality")
+    assert [(r.node, round(r.score, 9)) for r in got] == [
+        (n, round(s, 9)) for n, s in top
+    ]
+
+
+def test_stream_ddsketch_quantiles_in_contract(spark):
+    """#433: the streamed sketch's graded rows must all be within the
+    relative-error contract, and exact anchors must equal a Python
+    rank selection."""
+    ev = load_table(spark, SF_SMOKE, "events").collect()
+    by_type = defaultdict(list)
+    for r in ev:
+        if r.value and r.value > 0:
+            by_type[r.event_type].append(r.value)
+    got = _rows(spark, "q_stream_ddsketch")
+    assert len(got) == 3 * len(by_type)
+    for r in got:
+        vs = sorted(by_type[r.event_type])
+        rank = math.ceil(r.q * len(vs) / 100)
+        assert r.n == len(vs)
+        assert r.exact_v == vs[rank - 1]
+        assert r.est_within_alpha == 1
+
+
+def test_mcc_matches_sklearn_formula(spark):
+    """#434 via the phi-coefficient identity on Python-recomputed
+    confusion counts."""
+    from zmaxion_spark.queries.governance_q import q_quality_classifier
+
+    scored = q_quality_classifier(spark, SF_SMOKE).collect()
+    langs = {
+        r.doc_id: r.lang
+        for r in load_table(spark, SF_SMOKE, "documents").collect()
+    }
+    tp = fp = fn = tn = 0
+    for r in scored:
+        y = 1 if langs[r.doc_id] == "en" else 0
+        yh = 1 if r.quality_score >= 0.5 else 0
+        if y and yh:
+            tp += 1
+        elif yh:
+            fp += 1
+        elif y:
+            fn += 1
+        else:
+            tn += 1
+    mcc = (tp * tn - fp * fn) / math.sqrt(
+        (tp + fp) * (tp + fn) * (tn + fp) * (tn + fn)
+    )
+    got = _rows(spark, "q_mcc_eval")[0]
+    assert (got.tp, got.fp, got.fn, got.tn) == (tp, fp, fn, tn)
+    assert abs(got.mcc - mcc) < 1e-7
+    assert abs(
+        got.balanced_accuracy - (tp / (tp + fn) + tn / (tn + fp)) / 2
+    ) < 1e-7

@@ -25,6 +25,7 @@ from zmaxion_spark.queries import (  # noqa: F401,E402
     round8_q,
     round9_q,
     round9b_q,
+    round9c_q,
     retrieval_q,
     scalar,
     scale_q,
@@ -149,6 +150,13 @@ _NEXT_ROUND: list[str] = [
     "q_adf_test",
     "q_ridge_closed",
     "q_partial_corr",
+    # Round-9 wave 3 (#429-#434): graded in the round-10 window.
+    "q_graph_backbone",
+    "q_kmv_anotb",
+    "q_cronbach_alpha",
+    "q_eigencentrality",
+    "q_stream_ddsketch",
+    "q_mcc_eval",
 ]
 
 
