@@ -281,13 +281,12 @@ def q_kmv_anotb(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     ah, bh = _h(a_keys), _h(b_keys)
-    w = Window.orderBy("h")
-    sa = ah.select("h", F.row_number().over(w).alias("rn")).filter(
-        F.col("rn") <= _AB_K
-    ).drop("rn")
-    sb = bh.select("h", F.row_number().over(w).alias("rn")).filter(
-        F.col("rn") <= _AB_K
-    ).drop("rn")
+    # k-smallest via orderBy+limit (TakeOrderedAndProject: per-partition
+    # top-k then a k-row merge on the driver) — NOT a global
+    # row_number window, which would funnel every hash through one
+    # partition at 100 TB.
+    sa = ah.select("h").orderBy("h").limit(_AB_K)
+    sb = bh.select("h").orderBy("h").limit(_AB_K)
     na = ah.agg(F.count(F.lit(1)).alias("cnt_a"))
     nb = bh.agg(F.count(F.lit(1)).alias("cnt_b"))
     ta = (
