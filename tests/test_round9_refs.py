@@ -832,3 +832,119 @@ def test_mcc_matches_sklearn_formula(spark):
     assert abs(
         got.balanced_accuracy - (tp / (tp + fn) + tn / (tn + fp)) / 2
     ) < 1e-7
+
+
+# ---------------------------------------------------------------------------
+# Wave 4 (#435-#439)
+# ---------------------------------------------------------------------------
+
+
+def test_word_dispersion_matches_float_reference(spark):
+    """#435 via Python float proportions."""
+    docs = load_table(spark, SF_SMOKE, "documents").collect()
+    cells = Counter()
+    part_tot = Counter()
+    for r in docs:
+        for t in r.text.split(" "):
+            cells[(t, r.source)] += 1
+            part_tot[r.source] += 1
+    w = sum(part_tot.values())
+    tf = Counter()
+    for (t, _), c in cells.items():
+        tf[t] += c
+    top = sorted(tf.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    got = {r.term: r for r in _rows(spark, "q_word_dispersion")}
+    assert set(got) == {t for t, _ in top}
+    for term, f in top:
+        dp = sum(
+            abs(cells.get((term, s), 0) / f - part_tot[s] / w) / 2
+            for s in part_tot
+        )
+        assert got[term].freq == f
+        assert abs(got[term].dp - dp) < 1e-7
+
+
+def test_topic_coherence_matches_set_reference(spark):
+    """#436 via Python doc-term sets."""
+    docs = load_table(spark, SF_SMOKE, "documents").collect()
+    doc_terms = {r.doc_id: set(r.text.split(" ")) for r in docs}
+    df = Counter()
+    for ts in doc_terms.values():
+        df.update(ts)
+    top = sorted(df.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    terms = [t for t, _ in top]
+    vals = []
+    for i in range(len(terms)):
+        for j in range(i):
+            wi, wj = terms[i], terms[j]  # wj the more frequent
+            dij = sum(
+                1 for ts in doc_terms.values() if wi in ts and wj in ts
+            )
+            vals.append(math.log((dij + 1) / df[wj]))
+    got = _rows(spark, "q_topic_coherence")[0]
+    assert got.n_terms == 10
+    assert got.n_pairs == len(vals)
+    assert abs(got.coherence_umass - sum(vals) / len(vals)) < 1e-7
+
+
+def test_quota_apportion_sums_to_budget_and_matches_hamilton(spark):
+    """#437 via Python Hamilton; the allocation must sum EXACTLY to
+    the budget — the property round() cannot give."""
+    docs = load_table(spark, SF_SMOKE, "documents").collect()
+    tokens = Counter()
+    for r in docs:
+        tokens[r.source] += len([t for t in r.text.split(" ") if t])
+    tokens = {s: n for s, n in tokens.items() if n > 0}
+    w = sum(tokens.values())
+    b = 1000
+    base = {s: (b * n) // w for s, n in tokens.items()}
+    rem = {s: (b * n) % w for s, n in tokens.items()}
+    k = b - sum(base.values())
+    order = sorted(tokens, key=lambda s: (-rem[s], s))
+    alloc = {
+        s: base[s] + (1 if i < k else 0) for i, s in enumerate(order)
+    }
+    got = _rows(spark, "q_quota_apportion")
+    assert sum(r.alloc for r in got) == b
+    assert {r.source: r.alloc for r in got} == alloc
+
+
+def test_aa_calibration_is_null_and_matches_welch(spark):
+    """#438 via Python Welch z over md5-parity arms."""
+    ev = (
+        load_table(spark, SF_SMOKE, "events")
+        .groupBy("user_id")
+        .count()
+        .collect()
+    )
+    arms = {0: [], 1: []}
+    for r in ev:
+        arm = int(hashlib.md5(f"aa:{r.user_id}".encode()).hexdigest()[:8], 16) % 2
+        arms[arm].append(r["count"])
+    m0, m1 = (sum(v) / len(v) for v in (arms[0], arms[1]))
+    v0 = sum((x - m0) ** 2 for x in arms[0]) / (len(arms[0]) - 1)
+    v1 = sum((x - m1) ** 2 for x in arms[1]) / (len(arms[1]) - 1)
+    z = (m1 - m0) / math.sqrt(v0 / len(arms[0]) + v1 / len(arms[1]))
+    got = _rows(spark, "q_aa_calibration")[0]
+    assert (got.n_a, got.n_b) == (len(arms[0]), len(arms[1]))
+    assert abs(got.welch_z - z) < 1e-7
+    assert got.false_positive == int(abs(z) > 1.959963984540054)
+
+
+def test_capture_recapture_matches_chapman(spark):
+    """#439 via Python set algebra over the two catchers' pairs."""
+    mh = {
+        (r.doc_a, r.doc_b)
+        for r in REGISTRY["q_dedup_minhash_lsh"].fn(spark, SF_SMOKE).collect()
+    }
+    sh = {
+        (r.doc_a, r.doc_b)
+        for r in REGISTRY["q_dedup_simhash"].fn(spark, SF_SMOKE).collect()
+    }
+    n1, n2, m = len(mh), len(sh), len(mh & sh)
+    assert m > 0, "fixture must have catcher overlap for the estimator"
+    chapman = (n1 + 1) * (n2 + 1) / (m + 1) - 1
+    got = _rows(spark, "q_capture_recapture")[0]
+    assert (got.n_minhash, got.n_simhash, got.n_both) == (n1, n2, m)
+    assert abs(got.chapman_est - round(chapman, 3)) < 1e-9
+    assert abs(got.recall_minhash - n1 / chapman) < 1e-7

@@ -26,6 +26,7 @@ from zmaxion_spark.queries import (  # noqa: F401,E402
     round9_q,
     round9b_q,
     round9c_q,
+    round9d_q,
     retrieval_q,
     scalar,
     scale_q,
@@ -157,6 +158,12 @@ _NEXT_ROUND: list[str] = [
     "q_eigencentrality",
     "q_stream_ddsketch",
     "q_mcc_eval",
+    # Round-9 wave 4 (#435-#439): graded in the round-10 window.
+    "q_word_dispersion",
+    "q_topic_coherence",
+    "q_quota_apportion",
+    "q_aa_calibration",
+    "q_capture_recapture",
 ]
 
 
