@@ -948,3 +948,96 @@ def test_capture_recapture_matches_chapman(spark):
     assert (got.n_minhash, got.n_simhash, got.n_both) == (n1, n2, m)
     assert abs(got.chapman_est - round(chapman, 3)) < 1e-9
     assert abs(got.recall_minhash - n1 / chapman) < 1e-7
+
+
+# ---------------------------------------------------------------------------
+# Wave 5 (#440-#442)
+# ---------------------------------------------------------------------------
+
+
+def test_sprt_matches_sequential_scan(spark):
+    """#440 via an explicit Python sequential scan."""
+    ev = (
+        load_table(spark, SF_SMOKE, "events")
+        .groupBy("user_id")
+        .count()
+        .collect()
+    )
+    users = sorted((r.user_id, r["count"] % 2) for r in ev)
+    l_const = math.log(11 / 9)
+    a = math.log(19.0)
+    c = 0
+    decision, n_dec, llr_dec = "continue", None, None
+    for n, (_, ci) in enumerate(users, start=1):
+        c += ci
+        llr = (2 * c - n) * l_const
+        if llr >= a or llr <= -a:
+            decision = "accept_h1" if llr >= a else "accept_h0"
+            n_dec, llr_dec = n, llr
+            break
+    got = _rows(spark, "q_sprt_sequential")[0]
+    assert got.n_users == len(users)
+    assert got.n_conv == sum(ci for _, ci in users)
+    assert got.decision == decision
+    assert got.n_at_decision == n_dec
+    if llr_dec is not None:
+        assert abs(got.llr_at_decision - llr_dec) < 1e-7
+
+
+def test_bootstrap_diff_ci_matches_python_resampler(spark):
+    """#441 via Python md5-Poisson weights and explicit rank
+    selection."""
+    from zmaxion_spark.queries.inference_q import _B, _POIS1_CDF
+
+    ev = (
+        load_table(spark, SF_SMOKE, "events")
+        .groupBy("user_id")
+        .count()
+        .collect()
+    )
+    users = [(r.user_id, r.user_id % 2, r["count"]) for r in ev]
+
+    def pois_w(uid, b):
+        u = int(
+            hashlib.md5(f"{uid}:{b}".encode()).hexdigest()[:13], 16
+        ) / float(1 << 52)
+        for k, cdf in enumerate(_POIS1_CDF):
+            if u < cdf:
+                return k
+        return 6
+
+    diffs = []
+    for b in range(_B):
+        sums = {0: [0, 0], 1: [0, 0]}  # arm -> [w*x, w]
+        for uid, arm, x in users:
+            w = pois_w(uid, b)
+            sums[arm][0] += w * x
+            sums[arm][1] += w
+        if sums[0][1] > 0 and sums[1][1] > 0:
+            diffs.append(
+                (sums[1][0] / sums[1][1] - sums[0][0] / sums[0][1], b)
+            )
+    diffs.sort()
+    got = _rows(spark, "q_bootstrap_diff_ci")[0]
+    assert got.n_resamples == len(diffs)
+    assert abs(got.ci_lo - diffs[1][0]) < 1e-7
+    assert abs(got.ci_hi - diffs[-2][0]) < 1e-7
+
+
+def test_hill_diversity_matches_float_reference(spark):
+    """#442 via float Shannon/Simpson on (lang, source) counts."""
+    docs = load_table(spark, SF_SMOKE, "documents").collect()
+    cells = Counter((r.lang, r.source) for r in docs)
+    langs = defaultdict(list)
+    for (lang, _), n in cells.items():
+        langs[lang].append(n)
+    got = {r.lang: r for r in _rows(spark, "q_hill_diversity")}
+    assert set(got) == set(langs)
+    for lang, ns in langs.items():
+        nl = sum(ns)
+        h = -sum((n / nl) * math.log(n / nl) for n in ns)
+        d2 = nl * nl / sum(n * n for n in ns)
+        assert got[lang].n_docs == nl
+        assert got[lang].d0_richness == len(ns)
+        assert abs(got[lang].d1_shannon - math.exp(h)) < 1e-6
+        assert abs(got[lang].d2_simpson - d2) < 1e-6

@@ -27,6 +27,7 @@ from zmaxion_spark.queries import (  # noqa: F401,E402
     round9b_q,
     round9c_q,
     round9d_q,
+    round9e_q,
     retrieval_q,
     scalar,
     scale_q,
@@ -164,6 +165,10 @@ _NEXT_ROUND: list[str] = [
     "q_quota_apportion",
     "q_aa_calibration",
     "q_capture_recapture",
+    # Round-9 wave 5 (#440-#442): graded in the round-10 window.
+    "q_sprt_sequential",
+    "q_bootstrap_diff_ci",
+    "q_hill_diversity",
 ]
 
 
