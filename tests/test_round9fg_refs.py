@@ -1,0 +1,452 @@
+"""Round-9 wave 6/7 independent-reference tests (SURVEY.md §5.4).
+
+Every statistic added in waves 6-7 (#443-#454) is recomputed here by
+a pure-Python/numpy implementation taking a DIFFERENT derivation
+route than the engine pair: dense numpy matrices instead of edge
+joins (HITS, IPF), brute adjacency-set intersections instead of
+oriented wedge joins (local clustering), real np.cos/np.sin instead
+of the algebraic CASE tables (periodogram), np.lstsq instead of the
+closed-form moment OLS (Durbin-Watson), and raw-float textbook
+formulas instead of integer limb algebra (Jarque-Bera, Theil,
+James-Stein, Gumbel, Slope One, price indices, Ochiai) — so a
+formula error mirrored into the oracle cannot hide.
+"""
+
+from __future__ import annotations
+
+import math
+from collections import Counter, defaultdict
+
+import numpy as np
+
+from tests.conftest import SF_SMOKE
+from zmaxion_spark.catalog import load_table
+from zmaxion_spark.queries.registry import REGISTRY
+
+
+def _rows(spark, name):
+    return REGISTRY[name].fn(spark, SF_SMOKE).collect()
+
+
+def _trade_edges(spark):
+    """Nation trade edges (cust nation -> supp nation, lineitem count)."""
+    li = load_table(spark, SF_SMOKE, "lineitem")
+    orders = load_table(spark, SF_SMOKE, "orders")
+    cust = load_table(spark, SF_SMOKE, "customer")
+    supp = load_table(spark, SF_SMOKE, "supplier")
+    rows = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .select("c_nationkey", "s_nationkey")
+        .collect()
+    )
+    w = Counter((r.c_nationkey, r.s_nationkey) for r in rows)
+    return w
+
+
+def test_hits_matrix_power_iteration(spark):
+    """#443 via a dense numpy adjacency matrix: 4 rounds of h = W a /
+    max, a = W'h / max (with the same per-round 1e-12 re-quantize)
+    must reproduce the engine's hub/authority vectors."""
+    w = _trade_edges(spark)
+    srcs = sorted({s for s, _ in w})
+    dsts = sorted({d for _, d in w})
+    W = np.zeros((len(srcs), len(dsts)))
+    for (s, d), c in w.items():
+        W[srcs.index(s), dsts.index(d)] = c
+    h = np.ones(len(srcs))
+    for _ in range(4):
+        a = W.T @ h
+        a = np.floor(a / a.max() * 1e12 + 0.5) / 1e12
+        h = W @ a
+        h = np.floor(h / h.max() * 1e12 + 0.5) / 1e12
+    got = _rows(spark, "q_hits_scores")
+    hub = {r.node: r.score for r in got if r.side == "hub"}
+    auth = {r.node: r.score for r in got if r.side == "authority"}
+    for i, s in enumerate(srcs):
+        assert abs(hub[s] - h[i]) < 1e-9
+    for i, d in enumerate(dsts):
+        assert abs(auth[d] - a[i]) < 1e-9
+
+
+def _copurchase_adj(spark):
+    li = (
+        load_table(spark, SF_SMOKE, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+        .collect()
+    )
+    by_order = defaultdict(set)
+    for r in li:
+        by_order[r.l_orderkey].add(r.l_partkey)
+    pair_counts = Counter()
+    for parts in by_order.values():
+        ps = sorted(parts)
+        for i in range(len(ps)):
+            for j in range(i + 1, len(ps)):
+                pair_counts[(ps[i], ps[j])] += 1
+    adj = defaultdict(set)
+    for (u, v), c in pair_counts.items():
+        if c >= 2:
+            adj[u].add(v)
+            adj[v].add(u)
+    return adj, by_order
+
+
+def test_local_clustering_matches_set_intersections(spark):
+    """#444 via brute adjacency-set intersections: per-node triangle
+    counts t(v) = half the sum of |N(v) ∩ N(u)| over neighbors, then
+    the same decile census."""
+    adj, _ = _copurchase_adj(spark)
+    census = defaultdict(lambda: [0, 0, []])
+    for v, nb in adj.items():
+        d = len(nb)
+        if d < 2:
+            continue
+        t = sum(len(adj[u] & nb) for u in nb) // 2
+        lcc = 2.0 * t / (d * (d - 1))
+        dec = min(int(lcc * 10), 9)
+        census[dec][0] += 1
+        census[dec][1] += t
+        census[dec][2].append(lcc)
+    got = {r.decile: r for r in _rows(spark, "q_local_clustering")}
+    assert set(got) == set(census)
+    for dec, (n, t, lccs) in census.items():
+        assert got[dec].n_nodes == n
+        assert got[dec].n_tri_incidences == t
+        assert abs(got[dec].mean_lcc - sum(lccs) / len(lccs)) < 1e-9
+
+
+def test_theil_decomposition_from_raw_floats(spark):
+    """#445 via raw-float Theil over nation revenue cells, checking
+    T_total, T_between + T_within additivity against the engine."""
+    orders = load_table(spark, SF_SMOKE, "orders")
+    cust = load_table(spark, SF_SMOKE, "customer")
+    nation = load_table(spark, SF_SMOKE, "nation")
+    rows = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(nation, cust.c_nationkey == nation.n_nationkey)
+        .select("n_regionkey", "n_nationkey", "o_totalprice")
+        .collect()
+    )
+    cells = defaultdict(float)
+    regions = defaultdict(list)
+    for r in rows:
+        cells[(r.n_regionkey, r.n_nationkey)] += math.floor(
+            r.o_totalprice * 100 + 0.5
+        )
+    for (reg, g), x in cells.items():
+        regions[reg].append(x)
+    xt = sum(cells.values())
+    ng = len(cells)
+    t_total = sum(x / xt * math.log(x / xt * ng) for x in cells.values())
+    t_between = sum(
+        sum(xs) / xt * math.log(sum(xs) / xt * ng / len(xs))
+        for xs in regions.values()
+    )
+    t_within = sum(
+        sum(xs) / xt * sum(x / sum(xs) * math.log(x / sum(xs) * len(xs)) for x in xs)
+        for xs in regions.values()
+    )
+    got = _rows(spark, "q_theil_inequality")[0]
+    assert got.n_nations == ng
+    assert abs(got.t_total - t_total) < 1e-9
+    assert abs(got.t_between - t_between) < 1e-9
+    assert abs(got.t_within - t_within) < 1e-9
+    assert abs(got.additivity_gap) < 1e-8
+    assert abs(t_total - (t_between + t_within)) < 1e-12
+
+
+def test_jarque_bera_matches_numpy_moments(spark):
+    """#446 via numpy central moments on the raw dollar array."""
+    x = np.array(
+        [
+            math.floor(r.o_totalprice + 0.5)
+            for r in load_table(spark, SF_SMOKE, "orders").collect()
+        ],
+        dtype=float,
+    )
+    n = len(x)
+    m = x.mean()
+    m2 = ((x - m) ** 2).mean()
+    m3 = ((x - m) ** 3).mean()
+    m4 = ((x - m) ** 4).mean()
+    skew = m3 / m2**1.5
+    exk = m4 / m2**2 - 3
+    jb = n / 6 * (skew**2 + exk**2 / 4)
+    got = _rows(spark, "q_jarque_bera")[0]
+    assert got.n == n
+    assert abs(got.skewness - skew) < 1e-6 * max(1.0, abs(skew))
+    assert abs(got.excess_kurtosis - exk) < 1e-6 * max(1.0, abs(exk))
+    assert abs(got.jb_stat - jb) < 1e-5 * max(1.0, abs(jb))
+    assert got.reject_normal_5pct == (jb > 5.991)
+
+
+def test_durbin_watson_matches_lstsq(spark):
+    """#447 via np.linalg.lstsq on the day census, with the same
+    whole-dollar residual quantize."""
+    from pyspark.sql import functions as F
+
+    rows = (
+        load_table(spark, SF_SMOKE, "orders")
+        .groupBy(F.to_date(F.date_trunc("day", F.col("o_orderdate"))).alias("d"))
+        .agg(
+            F.sum(F.floor(F.col("o_totalprice") + 0.5).cast("bigint")).alias("y")
+        )
+        .collect()
+    )
+    ys = np.array([r.y for r in sorted(rows, key=lambda r: r.d)], dtype=float)
+    t = np.arange(len(ys), dtype=float)
+    A = np.vstack([np.ones_like(t), t]).T
+    (a, b), *_ = np.linalg.lstsq(A, ys, rcond=None)
+    eq = np.floor(ys - (a + b * t) + 0.5)
+    dw = np.sum(np.diff(eq) ** 2) / np.sum(eq**2)
+    got = _rows(spark, "q_durbin_watson")[0]
+    assert got.n_days == len(ys)
+    assert abs(got.intercept - a) < 1e-4 * max(1.0, abs(a))
+    assert abs(got.slope - b) < 1e-4 * max(1.0, abs(b))
+    assert abs(got.dw_stat - dw) < 1e-6
+
+
+def test_james_stein_shrinks_toward_grand_mean(spark):
+    """#448 via raw-float cell means: weights in [0,1], big cells
+    shrink less, and the estimator matches the closed form."""
+    rows = load_table(spark, SF_SMOKE, "customer").collect()
+    cells = defaultdict(list)
+    for r in rows:
+        cells[r.c_nationkey].append(math.floor(r.c_acctbal * 100 + 0.5))
+    k = len(cells)
+    n = sum(len(v) for v in cells.values())
+    grand = sum(sum(v) for v in cells.values()) / n
+    s2 = sum(
+        sum(x**2 for x in v) - sum(v) ** 2 / len(v) for v in cells.values()
+    ) / (n - k)
+    ssd = sum((sum(v) / len(v) - grand) ** 2 for v in cells.values())
+    got = {r.nationkey: r for r in _rows(spark, "q_james_stein")}
+    assert set(got) == set(cells)
+    for g, v in cells.items():
+        mean_i = sum(v) / len(v)
+        w = max(0.0, 1 - (k - 3) * (s2 / len(v)) / ssd)
+        js = grand + w * (mean_i - grand)
+        assert 0.0 <= got[g].shrink_weight <= 1.0
+        assert abs(got[g].raw_mean - mean_i / 100) < 1e-6
+        assert abs(got[g].shrink_weight - w) < 1e-6
+        assert abs(got[g].js_mean - js / 100) < 1e-4
+        # shrunk mean lies between raw mean and grand mean
+        lo, hi = sorted((mean_i / 100, grand / 100))
+        assert lo - 1e-9 <= got[g].js_mean <= hi + 1e-9
+
+
+def test_raking_ipf_converges_to_uniform_margins(spark):
+    """#449 via dense numpy IPF without per-step rounding: cell match
+    within quantization drift, and both raked margins ≈ 0.2."""
+    cust = load_table(spark, SF_SMOKE, "customer")
+    nation = load_table(spark, SF_SMOKE, "nation")
+    rows = (
+        cust.join(nation, cust.c_nationkey == nation.n_nationkey)
+        .select("n_regionkey", "c_mktsegment")
+        .collect()
+    )
+    counts = Counter((r.n_regionkey, r.c_mktsegment) for r in rows)
+    rs = sorted({r for r, _ in counts})
+    segs = sorted({s for _, s in counts})
+    M = np.array(
+        [[counts.get((r, s), 0) for s in segs] for r in rs], dtype=float
+    )
+    M /= M.sum()
+    for _ in range(6):
+        M *= 0.2 / M.sum(axis=1, keepdims=True)
+        M *= 0.2 / M.sum(axis=0, keepdims=True)
+    got = {(r.r, r.seg): r for r in _rows(spark, "q_raking_ipf")}
+    for i, reg in enumerate(rs):
+        for j, s in enumerate(segs):
+            assert abs(got[(reg, s)].raked_share - M[i, j]) < 1e-8
+    raked = np.array(
+        [[got[(reg, s)].raked_share for s in segs] for reg in rs]
+    )
+    assert np.allclose(raked.sum(axis=0), 0.2, atol=1e-6)
+
+
+def test_price_index_fisher_brackets(spark):
+    """#450 via brute dicts: index values match, and Fisher lies
+    between Laspeyres and Paasche (geometric-mean property)."""
+    rows = load_table(spark, SF_SMOKE, "lineitem").collect()
+    per = defaultdict(lambda: [0, 0])  # (pk, y) -> [rev_cents, qty]
+    for r in rows:
+        key = (r.l_partkey, r.l_shipdate.year)
+        per[key][0] += math.floor(r.l_extendedprice * 100 + 0.5)
+        per[key][1] += math.floor(r.l_quantity + 0.5)
+    got = {r.y0: r for r in _rows(spark, "q_price_index")}
+    years = sorted({y for _, y in per})
+    for y0 in years[:-1]:
+        y1 = y0 + 1
+        ln = ld = pn = pd_ = 0.0
+        npairs = 0
+        for (pk, y), (rev, q) in per.items():
+            if y != y0 or q <= 0:
+                continue
+            o = per.get((pk, y1))
+            if not o or o[1] <= 0:
+                continue
+            p0, p1 = rev / q / 100, o[0] / o[1] / 100
+            q0, q1 = q, o[1]
+            ln += p1 * q0
+            ld += p0 * q0
+            pn += p1 * q1
+            pd_ += p0 * q1
+            npairs += 1
+        if npairs == 0:
+            assert y0 not in got
+            continue
+        g = got[y0]
+        assert g.n_parts == npairs
+        assert abs(g.laspeyres - ln / ld) < 1e-6
+        assert abs(g.paasche - pn / pd_) < 1e-6
+        lo, hi = sorted((g.laspeyres, g.paasche))
+        assert lo - 1e-9 <= g.fisher <= hi + 1e-9
+
+
+def test_periodogram_matches_real_trig(spark):
+    """#451 via np.cos/np.sin (real trig, not the algebraic tables):
+    per-period powers agree, shares sum to 1, entropy ≤ ln(5)."""
+    from pyspark.sql import functions as F
+
+    rows = (
+        load_table(spark, SF_SMOKE, "events")
+        .groupBy(F.to_date(F.date_trunc("day", F.col("ts"))).alias("d"))
+        .agg(F.count(F.lit(1)).alias("y"))
+        .collect()
+    )
+    ys = np.array([r.y for r in sorted(rows, key=lambda r: r.d)], dtype=float)
+    t = np.arange(len(ys))
+    got = {r.period: r for r in _rows(spark, "q_periodogram")}
+    powers = {}
+    for p in (2, 3, 5, 6, 10):
+        ang = 2 * np.pi * (t % p) / p
+        c = float(np.sum(ys * np.cos(ang)))
+        s = float(np.sum(ys * np.sin(ang)))
+        powers[p] = c * c + s * s
+    tot = sum(powers.values())
+    for p, pw in powers.items():
+        assert abs(got[p].power - pw) < 1e-4 * max(1.0, pw)
+        assert abs(got[p].share - pw / tot) < 1e-8
+    assert abs(sum(r.share for r in got.values()) - 1.0) < 1e-9
+    h = got[2].spectral_entropy
+    assert 0.0 <= h <= math.log(5) + 1e-9
+    href = -sum(
+        pw / tot * math.log(pw / tot) for pw in powers.values() if pw > 0
+    )
+    assert abs(h - href) < 1e-6
+
+
+def test_gumbel_fit_matches_numpy(spark):
+    """#452 via pandas-free numpy block maxima and textbook MoM."""
+    from pyspark.sql import functions as F
+
+    rows = (
+        load_table(spark, SF_SMOKE, "orders")
+        .groupBy(
+            (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias("ym"),
+            F.to_date(F.date_trunc("day", F.col("o_orderdate"))).alias("d"),
+        )
+        .agg(
+            F.sum(F.floor(F.col("o_totalprice") + 0.5).cast("bigint")).alias("y")
+        )
+        .collect()
+    )
+    blocks = defaultdict(int)
+    for r in rows:
+        blocks[r.ym] = max(blocks[r.ym], r.y)
+    mx = np.array(sorted(blocks.values()), dtype=float)
+    m1 = mx.mean()
+    s = mx.std(ddof=1)
+    beta = s * math.sqrt(6) / math.pi
+    mu = m1 - 0.5772156649015329 * beta
+    thr = 2 * (int(mx.sum()) // len(mx))
+    p = 1 - math.exp(-math.exp(-((thr - mu) / beta)))
+    r20 = mu - beta * math.log(-math.log(1 - 1 / 20))
+    got = _rows(spark, "q_gumbel_maxima")[0]
+    assert got.n_blocks == len(mx)
+    assert got.threshold == thr
+    assert got.max_observed == int(mx.max())
+    assert abs(got.mu - mu) < 1e-4 * max(1.0, abs(mu))
+    assert abs(got.beta - beta) < 1e-4 * max(1.0, abs(beta))
+    assert abs(got.p_exceed_threshold - p) < 1e-7
+    assert abs(got.return_level_20 - r20) < 1e-3 * max(1.0, abs(r20))
+
+
+def test_slope_one_matches_brute_dicts(spark):
+    """#453 via brute dict weighted Slope One without quantization."""
+    rows = load_table(spark, SF_SMOKE, "events").collect()
+    r = Counter()
+    for e in rows:
+        r[(e.user_id, e.event_type)] += 1
+    users = defaultdict(dict)
+    for (u, i), x in r.items():
+        users[u][i] = x
+    dev = defaultdict(lambda: [0, 0])  # (i, j) -> [n, sum(ri - rj)]
+    for u, items in users.items():
+        for i in items:
+            for j in items:
+                if i == j:
+                    continue
+                dev[(i, j)][0] += 1
+                dev[(i, j)][1] += items[i] - items[j]
+    errs = defaultdict(list)
+    for u, items in users.items():
+        for i in items:
+            num = den = 0.0
+            for j in items:
+                if j == i or (i, j) not in dev:
+                    continue
+                n_ij, sd = dev[(i, j)]
+                num += (items[j] + sd / n_ij) * n_ij
+                den += n_ij
+            if den > 0:
+                errs[i].append(num / den - items[i])
+    got = {r_.item: r_ for r_ in _rows(spark, "q_slope_one")}
+    assert set(got) == set(errs)
+    for i, es in errs.items():
+        assert got[i].n_users == len(es)
+        assert abs(got[i].mae - sum(abs(e) for e in es) / len(es)) < 1e-6
+        assert abs(got[i].bias - sum(es) / len(es)) < 1e-6
+
+
+def test_bipartite_ochiai_matches_brute_topk(spark):
+    """#454 via brute pair counts: identical top-20 identity and
+    scores, each score ≤ 1 and ≥ the support-based lower bound."""
+    adj_pairs = Counter()
+    deg = Counter()
+    li = (
+        load_table(spark, SF_SMOKE, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+        .collect()
+    )
+    by_order = defaultdict(set)
+    for r in li:
+        by_order[r.l_orderkey].add(r.l_partkey)
+        deg[r.l_partkey] += 1
+    for parts in by_order.values():
+        ps = sorted(parts)
+        for i in range(len(ps)):
+            for j in range(i + 1, len(ps)):
+                adj_pairs[(ps[i], ps[j])] += 1
+    scored = [
+        (
+            round(c / math.sqrt(deg[u] * deg[v]), 12),
+            u,
+            v,
+            c,
+        )
+        for (u, v), c in adj_pairs.items()
+        if c >= 2
+    ]
+    scored.sort(key=lambda x: (-x[0], x[1], x[2]))
+    got = _rows(spark, "q_bipartite_ochiai")
+    assert len(got) == min(20, len(scored))
+    for row, (score, u, v, c) in zip(got, scored):
+        assert (row.u, row.v, row.c) == (u, v, c)
+        assert abs(row.ochiai - score) < 1e-12
+        assert row.ochiai <= 1.0 + 1e-12

@@ -28,6 +28,8 @@ from zmaxion_spark.queries import (  # noqa: F401,E402
     round9c_q,
     round9d_q,
     round9e_q,
+    round9f_q,
+    round9g_q,
     retrieval_q,
     scalar,
     scale_q,
@@ -169,6 +171,20 @@ _NEXT_ROUND: list[str] = [
     "q_sprt_sequential",
     "q_bootstrap_diff_ci",
     "q_hill_diversity",
+    # Round-9 wave 6 (#443-#448): graded in the round-10 window.
+    "q_hits_scores",
+    "q_local_clustering",
+    "q_theil_inequality",
+    "q_jarque_bera",
+    "q_durbin_watson",
+    "q_james_stein",
+    # Round-9 wave 7 (#449-#454): graded in the round-10 window.
+    "q_raking_ipf",
+    "q_price_index",
+    "q_periodogram",
+    "q_gumbel_maxima",
+    "q_slope_one",
+    "q_bipartite_ochiai",
 ]
 
 
