@@ -1,6 +1,6 @@
-"""Round-9 wave 6/7 independent-reference tests (SURVEY.md §5.4).
+"""Round-9 wave 6/7/8 independent-reference tests (SURVEY.md §5.4).
 
-Every statistic added in waves 6-7 (#443-#454) is recomputed here by
+Every statistic added in waves 6-8 (#443-#462) is recomputed here by
 a pure-Python/numpy implementation taking a DIFFERENT derivation
 route than the engine pair: dense numpy matrices instead of edge
 joins (HITS, IPF), brute adjacency-set intersections instead of
@@ -450,3 +450,191 @@ def test_bipartite_ochiai_matches_brute_topk(spark):
         assert (row.u, row.v, row.c) == (u, v, c)
         assert abs(row.ochiai - score) < 1e-12
         assert row.ochiai <= 1.0 + 1e-12
+
+
+# ---------------------------------------------------------------------------
+# Wave 8 (#455-#462)
+# ---------------------------------------------------------------------------
+
+
+def _daily_dollars(spark):
+    from pyspark.sql import functions as F
+
+    rows = (
+        load_table(spark, SF_SMOKE, "orders")
+        .groupBy(F.to_date(F.date_trunc("day", F.col("o_orderdate"))).alias("d"))
+        .agg(
+            F.sum(F.floor(F.col("o_totalprice") + 0.5).cast("bigint")).alias("y")
+        )
+        .collect()
+    )
+    return np.array(
+        [r.y for r in sorted(rows, key=lambda r: r.d)], dtype=float
+    ), sorted(r.d for r in rows)
+
+
+def test_yule_k_matches_brute_counter(spark):
+    """#455 via brute per-language token Counters."""
+    docs = load_table(spark, SF_SMOKE, "documents").collect()
+    per_lang = defaultdict(Counter)
+    for r in docs:
+        for w in r.text.split(" "):
+            if w:
+                per_lang[r.lang][w] += 1
+    got = {r.lang: r for r in _rows(spark, "q_yule_k")}
+    assert set(got) == set(per_lang)
+    for lang, cnt in per_lang.items():
+        n = sum(cnt.values())
+        v = len(cnt)
+        s2 = sum(f * f for f in cnt.values())
+        assert got[lang].n_tokens == n
+        assert got[lang].vocab == v
+        assert abs(got[lang].yule_k - 1e4 * (s2 - n) / n**2) < 1e-6
+        assert abs(got[lang].simpson_d - (s2 - n) / (n * (n - 1))) < 1e-9
+        assert abs(got[lang].herdan_c - math.log(v) / math.log(n)) < 1e-9
+
+
+def test_chow_break_matches_lstsq(spark):
+    """#456 via three np.lstsq fits (pooled + two halves)."""
+    ys, _ = _daily_dollars(spark)
+    t = np.arange(len(ys), dtype=float)
+
+    def sse(tt, yy):
+        A = np.vstack([np.ones_like(tt), tt]).T
+        coef, *_ = np.linalg.lstsq(A, yy, rcond=None)
+        return float(np.sum((yy - A @ coef) ** 2))
+
+    n = len(ys)
+    half = (n + 1) // 2  # t*2 < n  <=>  t < n/2
+    sse_p = sse(t, ys)
+    sse_a = sse(t[:half], ys[:half])
+    sse_b = sse(t[half:], ys[half:])
+    f = ((sse_p - sse_a - sse_b) / 2) / ((sse_a + sse_b) / (n - 4))
+    got = _rows(spark, "q_chow_break")[0]
+    assert got.n_days == n
+    assert abs(got.sse_pooled - sse_p) < 1e-3 * max(1.0, sse_p)
+    assert abs(got.sse_split - (sse_a + sse_b)) < 1e-3 * max(1.0, sse_a + sse_b)
+    assert abs(got.f_chow - f) < 1e-5 * max(1.0, abs(f))
+
+
+def test_cooks_distance_matches_textbook(spark):
+    """#457 via the textbook leverage/residual formulas with exact
+    floats (no quantization), matching the elected top-10."""
+    ys, days = _daily_dollars(spark)
+    t = np.arange(len(ys), dtype=float)
+    n = len(ys)
+    A = np.vstack([np.ones_like(t), t]).T
+    (a, b), *_ = np.linalg.lstsq(A, ys, rcond=None)
+    e = ys - (a + b * t)
+    h = 1 / n + (t - t.mean()) ** 2 / np.sum((t - t.mean()) ** 2)
+    s2 = np.sum(np.floor(e * e + 0.5)) / (n - 2)
+    d = e * e * h / (2 * s2 * (1 - h) ** 2)
+    order = sorted(range(n), key=lambda i: (-round(d[i], 12), days[i]))[:10]
+    got = _rows(spark, "q_cooks_distance")
+    assert [r.d for r in got] == [days[i] for i in order]
+    for r, i in zip(got, order):
+        assert abs(r.cooks_d - d[i]) < 1e-6 * max(1.0, d[i])
+    assert got[0].n_influential == int(np.sum(d > 4.0 / n))
+
+
+def test_grubbs_matches_numpy(spark):
+    """#458 via numpy mean/std and argmax."""
+    ys, days = _daily_dollars(spark)
+    m, s = ys.mean(), ys.std(ddof=1)
+    dev = np.abs(ys - m)
+    i = int(np.argmax(dev))
+    got = _rows(spark, "q_grubbs_outlier")[0]
+    assert got.n_days == len(ys)
+    assert got.outlier_day == days[i]
+    assert got.outlier_value == int(ys[i])
+    assert abs(got.g_stat - dev[i] / s) < 1e-7
+    assert got.outlier_flag == (dev[i] / s > 4.0)
+
+
+def test_kupiec_matches_math(spark):
+    """#459 via numpy rank election and the textbook LR."""
+    ys, _ = _daily_dollars(spark)
+    n = len(ys)
+    k = max(n * 5 // 100, 1)
+    var95 = float(np.sort(ys)[k - 1])
+    x = int(np.sum(ys < var95))
+    if x == 0:
+        lr = -2 * n * math.log(0.95)
+    else:
+        lr = -2 * (
+            (n - x) * math.log(0.95)
+            + x * math.log(0.05)
+            - (n - x) * math.log(1 - x / n)
+            - x * math.log(x / n)
+        )
+    got = _rows(spark, "q_kupiec_pof")[0]
+    assert got.n_days == n
+    assert got.var_95 == int(var95)
+    assert got.n_exceptions == x
+    assert abs(got.lr_pof - lr) < 1e-7
+    assert got.reject_var_model == (lr > 3.841)
+
+
+def test_rich_club_matches_brute(spark):
+    """#460 via brute degree/edge filtering per grid cut."""
+    adj, _ = _copurchase_adj(spark)
+    edges = {
+        (u, v) for u, nb in adj.items() for v in nb if u < v
+    }
+    deg = {u: len(nb) for u, nb in adj.items()}
+    got = {r.k: r for r in _rows(spark, "q_rich_club")}
+    for k in (1, 2, 4, 8, 16):
+        nodes = [u for u, d in deg.items() if d > k]
+        ek = sum(1 for (u, v) in edges if deg[u] > k and deg[v] > k)
+        assert got[k].n_nodes == len(nodes)
+        assert got[k].n_edges == ek
+        if len(nodes) >= 2:
+            phi = 2 * ek / (len(nodes) * (len(nodes) - 1))
+            assert abs(got[k].phi - phi) < 1e-9
+        else:
+            assert got[k].phi is None
+
+
+def test_degree_powerlaw_matches_per_node_sum(spark):
+    """#461 via the per-NODE log sum (not the degree census route)."""
+    adj, _ = _copurchase_adj(spark)
+    deg = [len(nb) for nb in adj.values()]
+    n = len(deg)
+    alpha = 1 + n / sum(math.log(2 * d) for d in deg)
+    got = _rows(spark, "q_degree_powerlaw")[0]
+    assert got.n_nodes == n
+    assert got.dmax == max(deg)
+    assert abs(got.mean_degree - sum(deg) / n) < 1e-9
+    assert abs(got.alpha - alpha) < 1e-6
+    assert got.alpha > 1.0
+
+
+def test_average_precision_matches_brute_sweep(spark):
+    """#462 via a brute float threshold sweep over the same scored
+    frame, plus the prevalence floor property."""
+    from zmaxion_spark.queries.governance_q import q_quality_classifier
+
+    docs = {
+        r.doc_id: r.lang
+        for r in load_table(spark, SF_SMOKE, "documents").collect()
+    }
+    scored = [
+        (1 if docs[r.doc_id] == "en" else 0, r.quality_score)
+        for r in q_quality_classifier(spark, SF_SMOKE).collect()
+    ]
+    n_pos = sum(y for y, _ in scored)
+    ap = 0.0
+    prev_tp = 0
+    for k in range(21):
+        thr = 1.0 - k / 20
+        tp = sum(1 for y, s in scored if s >= thr and y == 1)
+        fp = sum(1 for y, s in scored if s >= thr and y == 0)
+        if tp + fp > 0:
+            ap += (tp - prev_tp) / n_pos * (tp / (tp + fp))
+        prev_tp = tp
+    got = _rows(spark, "q_average_precision")[0]
+    assert got.n_pos == n_pos
+    assert abs(got.average_precision - ap) < 1e-6
+    assert abs(
+        got.prevalence_baseline - n_pos / (got.n_pos + got.n_neg)
+    ) < 1e-9

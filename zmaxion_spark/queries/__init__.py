@@ -30,6 +30,7 @@ from zmaxion_spark.queries import (  # noqa: F401,E402
     round9e_q,
     round9f_q,
     round9g_q,
+    round9h_q,
     retrieval_q,
     scalar,
     scale_q,
@@ -185,6 +186,15 @@ _NEXT_ROUND: list[str] = [
     "q_gumbel_maxima",
     "q_slope_one",
     "q_bipartite_ochiai",
+    # Round-9 wave 8 (#455-#462): graded in the round-10 window.
+    "q_yule_k",
+    "q_chow_break",
+    "q_cooks_distance",
+    "q_grubbs_outlier",
+    "q_kupiec_pof",
+    "q_rich_club",
+    "q_degree_powerlaw",
+    "q_average_precision",
 ]
 
 
