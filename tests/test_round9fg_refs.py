@@ -1,6 +1,6 @@
-"""Round-9 wave 6/7/8 independent-reference tests (SURVEY.md §5.4).
+"""Round-9 waves 6-9 independent-reference tests (SURVEY.md §5.4).
 
-Every statistic added in waves 6-8 (#443-#462) is recomputed here by
+Every statistic added in waves 6-9 (#443-#468) is recomputed here by
 a pure-Python/numpy implementation taking a DIFFERENT derivation
 route than the engine pair: dense numpy matrices instead of edge
 joins (HITS, IPF), brute adjacency-set intersections instead of
@@ -638,3 +638,198 @@ def test_average_precision_matches_brute_sweep(spark):
     assert abs(
         got.prevalence_baseline - n_pos / (got.n_pos + got.n_neg)
     ) < 1e-9
+
+
+# ---------------------------------------------------------------------------
+# Wave 9 (#463-#468)
+# ---------------------------------------------------------------------------
+
+
+def test_stream_hll_matches_pure_python(spark):
+    """#463 via a pure-Python hashlib HLL (registers, integer harmonic
+    denominator, linear-counting correction), plus the accuracy
+    contract against the exact distinct count."""
+    import hashlib
+
+    rows = load_table(spark, SF_SMOKE, "events").select(
+        "event_type", "user_id"
+    ).collect()
+    regs = defaultdict(dict)
+    exact = defaultdict(set)
+    for r in rows:
+        exact[r.event_type].add(r.user_id)
+        h = hashlib.md5(f"hll:{r.user_id}".encode()).hexdigest()
+        j = int(h[:2], 16)
+        w = int(h[2:15], 16)
+        rank = 53 if w == 0 else 53 - w.bit_length() + 1
+        regs[r.event_type][j] = max(regs[r.event_type].get(j, 0), rank)
+    got = {r.event_type: r for r in _rows(spark, "q_stream_hll")}
+    m = 256
+    alpha = 0.7120912956726128
+    for et, rg in regs.items():
+        used = len(rg)
+        v0 = m - used
+        zu = sum(1 << (53 - mj) for mj in rg.values())
+        e = alpha * m * m * float(1 << 53) / (zu + v0 * float(1 << 53))
+        if e <= 2.5 * m and v0 > 0:
+            e = m * math.log(m / v0)
+        assert got[et].registers_used == used
+        assert abs(got[et].hll_estimate - e) < 1e-5 * max(1.0, e)
+        assert got[et].est_within_bound == int(
+            abs(e - len(exact[et])) / len(exact[et]) <= 0.25
+        )
+        assert got[et].exact_distinct == len(exact[et])
+
+
+def test_burrows_delta_matches_brute(spark):
+    """#464 via brute dict z-scores over the same top-30 words."""
+    docs = load_table(spark, SF_SMOKE, "documents").collect()
+    tok = defaultdict(Counter)
+    for r in docs:
+        for w in r.text.split(" "):
+            if w:
+                tok[r.source][w] += 1
+    totals = Counter()
+    for cnt in tok.values():
+        totals.update(cnt)
+    top = [w for w, _ in sorted(totals.items(), key=lambda x: (-x[1], x[0]))[:30]]
+    sources = sorted(tok)
+    rf = {
+        (s, w): tok[s][w] / sum(tok[s].values()) for s in sources for w in top
+    }
+    zs = {}
+    for w in top:
+        vals = [rf[(s, w)] for s in sources]
+        mu = sum(vals) / len(vals)
+        sd = math.sqrt(sum(v * v for v in vals) / len(vals) - mu * mu)
+        if sd > 0:
+            for s in sources:
+                zs[(s, w)] = (rf[(s, w)] - mu) / sd
+    words_used = {w for (_, w) in zs}
+    deltas = {}
+    for i, s1 in enumerate(sources):
+        for s2 in sources[i + 1 :]:
+            ds = [abs(zs[(s1, w)] - zs[(s2, w)]) for w in words_used]
+            deltas[(s1, s2)] = sum(ds) / len(ds)
+    expected = sorted(deltas.items(), key=lambda x: (round(x[1], 9), x[0]))[:10]
+    got = _rows(spark, "q_burrows_delta")
+    assert [(r.s1, r.s2) for r in got] == [p for p, _ in expected]
+    for r, (_, dl) in zip(got, expected):
+        assert abs(r.delta - dl) < 1e-7
+
+
+def test_odds_ratio_matches_math(spark):
+    """#465 via brute 2x2 counts and the Woolf formulas."""
+    rows = load_table(spark, SF_SMOKE, "orders").collect()
+    a = sum(
+        1
+        for r in rows
+        if r.o_orderpriority == "1-URGENT" and r.o_orderstatus == "F"
+    )
+    b = sum(
+        1
+        for r in rows
+        if r.o_orderpriority == "1-URGENT" and r.o_orderstatus != "F"
+    )
+    c = sum(
+        1
+        for r in rows
+        if r.o_orderpriority != "1-URGENT" and r.o_orderstatus == "F"
+    )
+    d = len(rows) - a - b - c
+    orr = a * d / (b * c)
+    se = math.sqrt(1 / a + 1 / b + 1 / c + 1 / d)
+    lo = math.exp(math.log(orr) - 1.959964 * se)
+    hi = math.exp(math.log(orr) + 1.959964 * se)
+    got = _rows(spark, "q_odds_ratio")[0]
+    assert (got.a, got.b, got.c, got.d) == (a, b, c, d)
+    assert abs(got.odds_ratio - orr) < 1e-7
+    assert abs(got.ci_lo - lo) < 1e-6
+    assert abs(got.ci_hi - hi) < 1e-6
+    assert got.ci_lo <= got.odds_ratio <= got.ci_hi
+    assert got.significant == (lo > 1 or hi < 1)
+
+
+def test_vocab_jaccard_matches_sets(spark):
+    """#466 via brute Python set algebra."""
+    docs = load_table(spark, SF_SMOKE, "documents").collect()
+    vocab = defaultdict(set)
+    for r in docs:
+        for w in r.text.split(" "):
+            if w:
+                vocab[r.source].add(w)
+    sources = sorted(vocab)
+    scored = []
+    for i, s1 in enumerate(sources):
+        for s2 in sources[i + 1 :]:
+            inter = len(vocab[s1] & vocab[s2])
+            if inter:
+                jac = inter / len(vocab[s1] | vocab[s2])
+                scored.append((round(jac, 12), s1, s2, inter))
+    scored.sort(key=lambda x: (-x[0], x[1], x[2]))
+    got = _rows(spark, "q_vocab_jaccard")
+    assert len(got) == min(15, len(scored))
+    for r, (jac, s1, s2, inter) in zip(got, scored):
+        assert (r.s1, r.s2, r.n_common) == (s1, s2, inter)
+        assert r.v1 == len(vocab[s1]) and r.v2 == len(vocab[s2])
+        assert abs(r.jaccard - jac) < 1e-12
+
+
+def test_gesd_matches_iterative_numpy(spark):
+    """#467 via iterative numpy re-estimation (re-scan route, not the
+    moment-subtraction route)."""
+    ys, days = _daily_dollars(spark)
+    pool = list(zip(days, ys))
+    expected = []
+    for rnd in range(1, 4):
+        arr = np.array([y for _, y in pool])
+        m, s = arr.mean(), arr.std(ddof=1)
+        best = max(pool, key=lambda p: (abs(p[1] - m), p[0]))
+        # tie-break on day ascending among equal deviations
+        cand = [p for p in pool if abs(p[1] - m) == abs(best[1] - m)]
+        best = min(cand, key=lambda p: p[0])
+        expected.append((rnd, best[0], int(best[1]), abs(best[1] - m) / s))
+        pool.remove(best)
+    got = _rows(spark, "q_gesd_outliers")
+    for r, (rnd, day, val, rstat) in zip(got, expected):
+        assert (r.round, r.outlier_day, r.outlier_value) == (rnd, day, val)
+        assert abs(r.r_stat - rstat) < 1e-7
+
+
+def test_selection_stability_matches_brute_chi2(spark):
+    """#468 via brute per-half chi2 dicts and set overlap."""
+    import hashlib
+
+    docs = load_table(spark, SF_SMOKE, "documents").collect()
+    halves = defaultdict(list)
+    for r in docs:
+        h = int(hashlib.md5(f"split:{r.doc_id}".encode()).hexdigest()[:13], 16) % 2
+        halves[h].append((1 if r.lang == "en" else 0, set(
+            w for w in r.text.split(" ") if w
+        )))
+    tops = {}
+    all_feats = set()
+    for h, items in halves.items():
+        n_pos = sum(y for y, _ in items)
+        n_neg = len(items) - n_pos
+        df = defaultdict(lambda: [0, 0])
+        for y, ws in items:
+            for w in ws:
+                df[w][y] += 1
+        chi = {}
+        for w, (dneg, dpos) in df.items():
+            n = n_pos + n_neg
+            num = dpos * (n_neg - dneg) - dneg * (n_pos - dpos)
+            den = (dpos + dneg) * (n - dpos - dneg) * n_pos * n_neg
+            chi[w] = round(n * num * num / den, 9)
+            all_feats.add(w)
+        tops[h] = {
+            w
+            for w, _ in sorted(chi.items(), key=lambda x: (-x[1], x[0]))[:20]
+        }
+    overlap = len(tops[0] & tops[1])
+    got = _rows(spark, "q_selection_stability")[0]
+    assert got.k == 20
+    assert got.n_features == len(all_feats)
+    assert got.n_overlap == overlap
+    assert abs(got.jaccard_stability - overlap / (40 - overlap)) < 1e-9

@@ -31,6 +31,7 @@ from zmaxion_spark.queries import (  # noqa: F401,E402
     round9f_q,
     round9g_q,
     round9h_q,
+    round9i_q,
     retrieval_q,
     scalar,
     scale_q,
@@ -195,6 +196,13 @@ _NEXT_ROUND: list[str] = [
     "q_rich_club",
     "q_degree_powerlaw",
     "q_average_precision",
+    # Round-9 wave 9 (#463-#468): graded in the round-10 window.
+    "q_stream_hll",
+    "q_burrows_delta",
+    "q_odds_ratio",
+    "q_vocab_jaccard",
+    "q_gesd_outliers",
+    "q_selection_stability",
 ]
 
 
