@@ -833,3 +833,194 @@ def test_selection_stability_matches_brute_chi2(spark):
     assert got.n_features == len(all_feats)
     assert got.n_overlap == overlap
     assert abs(got.jaccard_stability - overlap / (40 - overlap)) < 1e-9
+
+
+# ---------------------------------------------------------------------------
+# Wave 10 (#469-#474)
+# ---------------------------------------------------------------------------
+
+
+def _daily_demand(spark):
+    from pyspark.sql import functions as F
+
+    rows = (
+        load_table(spark, SF_SMOKE, "orders")
+        .groupBy(F.to_date(F.date_trunc("day", F.col("o_orderdate"))).alias("d"))
+        .agg(F.count(F.lit(1)).alias("dem"))
+        .collect()
+    )
+    return [r.dem for r in rows]
+
+
+def test_newsvendor_matches_brute(spark):
+    """#469 via a brute sorted-list quantile and per-q cost loop;
+    also checks q* actually minimizes cost on the grid."""
+    dem = sorted(_daily_demand(spark))
+    n = len(dem)
+    # smallest q with F(q) >= 3/4
+    import bisect
+
+    qstar = next(q for q in dem if bisect.bisect_right(dem, q) * 4 >= n * 3)
+
+    def cost(q):
+        return sum(3 * max(d - q, 0) + 1 * max(q - d, 0) for d in dem)
+
+    got = {r.stock_level: r for r in _rows(spark, "q_newsvendor")}
+    grid = {qstar * 9 // 10, qstar, (qstar * 11 + 9) // 10}
+    assert set(got) == grid
+    for q, r in got.items():
+        assert r.total_cost == cost(q)
+        served = sum(min(d, q) for d in dem)
+        assert abs(r.fill_rate - served / sum(dem)) < 1e-9
+    assert got[qstar].total_cost == min(r.total_cost for r in got.values())
+
+
+def _ntile(rn, n, k):
+    big = n % k
+    size_big = n // k + 1
+    size_small = n // k
+    if rn <= big * size_big:
+        return (rn - 1) // size_big + 1
+    return big + (rn - big * size_big - 1) // size_small + 1
+
+
+def test_lorenz_points_match_brute_ntile(spark):
+    """#470 via a brute sorted NTILE and cumulative sums."""
+    rows = load_table(spark, SF_SMOKE, "orders").collect()
+    vals = sorted(
+        (math.floor(r.o_totalprice * 100 + 0.5), r.o_orderkey) for r in rows
+    )
+    n = len(vals)
+    deciles = defaultdict(lambda: [0, 0])
+    for i, (cents, _) in enumerate(vals, start=1):
+        t = _ntile(i, n, 10)
+        deciles[t][0] += 1
+        deciles[t][1] += cents
+    total = sum(c for c, _ in vals)
+    got = {r.tile: r for r in _rows(spark, "q_lorenz_points")}
+    crev = 0
+    cn = 0
+    for t in range(1, 11):
+        cnt, rev = deciles[t]
+        crev += rev
+        cn += cnt
+        assert got[t].n_orders == cnt
+        assert got[t].revenue_cents == rev
+        assert abs(got[t].cum_revenue_share - crev / total) < 1e-9
+        assert abs(got[t].pop_share - cn / n) < 1e-9
+    # Lorenz curve is convex: increments non-decreasing
+    shares = [got[t].cum_revenue_share for t in range(1, 11)]
+    incr = [b - a for a, b in zip([0.0] + shares, shares)]
+    assert all(b >= a - 1e-12 for a, b in zip(incr, incr[1:]))
+    assert abs(shares[-1] - 1.0) < 1e-9
+
+
+def test_hoover_palma_matches_brute(spark):
+    """#471 via brute nation shares and decile tails."""
+    orders = load_table(spark, SF_SMOKE, "orders").collect()
+    cust = {
+        r.c_custkey: r.c_nationkey
+        for r in load_table(spark, SF_SMOKE, "customer").collect()
+    }
+    cells = defaultdict(int)
+    for r in orders:
+        cells[cust[r.o_custkey]] += math.floor(r.o_totalprice * 100 + 0.5)
+    xt = sum(cells.values())
+    k = len(cells)
+    hoover = sum(abs(x / xt - 1 / k) for x in cells.values()) / 2
+    vals = sorted(
+        (math.floor(r.o_totalprice * 100 + 0.5), r.o_orderkey) for r in orders
+    )
+    n = len(vals)
+    top10 = sum(
+        c for i, (c, _) in enumerate(vals, start=1) if _ntile(i, n, 10) == 10
+    )
+    bot40 = sum(
+        c for i, (c, _) in enumerate(vals, start=1) if _ntile(i, n, 10) <= 4
+    )
+    got = _rows(spark, "q_hoover_palma")[0]
+    assert got.n_nations == k
+    assert abs(got.hoover_index - hoover) < 1e-7
+    assert got.top10_cents == top10
+    assert got.bot40_cents == bot40
+    assert abs(got.palma_ratio - top10 / bot40) < 1e-7
+
+
+def test_pareto_tail_matches_brute_bins(spark):
+    """#472 via a brute binned census and float MLE."""
+    rows = load_table(spark, SF_SMOKE, "orders").collect()
+    xs = [math.floor(r.o_totalprice + 0.5) for r in rows]
+    bins = Counter(x // 500 for x in xs)
+    n = len(xs)
+    cum = 0
+    bm = None
+    for b in sorted(bins):
+        cum += bins[b]
+        if cum * 20 >= n * 19:
+            bm = b
+            break
+    tail = {b: c for b, c in bins.items() if b > bm}
+    n_tail = sum(tail.values())
+    slog = sum(c * math.log((b + 0.5) / (bm + 0.5)) for b, c in tail.items())
+    alpha = 1 + n_tail / slog
+    got = _rows(spark, "q_pareto_tail")[0]
+    assert got.n_orders == n
+    assert got.n_tail == n_tail
+    assert got.tail_floor_dollars == (bm + 1) * 500
+    assert abs(got.alpha - alpha) < 1e-6
+    assert got.alpha > 1.0
+    assert abs(got.tail_fraction - n_tail / n) < 1e-9
+
+
+def _nation_values(spark):
+    orders = load_table(spark, SF_SMOKE, "orders").collect()
+    cust = {
+        r.c_custkey: r.c_nationkey
+        for r in load_table(spark, SF_SMOKE, "customer").collect()
+    }
+    groups = defaultdict(list)
+    for r in orders:
+        groups[cust[r.o_custkey]].append(math.floor(r.o_totalprice + 0.5))
+    return groups
+
+
+def test_variance_explained_matches_numpy(spark):
+    """#473 via numpy grouped sums of squares."""
+    groups = _nation_values(spark)
+    allv = np.array([x for v in groups.values() for x in v], dtype=float)
+    n, k = len(allv), len(groups)
+    gm = allv.mean()
+    ssb = sum(len(v) * (np.mean(v) - gm) ** 2 for v in groups.values())
+    sst = float(np.sum((allv - gm) ** 2))
+    ssw = sst - ssb
+    msw = ssw / (n - k)
+    eta = ssb / sst
+    omega = (ssb - (k - 1) * msw) / (sst + msw)
+    got = _rows(spark, "q_variance_explained")[0]
+    assert got.n_groups == k and got.n_orders == n
+    assert abs(got.eta_sq - eta) < 1e-6
+    assert abs(got.omega_sq - omega) < 1e-6
+    # omega² ≤ eta² always; omega² < 0 is legitimate when F < 1 (the
+    # bias correction overshoots a truly null effect, textbook behavior)
+    assert got.omega_sq <= got.eta_sq + 1e-9
+
+
+def test_design_effect_matches_numpy(spark):
+    """#474 via the numpy ANOVA ICC estimator."""
+    groups = _nation_values(spark)
+    allv = np.array([x for v in groups.values() for x in v], dtype=float)
+    n, k = len(allv), len(groups)
+    gm = allv.mean()
+    ssb = sum(len(v) * (np.mean(v) - gm) ** 2 for v in groups.values())
+    ssw = float(np.sum((allv - gm) ** 2)) - ssb
+    msb = ssb / (k - 1)
+    msw = ssw / (n - k)
+    n0 = (n - sum(len(v) ** 2 for v in groups.values()) / n) / (k - 1)
+    icc = (msb - msw) / (msb + (n0 - 1) * msw)
+    deff = 1 + (n / k - 1) * icc
+    got = _rows(spark, "q_design_effect")[0]
+    assert got.n_clusters == k and got.n_orders == n
+    assert abs(got.adj_cluster_size - n0) < 1e-6
+    assert abs(got.icc - icc) < 1e-6
+    assert abs(got.deff - deff) < 1e-6
+    assert abs(got.effective_n - n / deff) < 1e-2

@@ -32,6 +32,7 @@ from zmaxion_spark.queries import (  # noqa: F401,E402
     round9g_q,
     round9h_q,
     round9i_q,
+    round9j_q,
     retrieval_q,
     scalar,
     scale_q,
@@ -203,6 +204,13 @@ _NEXT_ROUND: list[str] = [
     "q_vocab_jaccard",
     "q_gesd_outliers",
     "q_selection_stability",
+    # Round-9 wave 10 (#469-#474): graded in the round-10 window.
+    "q_newsvendor",
+    "q_lorenz_points",
+    "q_hoover_palma",
+    "q_pareto_tail",
+    "q_variance_explained",
+    "q_design_effect",
 ]
 
 
