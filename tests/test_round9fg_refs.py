@@ -1024,3 +1024,167 @@ def test_design_effect_matches_numpy(spark):
     assert abs(got.icc - icc) < 1e-6
     assert abs(got.deff - deff) < 1e-6
     assert abs(got.effective_n - n / deff) < 1e-2
+
+
+# ---------------------------------------------------------------------------
+# Wave 11 (#475-#479)
+# ---------------------------------------------------------------------------
+
+
+def test_alpha_footprint_matches_brute_traces(spark):
+    """#475 via brute per-user sorted traces and pair classification."""
+    rows = load_table(spark, SF_SMOKE, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    ).collect()
+    traces = defaultdict(list)
+    for r in rows:
+        traces[r.user_id].append((r.ts, r.event_id, r.event_type))
+    df = Counter()
+    types = set()
+    for tr in traces.values():
+        tr.sort()
+        types.update(t for _, _, t in tr)
+        for (_, _, a), (_, _, b) in zip(tr, tr[1:]):
+            df[(a, b)] += 1
+    got = {(r.a, r.b): r for r in _rows(spark, "q_alpha_footprint")}
+    ts = sorted(types)
+    assert set(got) == {
+        (a, b) for i, a in enumerate(ts) for b in ts[i + 1 :]
+    }
+    for (a, b), r in got.items():
+        assert r.n_ab == df.get((a, b), 0)
+        assert r.n_ba == df.get((b, a), 0)
+        if r.n_ab > 0 and r.n_ba > 0:
+            assert r.relation == "parallel"
+        elif r.n_ab > 0:
+            assert r.relation == "causal_ab"
+        elif r.n_ba > 0:
+            assert r.relation == "causal_ba"
+        else:
+            assert r.relation == "choice"
+
+
+def test_sinkhorn_matches_numpy_uv(spark):
+    """#476 via the u/v-vector numpy Sinkhorn (a different route than
+    the engines' matrix IPF), with the same per-step quantize; margins
+    of the final plan must be near the targets."""
+    cust = load_table(spark, SF_SMOKE, "customer")
+    nation = load_table(spark, SF_SMOKE, "nation")
+    rows = (
+        cust.join(nation, cust.c_nationkey == nation.n_nationkey)
+        .select("n_regionkey", "c_mktsegment")
+        .collect()
+    )
+    counts = Counter((r.n_regionkey, r.c_mktsegment) for r in rows)
+    regions = sorted({r for r, _ in counts})
+    segs = sorted({s for _, s in counts})
+    tot = sum(counts.values())
+    r_tgt = np.array(
+        [sum(c for (rr, _), c in counts.items() if rr == r) / tot for r in regions]
+    )
+    c_tgt = np.array(
+        [sum(c for (_, ss), c in counts.items() if ss == s) / tot for s in segs]
+    )
+    C = np.abs(
+        np.arange(len(regions))[:, None] - np.arange(len(segs))[None, :]
+    ).astype(float)
+    M = np.floor(np.exp(-C) * 1e12 + 0.5) / 1e12
+    for _ in range(6):
+        M = np.floor(
+            M * (r_tgt / M.sum(axis=1))[:, None] * 1e12 + 0.5
+        ) / 1e12
+        M = np.floor(
+            M * (c_tgt / M.sum(axis=0))[None, :] * 1e12 + 0.5
+        ) / 1e12
+    got = {(r.region, r.segment): r for r in _rows(spark, "q_sinkhorn_transport")}
+    for i, reg in enumerate(regions):
+        for j, s in enumerate(segs):
+            assert abs(got[(reg, s)].mass - M[i, j]) < 1e-9
+    plan = np.array(
+        [[got[(reg, s)].mass for s in segs] for reg in regions]
+    )
+    # 6 rounds end on a column scale; row margins converge to ~1e-3 on
+    # this kernel — a convergence check, not a parity one
+    assert np.allclose(plan.sum(axis=1), r_tgt, atol=5e-3)
+    assert np.allclose(plan.sum(axis=0), c_tgt, atol=1e-9)
+    cost = float(np.sum(plan * C))
+    assert abs(next(iter(got.values())).transport_cost - cost) < 1e-6
+
+
+def test_wilson_matches_math(spark):
+    """#477 via the closed form, plus the containment properties the
+    Wald interval lacks."""
+    rows = load_table(spark, SF_SMOKE, "events").select(
+        "user_id", "event_type"
+    ).collect()
+    conv = defaultdict(int)
+    for r in rows:
+        if r.event_type == "purchase":
+            conv[r.user_id] = 1
+        conv.setdefault(r.user_id, 0)
+    seg = defaultdict(lambda: [0, 0])
+    for u, c in conv.items():
+        seg[u % 4][0] += 1
+        seg[u % 4][1] += c
+    z = 1.959964
+    got = {r.cohort: r for r in _rows(spark, "q_wilson_interval")}
+    assert set(got) == set(seg)
+    for coh, (n, x) in seg.items():
+        p = x / n
+        rad = z * math.sqrt(p * (1 - p) / n + z * z / (4 * n * n))
+        lo = (p + z * z / (2 * n) - rad) / (1 + z * z / n)
+        hi = (p + z * z / (2 * n) + rad) / (1 + z * z / n)
+        r = got[coh]
+        assert (r.n, r.x) == (n, x)
+        assert abs(r.wilson_lo - lo) < 1e-8
+        assert abs(r.wilson_hi - hi) < 1e-8
+        assert 0.0 <= r.wilson_lo <= r.p_hat <= r.wilson_hi <= 1.0
+
+
+def test_process_capability_matches_numpy(spark):
+    """#478 via numpy moments and a brute violation count."""
+    ys, _ = _daily_dollars(spark)
+    n = len(ys)
+    sy = int(ys.sum())
+    tgt = sy // n
+    lsl, usl = tgt * 6 // 10, tgt * 14 // 10
+    mu, s = ys.mean(), ys.std(ddof=1)
+    cp = (usl - lsl) / (6 * s)
+    cpk = min(usl - mu, mu - lsl) / (3 * s)
+    got = _rows(spark, "q_process_capability")[0]
+    assert got.n_days == n
+    assert (got.lsl, got.usl) == (lsl, usl)
+    assert abs(got.cp - cp) < 1e-7
+    assert abs(got.cpk - cpk) < 1e-7
+    assert got.cpk <= got.cp + 1e-12
+    assert got.n_out_of_spec == int(np.sum((ys < lsl) | (ys > usl)))
+
+
+def test_tukey_hsd_matches_brute(spark):
+    """#479 via brute per-nation lists and the studentized-range q."""
+    rows = load_table(spark, SF_SMOKE, "customer").collect()
+    groups = defaultdict(list)
+    for r in rows:
+        groups[r.c_nationkey].append(math.floor(r.c_acctbal * 100 + 0.5))
+    n = sum(len(v) for v in groups.values())
+    k = len(groups)
+    ssw = sum(
+        sum(x * x for x in v) - sum(v) ** 2 / len(v) for v in groups.values()
+    )
+    msw = ssw / (n - k)
+    qs = []
+    for g1 in sorted(groups):
+        for g2 in sorted(groups):
+            if g1 >= g2:
+                continue
+            a, b = groups[g1], groups[g2]
+            q = abs(sum(a) / len(a) - sum(b) / len(b)) / math.sqrt(
+                msw / 2 * (1 / len(a) + 1 / len(b))
+            )
+            qs.append((round(q, 9), g1, g2))
+    qs.sort(key=lambda x: (-x[0], x[1], x[2]))
+    got = _rows(spark, "q_tukey_hsd")
+    assert [(r.g1, r.g2) for r in got] == [(g1, g2) for _, g1, g2 in qs[:10]]
+    for r, (q, _, _) in zip(got, qs[:10]):
+        assert abs(r.q_stat - q) < 1e-6
+    assert got[0].n_signif == sum(1 for q, _, _ in qs if q > 3.9)

@@ -33,6 +33,7 @@ from zmaxion_spark.queries import (  # noqa: F401,E402
     round9h_q,
     round9i_q,
     round9j_q,
+    round9k_q,
     retrieval_q,
     scalar,
     scale_q,
@@ -211,6 +212,12 @@ _NEXT_ROUND: list[str] = [
     "q_pareto_tail",
     "q_variance_explained",
     "q_design_effect",
+    # Round-9 wave 11 (#475-#479): graded in the round-10 window.
+    "q_alpha_footprint",
+    "q_sinkhorn_transport",
+    "q_wilson_interval",
+    "q_process_capability",
+    "q_tukey_hsd",
 ]
 
 
