@@ -1,6 +1,6 @@
-"""Round-9 waves 6-9 independent-reference tests (SURVEY.md §5.4).
+"""Round-9 waves 6-12 independent-reference tests (SURVEY.md §5.4).
 
-Every statistic added in waves 6-9 (#443-#468) is recomputed here by
+Every statistic added in waves 6-12 (#443-#483) is recomputed here by
 a pure-Python/numpy implementation taking a DIFFERENT derivation
 route than the engine pair: dense numpy matrices instead of edge
 joins (HITS, IPF), brute adjacency-set intersections instead of
@@ -1188,3 +1188,131 @@ def test_tukey_hsd_matches_brute(spark):
     for r, (q, _, _) in zip(got, qs[:10]):
         assert abs(r.q_stat - q) < 1e-6
     assert got[0].n_signif == sum(1 for q, _, _ in qs if q > 3.9)
+
+
+# ---------------------------------------------------------------------------
+# Wave 12 (#480-#483)
+# ---------------------------------------------------------------------------
+
+
+def test_energy_distance_matches_brute_pairs(spark):
+    """#480 via the brute O(n*m) double loop on raw arrays — the exact
+    definition the prefix identities must reproduce."""
+    rows = load_table(spark, SF_SMOKE, "orders").collect()
+    xs = [
+        math.floor(r.o_totalprice + 0.5)
+        for r in rows
+        if r.o_orderpriority == "1-URGENT"
+    ]
+    ys = [
+        math.floor(r.o_totalprice + 0.5)
+        for r in rows
+        if r.o_orderpriority == "5-LOW"
+    ]
+    n, m = len(xs), len(ys)
+    ax = np.array(xs, dtype=float)
+    ay = np.array(ys, dtype=float)
+    sxy = float(np.abs(ax[:, None] - ay[None, :]).sum())
+    sxx = float(np.abs(ax[:, None] - ax[None, :]).sum())
+    syy = float(np.abs(ay[:, None] - ay[None, :]).sum())
+    e = 2 * sxy / (n * m) - sxx / (n * n) - syy / (m * m)
+    got = _rows(spark, "q_energy_distance")[0]
+    assert (got.n, got.m) == (n, m)
+    assert abs(got.energy_dist - e) < 1e-6
+    assert abs(got.energy_stat - n * m / (n + m) * e) < 1e-4
+    assert got.energy_dist >= -1e-12  # energy distance is nonnegative
+
+
+def test_mmd_poly_matches_brute_kernel(spark):
+    """#481 via the brute kernel-matrix double sums (the O(n²) route
+    the moment identities replace)."""
+    rows = load_table(spark, SF_SMOKE, "orders").collect()
+    xa = np.array(
+        [
+            math.floor(r.o_totalprice + 0.5)
+            for r in rows
+            if r.o_orderdate.year == 1995
+        ],
+        dtype=float,
+    )
+    xb = np.array(
+        [
+            math.floor(r.o_totalprice + 0.5)
+            for r in rows
+            if r.o_orderdate.year == 2000
+        ],
+        dtype=float,
+    )
+    s = 1e10
+
+    def k(u, v):
+        return (1 + np.outer(u, v) / s) ** 2
+
+    ka = k(xa, xa)
+    kb = k(xb, xb)
+    kab = k(xa, xb)
+    na, nb = len(xa), len(xb)
+    mmd = (
+        (ka.sum() - np.trace(ka)) / (na * (na - 1))
+        + (kb.sum() - np.trace(kb)) / (nb * (nb - 1))
+        - 2 * kab.sum() / (na * nb)
+    )
+    got = _rows(spark, "q_mmd_poly")[0]
+    assert (got.n_1995, got.n_2000) == (na, nb)
+    assert abs(got.mmd_sq - mmd) < 1e-9 * max(1.0, abs(mmd))
+
+
+def test_quantile_regression_matches_brute_grid(spark):
+    """#482 via a brute python loop over the same slope grid; the
+    elected LAD loss must also beat the OLS line's L1 loss."""
+    ys, _ = _daily_dollars(spark)
+    ys = ys.astype(int)
+    t = np.arange(len(ys))
+    n = len(ys)
+    st, stt = int(t.sum()), int((t * t).sum())
+    sy, sty = int(ys.sum()), int((t * ys).sum())
+    b0 = math.floor(
+        (n * sty - st * sy) / (n * stt - st * st) + 0.5
+    )
+    step = max(abs(b0) // 8, 1)
+    best = None
+    for kk in range(-4, 5):
+        b = b0 + kk * step
+        r = ys - b * t
+        a = int(np.sort(r)[(n + 1) // 2 - 1])
+        loss = int(np.abs(r - a).sum())
+        if best is None or (loss, b) < best[:2]:
+            best = (loss, b, a)
+    got = _rows(spark, "q_quantile_regression")[0]
+    assert got.grid_size == 9
+    assert (got.lad_loss, got.lad_slope, got.lad_intercept) == best
+    # LAD loss <= L1 loss of the (rounded) OLS line with its own median shift
+    r0 = ys - b0 * t
+    a0 = int(np.sort(r0)[(n + 1) // 2 - 1])
+    assert got.lad_loss <= int(np.abs(r0 - a0).sum())
+
+
+def test_rank_churn_matches_brute(spark):
+    """#483 via brute per-year sorts and set algebra."""
+    rows = load_table(spark, SF_SMOKE, "lineitem").collect()
+    per = defaultdict(lambda: defaultdict(int))
+    for r in rows:
+        per[r.l_shipdate.year][r.l_partkey] += math.floor(
+            r.l_extendedprice * 100 + 0.5
+        )
+    tops = {}
+    for y, d in per.items():
+        ranked = sorted(d.items(), key=lambda kv: (-kv[1], kv[0]))[:50]
+        tops[y] = {pk: i + 1 for i, (pk, _) in enumerate(ranked)}
+    got = {r.y0: r for r in _rows(spark, "q_rank_churn")}
+    years = sorted(y for y in tops if y + 1 in tops)
+    assert set(got) == set(years)
+    for y in years:
+        common = set(tops[y]) & set(tops[y + 1])
+        foot = sum(abs(tops[y][p] - tops[y + 1][p]) for p in common)
+        r = got[y]
+        assert r.n_common == len(common)
+        assert r.footrule == foot
+        assert abs(r.churn - (1 - len(common) / 50)) < 1e-9
+        if common:
+            assert abs(r.mean_rank_shift - foot / len(common)) < 1e-9

@@ -34,6 +34,7 @@ from zmaxion_spark.queries import (  # noqa: F401,E402
     round9i_q,
     round9j_q,
     round9k_q,
+    round9l_q,
     retrieval_q,
     scalar,
     scale_q,
@@ -218,6 +219,11 @@ _NEXT_ROUND: list[str] = [
     "q_wilson_interval",
     "q_process_capability",
     "q_tukey_hsd",
+    # Round-9 wave 12 (#480-#483): graded in the round-10 window.
+    "q_energy_distance",
+    "q_mmd_poly",
+    "q_quantile_regression",
+    "q_rank_churn",
 ]
 
 
