@@ -1,6 +1,6 @@
-"""Round-9 waves 6-12 independent-reference tests (SURVEY.md §5.4).
+"""Round-9 waves 6-13 independent-reference tests (SURVEY.md §5.4).
 
-Every statistic added in waves 6-12 (#443-#483) is recomputed here by
+Every statistic added in waves 6-13 (#443-#486) is recomputed here by
 a pure-Python/numpy implementation taking a DIFFERENT derivation
 route than the engine pair: dense numpy matrices instead of edge
 joins (HITS, IPF), brute adjacency-set intersections instead of
@@ -1316,3 +1316,86 @@ def test_rank_churn_matches_brute(spark):
         assert abs(r.churn - (1 - len(common) / 50)) < 1e-9
         if common:
             assert abs(r.mean_rank_shift - foot / len(common)) < 1e-9
+
+
+# ---------------------------------------------------------------------------
+# Wave 13 (#484-#486)
+# ---------------------------------------------------------------------------
+
+
+def test_gini_mean_diff_matches_brute_and_concentration(spark):
+    """#484 via the brute O(n²) pairwise sum; the implied Gini must
+    also be a plausible concentration value."""
+    xs = np.array(
+        [
+            math.floor(r.o_totalprice + 0.5)
+            for r in load_table(spark, SF_SMOKE, "orders").collect()
+        ],
+        dtype=float,
+    )
+    n = len(xs)
+    sdd = float(np.abs(xs[:, None] - xs[None, :]).sum())
+    gmd = sdd / (n * (n - 1))
+    gini = gmd / (2 * xs.mean())
+    got = _rows(spark, "q_gini_mean_diff")[0]
+    assert got.n == n
+    assert abs(got.gmd - gmd) < 1e-6 * gmd
+    assert abs(got.gini - gini) < 1e-8
+    assert 0.0 < got.gini < 1.0
+
+
+def test_robust_shape_matches_brute_octiles(spark):
+    """#485 via brute sorted-array octile elections."""
+    xs = sorted(
+        math.floor(r.o_totalprice + 0.5)
+        for r in load_table(spark, SF_SMOKE, "orders").collect()
+    )
+    n = len(xs)
+
+    def oct_k(k):
+        # smallest x with ccdf*8 >= n*k over the value census ==
+        # smallest x at rank ceil(n*k/8)
+        import bisect
+
+        rank = -(-n * k // 8)
+        return xs[rank - 1]
+
+    e = {k: oct_k(k) for k in range(1, 8)}
+    bowley = (e[6] + e[2] - 2 * e[4]) / (e[6] - e[2])
+    moors = ((e[7] - e[5]) + (e[3] - e[1])) / (e[6] - e[2])
+    got = _rows(spark, "q_robust_shape")[0]
+    assert got.n == n
+    assert (got.q1, got.median, got.q3) == (e[2], e[4], e[6])
+    assert abs(got.bowley_skew - bowley) < 1e-9
+    assert abs(got.moors_kurtosis - moors) < 1e-9
+    assert -1.0 <= got.bowley_skew <= 1.0
+
+
+def test_qq_deciles_match_brute(spark):
+    """#486 via brute per-sample sorted decile elections."""
+    rows = load_table(spark, SF_SMOKE, "orders").collect()
+    xs = sorted(
+        math.floor(r.o_totalprice + 0.5)
+        for r in rows
+        if r.o_orderpriority == "1-URGENT"
+    )
+    ys = sorted(
+        math.floor(r.o_totalprice + 0.5)
+        for r in rows
+        if r.o_orderpriority == "5-LOW"
+    )
+
+    def dec(arr, k):
+        rank = -(-len(arr) * k // 10)
+        return arr[rank - 1]
+
+    got = {r.decile: r for r in _rows(spark, "q_qq_deciles")}
+    assert set(got) == set(range(1, 10))
+    gaps = []
+    for k in range(1, 10):
+        qx, qy = dec(xs, k), dec(ys, k)
+        r = got[k]
+        assert (r.q_urgent, r.q_low, r.gap) == (qx, qy, qx - qy)
+        assert abs(r.qq_ratio - qx / qy) < 1e-9
+        gaps.append(abs(qx - qy))
+    assert got[1].max_gap == max(gaps)

@@ -35,6 +35,7 @@ from zmaxion_spark.queries import (  # noqa: F401,E402
     round9j_q,
     round9k_q,
     round9l_q,
+    round9m_q,
     retrieval_q,
     scalar,
     scale_q,
@@ -224,6 +225,10 @@ _NEXT_ROUND: list[str] = [
     "q_mmd_poly",
     "q_quantile_regression",
     "q_rank_churn",
+    # Round-9 wave 13 (#484-#486): graded in the round-10 window.
+    "q_gini_mean_diff",
+    "q_robust_shape",
+    "q_qq_deciles",
 ]
 
 
