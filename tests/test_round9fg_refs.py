@@ -1399,3 +1399,99 @@ def test_qq_deciles_match_brute(spark):
         assert abs(r.qq_ratio - qx / qy) < 1e-9
         gaps.append(abs(qx - qy))
     assert got[1].max_gap == max(gaps)
+
+
+# ---------------------------------------------------------------------------
+# Wave 14 (#487-#489)
+# ---------------------------------------------------------------------------
+
+
+def test_stream_regression_matches_batch_lstsq(spark):
+    """#487: the streamed OLS must equal the batch np.lstsq fit on the
+    same integer (t, cents) pairs — the exactness claim of
+    sufficient-statistic streaming."""
+    rows = load_table(spark, SF_SMOKE, "events").select("ts", "value").collect()
+    t = np.array(
+        [int(r.ts.replace(tzinfo=None).timestamp()) - 1704067200 for r in rows],
+        dtype=float,
+    )
+    x = np.array(
+        [math.floor(r.value * 100 + 0.5) for r in rows], dtype=float
+    )
+    A = np.vstack([np.ones_like(t), t]).T
+    (a, b), *_ = np.linalg.lstsq(A, x, rcond=None)
+    got = _rows(spark, "q_stream_regression")[0]
+    assert got.n == len(rows)
+    assert abs(got.slope_cents_per_gigasec - b * 1e9) < 1e-3 * max(
+        1.0, abs(b * 1e9)
+    )
+    assert abs(got.intercept_cents - a) < 1e-4 * max(1.0, abs(a))
+    assert abs(got.mean_cents - x.mean()) < 1e-6
+
+
+def test_empirical_copula_matches_brute_ntile(spark):
+    """#488 via brute sorted NTILE on both margins."""
+    orders = {
+        r.o_orderkey: math.floor(r.o_totalprice * 100 + 0.5)
+        for r in load_table(spark, SF_SMOKE, "orders").collect()
+    }
+    items = Counter(
+        r.l_orderkey for r in load_table(spark, SF_SMOKE, "lineitem").collect()
+    )
+    base = [(k, orders[k], items[k]) for k in orders if k in items]
+    n = len(base)
+    ux = {}
+    for i, (k, _, _) in enumerate(
+        sorted(base, key=lambda r: (r[1], r[0])), start=1
+    ):
+        ux[k] = _ntile(i, n, 5)
+    uy = {}
+    for i, (k, _, _) in enumerate(
+        sorted(base, key=lambda r: (r[2], r[0])), start=1
+    ):
+        uy[k] = _ntile(i, n, 5)
+    grid = Counter((ux[k], uy[k]) for k, _, _ in base)
+    got = {(r.ux, r.uy): r for r in _rows(spark, "q_empirical_copula")}
+    exp = n / 25
+    chi = sum((c - exp) ** 2 / exp for c in grid.values())
+    # cells absent from the data are absent from both engines
+    assert set(got) == set(grid)
+    for cell, c in grid.items():
+        assert got[cell].c == c
+        assert abs(got[cell].density_ratio - c / exp) < 1e-8
+    assert abs(next(iter(got.values())).copula_chi2 - chi) < 1e-5
+
+
+def test_western_electric_matches_brute_rules(spark):
+    """#489 via a brute python pass over the z-score sequence."""
+    ys, days = _daily_dollars(spark)
+    m, s = ys.mean(), ys.std(ddof=1)
+    z = (ys - m) / s
+    n = len(z)
+    r = {k: [0] * n for k in ("r1", "r2", "r3", "r4")}
+    for i in range(n):
+        if abs(z[i]) > 3:
+            r["r1"][i] = 1
+        if i >= 2:
+            w = z[i - 2 : i + 1]
+            if sum(v > 2 for v in w) >= 2 or sum(v < -2 for v in w) >= 2:
+                r["r2"][i] = 1
+        if i >= 4:
+            w = z[i - 4 : i + 1]
+            if sum(v > 1 for v in w) >= 4 or sum(v < -1 for v in w) >= 4:
+                r["r3"][i] = 1
+        if i >= 7:
+            w = z[i - 7 : i + 1]
+            if all(v > 0 for v in w) or all(v < 0 for v in w):
+                r["r4"][i] = 1
+    got = {row.rule: row for row in _rows(spark, "q_western_electric")}
+    for rule, col in (
+        ("R1_beyond_3sigma", "r1"),
+        ("R2_2of3_beyond_2sigma", "r2"),
+        ("R3_4of5_beyond_1sigma", "r3"),
+        ("R4_8_same_side", "r4"),
+    ):
+        flags = r[col]
+        assert got[rule].n_alarm_days == sum(flags)
+        first = next((days[i] for i, f in enumerate(flags) if f), None)
+        assert got[rule].first_alarm_day == first

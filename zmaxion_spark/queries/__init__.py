@@ -36,6 +36,7 @@ from zmaxion_spark.queries import (  # noqa: F401,E402
     round9k_q,
     round9l_q,
     round9m_q,
+    round9n_q,
     retrieval_q,
     scalar,
     scale_q,
@@ -229,6 +230,10 @@ _NEXT_ROUND: list[str] = [
     "q_gini_mean_diff",
     "q_robust_shape",
     "q_qq_deciles",
+    # Round-9 wave 14 (#487-#489): graded in the round-10 window.
+    "q_stream_regression",
+    "q_empirical_copula",
+    "q_western_electric",
 ]
 
 
