@@ -68,24 +68,39 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             WINDOW w AS (ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING
                          AND CURRENT ROW)
         ),
+        terms AS (
+            SELECT cx, cy,
+                   cx * (x * by - sy) + cy * (x * bx - sx) AS txy,
+                   cx * (x * bx - sx) AS txx,
+                   cy * (x * by - sy) AS tyy
+            FROM cum
+        ),
         sums AS (
             SELECT CAST(SUM(cx) AS BIGINT) AS n,
                    CAST(SUM(cy) AS BIGINT) AS m,
-                   CAST(SUM(cx * (x * by - sy))
-                        + SUM(cy * (x * bx - sx)) AS BIGINT) AS sxy,
-                   CAST(2 * SUM(cx * (x * bx - sx)) AS BIGINT) AS sxx,
-                   CAST(2 * SUM(cy * (x * by - sy)) AS BIGINT) AS syy
-            FROM cum
+                   CAST(SUM(txy // 1000000000) AS BIGINT) AS sxyh,
+                   CAST(SUM(txy % 1000000000) AS BIGINT) AS sxyl,
+                   CAST(SUM(txx // 1000000000) AS BIGINT) AS sxxh,
+                   CAST(SUM(txx % 1000000000) AS BIGINT) AS sxxl,
+                   CAST(SUM(tyy // 1000000000) AS BIGINT) AS syyh,
+                   CAST(SUM(tyy % 1000000000) AS BIGINT) AS syyl
+            FROM terms
         )
         SELECT n, m,
-               ROUND(2.0 * sxy / (CAST(n AS DOUBLE) * m)
-                     - CAST(sxx AS DOUBLE) / (CAST(n AS DOUBLE) * n)
-                     - CAST(syy AS DOUBLE) / (CAST(m AS DOUBLE) * m), 9)
+               ROUND(2.0 * (CAST(sxyh AS DOUBLE) * 1e9 + sxyl)
+                         / (CAST(n AS DOUBLE) * m)
+                     - 2 * (CAST(sxxh AS DOUBLE) * 1e9 + sxxl)
+                         / (CAST(n AS DOUBLE) * n)
+                     - 2 * (CAST(syyh AS DOUBLE) * 1e9 + syyl)
+                         / (CAST(m AS DOUBLE) * m), 9)
                    AS energy_dist,
                ROUND((CAST(n AS DOUBLE) * m / (n + m))
-                     * (2.0 * sxy / (CAST(n AS DOUBLE) * m)
-                        - CAST(sxx AS DOUBLE) / (CAST(n AS DOUBLE) * n)
-                        - CAST(syy AS DOUBLE) / (CAST(m AS DOUBLE) * m)), 9)
+                     * (2.0 * (CAST(sxyh AS DOUBLE) * 1e9 + sxyl)
+                            / (CAST(n AS DOUBLE) * m)
+                        - 2 * (CAST(sxxh AS DOUBLE) * 1e9 + sxxl)
+                            / (CAST(n AS DOUBLE) * n)
+                        - 2 * (CAST(syyh AS DOUBLE) * 1e9 + syyl)
+                            / (CAST(m AS DOUBLE) * m)), 9)
                    AS energy_stat
         FROM sums
     """,
@@ -101,7 +116,9 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     "Σ_v cx_v·(v·B_y(v) − S_y(v)) + symmetric, with B/S the "
     "strictly-below count/sum — so the statistic is EXACT integer "
     "arithmetic (no O(n²) pairs, no floats until the 1-row "
-    "normalization; totals < 2^63 through ~sf10). The census "
+    "normalization; per-cell terms carried as div/mod-1e9 limbs — "
+    "the unlimbed totals cross 2^63 near sf10, caught by the "
+    "decade smoke on the #484 sibling). The census "
     "window is domain-bounded (distinct dollar values). Scale: one "
     "scan → value census → prefix pass → 1-row tree.",
     bench=False,
@@ -135,26 +152,36 @@ def q_energy_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sy"
         ),
     )
-    sums = cum.agg(
+    terms = cum.select(
+        "cx",
+        "cy",
+        (
+            F.col("cx") * (F.col("x") * F.col("by") - F.col("sy"))
+            + F.col("cy") * (F.col("x") * F.col("bx") - F.col("sx"))
+        ).alias("txy"),
+        (F.col("cx") * (F.col("x") * F.col("bx") - F.col("sx"))).alias("txx"),
+        (F.col("cy") * (F.col("x") * F.col("by") - F.col("sy"))).alias("tyy"),
+    )
+    sums = terms.agg(
         F.sum("cx").cast("bigint").alias("n"),
         F.sum("cy").cast("bigint").alias("m"),
-        (
-            F.sum(F.col("cx") * (F.col("x") * F.col("by") - F.col("sy")))
-            + F.sum(F.col("cy") * (F.col("x") * F.col("bx") - F.col("sx")))
-        )
-        .cast("bigint")
-        .alias("sxy"),
-        (2 * F.sum(F.col("cx") * (F.col("x") * F.col("bx") - F.col("sx"))))
-        .cast("bigint")
-        .alias("sxx"),
-        (2 * F.sum(F.col("cy") * (F.col("x") * F.col("by") - F.col("sy"))))
-        .cast("bigint")
-        .alias("syy"),
+        F.sum(F.expr("txy div 1000000000")).cast("bigint").alias("sxyh"),
+        F.sum(F.expr("txy % 1000000000")).cast("bigint").alias("sxyl"),
+        F.sum(F.expr("txx div 1000000000")).cast("bigint").alias("sxxh"),
+        F.sum(F.expr("txx % 1000000000")).cast("bigint").alias("sxxl"),
+        F.sum(F.expr("tyy div 1000000000")).cast("bigint").alias("syyh"),
+        F.sum(F.expr("tyy % 1000000000")).cast("bigint").alias("syyl"),
     )
     e = (
-        2.0 * F.col("sxy") / (F.col("n").cast("double") * F.col("m"))
-        - F.col("sxx").cast("double") / (F.col("n").cast("double") * F.col("n"))
-        - F.col("syy").cast("double") / (F.col("m").cast("double") * F.col("m"))
+        2.0
+        * (F.col("sxyh").cast("double") * 1e9 + F.col("sxyl"))
+        / (F.col("n").cast("double") * F.col("m"))
+        - 2
+        * (F.col("sxxh").cast("double") * 1e9 + F.col("sxxl"))
+        / (F.col("n").cast("double") * F.col("n"))
+        - 2
+        * (F.col("syyh").cast("double") * 1e9 + F.col("syyl"))
+        / (F.col("m").cast("double") * F.col("m"))
     )
     return sums.select(
         "n",

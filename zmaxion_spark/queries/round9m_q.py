@@ -57,14 +57,16 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         sums AS (
             SELECT CAST(SUM(c) AS BIGINT) AS n,
                    CAST(SUM(c * x) AS BIGINT) AS sx,
-                   CAST(2 * SUM(c * (x * b - s)) AS BIGINT) AS sdd
+                   CAST(SUM((c * (x * b - s)) // 1000000000) AS BIGINT) AS sdh,
+                   CAST(SUM((c * (x * b - s)) % 1000000000) AS BIGINT) AS sdl
             FROM cum
         )
         SELECT n,
                ROUND(CAST(sx AS DOUBLE) / n, 9) AS mean_x,
-               ROUND(CAST(sdd AS DOUBLE) / (CAST(n AS DOUBLE) * (n - 1)), 9)
-                   AS gmd,
-               ROUND(CAST(sdd AS DOUBLE) / (CAST(n AS DOUBLE) * (n - 1))
+               ROUND(2 * (CAST(sdh AS DOUBLE) * 1e9 + CAST(sdl AS DOUBLE))
+                     / (CAST(n AS DOUBLE) * (n - 1)), 9) AS gmd,
+               ROUND(2 * (CAST(sdh AS DOUBLE) * 1e9 + CAST(sdl AS DOUBLE))
+                     / (CAST(n AS DOUBLE) * (n - 1))
                      / (2 * CAST(sx AS DOUBLE) / n), 9) AS gini
         FROM sums
     """,
@@ -72,7 +74,9 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     doc="Gini mean difference (#484): E|X−X'| over order values, "
     "computed EXACTLY by the #480 strictly-below prefix identity "
     "(Σ|xᵢ−xⱼ| = 2Σ_v c_v·(v·B(v) − S(v)) — pure BIGINTs, no "
-    "pairs), plus the Gini coefficient GMD/2μ it implies — a "
+    "pairs; the total carried as div/mod-1e9 limbs since the "
+    "unlimbed Σ crosses 2^63 at sf10, caught by the decade smoke), "
+    "plus the Gini coefficient GMD/2μ it implies — a "
     "SECOND independent derivation route for #252's concentration "
     "number (which goes through Lorenz/rank algebra), so the two "
     "graded queries cross-check each other's machinery; GMD itself "
@@ -96,15 +100,20 @@ def q_gini_mean_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             "s"
         ),
     )
-    sums = cum.agg(
+    sums = cum.select(
+        "c",
+        "x",
+        (F.col("c") * (F.col("x") * F.col("b") - F.col("s"))).alias("t"),
+    ).agg(
         F.sum("c").cast("bigint").alias("n"),
         F.sum(F.col("c") * F.col("x")).cast("bigint").alias("sx"),
-        (2 * F.sum(F.col("c") * (F.col("x") * F.col("b") - F.col("s"))))
-        .cast("bigint")
-        .alias("sdd"),
+        F.sum(F.expr("t div 1000000000")).cast("bigint").alias("sdh"),
+        F.sum(F.expr("t % 1000000000")).cast("bigint").alias("sdl"),
     )
-    gmd = F.col("sdd").cast("double") / (
-        F.col("n").cast("double") * (F.col("n") - 1)
+    gmd = (
+        2
+        * (F.col("sdh").cast("double") * 1e9 + F.col("sdl").cast("double"))
+        / (F.col("n").cast("double") * (F.col("n") - 1))
     )
     return sums.select(
         "n",
