@@ -186,13 +186,18 @@ def q_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 # #444 local_clustering — per-node clustering coefficients, decile census
 # ---------------------------------------------------------------------------
 
+# items/e are MATERIALIZED: the edge CTE is referenced five times
+# (deg union + three triangle aliases); DuckDB's default inlining
+# re-evaluates the order-pair self-join per reference, which spilled
+# ~80 GB of temp at the sf10 decade. Materialization computes it once.
 _SQL_COPURCHASE_EDGES_F = """
-        items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        items AS MATERIALIZED (
+            SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
         pr AS (SELECT a.l_partkey AS u, b.l_partkey AS v, COUNT(*) AS c
                FROM items a JOIN items b
                  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
                GROUP BY 1, 2),
-        e AS (SELECT u, v FROM pr WHERE c >= 2)
+        e AS MATERIALIZED (SELECT u, v FROM pr WHERE c >= 2)
 """
 
 

@@ -666,12 +666,12 @@ _RC_GRID = (1, 2, 4, 8, 16)
 @query(
     "q_rich_club",
     oracle=f"""
-        WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        WITH items AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
         pr AS (SELECT a.l_partkey AS u, b.l_partkey AS v, COUNT(*) AS c
                FROM items a JOIN items b
                  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
                GROUP BY 1, 2),
-        e AS (SELECT u, v FROM pr WHERE c >= 2),
+        e AS MATERIALIZED (SELECT u, v FROM pr WHERE c >= 2),
         deg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS dg
                 FROM (SELECT u AS node FROM e UNION ALL SELECT v FROM e)
                 GROUP BY node),
@@ -778,12 +778,12 @@ def q_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_degree_powerlaw",
     oracle="""
-        WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        WITH items AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
         pr AS (SELECT a.l_partkey AS u, b.l_partkey AS v, COUNT(*) AS c
                FROM items a JOIN items b
                  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
                GROUP BY 1, 2),
-        e AS (SELECT u, v FROM pr WHERE c >= 2),
+        e AS MATERIALIZED (SELECT u, v FROM pr WHERE c >= 2),
         deg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS dg
                 FROM (SELECT u AS node FROM e UNION ALL SELECT v FROM e)
                 GROUP BY node),
