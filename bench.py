@@ -39,8 +39,19 @@ def main() -> None:
     # folds in the bench=False queries too (fixture-writing and
     # shape-duplicate demos excluded from the driver's headline number
     # but still timed in the local full-registry record).
+    # Positional args name specific queries (round-9 verdict #7: the
+    # REGRESSIONS.md reproduce-standalone rule should cost seconds,
+    # not a suite run): `python bench.py q_graph_2hop [q_rollup ...]`.
     bench_all = os.environ.get("SPARK_GRAFT_BENCH_ALL") == "1"
-    names = [n for n, q in sorted(REGISTRY.items()) if q.bench or bench_all]
+    cli_names = [a for a in sys.argv[1:] if not a.startswith("-")]
+    if cli_names:
+        unknown = [n for n in cli_names if n not in REGISTRY]
+        if unknown:
+            print(f"bench: unknown queries: {unknown}", file=sys.stderr)
+            sys.exit(2)
+        names = cli_names
+    else:
+        names = [n for n, q in sorted(REGISTRY.items()) if q.bench or bench_all]
     # Warm up: JVM, codegen, parquet footer cache — not graded.
     try:
         run_one(spark, REGISTRY[names[0]], sf_dir)
@@ -76,7 +87,11 @@ def main() -> None:
     # Full-registry runs additionally persist to BENCH_full.json, which
     # the driver's headline runs never clobber.
     here = os.path.dirname(os.path.abspath(__file__))
-    targets = ["BENCH_local.json"] + (["BENCH_full.json"] if bench_all else [])
+    # Named standalone runs are for triage only — never clobber the
+    # round-over-round records with a partial timing set.
+    targets = [] if cli_names else (
+        ["BENCH_local.json"] + (["BENCH_full.json"] if bench_all else [])
+    )
     for fname in targets:
         try:
             with open(os.path.join(here, fname), "w") as f:

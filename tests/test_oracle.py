@@ -80,3 +80,27 @@ def test_grading_window_schedules_unproven_queries():
         assert row is not None, f"{n} is past the window with no driver row"
         ok = row.get("hash_match") or row.get("err") == "no_oracle"
         assert ok, f"{n} is past the window without a green driver row"
+
+
+def test_strict_gate_is_bit_exact_for_floats():
+    """Round-9 verdict #2: the strict gate must predict the driver's
+    BIT hash, not numeric equality — -0.0 vs +0.0 (the q_ransac_line
+    driver FAIL) and NaN-payload drift must fail locally."""
+    import numpy as np
+    import pandas as pd
+
+    from zmaxion_spark.testing import compare_frames
+
+    pos = pd.DataFrame({"x": [0.0, 1.5]})
+    neg = pd.DataFrame({"x": [-0.0, 1.5]})
+    res = compare_frames("z", pos, neg, strict=True)
+    assert not res.ok and "BIT" in res.detail
+    assert compare_frames("z", pos, pos.copy(), strict=True).ok
+    # Matched NaNs stay equal (any-payload NaN canonicalizes through
+    # Arrow/parquet identically); NaN vs number still fails.
+    nan = pd.DataFrame({"x": [np.nan, 2.0]})
+    assert compare_frames("n", nan.copy(), nan.copy(), strict=True).ok
+    assert not compare_frames("n", nan, pos, strict=True).ok
+    # The old numeric path still catches real value drift first.
+    off = pd.DataFrame({"x": [0.0, 1.5 + 1e-12]})
+    assert not compare_frames("d", pos, off, strict=True).ok

@@ -874,7 +874,6 @@ def q_binseg_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _RANSAC_K = 16  # candidate models per series
 _RANSAC_EPS = "3.0"  # inlier residual threshold (events/day)
-_TWO52_R = 4503599627370496
 
 
 @query(
@@ -947,8 +946,11 @@ _TWO52_R = 4503599627370496
                                       ORDER BY n_in DESC, c) AS rn
             FROM scored
         )
+        -- "+ 0" canonicalizes IEEE -0.0 (a zero-rise pair with t2 < t1
+        -- yields slope 0/negative = -0.0, which DuckDB's ROUND keeps
+        -- while Spark's returns +0.0) to bit-identical +0.0.
         SELECT event_type, CAST(c AS BIGINT) AS best_candidate,
-               ROUND(b, 9) AS slope, ROUND(a, 9) AS intercept,
+               ROUND(b, 9) + 0 AS slope, ROUND(a, 9) + 0 AS intercept,
                n_in AS n_inliers,
                ROUND(CAST(n_in AS DOUBLE) / n, 9) AS inlier_frac
         FROM best WHERE rn = 1
@@ -1084,8 +1086,10 @@ def q_ransac_line(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "event_type",
             F.col("c").cast("bigint").alias("best_candidate"),
-            F.round("b", 9).alias("slope"),
-            F.round("a", 9).alias("intercept"),
+            # + 0 mirrors the oracle's -0.0 canonicalization (IEEE:
+            # -0.0 + 0 = +0.0) so both engines emit the same bits.
+            (F.round("b", 9) + F.lit(0)).alias("slope"),
+            (F.round("a", 9) + F.lit(0)).alias("intercept"),
             F.col("n_in").alias("n_inliers"),
             F.round(F.col("n_in").cast("double") / F.col("n"), 9).alias(
                 "inlier_frac"

@@ -44,9 +44,10 @@ _HLL_M = 256  # registers (first 2 md5 hex chars)
 _HLL_ALPHA = "CAST(0.7120912956726128 AS DOUBLE)"  # 0.7213 / (1 + 1.079/256)
 
 # Register index: first 2 hex chars of md5('hll:' || user_id).
-# Rank: 53-bit value w from the next 13 hex chars; rank = 54 − bitlen(w)
+# Rank: 52-bit value w from the next 13 hex chars (13 hex = 52 bits);
+# rank = leading zeros in the 52-bit field + 1 = 53 − bitlen(w)
 # (bit length via the base-2 string — pure string ops, no log2 libm),
-# CASEd to 53 at w = 0.
+# CASEd to 53 at w = 0 (all 52 bits zero).
 _SQL_HLL_REGS = f"""
         hashed AS (
             SELECT event_type,
@@ -59,7 +60,7 @@ _SQL_HLL_REGS = f"""
         regs AS (
             SELECT event_type, j,
                    CAST(MAX(CASE WHEN w = 0 THEN 53
-                            ELSE 53 - LENGTH(BIN(w)) + 1 END) AS BIGINT) AS mj
+                            ELSE 53 - LENGTH(BIN(w)) END) AS BIGINT) AS mj
             FROM hashed GROUP BY event_type, j
         )
 """
@@ -119,8 +120,8 @@ def _hll_oracle() -> str:
     "and the stream grades against a pure batch oracle (the "
     "#220/#433 sketches-as-state discipline applied to DISTINCT "
     "counting; #140's hll_sketch_agg is the batch-only twin). "
-    "Engine-parity HLL: register = first md5 byte, rank = 54 − "
-    "bit_length(53-bit tail) computed via base-2 STRING length (no "
+    "Engine-parity HLL: register = first md5 byte, rank = 53 − "
+    "bit_length(52-bit tail) computed via base-2 STRING length (no "
     "log2 libm), and the harmonic denominator stays INTEGER — "
     "Σ2^(53−Mⱼ) as exact BIGINT shifts — so the raw estimate is one "
     "IEEE tree over exact integers; the linear-counting small-range "
@@ -139,7 +140,7 @@ def q_stream_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     j = F.conv(F.substring(h, 1, 2), 16, 10).cast("bigint")
     w = F.conv(F.substring(h, 3, 13), 16, 10).cast("bigint")
     rank = F.when(w == 0, F.lit(53)).otherwise(
-        53 - F.length(F.conv(w.cast("string"), 10, 2)) + 1
+        53 - F.length(F.conv(w.cast("string"), 10, 2))
     ).cast("bigint")
 
     ev = stream_events(spark, sf_dir)
@@ -550,6 +551,14 @@ def _gesd_oracle() -> str:
     # in their own el{i} CTEs (ORDER BY + LIMIT cannot sit beside a
     # UNION); each el{i} is referenced a bounded number of times, so
     # DuckDB's CTE inlining stays polynomial over 3 rounds.
+    #
+    # Moment updates stay in INTEGER LIMB space end-to-end (round-9
+    # advice): the y² sum is carried as (syyh, syyl) BIGINT limbs and
+    # the elected y² limbs are subtracted as integers, so the batch
+    # subtraction here and Spark's sequential per-election subtraction
+    # produce the SAME integers; only the final 2-op double conversion
+    # syyh*1e9 + syyl (one shared IEEE tree per round) touches floats —
+    # no association-order ulp drift at any scale.
     parts = [
         """
         daily AS (
@@ -569,11 +578,7 @@ def _gesd_oracle() -> str:
     for i in range(1, _GESD_K + 1):
         if i == 1:
             mo_cte = """
-        mo1 AS (
-            SELECT n, sy,
-                   CAST(syyh AS DOUBLE) * 1e9 + syyl AS syy
-            FROM mo
-        ),"""
+        mo1 AS (SELECT n, sy, syyh, syyl FROM mo),"""
             excl = ""
         else:
             prior = " UNION ALL ".join(
@@ -583,14 +588,15 @@ def _gesd_oracle() -> str:
         rm{i} AS (
             SELECT CAST(COUNT(*) AS BIGINT) AS c,
                    CAST(SUM(y) AS BIGINT) AS sy_ex,
-                   SUM(CAST(y AS DOUBLE) * y) AS syy_ex
+                   CAST(SUM((y * y) // 1000000000) AS BIGINT) AS syyh_ex,
+                   CAST(SUM((y * y) % 1000000000) AS BIGINT) AS syyl_ex
             FROM ({prior})
         ),
         mo{i} AS (
             SELECT mo.n - rm{i}.c AS n,
                    mo.sy - rm{i}.sy_ex AS sy,
-                   (CAST(mo.syyh AS DOUBLE) * 1e9 + mo.syyl)
-                       - rm{i}.syy_ex AS syy
+                   mo.syyh - rm{i}.syyh_ex AS syyh,
+                   mo.syyl - rm{i}.syyl_ex AS syyl
             FROM mo, rm{i}
         ),"""
             excl = (
@@ -604,7 +610,8 @@ def _gesd_oracle() -> str:
             f"""{mo_cte}
         par{i} AS (
             SELECT n, CAST(sy AS DOUBLE) / n AS m,
-                   SQRT((syy - CAST(sy AS DOUBLE) * sy / n) / (n - 1)) AS s
+                   SQRT(((CAST(syyh AS DOUBLE) * 1e9 + syyl)
+                         - CAST(sy AS DOUBLE) * sy / n) / (n - 1)) AS s
             FROM mo{i}
         ),
         el{i} AS (
@@ -663,11 +670,10 @@ def q_gesd_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.expr("y2 div 1000000000")).cast("bigint").alias("syyh"),
         F.sum(F.expr("y2 % 1000000000")).cast("bigint").alias("syyl"),
     )
-    base = mo.select(
-        "n",
-        "sy",
-        (F.col("syyh").cast("double") * 1e9 + F.col("syyl")).alias("syy"),
-    )
+    # Moments carried as exact BIGINT limbs (n, sy, syyh, syyl); only
+    # par's 2-op conversion syyh*1e9 + syyl touches doubles (matches
+    # the oracle's par{i} tree bit-for-bit at any scale).
+    base = mo.select("n", "sy", "syyh", "syyl")
     elected = []  # list of single-row DataFrames (round, d, y, r_stat)
     pool = daily
     cur = base
@@ -676,7 +682,10 @@ def q_gesd_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n",
             (F.col("sy").cast("double") / F.col("n")).alias("m"),
             F.sqrt(
-                (F.col("syy") - F.col("sy").cast("double") * F.col("sy") / F.col("n"))
+                (
+                    (F.col("syyh").cast("double") * 1e9 + F.col("syyl"))
+                    - F.col("sy").cast("double") * F.col("sy") / F.col("n")
+                )
                 / (F.col("n") - 1)
             ).alias("s"),
         )
@@ -704,8 +713,11 @@ def q_gesd_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (F.col("n") - 1).alias("n"),
                 (F.col("sy") - F.col("ey")).alias("sy"),
                 (
-                    F.col("syy") - F.col("ey").cast("double") * F.col("ey")
-                ).alias("syy"),
+                    F.col("syyh") - F.expr("(ey * ey) div 1000000000")
+                ).alias("syyh"),
+                (
+                    F.col("syyl") - F.expr("(ey * ey) % 1000000000")
+                ).alias("syyl"),
             )
         )
     out = elected[0]

@@ -211,6 +211,25 @@ def compare_frames(
                     f"float mismatch col={c} rel={m:.3e} spark={av[i]!r} oracle={bv[i]!r}"
                     + (" (strict: driver hashes bits)" if strict and m <= 1e-9 else ""),
                 )
+            if strict and len(av):
+                # The driver hashes the raw float64 BITS, so values that
+                # compare numerically equal can still fail it: -0.0 vs
+                # +0.0 (round-9 driver FAIL q_ransac_line) and any NaN
+                # payload drift. Compare packed-double bit patterns,
+                # excusing only matched-NaN pairs (any-payload NaN
+                # canonicalizes identically through Arrow/parquet).
+                bits_ne = av.view(np.uint64) != bv.view(np.uint64)
+                bits_ne &= ~both_nan
+                if bool(np.any(bits_ne)):
+                    i = int(np.argmax(bits_ne))
+                    return CompareResult(
+                        name, False,
+                        f"float BIT mismatch col={c} row={i} "
+                        f"spark={av[i]!r} (0x{av.view(np.uint64)[i]:016x}) "
+                        f"oracle={bv[i]!r} (0x{bv.view(np.uint64)[i]:016x})"
+                        " — numerically equal but the driver hashes bits"
+                        " (sign-of-zero / NaN canonicalization class)",
+                    )
         else:
             eq = a[c].to_numpy() == b[c].to_numpy()
             na = a[c].isna().to_numpy() & b[c].isna().to_numpy()
