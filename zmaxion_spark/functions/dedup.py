@@ -601,3 +601,97 @@ def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst",
         if changed == 0:
             break
     return labels.select(F.col("a").alias("node"), "comp")
+
+
+def blocked_cluster_pairs(
+    assigned: DataFrame,
+    *,
+    cluster_col: str = "cluster",
+    id_col: str = "vec_id",
+    payload_col: str = "v",
+    block: int = 64,
+    salt: str = "sdblk",
+) -> DataFrame:
+    """Enumerate every unordered within-cluster pair ONCE via a blocked
+    triangle join — the SemDeDup pair stage without the hot-key hazard.
+
+    The naive ``a.join(b, [cluster]).filter(id_b > id_a)`` puts ALL of
+    a cluster's pair work on ONE shuffle key, so with k clusters the
+    join has exactly k keys and each carries O(n/k) rows — quadratic
+    AND maximally skewed (round-9 verdict #4). This operator is the
+    lossless diversion: members get a deterministic md5 block id in
+    ``[0, ceil(n_c / block))``, both sides replicate over the
+    triangle's (bi <= bj) cells, and the pair join runs on the
+    UNIFORM composite key (cluster, bi, bj) — every key carries at
+    most ``block`` rows per side and emits at most ``block²`` pairs,
+    so AQE sees k·B²/2 evenly sized cells instead of k monsters.
+    Replication cost is n_c·B/2 rows per cluster (factor ``block``
+    below candidate volume); the enumerated pair SET is byte-identical
+    to the naive join (diagonal cells keep id_a < id_b; off-diagonal
+    cells meet exactly once), so any downstream census is unchanged.
+
+    Returns (cluster, id_a, payload_a, id_b, payload_b) with each
+    unordered pair exactly once (orientation unspecified off the
+    diagonal — symmetric metrics like cosine fold to identical bits
+    either way because IEEE multiply commutes elementwise).
+    """
+    c, i, p = cluster_col, id_col, payload_col
+    bsz = assigned.groupBy(c).agg(F.count(F.lit(1)).alias("_nc")).select(
+        c, F.ceil(F.col("_nc") / F.lit(block)).cast("int").alias("_nb")
+    )
+    blk = F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit(salt + ":"), F.col(i).cast("string")
+                    ).cast("binary")
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long"),
+        F.col("_nb"),
+    ).cast("int")
+    mem = (
+        assigned.join(F.broadcast(bsz), c)
+        .select(c, F.col(i), F.col(p), blk.alias("_blk"))
+        .localCheckpoint(eager=True)  # consumed by both join sides
+    )
+    cells = (
+        bsz.select(
+            c,
+            F.explode(F.sequence(F.lit(0), F.col("_nb") - 1)).alias("_bi"),
+            "_nb",
+        )
+        .select(
+            c,
+            "_bi",
+            F.explode(F.sequence(F.col("_bi"), F.col("_nb") - 1)).alias("_bj"),
+        )
+    )
+    ca = cells.join(
+        mem.select(
+            c,
+            F.col("_blk").alias("_bi"),
+            F.col(i).alias("id_a"),
+            F.col(p).alias("payload_a"),
+        ),
+        [c, "_bi"],
+    )
+    cb = cells.join(
+        mem.select(
+            c,
+            F.col("_blk").alias("_bj"),
+            F.col(i).alias("id_b"),
+            F.col(p).alias("payload_b"),
+        ),
+        [c, "_bj"],
+    )
+    return (
+        ca.join(cb, [c, "_bi", "_bj"])
+        .filter((F.col("_bi") < F.col("_bj")) | (F.col("id_a") < F.col("id_b")))
+        .select(c, "id_a", "payload_a", "id_b", "payload_b")
+    )

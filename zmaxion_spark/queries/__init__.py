@@ -37,6 +37,7 @@ from zmaxion_spark.queries import (  # noqa: F401,E402
     round9l_q,
     round9m_q,
     round9n_q,
+    round10_q,
     retrieval_q,
     scalar,
     scale_q,
@@ -166,6 +167,8 @@ _NEXT_ROUND: list[str] = [
     "q_stream_regression",
     "q_empirical_copula",
     "q_western_electric",
+    # Round-10 addition: the #420 scale contract (verdict r9 #4).
+    "q_semdedup_big",
 ]
 
 

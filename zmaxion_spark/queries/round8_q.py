@@ -1029,7 +1029,9 @@ _HEAPS_CHK = 20  # ~checkpoints per language
         SELECT f.lang, f.k AS n_checkpoints,
                CAST(t.n_tokens AS BIGINT) AS n_tokens,
                CAST(t.vocab AS BIGINT) AS vocab,
-               ROUND(f.beta, 9) AS beta,
+               -- "+ 0" canonicalizes -0.0 (a flat vocab-growth series
+               -- gives slope -0.0 in DuckDB, +0.0 in Spark) to +0.0.
+               ROUND(f.beta, 9) + 0 AS beta,
                ROUND(EXP(f.my - f.beta * f.mx), 9) AS k_hat
         FROM fit f JOIN tot t ON t.lang = f.lang
         ORDER BY f.lang
@@ -1156,7 +1158,8 @@ def q_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("k").alias("n_checkpoints"),
             "n_tokens",
             "vocab",
-            F.round("beta", 9).alias("beta"),
+            # + 0 mirrors the oracle's -0.0 canonicalization.
+            (F.round("beta", 9) + F.lit(0)).alias("beta"),
             F.round(F.exp(F.col("my") - F.col("beta") * F.col("mx")), 9).alias(
                 "k_hat"
             ),

@@ -44,6 +44,7 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _SD_TAUS = (20, 30, 50)  # integer percent thresholds
+_SD_BLOCK = 32  # pair-join block size (cells exercised from ~33 members)
 
 
 def _semdedup_oracle() -> str:
@@ -132,14 +133,19 @@ def _semdedup_oracle() -> str:
     "MinHash (#70) cannot see because no n-gram survives. Graded as "
     "the per-(cluster, tau) keep/drop census over an integer tau "
     "grid; cosines are the house ordered double folds (bit-exact "
-    "list_reduce twins). Scale: clustering IS the bound — candidate "
-    "pairs are within-cluster only (the SemDeDup argument: k grows "
-    "with corpus so cluster size stays constant), assignment is one "
-    "n x k scoring pass, and no all-pairs product exists.",
+    "list_reduce twins). Scale: candidate pairs are within-cluster "
+    "only and the pair join is the BLOCKED triangle (verdict r9 #4: "
+    "uniform (cluster, bi, bj) cells, <= _SD_BLOCK rows per key — no "
+    "join key ever carries O(n/k) rows); with the graded fixed k the "
+    "total candidate volume is still sum(n_c^2)/2, so the true "
+    "100-TB path scales k with n per the SemDeDup paper — "
+    "q_semdedup_big is the measured contract with k grown 8x and "
+    "blocks live.",
     bench=False,
 )
 def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from zmaxion_spark.functions import similarity as S
+    from zmaxion_spark.functions.dedup import blocked_cluster_pairs
     from zmaxion_spark.queries.inference_q import _KM_ITERS, _KM_K
 
     emb = (
@@ -196,11 +202,14 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         a = assign(cents)
     assigned = a.localCheckpoint(eager=True)
 
-    pa = assigned.select(
-        F.col("cluster"), F.col("vec_id").alias("id_a"), F.col("v").alias("va")
-    )
-    pb = assigned.select(
-        F.col("cluster"), F.col("vec_id").alias("id_b"), F.col("v").alias("vb")
+    # Blocked triangle pair enumeration (round-9 verdict #4): the
+    # naive a x b join on ["cluster"] has exactly k join keys, each
+    # carrying O(n/k) rows. blocked_cluster_pairs diverts through
+    # uniform (cluster, bi, bj) cells — same pair set, no hot key.
+    # The drop census is orientation-free (cosine folds commute
+    # elementwise; the dropped member is greatest(id) either way).
+    pairs = blocked_cluster_pairs(
+        assigned, block=_SD_BLOCK
     )
     taus = spark.range(len(_SD_TAUS)).select(
         F.element_at(
@@ -208,15 +217,17 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("id") + 1).cast("int"),
         ).alias("tau_pct")
     )
-    cos = S.dot(F.col("va"), F.col("vb")) / (
-        S.norm(F.col("va")) * S.norm(F.col("vb"))
+    cos = S.dot(F.col("payload_a"), F.col("payload_b")) / (
+        S.norm(F.col("payload_a")) * S.norm(F.col("payload_b"))
     )
     drops = (
-        pa.join(pb, ["cluster"])
-        .filter(F.col("id_b") > F.col("id_a"))
-        .crossJoin(F.broadcast(taus))
+        pairs.crossJoin(F.broadcast(taus))
         .filter(cos >= F.col("tau_pct").cast("double") / 100)
-        .select("tau_pct", "cluster", F.col("id_b").alias("vec_id"))
+        .select(
+            "tau_pct",
+            "cluster",
+            F.greatest("id_a", "id_b").alias("vec_id"),
+        )
         .distinct()
     )
     sizes = assigned.groupBy("cluster").agg(

@@ -614,9 +614,11 @@ def q_gumbel_maxima(spark: SparkSession, sf_dir: str) -> DataFrame:
                ROUND(CAST(SUM(CAST(FLOOR(ABS(p.p - a.x) * 1e9 + 0.5) / 1e9
                               AS DECIMAL(38,9))) AS DOUBLE) / COUNT(*), 9)
                    AS mae,
+               -- "+ 0" canonicalizes -0.0 (a tiny negative mean bias
+               -- rounds to -0.0 in DuckDB, +0.0 in Spark) to +0.0.
                ROUND(CAST(SUM(CAST(FLOOR((p.p - a.x) * 1e9 + 0.5) / 1e9
                               AS DECIMAL(38,9))) AS DOUBLE) / COUNT(*), 9)
-                   AS bias
+                   + 0 AS bias
         FROM r a JOIN pred p ON p.u = a.u AND p.i = a.i
         GROUP BY 1 ORDER BY 1
     """,
@@ -700,7 +702,15 @@ def q_slope_one(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).cast("double")
                 / F.count(F.lit(1)),
                 9,
-            ).alias("bias"),
+            ).alias("_bias_r"),
+        )
+        # + 0 mirrors the oracle's -0.0 canonicalization (IEEE:
+        # -0.0 + 0 = +0.0) — caught by the sf0.1 bit audit (r10).
+        .select(
+            "item",
+            "n_users",
+            "mae",
+            (F.col("_bias_r") + F.lit(0)).alias("bias"),
         )
         .orderBy("item")
     )
