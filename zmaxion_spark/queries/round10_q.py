@@ -62,12 +62,15 @@ _SDB_PTS_SQL = f"""
 
 _SDB_SEED_WORD = "CAST(('0x' || SUBSTR(MD5(CAST(pid AS VARCHAR)), 1, 8)) AS BIGINT)"
 
-_SDB_COS = """LIST_REDUCE(LIST_TRANSFORM(range(1, {d}), i -> {a}[i] * {b}[i]),
-                  (acc, x) -> acc + x)
-              / (SQRT(LIST_REDUCE(LIST_TRANSFORM(range(1, {d}),
-                          i -> {a}[i] * {a}[i]), (acc, x) -> acc + x))
-                 * SQRT(LIST_REDUCE(LIST_TRANSFORM(range(1, {d}),
-                          i -> {b}[i] * {b}[i]), (acc, x) -> acc + x)))"""
+# 0.0-PREPENDED folds (the llm._SQL_DOT discipline): Spark's
+# F.aggregate starts from 0.0, and 0.0 + (-0.0) = +0.0 while a
+# prepend-less LIST_REDUCE starts from the raw first product — a
+# sign-of-zero divergence whenever term 1 is -0.0.
+_SDB_DOT = (
+    "LIST_REDUCE(LIST_PREPEND(CAST(0 AS DOUBLE), "
+    "LIST_TRANSFORM(RANGE(1, {d}), i -> {a}[i] * {b}[i])), "
+    "(acc, x) -> acc + x)"
+)
 
 
 def _sdb_assign(cells: str, out: str) -> str:
@@ -109,7 +112,12 @@ def _sdb_update(assign: str, prev: str, out: str) -> str:
 
 
 def _sdb_oracle() -> str:
-    cos = _SDB_COS.format(d=_SDB_DIM + 1, a="a.v", b="b.v")
+    d = _SDB_DIM + 1
+    # Per-point norm hoisted into a2n (the Spark side precomputes it
+    # too): same fold over the same data -> identical bits, ~3x less
+    # pair-stage work on BOTH engines.
+    dot_ab = _SDB_DOT.format(d=d, a="a.v", b="b.v")
+    nrm = f"SQRT({_SDB_DOT.format(d=d, a='v', b='v')})"
     return f"""
         WITH {_SDB_PTS_SQL},
         seeds AS MATERIALIZED (
@@ -127,15 +135,19 @@ def _sdb_oracle() -> str:
         {_sdb_assign("c0", "a1")},
         {_sdb_update("a1", "c0", "c1")},
         {_sdb_assign("c1", "a2")},
+        a2n AS MATERIALIZED (
+            SELECT pid, v, cluster, {nrm} AS nrm FROM a2
+        ),
         taus AS (SELECT UNNEST([{", ".join(str(t) for t in _SDB_TAUS)}])
                      AS tau_pct),
         drops AS (
             SELECT DISTINCT t.tau_pct, a.cluster,
                    GREATEST(a.pid, b.pid) AS pid
-            FROM a2 a
-            JOIN a2 b ON b.cluster = a.cluster AND b.pid > a.pid
+            FROM a2n a
+            JOIN a2n b ON b.cluster = a.cluster AND b.pid > a.pid
             CROSS JOIN taus t
-            WHERE {cos} >= CAST(t.tau_pct AS DOUBLE) / 100
+            WHERE {dot_ab} / (a.nrm * b.nrm)
+                  >= CAST(t.tau_pct AS DOUBLE) / 100
         ),
         sizes AS (
             SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n_vecs
@@ -261,15 +273,25 @@ def q_semdedup_big(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)
     )
 
-    pairs = blocked_cluster_pairs(assigned, block=_SDB_BLOCK)
+    # Per-member norm precomputed ONCE (the pair stage otherwise
+    # folds 2 norms per pair — 3x the flops for identical bits: same
+    # fold over the same data, so the cosine is unchanged bit-for-bit).
+    withn = assigned.select(
+        "cluster",
+        "vec_id",
+        F.struct(F.col("v").alias("v"), S.norm(F.col("v")).alias("n")).alias(
+            "p"
+        ),
+    )
+    pairs = blocked_cluster_pairs(withn, payload_col="p", block=_SDB_BLOCK)
     taus = spark.range(len(_SDB_TAUS)).select(
         F.element_at(
             F.array(*[F.lit(t) for t in _SDB_TAUS]),
             (F.col("id") + 1).cast("int"),
         ).alias("tau_pct")
     )
-    cos = S.dot(F.col("payload_a"), F.col("payload_b")) / (
-        S.norm(F.col("payload_a")) * S.norm(F.col("payload_b"))
+    cos = S.dot(F.col("payload_a.v"), F.col("payload_b.v")) / (
+        F.col("payload_a.n") * F.col("payload_b.n")
     )
     drops = (
         pairs.crossJoin(F.broadcast(taus))

@@ -55,7 +55,7 @@ def _semdedup_oracle() -> str:
         _km_sql_assign,
         _km_sql_update,
     )
-    from zmaxion_spark.queries.llm import _sql_cosine
+    from zmaxion_spark.queries.llm import _SQL_DOT
 
     return f"""
         WITH seeds AS MATERIALIZED (
@@ -97,13 +97,22 @@ def _semdedup_oracle() -> str:
         ),
         taus AS (SELECT UNNEST([{", ".join(str(t) for t in _SD_TAUS)}])
                      AS tau_pct),
+        an AS MATERIALIZED (
+            -- per-member norm hoisted (same fold, same bits as the
+            -- inline _sql_cosine denominators; Spark precomputes too)
+            SELECT vec_id, embedding, cluster,
+                   SQRT({_SQL_DOT.format(a='embedding', b='embedding')})
+                       AS nrm
+            FROM assigned
+        ),
         drops AS (
             SELECT DISTINCT t.tau_pct, a.cluster, b.vec_id
-            FROM assigned a
-            JOIN assigned b
+            FROM an a
+            JOIN an b
               ON b.cluster = a.cluster AND b.vec_id > a.vec_id
             CROSS JOIN taus t
-            WHERE {_sql_cosine('a.embedding', 'b.embedding')}
+            WHERE {_SQL_DOT.format(a='a.embedding', b='b.embedding')}
+                  / (a.nrm * b.nrm)
                   >= CAST(t.tau_pct AS DOUBLE) / 100
         ),
         sizes AS (
@@ -208,17 +217,25 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # uniform (cluster, bi, bj) cells — same pair set, no hot key.
     # The drop census is orientation-free (cosine folds commute
     # elementwise; the dropped member is greatest(id) either way).
-    pairs = blocked_cluster_pairs(
-        assigned, block=_SD_BLOCK
+    # Per-member norm precomputed ONCE (the pair stage otherwise
+    # folds 2 norms per pair — 3x the flops for identical bits: same
+    # fold over the same data, so the cosine is unchanged bit-for-bit).
+    withn = assigned.select(
+        "cluster",
+        "vec_id",
+        F.struct(F.col("v").alias("v"), S.norm(F.col("v")).alias("n")).alias(
+            "p"
+        ),
     )
+    pairs = blocked_cluster_pairs(withn, payload_col="p", block=_SD_BLOCK)
     taus = spark.range(len(_SD_TAUS)).select(
         F.element_at(
             F.array(*[F.lit(t) for t in _SD_TAUS]),
             (F.col("id") + 1).cast("int"),
         ).alias("tau_pct")
     )
-    cos = S.dot(F.col("payload_a"), F.col("payload_b")) / (
-        S.norm(F.col("payload_a")) * S.norm(F.col("payload_b"))
+    cos = S.dot(F.col("payload_a.v"), F.col("payload_b.v")) / (
+        F.col("payload_a.n") * F.col("payload_b.n")
     )
     drops = (
         pairs.crossJoin(F.broadcast(taus))
