@@ -158,4 +158,9 @@ def quality_score(text_col: Column | str, tokens: Column) -> Column:
     len_term = F.least(n.cast("double") / 100.0, F.lit(1.0))
     stop_term = F.least(stopword_ratio(tokens) * 4, F.lit(1.0))
     punct_term = F.lit(1.0) - punct_ratio(c)
-    return F.round(len_term * 0.4 + stop_term * 0.3 + punct_term * 0.3, 9)
+    score = len_term * 0.4 + stop_term * 0.3 + punct_term * 0.3
+    # Shared FLOOR(x*1e9 + 0.5)/1e9 quantizer, NOT engine ROUND:
+    # Spark's BigDecimal HALF_UP and DuckDB's ROUND disagree by 1e-9
+    # when the true value sits within an ulp of a .5 boundary at the
+    # 9th decimal (caught by the round-10 sf0.1 bit sweep).
+    return F.floor(score * 1e9 + 0.5) / 1e9

@@ -137,12 +137,12 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                     / LEN(toks) AS stop_ratio,
                CAST(LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[^a-z0-9]', '', 'g')) AS DOUBLE)
                     / LENGTH(text) AS punct_ratio,
-               ROUND(LEAST(CAST(LEN(toks) AS DOUBLE) / 100.0, 1.0) * 0.4
+               FLOOR((LEAST(CAST(LEN(toks) AS DOUBLE) / 100.0, 1.0) * 0.4
                      + LEAST(CAST(LEN(LIST_FILTER(toks, x -> LIST_CONTAINS(
                            ['the','a','and','is','of','to','in'], x))) AS DOUBLE)
                            / LEN(toks) * 4, 1.0) * 0.3
                      + (1.0 - CAST(LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[^a-z0-9]', '', 'g')) AS DOUBLE)
-                           / LENGTH(text)) * 0.3, 9) AS quality
+                           / LENGTH(text)) * 0.3) * 1e9 + 0.5) / 1e9 AS quality
         FROM t
     """,
     operators=(66,),

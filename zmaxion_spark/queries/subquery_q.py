@@ -522,8 +522,13 @@ def q_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "12 breaches 2% at sf1 cardinalities) must land within 2% of the "
     "exact anchor, AND the MERGEABILITY contract is graded in-query: "
     "hll_union_agg over the per-segment sketches must estimate "
-    "exactly what one whole-corpus sketch estimates — the property "
-    "that makes sketches shuffle-free at 1000 executors.",
+    "within 0.5% of one whole-corpus sketch — the property that "
+    "makes sketches shuffle-free at 1000 executors. (Within, not "
+    "equal: the round-10 sf0.1 bit sweep caught a 0.21% gap — "
+    "DataSketches' union promotes to a different target HLL type "
+    "than a direct build, so estimator corrections can differ at "
+    "mode-boundary cardinalities; equality held at sf0.01/sf1 by "
+    "luck of the register population.)",
 )
 def q_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = _t(spark, sf_dir, "customer")
@@ -542,7 +547,11 @@ def q_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     merge_ok = (
         unioned.crossJoin(whole)
         .select(
-            (F.col("est_union") == F.col("est_whole"))
+            (
+                F.abs(F.col("est_union") - F.col("est_whole"))
+                / F.col("est_whole")
+                < 0.005
+            )
             .cast("int")
             .alias("union_consistent")
         )
