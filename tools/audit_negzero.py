@@ -20,17 +20,12 @@ import os
 import struct
 import sys
 
-import duckdb
 import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from zmaxion_spark.queries import REGISTRY  # noqa: E402
-
-TABLES = (
-    "region nation customer supplier part orders lineitem events "
-    "documents embeddings"
-).split()
+from zmaxion_spark.testing import duckdb_connect  # noqa: E402
 
 _NAN_BITS = struct.unpack("<Q", struct.pack("<d", float("nan")))[0]
 
@@ -41,13 +36,9 @@ def main() -> None:
     names = [a for a in args if a in REGISTRY] or sorted(
         n for n, q in REGISTRY.items() if q.oracle is not None
     )
-    con = duckdb.connect()
-    for t in TABLES:
-        path = os.path.join(sf_dir, f"{t}.parquet")
-        if os.path.exists(path):
-            con.execute(
-                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')"
-            )
+    # duckdb_connect handles both fixture layouts (single .parquet
+    # files and Spark part-file directories, as in .scratch/sf1+).
+    con = duckdb_connect(sf_dir)
     hits: list[str] = []
     errs: list[str] = []
     for name in names:
