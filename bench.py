@@ -43,7 +43,15 @@ def main() -> None:
     # REGRESSIONS.md reproduce-standalone rule should cost seconds,
     # not a suite run): `python bench.py q_graph_2hop [q_rollup ...]`.
     bench_all = os.environ.get("SPARK_GRAFT_BENCH_ALL") == "1"
-    cli_names = [a for a in sys.argv[1:] if not a.startswith("-")]
+    # No flags are defined; a '-'-prefixed arg is a typo that would
+    # otherwise silently fall through to the default headline set (and,
+    # with no named queries left, overwrite BENCH_local.json with the
+    # wrong run). Same exit-2 path as unknown query names (ADVICE r10).
+    flags = [a for a in sys.argv[1:] if a.startswith("-")]
+    if flags:
+        print(f"bench: unrecognized arguments: {flags}", file=sys.stderr)
+        sys.exit(2)
+    cli_names = sys.argv[1:]
     if cli_names:
         unknown = [n for n in cli_names if n not in REGISTRY]
         if unknown:

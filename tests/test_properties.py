@@ -449,6 +449,37 @@ def test_hll_sketch_accuracy_and_mergeability(spark):
     assert merged == whole
 
 
+def test_hll_union_gap_stays_far_from_contract(spark):
+    """#140 drift tripwire (ADVICE r10): q_hll_sketch's mergeability
+    contract is union-vs-direct rel gap < 0.5%, and the DuckDB oracle
+    hardcodes union_consistent=1 — so the contract's whole strength
+    lives in the Spark-side threshold. Pin the ACTUAL gap well below
+    it: the round-10 sf0.1 sweep measured 0.21% (DataSketches' union
+    promotes to a different target HLL type than a direct build, so
+    estimator corrections differ at mode-boundary cardinalities); at
+    sf0.1 we assert < 0.4% so any regression widening the gap toward
+    the 0.5% grading threshold fails HERE first, visibly."""
+    import os
+
+    for sf_dir, bound in ((SF_SMOKE, 0.005), ("/root/testdata/sf0.1", 0.004)):
+        if not os.path.isdir(sf_dir):
+            continue
+        cust = load_table(spark, sf_dir, "customer")
+        union_est = (
+            cust.groupBy("c_mktsegment")
+            .agg(F.expr("hll_sketch_agg(c_custkey, 16)").alias("sk"))
+            .agg(F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("est"))
+            .collect()[0]["est"]
+        )
+        direct_est = cust.agg(
+            F.expr("hll_sketch_estimate(hll_sketch_agg(c_custkey, 16))").alias(
+                "est"
+            )
+        ).collect()[0]["est"]
+        gap = abs(union_est - direct_est) / direct_est
+        assert gap < bound, f"{sf_dir}: union/direct gap {gap:.4%} >= {bound:.2%}"
+
+
 def test_observe_metrics_single_pass(spark):
     """#139: Observation collects exact audit counters as a side
     effect of the action that already runs — values must equal a

@@ -32,8 +32,23 @@ _NAN_BITS = struct.unpack("<Q", struct.pack("<d", float("nan")))[0]
 
 def main() -> None:
     args = sys.argv[1:]
-    sf_dir = args[0] if args and os.path.isdir(args[0]) else "/root/testdata/sf0.1"
-    names = [a for a in args if a in REGISTRY] or sorted(
+    # Strict arg validation (ADVICE r10): an arg that is neither an
+    # existing directory nor a REGISTRY name used to be silently
+    # dropped, so a mistyped query name (or nonexistent sf_dir) made
+    # the audit "pass" against the wrong target. Mirror bench.py's
+    # unknown-name exit-2 handling instead.
+    sf_dir = "/root/testdata/sf0.1"
+    if args and ("/" in args[0] or os.path.isdir(args[0])):
+        if not os.path.isdir(args[0]):
+            print(f"audit_negzero: no such sf_dir: {args[0]}", file=sys.stderr)
+            sys.exit(2)
+        sf_dir = args[0]
+        args = args[1:]
+    unknown = [a for a in args if a not in REGISTRY]
+    if unknown:
+        print(f"audit_negzero: unknown queries: {unknown}", file=sys.stderr)
+        sys.exit(2)
+    names = args or sorted(
         n for n, q in REGISTRY.items() if q.oracle is not None
     )
     # duckdb_connect handles both fixture layouts (single .parquet

@@ -287,7 +287,10 @@ def main() -> None:
         for op in q.operators:
             by_op.setdefault(op, []).append(q.name)
     driver = _driver_record()
+    from zmaxion_spark.queries import _NEXT_ROUND
+
     window = set(list(REGISTRY)[:50])
+    queued = set(_NEXT_ROUND) - window
 
     lines = [
         "# COVERAGE — SURVEY.md §2 operator inventory → graded queries",
@@ -320,6 +323,8 @@ def main() -> None:
                     dstat.append(f"{n}: {driver[n]}")
                 elif n in window:
                     dstat.append(f"{n}: local-only (in window)")
+                elif n in queued:
+                    dstat.append(f"{n}: local-only (queued next window)")
                 else:
                     dstat.append(f"{n}: local-only (past window)")
             lines.append(

@@ -622,9 +622,16 @@ def blocked_cluster_pairs(
     lossless diversion: members get a deterministic md5 block id in
     ``[0, ceil(n_c / block))``, both sides replicate over the
     triangle's (bi <= bj) cells, and the pair join runs on the
-    UNIFORM composite key (cluster, bi, bj) — every key carries at
-    most ``block`` rows per side and emits at most ``block²`` pairs,
-    so AQE sees k·B²/2 evenly sized cells instead of k monsters.
+    near-uniform composite key (cluster, bi, bj) — every key carries
+    ``block`` rows per side IN EXPECTATION (md5 is a hash split, not a
+    balanced rank, so a hash-skewed bucket can exceed the bound; the
+    binomial tail makes a 2x overload vanishingly rare for block=64),
+    so AQE sees k·B²/2 evenly sized cells instead of k monsters. A
+    rank-based split (row_number over the cluster) would give a true
+    worst-case bound but re-introduces the one-key-per-cluster window
+    shuffle this operator exists to remove, so the in-expectation
+    hash split is the deliberate choice; pair-set losslessness never
+    depends on balance.
     Replication cost is n_c·B/2 rows per cluster (factor ``block``
     below candidate volume); the enumerated pair SET is byte-identical
     to the naive join (diagonal cells keep id_a < id_b; off-diagonal

@@ -38,6 +38,7 @@ from zmaxion_spark.queries import (  # noqa: F401,E402
     round9m_q,
     round9n_q,
     round10_q,
+    round11_q,
     retrieval_q,
     scalar,
     scale_q,
@@ -58,85 +59,23 @@ from zmaxion_spark.queries import (  # noqa: F401,E402
 # Grading order. The driver's correctness gate grades the FIRST 50
 # registry entries (round-1/2 finding: CORRECTNESS_r{N}.json keys ==
 # list(REGISTRY)[:50]); with more queries than window slots, order is a
-# grading lever. ROUND-10 ROTATION (verdict r9 #1/#3: grade, don't
-# grow): the round-9 window came back 49/50 — the one FAIL,
-# q_ransac_line, was an IEEE -0.0 slope now canonicalized to +0.0 on
-# both engines, so it re-grades at the HEAD of this window. Behind it:
-# the 49 oldest never-driver-graded queries (q_hll_bounds — slipped
-# from rounds 9 — then the round-9 waves #413-#458 in registration
-# order through q_kupiec_pof). The remaining 30 round-9 additions
-# (q_rich_club .. q_western_electric) queue in _NEXT_ROUND for the
-# round-11 window; two of them (q_stream_hll, q_gesd_outliers) carry
-# round-10 parity fixes from ADVICE.md, locally re-verified strict.
+# grading lever. ROUND-11 ROTATION (verdict r10 #1/#2: this is the
+# CLOSING window): the 31 never-driver-graded queries go first — the
+# 30 round-9 late waves (q_rich_club .. q_western_electric, including
+# the ADVICE-fixed q_stream_hll and q_gesd_outliers) plus the round-10
+# q_semdedup_big scale contract. After them every SURVEY §2 operator
+# holds an independent driver row (489/489). The 19 spare slots carry
+# strict-gate-era REGRADES of the oldest float-heavy rounds-1/2 rows
+# (graded before the packed-double bit gate existed): the r01 TPC-H
+# heads, tf-idf, the similarity/dedup float paths, plus the two named
+# older float rows (q_pagerank_nations r04, q_regression_stats r06).
 # Every query still runs in pytest and tools/check_oracle.py
 # regardless of position.
 # ---------------------------------------------------------------------------
 
 _GRADE_FIRST = [
-    # ==================== ROUND-10 WINDOW ====================
-    # Re-grade of the round-9 FAIL, fixed this round (-0.0 slope
-    # canonicalized via "+ 0" on both engines; bit-exact locally
-    # under the new packed-double gate).
-    "q_ransac_line",
-    # 49 oldest never-driver-graded queries, registration order.
-    "q_hll_bounds",
-    "q_connected_components",
-    "q_dedup_canonical",
-    "q_dsir_importance",
-    "q_kneser_ney",
-    "q_ccnet_buckets",
-    "q_welch_anova",
-    "q_dunn_posthoc",
-    "q_dbscan_big",
-    "q_semdedup",
-    "q_ql_dirichlet",
-    "q_effect_sizes",
-    "q_krippendorff_alpha",
-    "q_youden_threshold",
-    "q_seasonal_strength",
-    "q_adf_test",
-    "q_ridge_closed",
-    "q_partial_corr",
-    "q_graph_backbone",
-    "q_kmv_anotb",
-    "q_cronbach_alpha",
-    "q_eigencentrality",
-    "q_stream_ddsketch",
-    "q_mcc_eval",
-    "q_word_dispersion",
-    "q_topic_coherence",
-    "q_quota_apportion",
-    "q_aa_calibration",
-    "q_capture_recapture",
-    "q_sprt_sequential",
-    "q_bootstrap_diff_ci",
-    "q_hill_diversity",
-    "q_hits_scores",
-    "q_local_clustering",
-    "q_theil_inequality",
-    "q_jarque_bera",
-    "q_durbin_watson",
-    "q_james_stein",
-    "q_raking_ipf",
-    "q_price_index",
-    "q_periodogram",
-    "q_gumbel_maxima",
-    "q_slope_one",
-    "q_bipartite_ochiai",
-    "q_yule_k",
-    "q_chow_break",
-    "q_cooks_distance",
-    "q_grubbs_outlier",
-    "q_kupiec_pof",
-]
-
-
-# Positions 51+: the 30 round-9 additions still awaiting their first
-# driver row after the round-10 window (graded round 11), plus any
-# round-10 additions behind them. Queries with green driver rows
-# already recorded (CORRECTNESS_r01-r09) keep their registration
-# order behind these.
-_NEXT_ROUND: list[str] = [
+    # ==================== ROUND-11 WINDOW ====================
+    # --- 31 backlog queries: first-ever driver grading ---
     "q_rich_club",
     "q_degree_powerlaw",
     "q_average_precision",
@@ -167,8 +106,38 @@ _NEXT_ROUND: list[str] = [
     "q_stream_regression",
     "q_empirical_copula",
     "q_western_electric",
-    # Round-10 addition: the #420 scale contract (verdict r9 #4).
     "q_semdedup_big",
+    # --- 19 strict-gate regrades of pre-bit-gate float rows ---
+    "q01_pricing_summary",
+    "q03_shipping_priority",
+    "q05_local_supplier_volume",
+    "q06_forecast_revenue",
+    "q14_promo_share",
+    "q_tf_idf",
+    "q_sim_topk_search",
+    "q_sim_cosine_pairs",
+    "q_sim_join_lsh",
+    "q_dedup_minhash_lsh",
+    "q_dedup_embedding",
+    "q_ngram_jaccard",
+    "q_ts_sim_search",
+    "q_sentiment_lexicon",
+    "q_agg_approx",
+    "q_decayed_agg",
+    "q_anomaly_zscore",
+    "q_pagerank_nations",
+    "q_regression_stats",
+]
+
+
+# Positions 51+: the round-11 graded twins of the three tests-only
+# side channels (#4/#139/#164) queue for the round-12 window; every
+# other query already holds a green driver row (rounds 1-10) and
+# keeps registration order behind them.
+_NEXT_ROUND: list[str] = [
+    "q_rate_source_census",
+    "q_observe_metrics",
+    "q_stream_progress_audit",
 ]
 
 
