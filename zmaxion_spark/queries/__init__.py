@@ -39,6 +39,7 @@ from zmaxion_spark.queries import (  # noqa: F401,E402
     round9n_q,
     round10_q,
     round11_q,
+    round12_q,
     retrieval_q,
     scalar,
     scale_q,
@@ -130,14 +131,26 @@ _GRADE_FIRST = [
 ]
 
 
-# Positions 51+: the round-11 graded twins of the three tests-only
-# side channels (#4/#139/#164) queue for the round-12 window; every
-# other query already holds a green driver row (rounds 1-10) and
-# keeps registration order behind them.
+# Positions 51+: the round-12 window head — the three graded twins of
+# the tests-only side channels (#4/#139/#164) and the round-12
+# canonical-suite-closure wave (#490-#499, round12_q.py), all verified
+# bit-exact at sf0.001/0.01/0.1 before staging; every other query
+# already holds a green driver row (rounds 1-10) and keeps
+# registration order behind them.
 _NEXT_ROUND: list[str] = [
     "q_rate_source_census",
     "q_observe_metrics",
     "q_stream_progress_audit",
+    "q02_min_cost_supplier",
+    "q11_important_stock",
+    "q_kpss_test",
+    "q_pacf",
+    "q_variance_ratio",
+    "q_breusch_pagan",
+    "q_pettitt_test",
+    "q_bartlett_test",
+    "q_atkinson_index",
+    "q_price_elasticity",
 ]
 
 
