@@ -266,3 +266,109 @@ def test_price_elasticity_matches_numpy(spark):
     assert math.isclose(got.elasticity, slope, rel_tol=1e-6)
     assert math.isclose(got.r2, r2, rel_tol=1e-6)
     assert bool(got.elastic) == (abs(slope) > 1)
+
+
+# ---- wave 2: OLS-misspecification closure + Fleiss (#500-#503) ----
+
+
+def _ols_residuals(y):
+    n = len(y)
+    t = np.arange(n, dtype="float64")
+    b = (n * (t * y).sum() - t.sum() * y.sum()) / (
+        n * (t * t).sum() - t.sum() ** 2
+    )
+    a = (y.sum() - b * t.sum()) / n
+    return t, np.floor(y - (a + b * t) + 0.5), a, b
+
+
+def test_arch_lm_matches_numpy(spark, daily):
+    y = daily
+    _, e, _, _ = _ols_residuals(y)
+    u = e * e
+    uc, u1 = u[1:], u[:-1]
+    m = len(uc)
+    num = m * (uc * u1).sum() - u1.sum() * uc.sum()
+    r2 = num * num / (
+        (m * (u1 * u1).sum() - u1.sum() ** 2)
+        * (m * (uc * uc).sum() - uc.sum() ** 2)
+    )
+    stat = m * r2
+    got = _run(spark, "q_arch_lm").iloc[0]
+    assert got.n_pairs == m
+    assert math.isclose(got.arch_lm_stat, stat, rel_tol=1e-6, abs_tol=1e-8)
+
+
+def test_cochrane_orcutt_matches_numpy(spark, daily):
+    y = daily
+    t, e, _, b_ols = _ols_residuals(y)
+    rho = (e[1:] * e[:-1]).sum() / (e[:-1] * e[:-1]).sum()
+    ys = np.floor(y[1:] - rho * y[:-1] + 0.5)
+    xs = np.floor((t[1:] - rho * (t[1:] - 1)) * 1e6 + 0.5) / 1e6
+    m = len(ys)
+    bg = (m * (xs * ys).sum() - xs.sum() * ys.sum()) / (
+        m * (xs * xs).sum() - xs.sum() ** 2
+    )
+    ag = (ys.sum() - bg * xs.sum()) / m
+    got = _run(spark, "q_cochrane_orcutt").iloc[0]
+    assert got.n_days == m
+    assert math.isclose(got.rho, rho, rel_tol=1e-6, abs_tol=1e-8)
+    assert math.isclose(got.slope_ols, b_ols, rel_tol=1e-6, abs_tol=1e-8)
+    # the engine quantizes x*y / x*x products to 1e-6 before summing
+    assert math.isclose(got.slope_gls, bg, rel_tol=1e-5)
+    assert math.isclose(got.intercept_gls, ag / (1 - rho), rel_tol=1e-5)
+
+
+def test_ramsey_reset_matches_numpy(spark, daily):
+    y = daily
+    n = len(y)
+    t, _, a, b = _ols_residuals(y)
+    h = np.floor((a + b * t) * (a + b * t) + 0.5)
+    ctt = (t * t).sum() - t.sum() ** 2 / n
+    cth = (t * h).sum() - t.sum() * h.sum() / n
+    chh = (h * h).sum() - h.sum() ** 2 / n
+    cty = (t * y).sum() - t.sum() * y.sum() / n
+    chy = (h * y).sum() - h.sum() * y.sum() / n
+    cyy = (y * y).sum() - y.sum() ** 2 / n
+    det = ctt * chh - cth * cth
+    b1 = (chh * cty - cth * chy) / det
+    b2 = (ctt * chy - cth * cty) / det
+    sse_r = cyy - cty * cty / ctt
+    sse_u = cyy - b1 * cty - b2 * chy
+    stat = (sse_r - sse_u) / (sse_u / (n - 3))
+    got = _run(spark, "q_ramsey_reset").iloc[0]
+    assert got.n_days == n
+    # float64 moment sums here vs the engine's exact DECIMAL sums:
+    # the h^2 moments are ~1e28, far past float64's 2^53 — compare
+    # loosely and rely on the DuckDB oracle for exactness
+    assert math.isclose(got.reset_f, stat, rel_tol=1e-2)
+
+
+def test_fleiss_kappa_matches_pandas(spark):
+    li = pd.read_parquet(f"{SF_SMOKE}/lineitem.parquet")
+    orders = pd.read_parquet(f"{SF_SMOKE}/orders.parquet")
+    pairs = (
+        li.merge(orders, left_on="l_orderkey", right_on="o_orderkey")[
+            ["l_partkey", "o_orderkey", "o_orderpriority"]
+        ]
+        .drop_duplicates()
+        .sort_values(["l_partkey", "o_orderkey"])
+    )
+    panel = pairs.groupby("l_partkey").filter(lambda g: len(g) >= 5)
+    panel = panel.groupby("l_partkey").head(5)
+    nic = (
+        panel.groupby(["l_partkey", "o_orderpriority"])
+        .size()
+        .rename("n_ic")
+        .reset_index()
+    )
+    n_items = nic.l_partkey.nunique()
+    s2 = int((nic.n_ic**2).sum())
+    p_bar = (s2 - 5 * n_items) / (20.0 * n_items)
+    colsum = nic.groupby("o_orderpriority")["n_ic"].sum()
+    p_e = float((colsum**2).sum()) / (25.0 * n_items * n_items)
+    kappa = (p_bar - p_e) / (1 - p_e)
+    got = _run(spark, "q_fleiss_kappa").iloc[0]
+    assert got.n_items == n_items
+    assert got.n_cats == len(colsum)
+    assert math.isclose(got.p_bar, p_bar, rel_tol=1e-8, abs_tol=1e-9)
+    assert math.isclose(got.fleiss_kappa, kappa, rel_tol=1e-6, abs_tol=1e-9)

@@ -40,6 +40,7 @@ from zmaxion_spark.queries import (  # noqa: F401,E402
     round10_q,
     round11_q,
     round12_q,
+    round12b_q,
     retrieval_q,
     scalar,
     scale_q,
@@ -151,6 +152,10 @@ _NEXT_ROUND: list[str] = [
     "q_bartlett_test",
     "q_atkinson_index",
     "q_price_elasticity",
+    "q_arch_lm",
+    "q_cochrane_orcutt",
+    "q_ramsey_reset",
+    "q_fleiss_kappa",
 ]
 
 
