@@ -322,7 +322,7 @@ def test_ramsey_reset_matches_numpy(spark, daily):
     y = daily
     n = len(y)
     t, _, a, b = _ols_residuals(y)
-    h = np.floor((a + b * t) * (a + b * t) + 0.5)
+    h = np.floor((a + b * t) * (a + b * t) / 1e6 + 0.5)
     ctt = (t * t).sum() - t.sum() ** 2 / n
     cth = (t * h).sum() - t.sum() * h.sum() / n
     chh = (h * h).sum() - h.sum() ** 2 / n

@@ -262,35 +262,44 @@ def q_arch_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT r.t,
                    CAST(FLOOR(CAST(r.y AS DOUBLE) - rho.r * yl + 0.5)
                         AS BIGINT) AS ys,
-                   FLOOR((r.t - rho.r * (r.t - 1)) * 1e6 + 0.5) / 1e6 AS xs
+                   CAST(FLOOR((r.t - rho.r * (r.t - 1)) * 1e6 + 0.5)
+                        AS BIGINT) AS xu
             FROM (SELECT t, y, LAG(y, 1) OVER (ORDER BY t) AS yl FROM res) r,
                  rho
             WHERE yl IS NOT NULL
         ),
         gmo AS (
             SELECT CAST(COUNT(*) AS BIGINT) AS m,
-                   CAST(SUM(CAST(xs AS DECIMAL(26,6))) AS DECIMAL(38,6)) AS sx,
+                   CAST(SUM(xu) AS BIGINT) AS sxu,
                    CAST(SUM(ys) AS BIGINT) AS sy2,
-                   CAST(SUM(CAST(FLOOR(xs * xs * 1e6 + 0.5) / 1e6
-                                 AS DECIMAL(26,6))) AS DECIMAL(38,6)) AS sxx,
-                   CAST(SUM(CAST(FLOOR(xs * ys * 1e6 + 0.5) / 1e6
-                                 AS DECIMAL(26,6))) AS DECIMAL(38,6)) AS sxy
+                   CAST(SUM(CAST(xu AS DECIMAL(19,0))
+                            * CAST(xu AS DECIMAL(19,0)))
+                        AS DECIMAL(38,0)) AS sxxu,
+                   CAST(SUM(CAST(xu AS DECIMAL(19,0))
+                            * CAST(ys AS DECIMAL(19,0)))
+                        AS DECIMAL(38,0)) AS sxyu
             FROM qd
         )
         SELECT gmo.m AS n_days,
                ROUND(rho.r, 9) AS rho,
                ROUND(f.b, 9) AS slope_ols,
-               ROUND((CAST(gmo.m AS DOUBLE) * CAST(gmo.sxy AS DOUBLE)
-                      - CAST(gmo.sx AS DOUBLE) * CAST(gmo.sy2 AS DOUBLE))
-                     / (CAST(gmo.m AS DOUBLE) * CAST(gmo.sxx AS DOUBLE)
-                        - CAST(gmo.sx AS DOUBLE) * CAST(gmo.sx AS DOUBLE)),
+               ROUND(1e6 * ((CAST(gmo.m AS DOUBLE) * CAST(gmo.sxyu AS DOUBLE)
+                             - CAST(gmo.sxu AS DOUBLE)
+                               * CAST(gmo.sy2 AS DOUBLE))
+                            / (CAST(gmo.m AS DOUBLE) * CAST(gmo.sxxu AS DOUBLE)
+                               - CAST(gmo.sxu AS DOUBLE)
+                                 * CAST(gmo.sxu AS DOUBLE))),
                      9) AS slope_gls,
                ROUND(((CAST(gmo.sy2 AS DOUBLE)
-                       - (CAST(gmo.m AS DOUBLE) * CAST(gmo.sxy AS DOUBLE)
-                          - CAST(gmo.sx AS DOUBLE) * CAST(gmo.sy2 AS DOUBLE))
-                         / (CAST(gmo.m AS DOUBLE) * CAST(gmo.sxx AS DOUBLE)
-                            - CAST(gmo.sx AS DOUBLE) * CAST(gmo.sx AS DOUBLE))
-                         * CAST(gmo.sx AS DOUBLE)) / gmo.m)
+                       - 1e6 * ((CAST(gmo.m AS DOUBLE)
+                                 * CAST(gmo.sxyu AS DOUBLE)
+                                 - CAST(gmo.sxu AS DOUBLE)
+                                   * CAST(gmo.sy2 AS DOUBLE))
+                                / (CAST(gmo.m AS DOUBLE)
+                                   * CAST(gmo.sxxu AS DOUBLE)
+                                   - CAST(gmo.sxu AS DOUBLE)
+                                     * CAST(gmo.sxu AS DOUBLE)))
+                         * (CAST(gmo.sxu AS DOUBLE) / 1e6)) / gmo.m)
                      / (1 - rho.r),
                      4) AS intercept_gls
         FROM gmo, rho, fit f
@@ -305,8 +314,12 @@ def q_arch_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     "original units). Parity: rho is one IEEE division of exact "
     "DECIMAL(19,0)^2 residual sums; the quasi-differenced series is "
     "the wave's single per-row float surface and is re-quantized on "
-    "the shared-IEEE grid (y* to whole dollars, x* to 1e-6) so all "
-    "five GLS moments are exact DECIMAL/BIGINT sums; the final "
+    "the shared-IEEE grid (y* to whole dollars, x* to integer MICRO-units "
+    "xu = FLOOR(x*\u00b71e6+0.5) so all five GLS moments are SCALE-0 "
+    "integer/DECIMAL sums whose double casts are single correctly-rounded "
+    "roundings — a DECIMAL(38,6) sum cast to DOUBLE double-rounds in "
+    "DuckDB (int128 cast, then /1e6) vs Spark's one BigDecimal rounding "
+    "and flipped 1 ulp at sf10, found-at-decade #17); the final "
     "slope/intercept is one shared IEEE tree; the ~1e7-magnitude "
     "intercept rounds at 1e-4 (a ROUND(9) grid sits BELOW the double ulp "
     "at that magnitude and flipped 1 ulp between engines at sf0.1 — "
@@ -339,42 +352,36 @@ def q_cochrane_orcutt(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(F.col("y").cast("double") - F.col("r") * F.col("yl") + 0.5)
             .cast("bigint")
             .alias("ys"),
-            (
-                F.floor((F.col("t") - F.col("r") * (F.col("t") - 1)) * 1e6 + 0.5)
-                / 1e6
-            ).alias("xs"),
+            F.floor((F.col("t") - F.col("r") * (F.col("t") - 1)) * 1e6 + 0.5)
+            .cast("bigint")
+            .alias("xu"),
         )
     )
     gmo = qd.agg(
         F.count(F.lit(1)).cast("bigint").alias("m"),
-        F.sum(F.col("xs").cast("decimal(26,6)")).cast("decimal(38,6)").alias("sx"),
+        F.sum("xu").cast("bigint").alias("sxu"),
         F.sum("ys").cast("bigint").alias("sy2"),
-        F.sum(
-            (F.floor(F.col("xs") * F.col("xs") * 1e6 + 0.5) / 1e6).cast(
-                "decimal(26,6)"
-            )
-        )
-        .cast("decimal(38,6)")
-        .alias("sxx"),
-        F.sum(
-            (F.floor(F.col("xs") * F.col("ys") * 1e6 + 0.5) / 1e6).cast(
-                "decimal(26,6)"
-            )
-        )
-        .cast("decimal(38,6)")
-        .alias("sxy"),
+        F.sum(F.col("xu").cast("decimal(19,0)") * F.col("xu").cast("decimal(19,0)"))
+        .cast("decimal(38,0)")
+        .alias("sxxu"),
+        F.sum(F.col("xu").cast("decimal(19,0)") * F.col("ys").cast("decimal(19,0)"))
+        .cast("decimal(38,0)")
+        .alias("sxyu"),
     )
     md = F.col("m").cast("double")
-    bg = (
-        md * F.col("sxy").cast("double")
-        - F.col("sx").cast("double") * F.col("sy2").cast("double")
-    ) / (
-        md * F.col("sxx").cast("double")
-        - F.col("sx").cast("double") * F.col("sx").cast("double")
+    bg = 1e6 * (
+        (
+            md * F.col("sxyu").cast("double")
+            - F.col("sxu").cast("double") * F.col("sy2").cast("double")
+        )
+        / (
+            md * F.col("sxxu").cast("double")
+            - F.col("sxu").cast("double") * F.col("sxu").cast("double")
+        )
     )
-    ag = (F.col("sy2").cast("double") - bg * F.col("sx").cast("double")) / F.col(
-        "m"
-    )
+    ag = (
+        F.col("sy2").cast("double") - bg * (F.col("sxu").cast("double") / 1e6)
+    ) / F.col("m")
     return (
         gmo.crossJoin(F.broadcast(rho))
         .crossJoin(F.broadcast(fit.select("b")))
@@ -403,7 +410,7 @@ def q_cochrane_orcutt(spark: SparkSession, sf_dir: str) -> DataFrame:
     + """,
         aug AS (
             SELECT t, y,
-                   CAST(FLOOR((f.a + f.b * t) * (f.a + f.b * t) + 0.5)
+                   CAST(FLOOR((f.a + f.b * t) * (f.a + f.b * t) / 1e6 + 0.5)
                         AS BIGINT) AS h
             FROM idx, fit f
         ),
@@ -465,8 +472,13 @@ def q_cochrane_orcutt(spark: SparkSession, sf_dir: str) -> DataFrame:
     "both the long-FLOOR and the (19,0) cast bounds); all ten "
     "moments are exact BIGINT/DECIMAL(19,0)^2 sums; the centered "
     "2-regressor normal equations and both SSEs are one shared IEEE "
-    "tree (identical association both engines). Scale: one rollup "
-    "to days, then 1-row algebra.",
+    "tree (identical association both engines). The augmentation "
+    "regressor is yhat^2/1e6 (F is invariant to regressor scaling): "
+    "the unscaled h^2 sum is ~1e36 per term and overflowed the "
+    "DECIMAL(38) accumulator at sf10 (ANSI sum overflow, found-at-"
+    "decade #18) — the 1e-6 scale keeps every moment inside "
+    "DECIMAL(38) through sf100. Scale: one rollup to days, then "
+    "1-row algebra.",
     bench=False,
 )
 def q_ramsey_reset(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -477,6 +489,7 @@ def q_ramsey_reset(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(
             (F.col("a") + F.col("b") * F.col("t"))
             * (F.col("a") + F.col("b") * F.col("t"))
+            / 1e6
             + 0.5
         )
         .cast("bigint")
