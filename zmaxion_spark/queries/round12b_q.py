@@ -119,7 +119,9 @@ def _fit_res(spark: SparkSession, sf_dir: str):
     + """,
         u AS (
             SELECT t,
-                   CAST(eq AS DECIMAL(19,0)) * CAST(eq AS DECIMAL(19,0)) AS u
+                   CAST(FLOOR(CAST(eq AS DOUBLE) / 100 + 0.5) AS DECIMAL(19,0))
+                   * CAST(FLOOR(CAST(eq AS DOUBLE) / 100 + 0.5)
+                          AS DECIMAL(19,0)) AS u
             FROM res
         ),
         lagged AS (
@@ -174,20 +176,18 @@ def _fit_res(spark: SparkSession, sf_dir: str):
     "complement of #495's unconditional Breusch-Pagan; the test that "
     "motivates GARCH)? LM = m R^2 of e_t^2 on e_{t-1}^2 vs chi^2(1). "
     "Parity: the fit and whole-dollar residuals replicate "
-    "q_durbin_watson verbatim; e^2 rides DECIMAL(19,0)^2 products "
-    "and every auxiliary moment (Sum u, Sum u u1, Sum u^2) is a "
-    "DECIMAL(38,0) sum over the LAG-matched pairs (u ~ 1e18 at sf10 "
-    "stays under the (19,0) cast bound); R^2 one shared IEEE tree. "
+    "q_durbin_watson verbatim and re-quantize to HECTO-dollars "
+    "(e100 = FLOOR(e/100+0.5), the #495 grid) so u = e100^2 and every "
+    "auxiliary moment (Sum u, Sum u u1, Sum u^2) stays inside "
+    "DECIMAL(38) through sf100 (whole-dollar u broke the (19,0) cast "
+    "at sf100, found-at-decade #19); R^2 one shared IEEE tree. "
     "Scale: one rollup to days, bounded lag window, 1-row algebra.",
     bench=False,
 )
 def q_arch_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     _, res = _fit_res(spark, sf_dir)
-    u = res.select(
-        "t",
-        (F.col("eq").cast("decimal(19,0)") * F.col("eq").cast("decimal(19,0)"))
-        .alias("u"),
-    )
+    e100 = F.floor(F.col("eq").cast("double") / 100 + 0.5).cast("decimal(19,0)")
+    u = res.select("t", (e100 * e100).alias("u"))
     lagged = u.select(
         "t", "u", F.lag("u", 1).over(Window.orderBy("t")).alias("u1")
     )
