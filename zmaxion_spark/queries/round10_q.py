@@ -233,17 +233,10 @@ def q_semdedup_big(spark: SparkSession, sf_dir: str) -> DataFrame:
     }
 
     def assign(c: dict[int, list[float]]) -> DataFrame:
-        cands = []
-        for cid in sorted(c):
-            lit_vec = F.array(*[F.lit(x) for x in c[cid]])
-            terms = F.zip_with(
-                F.col("v"), lit_vec, lambda x, y: (x - y) * (x - y)
-            )
-            dist = F.aggregate(terms, F.lit(0.0), lambda acc, t: acc + t)
-            cands.append(
-                F.struct(dist.alias("dist"), F.lit(cid).alias("cluster"))
-            )
-        best = F.array_min(F.array(*cands))
+        # Arrow-vectorized exact argmin (similarity.lloyd_assign_udf):
+        # bit-identical to the k zip_with/aggregate HOF trees it
+        # replaces (same fold order, same (dist, cluster) tie-break).
+        best = S.lloyd_assign_udf(c)(F.col("v"))
         return pts.select(
             "pid", "v", best.getField("cluster").alias("cluster")
         )
@@ -293,15 +286,27 @@ def q_semdedup_big(spark: SparkSession, sf_dir: str) -> DataFrame:
     cos = S.dot(F.col("payload_a.v"), F.col("payload_b.v")) / (
         F.col("payload_a.n") * F.col("payload_b.n")
     )
-    drops = (
-        pairs.crossJoin(F.broadcast(taus))
-        .filter(cos >= F.col("tau_pct").cast("double") / 100)
-        .select(
-            "tau_pct",
+    # Fold each pair's cosine ONCE and max-reduce per (cluster, pid)
+    # BEFORE fanning out over taus (guide §2.3 "aggregate before you
+    # shuffle"): `max(cos) >= tau` ⟺ `∃ pair: cos >= tau` (Spark orders
+    # NaN above all doubles in both max and >=, so even a degenerate
+    # 0-norm cosine keeps the same drop set). The old shape cross-joined
+    # pairs × taus first — |taus|× the cosine folds and a |taus|×|pairs|
+    # row distinct; this shape folds |pairs| cosines, partial-aggregates
+    # map-side, and the exchange carries one row per (cluster, pid).
+    pair_max = (
+        pairs.select(
             "cluster",
             F.greatest("id_a", "id_b").alias("pid"),
+            cos.alias("cos"),
         )
-        .distinct()
+        .groupBy("cluster", "pid")
+        .agg(F.max("cos").alias("max_cos"))
+    )
+    drops = (
+        pair_max.crossJoin(F.broadcast(taus))
+        .filter(F.col("max_cos") >= F.col("tau_pct").cast("double") / 100)
+        .select("tau_pct", "cluster", "pid")
     )
     sizes = assigned.groupBy("cluster").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_vecs")

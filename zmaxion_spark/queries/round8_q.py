@@ -1287,17 +1287,12 @@ def q_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
     }
 
     def assign(c: dict[int, list[float]]) -> DataFrame:
-        cands = []
-        for cid in sorted(c):
-            lit_vec = F.array(*[F.lit(x) for x in c[cid]])
-            terms = F.zip_with(
-                F.col("v"), lit_vec, lambda x, y: (x - y) * (x - y)
-            )
-            dist = F.aggregate(terms, F.lit(0.0), lambda acc, t: acc + t)
-            cands.append(
-                F.struct(dist.alias("dist"), F.lit(cid).alias("cluster"))
-            )
-        best = F.array_min(F.array(*cands))
+        # Arrow-vectorized exact argmin (similarity.lloyd_assign_udf):
+        # bit-identical to the k zip_with/aggregate HOF trees it
+        # replaces (same fold order, same (dist, cluster) tie-break).
+        from zmaxion_spark.functions import similarity as S
+
+        best = S.lloyd_assign_udf(c)(F.col("v"))
         return emb.select(
             "vec_id",
             "v",
@@ -1331,17 +1326,15 @@ def q_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
         a = assign(cents)
 
     # final centroids: score every point against ALL k, take rank-1/2
-    cands = []
-    for cid in sorted(cents):
-        lit_vec = F.array(*[F.lit(x) for x in cents[cid]])
-        terms = F.zip_with(F.col("v"), lit_vec, lambda x, y: (x - y) * (x - y))
-        dist = F.aggregate(terms, F.lit(0.0), lambda acc, t: acc + t)
-        cands.append(F.struct(dist.alias("dist"), F.lit(cid).alias("cluster")))
-    sorted_c = F.array_sort(F.array(*cands))
+    # (Arrow-vectorized exact top-2, bit-identical to the array_sort
+    # of k zip_with/aggregate structs it replaces — similarity.py).
+    from zmaxion_spark.functions import similarity as S
+
+    t2 = S.lloyd_top2_udf(cents)(F.col("v"))
     ab = emb.select(
-        F.element_at(sorted_c, 1).getField("cluster").alias("cluster"),
-        F.element_at(sorted_c, 1).getField("dist").alias("da"),
-        F.element_at(sorted_c, 2).getField("dist").alias("db"),
+        t2.getField("cluster").alias("cluster"),
+        t2.getField("da").alias("da"),
+        t2.getField("db").alias("db"),
     )
     s = F.when(F.greatest("da", "db") == 0, F.lit(0.0)).otherwise(
         (F.col("db") - F.col("da")) / F.greatest("da", "db")
