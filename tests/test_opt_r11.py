@@ -93,3 +93,18 @@ def test_lloyd_top2_udf_bit_parity(spark):
     a = {r["id"]: (r["cluster"], r["da"], r["db"]) for r in slow.collect()}
     b = {r["id"]: (r["cluster"], r["da"], r["db"]) for r in fast.collect()}
     assert a == b
+
+
+def test_spread_fans_out_then_noops(spark):
+    """catalog.spread: repartitions a below-parallelism plan to the
+    target, leaves an already-spread plan untouched (no extra
+    exchange), and never changes row content."""
+    from zmaxion_spark.catalog import spread
+
+    par = spark.sparkContext.defaultParallelism
+    one = spark.createDataFrame([(i,) for i in range(100)], "x long").coalesce(1)
+    sp = spread(one)
+    assert sp.rdd.getNumPartitions() == par
+    assert sorted(r.x for r in sp.collect()) == list(range(100))
+    # already at target: spread must add no second round-robin exchange
+    assert spread(sp) is sp

@@ -61,6 +61,29 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def spread(df: DataFrame, factor: int = 1) -> DataFrame:
+    """Fan a narrow input across the cluster before expensive per-row
+    derivation work (explode fan-outs, hash cascades, n-gram chains).
+
+    Guide §2.5 "input skew": a single unsplittable file (or a single
+    parquet row group) yields a 1-partition scan, so every map-side
+    transformation downstream of it runs on one core while the rest of
+    the cluster idles. Round-robin repartition to
+    ``factor × defaultParallelism`` — but ONLY when the plan's current
+    parallelism is below that target, so at production scale (many
+    files/row groups per table) this is a no-op and adds no exchange.
+    Call it on the narrow projection (keys + needed columns), never on
+    a wide payload, so the shuffle moves metadata-sized rows.
+    """
+    spark = df.sparkSession
+    target = factor * spark.sparkContext.defaultParallelism
+    try:
+        cur = df.rdd.getNumPartitions()
+    except Exception:  # pragma: no cover - defensive
+        cur = 1
+    return df.repartition(target) if cur < target else df
+
+
 def register_views(spark: SparkSession, sf_dir: str, tables=TABLES) -> None:
     """Register temp views so ``spark.sql`` (entry point EP2) works."""
     for name in tables:
