@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from zmaxion_spark.catalog import load_table
+from zmaxion_spark.catalog import load_table, spread
 from zmaxion_spark.functions import dedup as D
 from zmaxion_spark.functions import similarity as S
 from zmaxion_spark.functions import text as T
@@ -382,7 +382,10 @@ _MINHASH_SQL = (
     "defenses lossless.",
 )
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _t(spark, sf_dir, "documents")
+    # spread: the 1-partition fixture scan otherwise runs the whole
+    # per-row derivation chain below on one core (guide §2.5; catalog.spread
+    # is a no-op when the scan is already parallel).
+    d = spread(_t(spark, sf_dir, "documents"))
     toks = F.split("text", " ")
     sh = d.filter(F.size(toks) >= 3).select(
         "doc_id", T.shingles(toks, 3).alias("s")
@@ -406,7 +409,7 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench=False,
 )
 def q_dedup_minhash_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _t(spark, sf_dir, "documents")
+    d = spread(_t(spark, sf_dir, "documents"))
     toks = F.split("text", " ")
     sh = d.filter(F.size(toks) >= 3).select(
         "doc_id", T.shingles(toks, 3).alias("s")
@@ -1790,7 +1793,10 @@ def q_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         for t in (1, 2, 3)
     ]
-    d = _t(spark, sf_dir, "documents")
+    # spread: the 1-partition fixture scan otherwise runs the whole
+    # per-row derivation chain below on one core (guide §2.5; catalog.spread
+    # is a no-op when the scan is already parallel).
+    d = spread(_t(spark, sf_dir, "documents"))
     rp = F.expr(
         "array_join(transform(filter(split(text, ' '), w -> length(w) > 0), "
         "w -> concat('[', array_join(transform(sequence(1, length(w)), "
@@ -1936,7 +1942,7 @@ def _sweep_oracle() -> str:
     "5 x |candidates| rows.",
 )
 def q_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _t(spark, sf_dir, "documents")
+    d = spread(_t(spark, sf_dir, "documents"))
     toks = F.split("text", " ")
     sh = d.filter(F.size(toks) >= 3).select("doc_id", T.shingles(toks, 3).alias("s"))
     sig = D.minhash_signature_grouped(sh, "doc_id", F.col("s"), 12).localCheckpoint()
