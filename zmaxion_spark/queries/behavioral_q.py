@@ -2328,10 +2328,17 @@ def q_item_cf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # only AFTER aggregation — the naive per-order self-join shuffled
     # the full pair stream and hit disk-full at sf100 (6B lineitem).
     li = _t(spark, sf_dir, "lineitem")
+    # Eager checkpoint, not lazy cache: the four consumer subtrees
+    # (it x2 via ni/nj, half x2 via the union) launch as CONCURRENT
+    # stages of one job, and a lazy cache gives no cross-stage dedup
+    # until one fill completes - measured 4x the basket CPU (4 stages
+    # x ~10s execRun each re-reading the parquet). Materializing once
+    # up front removes the recomputation (guide SS2.4: share one
+    # exchange).
     baskets = (
         li.groupBy("l_orderkey")
         .agg(F.sort_array(F.collect_set("l_partkey")).alias("ps"))
-        .cache()
+        .localCheckpoint(eager=True)
     )
     it = (
         baskets.select(F.explode("ps").alias("l_partkey"))
@@ -2346,6 +2353,10 @@ def q_item_cf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("u", "v")
         .agg(F.count(F.lit(1)).cast("bigint").alias("co"))
         .filter(F.col("co") >= _CF_MIN_CO)
+        # consumed twice by the symmetric union below - materialize the
+        # (support-pruned, small) half-pairs once instead of running
+        # the basket pair fan-out per union branch.
+        .localCheckpoint(eager=True)
     )
     pr = half.select(
         F.col("u").alias("i"), F.col("v").alias("j"), "co"
