@@ -117,7 +117,12 @@ _SQL_COPURCHASE_EDGES = """
     "low-fan-out side of the wedge join.",
 )
 def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = _copurchase_edges(spark, sf_dir)
+    # Five consumer subtrees (deg x2 via the union, e1/e2 of the wedge
+    # join, e3 semi, ne) launch as concurrent stages of one job; with a
+    # lazy edge plan each re-runs the post-exchange aggregate+filter of
+    # the pair derivation. Materialize the (support-pruned, id-pair)
+    # edge list once up front (guide §2.4: share one exchange).
+    e = _copurchase_edges(spark, sf_dir).localCheckpoint(eager=True)
     deg = (
         e.select(F.col("u").alias("node"))
         .unionAll(e.select(F.col("v").alias("node")))
@@ -369,6 +374,16 @@ def q_shortest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     frontier = dist
     for hop in range(1, _BFS_HOPS + 1):
+        # The frontier is bounded by construction at EVERY scale: edges
+        # only connect supplier ids within ±3, so a BFS from node 0
+        # reaches ids ≤ 3·hop — ≤16 rows total. coalesce(1) collapses
+        # the 32 near-empty post-shuffle partitions each hop was
+        # scheduling (~0.4 s/hop of empty-task overhead), and ONE
+        # checkpoint per hop replaces the previous two (nxt was
+        # materialized once inside dist's checkpoint and again as
+        # frontier's); dist is a union of already-materialized RDDs, so
+        # its own checkpoint bought nothing (guide §2.6 stragglers /
+        # §5 lineage).
         nxt = (
             frontier.join(e, frontier.node == e.src)
             .select(
@@ -377,9 +392,11 @@ def q_shortest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .distinct()
             .join(dist.select("node"), "node", "left_anti")
+            .coalesce(1)
+            .localCheckpoint(eager=True)
         )
-        dist = dist.unionAll(nxt).localCheckpoint()
-        frontier = nxt.localCheckpoint()
+        dist = dist.unionAll(nxt)
+        frontier = nxt
     return dist
 
 
@@ -531,9 +548,20 @@ def q_graph_2hop(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     anchors = edge.filter(F.col("cust") % 50 == 0)
     hop1 = anchors.groupBy("cust").agg(F.count(F.lit(1)).alias("n_suppliers"))
+    # The 2-hop join's OUTPUT is ~10x its input (anchor x co-customer
+    # fan-out), but AQE coalesces the supp exchanges by their INPUT
+    # bytes — measured: the join + countDistinct partial agg ran on 4
+    # post-coalesce partitions while 28 cores idled. Pin the join
+    # parallelism explicitly (user repartition is exempt from AQE
+    # coalescing); derived from defaultParallelism, not a constant.
+    par = spark.sparkContext.defaultParallelism
     hop2 = (
-        anchors.join(
-            edge.select(F.col("cust").alias("ocust"), "supp"), "supp"
+        anchors.repartition(par, "supp")
+        .join(
+            edge.select(F.col("cust").alias("ocust"), "supp").repartition(
+                par, "supp"
+            ),
+            "supp",
         )
         .groupBy("cust")
         .agg((F.countDistinct("ocust") - 1).alias("n_cocustomers"))
