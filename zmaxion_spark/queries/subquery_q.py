@@ -315,16 +315,36 @@ def q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     "scan joined per round (broadcast the frontier when small).",
 )
 def q_recursive_bom(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from zmaxion_spark.catalog import register_views
+    from zmaxion_spark.catalog import load_table
 
-    register_views(spark, sf_dir, ["part"])
+    part = load_table(spark, sf_dir, "part")
     # The walk visits every partkey once, so total recursion output is
     # bounded by |part| — but Spark's cteRecursionRowLimit safety valve
     # defaults to 1M rows and kills the (correct, terminating) query on
     # fixtures past ~1M parts (hit at the sf10 smoke). Size the limit
     # from the actual domain instead of disabling it: termination stays
-    # protected by a real bound, one cheap dimension count pays for it.
-    n = spark.table("part").count()
+    # protected by a real bound, one cheap dimension count pays for it
+    # (and the same pass fetches MAX(p_partkey) for the edge bound).
+    n, mk = part.agg(
+        F.count(F.lit(1)), F.max("p_partkey")
+    ).first()
+    # Hoist the edge derivation OUT of the recursion: the fixpoint
+    # engine re-evaluates the recursive term's plan every round, so the
+    # inline `part UNION ALL part` + scalar-subquery bound cost two
+    # parquet scans + one subquery per depth level (~109 stages
+    # measured for ~14 levels, all scheduling overhead). The child
+    # bound `child <= MAX(p_partkey)` depends only on the edge row, so
+    # pre-filtering the materialized edge list is equivalent; each
+    # round now joins the frontier against an in-memory id-pair RDD
+    # (guide §2.4 / §3.3: materialize the loop invariant).
+    pk = part.select(F.col("p_partkey").alias("parent"))
+    edges = (
+        pk.select("parent", (F.col("parent") * 2).alias("child"))
+        .unionAll(pk.select("parent", (F.col("parent") * 2 + 1).alias("child")))
+        .filter(F.col("child") <= F.lit(mk))
+        .localCheckpoint(eager=True)
+    )
+    edges.createOrReplaceTempView("bom_edges")
     # Scope the raised valve to THIS query: the limit is read at
     # execution time, so materialize the (tiny, depth-rows) result
     # under the raised conf and restore the previous value after —
@@ -340,12 +360,7 @@ def q_recursive_bom(spark: SparkSession, sf_dir: str) -> DataFrame:
             UNION ALL
             SELECT c.child, w.depth + 1
             FROM walk w
-            JOIN (
-                SELECT p_partkey AS parent, p_partkey * 2 AS child FROM part
-                UNION ALL
-                SELECT p_partkey, p_partkey * 2 + 1 FROM part
-            ) c ON c.parent = w.p_partkey
-            WHERE c.child <= (SELECT MAX(p_partkey) FROM part)
+            JOIN bom_edges c ON c.parent = w.p_partkey
         )
         SELECT depth, COUNT(*) AS n_nodes,
                MIN(p_partkey) AS min_key, MAX(p_partkey) AS max_key
