@@ -304,10 +304,17 @@ def _sparse_cosupply_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     diameter), materialized ONCE via eager localCheckpoint: iterative
     consumers (#206 BFS, #211 label propagation) would otherwise
     recompute the lineitem self-join that derives it every round."""
+    # Pin the self-join parallelism: AQE coalesces the p-exchange by its
+    # INPUT bytes (~5 MB) while the band-join's fan-out OUTPUT is much
+    # larger — measured 2.1 s execRun on 5 post-coalesce tasks with the
+    # rest of the cores idle. A user repartition (AQE-coalescing-exempt,
+    # target derived from defaultParallelism) feeds both aliases via one
+    # reused exchange (guide §2.5).
     ps = (
         _t(spark, sf_dir, "lineitem")
         .select(F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s"))
         .distinct()
+        .repartition(spark.sparkContext.defaultParallelism, "p")
     )
     a, b = ps.alias("a"), ps.alias("b")
     half = (

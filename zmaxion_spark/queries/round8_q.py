@@ -174,6 +174,12 @@ def q_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
         term = (
             F.col("n").cast("double") / (F.col("p_i") + F.col("p_j"))
         ).cast("decimal(38,18)")
+        # The MM state is the k x k win matrix — k = distinct priority
+        # classes (5), a fixed domain at EVERY scale factor. Each round's
+        # checkpoint was materializing 32 near-empty post-shuffle
+        # partitions (44 tiny stages measured for 8 rounds); coalesce(1)
+        # collapses the scheduling overhead without touching the
+        # (order-free, DECIMAL-summed) arithmetic.
         p = (
             nall.join(pi, "i")
             .join(pj, "j")
@@ -190,6 +196,7 @@ def q_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).alias("p")
             )
             .select("i", "p")
+            .coalesce(1)
             .localCheckpoint(eager=True)
         )
     nd = nall.groupBy("i").agg(F.sum("n").cast("bigint").alias("n_duels"))
