@@ -969,6 +969,10 @@ def q_corpus_to_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         .not_null("shard")
         .in_range("chunk_tokens", 1, _CAP_CHUNK)
     )
+    # The gate report and the partitioned publish both consume chunks;
+    # materialize the gate→dedup→chunk chain once so neither pass
+    # (nor the per-shard staging jobs) re-runs the window dedup.
+    chunks = chunks.localCheckpoint(eager=True)
     t = TxTable(tempfile.mkdtemp(prefix="zmx-corpus-shards-") + "/t")
     # validated, hive-partitioned publish (gate BEFORE the commit)
     report = gate.run(chunks)

@@ -476,6 +476,13 @@ class TxTable:
     def _stage_partitioned(self, df, part_col: str, files_per_part: int) -> list[dict]:
         from pyspark.sql import functions as F
 
+        # NOTE (r11): the driver enumerates partition values and stages
+        # each one as its own sequential write job, re-computing df's
+        # upstream pipeline per job. A blanket localCheckpoint here was
+        # measured a ~8% REGRESSION for cheap-upstream callers
+        # (q_txlog_replace_where: the materialization costs more than
+        # the re-scans save); callers with expensive upstreams
+        # checkpoint at the call site instead (q_corpus_to_shards).
         values = sorted(
             r[0] for r in df.select(part_col).distinct().collect()
         )
