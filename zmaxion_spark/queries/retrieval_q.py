@@ -441,10 +441,16 @@ def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Materialize candidates ONCE (eager localCheckpoint): the greedy
     # loop references `cand` 3x per step — without truncation each step
     # would recompute the corpus-wide cosine scan.
+    # cand/p/out are bounded at EVERY scale (3 fixed query ids ×
+    # _MMR_CAND candidates → ≤36/≤396/≤15 rows), so coalesce(1) before
+    # each checkpoint collapses the 32 near-empty post-shuffle
+    # partitions the 5-step greedy loop was scheduling per iteration
+    # (44 tiny stages measured).
     cand = (
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= _MMR_CAND)
         .select("qid", "vec_id", "embedding", "rel")
+        .coalesce(1)
         .localCheckpoint()
     )
     a = cand.select(
@@ -461,6 +467,7 @@ def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(b, ["pqid"])
         .filter(F.col("i") != F.col("j"))
         .select("pqid", "i", "j", cosine(F.col("va"), F.col("vb")).alias("sim"))
+        .coalesce(1)
         .localCheckpoint()
     )
     wpick = Window.partitionBy("qid").orderBy(F.col("score").desc(), "vec_id")
@@ -498,7 +505,7 @@ def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         # Checkpoint the accumulator: pick_t's plan embeds out_{t-1},
         # so an unbroken lineage replays every earlier argmax per step.
-        out = out.unionByName(pick).localCheckpoint()
+        out = out.unionByName(pick).coalesce(1).localCheckpoint()
     return out.select(
         "qid", "vec_id", "mmr_rank", F.round("score", 9).alias("mmr_score")
     )
