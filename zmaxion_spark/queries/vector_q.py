@@ -234,11 +234,25 @@ def _spark_signdot(vec, plane: list[float]):
 )
 def q_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "embeddings")
+    # One 16x64 literal + a transform over plane indices instead of 16
+    # separately-inlined plane expressions (~3k expression nodes): the
+    # query was PLANNING-bound (wall 2.6 s with <0.4 s of stage time —
+    # guide §7.3). Arithmetic is unchanged: per plane, the same
+    # ascending zip_with multiply + left-fold add, so every double is
+    # bit-identical.
+    planes_lit = F.array(*[F.array(*[F.lit(v) for v in p]) for p in _JL_PLANES])
+    vec = _d(F.col("embedding"))
     proj = e.select(
         "vec_id",
-        _d(F.col("embedding")).alias("v"),
-        F.array(
-            *[_spark_signdot(_d(F.col("embedding")), p) for p in _JL_PLANES]
+        vec.alias("v"),
+        F.transform(
+            planes_lit,
+            lambda plane: F.lit(_JL_SCALE)
+            * F.aggregate(
+                F.zip_with(vec, plane, lambda x, y: x * y),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
         ).alias("p"),
     )
     a = proj.select(
