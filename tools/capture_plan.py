@@ -1,7 +1,8 @@
-"""Capture one query's .explain("formatted") to plans/r11/<q>_<tag>.txt.
+"""Capture one query's .explain("formatted") to plans/<round>/<q>_<tag>.txt.
 
 Usage: python tools/capture_plan.py <tag> <query> [query ...]
-Round-11 optimization evidence (guide §1.2/§7.2): the judge checks plan
+The round subdir defaults to r12 (override with ZMX_PLAN_ROUND).
+Optimization evidence (guide §1.2/§7.2): the judge checks plan
 claims (Exchange counts, join strategy, pushdown) against these files.
 """
 
@@ -18,10 +19,17 @@ from zmaxion_spark.queries import REGISTRY  # noqa: E402
 from zmaxion_spark.session import get_spark  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r11")
+OUT = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "plans",
+    os.environ.get("ZMX_PLAN_ROUND", "r12"),
+)
 
 
 def main() -> None:
+    if len(sys.argv) < 3:
+        print("usage: python tools/capture_plan.py <tag> <query> [query ...]", file=sys.stderr)
+        sys.exit(2)
     tag = sys.argv[1]
     names = sys.argv[2:]
     unknown = [n for n in names if n not in REGISTRY]
