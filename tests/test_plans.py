@@ -516,7 +516,7 @@ def test_state_reader_parallelism_matches_state_partitions(spark):
     df = REGISTRY["q_state_reader"].fn(spark, SF_SMOKE)
     import os
 
-    n = int(os.environ.get("ZMX_STREAM_SHUFFLE", "8"))
+    n = int(os.environ.get("ZMX_STREAM_SHUFFLE", "4"))
     assert df.rdd.getNumPartitions() == n
 
 

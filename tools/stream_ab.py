@@ -28,14 +28,21 @@ CHANGELOG_KEY = (
     "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
 )
 
-CONFIGS = [
+ALL_CONFIGS = [
     ("hdfs-8", HDFS, "8", None),
     ("hdfs-4", HDFS, "4", None),
     ("hdfs-16", HDFS, "16", None),
     ("hdfs-32", HDFS, "32", None),
     ("rocks-8", ROCKS, "8", "false"),
     ("rocks-chlog-8", ROCKS, "8", "true"),
+    ("rocks-chlog-4", ROCKS, "4", "true"),
+    ("hdfs-2", HDFS, "2", None),
+    ("hdfs-6", HDFS, "6", None),
 ]
+_sel = os.environ.get("ZMX_STREAM_AB_CONFIGS")
+CONFIGS = (
+    [c for c in ALL_CONFIGS if c[0] in _sel.split(",")] if _sel else ALL_CONFIGS[:6]
+)
 
 
 def run_one(spark, name: str):

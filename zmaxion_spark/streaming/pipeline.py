@@ -40,9 +40,19 @@ def _stream_shuffle(spark: SparkSession):
     partition and pins that number in the checkpoint forever. The
     right value is a *sizing* decision — state volume / executor count
     — not the batch shuffle default, so it is its own knob
-    (ZMX_STREAM_SHUFFLE; default 8 for the local test tier, raise to
-    O(cores×executors) on a cluster)."""
-    n = os.environ.get("ZMX_STREAM_SHUFFLE", "8")
+    (ZMX_STREAM_SHUFFLE; raise to O(cores×executors) on a cluster).
+
+    Local default 4 (round-12 A/B, guide §5): per micro-batch every
+    partition pays a state-store commit (delta write + fsync), so at
+    the KB-sized state of the test tier the partition count is pure
+    fixed overhead — sweeping 2/4/6/8 on the three heaviest stateful
+    topologies (stream-stream inner + full-outer join, chained agg)
+    gave 2.11/2.34/1.76 s at 4 vs 2.63/2.97/1.97 s at 8 (min-of-N,
+    alternating, results row-identical), monotone in between, with 2
+    no better than 4. RocksDB (±changelog checkpointing) was also
+    measured and rejected: per-partition instance spin-up costs more
+    than the HDFS-backed store's commit at this state size."""
+    n = os.environ.get("ZMX_STREAM_SHUFFLE", "4")
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", n)
     try:
