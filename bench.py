@@ -65,6 +65,44 @@ def main() -> None:
         run_one(spark, REGISTRY[names[0]], sf_dir)
     except Exception:
         pass  # a broken warm-up query must not sink the whole record
+    # Python-DataSource machinery warm-up (round 12, measurement fix —
+    # OPTIMIZATION_r12.md "q_kafka_roundtrip"): the FIRST DataSource use
+    # in a session spawns several distinct Python worker-module daemons
+    # (create/plan/read), each importing pyspark — measured ~8.7 s of
+    # session infrastructure billed to whichever datasource query runs
+    # first (alphabetically q_kafka_roundtrip, which steady-states at
+    # ~1.2 s). Same warm-up class as the JVM/codegen line above; a
+    # 1-row topic read keeps the warm-up itself sub-second thereafter.
+    try:
+        from zmaxion_spark.streaming.pytopic import read_topic
+
+        read_topic(spark, rows_per_partition=1, partitions=1).write.format(
+            "noop"
+        ).mode("overwrite").save()
+    except Exception:
+        pass
+    # ... and the Python-DataSink write path (its own worker modules:
+    # plan-write/commit — measured ~6 s first-use, billed to
+    # q_python_datasink without this). One 1-row manifest write to /tmp.
+    try:
+        import shutil
+        import tempfile
+
+        from zmaxion_spark.streaming.pysink import TopicSinkDataSource
+
+        spark.dataSource.register(TopicSinkDataSource)
+        _wd = tempfile.mkdtemp(prefix="zmx-bench-warm-")
+        (
+            spark.range(1)
+            .selectExpr("'warm' AS k", "id AS v")
+            .write.format("zmx_topic_sink")
+            .option("path", _wd)
+            .mode("append")
+            .save()
+        )
+        shutil.rmtree(_wd, ignore_errors=True)
+    except Exception:
+        pass
 
     # Round-2 lesson: one raising query turned BENCH_r02.json into a
     # crash record with zero timings. Isolate failures per query so a
