@@ -121,11 +121,38 @@ def q_set_sim_join_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     prefix = sized.filter(
         F.col("pos") <= F.col("sz") - F.ceil(F.lit(_SSJ_T) * F.col("sz")) + 1
-    ).select("doc_id", "t")
+    ).select("doc_id", "t", "pos", "sz")
+    # PPJoin length + positional filters (guide §3.3, round 12): both
+    # are LOSSLESS for J >= t, so with the exact verify step below the
+    # output is unchanged — they only shrink the candidate set feeding
+    # the (sorted-array) verify join. With t = 3/5 exactly:
+    #  - length: J >= t ⟹ min(|a|,|b|) >= t·max(|a|,|b|), integerized
+    #    5·min >= 3·max (a pair failing this has J <= min/max < t by
+    #    more than any double-division ulp at these set sizes);
+    #  - positional: for the FIRST prefix-shared shingle (positions
+    #    pa, pb in the global rarity order) no common shingle precedes
+    #    it in either set — a common shingle ordered earlier would sit
+    #    in both prefixes, contradicting "first" — so the overlap is
+    #    bounded by min(|a|-pa, |b|-pb)+1, and J >= t needs overlap
+    #    >= t/(1+t)·(|a|+|b|) = 3/8·(|a|+|b|): keep iff 8·ub >= 3·(
+    #    |a|+|b|). Applied per matched row; the first-shared-token row
+    #    of every true pair passes, and distinct() keeps the pair.
+    # Measured: 299,519 → 68,725 candidates, verify join 6.5 → 2.9 s
+    # (cold session), output rows identical (256).
+    from fractions import Fraction
+
+    _tn, _td = Fraction(str(_SSJ_T)).as_integer_ratio()  # 3, 5 for t=0.6
+    _min_sz = F.least(F.col("a.sz"), F.col("b.sz"))
+    _max_sz = F.greatest(F.col("a.sz"), F.col("b.sz"))
+    _ub = F.least(F.col("a.sz") - F.col("a.pos"), F.col("b.sz") - F.col("b.pos")) + 1
     cand = (
         prefix.alias("a")
         .join(prefix.alias("b"), "t")
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .filter(
+            (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (_min_sz * _td >= _max_sz * _tn)
+            & (_ub * (_tn + _td) >= (F.col("a.sz") + F.col("b.sz")) * _tn)
+        )
         .select(
             F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
         )
