@@ -1275,6 +1275,22 @@ def q_bleu_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.posexplode(F.split("text", " ")).alias("pos0", "tok"),
         )
         .select("doc_id", "lang", (F.col("pos0") + 1).alias("pos"), "tok")
+        # Round 12 (guide §2.5, the q_graph_2hop pattern): AQE
+        # coalesced every window-input exchange by its ~12 MB INPUT
+        # bytes, so the (doc_id,pos) sorts, the 4-way gram explode and
+        # the gram aggregates all ran on a handful of tasks. A user
+        # repartition on doc_id is AQE-coalescing-exempt
+        # (REPARTITION_BY_NUM): the executed plans show the window
+        # branches' AQEShuffleRead(coalesced) nodes gone after the pin
+        # (plans/r12/q_bleu_eval_{before,after}_executed.txt) and the
+        # downstream stages at full parallelism. LEAD values are
+        # unchanged: same partition set, same intra-partition
+        # (doc_id, pos) sort each window does. A/B ×4 (min): old
+        # 3.27 s / new 2.59 s, new ≤ old every settled cycle; a
+        # follow-up regrouping of the gram aggregate onto the
+        # clip-join keys was measured and REJECTED (wash to slightly
+        # negative — OPTIMIZATION_r12.md).
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
     )
     wnd = Window.partitionBy("doc_id").orderBy("pos")
 
