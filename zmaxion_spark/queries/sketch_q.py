@@ -806,8 +806,21 @@ _DD_SLACK = "0.0102"  # alpha + integerization headroom
 def q_ddsketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
-    li = load_table(spark, sf_dir, "lineitem").filter(
-        F.col("l_extendedprice") > 0
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_extendedprice") > 0)
+        # Round 12 (guide §2.5, per-query pin the r11 global-floor
+        # experiment pointed at): AQE coalesced the (flag, price)
+        # census exchange by input bytes, bottlenecking the cumulative
+        # histogram build. AQE-exempt user repartition on the census
+        # keys keeps the aggregate at full width (the agg reuses this
+        # exchange; the 3-partition per-flag window after it is
+        # inherent). A/B ×5 min 2.59 -> 2.04 s, new < old in 4/5
+        # cycles. The same pin on q_conformance_fitness was measured
+        # and REJECTED (wash — OPTIMIZATION_r12.md).
+        .repartition(
+            spark.sparkContext.defaultParallelism, "l_returnflag", "l_extendedprice"
+        )
     )
     g = float((1 + 0.01) / (1 - 0.01))  # matches the SQL double exactly
     g_lit = (F.lit(1.0) + F.lit(0.01)) / (F.lit(1.0) - F.lit(0.01))
