@@ -133,6 +133,11 @@ _BM25_B = 0.75
     "and ROUND(9) absorbs ln()'s last ulp.",
 )
 def q_bm25_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Round 12: spread(d) before the tokenize/explode chain was A/B'd
+    # and REJECTED — old min 1.30 s vs new 1.93 s (old won every
+    # cycle; q_rrf_fusion, which composes this, read the same). The
+    # shuffle moves the full text payload, which costs more than the
+    # post-spread parallelism buys (OPTIMIZATION_r12.md).
     d = _docs(spark, sf_dir)
     toks = F.split("text", " ")
     tok = d.select("doc_id", F.explode(toks).alias("term")).filter(

@@ -169,10 +169,21 @@ def q02_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("p_partkey", "p_brand", "cost", "s_acctbal", "s_name", "n_name")
     )
-    mn = eur.groupBy("p_partkey").agg(F.min("cost").alias("min_cost"))
-    return (
-        eur.join(mn, "p_partkey")
+    # Round 12 (guide §2.4): the min-join-back evaluated the whole eur
+    # subtree TWICE — the lineitem-sized ps rollup plus four broadcast
+    # joins re-ran under the mn aggregate. A window MIN partitioned by
+    # p_partkey computes the same correlated minimum in the single eur
+    # pass (identical row set: every row with cost equal to its part's
+    # minimum survives, ties included, exactly like the join-back).
+    # A/B ×4 min 2.35 → 1.94 s, new < old in 3/4 cycles; oracle exact.
+    flt = (
+        eur.withColumn(
+            "min_cost", F.min("cost").over(Window.partitionBy("p_partkey"))
+        )
         .filter(F.col("cost") == F.col("min_cost"))
+    )
+    return (
+        flt
         .select(
             "s_acctbal",
             "s_name",
@@ -255,6 +266,12 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("val_cents")
         )
     )
+    # Round 12 (guide §2.4): the global-total scalar re-ran the whole
+    # fact rollup as a second subtree. The rollup output is one row
+    # per partkey — materialize it once; tot and the gate both read
+    # the in-memory rows. A/B ×4 min 1.35 → 1.17 s, new < old in 3/4
+    # cycles; oracle exact.
+    ps = ps.localCheckpoint(eager=True)
     tot = ps.agg(
         F.sum("val_cents").cast("bigint").alias("t"),
         F.count(F.lit(1)).cast("bigint").alias("c"),
