@@ -41,9 +41,18 @@ def test_lloyd_assign_udf_bit_parity(spark):
 
     df = _mk_vecs(spark)
     dim = 7
+    # ADVICE r11: the _mk_vecs [0.5]*7 rows are NOT an argmin tie here
+    # (centroid 2 is strictly nearer than the 0/1 pair) — add rows
+    # exactly equidistant from the two NEAREST centroids (1 and 2,
+    # |0.625-0.25| = |1.0-0.625| = 0.375 exact in binary) so the
+    # argmin tie-break (smaller cluster id wins) is really exercised.
+    ties = spark.createDataFrame(
+        [(1000, [0.625] * dim), (1001, [0.625] * dim)], "id long, v array<double>"
+    )
+    df = df.unionByName(ties)
     cents = {
         0: [0.0] * dim,
-        1: [1.0] * dim,  # ties with 0 at v=[0.5]*dim -> cluster 0 must win
+        1: [1.0] * dim,  # ties with 2 at v=[0.625]*dim -> cluster 1 must win
         2: [0.25] * dim,
         3: [-2.0] * dim,
     }

@@ -72,8 +72,19 @@ def spread(df: DataFrame, factor: int = 1) -> DataFrame:
     ``factor × defaultParallelism`` — but ONLY when the plan's current
     parallelism is below that target, so at production scale (many
     files/row groups per table) this is a no-op and adds no exchange.
-    Call it on the narrow projection (keys + needed columns), never on
-    a wide payload, so the shuffle moves metadata-sized rows.
+
+    Costs to be aware of (ADVICE r11):
+    - The guard calls ``df.rdd.getNumPartitions()``, which converts the
+      plan to an RDD — pure driver-side planning work per call (cheap
+      at these plan sizes, and the count it sees is pre-AQE).
+    - The shuffle moves whatever columns the projection carries. Keep
+      it to keys + the columns the downstream derivation actually
+      consumes. When that unavoidably includes a heavy payload (the
+      minhash/BPE callers shuffle the document text because the
+      derivation IS over the text), the spread is only worth it when
+      the derivation is much more expensive than the payload shuffle —
+      measured per call site, e.g. the round-12 bm25/rrf A/B rejected
+      exactly this spread (tokenize is cheaper than moving the text).
     """
     spark = df.sparkSession
     target = factor * spark.sparkContext.defaultParallelism

@@ -46,8 +46,21 @@ def _sq_dists_exact(vecs: pd.Series, cents: list[tuple[int, list[float]]]):
     index order — the same IEEE op sequence per element as the
     ``zip_with``/``aggregate`` expression ``((0+t0)+t1)+...`` with
     ``t_i=(x_i-c_i)^2``, so results are bit-identical to the HOF tree.
-    (numpy's own ``sum`` is pairwise and would NOT match.)"""
-    A = np.vstack(vecs.to_numpy()).astype(np.float64, copy=False)
+    (numpy's own ``sum`` is pairwise and would NOT match.)
+
+    Precondition (ADVICE r11): vectors must be NON-NULL and of one
+    fixed dimensionality — the HOF trees these kernels replace yielded
+    null distances for null vectors, but every caller (Lloyd rounds
+    over generated/normalized embeddings) guarantees dense fixed-dim
+    input, so a violation here is a caller bug and raises rather than
+    silently degrading."""
+    try:
+        A = np.vstack(vecs.to_numpy()).astype(np.float64, copy=False)
+    except ValueError as e:  # null or ragged vectors
+        raise ValueError(
+            "lloyd kernels require non-null, fixed-dimension vectors "
+            f"(got a null/ragged batch: {e})"
+        ) from e
     out = []
     for _cid, cv in cents:
         acc = np.zeros(A.shape[0])
@@ -98,6 +111,10 @@ def lloyd_top2_udf(cents_map: dict[int, list[float]]):
     strict-``<`` updates. Returns struct<cluster:int, da:double,
     db:double>."""
     cents = [(int(c), [float(x) for x in v]) for c, v in sorted(cents_map.items())]
+    if len(cents) < 2:
+        raise ValueError(
+            f"lloyd_top2_udf needs at least 2 centroids, got {len(cents)}"
+        )
 
     @pandas_udf("struct<cluster: int, da: double, db: double>")
     def top2(vecs: pd.Series) -> pd.DataFrame:

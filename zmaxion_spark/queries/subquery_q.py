@@ -344,7 +344,13 @@ def q_recursive_bom(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("child") <= F.lit(mk))
         .localCheckpoint(eager=True)
     )
-    edges.createOrReplaceTempView("bom_edges")
+    # Per-invocation view name (ADVICE r11): a session-global
+    # "bom_edges" could be swapped mid-recursion by a concurrent build
+    # on the shared session; unique name + drop in finally.
+    import uuid
+
+    view = f"bom_edges_{uuid.uuid4().hex[:12]}"
+    edges.createOrReplaceTempView(view)
     # Scope the raised valve to THIS query: the limit is read at
     # execution time, so materialize the (tiny, depth-rows) result
     # under the raised conf and restore the previous value after —
@@ -354,13 +360,13 @@ def q_recursive_bom(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.cteRecursionRowLimit", str(max(1_000_000, 2 * n)))
     try:
         return spark.sql(
-        """
+        f"""
         WITH RECURSIVE walk(p_partkey, depth) AS (
             SELECT CAST(1 AS BIGINT), CAST(0 AS BIGINT)
             UNION ALL
             SELECT c.child, w.depth + 1
             FROM walk w
-            JOIN bom_edges c ON c.parent = w.p_partkey
+            JOIN {view} c ON c.parent = w.p_partkey
         )
         SELECT depth, COUNT(*) AS n_nodes,
                MIN(p_partkey) AS min_key, MAX(p_partkey) AS max_key
@@ -372,6 +378,7 @@ def q_recursive_bom(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark.conf.unset("spark.sql.cteRecursionRowLimit")
         else:
             spark.conf.set("spark.sql.cteRecursionRowLimit", prev)
+        spark.catalog.dropTempView(view)
 
 
 # ---------------------------------------------------------------------------
