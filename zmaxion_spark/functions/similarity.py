@@ -209,6 +209,28 @@ def lsh_signatures_arrow(
 
 
 @pandas_udf(T.DoubleType())
+def dot_arrow(a: pd.Series, b: pd.Series) -> pd.Series:
+    """Arrow-vectorized dot product, bit-exact with :func:`dot`.
+
+    Same left fold as the zip_with/aggregate tree (acc + a_j*b_j,
+    starting at 0.0, ascending j) applied column-by-column across the
+    batch — every IEEE intermediate per row is identical, so any
+    downstream arithmetic or threshold sees the same bits. Same
+    non-null fixed-dim precondition as the Lloyd kernels (np.vstack
+    raises on null/ragged input — the callers' pair stages feed dense
+    checkpointed vectors). Used where per-pair interpreted lambdas
+    dominate (the SemDeDup pair censuses fold ~1M pairs)."""
+    if len(a) == 0:
+        return pd.Series(dtype="float64")
+    av = np.vstack(a.to_numpy()).astype(np.float64, copy=False)
+    bv = np.vstack(b.to_numpy()).astype(np.float64, copy=False)
+    acc = np.zeros(av.shape[0])
+    for j in range(av.shape[1]):
+        acc = acc + av[:, j] * bv[:, j]
+    return pd.Series(acc)
+
+
+@pandas_udf(T.DoubleType())
 def cosine_arrow(a: pd.Series, b: pd.Series) -> pd.Series:
     """Arrow-vectorized cosine, bit-exact with :func:`cosine`.
 

@@ -213,6 +213,12 @@ def q_semdedup_big(spark: SparkSession, sf_dir: str) -> DataFrame:
         % 21
         - 10
     ).cast("double") / 1000
+    # NOTE (r12, measured): a catalog.spread() of (pid, v) before this
+    # checkpoint was A/B'd and REJECTED (old min 4.27s vs new 4.63s,
+    # 5 cycles) — the 8k-row point set is too small for the exchange +
+    # 32-task scheduling to pay for the single-core map work it
+    # removes; the heavy stages (posexplode centroid aggregate, pair
+    # fold) already run post-shuffle on 32 partitions.
     pts = (
         emb.select("vec_id", "v0", reps)
         .select(
@@ -283,7 +289,13 @@ def q_semdedup_big(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("id") + 1).cast("int"),
         ).alias("tau_pct")
     )
-    cos = S.dot(F.col("payload_a.v"), F.col("payload_b.v")) / (
+    # Arrow-vectorized pair dot (S.dot_arrow — guide §4.2): bit-exact
+    # with the interpreted zip_with/aggregate fold it replaces (same
+    # left fold, ascending j, start 0.0), but ~1M pair folds run as
+    # one numpy accumulation per batch instead of per-row interpreted
+    # lambdas. The division by the precomputed norms stays JVM-side,
+    # identical operands -> identical cosine bits at every tau edge.
+    cos = S.dot_arrow(F.col("payload_a.v"), F.col("payload_b.v")) / (
         F.col("payload_a.n") * F.col("payload_b.n")
     )
     # Fold each pair's cosine ONCE and max-reduce per (cluster, pid)

@@ -227,7 +227,13 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("id") + 1).cast("int"),
         ).alias("tau_pct")
     )
-    cos = S.dot(F.col("payload_a.v"), F.col("payload_b.v")) / (
+    # Arrow-vectorized pair dot (S.dot_arrow — guide §4.2), the same
+    # swap as its scale twin q_semdedup_big: bit-exact with the
+    # interpreted zip_with/aggregate fold (same left fold, ascending j,
+    # start 0.0; parity pinned in tests/test_opt_r12.py), one numpy
+    # accumulation per batch instead of ~500k per-pair interpreted
+    # lambdas. Norm division stays JVM-side on identical operands.
+    cos = S.dot_arrow(F.col("payload_a.v"), F.col("payload_b.v")) / (
         F.col("payload_a.n") * F.col("payload_b.n")
     )
     drops = (
