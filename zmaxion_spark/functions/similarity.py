@@ -148,6 +148,159 @@ def lloyd_top2_udf(cents_map: dict[int, list[float]]):
     return top2
 
 
+def blocked_pair_max_cosine(
+    df: DataFrame,
+    *,
+    cluster_col: str = "cluster",
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+    norm_col: str = "n",
+    block: int = 64,
+    salt: str = "sdblk",
+) -> DataFrame:
+    """Per-(cluster, id) PARTIAL max cosine over every unordered
+    within-cluster pair, where id is the GREATER member of the pair —
+    the SemDeDup drop census, computed without ever materializing pair
+    rows. Callers finish with ``groupBy(cluster, pid).max(max_cos)``.
+
+    Shape: the same blocked triangle discipline as
+    ``dedup.blocked_cluster_pairs`` (identical md5 block ids, identical
+    (cluster, bi, bj) cells carrying <= block rows per side), but each
+    cell is reduced INSIDE one Arrow kernel: members replicate to their
+    cells (n_c·B/2 narrow rows per cluster — id, vector, norm), and the
+    kernel computes the cell's cosine matrix as 64 rank-1 fold updates,
+    emitting <= |cell members| partial rows. The join-based pair stage
+    streamed BOTH 64-double payloads per pair through the cosine
+    projection — ~100 GB of pair traffic for the 10^8 pairs of the sf1
+    decade fixture vs ~2 GB of member replicas here; candidate volume
+    itself is unchanged (the kernel folds the same n_c²/2 cosines).
+
+    Bit-parity with the pair-join census (pinned in
+    tests/test_opt_r12.py against blocked_cluster_pairs itself):
+    - num accumulates ``acc = acc + a_k*b_k`` ascending k from zeros —
+      per element the exact fold order of ``dot``/``dot_arrow``;
+    - cos = num / (n_a * n_b): same multiply-then-divide on the same
+      precomputed norms;
+    - the pair SET is the blocked triangle's (diagonal cells keep
+      id_a < id_b, off-diagonal cells meet exactly once);
+    - degenerate 0-norm cosines: the kernel's 0/0 is a NaN, which the
+      NaN-skipping ``np.fmax.reduceat`` partial max ignores and the
+      Arrow boundary returns as NULL when a pid's pairs are ALL
+      degenerate — exactly Spark's non-ANSI NULL division + NULL-
+      skipping max (pinned in the parity test). Under the default ANSI
+      mode the pair-join formulation ERRORS outright on such a pair
+      (DIVIDE_BY_ZERO), so the kernel is strictly more robust there;
+      fixture embeddings never contain a 0-norm vector.
+    """
+    c, i = cluster_col, id_col
+    bsz = df.groupBy(c).agg(F.count(F.lit(1)).alias("_nc")).select(
+        c, F.ceil(F.col("_nc") / F.lit(block)).cast("int").alias("_nb")
+    )
+    blk = F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(F.lit(salt + ":"), F.col(i).cast("string")).cast(
+                        "binary"
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long"),
+        F.col("_nb"),
+    ).cast("int")
+    mem = df.join(F.broadcast(bsz), c).select(
+        c,
+        F.col(i).alias("_id"),
+        F.col(vec_col).alias("_v"),
+        F.col(norm_col).alias("_n"),
+        blk.alias("_blk"),
+        "_nb",
+    )
+    # Replicate members over the triangle cells they participate in.
+    # a-side: own block row, all cells (bi=_blk, bj >= _blk).
+    # b-side: column cells (bi < _blk, bj=_blk) — strictly off-diagonal
+    # (the _blk > 0 filter also keeps sequence() ascending; a bare
+    # sequence(0, -1) would DESCEND, Spark defaults step to -1).
+    a_side = mem.select(
+        c,
+        F.col("_blk").alias("_bi"),
+        F.explode(F.sequence(F.col("_blk"), F.col("_nb") - 1)).alias("_bj"),
+        F.lit(0).alias("_sd"),
+        "_id",
+        "_v",
+        "_n",
+    )
+    b_side = mem.filter(F.col("_blk") > 0).select(
+        c,
+        F.explode(F.sequence(F.lit(0), F.col("_blk") - 1)).alias("_bi"),
+        F.col("_blk").alias("_bj"),
+        F.lit(1).alias("_sd"),
+        "_id",
+        "_v",
+        "_n",
+    )
+    both = a_side.unionByName(b_side)
+
+    out_schema = T.StructType(
+        [
+            df.schema[c],
+            T.StructField("pid", T.LongType()),
+            T.StructField("max_cos", T.DoubleType()),
+        ]
+    )
+
+    def cell_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        diag = bool(pdf["_bi"].iat[0] == pdf["_bj"].iat[0])
+        a = pdf[pdf["_sd"] == 0]
+        if diag:
+            b = a
+        else:
+            b = pdf[pdf["_sd"] == 1]
+        if len(a) == 0 or len(b) == 0 or (diag and len(a) < 2):
+            return pd.DataFrame(
+                {
+                    c: pd.Series(dtype=pdf[c].dtype),
+                    "pid": pd.Series(dtype="int64"),
+                    "max_cos": pd.Series(dtype="float64"),
+                }
+            )
+        ida = a["_id"].to_numpy(dtype=np.int64)
+        idb = b["_id"].to_numpy(dtype=np.int64)
+        Va = np.vstack(a["_v"].to_numpy()).astype(np.float64, copy=False)
+        Vb = Va if diag else np.vstack(b["_v"].to_numpy()).astype(
+            np.float64, copy=False
+        )
+        na = a["_n"].to_numpy(dtype=np.float64)
+        nb = na if diag else b["_n"].to_numpy(dtype=np.float64)
+        num = np.zeros((len(ida), len(idb)))
+        for k in range(Va.shape[1]):  # ascending-k fold, exact dot order
+            num = num + Va[:, k : k + 1] * Vb[:, k]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            cos = num / (na[:, None] * nb[None, :])
+        if diag:
+            keep = ida[:, None] < idb[None, :]
+        else:
+            keep = np.ones_like(cos, dtype=bool)
+        pidm = np.maximum(ida[:, None], idb[None, :])
+        pidf = pidm[keep]
+        cosf = cos[keep]
+        order = np.argsort(pidf, kind="stable")
+        spid = pidf[order]
+        starts = np.flatnonzero(np.r_[True, spid[1:] != spid[:-1]])
+        # fmax skips NaN (all-NaN group -> NaN -> NULL past Arrow):
+        # Spark's NULL-division + NULL-skipping max semantics.
+        maxes = np.fmax.reduceat(cosf[order], starts)
+        return pd.DataFrame(
+            {c: pdf[c].iat[0], "pid": spid[starts], "max_cos": maxes}
+        )
+
+    return both.groupBy(c, "_bi", "_bj").applyInPandas(cell_kernel, out_schema)
+
+
 def hyperplanes(n_planes: int, dim: int, seed: int = 42) -> list[list[float]]:
     """Deterministic ±1 random hyperplanes from md5(seed:plane:dim).
 

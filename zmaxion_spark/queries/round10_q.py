@@ -3,10 +3,12 @@
 q_semdedup_big: the measured proof that the SemDeDup pair stage
 (#420) survives scale the way the paper argues — k GROWN with the
 corpus (8x the graded k) over an amplified point set, every pair
-enumerated through the blocked (cluster, bi, bj) triangle cells of
-``blocked_cluster_pairs`` with live multi-block clusters, no join key
-carrying O(n/k) rows and no all-pairs product anywhere in the plan
-(the q_dbscan_big template applied to embedding-space dedup).
+folded inside the blocked (cluster, bi, bj) triangle cells of
+``similarity.blocked_pair_max_cosine`` (the Arrow-kernel twin of
+``blocked_cluster_pairs``' blocking — round 12) with live multi-block
+clusters, no key carrying O(n/k) rows, no all-pairs product anywhere
+in the plan, and no pair row ever materialized (the q_dbscan_big
+template applied to embedding-space dedup).
 
 Parity disciplines reused from the repo:
 
@@ -174,12 +176,14 @@ def _sdb_oracle() -> str:
     f"preserving replicas) with k GROWN to {_SDB_K} — the paper's "
     "actual scale argument (k tracks the corpus so cluster size "
     "stays ~n/k) made measurable: cluster sizes exceed the pair "
-    "block, so blocked_cluster_pairs runs MULTI-block triangle "
-    "cells for real — every pair flows through uniform (cluster, "
-    f"bi, bj) keys carrying <= {_SDB_BLOCK} rows per side, and the "
-    "plan contains hash joins only (no per-cluster hot key, no "
-    "CartesianProduct; the q_dbscan_big template applied to "
-    "embedding dedup). Benchmarked. Lloyd rounds ride the #273 "
+    "block, so the census runs MULTI-block triangle cells for real — "
+    "every pair folds inside a uniform (cluster, bi, bj) cell "
+    f"carrying <= {_SDB_BLOCK} member rows per side "
+    "(similarity.blocked_pair_max_cosine, the Arrow-kernel twin of "
+    "blocked_cluster_pairs' blocking: no per-cluster hot key, no "
+    "CartesianProduct, and no pair row ever materializes — the "
+    "shuffle carries member replicas, each cell emits per-pid max "
+    "partials). Benchmarked. Lloyd rounds ride the #273 "
     "parity discipline (md5 seeds, decimal centroid means, "
     "(dist, cluster) argmin); cosines are the house double folds; "
     "drop member is greatest(pid), orientation-free.",
@@ -187,7 +191,6 @@ def _sdb_oracle() -> str:
 )
 def q_semdedup_big(spark: SparkSession, sf_dir: str) -> DataFrame:
     from zmaxion_spark.functions import similarity as S
-    from zmaxion_spark.functions.dedup import blocked_cluster_pairs
 
     emb = _t(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v0")
@@ -275,45 +278,32 @@ def q_semdedup_big(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Per-member norm precomputed ONCE (the pair stage otherwise
     # folds 2 norms per pair — 3x the flops for identical bits: same
     # fold over the same data, so the cosine is unchanged bit-for-bit).
-    withn = assigned.select(
-        "cluster",
-        "vec_id",
-        F.struct(F.col("v").alias("v"), S.norm(F.col("v")).alias("n")).alias(
-            "p"
-        ),
-    )
-    pairs = blocked_cluster_pairs(withn, payload_col="p", block=_SDB_BLOCK)
     taus = spark.range(len(_SDB_TAUS)).select(
         F.element_at(
             F.array(*[F.lit(t) for t in _SDB_TAUS]),
             (F.col("id") + 1).cast("int"),
         ).alias("tau_pct")
     )
-    # Arrow-vectorized pair dot (S.dot_arrow — guide §4.2): bit-exact
-    # with the interpreted zip_with/aggregate fold it replaces (same
-    # left fold, ascending j, start 0.0), but ~1M pair folds run as
-    # one numpy accumulation per batch instead of per-row interpreted
-    # lambdas. The division by the precomputed norms stays JVM-side,
-    # identical operands -> identical cosine bits at every tau edge.
-    cos = S.dot_arrow(F.col("payload_a.v"), F.col("payload_b.v")) / (
-        F.col("payload_a.n") * F.col("payload_b.n")
+    # Pair census folded INSIDE the blocked triangle cells
+    # (similarity.blocked_pair_max_cosine — guide §4.2/§2.3): same
+    # (cluster, bi, bj) cells and pair set as blocked_cluster_pairs,
+    # same ascending-k fold bits for every cosine (parity pinned in
+    # tests/test_opt_r12.py), but the shuffle carries member replicas
+    # (id, v, n — n_c·B/2 rows) instead of pair rows with BOTH
+    # payloads, and each cell emits only its per-pid max partials.
+    # At the sf1 decade fixture this removed ~100 GB of pair-payload
+    # traffic (the 10^8 pairs of k-fixed clusters) — numbers in
+    # OPTIMIZATION_r12.md. `max(cos) >= tau` ⟺ `∃ pair: cos >= tau`;
+    # a degenerate 0-norm cosine comes back NULL (skipped by max,
+    # fails >=) exactly like Spark's non-ANSI division — where the
+    # pair-join shape under default ANSI would error outright.
+    withn = assigned.select(
+        "cluster", "vec_id", "v", S.norm(F.col("v")).alias("n")
     )
-    # Fold each pair's cosine ONCE and max-reduce per (cluster, pid)
-    # BEFORE fanning out over taus (guide §2.3 "aggregate before you
-    # shuffle"): `max(cos) >= tau` ⟺ `∃ pair: cos >= tau` (Spark orders
-    # NaN above all doubles in both max and >=, so even a degenerate
-    # 0-norm cosine keeps the same drop set). The old shape cross-joined
-    # pairs × taus first — |taus|× the cosine folds and a |taus|×|pairs|
-    # row distinct; this shape folds |pairs| cosines, partial-aggregates
-    # map-side, and the exchange carries one row per (cluster, pid).
     pair_max = (
-        pairs.select(
-            "cluster",
-            F.greatest("id_a", "id_b").alias("pid"),
-            cos.alias("cos"),
-        )
+        S.blocked_pair_max_cosine(withn, block=_SDB_BLOCK)
         .groupBy("cluster", "pid")
-        .agg(F.max("cos").alias("max_cos"))
+        .agg(F.max("max_cos").alias("max_cos"))
     )
     drops = (
         pair_max.crossJoin(F.broadcast(taus))
