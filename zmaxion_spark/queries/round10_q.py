@@ -43,7 +43,16 @@ _SDB_REPL = 4  # replicas per base embedding
 _SDB_K = 32  # 8x the graded _KM_K = 4: cluster size stays ~n/32
 _SDB_DIM = 64
 _SDB_TAUS = (20, 30, 50)
-_SDB_BLOCK = 32  # shared with q_semdedup's _SD_BLOCK discipline
+# Pair-block size. Results are block-invariant (the blocked triangle
+# enumerates the same pair set at any block size — verified bit-exact
+# across 32/128/256 at sf1), so this is purely the replication/key-
+# size trade: member replicas ~ n_c·ceil(n_c/block)/2 per cluster, so
+# doubling the block halves the kernel's Arrow traffic (measured at
+# sf1: kernel stage 23.4 s @32 -> 5.8 s @128). Upper bound: the #420
+# liveness contract (tests/test_round10_refs.py) requires clusters to
+# EXCEED one block at every SF so multi-block cells stay exercised —
+# max cluster is 104 at sf0.01 / 319 at sf0.1, so 64 keeps margin.
+_SDB_BLOCK = 64
 
 # Scalar stretch per replica: s = 1 + (md5 % 21 - 10)/1000 in
 # [0.990, 1.010] — direction-preserving, so replicas are mutual
